@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession, functions => F, DataFrame => SDF}
+import org.apache.spark.sql.types.DataType
+import graft.expr.Expr
+import graft.api.{DataFrame, LazyFrame}
+
+/** Top-level function surface — the Spark-native counterpart of the reference's
+  * `Polars.x` module functions (reference: lib/polars/functions/ dir).
+  */
+object Polars {
+
+  // ---- expression constructors (reference: functions/col.rb:6, lit.rb:6) ----
+  def col(name: String): Expr = {
+    if (name == "*") all
+    else if (name.startsWith("^") && name.endsWith("$")) Expr(F.col(name)) // regex — expanded frame-side
+    else Expr(F.col(name))
+  }
+  def cols(names: String*): Seq[Expr] = names.map(col)
+  def lit(v: Any): Expr = Expr.lit(v)
+  def all: Expr = Expr(F.col("*"))
+  def element: Expr = Expr(F.col("__element__")) // used inside list.eval lambdas
+  def nth(i: Int): Expr = Expr(F.col(s"__nth_${i}__")) // frame-side resolution
+
+  // ---- when/then/otherwise (reference: functions/whenthen.rb:91) ----
+  final class When(cond: Expr) {
+    def then(v: Expr): WhenThen = new WhenThen(F.when(cond.col, v.col))
+    def then(v: Any): WhenThen = then(Expr.lit(v))
+  }
+  final class WhenThen(c: Column) {
+    def when(cond: Expr): WhenThenWhen = new WhenThenWhen(c, cond)
+    def otherwise(v: Expr): Expr = Expr(c.otherwise(v.col))
+    def otherwise(v: Any): Expr = otherwise(Expr.lit(v))
+    def toExpr: Expr = Expr(c)
+  }
+  final class WhenThenWhen(c: Column, cond: Expr) {
+    def then(v: Expr): WhenThen = new WhenThen(c.when(cond.col, v.col))
+    def then(v: Any): WhenThen = then(Expr.lit(v))
+  }
+  def when(cond: Expr): When = new When(cond)
+
+  // ---- horizontal aggs (reference: functions/aggregation/horizontal.rb:34-235) ----
+  def sumHorizontal(exprs: Expr*): Expr =
+    Expr(exprs.map(e => F.coalesce(e.col, F.lit(0))).reduce(_ + _))
+  def minHorizontal(exprs: Expr*): Expr = Expr(F.least(exprs.map(_.col): _*))
+  def maxHorizontal(exprs: Expr*): Expr = Expr(F.greatest(exprs.map(_.col): _*))
+  def meanHorizontal(exprs: Expr*): Expr = {
+    val vals = exprs.map(_.col)
+    val s = vals.map(c => F.coalesce(c, F.lit(0.0))).reduce(_ + _)
+    val n = vals.map(c => F.when(c.isNotNull, 1).otherwise(0)).reduce(_ + _)
+    Expr(s / n)
+  }
+  def allHorizontal(exprs: Expr*): Expr = Expr(exprs.map(_.col).reduce(_ && _))
+  def anyHorizontal(exprs: Expr*): Expr = Expr(exprs.map(_.col).reduce(_ || _))
+
+  // ---- fold / reduce (reference: functions/lazy.rb:745,778 — plan-time fold,
+  //      no runtime UDF) ----
+  def fold(acc: Expr, f: (Expr, Expr) => Expr, exprs: Seq[Expr]): Expr =
+    exprs.foldLeft(acc)(f)
+  def reduce(f: (Expr, Expr) => Expr, exprs: Seq[Expr]): Expr = exprs.reduce(f)
+  def cumFold(acc: Expr, f: (Expr, Expr) => Expr, exprs: Seq[Expr]): Seq[Expr] =
+    exprs.scanLeft(acc)(f).tail
+
+  // ---- string/struct constructors (reference: functions/as_datatype.rb) ----
+  def concatStr(exprs: Seq[Expr], separator: String = ""): Expr =
+    Expr(F.concat_ws(separator, exprs.map(_.col): _*))
+  def format(fmt: String, exprs: Expr*): Expr = {
+    val parts = fmt.split("\\{\\}", -1)
+    val cols = parts.zipAll(exprs.map(_.col), "", F.lit("")).flatMap {
+      case (s, c) => Seq(F.lit(s), c)
+    }
+    Expr(F.concat(cols.toIndexedSeq: _*))
+  }
+  def struct(exprs: Expr*): Expr = Expr(F.struct(exprs.map(_.col): _*))
+  def concatList(exprs: Expr*): Expr = Expr(F.concat(exprs.map(_.col): _*))
+
+  // ---- stats (reference: functions/lazy.rb:679-872) ----
+  def corr(a: Expr, b: Expr, method: String = "pearson"): Expr = method match {
+    case "pearson" => Expr(F.corr(a.col, b.col))
+    case "spearman" =>
+      import org.apache.spark.sql.expressions.Window
+      val ra = F.rank().over(Window.orderBy(a.col)).cast("double")
+      val rb = F.rank().over(Window.orderBy(b.col)).cast("double")
+      Expr(F.corr(ra, rb))
+  }
+  def cov(a: Expr, b: Expr, ddof: Int = 1): Expr =
+    Expr(if (ddof == 1) F.covar_samp(a.col, b.col) else F.covar_pop(a.col, b.col))
+  def arctan2(y: Expr, x: Expr): Expr = Expr(F.atan2(y.col, x.col))
+
+  // ---- ranges (reference: functions/range/*.rb) ----
+  def intRange(start: Int, end: Int, step: Int = 1): Expr =
+    Expr(F.sequence(F.lit(start), F.lit(end - math.signum(step)), F.lit(step)))
+  def intRanges(start: Expr, end: Expr): Expr =
+    Expr(F.sequence(start.col, end.col - 1, F.lit(1)))
+  def dateRange(start: Expr, end: Expr, interval: String = "1d"): Expr = {
+    val d = graft.kernel.DurationDsl.parse(interval)
+    Expr(F.sequence(start.col, end.col, F.expr(d.sqlInterval)))
+  }
+  def duration(weeks: Long = 0, days: Long = 0, hours: Long = 0, minutes: Long = 0,
+               seconds: Long = 0, milliseconds: Long = 0, microseconds: Long = 0): Expr =
+    Expr(F.lit(((weeks * 7 + days) * 86400L + hours * 3600L + minutes * 60L + seconds) * 1000000L
+      + milliseconds * 1000L + microseconds)) // long-µs-ticks Duration repr (SURVEY §1.2)
+
+  def coalesce(exprs: Expr*): Expr = Expr(F.coalesce(exprs.map(_.col): _*))
+  def repeatExpr(v: Any, n: Int): Expr = Expr(F.array_repeat(F.lit(v), n))
+  def sqlExpr(sql: String): Expr = Expr(F.expr(sql))
+
+  // ---- frame constructors / IO (reference: lib/polars/io/*.rb) ----
+  def readParquet(path: String)(implicit spark: SparkSession): DataFrame =
+    DataFrame(spark.read.parquet(path))
+  def scanParquet(path: String)(implicit spark: SparkSession): LazyFrame =
+    LazyFrame(spark.read.parquet(path))
+  def readCsv(path: String, sep: String = ",", hasHeader: Boolean = true,
+              inferSchema: Boolean = true, tryParseDates: Boolean = false)
+             (implicit spark: SparkSession): DataFrame =
+    DataFrame(csvReader(spark, sep, hasHeader, inferSchema).csv(path))
+  def scanCsv(path: String, sep: String = ",", hasHeader: Boolean = true,
+              inferSchema: Boolean = true)(implicit spark: SparkSession): LazyFrame =
+    LazyFrame(csvReader(spark, sep, hasHeader, inferSchema).csv(path))
+  private def csvReader(spark: SparkSession, sep: String, header: Boolean, infer: Boolean) =
+    spark.read.option("sep", sep).option("header", header).option("inferSchema", infer)
+  def readJson(path: String, multiLine: Boolean = true)(implicit spark: SparkSession): DataFrame =
+    DataFrame(spark.read.option("multiLine", multiLine).json(path))
+  def readNdjson(path: String)(implicit spark: SparkSession): DataFrame =
+    DataFrame(spark.read.json(path))
+  def scanNdjson(path: String)(implicit spark: SparkSession): LazyFrame =
+    LazyFrame(spark.read.json(path))
+  def readAvro(path: String)(implicit spark: SparkSession): DataFrame =
+    DataFrame(spark.read.format("avro").load(path))
+  def readParquetSchema(path: String)(implicit spark: SparkSession): org.apache.spark.sql.types.StructType =
+    spark.read.parquet(path).schema
+  def readDatabase(url: String, table: String, props: java.util.Properties = new java.util.Properties)
+                  (implicit spark: SparkSession): DataFrame =
+    DataFrame(spark.read.jdbc(url, table, props))
+
+  def fromRows(rows: Seq[Seq[Any]], schema: org.apache.spark.sql.types.StructType)
+              (implicit spark: SparkSession): DataFrame = {
+    val rdd = spark.sparkContext.parallelize(rows.map(org.apache.spark.sql.Row.fromSeq))
+    DataFrame(spark.createDataFrame(rdd, schema))
+  }
+
+  // ---- concat (reference: functions/eager.rb:35-143) ----
+  def concat(frames: Seq[DataFrame], how: String = "vertical"): DataFrame = {
+    require(frames.nonEmpty)
+    how match {
+      case "vertical" => frames.reduce((a, b) => DataFrame(a.toSpark.unionAll(b.toSpark)))
+      case "vertical_relaxed" | "diagonal" | "diagonal_relaxed" =>
+        frames.reduce((a, b) => DataFrame(a.toSpark.unionByName(b.toSpark, allowMissingColumns = true)))
+      case "horizontal" =>
+        // positional zip by row index (reference data_frame.rb:2524 hstack)
+        frames.map(f => graft.kernel.RowIndex.attachDense(f.toSpark)).reduce { (a, b) =>
+          a.join(b, graft.kernel.RowIndex.name)
+        } match { case j => DataFrame(graft.kernel.RowIndex.drop(j)) }
+    }
+  }
+}

@@ -1,0 +1,316 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, SparkSession, functions => F, DataFrame => SDF}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.StructType
+import graft.expr.Expr
+import graft.kernel.RowIndex
+
+/** Shared frame ops. The reference's eager `DataFrame` round-trips through the
+  * lazy engine (reference: lib/polars/data_frame.rb:2364-2437 — `join` is
+  * `lazy.join(...).collect`); on Spark both surfaces build the same declarative
+  * plan, so `DataFrame` and `LazyFrame` share this trait and differ only in
+  * materialization discipline.
+  */
+trait FrameOps[Self] {
+  protected def sdf: SDF
+  protected def make(d: SDF): Self
+
+  def toSpark: SDF = sdf
+  def schema: StructType = sdf.schema
+  def columns: Seq[String] = sdf.columns.toSeq.filterNot(_ == RowIndex.name)
+  def width: Int = columns.size
+  def explainPlan(): String = sdf.queryExecution.optimizedPlan.toString
+
+  /** Resolve exprs; if any needs the hidden row index, attach it first
+    * (SURVEY §7 row-order discipline). */
+  private def withIdx(exprs: Seq[Expr])(f: SDF => SDF): SDF = {
+    val needs = exprs.exists(_.requiresIndex)
+    val base = if (needs) RowIndex.attach(sdf) else sdf
+    val out = f(base)
+    if (needs && out.columns.contains(RowIndex.name)) out.drop(RowIndex.name) else out
+  }
+
+  // ---- projections (reference: data_frame.rb:3559,3671; lazy_frame.rb:1028,1784) ----
+  def select(exprs: Expr*): Self = make(withIdx(exprs) { d =>
+    d.select(exprs.map(_.col): _*)
+  })
+  def selectNames(names: String*): Self = make(sdf.select(names.map(F.col): _*))
+  def withColumns(exprs: (String, Expr)*): Self = make(withIdx(exprs.map(_._2)) { d =>
+    exprs.foldLeft(d) { case (acc, (n, e)) => acc.withColumn(n, e.col) }
+  })
+  def withColumn(name: String, e: Expr): Self = withColumns(name -> e)
+  def withColumnsRenamed(mapping: Map[String, String]): Self =
+    make(mapping.foldLeft(sdf) { case (d, (from, to)) => d.withColumnRenamed(from, to) })
+  def rename(mapping: Map[String, String]): Self = withColumnsRenamed(mapping)
+  def drop(names: String*): Self = make(sdf.drop(names: _*))
+  def dropNulls(): Self = make(sdf.na.drop())
+  def dropNulls(subset: Seq[String]): Self = make(sdf.na.drop(subset))
+  def dropNans(subset: Seq[String]): Self =
+    make(subset.foldLeft(sdf)((d, c) => d.filter(!F.isnan(F.col(c)))))
+  def fillNull(value: Any): Self = make(value match {
+    case d: Double  => sdf.na.fill(d)
+    case l: Long    => sdf.na.fill(l)
+    case i: Int     => sdf.na.fill(i.toLong)
+    case s: String  => sdf.na.fill(s)
+    case b: Boolean => sdf.na.fill(b)
+  })
+
+  /** Regex / dtype selector expansion (reference: expr.rb:365 exclude,
+    * meta_expr.rb:96 regex projection) — resolved against the schema here
+    * because Catalyst has no regex projection. */
+  def selectRegex(pattern: String): Self = {
+    val re = pattern.r
+    make(sdf.select(columns.filter(c => re.findFirstIn(c).isDefined).map(F.col): _*))
+  }
+  def exclude(names: String*): Self =
+    make(sdf.select(columns.filterNot(names.contains).map(F.col): _*))
+
+  // ---- filter (reference: data_frame.rb:1161, lazy_frame.rb:932) ----
+  def filter(pred: Expr): Self = make(withIdx(Seq(pred))(_.filter(pred.col)))
+  def where(pred: Expr): Self = filter(pred)
+
+  // ---- sort / limit (reference: data_frame.rb:1340; §2.6) ----
+  def sort(by: String, descending: Boolean = false, nullsLast: Boolean = false): Self =
+    sortBy(Seq(graft.Polars.col(by)), Seq(descending), nullsLast)
+  def sortBy(by: Seq[Expr], descending: Seq[Boolean] = Nil, nullsLast: Boolean = false): Self = {
+    val desc = if (descending.isEmpty) Seq.fill(by.size)(false) else descending
+    val keys = by.zip(desc).map { case (e, d) =>
+      (d, nullsLast) match {
+        case (false, false) => e.col.asc_nulls_first
+        case (false, true)  => e.col.asc_nulls_last
+        case (true, false)  => e.col.desc_nulls_first
+        case (true, true)   => e.col.desc_nulls_last
+      }
+    }
+    make(sdf.orderBy(keys: _*))
+  }
+  def limit(n: Int): Self = make(sdf.limit(n))
+  def head(n: Int = 5): Self = limit(n)
+  def tail(n: Int = 5): Self = {
+    val d = RowIndex.attach(sdf)
+    val cnt = Window.partitionBy()
+    make(d.withColumn("__cnt__", F.count(F.lit(1)).over(cnt))
+      .withColumn("__rn__", F.row_number().over(Window.orderBy(F.col(RowIndex.name))))
+      .filter(F.col("__rn__") > F.col("__cnt__") - n)
+      .drop("__cnt__", "__rn__", RowIndex.name))
+  }
+  def slice(offset: Long, length: Long): Self = {
+    val d = RowIndex.attachDense(sdf)
+    make(d.filter(F.col(RowIndex.name) >= offset && F.col(RowIndex.name) < offset + length)
+      .drop(RowIndex.name))
+  }
+  def gatherEvery(n: Int, offset: Int = 0): Self = {
+    val d = RowIndex.attachDense(sdf)
+    make(d.filter((F.col(RowIndex.name) - offset) % n === 0 && F.col(RowIndex.name) >= offset)
+      .drop(RowIndex.name))
+  }
+  def reverse: Self = {
+    val d = RowIndex.attach(sdf)
+    make(d.orderBy(F.col(RowIndex.name).desc).drop(RowIndex.name))
+  }
+  def withRowIndex(name: String = "index", offset: Long = 0): Self = {
+    val d = RowIndex.attachDense(sdf)
+    val renamed = d.withColumn(name, F.col(RowIndex.name) + offset).drop(RowIndex.name)
+    make(renamed.select((name +: renamed.columns.filterNot(_ == name)).map(F.col): _*))
+  }
+  def topK(k: Int, by: Expr, descending: Boolean = false): Self =
+    make(sdf.orderBy(if (descending) by.col.asc else by.col.desc).limit(k)) // top_k = largest
+  def bottomK(k: Int, by: Expr): Self = make(sdf.orderBy(by.col.asc).limit(k))
+  def sample(fraction: Double, withReplacement: Boolean = false, seed: Long = 42): Self =
+    make(sdf.sample(withReplacement, fraction, seed))
+  def shuffle(seed: Long = 42): Self = make(sdf.orderBy(F.rand(seed)))
+
+  // ---- unique (reference: data_frame.rb:4093; §2.6) ----
+  def unique(subset: Seq[String] = Nil, keep: String = "any"): Self = {
+    val cols = if (subset.isEmpty) columns else subset
+    keep match {
+      case "any" => make(sdf.dropDuplicates(cols))
+      case "first" | "last" =>
+        val d = RowIndex.attach(sdf)
+        val ord = if (keep == "first") F.col(RowIndex.name).asc else F.col(RowIndex.name).desc
+        val w = Window.partitionBy(cols.map(F.col): _*).orderBy(ord)
+        make(d.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") === 1)
+          .drop("__rn__", RowIndex.name))
+      case "none" =>
+        val w = Window.partitionBy(cols.map(F.col): _*)
+        make(sdf.withColumn("__cnt__", F.count(F.lit(1)).over(w)).filter(F.col("__cnt__") === 1)
+          .drop("__cnt__"))
+    }
+  }
+
+  // ---- joins (reference: data_frame.rb:2364, lazy_frame.rb:1700-1748) ----
+  def join(other: FrameOps[_], on: Seq[String], how: String = "inner",
+           suffix: String = "_right", joinNulls: Boolean = false,
+           broadcastRight: Boolean = false): Self = {
+    val sparkHow = how match {
+      case "inner" => "inner"; case "left" => "left"; case "right" => "right"
+      case "full" | "outer" => "full_outer"
+      case "semi" => "left_semi"; case "anti" => "left_anti"
+      case "cross" => "cross"
+    }
+    val right0 = other.toSpark
+    // suffix-rename right's clashing non-key columns (polars suffix semantics)
+    val clashes = right0.columns.toSet.intersect(sdf.columns.toSet).diff(on.toSet)
+    val right1 = clashes.foldLeft(right0)((d, c) => d.withColumnRenamed(c, c + suffix))
+    val right = if (broadcastRight) F.broadcast(right1) else right1
+    if (how == "cross") make(sdf.crossJoin(right))
+    else if (joinNulls) {
+      val cond = on.map(c => sdf(c) <=> right(c)).reduce(_ && _)
+      val j = sdf.join(right, cond, sparkHow)
+      make(if (Set("inner", "left", "semi", "anti").contains(how))
+        on.foldLeft(j)((d, c) => d.drop(right(c))) else j)
+    } else make(sdf.join(right, on, sparkHow))
+  }
+  def joinOn(other: FrameOps[_], leftOn: Seq[String], rightOn: Seq[String],
+             how: String = "inner", suffix: String = "_right"): Self = {
+    val right0 = other.toSpark
+    val clashes = right0.columns.toSet.intersect(sdf.columns.toSet).diff(rightOn.toSet)
+    val right = clashes.foldLeft(right0)((d, c) => d.withColumnRenamed(c, c + suffix))
+    val cond = leftOn.zip(rightOn).map { case (l, r) => sdf(l) === right(r) }.reduce(_ && _)
+    val sparkHow = how match {
+      case "full" | "outer" => "full_outer"; case "semi" => "left_semi"
+      case "anti" => "left_anti"; case h => h
+    }
+    make(sdf.join(right, cond, sparkHow))
+  }
+  def crossJoin(other: FrameOps[_]): Self = make(sdf.crossJoin(other.toSpark))
+
+  /** merge_sorted — interleave two key-sorted frames (reference data_frame.rb:4757). */
+  def mergeSorted(other: FrameOps[_], key: String): Self =
+    make(sdf.unionByName(other.toSpark).orderBy(F.col(key)))
+
+  // ---- concat-ish ----
+  def vstack(other: FrameOps[_]): Self = make(sdf.unionAll(other.toSpark))
+  def extend(other: FrameOps[_]): Self = vstack(other)
+  def hstack(other: FrameOps[_]): Self = {
+    val a = RowIndex.attachDense(sdf)
+    val b = RowIndex.attachDense(other.toSpark)
+    make(a.join(b, RowIndex.name).drop(RowIndex.name))
+  }
+
+  // ---- group by (reference: data_frame.rb:1684, group_by.rb:203) ----
+  def groupBy(keys: String*): GroupBy[Self] =
+    new GroupBy[Self](sdf, keys.map(F.col), make)
+  def groupByExprs(keys: Expr*): GroupBy[Self] =
+    new GroupBy[Self](sdf, keys.map(_.col), make)
+
+  /** group_by_dynamic — calendar/tumbling/sliding windows (reference:
+    * lazy_frame.rb:1416-1459). Maps to Spark's `window()` which gives exactly
+    * the multi-membership sliding semantics incl. bounds. */
+  def groupByDynamic(indexColumn: String, every: String, period: Option[String] = None,
+                     offset: Option[String] = None, by: Seq[String] = Nil): DynamicGroupBy[Self] =
+    new DynamicGroupBy[Self](sdf, indexColumn, every, period, offset, by, make)
+
+  // ---- explode / reshape (reference: §2.7) ----
+  def explode(column: String): Self = {
+    val others = sdf.columns.filterNot(_ == column).map(F.col)
+    make(sdf.select((others :+ F.explode_outer(F.col(column)).as(column)).toIndexedSeq: _*)
+      .select(sdf.columns.map(F.col).toIndexedSeq: _*))
+  }
+  def unnest(structCol: String): Self = {
+    val fields = sdf.schema(structCol).dataType.asInstanceOf[StructType].fieldNames
+    val others = sdf.columns.filterNot(_ == structCol).map(F.col)
+    make(sdf.select((others ++ fields.map(f => F.col(s"$structCol.$f").as(f))).toIndexedSeq: _*))
+  }
+  def toStruct(name: String): Self =
+    make(sdf.select(F.struct(sdf.columns.map(F.col).toIndexedSeq: _*).as(name)))
+
+  /** unpivot/melt (reference: data_frame.rb:3101). Spark 4 has Dataset.unpivot. */
+  def unpivot(on: Seq[String], index: Seq[String],
+              variableName: String = "variable", valueName: String = "value"): Self =
+    make(sdf.unpivot(index.map(F.col).toArray, on.map(F.col).toArray, variableName, valueName))
+
+  def isEmpty: Boolean = sdf.isEmpty
+}
+
+/** Eager frame (reference: lib/polars/data_frame.rb). */
+final case class DataFrame(private val df: SDF) extends FrameOps[DataFrame] {
+  protected def sdf: SDF = df
+  protected def make(d: SDF): DataFrame = DataFrame(d)
+  def lazyFrame: LazyFrame = LazyFrame(df)
+  def height: Long = df.count()
+  def shape: (Long, Int) = (height, width)
+  def collectRows(): Array[org.apache.spark.sql.Row] = df.collect()
+  def show(n: Int = 20): Unit = df.show(n, truncate = false)
+  def cache(): DataFrame = DataFrame(df.cache())
+  def writeParquet(path: String): Unit = df.write.mode("overwrite").parquet(path)
+  def writeCsv(path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", true).csv(path)
+  def writeNdjson(path: String): Unit = df.write.mode("overwrite").json(path)
+  def writeAvro(path: String): Unit = df.write.mode("overwrite").format("avro").save(path)
+  /** partition_by (reference data_frame.rb:3308) — driver-side key enumeration. */
+  def partitionBy(keys: Seq[String]): Map[Seq[Any], DataFrame] = {
+    val distinct = df.select(keys.map(F.col): _*).distinct().collect()
+    distinct.map { row =>
+      val vals = keys.indices.map(row.get)
+      val pred = keys.zip(vals).map { case (k, v) => F.col(k) === F.lit(v) }.reduce(_ && _)
+      vals -> DataFrame(df.filter(pred))
+    }.toMap
+  }
+  /** transpose — small-data op, collect and rebuild (reference data_frame.rb:1004). */
+  def transpose(includeHeader: Boolean = true, headerName: String = "column"): DataFrame = {
+    val spark = df.sparkSession
+    val cols = df.columns
+    val rows = df.collect()
+    val outCols = (0 until rows.length).map(i => s"column_$i")
+    val data = cols.zipWithIndex.map { case (c, ci) =>
+      org.apache.spark.sql.Row.fromSeq(
+        (if (includeHeader) Seq(c) else Nil) ++ rows.map(r => Option(r.get(ci)).map(_.toString).orNull))
+    }
+    val schema = StructType(
+      (if (includeHeader) Seq(org.apache.spark.sql.types.StructField(headerName, org.apache.spark.sql.types.StringType)) else Nil) ++
+        outCols.map(c => org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
+    DataFrame(spark.createDataFrame(spark.sparkContext.parallelize(data.toIndexedSeq), schema))
+  }
+  /** pivot (reference: data_frame.rb:2999) → groupBy(index).pivot(on).agg. */
+  def pivot(on: String, index: Seq[String], values: String,
+            aggregateFunction: String = "first"): DataFrame = {
+    val agg: Column = aggregateFunction match {
+      case "first" => F.first(F.col(values)); case "last" => F.last(F.col(values))
+      case "sum" => F.sum(F.col(values)); case "min" => F.min(F.col(values))
+      case "max" => F.max(F.col(values)); case "mean" => F.avg(F.col(values))
+      case "median" => F.median(F.col(values)); case "len" => F.count(F.lit(1))
+    }
+    DataFrame(df.groupBy(index.map(F.col): _*).pivot(on).agg(agg))
+  }
+  /** pivot with the distinct values supplied — avoids the extra distinct scan
+    * and gives deterministic output columns (preferred at scale). */
+  def pivotValues(on: String, values: Seq[Any], index: Seq[String], valueCol: String,
+                  aggregateFunction: String = "first"): DataFrame = {
+    val agg: Column = aggregateFunction match {
+      case "first" => F.first(F.col(valueCol)); case "last" => F.last(F.col(valueCol))
+      case "sum" => F.sum(F.col(valueCol)); case "min" => F.min(F.col(valueCol))
+      case "max" => F.max(F.col(valueCol)); case "mean" => F.avg(F.col(valueCol))
+      case "median" => F.median(F.col(valueCol)); case "len" => F.count(F.lit(1))
+    }
+    DataFrame(df.groupBy(index.map(F.col): _*).pivot(on, values).agg(agg))
+  }
+  /** to_dummies (reference: data_frame.rb:4048). */
+  def toDummies(cols: Seq[String], separator: String = "_", dropFirst: Boolean = false): DataFrame = {
+    var out = df
+    for (c <- cols) {
+      val vals = df.select(c).distinct().orderBy(c).collect().map(_.get(0)).toSeq
+      val keep = if (dropFirst) vals.drop(1) else vals
+      for (v <- keep)
+        out = out.withColumn(s"$c$separator$v", F.when(F.col(c) === F.lit(v), 1).otherwise(0).cast("byte"))
+      out = out.drop(c)
+    }
+    DataFrame(out)
+  }
+}
+
+/** Lazy frame — Spark Datasets are already lazy logical plans; `collect`
+  * materializes (reference: lib/polars/lazy_frame.rb:333). */
+final case class LazyFrame(private val df: SDF) extends FrameOps[LazyFrame] {
+  protected def sdf: SDF = df
+  protected def make(d: SDF): LazyFrame = LazyFrame(d)
+  def collect(): DataFrame = DataFrame(df)
+  def fetch(n: Int): DataFrame = DataFrame(df.limit(n))
+  def cachePlan(): LazyFrame = LazyFrame(df.cache())
+  def describePlan(): String = df.queryExecution.logical.toString
+  def describeOptimizedPlan(): String = df.queryExecution.optimizedPlan.toString
+  def sinkParquet(path: String): Unit = df.write.mode("overwrite").parquet(path)
+  def sinkCsv(path: String): Unit = df.write.mode("overwrite").option("header", true).csv(path)
+  def sinkNdjson(path: String): Unit = df.write.mode("overwrite").json(path)
+}

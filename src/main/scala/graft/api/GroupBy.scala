@@ -1,0 +1,83 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, functions => F, DataFrame => SDF}
+import org.apache.spark.sql.expressions.Window
+import graft.expr.Expr
+import graft.kernel.{DurationDsl, RowIndex}
+
+/** group_by surface (reference: lib/polars/group_by.rb, lazy_group_by.rb).
+  * Thin declarative layer over `RelationalGroupedDataset` — Catalyst supplies
+  * partial (map-side) aggregation automatically, so nothing imperative here.
+  */
+final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk: SDF => Self) {
+
+  def agg(exprs: Expr*): Self = {
+    require(exprs.nonEmpty)
+    mk(sdf.groupBy(keys: _*).agg(exprs.head.col, exprs.tail.map(_.col): _*))
+  }
+
+  private def aggAll(f: Column => Column, suffix: String = ""): Self = {
+    val keyNames = keys.map(_.toString).toSet
+    val others = sdf.columns.filterNot(c => keyNames.contains(c) || c == RowIndex.name)
+    val aggs = others.map(c => f(F.col(c)).as(c + suffix))
+    mk(sdf.groupBy(keys: _*).agg(aggs.head, aggs.tail.toIndexedSeq: _*))
+  }
+  def first(): Self = aggAll(F.first(_))
+  def last(): Self = aggAll(F.last(_))
+  def sum(): Self = aggAll(F.sum)
+  def min(): Self = aggAll(F.min)
+  def max(): Self = aggAll(F.max)
+  def mean(): Self = aggAll(F.avg)
+  def median(): Self = aggAll(c => F.median(c))
+  def nUnique(): Self = aggAll(c => F.countDistinct(c))
+  def quantile(q: Double): Self = aggAll(c => F.percentile(c, F.lit(q)))
+  def count(): Self = mk(sdf.groupBy(keys: _*).agg(F.count(F.lit(1)).as("count")))
+  def len(): Self = count()
+
+  /** head/tail per group (reference: group_by.rb:254,305) —
+    * `row_number over (partition by keys order by row-idx) <= n`. */
+  def head(n: Int): Self = {
+    val d = RowIndex.attach(sdf)
+    val w = Window.partitionBy(keys: _*).orderBy(F.col(RowIndex.name))
+    mk(d.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") <= n)
+      .drop("__rn__", RowIndex.name))
+  }
+  def tail(n: Int): Self = {
+    val d = RowIndex.attach(sdf)
+    val w = Window.partitionBy(keys: _*).orderBy(F.col(RowIndex.name).desc)
+    mk(d.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") <= n)
+      .drop("__rn__", RowIndex.name))
+  }
+}
+
+/** group_by_dynamic (reference: lazy_frame.rb:1416-1459, dynamic_group_by.rb).
+  * `every` = stride, `period` = window length (defaults to every), `offset`
+  * shifts bucket origins. Spark's `window()` yields the same multi-membership
+  * sliding semantics; `_lower/_upper_boundary` come from the window struct.
+  */
+final class DynamicGroupBy[Self](sdf: SDF, indexColumn: String, every: String,
+                                 period: Option[String], offset: Option[String],
+                                 by: Seq[String], mk: SDF => Self) {
+  def agg(exprs: Expr*): Self = {
+    val everyD = DurationDsl.parse(every)
+    val periodD = period.map(DurationDsl.parse).getOrElse(everyD)
+    require(!everyD.isCalendar && !periodD.isCalendar,
+      "calendar windows (1mo/1y): use truncate-based bucketing")
+    def dur(d: graft.kernel.Duration) = s"${d.totalMicros} microseconds"
+    val win = offset match {
+      case Some(o) =>
+        F.window(F.col(indexColumn), dur(periodD), dur(everyD),
+          s"${DurationDsl.parse(o).totalMicros} microseconds")
+      case None => F.window(F.col(indexColumn), dur(periodD), dur(everyD))
+    }
+    val groupCols = win.as("__window__") +: by.map(F.col)
+    val out = sdf.groupBy(groupCols: _*)
+      .agg(exprs.head.col, exprs.tail.map(_.col): _*)
+      .withColumn(indexColumn, F.col("__window__.start"))
+      .withColumn("_lower_boundary", F.col("__window__.start"))
+      .withColumn("_upper_boundary", F.col("__window__.end"))
+      .drop("__window__")
+    val lead = (by :+ indexColumn).map(F.col)
+    mk(out.select((lead ++ out.columns.filterNot((by :+ indexColumn).contains).map(F.col)).toIndexedSeq: _*))
+  }
+}

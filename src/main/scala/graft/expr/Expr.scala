@@ -1,0 +1,322 @@
+package graft.expr
+
+import org.apache.spark.sql.{Column, functions => F}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.types.DataType
+
+/** Composable column expression — the Spark-native counterpart of the
+  * reference's `Polars::Expr` (reference: lib/polars/expr.rb:28-7215).
+  *
+  * Wraps a Catalyst [[org.apache.spark.sql.Column]]; every method builds a new
+  * declarative Column so Catalyst/Tungsten keep whole-stage codegen and
+  * pushdown. Order-dependent ops (shift/cum/rolling/rank without an explicit
+  * `over`) reference the hidden row-index column maintained by the frame layer
+  * (see [[graft.kernel.RowIndex]]); `requiresIndex` tells the frame to attach
+  * it before resolving.
+  */
+final case class Expr(col: Column, requiresIndex: Boolean = false) {
+  import Expr._
+
+  private def map(f: Column => Column): Expr = Expr(f(col), requiresIndex)
+  private def zip(o: Expr)(f: (Column, Column) => Column): Expr =
+    Expr(f(col, o.col), requiresIndex || o.requiresIndex)
+
+  // ---- naming (reference: expr.rb:324,407-449; name_expr.rb) ----
+  def alias(name: String): Expr = map(_.as(name))
+  def as(name: String): Expr = alias(name)
+
+  // ---- arithmetic (reference: expr.rb:28-134) ----
+  def unary_- : Expr = map(c => -c)
+  def +(o: Expr): Expr = zip(o)(_ + _)
+  def -(o: Expr): Expr = zip(o)(_ - _)
+  def *(o: Expr): Expr = zip(o)(_ * _)
+  def /(o: Expr): Expr = zip(o)(_ / _)
+  def %(o: Expr): Expr = zip(o)(_ % _)
+  def floorDiv(o: Expr): Expr = zip(o)((a, b) => F.floor(a / b))
+  def pow(o: Expr): Expr = zip(o)(F.pow)
+  def +(v: Any): Expr = this + Expr.lit(v)
+  def -(v: Any): Expr = this - Expr.lit(v)
+  def *(v: Any): Expr = this * Expr.lit(v)
+  def /(v: Any): Expr = this / Expr.lit(v)
+  def %(v: Any): Expr = this % Expr.lit(v)
+  def pow(v: Double): Expr = pow(Expr.lit(v))
+  def dot(o: Expr): Expr = zip(o)((a, b) => F.sum(a * b))
+
+  // ---- comparisons (reference: expr.rb:3069-3179) ----
+  def ===(o: Expr): Expr = zip(o)(_ === _)
+  def !==(o: Expr): Expr = zip(o)(_ =!= _)
+  def >(o: Expr): Expr = zip(o)(_ > _)
+  def >=(o: Expr): Expr = zip(o)(_ >= _)
+  def <(o: Expr): Expr = zip(o)(_ < _)
+  def <=(o: Expr): Expr = zip(o)(_ <= _)
+  def ===(v: Any): Expr = this === Expr.lit(v)
+  def !==(v: Any): Expr = this !== Expr.lit(v)
+  def >(v: Any): Expr = this > Expr.lit(v)
+  def >=(v: Any): Expr = this >= Expr.lit(v)
+  def <(v: Any): Expr = this < Expr.lit(v)
+  def <=(v: Any): Expr = this <= Expr.lit(v)
+  /** Null-safe equality (reference `eq_missing`, expr.rb:3273) */
+  def eqMissing(o: Expr): Expr = zip(o)(_ <=> _)
+  def neMissing(o: Expr): Expr = zip(o)((a, b) => !(a <=> b))
+
+  // ---- boolean (reference: expr.rb:88-134) ----
+  def &&(o: Expr): Expr = zip(o)(_ && _)
+  def ||(o: Expr): Expr = zip(o)(_ || _)
+  def unary_! : Expr = map(!_)
+  def not: Expr = map(!_)
+  def xor(o: Expr): Expr = zip(o)((a, b) => (a && !b) || (!a && b))
+
+  // ---- null / nan surface (reference: expr.rb:519-693,1721-1822) ----
+  def isNull: Expr = map(_.isNull)
+  def isNotNull: Expr = map(_.isNotNull)
+  def isNan: Expr = map(F.isnan)
+  def isNotNan: Expr = map(c => !F.isnan(c))
+  def isFinite: Expr = map(c => !F.isnan(c) && c =!= Double.PositiveInfinity && c =!= Double.NegativeInfinity)
+  def isInfinite: Expr = map(c => c === Double.PositiveInfinity || c === Double.NegativeInfinity)
+  def fillNull(v: Expr): Expr = zip(v)((c, x) => F.coalesce(c, x))
+  def fillNull(v: Any): Expr = fillNull(Expr.lit(v))
+  def fillNan(v: Expr): Expr = zip(v)((c, x) => F.when(F.isnan(c), x).otherwise(c))
+  def fillNan(v: Any): Expr = fillNan(Expr.lit(v))
+
+  // ---- casts (reference: expr.rb:1234) ----
+  def cast(dt: DataType, strict: Boolean = true): Expr =
+    map(c => if (strict) c.cast(dt) else c.try_cast(dt))
+
+  // ---- math (reference: expr.rb:245-289,1088-1139,5594-6229) ----
+  def abs: Expr = map(F.abs)
+  def sqrt: Expr = map(F.sqrt)
+  def cbrt: Expr = map(F.cbrt)
+  def exp: Expr = map(F.exp)
+  def log: Expr = map(F.log)
+  def log(base: Double): Expr = map(c => F.log(base, c))
+  def log10: Expr = map(F.log10)
+  def log1p: Expr = map(F.log1p)
+  def floor: Expr = map(F.floor)
+  def ceil: Expr = map(F.ceil)
+  def round(decimals: Int = 0): Expr = map(c => F.round(c, decimals))
+  def sign: Expr = map(F.signum)
+  def sin: Expr = map(F.sin)
+  def cos: Expr = map(F.cos)
+  def tan: Expr = map(F.tan)
+  def asin: Expr = map(F.asin)
+  def acos: Expr = map(F.acos)
+  def atan: Expr = map(F.atan)
+  def sinh: Expr = map(F.sinh)
+  def cosh: Expr = map(F.cosh)
+  def tanh: Expr = map(F.tanh)
+  def asinh: Expr = map(F.asinh)
+  def acosh: Expr = map(F.acosh)
+  def atanh: Expr = map(F.atanh)
+  def degrees: Expr = map(F.degrees)
+  def radians: Expr = map(F.radians)
+  def clip(lo: Expr, hi: Expr): Expr =
+    Expr(F.least(F.greatest(col, lo.col), hi.col), requiresIndex)
+  def clip(lo: Any, hi: Any): Expr = clip(Expr.lit(lo), Expr.lit(hi))
+  def clipMin(lo: Any): Expr = map(c => F.greatest(c, Expr.lit(lo).col))
+  def clipMax(hi: Any): Expr = map(c => F.least(c, Expr.lit(hi).col))
+
+  // ---- membership / ranges (reference: expr.rb:3612,3727) ----
+  def isIn(values: Seq[Any]): Expr = map(_.isin(values: _*))
+  def isIn(other: Expr): Expr = zip(other)((c, arr) => F.array_contains(arr, c))
+  def isBetween(loAny: Any, hiAny: Any, closed: String = "both"): Expr = {
+    val (lo, hi) = (Expr.lit(loAny), Expr.lit(hiAny))
+    val (l, h) = (lo.col, hi.col)
+    val c = closed match {
+      case "both"  => col >= l && col <= h
+      case "left"  => col >= l && col < h
+      case "right" => col > l && col <= h
+      case "none"  => col > l && col < h
+    }
+    Expr(c, requiresIndex || lo.requiresIndex || hi.requiresIndex)
+  }
+
+  // ---- aggregations (reference: expr.rb:1852-2215,721-741) ----
+  def sum: Expr = map(F.sum)
+  def mean: Expr = map(F.avg)
+  def median: Expr = map(c => F.median(c))
+  def min: Expr = map(F.min)
+  def max: Expr = map(F.max)
+  def count: Expr = map(F.count)
+  def len: Expr = map(F.count) // counts nulls too in polars; see lenWithNulls
+  def nullCount: Expr = map(c => F.count(F.when(c.isNull, 1)))
+  def first: Expr = map(c => F.first(c))
+  def last: Expr = map(c => F.last(c))
+  def product: Expr = map(c => F.exp(F.sum(F.log(c)))) // positive-domain fast path
+  def nUnique: Expr = map(c => F.countDistinct(c))
+  def approxNUnique: Expr = map(c => F.approx_count_distinct(c))
+  def std(ddof: Int = 1): Expr = map(c => ddofScale(F.stddev_samp(c), F.count(c), ddof, isStd = true))
+  def variance(ddof: Int = 1): Expr = map(c => ddofScale(F.var_samp(c), F.count(c), ddof, isStd = false))
+  /** Exact quantile, all five Polars interpolation modes (reference: expr.rb:2107).
+    * `linear` maps to Spark's exact `percentile` (same formula as DuckDB
+    * `quantile_cont`); the discrete modes index into the sorted group — exact but
+    * O(group) memory, fine for agg outputs, prefer `linear`/`approxQuantile` at
+    * 100 TB scale. */
+  def quantile(q: Double, interpolation: String = "nearest"): Expr = map { c =>
+    interpolation match {
+      case "linear" => F.percentile(c, F.lit(q))
+      case m =>
+        val sorted = F.sort_array(F.collect_list(c))
+        val n = F.size(sorted)
+        val h = F.lit(q) * (n - 1).cast("double")
+        val lo = F.element_at(sorted, F.floor(h).cast("int") + 1)
+        val hi = F.element_at(sorted, F.ceil(h).cast("int") + 1)
+        m match {
+          case "lower"    => lo
+          case "higher"   => hi
+          case "midpoint" => (lo + hi) / 2.0
+          case "nearest"  =>
+            F.when(h - F.floor(h) > 0.5, hi).otherwise(lo)
+        }
+    }
+  }
+  def approxQuantile(q: Double, accuracy: Int = 10000): Expr =
+    map(c => F.percentile_approx(c, F.lit(q), F.lit(accuracy)))
+  def mode: Expr = map(c => F.mode(c))
+  def implode: Expr = map(F.collect_list)
+  def uniqueAgg: Expr = map(F.collect_set)
+  def skew: Expr = map(F.skewness)
+  def kurtosis: Expr = map(F.kurtosis)
+  def entropy(base: Double = math.E): Expr = map { c =>
+    // -sum(p ln p)/ln(base) over value distribution is frame-level; here treat
+    // col as probabilities like polars' expr.entropy on a prob column
+    -F.sum(c * F.log(c)) / math.log(base)
+  }
+
+  // ---- conditional agg helper (reference: expr.rb:2713 Expr#filter) ----
+  /** Keep only elements matching the predicate inside an aggregation context. */
+  def filter(pred: Expr): Expr = Expr(F.when(pred.col, col), requiresIndex || pred.requiresIndex)
+
+  // ---- window: over (reference: expr.rb:2278) ----
+  def over(partitionBy: Expr*): Expr =
+    Expr(col.over(Window.partitionBy(partitionBy.map(_.col): _*)), requiresIndex)
+  def over(w: WindowSpec): Expr = Expr(col.over(w), requiresIndex)
+  def overOrdered(partitionBy: Seq[Expr], orderBy: Seq[Expr]): Expr =
+    Expr(col.over(Window.partitionBy(partitionBy.map(_.col): _*).orderBy(orderBy.map(_.col): _*)), requiresIndex)
+
+  // ---- sorting keys helpers ----
+  def asc: Expr = map(_.asc)
+  def desc: Expr = map(_.desc)
+  def ascNullsLast: Expr = map(_.asc_nulls_last)
+  def descNullsLast: Expr = map(_.desc_nulls_last)
+  def ascNullsFirst: Expr = map(_.asc_nulls_first)
+  def descNullsFirst: Expr = map(_.desc_nulls_first)
+
+  // ---- order-dependent ops: resolved against the frame's hidden row index ----
+  private def idxWindow: WindowSpec = Window.orderBy(F.col(graft.kernel.RowIndex.name))
+  /** shift(n) — lag/lead over implicit row order (reference: expr.rb:1624) */
+  def shift(n: Int = 1): Expr = Expr(
+    (if (n >= 0) F.lag(col, n) else F.lead(col, -n)).over(idxWindow), requiresIndex = true)
+  def shiftAndFill(n: Int, fill: Any): Expr = Expr(
+    (if (n >= 0) F.lag(col, n, fill) else F.lead(col, -n, fill)).over(idxWindow), requiresIndex = true)
+  def diff(n: Int = 1): Expr = Expr((col - F.lag(col, n).over(idxWindow)), requiresIndex = true)
+  def pctChange(n: Int = 1): Expr = {
+    val prev = F.lag(col, n).over(idxWindow)
+    Expr((col - prev) / prev, requiresIndex = true)
+  }
+  def cumSum(reverse: Boolean = false): Expr = cum(F.sum, reverse)
+  def cumMin(reverse: Boolean = false): Expr = cum(F.min, reverse)
+  def cumMax(reverse: Boolean = false): Expr = cum(F.max, reverse)
+  def cumCount(reverse: Boolean = false): Expr = cum(F.count, reverse)
+  def cumProd(reverse: Boolean = false): Expr =
+    cum(c => F.exp(F.sum(F.log(c))), reverse)
+  private def cum(f: Column => Column, reverse: Boolean): Expr = {
+    val w =
+      if (reverse) idxWindow.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else idxWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Expr(f(col).over(w), requiresIndex = true)
+  }
+  /** rank over implicit row order of values (reference: expr.rb:5691) */
+  def rank(method: String = "average", descending: Boolean = false): Expr = {
+    val ord = if (descending) col.desc else col.asc
+    val w = Window.orderBy(ord)
+    val c = method match {
+      case "min"     => F.rank().over(w)
+      case "dense"   => F.dense_rank().over(w)
+      case "ordinal" => F.row_number().over(w)
+      case "max"     => F.rank().over(w) + F.count(F.lit(1)).over(Window.partitionBy(col)) - 1
+      case "average" =>
+        (F.rank().over(w).cast("double") +
+          (F.rank().over(w) + F.count(F.lit(1)).over(Window.partitionBy(col)) - 1).cast("double")) / 2.0
+    }
+    Expr(c, requiresIndex)
+  }
+  def isDuplicated: Expr = Expr(F.count(F.lit(1)).over(Window.partitionBy(col)) > 1, requiresIndex)
+  def isUniqueMask: Expr = Expr(F.count(F.lit(1)).over(Window.partitionBy(col)) === 1, requiresIndex)
+  def isFirstDistinct: Expr = Expr(
+    F.row_number().over(Window.partitionBy(col).orderBy(F.col(graft.kernel.RowIndex.name))) === 1,
+    requiresIndex = true)
+  def isLastDistinct: Expr = Expr(
+    F.row_number().over(Window.partitionBy(col).orderBy(F.col(graft.kernel.RowIndex.name).desc)) === 1,
+    requiresIndex = true)
+  def forwardFill: Expr = Expr(
+    F.last(col, ignoreNulls = true).over(idxWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    requiresIndex = true)
+  def backwardFill: Expr = Expr(
+    F.first(col, ignoreNulls = true).over(idxWindow.rowsBetween(Window.currentRow, Window.unboundedFollowing)),
+    requiresIndex = true)
+  def reverseExpr: Expr = Expr(col, requiresIndex) // frame-level reverse handles ordering
+
+  // ---- rolling (fixed window, reference: expr.rb:4936-5567) ----
+  def rollingSum(n: Int, minPeriods: Int = 1): Expr = rolling(F.sum, n, minPeriods)
+  def rollingMean(n: Int, minPeriods: Int = 1): Expr = rolling(F.avg, n, minPeriods)
+  def rollingMin(n: Int, minPeriods: Int = 1): Expr = rolling(F.min, n, minPeriods)
+  def rollingMax(n: Int, minPeriods: Int = 1): Expr = rolling(F.max, n, minPeriods)
+  def rollingStd(n: Int, minPeriods: Int = 2): Expr = rolling(F.stddev_samp, n, minPeriods)
+  def rollingVar(n: Int, minPeriods: Int = 2): Expr = rolling(F.var_samp, n, minPeriods)
+  def rollingMedian(n: Int, minPeriods: Int = 1): Expr = rolling(c => F.median(c), n, minPeriods)
+  private def rolling(f: Column => Column, n: Int, minPeriods: Int): Expr = {
+    val w = idxWindow.rowsBetween(-(n - 1).toLong, 0L)
+    val cnt = F.count(col).over(w)
+    Expr(F.when(cnt >= minPeriods, f(col).over(w)), requiresIndex = true)
+  }
+
+  // ---- misc (reference: expr.rb §2.8 tail) ----
+  def hash(seed: Long = 0): Expr = map(c => F.xxhash64(F.lit(seed), c))
+  def repeatBy(n: Expr): Expr = zip(n)((c, k) => F.array_repeat(c, k.cast("int")))
+  def coalesceWith(others: Expr*): Expr =
+    Expr(F.coalesce((col +: others.map(_.col)): _*), requiresIndex || others.exists(_.requiresIndex))
+  /** Map distinct old→new values (reference expr.rb:6915 `replace`). */
+  def replaceValues(mapping: Map[Any, Any]): Expr = map { c =>
+    mapping.foldLeft(F.when(F.lit(false), F.lit(null))) { case (acc, (k, v)) =>
+      acc.when(c === F.lit(k), F.lit(v))
+    }.otherwise(c)
+  }
+  /** cut into buckets by break points (reference expr.rb:2530). */
+  def cut(breaks: Seq[Double], labels: Option[Seq[String]] = None): Expr = map { c =>
+    val lbls = labels.getOrElse {
+      val pts = Double.NegativeInfinity +: breaks :+ Double.PositiveInfinity
+      pts.sliding(2).map { case Seq(a, b) => s"($a, $b]" }.toSeq
+    }
+    val first = F.when(c <= breaks.head, lbls.head)
+    val mid = breaks.indices.drop(1).foldLeft(first) { (acc, i) =>
+      acc.when(c <= breaks(i), lbls(i))
+    }
+    mid.otherwise(lbls.last)
+  }
+
+  // ---- namespaces ----
+  def str: StrNS = new StrNS(this)
+  def dt: DtNS = new DtNS(this)
+  def list: ListNS = new ListNS(this)
+  def arr: ListNS = new ListNS(this) // fixed-width arrays share ArrayType ops
+  def bin: BinNS = new BinNS(this)
+  def cat: CatNS = new CatNS(this)
+  def struct: StructNS = new StructNS(this)
+  def name: NameNS = new NameNS(this)
+}
+
+object Expr {
+  def lit(v: Any): Expr = v match {
+    case e: Expr   => e
+    case c: Column => Expr(c)
+    case x         => Expr(F.lit(x))
+  }
+  /** Rescale a sample std/var to an arbitrary ddof (Polars allows ddof 0..n). */
+  private[expr] def ddofScale(sampStat: Column, n: Column, ddof: Int, isStd: Boolean): Column =
+    if (ddof == 1) sampStat
+    else {
+      val varSamp = if (isStd) sampStat * sampStat else sampStat
+      val rescaled = varSamp * (n - 1).cast("double") / (n - ddof).cast("double")
+      if (isStd) F.sqrt(rescaled) else rescaled
+    }
+}

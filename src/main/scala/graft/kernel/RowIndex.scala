@@ -1,0 +1,40 @@
+package graft.kernel
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/** Hidden monotonic row-index discipline (SURVEY §7 "hard parts").
+  *
+  * Polars frames are ordered; Spark relations are not. Frames attach this
+  * column lazily — only when an order-dependent op (shift/head/slice/reverse/
+  * cum without `over`, with_row_index) actually needs it — so scans keep full
+  * pushdown/pruning in the common path.
+  *
+  * `monotonically_increasing_id` is monotonic in (partitionId, offset); for a
+  * deterministic file scan this reproduces file order without collapsing
+  * parallelism. It is materialized as a real column *before* any window so the
+  * value is fixed pre-shuffle (a window's orderBy expression evaluated
+  * post-exchange would be nondeterministic).
+  */
+object RowIndex {
+  val name = "__graft_idx__"
+
+  def attach(df: DataFrame): DataFrame =
+    if (df.columns.contains(name)) df
+    else df.withColumn(name, F.monotonically_increasing_id())
+
+  /** Attach a dense 0-based index (needed when arithmetic on the index matters,
+    * e.g. gather_every / slice): zipWithIndex keeps partition parallelism and
+    * is deterministic for a given partitioning. */
+  def attachDense(df: DataFrame): DataFrame =
+    if (df.columns.contains(name)) df
+    else {
+      val schema = df.schema.add(name, org.apache.spark.sql.types.LongType, nullable = false)
+      val rdd = df.rdd.zipWithIndex.map { case (row, i) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+      }
+      df.sparkSession.createDataFrame(rdd, schema)
+    }
+
+  def drop(df: DataFrame): DataFrame =
+    if (df.columns.contains(name)) df.drop(name) else df
+}

@@ -1,0 +1,139 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Large-scale training-data deduplication operators (beyond-reference; the
+  * reference's closest surface is `unique` — lib/polars/data_frame.rb:4093).
+  *
+  * All variants are pure DataFrame/HOF compositions: no UDFs, fully
+  * codegen-able, shuffle only on the bucketing keys — the shape that survives
+  * a 1000-executor 100 TB run.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash — one hash-shuffle on the digest. */
+  def exact(df: DataFrame, textCol: String, keep: String = "first",
+            idCol: String = "doc_id"): DataFrame = {
+    val h = F.md5(F.col(textCol))
+    keep match {
+      case "any" => df.withColumn("__h__", h).dropDuplicates("__h__").drop("__h__")
+      case "first" =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(F.col("__h__")).orderBy(F.col(idCol))
+        df.withColumn("__h__", h)
+          .withColumn("__rn__", F.row_number().over(w))
+          .filter(F.col("__rn__") === 1).drop("__h__", "__rn__")
+    }
+  }
+
+  /** Groups of exact duplicates (diagnostic view): digest → member count. */
+  def exactGroups(df: DataFrame, textCol: String): DataFrame =
+    df.groupBy(F.md5(F.col(textCol)).as("digest"))
+      .agg(F.count(F.lit(1)).as("n_dups"), F.min(F.col("doc_id")).as("first_doc"))
+
+  /** Character k-shingle set of a normalized document. */
+  def shingles(text: Column, k: Int = 5): Column = {
+    val t = F.lower(F.regexp_replace(text, "\\s+", " "))
+    F.array_distinct(F.transform(
+      F.sequence(F.lit(0), F.greatest(F.length(t) - k, F.lit(0))),
+      i => t.substr(i + 1, F.lit(k))))
+  }
+
+  /** MinHash signature: for each seed, min over shingle hashes. numHashes
+    * expressions over one shingle array — stays in whole-stage codegen. */
+  def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column =
+    F.array((0 until numHashes).map { s =>
+      F.array_min(F.transform(shingleCol, x => F.xxhash64(F.lit(s), x)))
+    }: _*)
+
+  /** MinHash-LSH candidate pairs: shingle → minhash → band → bucket-join.
+    * `bands * rowsPerBand = numHashes`. Returns (id_a, id_b, n_shared_bands)
+    * with id_a < id_b. The self-join is on (band_idx, band_hash) — a hash
+    * shuffle over bucket keys; no quadratic blow-up outside buckets. */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sig = df.select(F.col(idCol),
+      minhashSignature(shingles(F.col(textCol), shingleK), numHashes).as("sig"))
+    val banded = sig.select(
+      F.col(idCol),
+      F.explode(F.array((0 until bands).map { b =>
+        F.struct(F.lit(b).as("band_idx"),
+          F.xxhash64(F.slice(F.col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("band_hash"))
+      }: _*)).as("band"))
+      .select(F.col(idCol), F.col("band.band_idx"), F.col("band.band_hash"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, F.col("a.band_idx") === F.col("b.band_idx") &&
+        F.col("a.band_hash") === F.col("b.band_hash") &&
+        F.col(s"a.$idCol") < F.col(s"b.$idCol"))
+      .groupBy(F.col(s"a.$idCol").as("id_a"), F.col(s"b.$idCol").as("id_b"))
+      .agg(F.count(F.lit(1)).as("n_shared_bands"))
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate verification. */
+  def jaccard(df: DataFrame, textA: Column, textB: Column, k: Int = 5): Column = {
+    val sa = shingles(textA, k); val sb = shingles(textB, k)
+    val inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    inter / (F.size(sa) + F.size(sb) - inter)
+  }
+
+  /** 64-bit SimHash over whitespace tokens — per-bit aggregate HOFs build the
+    * 64 signed counters (Catalyst CSE shares the token hashing), then sign
+    * bits are packed into one long. */
+  def simhash(text: Column): Column = {
+    val tokens = F.split(F.lower(F.trim(text)), "\\s+")
+    val hashes = F.transform(tokens, t => F.xxhash64(t))
+    (0 until 64).map { i =>
+      val counter = F.aggregate(hashes, F.lit(0L),
+        (acc, h) => acc + F.when(F.shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      F.when(counter > 0, F.lit(1L << i)).otherwise(F.lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two simhash fingerprints. */
+  def hammingDistance(a: Column, b: Column): Column = F.bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidate pairs: block on rotated 16-bit chunks so any
+    * pair within hamming distance <= 3 shares at least one of 4 chunk keys. */
+  def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        maxHamming: Int = 3): DataFrame = {
+    val withSig = df.select(F.col(idCol), simhash(F.col(textCol)).as("sig"))
+    val chunks = withSig.select(F.col(idCol), F.col("sig"),
+      F.explode(F.array((0 until 4).map { c =>
+        F.struct(F.lit(c).as("chunk_idx"),
+          F.shiftright(F.col("sig"), c * 16).bitwiseAND(0xFFFFL).as("chunk_val"))
+      }: _*)).as("ch"))
+      .select(F.col(idCol), F.col("sig"), F.col("ch.chunk_idx"), F.col("ch.chunk_val"))
+    val a = chunks.as("a"); val b = chunks.as("b")
+    a.join(b, F.col("a.chunk_idx") === F.col("b.chunk_idx") &&
+        F.col("a.chunk_val") === F.col("b.chunk_val") &&
+        F.col(s"a.$idCol") < F.col(s"b.$idCol"))
+      .select(F.col(s"a.$idCol").as("id_a"), F.col(s"b.$idCol").as("id_b"),
+        hammingDistance(F.col("a.sig"), F.col("b.sig")).as("hamming"))
+      .filter(F.col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Embedding cosine near-duplicate pairs via LSH (random hyperplane signs).
+    * planes: seeded pseudo-random via hash of (seed, dim) — deterministic,
+    * no driver-side state to broadcast. */
+  def embeddingCandidates(df: DataFrame, vecCol: String, idCol: String,
+                          nPlanes: Int = 16): DataFrame = {
+    def planeSig(v: Column): Column =
+      F.aggregate(
+        F.array((0 until nPlanes).map { p =>
+          val dot = F.aggregate(
+            F.zip_with(v, F.sequence(F.lit(0), F.size(v) - 1),
+              (x, i) => x * (F.pmod(F.xxhash64(F.lit(p), i), F.lit(2000)).cast("double") / 1000.0 - 1.0)),
+            F.lit(0.0), (acc, x) => acc + x)
+          F.when(dot > 0, F.shiftleft(F.lit(1L), p)).otherwise(F.lit(0L))
+        }: _*),
+        F.lit(0L), (acc, x) => acc.bitwiseOR(x))
+    val sig = df.select(F.col(idCol), F.col(vecCol), planeSig(F.col(vecCol)).as("bucket"))
+    val a = sig.as("a"); val b = sig.as("b")
+    a.join(b, F.col("a.bucket") === F.col("b.bucket") && F.col(s"a.$idCol") < F.col(s"b.$idCol"))
+      .select(F.col(s"a.$idCol").as("id_a"), F.col(s"b.$idCol").as("id_b"),
+        Similarity.cosine(F.col(s"a.$vecCol"), F.col(s"b.$vecCol")).as("cosine"))
+  }
+}

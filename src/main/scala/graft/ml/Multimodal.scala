@@ -1,0 +1,95 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession, functions => F}
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing for training-data pipelines (beyond-reference).
+  *
+  * Media is carried as opaque `binary` columns + typed metadata structs; the
+  * Spark-side schema / partitioning / batch shape is real, while the actual
+  * codec step is STUBBED with a deterministic fake (image/audio libraries are
+  * not available in this container — swap `fakeDecode*` for a real codec bound
+  * in `mapPartitions`/`mapInPandas` in production).
+  */
+object Multimodal {
+
+  /** Canonical media-column schema: payload + metadata struct. */
+  val imageSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType))))))
+
+  val audioSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", LongType))))))
+
+  /** Wrap arbitrary binary payloads with inferred image metadata columns.
+    * Metadata sniffing (magic bytes) is a real, cheap, codegen-able pass. */
+  def withImageMeta(df: DataFrame, payloadCol: String): DataFrame = {
+    val p = F.col(payloadCol)
+    val magic = F.hex(F.substring(p, 1, 4))
+    val format = F.when(magic.startsWith("FFD8"), "jpeg")
+      .when(magic.startsWith("89504E47"), "png")
+      .otherwise("unknown")
+    df.withColumn("meta", F.struct(
+      format.as("format"),
+      F.lit(null).cast(IntegerType).as("width"),   // ??? real decode: parse header
+      F.lit(null).cast(IntegerType).as("height"),  // ??? real decode: parse header
+      F.lit(null).cast(IntegerType).as("channels")))
+  }
+
+  /** STUB decode: deterministic fake features from the payload bytes. In
+    * production this is the only line that changes — bind a real codec here.
+    * Runs as mapPartitions so a heavyweight decoder initializes once per
+    * partition, the shape a real implementation needs. */
+  def decodeImageFeatures(df: DataFrame, payloadCol: String, dim: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = df.schema.add("features", ArrayType(FloatType))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      // ??? real implementation: initialize codec once here, decode per row
+      it.map { row =>
+        val bytes = row.get(idx) match {
+          case b: Array[Byte] => b
+          case null           => Array.empty[Byte]
+        }
+        val feats = fakeDecode(bytes, dim)
+        Row.fromSeq(row.toSeq :+ feats)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic fake "decode": hash-derived pseudo-features, stable across
+    * runs/partitionings so tests are reproducible. */
+  private[ml] def fakeDecode(bytes: Array[Byte], dim: Int): Seq[Float] = {
+    var h = 1125899906842597L
+    bytes.foreach { b => h = 31 * h + b }
+    (0 until dim).map { i =>
+      val x = h ^ (i.toLong * 0x9E3779B97F4A7C15L)
+      val m = (x ^ (x >>> 33)) * 0xFF51AFD7ED558CCDL
+      ((m >>> 11).toDouble / (1L << 53).toDouble).toFloat
+    }
+  }
+
+  /** Frame-sample stub for video: pick every nth "frame" (chunk) of the
+    * payload — real plumbing (explode to frame rows, metadata propagation),
+    * fake chunking. */
+  def sampleFrames(df: DataFrame, payloadCol: String, everyNth: Int = 10,
+                   frameBytes: Int = 1024): DataFrame = {
+    val p = F.col(payloadCol)
+    val nFrames = F.greatest(F.floor(F.octet_length(p) / frameBytes), F.lit(1)).cast("int")
+    df.withColumn("frame_idx",
+        F.explode(F.sequence(F.lit(0), nFrames - 1, F.lit(everyNth))))
+      .withColumn("frame_payload",
+        p.substr(F.col("frame_idx") * frameBytes + 1, F.lit(frameBytes)))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Similarity search over embedding columns (`Array[Float]`) — beyond-reference
+  * LLM-pipeline operators. Dot products via `zip_with` + `aggregate` HOFs:
+  * codegen'd, no UDF, no driver collect.
+  */
+object Similarity {
+
+  /** Dot product of two array columns. */
+  def dot(a: Column, b: Column): Column =
+    F.aggregate(F.zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      F.lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(v: Column): Column =
+    F.sqrt(F.aggregate(v, F.lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  def l2Distance(a: Column, b: Column): Column =
+    F.sqrt(F.aggregate(F.zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }), F.lit(0.0), (acc, x) => acc + x))
+
+  /** Brute-force cosine top-k against one query vector (the exact baseline).
+    * Narrow scan + TakeOrderedAndProject — no shuffle of the corpus. */
+  def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
+                     query: Seq[Float], k: Int = 10): DataFrame = {
+    val q = F.array(query.map(x => F.lit(x)): _*)
+    df.select(F.col(idCol), cosine(F.col(vecCol), q).as("cosine"))
+      .orderBy(F.col("cosine").desc, F.col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs brute-force top-k per left row against a (small, broadcast)
+    * query set: cross-join + window. queries must fit in executor memory. */
+  def topKPerQuery(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                   corpusId: String, queryId: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = corpus.crossJoin(F.broadcast(queries.select(
+      F.col(queryId), F.col(vecCol).as("__qvec__"))))
+      .withColumn("cosine", cosine(F.col(vecCol), F.col("__qvec__")))
+    val w = Window.partitionBy(queryId).orderBy(F.col("cosine").desc, F.col(corpusId))
+    joined.withColumn("__rn__", F.row_number().over(w))
+      .filter(F.col("__rn__") <= k)
+      .select(F.col(queryId), F.col(corpusId), F.col("cosine"), F.col("__rn__").as("rank"))
+  }
+
+  /** IVF-style scale path: partition the corpus into `nCells` Voronoi cells
+    * around sampled centroids; a query probes only `nProbe` nearest cells.
+    * Centroids are sampled deterministically and broadcast; cell assignment is
+    * one narrow pass. At 100 TB the corpus is bucketed/written by cell_id so
+    * probes prune partitions. */
+  def ivfAssign(corpus: DataFrame, vecCol: String, nCells: Int = 16, seed: Long = 42): DataFrame = {
+    val centroids = corpus.select(F.col(vecCol)).orderBy(F.xxhash64(F.col(vecCol).cast("string"), F.lit(seed)))
+      .limit(nCells).collect().map(_.getSeq[Float](0)).zipWithIndex
+    val cellCol = centroids.map { case (c, i) =>
+      val cc = F.array(c.map(x => F.lit(x)): _*)
+      F.struct(l2Distance(F.col(vecCol), cc).as("d"), F.lit(i).as("cell"))
+    }.reduce((a, b) => F.when(a.getField("d") <= b.getField("d"), a).otherwise(b))
+    corpus.withColumn("cell_id", cellCol.getField("cell"))
+  }
+
+  /** IVF search: assign query to its nProbe nearest cells, then brute-force
+    * only within those cells. */
+  def ivfTopK(assigned: DataFrame, vecCol: String, idCol: String,
+              query: Seq[Float], nProbe: Int = 4, k: Int = 10,
+              nCells: Int = 16, seed: Long = 42): DataFrame = {
+    // recompute the same deterministic centroids to rank cells for the query
+    val q = F.array(query.map(x => F.lit(x)): _*)
+    val probeCells = assigned.select(F.col("cell_id"), F.col(vecCol))
+      .groupBy("cell_id")
+      .agg(F.first(F.col(vecCol)).as("rep"))
+      .select(F.col("cell_id"), l2Distance(q, F.col("rep")).as("d"))
+      .orderBy("d").limit(nProbe)
+      .collect().map(_.getInt(0)).toSeq
+    assigned.filter(F.col("cell_id").isin(probeCells: _*))
+      .select(F.col(idCol), cosine(F.col(vecCol), q).as("cosine"))
+      .orderBy(F.col("cosine").desc, F.col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, functions => F}
+
+/** Text-analysis operators for training-data pipelines (beyond-reference).
+  * Pure `functions._` compositions — codegen'd, pushdown-friendly.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    F.when(F.length(F.trim(text)) === 0, 0)
+      .otherwise(F.size(F.split(F.trim(text), "\\s+")))
+
+  /** BPE-ish token estimate: word pieces + digits + punctuation as separate
+    * tokens (a cheap proxy for tokenizer counts at corpus scale). */
+  def bpeishTokenCount(text: Column): Column =
+    F.size(F.regexp_extract_all(text, F.lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), F.lit(0)))
+
+  def charCount(text: Column): Column = F.length(text)
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    F.size(F.regexp_extract_all(text, F.lit("[\\p{Punct}]"), F.lit(0))).cast("double") /
+      F.greatest(F.length(text), F.lit(1)).cast("double")
+
+  /** Uppercase ratio over letters. */
+  def upperRatio(text: Column): Column =
+    F.size(F.regexp_extract_all(text, F.lit("[A-Z]"), F.lit(0))).cast("double") /
+      F.greatest(F.size(F.regexp_extract_all(text, F.lit("[A-Za-z]"), F.lit(0))), F.lit(1)).cast("double")
+
+  def meanWordLength(text: Column): Column =
+    F.length(F.regexp_replace(text, "\\s+", "")).cast("double") /
+      F.greatest(tokenCount(text), F.lit(1)).cast("double")
+
+  private val stopwords = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "you", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ich", "nicht", "ein", "zu", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "je", "pas", "un", "une", "avec"),
+    "es" -> Seq("el", "la", "los", "y", "es", "yo", "no", "un", "una", "con"))
+
+  /** Stopword ratio against a language's stopword list. */
+  def stopwordRatio(text: Column, lang: String = "en"): Column = {
+    val toks = F.split(F.lower(F.trim(text)), "\\s+")
+    F.size(F.filter(toks, t => t.isin(stopwords(lang): _*))).cast("double") /
+      F.greatest(F.size(toks), F.lit(1)).cast("double")
+  }
+
+  /** N-gram-heuristic language ID: argmax of per-language stopword hit ratio;
+    * "und" (undetermined) when no list scores above the floor. */
+  def languageId(text: Column, floor: Double = 0.05): Column = {
+    val scored = stopwords.toSeq.map { case (lang, _) =>
+      F.struct(stopwordRatio(text, lang).as("score"), F.lit(lang).as("lang"))
+    }
+    val best = scored.reduce((a, b) =>
+      F.when(a.getField("score") >= b.getField("score"), a).otherwise(b))
+    F.when(best.getField("score") >= floor, best.getField("lang")).otherwise(F.lit("und"))
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, moderate punctuation,
+    * healthy stopword density, sane word lengths. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = F.least(F.length(text).cast("double") / 500.0, F.lit(1.0))
+    val punctScore = F.lit(1.0) - F.least(punctRatio(text) * 5.0, F.lit(1.0))
+    val stopScore = F.least(stopwordRatio(text) * 4.0, F.lit(1.0))
+    val wordLen = meanWordLength(text)
+    val wordScore = F.when(wordLen.between(3.0, 9.0), 1.0).otherwise(0.5)
+    (lenScore + punctScore + stopScore + wordScore) / 4.0
+  }
+
+  /** Deterministic document fingerprint: xxhash64 of the normalized text. */
+  def fingerprint(text: Column): Column =
+    F.xxhash64(F.lower(F.regexp_replace(text, "[^a-zA-Z0-9]+", " ")))
+
+  /** Winnowing-style robust fingerprint: min hash over character n-grams
+    * (rolling-hash flavored; stable under small edits at the ends). */
+  def robustFingerprint(text: Column, k: Int = 8): Column =
+    F.array_min(F.transform(Dedup.shingles(text, k), s => F.xxhash64(s)))
+}
