@@ -70,7 +70,7 @@ object Multimodal {
 
   /** Deterministic fake "decode": hash-derived pseudo-features, stable across
     * runs/partitionings so tests are reproducible. */
-  private[ml] def fakeDecode(bytes: Array[Byte], dim: Int): Seq[Float] = {
+  private[graft] def fakeDecode(bytes: Array[Byte], dim: Int): Seq[Float] = {
     var h = 1125899906842597L
     bytes.foreach { b => h = 31 * h + b }
     (0 until dim).map { i =>

@@ -1,0 +1,176 @@
+package graft
+
+import graft.Polars._
+import graft.api.DataFrame
+import graft.expr.Expr
+import org.apache.spark.sql.{functions => F}
+
+class ExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame = DataFrame(
+    Seq((1, 2.0, "a"), (2, 4.0, "b"), (3, 6.0, "b"), (4, 8.0, "c"))
+      .toDF("i", "x", "s"))
+
+  test("select with arithmetic and aliases") {
+    val out = frame.select(
+      (col("i") + 10).alias("i10"),
+      (col("x") * col("i")).alias("xi")).toSpark.collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(11, 12, 13, 14))
+    assert(out.map(_.getDouble(1)).toSeq == Seq(2.0, 8.0, 18.0, 32.0))
+  }
+
+  test("filter with boolean composition") {
+    val out = frame.filter(col("i") > 1 && col("s") === "b").toSpark.collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(2, 3))
+  }
+
+  test("when/then/otherwise chain") {
+    val out = frame.select(
+      Polars.when(col("i") < 2).then("lo")
+        .when(col("i") < 4).then("mid").otherwise("hi").alias("b")).toSpark
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("lo", "mid", "mid", "hi"))
+  }
+
+  test("aggregations in group context") {
+    val out = frame.groupBy("s").agg(
+      col("x").sum.alias("sx"),
+      col("i").mean.alias("mi"),
+      Expr(F.count(F.lit(1))).alias("n"))
+      .sortBy(Seq(col("s"))).toSpark.collect()
+    assert(out.map(r => (r.getString(0), r.getDouble(1), r.getLong(3))).toSeq ==
+      Seq(("a", 2.0, 1L), ("b", 10.0, 2L), ("c", 8.0, 1L)))
+  }
+
+  test("quantile interpolation modes") {
+    val df = DataFrame(Seq(1.0, 2.0, 3.0, 4.0).toDF("v"))
+    def q(mode: String): Double =
+      df.select(col("v").quantile(0.5, mode).alias("q")).toSpark.collect()(0).getDouble(0)
+    assert(q("linear") == 2.5)
+    assert(q("lower") == 2.0)
+    assert(q("higher") == 3.0)
+    assert(q("midpoint") == 2.5)
+    assert(q("nearest") == 2.0)
+  }
+
+  test("std/var with non-default ddof") {
+    val df = DataFrame(Seq(1.0, 2.0, 3.0, 4.0).toDF("v"))
+    val out = df.select(
+      col("v").variance(0).alias("v0"),
+      col("v").variance(1).alias("v1")).toSpark.collect()(0)
+    assert(math.abs(out.getDouble(0) - 1.25) < 1e-12)
+    assert(math.abs(out.getDouble(1) - 5.0 / 3) < 1e-12)
+  }
+
+  test("shift/diff/cum_sum use implicit row order") {
+    val df = DataFrame(Seq(10, 20, 40, 80).toDF("v"))
+    val out = df.select(
+      col("v").shift(1).alias("sh"),
+      col("v").diff(1).alias("df"),
+      col("v").cumSum().alias("cs")).toSpark.collect()
+    assert(out.map(r => Option(r.get(0))).toSeq == Seq(None, Some(10), Some(20), Some(40)))
+    assert(out.map(r => Option(r.get(1))).toSeq == Seq(None, Some(10), Some(20), Some(40)))
+    assert(out.map(_.getLong(2)).toSeq == Seq(10L, 30L, 70L, 150L))
+  }
+
+  test("rolling with min_periods") {
+    val df = DataFrame(Seq(1.0, 2.0, 3.0, 4.0).toDF("v"))
+    val out = df.select(col("v").rollingMean(3, minPeriods = 2).alias("rm"))
+      .toSpark.collect().map(r => Option(r.get(0)))
+    assert(out.toSeq == Seq(None, Some(1.5), Some(2.0), Some(3.0)))
+  }
+
+  test("fill null / forward fill") {
+    val df = DataFrame(Seq[(Integer, Integer)]((1, null), (2, 5), (3, null), (4, 7))
+      .toDF("i", "v"))
+    val filled = df.select(col("v").fillNull(0).alias("f")).toSpark
+      .collect().map(_.getInt(0)).toSeq
+    assert(filled == Seq(0, 5, 0, 7))
+    val ff = df.select(col("v").forwardFill.alias("f")).toSpark
+      .collect().map(r => Option(r.get(0))).toSeq
+    assert(ff == Seq(None, Some(5), Some(5), Some(7)))
+  }
+
+  test("rank methods") {
+    val df = DataFrame(Seq(10, 20, 20, 30).toDF("v"))
+    def rk(m: String) = df.select(col("v").rank(m).alias("r")).toSpark
+      .collect().map(_.get(0)).toSeq
+    assert(rk("min") == Seq(1, 2, 2, 4))
+    assert(rk("dense") == Seq(1, 2, 2, 3))
+    assert(rk("ordinal") == Seq(1, 2, 3, 4))
+    assert(rk("average") == Seq(1.0, 2.5, 2.5, 4.0))
+  }
+
+  test("str namespace basics") {
+    val df = DataFrame(Seq("  Hello World  ", "graft").toDF("t"))
+    val out = df.select(
+      col("t").str.stripChars.str.toUppercase.alias("u"),
+      col("t").str.lenChars.alias("n")).toSpark.collect()
+    assert(out(0).getString(0) == "HELLO WORLD")
+    assert(out(1).getString(0) == "GRAFT")
+  }
+
+  test("str replace first vs all") {
+    val df = DataFrame(Seq("aXbXc").toDF("t"))
+    val out = df.select(
+      col("t").str.replace("X", "-").alias("one"),
+      col("t").str.replaceAll("X", "-").alias("all")).toSpark.collect()(0)
+    assert(out.getString(0) == "a-bXc")
+    assert(out.getString(1) == "a-b-c")
+  }
+
+  test("list namespace") {
+    val df = DataFrame(Seq(Seq(3, 1, 2), Seq(5, 5)).toDF("l"))
+    val out = df.select(
+      col("l").list.len.alias("n"),
+      col("l").list.sum.alias("s"),
+      col("l").list.max.alias("mx"),
+      col("l").list.sort().alias("srt"),
+      col("l").list.unique.list.len.alias("nu"),
+      col("l").list.eval(e => e * 2).alias("dbl")).toSpark.collect()
+    assert(out(0).getInt(0) == 3)
+    assert(out(0).getDouble(1) == 6.0)
+    assert(out(0).getInt(2) == 3)
+    assert(out(0).getSeq[Int](3) == Seq(1, 2, 3))
+    assert(out(1).getInt(4) == 1)
+    assert(out(0).getSeq[Int](5) == Seq(6, 2, 4))
+  }
+
+  test("dt namespace parts and truncate") {
+    val df = DataFrame(Seq("2024-03-15 13:45:30").toDF("s"))
+      .select(col("s").str.toDatetime().alias("ts"))
+    val out = df.select(
+      col("ts").dt.year.alias("y"),
+      col("ts").dt.month.alias("m"),
+      col("ts").dt.weekday.alias("wd"),
+      col("ts").dt.truncate("1d").dt.strftime("%Y-%m-%d %H:%M:%S").alias("day"),
+      col("ts").dt.truncate("15m").dt.strftime("%H:%M").alias("q15")).toSpark.collect()(0)
+    assert(out.getInt(0) == 2024 && out.getInt(1) == 3)
+    assert(out.getInt(2) == 5) // 2024-03-15 is a Friday
+    assert(out.getString(3) == "2024-03-15 00:00:00")
+    assert(out.getString(4) == "13:45")
+  }
+
+  test("cut buckets") {
+    val df = DataFrame(Seq(1.0, 5.0, 15.0).toDF("v"))
+    val out = df.select(col("v").cut(Seq(3.0, 10.0), Some(Seq("lo", "mid", "hi"))).alias("b"))
+      .toSpark.collect().map(_.getString(0)).toSeq
+    assert(out == Seq("lo", "mid", "hi"))
+  }
+
+  test("horizontal aggregations") {
+    val df = DataFrame(Seq((1, 10, 100)).toDF("a", "b", "c"))
+    val out = df.select(
+      Polars.sumHorizontal(col("a"), col("b"), col("c")).alias("s"),
+      Polars.maxHorizontal(col("a"), col("b"), col("c")).alias("mx")).toSpark.collect()(0)
+    assert(out.getInt(0) == 111)
+    assert(out.getInt(1) == 100)
+  }
+
+  test("fold over columns at plan time") {
+    val df = DataFrame(Seq((1, 2, 3)).toDF("a", "b", "c"))
+    val folded = Polars.fold(lit(0), (acc, e) => acc + e, Seq(col("a"), col("b"), col("c")))
+    assert(df.select(folded.alias("s")).toSpark.collect()(0).getInt(0) == 6)
+  }
+}

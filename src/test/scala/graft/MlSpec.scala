@@ -1,0 +1,92 @@
+package graft
+
+import graft.ml.{Dedup, Similarity, TextAnalysis, Multimodal}
+import org.apache.spark.sql.{functions => F}
+
+class MlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup drops duplicate texts, keeps first") {
+    val docs = Seq((1L, "hello world"), (2L, "unique text"), (3L, "hello world"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs, "text", idCol = "doc_id").collect()
+    assert(out.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("minhash LSH finds near-duplicate pair, not unrelated") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val near = base.replace("tonight", "today")
+    val far = "completely different content about spark query engines and columnar formats"
+    val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val cand = Dedup.minhashCandidates(docs, "text", "doc_id").collect()
+    val pairs = cand.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("jaccard of identical is 1") {
+    val d = Seq(("abcdefgh", "abcdefgh")).toDF("a", "b")
+    val j = d.select(Dedup.jaccard(d, F.col("a"), F.col("b")).as("j")).collect()(0).getDouble(0)
+    assert(j == 1.0)
+  }
+
+  test("simhash: near texts have small hamming distance, far texts large") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val near = base.replace("today", "tonight")
+    val far = "spark catalyst optimizer rewrites logical plans into physical operators"
+    val d = Seq((base, near, far)).toDF("a", "b", "c")
+    val row = d.select(
+      Dedup.hammingDistance(Dedup.simhash(F.col("a")), Dedup.simhash(F.col("b"))).as("near"),
+      Dedup.hammingDistance(Dedup.simhash(F.col("a")), Dedup.simhash(F.col("c"))).as("far"))
+      .collect()(0)
+    assert(row.getInt(0) < row.getInt(1))
+    assert(row.getInt(0) <= 12)
+  }
+
+  test("cosine similarity and brute-force top-k") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, "embedding", "vec_id", Seq(1.0f, 0.0f), k = 2)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(math.abs(out(0).getDouble(1) - 1.0) < 1e-6)
+  }
+
+  test("token counts and quality signals") {
+    val d = Seq(("the cat sat on the mat", ""), ("!!!???", "x")).toDF("t", "u")
+    val row = d.select(
+      TextAnalysis.tokenCount(F.col("t")).as("n"),
+      TextAnalysis.stopwordRatio(F.col("t")).as("sw"),
+      TextAnalysis.punctRatio(F.col("t")).as("p")).collect()
+    assert(row(0).getInt(0) == 6)
+    assert(math.abs(row(0).getDouble(1) - 2.0 / 6) < 1e-9)
+    assert(row(1).getDouble(2) == 1.0)
+    val empty = d.select(TextAnalysis.tokenCount(F.col("u")).as("n")).collect()
+    assert(empty(0).getInt(0) == 0)
+  }
+
+  test("language id picks english for english text") {
+    val d = Seq("the cat is in the house and it is you that I like").toDF("t")
+    assert(d.select(TextAnalysis.languageId(F.col("t"))).collect()(0).getString(0) == "en")
+  }
+
+  test("multimodal: fake decode is deterministic, frame sampling explodes") {
+    val payload = Array[Byte](1, 2, 3, 4, 5)
+    assert(Multimodal.fakeDecode(payload, 4) == Multimodal.fakeDecode(payload, 4))
+    val d = Seq((1L, Array.fill[Byte](4096)(7))).toDF("media_id", "payload")
+    val frames = Multimodal.sampleFrames(d, "payload", everyNth = 2, frameBytes = 1024).collect()
+    assert(frames.length == 2) // frames 0 and 2 of 4
+    val feats = Multimodal.decodeImageFeatures(d, "payload", dim = 8).collect()(0)
+    assert(feats.getSeq[Float](feats.fieldIndex("features")).length == 8)
+  }
+
+  test("image meta sniffs format from magic bytes") {
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0, 0)
+    val jpg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte, 0)
+    val d = Seq((1L, png), (2L, jpg)).toDF("media_id", "payload")
+    val out = Multimodal.withImageMeta(d, "payload")
+      .select(F.col("media_id"), F.col("meta.format")).orderBy("media_id").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("png", "jpeg"))
+  }
+}
