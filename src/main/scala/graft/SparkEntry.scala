@@ -340,7 +340,9 @@ object SparkEntry {
   // ----------------------------------------------------------------------
   // queries map (driver contract)
   // ----------------------------------------------------------------------
-  def queries: Map[String, (SparkSession, String) => SDF] = Map(
+  def queries: Map[String, (SparkSession, String) => SDF] = coreQueries ++ Queries2.queries
+
+  private def coreQueries: Map[String, (SparkSession, String) => SDF] = Map(
     "q1_agg" -> (q1Agg _),
     "q6_filter" -> (q6Filter _),
     "q_stats" -> (qStats _),
@@ -372,7 +374,9 @@ object SparkEntry {
     "q_explode" -> (qExplode _),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = coreOracleSql ++ Queries2.oracleSql
+
+  private def coreOracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |sum(l_extendedprice) AS sum_base_price,
