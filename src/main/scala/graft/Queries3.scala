@@ -1,0 +1,259 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, DataFrame => SDF, functions => F}
+import org.apache.spark.sql.expressions.Window
+import graft.api.{DataFrame, LazyFrame}
+import graft.expr.Expr
+import graft.Polars._
+import graft.kernel.{Ewm, Interpolate}
+
+/** Wave-3 driver queries: ewm/interpolate kernels, rle/peaks, temporal
+  * arithmetic, list ops, replace/cut/fold/is_in, merge_sorted/hstack. */
+object Queries3 {
+
+  private def t(s: SparkSession, dir: String, name: String): SDF =
+    s.read.parquet(s"$dir/$name.parquet")
+  private def lf(s: SparkSession, dir: String, name: String): LazyFrame =
+    LazyFrame(t(s, dir, name))
+  private def events(s: SparkSession, dir: String): SDF =
+    t(s, dir, "events")
+      .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+  /** EWM mean per user over event time (rows-only: no SQL ewm equivalent;
+    * semantics pinned by Kernel2Spec against pandas-identical values). */
+  private def qEwm(s: SparkSession, dir: String): SDF = {
+    val ev = events(s, dir).select(F.col("event_id"), F.col("user_id"), F.col("ts"), F.col("value"))
+    Ewm.ewm(ev, "value", "ts", by = Seq("user_id"), alpha = 0.3, adjust = true,
+      outputs = Seq("mean", "std"))
+      .select(F.col("event_id"), F.col("user_id"),
+        F.col("value_ewm_mean"), F.col("value_ewm_std"))
+      .orderBy("event_id")
+  }
+
+  /** Linear interpolation of sparse purchase values along each user's
+    * timeline. */
+  private def qInterpolate(s: SparkSession, dir: String): SDF = {
+    val ev = events(s, dir)
+      .withColumn("pv", F.when(F.col("event_type") === "purchase", F.col("value")))
+      .select(F.col("event_id"), F.col("user_id"), F.col("ts"), F.col("pv"))
+    Interpolate.interpolate(ev, "pv", "ts", by = Seq("user_id"), outputCol = Some("pv_interp"))
+      .select(F.col("event_id"), F.col("user_id"), F.col("pv_interp"))
+      .orderBy("event_id")
+  }
+
+  /** rle_id over the value-change runs of l_returnflag in key order. */
+  private def qRleId(s: SparkSession, dir: String): SDF =
+    lf(s, dir, "lineitem")
+      .sortBy(Seq(col("l_orderkey"), col("l_linenumber")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_returnflag").rleId.alias("run_id"))
+      .filter(col("l_orderkey") <= 200)
+      .sortBy(Seq(col("l_orderkey"), col("l_linenumber")))
+      .collect().toSpark
+
+  /** peak detection on event values in event_id order. */
+  private def qPeaks(s: SparkSession, dir: String): SDF =
+    LazyFrame(events(s, dir))
+      .sortBy(Seq(col("event_id")))
+      .select(col("event_id"), col("value").peakMax.alias("is_peak"))
+      .sortBy(Seq(col("event_id")))
+      .collect().toSpark
+
+  private def qDtOffset(s: SparkSession, dir: String): SDF =
+    lf(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate").dt.offsetBy("1mo2d").alias("shifted"),
+        col("o_orderdate").dt.monthStart.alias("m_start"),
+        col("o_orderdate").dt.monthEnd.alias("m_end"))
+      .sortBy(Seq(col("o_orderkey")))
+      .collect().toSpark
+
+  private def qEpoch(s: SparkSession, dir: String): SDF =
+    lf(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate").dt.epoch("s").alias("ep_s"),
+        col("o_orderdate").dt.epoch("ms").alias("ep_ms"),
+        col("o_orderdate").dt.epoch("d").alias("ep_d"))
+      .sortBy(Seq(col("o_orderkey")))
+      .collect().toSpark
+
+  private def qListOps2(s: SparkSession, dir: String): SDF =
+    lf(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        col("embedding").list.get(0).cast(org.apache.spark.sql.types.DoubleType).alias("e0"),
+        col("embedding").list.slice(0, 3).list.sum.alias("head3_sum"),
+        col("embedding").list.max.cast(org.apache.spark.sql.types.DoubleType).alias("emax"),
+        (col("embedding").list.argMax + 1).alias("argmax_1based"),
+        col("embedding").list.contains(0.5f).alias("has_half"))
+      .sortBy(Seq(col("vec_id")))
+      .collect().toSpark
+
+  private def qReplaceValues(s: SparkSession, dir: String): SDF =
+    lf(s, dir, "orders")
+      .withColumn("status_label",
+        col("o_orderstatus").replaceValues(Map("O" -> "open", "F" -> "filled", "P" -> "pending")))
+      .groupBy("status_label")
+      .agg(Expr(F.count(F.lit(1))).alias("n"))
+      .sortBy(Seq(col("status_label")))
+      .collect().toSpark
+
+  private def qCut(s: SparkSession, dir: String): SDF =
+    lf(s, dir, "orders")
+      .withColumn("bucket",
+        col("o_totalprice").cut(Seq(100000.0, 300000.0), Some(Seq("small", "medium", "large"))))
+      .groupBy("bucket")
+      .agg(Expr(F.count(F.lit(1))).alias("n"), col("o_totalprice").mean.alias("avg_price"))
+      .sortBy(Seq(col("bucket")))
+      .collect().toSpark
+
+  private def qFold(s: SparkSession, dir: String): SDF =
+    lf(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        Polars.fold(lit(0.0), (acc, e) => acc + e,
+          Seq(col("l_quantity"), col("l_discount"), col("l_tax"))).alias("folded"))
+      .sortBy(Seq(col("l_orderkey"), col("l_linenumber")))
+      .collect().toSpark
+
+  private def qIsIn(s: SparkSession, dir: String): SDF =
+    lf(s, dir, "nation")
+      .filter(col("n_name").isIn(Seq("FRANCE", "GERMANY", "CHINA", "JAPAN")))
+      .select(col("n_nationkey"), col("n_name"))
+      .sortBy(Seq(col("n_nationkey")))
+      .collect().toSpark
+
+  private def qMergeSorted(s: SparkSession, dir: String): SDF = {
+    val even = lf(s, dir, "orders").filter(col("o_orderkey") % 2 === 0)
+      .sortBy(Seq(col("o_orderkey")))
+    val odd = lf(s, dir, "orders").filter(col("o_orderkey") % 2 === 1)
+      .sortBy(Seq(col("o_orderkey")))
+    even.mergeSorted(odd, "o_orderkey")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .collect().toSpark
+  }
+
+  private def qHstack(s: SparkSession, dir: String): SDF = {
+    val base = lf(s, dir, "orders").sortBy(Seq(col("o_orderkey"))).collect()
+    val left = base.select(col("o_orderkey"))
+    val right = base.select(col("o_totalprice"), col("o_orderstatus"))
+    left.hstack(right)
+      .sortBy(Seq(col("o_orderkey")))
+      .toSpark
+  }
+
+  private def qRepeatBy(s: SparkSession, dir: String): SDF =
+    lf(s, dir, "lineitem")
+      .select(col("l_returnflag").repeatBy(col("l_linenumber")).alias("rep"))
+      .explode("rep")
+      .groupBy("rep")
+      .agg(Expr(F.count(F.lit(1))).alias("n"))
+      .sortBy(Seq(col("rep")))
+      .collect().toSpark
+
+  def queries: Map[String, (SparkSession, String) => SDF] = Map(
+    "q_ewm" -> (qEwm _),
+    "q_interpolate" -> (qInterpolate _),
+    "q_rle_id" -> (qRleId _),
+    "q_peaks" -> (qPeaks _),
+    "q_dt_offset" -> (qDtOffset _),
+    "q_epoch" -> (qEpoch _),
+    "q_list_ops2" -> (qListOps2 _),
+    "q_replace_values" -> (qReplaceValues _),
+    "q_cut" -> (qCut _),
+    "q_fold" -> (qFold _),
+    "q_is_in" -> (qIsIn _),
+    "q_merge_sorted" -> (qMergeSorted _),
+    "q_hstack" -> (qHstack _),
+    "q_repeat_by" -> (qRepeatBy _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_interpolate" ->
+      """SELECT event_id, user_id,
+        |CASE WHEN pv IS NOT NULL THEN CAST(pv AS DOUBLE)
+        |     WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+        |       prev_v + (next_v - prev_v) * (o - prev_o) / (next_o - prev_o)
+        |END AS pv_interp
+        |FROM (
+        |  SELECT event_id, user_id, pv, o,
+        |    last_value(pv IGNORE NULLS) OVER wp AS prev_v,
+        |    first_value(pv IGNORE NULLS) OVER wn AS next_v,
+        |    last_value(CASE WHEN pv IS NOT NULL THEN o END IGNORE NULLS) OVER wp AS prev_o,
+        |    first_value(CASE WHEN pv IS NOT NULL THEN o END IGNORE NULLS) OVER wn AS next_o
+        |  FROM (SELECT event_id, user_id,
+        |          CASE WHEN event_type = 'purchase' THEN value END AS pv,
+        |          CAST(epoch_us(ts) / 1000 AS DOUBLE) * 1000 AS o
+        |        FROM events)
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY o
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY user_id ORDER BY o
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |ORDER BY event_id""".stripMargin,
+    "q_rle_id" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |CAST(sum(chg) OVER (ORDER BY l_orderkey, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag,
+        |    CASE WHEN lag(l_returnflag) OVER (ORDER BY l_orderkey, l_linenumber) IS NULL THEN 0
+        |         WHEN lag(l_returnflag) OVER (ORDER BY l_orderkey, l_linenumber) <> l_returnflag THEN 1
+        |         ELSE 0 END AS chg
+        |  FROM lineitem)
+        |WHERE l_orderkey <= 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_peaks" ->
+      """SELECT event_id,
+        |value > coalesce(lag(value) OVER w, -1e308) AND
+        |value > coalesce(lead(value) OVER w, -1e308) AS is_peak
+        |FROM events WINDOW w AS (ORDER BY event_id) ORDER BY event_id""".stripMargin,
+    "q_dt_offset" ->
+      """SELECT o_orderkey,
+        |o_orderdate + INTERVAL 1 MONTH + INTERVAL 2 DAY AS shifted,
+        |CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m_start,
+        |CAST(last_day(o_orderdate) AS TIMESTAMP) AS m_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_epoch" ->
+      """SELECT o_orderkey,
+        |epoch(o_orderdate) AS ep_s,
+        |epoch_ms(o_orderdate) AS ep_ms,
+        |datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS ep_d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_list_ops2" ->
+      """SELECT vec_id,
+        |CAST(embedding[1] AS DOUBLE) AS e0,
+        |CAST(list_sum(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))) AS DOUBLE) AS head3_sum,
+        |CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS emax,
+        |CAST(list_position(embedding, list_aggregate(embedding, 'max')) AS BIGINT) AS argmax_1based,
+        |list_contains(embedding, 0.5) AS has_half
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_replace_values" ->
+      """SELECT CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'filled'
+        |WHEN 'P' THEN 'pending' ELSE o_orderstatus END AS status_label,
+        |count(*) AS n FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cut" ->
+      """SELECT CASE WHEN o_totalprice <= 100000 THEN 'small'
+        |WHEN o_totalprice <= 300000 THEN 'medium' ELSE 'large' END AS bucket,
+        |count(*) AS n, avg(o_totalprice) AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_fold" ->
+      """SELECT l_orderkey, l_linenumber,
+        |l_quantity + l_discount + l_tax AS folded
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_is_in" ->
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_name IN ('FRANCE', 'GERMANY', 'CHINA', 'JAPAN')
+        |ORDER BY n_nationkey""".stripMargin,
+    "q_merge_sorted" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey",
+    "q_hstack" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_repeat_by" ->
+      """SELECT l_returnflag AS rep, CAST(sum(l_linenumber) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q_ewm: rows-only — no SQL ewm; Kernel2Spec pins pandas-identical values.
+  )
+}

@@ -270,6 +270,25 @@ final case class Expr(col: Column, requiresIndex: Boolean = false) {
     Expr(F.when(cnt >= minPeriods, f(col).over(w)), requiresIndex = true)
   }
 
+  /** Run-length-encoding id: increments when the value changes, over implicit
+    * row order (reference: expr.rb:2674 `rle_id`). */
+  def rleId: Expr = {
+    val changed = F.when(
+      F.lag(col, 1).over(idxWindow).isNull && F.lag(F.lit(1), 1).over(idxWindow).isNull, 0)
+      .when(!(col <=> F.lag(col, 1).over(idxWindow)), 1).otherwise(0)
+    Expr(F.sum(changed).over(idxWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+      requiresIndex = true)
+  }
+  /** Local maxima mask (reference: expr.rb:2376 `peak_max`). */
+  def peakMax: Expr = Expr(
+    col > F.coalesce(F.lag(col, 1).over(idxWindow), F.lit(Double.NegativeInfinity)) &&
+      col > F.coalesce(F.lead(col, 1).over(idxWindow), F.lit(Double.NegativeInfinity)),
+    requiresIndex = true)
+  def peakMin: Expr = Expr(
+    col < F.coalesce(F.lag(col, 1).over(idxWindow), F.lit(Double.PositiveInfinity)) &&
+      col < F.coalesce(F.lead(col, 1).over(idxWindow), F.lit(Double.PositiveInfinity)),
+    requiresIndex = true)
+
   // ---- misc (reference: expr.rb §2.8 tail) ----
   def hash(seed: Long = 0): Expr = map(c => F.xxhash64(F.lit(seed), c))
   def repeatBy(n: Expr): Expr = zip(n)((c, k) => F.array_repeat(c, k.cast("int")))

@@ -31,7 +31,13 @@ object Dedup {
     df.groupBy(F.md5(F.col(textCol)).as("digest"))
       .agg(F.count(F.lit(1)).as("n_dups"), F.min(F.col("doc_id")).as("first_doc"))
 
-  /** Character k-shingle set of a normalized document. */
+  /** Character k-shingle set of a normalized document.
+    *
+    * NOTE (scale): higher-order-function lambdas are *interpreted* in Spark,
+    * and any non-trivial expression referenced inside the lambda re-evaluates
+    * per element. This column form is fine for one-off expressions on small
+    * data (jaccard verification of candidate pairs); the bulk pipelines below
+    * use an explode→codegen formulation instead. */
   def shingles(text: Column, k: Int = 5): Column = {
     val t = F.lower(F.regexp_replace(text, "\\s+", " "))
     F.array_distinct(F.transform(
@@ -39,12 +45,29 @@ object Dedup {
       i => t.substr(i + 1, F.lit(k))))
   }
 
-  /** MinHash signature: for each seed, min over shingle hashes. numHashes
-    * expressions over one shingle array — stays in whole-stage codegen. */
-  def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column =
-    F.array((0 until numHashes).map { s =>
-      F.array_min(F.transform(shingleCol, x => F.xxhash64(F.lit(s), x)))
-    }: _*)
+  /** One row per (id, shingle) — normalization computed once per document,
+    * shingle substrings once per position, everything codegen'd (no HOFs).
+    * Duplicate shingles are NOT deduped: min() over a multiset equals min()
+    * over its set, so MinHash is unaffected and we skip a whole shuffle. */
+  private def explodedShingles(df: DataFrame, textCol: String, idCol: String,
+                               k: Int): DataFrame =
+    df.select(F.col(idCol),
+        F.lower(F.regexp_replace(F.col(textCol), "\\s+", " ")).as("__norm__"))
+      .withColumn("__pos__", F.explode(F.sequence(F.lit(0),
+        F.greatest(F.length(F.col("__norm__")) - k, F.lit(0)))))
+      .select(F.col(idCol),
+        F.col("__norm__").substr(F.col("__pos__") + 1, F.lit(k)).as("shingle"))
+
+  /** MinHash signatures as one aggregation: shuffle carries only
+    * (id, numHashes mins) thanks to map-side partial min — the formulation
+    * that survives 100 TB corpora. Returns (idCol, h0..h{n-1}). */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        numHashes: Int = 64, shingleK: Int = 5): DataFrame = {
+    val mins = (0 until numHashes).map(s =>
+      F.min(F.xxhash64(F.lit(s), F.col("shingle"))).as(s"h$s"))
+    explodedShingles(df, textCol, idCol, shingleK)
+      .groupBy(F.col(idCol)).agg(mins.head, mins.tail: _*)
+  }
 
   /** MinHash-LSH candidate pairs: shingle → minhash → band → bucket-join.
     * `bands * rowsPerBand = numHashes`. Returns (id_a, id_b, n_shared_bands)
@@ -53,13 +76,13 @@ object Dedup {
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = df.select(F.col(idCol),
-      minhashSignature(shingles(F.col(textCol), shingleK), numHashes).as("sig"))
+    val sig = minhashSignatures(df, textCol, idCol, numHashes, shingleK)
     val banded = sig.select(
       F.col(idCol),
       F.explode(F.array((0 until bands).map { b =>
+        val bandCols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => F.col(s"h$i"))
         F.struct(F.lit(b).as("band_idx"),
-          F.xxhash64(F.slice(F.col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("band_hash"))
+          F.xxhash64(bandCols: _*).as("band_hash"))
       }: _*)).as("band"))
       .select(F.col(idCol), F.col("band.band_idx"), F.col("band.band_hash"))
     val a = banded.as("a")
@@ -94,11 +117,27 @@ object Dedup {
   /** Hamming distance between two simhash fingerprints. */
   def hammingDistance(a: Column, b: Column): Column = F.bit_count(a.bitwiseXOR(b))
 
+  /** SimHash signatures via explode→codegen'd per-bit sums (same scale shape
+    * as [[minhashSignatures]]: shuffle carries (id, 64 longs)). */
+  def simhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val hashed = df
+      .select(F.col(idCol),
+        F.explode(F.split(F.lower(F.trim(F.col(textCol))), "\\s+")).as("__tok__"))
+      .select(F.col(idCol), F.xxhash64(F.col("__tok__")).as("__h__"))
+    val bitSums = (0 until 64).map(i =>
+      F.sum(F.when(F.shiftright(F.col("__h__"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$i"))
+    hashed.groupBy(F.col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .select(F.col(idCol),
+        (0 until 64).map(i =>
+          F.when(F.col(s"b$i") > 0, F.lit(1L << i)).otherwise(F.lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+  }
+
   /** SimHash near-dup candidate pairs: block on rotated 16-bit chunks so any
     * pair within hamming distance <= 3 shares at least one of 4 chunk keys. */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         maxHamming: Int = 3): DataFrame = {
-    val withSig = df.select(F.col(idCol), simhash(F.col(textCol)).as("sig"))
+    val withSig = simhashSignatures(df, textCol, idCol)
     val chunks = withSig.select(F.col(idCol), F.col("sig"),
       F.explode(F.array((0 until 4).map { c =>
         F.struct(F.lit(c).as("chunk_idx"),
