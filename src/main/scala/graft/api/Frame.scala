@@ -95,11 +95,10 @@ trait FrameOps[Self] {
       .filter(F.col("__rn__") > F.col("__cnt__") - n)
       .drop("__cnt__", "__rn__", RowIndex.name))
   }
-  def slice(offset: Long, length: Long): Self = {
-    val d = RowIndex.attachDense(sdf)
-    make(d.filter(F.col(RowIndex.name) >= offset && F.col(RowIndex.name) < offset + length)
-      .drop(RowIndex.name))
-  }
+  /** slice = rows [offset, offset+length) in current order — native
+    * Offset+Limit operators (pushdown-friendly), no row-index materialization. */
+  def slice(offset: Long, length: Long): Self =
+    make(sdf.offset(offset.toInt).limit(length.toInt))
   def gatherEvery(n: Int, offset: Int = 0): Self = {
     val d = RowIndex.attachDense(sdf)
     make(d.filter((F.col(RowIndex.name) - offset) % n === 0 && F.col(RowIndex.name) >= offset)

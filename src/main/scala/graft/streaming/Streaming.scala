@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming surface. The reference has no true streaming engine — its
+  * "streaming" is out-of-core batch (`allow_streaming`, `sink_*`,
+  * `read_csv_batched`; reference lib/polars/lazy_frame.rb:343,421-685,
+  * batched_csv_reader.rb). We map those to Structured Streaming, which also
+  * gives real watermarked/windowed processing as the beyond-reference path.
+  */
+object Streaming {
+
+  /** scan a directory of files as a stream (reference read_csv_batched
+    * analog — `maxFilesPerTrigger` bounds batch size). */
+  def scanCsvStream(path: String, schema: StructType, maxFilesPerTrigger: Int = 1)
+                   (implicit spark: SparkSession): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("header", "true").csv(path)
+
+  def scanParquetStream(path: String, schema: StructType)
+                       (implicit spark: SparkSession): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** Batched iteration over a large result — the `read_csv_batched` eager
+    * counterpart: deterministic chunks without driver OOM. */
+  def batchedIterator(df: DataFrame, batchSize: Int = 8192): Iterator[Seq[org.apache.spark.sql.Row]] = {
+    import scala.jdk.CollectionConverters._
+    df.toLocalIterator().asScala.grouped(batchSize)
+  }
+
+  /** Tumbling-window aggregation with a watermark — the streaming twin of
+    * group_by_dynamic (same `window()` bucketing as the batch path). */
+  def windowedCount(stream: DataFrame, tsCol: String, every: String,
+                    watermark: String = "10 minutes"): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .groupBy(F.window(F.col(tsCol), every))
+      .agg(F.count(F.lit(1)).as("n"))
+      .select(F.col("window.start").as(tsCol), F.col("n"))
+
+  /** sink_parquet for streams: append to a parquet directory, processing all
+    * available input then stopping (out-of-core batch semantics, like the
+    * reference's sink_* which stream a query result to disk). */
+  def sinkParquet(stream: DataFrame, path: String, checkpoint: String): Unit = {
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** foreachBatch bridge: run an arbitrary batch function per micro-batch. */
+  def foreachBatch(stream: DataFrame, checkpoint: String)
+                  (f: (DataFrame, Long) => Unit): Unit = {
+    val q = stream.writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) => f(df.toDF(), id))
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,111 @@
+package graft.testing
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Frame equality assertions + the polars box-drawing renderer (reference:
+  * lib/polars/testing.rb:31-87 assert_frame_equal/assert_series_equal; the
+  * renderer reproduces the `┌──┐` table format of the reference's docstring
+  * golden outputs, reference lib/polars/data_frame.rb `to_s`).
+  */
+object Testing {
+
+  final case class FrameMismatch(msg: String) extends AssertionError(msg)
+
+  /** assert_frame_equal with the reference's defaults: checks schema, row
+    * count, values with rtol 1e-5 / atol 1e-8 for floats; `checkRowOrder`
+    * false sorts both sides by all columns first. */
+  def assertFrameEqual(left: DataFrame, right: DataFrame,
+                       checkRowOrder: Boolean = true, checkDtype: Boolean = true,
+                       rtol: Double = 1e-5, atol: Double = 1e-8): Unit = {
+    if (checkDtype) {
+      val (ls, rs) = (left.schema.map(f => (f.name, f.dataType)), right.schema.map(f => (f.name, f.dataType)))
+      if (ls != rs) throw FrameMismatch(s"schema mismatch: $ls vs $rs")
+    } else if (left.columns.toSeq != right.columns.toSeq)
+      throw FrameMismatch(s"columns mismatch: ${left.columns.toSeq} vs ${right.columns.toSeq}")
+    val (l, r) =
+      if (checkRowOrder) (left.collect(), right.collect())
+      else {
+        val cols = left.columns.map(org.apache.spark.sql.functions.col).toSeq
+        (left.orderBy(cols: _*).collect(), right.orderBy(cols: _*).collect())
+      }
+    if (l.length != r.length) throw FrameMismatch(s"row count: ${l.length} vs ${r.length}")
+    l.zip(r).zipWithIndex.foreach { case ((lr, rr), i) =>
+      lr.toSeq.zip(rr.toSeq).zipWithIndex.foreach { case ((a, b), c) =>
+        if (!valueEq(a, b, rtol, atol))
+          throw FrameMismatch(s"row $i col ${left.columns(c)}: $a != $b")
+      }
+    }
+  }
+
+  def assertSeriesEqual(left: graft.api.Series, right: graft.api.Series,
+                        rtol: Double = 1e-5, atol: Double = 1e-8): Unit =
+    assertFrameEqual(left.df, right.rename(left.name).df, rtol = rtol, atol = atol)
+
+  private def valueEq(a: Any, b: Any, rtol: Double, atol: Double): Boolean = (a, b) match {
+    case (null, null) => true
+    case (null, _) | (_, null) => false
+    case (x: Double, y: Double) =>
+      (x.isNaN && y.isNaN) || math.abs(x - y) <= atol + rtol * math.abs(y)
+    case (x: Float, y: Float) => valueEq(x.toDouble, y.toDouble, rtol, atol)
+    case (x: Seq[_], y: Seq[_]) =>
+      x.length == y.length && x.zip(y).forall { case (p, q) => valueEq(p, q, rtol, atol) }
+    case (x: Array[Byte], y: Array[Byte]) => x.sameElements(y)
+    case (x, y) => x == y
+  }
+
+  /** Render the polars-style table: shape line + box-drawing frame with a
+    * dtype row, matching the reference's docstring golden format. */
+  def render(df: DataFrame, maxRows: Int = 10): String = {
+    val total = df.count()
+    val rows = df.limit(maxRows).collect()
+    val names = df.columns.toSeq
+    val dtypes = df.schema.fields.map(f => dtypeName(f.dataType)).toSeq
+    val cells = rows.map(_.toSeq.map(fmt))
+    val widths = names.indices.map { c =>
+      (Seq(names(c).length, dtypes(c).length) ++ cells.map(_(c).length)).max
+    }
+    def line(l: String, m: String, r: String, fill: String = "─") =
+      widths.map(w => fill * (w + 2)).mkString(l, m, r)
+    def row(vals: Seq[String]) =
+      vals.zip(widths).map { case (v, w) => s" ${v.padTo(w, ' ')} " }.mkString("│", "┆", "│")
+    val sb = new StringBuilder
+    sb.append(s"shape: ($total, ${names.size})\n")
+    sb.append(line("┌", "┬", "┐")).append('\n')
+    sb.append(row(names)).append('\n')
+    sb.append(row(dtypes)).append('\n')
+    sb.append(line("╞", "╪", "╡", "═")).append('\n')
+    cells.zipWithIndex.foreach { case (cs, i) =>
+      sb.append(row(cs)).append('\n')
+    }
+    if (total > maxRows) sb.append(row(names.map(_ => "…"))).append('\n')
+    sb.append(line("└", "┴", "┘"))
+    sb.toString
+  }
+
+  private def fmt(v: Any): String = v match {
+    case null => "null"
+    case s: String => s""""$s""""
+    case d: Double => if (d == d.floor && math.abs(d) < 1e15) s"${d.toLong}.0" else d.toString
+    case x => x.toString
+  }
+
+  /** Polars dtype tag for the rendered header (SURVEY §1.2 mapping table). */
+  def dtypeName(dt: DataType): String = dt match {
+    case LongType => "i64"
+    case IntegerType => "i32"
+    case ShortType => "i16"
+    case ByteType => "i8"
+    case DoubleType => "f64"
+    case FloatType => "f32"
+    case StringType => "str"
+    case BooleanType => "bool"
+    case DateType => "date"
+    case _: TimestampType | TimestampNTZType => "datetime[μs]"
+    case BinaryType => "binary"
+    case d: DecimalType => s"decimal[${d.precision},${d.scale}]"
+    case ArrayType(inner, _) => s"list[${dtypeName(inner)}]"
+    case s: StructType => s"struct[${s.fields.length}]"
+    case d => d.simpleString
+  }
+}

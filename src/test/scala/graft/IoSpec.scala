@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+import graft.Polars._
+import graft.api.DataFrame
+import graft.io.ArrowIpc
+import graft.testing.Testing
+import org.apache.spark.sql.{functions => F}
+
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+  private implicit def sp: org.apache.spark.sql.SparkSession = spark
+
+  private def tmp(suffix: String): String = {
+    val d = Files.createTempDirectory("graft-io").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath + suffix
+  }
+
+  private def sample = Seq((1L, "one", 1.5), (2L, "two", 2.5), (3L, "three", 3.5))
+    .toDF("a", "b", "c")
+
+  test("parquet round trip") {
+    val p = tmp("/pq")
+    DataFrame(sample).writeParquet(p)
+    Testing.assertFrameEqual(readParquet(p).toSpark.orderBy("a"), sample)
+  }
+
+  test("csv round trip with header + schema inference") {
+    val p = tmp("/csv")
+    DataFrame(sample).writeCsv(p)
+    val back = readCsv(p).toSpark.orderBy("a")
+    assert(back.schema.map(_.dataType.simpleString) == Seq("int", "string", "double"))
+    assert(back.collect().map(_.getString(1)).toSeq == Seq("one", "two", "three"))
+  }
+
+  test("ndjson round trip") {
+    val p = tmp("/nd")
+    DataFrame(sample).writeNdjson(p)
+    val back = readNdjson(p).toSpark.select("a", "b", "c").orderBy("a")
+    assert(back.collect().map(_.getDouble(2)).toSeq == Seq(1.5, 2.5, 3.5))
+  }
+
+  test("arrow ipc round trip incl. nulls and timestamps") {
+    val p = tmp(".arrow")
+    val df = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "x", 1.5), (2L, null, null), (3L, "z", 3.5)).toDF("a", "b", "c")
+      .withColumn("ts", F.to_timestamp(F.lit("2024-06-01 12:00:00")))
+    ArrowIpc.write(df, p)
+    val back = ArrowIpc.read(p).orderBy("a")
+    assert(back.count() == 3)
+    val r = back.collect()
+    assert(r(1).isNullAt(1) && r(1).isNullAt(2))
+    assert(r(0).getString(1) == "x" && r(2).getDouble(2) == 3.5)
+    assert(back.schema("ts").dataType.typeName.startsWith("timestamp"))
+    assert(ArrowIpc.readSchema(p).fieldNames.toSeq == Seq("a", "b", "c", "ts"))
+  }
+
+  test("scan (lazy) csv keeps plan lazy") {
+    val p = tmp("/csv2")
+    DataFrame(sample).writeCsv(p)
+    val lazyF = scanCsv(p).filter(col("a") > 1).select(col("a"), col("c"))
+    assert(lazyF.collect().toSpark.count() == 2)
+  }
+}
