@@ -139,6 +139,15 @@ object Polars {
     DataFrame(spark.createDataFrame(rdd, schema))
   }
 
+  /** align_frames: same key universe (full-outer union of `on` values) in the
+    * same sorted order for every frame (reference: functions/eager.rb:144). */
+  def alignFrames(frames: Seq[DataFrame], on: String): Seq[DataFrame] = {
+    val keys = frames.map(_.toSpark.select(on)).reduce(_ unionAll _).distinct()
+    frames.map { f =>
+      DataFrame(keys.join(f.toSpark, Seq(on), "left").orderBy(on))
+    }
+  }
+
   // ---- concat (reference: functions/eager.rb:35-143) ----
   def concat(frames: Seq[DataFrame], how: String = "vertical"): DataFrame = {
     require(frames.nonEmpty)

@@ -215,6 +215,17 @@ trait FrameOps[Self] {
   def toStruct(name: String): Self =
     make(sdf.select(F.struct(sdf.columns.map(F.col).toIndexedSeq: _*).as(name)))
 
+  /** Select columns by Spark dtype (reference dtype selectors, lib.rs:554-559). */
+  def selectByDtype(dts: org.apache.spark.sql.types.DataType*): Self =
+    make(sdf.select(sdf.schema.fields
+      .filter(f => dts.contains(f.dataType) && f.name != RowIndex.name)
+      .map(f => F.col(f.name)).toIndexedSeq: _*))
+  /** name.prefix / name.suffix applied frame-wide (reference name_expr.rb). */
+  def renameAll(f: String => String): Self =
+    make(columns.foldLeft(sdf)((d, c) => d.withColumnRenamed(c, f(c))))
+  def prefixAll(p: String): Self = renameAll(p + _)
+  def suffixAll(s: String): Self = renameAll(_ + s)
+
   /** unpivot/melt (reference: data_frame.rb:3101). Spark 4 has Dataset.unpivot. */
   def unpivot(on: Seq[String], index: Seq[String],
               variableName: String = "variable", valueName: String = "value"): Self =
@@ -285,6 +296,20 @@ final case class DataFrame(private val df: SDF) extends FrameOps[DataFrame] {
     }
     DataFrame(df.groupBy(index.map(F.col): _*).pivot(on, values).agg(agg))
   }
+  /** unstack: long→wide by chunking every `step` rows (reference:
+    * data_frame.rb:3180). Small-data reshape. */
+  def unstack(step: Int, columns0: Seq[String] = Nil): DataFrame = {
+    val cols = if (columns0.nonEmpty) columns0 else columns
+    val d = RowIndex.attachDense(df)
+    val grouped = d.withColumn("__r__", (F.col(RowIndex.name) / step).cast("long"))
+      .withColumn("__c__", F.col(RowIndex.name) % step)
+    val aggs = cols.flatMap { c =>
+      (0 until step).map(i => F.first(F.when(F.col("__c__") === i, F.col(c)), ignoreNulls = true).as(s"${c}_$i"))
+    }
+    DataFrame(grouped.groupBy("__r__").agg(aggs.head, aggs.tail: _*)
+      .orderBy("__r__").drop("__r__"))
+  }
+
   /** to_dummies (reference: data_frame.rb:4048). */
   def toDummies(cols: Seq[String], separator: String = "_", dropFirst: Boolean = false): DataFrame = {
     var out = df

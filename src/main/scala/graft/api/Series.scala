@@ -29,6 +29,60 @@ final case class Series(name: String, df: SDF) {
   def cast(dt: DataType): Series = map(_.cast(dt))
   def valueCounts(): DataFrame =
     DataFrame(df.groupBy(name).agg(F.count(F.lit(1)).as("count")).orderBy(F.col("count").desc))
+
+  private def indexed = graft.kernel.RowIndex.attachDense(df)
+  private val IDX = graft.kernel.RowIndex.name
+
+  /** Counts per distinct value in first-seen order (reference series
+    * unique_counts, lib/polars/series.rb:1120). */
+  def uniqueCounts: Series = Series("unique_counts",
+    indexed.groupBy(F.col(name))
+      .agg(F.min(F.col(IDX)).as("__fs__"), F.count(F.lit(1)).as("unique_counts"))
+      .orderBy("__fs__").select("unique_counts"))
+
+  /** Indices that would sort the series (reference series.rb arg_sort). */
+  def argSort(descending: Boolean = false): Series = Series("arg_sort",
+    indexed.orderBy(if (descending) F.col(name).desc else F.col(name).asc)
+      .select(F.col(IDX).as("arg_sort")))
+
+  def argMin: Long = indexed.orderBy(F.col(name).asc, F.col(IDX).asc)
+    .select(IDX).limit(1).collect()(0).getLong(0)
+  def argMax: Long = indexed.orderBy(F.col(name).desc, F.col(IDX).asc)
+    .select(IDX).limit(1).collect()(0).getLong(0)
+  /** Indices of true values (reference series.rb:1994 arg_true). */
+  def argTrue: Series = Series("arg_true",
+    indexed.filter(F.col(name)).select(F.col(IDX).as("arg_true")).orderBy("arg_true"))
+
+  /** Insertion index keeping sorted order (reference expr.rb:1500). */
+  def searchSorted(v: Any, side: String = "left"): Long = {
+    val cmp = if (side == "left") F.col(name) < F.lit(v) else F.col(name) <= F.lit(v)
+    df.select(F.coalesce(F.sum(F.when(cmp, 1L)), F.lit(0L))).collect()(0).getLong(0)
+  }
+
+  /** Append n copies of a constant (reference expr.rb:6484 extend_constant). */
+  def extendConstant(v: Any, n: Int): Series = {
+    val extra = df.sparkSession.range(n).select(F.lit(v).cast(dtype).as(name))
+    Series(name, df.unionAll(extra))
+  }
+
+  /** Cast to the smallest integer dtype that fits (reference expr.rb:6775). */
+  def shrinkDtype: Series = {
+    dtype match {
+      case LongType =>
+        val r = df.agg(F.min(F.col(name)), F.max(F.col(name))).collect()(0)
+        if (r.isNullAt(0)) this
+        else {
+          val (lo, hi) = (r.getLong(0), r.getLong(1))
+          val target: DataType =
+            if (lo >= Byte.MinValue && hi <= Byte.MaxValue) ByteType
+            else if (lo >= Short.MinValue && hi <= Short.MaxValue) ShortType
+            else if (lo >= Int.MinValue && hi <= Int.MaxValue) IntegerType
+            else LongType
+          cast(target)
+        }
+      case _ => this
+    }
+  }
 }
 
 object Series {

@@ -313,6 +313,58 @@ final case class Expr(col: Column, requiresIndex: Boolean = false) {
     mid.otherwise(lbls.last)
   }
 
+  /** qcut: quantile-based buckets via percent_rank (reference expr.rb:2611). */
+  def qcut(quantiles: Seq[Double], labels: Seq[String]): Expr = {
+    require(labels.size == quantiles.size + 1)
+    val pr = F.percent_rank().over(Window.orderBy(col))
+    val first = F.when(pr <= quantiles.head, labels.head)
+    val mid = quantiles.indices.drop(1).foldLeft(first)((acc, i) => acc.when(pr <= quantiles(i), labels(i)))
+    Expr(mid.otherwise(labels.last), requiresIndex)
+  }
+  /** Insertion index keeping sorted order = count of smaller elements
+    * (reference expr.rb:1500 search_sorted). Aggregation context. */
+  def searchSorted(v: Any, side: String = "left"): Expr = map { c =>
+    val cmp = if (side == "left") c < F.lit(v) else c <= F.lit(v)
+    F.coalesce(F.sum(F.when(cmp, 1L)), F.lit(0L))
+  }
+  /** Row indices of each group's members (reference expr.rb:701 agg_groups). */
+  def aggGroups: Expr = Expr(
+    F.sort_array(F.collect_list(F.col(graft.kernel.RowIndex.name))), requiresIndex = true)
+  /** Expanding-window aggregate (reference expr.rb:6684 cumulative_eval —
+    * the agg-expr case; arbitrary exprs via collect_list+HOF). */
+  def cumulativeEval(agg: Column => Column): Expr = Expr(
+    agg(col).over(idxWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    requiresIndex = true)
+  /** Weighted rolling sum: collect the frame window + HOF dot product with
+    * literal weights (reference expr.rb rolling weights:). */
+  def rollingSumWeighted(weights: Seq[Double], minPeriods: Int = 1): Expr = {
+    val n = weights.size
+    val w = idxWindow.rowsBetween(-(n - 1).toLong, 0L)
+    val vals = F.collect_list(col).over(w)
+    val wArr = F.array(weights.map(F.lit): _*)
+    val dot = F.aggregate(
+      F.zip_with(vals, F.slice(wArr, F.lit(1), F.size(vals)), (v, wt) => v * wt),
+      F.lit(0.0), (acc, x) => acc + x)
+    Expr(F.when(F.size(vals) >= math.max(minPeriods, n), dot), requiresIndex = true)
+  }
+  /** Dtype min/max literals (reference expr.rb:5942 lower_bound/upper_bound). */
+  def lowerBound(dt: DataType): Expr = Expr(F.lit(dt match {
+    case org.apache.spark.sql.types.LongType => Long.MinValue
+    case org.apache.spark.sql.types.IntegerType => Int.MinValue
+    case org.apache.spark.sql.types.ShortType => Short.MinValue
+    case org.apache.spark.sql.types.ByteType => Byte.MinValue
+    case org.apache.spark.sql.types.DoubleType => Double.NegativeInfinity
+    case org.apache.spark.sql.types.FloatType => Float.NegativeInfinity
+  }))
+  def upperBound(dt: DataType): Expr = Expr(F.lit(dt match {
+    case org.apache.spark.sql.types.LongType => Long.MaxValue
+    case org.apache.spark.sql.types.IntegerType => Int.MaxValue
+    case org.apache.spark.sql.types.ShortType => Short.MaxValue
+    case org.apache.spark.sql.types.ByteType => Byte.MaxValue
+    case org.apache.spark.sql.types.DoubleType => Double.PositiveInfinity
+    case org.apache.spark.sql.types.FloatType => Float.PositiveInfinity
+  }))
+
   // ---- namespaces ----
   def str: StrNS = new StrNS(this)
   def dt: DtNS = new DtNS(this)

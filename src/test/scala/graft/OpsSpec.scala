@@ -1,0 +1,107 @@
+package graft
+
+import graft.Polars._
+import graft.api.{DataFrame, Series}
+import graft.expr.Expr
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{functions => F}
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+  private implicit def sp: org.apache.spark.sql.SparkSession = spark
+
+  test("qcut buckets by quantile") {
+    val df = DataFrame((1 to 8).toDF("v"))
+    val out = df.select(col("v"), col("v").qcut(Seq(0.5), Seq("lo", "hi")).alias("b"))
+      .toSpark.collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(out.count(_._2 == "lo") == 4 && out.count(_._2 == "hi") == 4)
+    assert(out.filter(_._1 <= 4).forall(_._2 == "lo"))
+  }
+
+  test("searchSorted / argMin / argMax / argTrue on series") {
+    val s = Series("x", Seq(1.0, 3.0, 5.0, 7.0))
+    assert(s.searchSorted(4.0) == 2L)
+    assert(s.searchSorted(5.0, side = "left") == 2L)
+    assert(s.searchSorted(5.0, side = "right") == 3L)
+    val u = Series("x", Seq(5.0, 1.0, 9.0))
+    assert(u.argMin == 1L && u.argMax == 2L)
+    assert(Series("b", Seq(false, true, false, true)).argTrue.toList == List(1L, 3L))
+  }
+
+  test("uniqueCounts in first-seen order") {
+    val s = Series("k", Seq("b", "a", "b", "c", "b", "a"))
+    assert(s.uniqueCounts.toList == List(3L, 2L, 1L))
+  }
+
+  test("argSort permutation") {
+    val s = Series("x", Seq(30, 10, 20))
+    assert(s.argSort().toList == List(1L, 2L, 0L))
+  }
+
+  test("extendConstant and shrinkDtype") {
+    val s = Series("x", Seq(1L, 2L)).extendConstant(9L, 2)
+    assert(s.toList == List(1L, 2L, 9L, 9L))
+    assert(Series("x", Seq(1L, 100L)).shrinkDtype.dtype == ByteType)
+    assert(Series("x", Seq(1L, 40000L)).shrinkDtype.dtype == IntegerType)
+  }
+
+  test("cumulativeEval expanding aggregate") {
+    val df = DataFrame(Seq(1.0, 2.0, 3.0, 4.0).toDF("v"))
+    val out = df.select(col("v").cumulativeEval(F.avg).alias("m")).toSpark
+      .collect().map(_.getDouble(0))
+    assert(out.toSeq == Seq(1.0, 1.5, 2.0, 2.5))
+  }
+
+  test("rollingSumWeighted applies weights oldest-first") {
+    val df = DataFrame(Seq(1.0, 2.0, 3.0, 4.0).toDF("v"))
+    val out = df.select(col("v").rollingSumWeighted(Seq(0.5, 1.0, 2.0)).alias("w"))
+      .toSpark.collect().map(r => Option(r.get(0)))
+    // full windows only: [1,2,3] -> 0.5+2+6=8.5 ; [2,3,4] -> 1+3+8=12
+    assert(out.toSeq == Seq(None, None, Some(8.5), Some(12.0)))
+  }
+
+  test("selectByDtype and regex selectors") {
+    val df = DataFrame(Seq((1, "a", 2.0)).toDF("i", "s", "d"))
+    assert(df.selectByDtype(IntegerType, DoubleType).columns == Seq("i", "d"))
+    assert(df.selectRegex("^[sd]$").columns == Seq("s", "d"))
+    assert(df.exclude("s").columns == Seq("i", "d"))
+  }
+
+  test("prefixAll / suffixAll") {
+    val df = DataFrame(Seq((1, 2)).toDF("a", "b"))
+    assert(df.prefixAll("x_").columns == Seq("x_a", "x_b"))
+    assert(df.suffixAll("_y").columns == Seq("a_y", "b_y"))
+  }
+
+  test("unstack long to wide") {
+    val df = DataFrame(Seq(1, 2, 3, 4, 5, 6).toDF("v"))
+    val out = df.unstack(3)
+    assert(out.columns == Seq("v_0", "v_1", "v_2"))
+    val rows = out.toSpark.collect()
+    assert(rows(0).toSeq == Seq(1, 2, 3) && rows(1).toSeq == Seq(4, 5, 6))
+  }
+
+  test("alignFrames aligns key universes") {
+    val a = DataFrame(Seq((1, "a1"), (2, "a2")).toDF("k", "av"))
+    val b = DataFrame(Seq((2, "b2"), (3, "b3")).toDF("k", "bv"))
+    val Seq(a2, b2) = Polars.alignFrames(Seq(a, b), "k")
+    assert(a2.toSpark.collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(b2.toSpark.collect().map(r => Option(r.getString(1)).orNull).toSeq ==
+      Seq(null, "b2", "b3"))
+  }
+
+  test("lower/upper bound literals") {
+    val df = DataFrame(Seq(1).toDF("x"))
+    val r = df.select(
+      col("x").lowerBound(LongType).alias("lo"),
+      col("x").upperBound(IntegerType).alias("hi")).toSpark.collect()(0)
+    assert(r.getLong(0) == Long.MinValue && r.getInt(1) == Int.MaxValue)
+  }
+
+  test("groupBy partitionBy eager split") {
+    val df = DataFrame(Seq(("a", 1), ("b", 2), ("a", 3)).toDF("k", "v"))
+    val parts = df.partitionBy(Seq("k"))
+    assert(parts.size == 2)
+    assert(parts(Seq("a")).toSpark.collect().map(_.getInt(1)).sorted.toSeq == Seq(1, 3))
+  }
+}
