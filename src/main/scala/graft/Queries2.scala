@@ -359,10 +359,10 @@ object Queries2 {
     Dedup.simhashCandidates(t(s, dir, "documents"), "text", "doc_id", maxHamming = 10)
       .orderBy("id_a", "id_b")
 
-  /** Language-ID heuristic distribution (rows-only; heuristic has no oracle). */
+  /** Language-ID heuristic distribution (rows-only; heuristic has no oracle).
+    * Bulk explode formulation — fully codegen'd, no interpreted HOFs. */
   private def qLangId(s: SparkSession, dir: String): SDF =
-    t(s, dir, "documents")
-      .withColumn("pred", TextAnalysis.languageId(F.col("text")))
+    TextAnalysis.languageIdBulk(t(s, dir, "documents"), "doc_id", "text", keep = Seq("lang"))
       .groupBy("lang", "pred").agg(F.count(F.lit(1)).as("n"))
       .orderBy("lang", "pred")
 

@@ -39,22 +39,56 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est", "je", "pas", "un", "une", "avec"),
     "es" -> Seq("el", "la", "los", "y", "es", "yo", "no", "un", "una", "con"))
 
-  /** Stopword ratio against a language's stopword list. */
-  def stopwordRatio(text: Column, lang: String = "en"): Column = {
-    val toks = F.split(F.lower(F.trim(text)), "\\s+")
+  def tokens(text: Column): Column = F.split(F.lower(F.trim(text)), "\\s+")
+
+  /** Stopword ratio against a language's stopword list. Prefer the
+    * `FromTokens` variant over a materialized token column in bulk pipelines —
+    * the split would otherwise re-evaluate per language per row. */
+  def stopwordRatio(text: Column, lang: String = "en"): Column =
+    stopwordRatioFromTokens(tokens(text), lang)
+
+  def stopwordRatioFromTokens(toks: Column, lang: String = "en"): Column =
     F.size(F.filter(toks, t => t.isin(stopwords(lang): _*))).cast("double") /
       F.greatest(F.size(toks), F.lit(1)).cast("double")
-  }
 
   /** N-gram-heuristic language ID: argmax of per-language stopword hit ratio;
     * "und" (undetermined) when no list scores above the floor. */
-  def languageId(text: Column, floor: Double = 0.05): Column = {
+  def languageId(text: Column, floor: Double = 0.05): Column =
+    languageIdFromTokens(tokens(text), floor)
+
+  def languageIdFromTokens(toks: Column, floor: Double = 0.05): Column = {
     val scored = stopwords.toSeq.map { case (lang, _) =>
-      F.struct(stopwordRatio(text, lang).as("score"), F.lit(lang).as("lang"))
+      F.struct(stopwordRatioFromTokens(toks, lang).as("score"), F.lit(lang).as("lang"))
     }
     val best = scored.reduce((a, b) =>
       F.when(a.getField("score") >= b.getField("score"), a).otherwise(b))
     F.when(best.getField("score") >= floor, best.getField("lang")).otherwise(F.lit("und"))
+  }
+
+  /** Bulk language-ID: explode tokens → codegen'd conditional sums per
+    * language → argmax. One narrow explode + one map-side-combined groupBy —
+    * the corpus-scale shape (the Column variants above are interpreted HOFs,
+    * fine for ad-hoc expressions only). Output: input columns of `keep` +
+    * `pred`. */
+  def languageIdBulk(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, keep: Seq[String] = Nil,
+                     floor: Double = 0.05): org.apache.spark.sql.DataFrame = {
+    val keys = (idCol +: keep).map(F.col)
+    val tok = df.select((keys :+ F.explode(tokens(F.col(textCol))).as("__tok__")): _*)
+    val hits = stopwords.toSeq.map { case (lang, words) =>
+      F.sum(F.when(F.col("__tok__").isin(words: _*), 1L).otherwise(0L)).as(s"__hit_$lang")
+    }
+    val agg = tok.groupBy(keys: _*)
+      .agg(F.count(F.lit(1)).as("__n__"), hits: _*)
+    val scored = stopwords.keys.toSeq.map { l =>
+      F.struct((F.col(s"__hit_$l") / F.greatest(F.col("__n__"), F.lit(1))).as("score"),
+        F.lit(l).as("lang"))
+    }
+    val best = scored.reduce((a, b) =>
+      F.when(a.getField("score") >= b.getField("score"), a).otherwise(b))
+    agg.withColumn("pred",
+        F.when(best.getField("score") >= floor, best.getField("lang")).otherwise(F.lit("und")))
+      .select((keys :+ F.col("pred")): _*)
   }
 
   /** Composite quality score in [0,1]: length sweet-spot, moderate punctuation,
