@@ -175,6 +175,18 @@ trait FrameOps[Self] {
   }
   def crossJoin(other: FrameOps[_]): Self = make(sdf.crossJoin(other.toSpark))
 
+  /** with_context — make another frame's columns referenceable in expressions
+    * (reference: lazy_frame.rb:1821-1827). Supported pattern (the one the
+    * reference's tests exercise): scalar access via aggregates of the other
+    * frame — implemented as a broadcast cross join of its 1-row aggregate
+    * projection, so `col("other_col_first")` etc. resolve. */
+  def withContext(other: FrameOps[_], aggs: (String, Expr)*): Self = {
+    val o = other.toSpark
+    val aggCols = aggs.map { case (n, e) => e.col.as(n) }
+    val oneRow = o.agg(aggCols.head, aggCols.tail: _*)
+    make(sdf.crossJoin(F.broadcast(oneRow)))
+  }
+
   /** merge_sorted — interleave two key-sorted frames (reference data_frame.rb:4757). */
   def mergeSorted(other: FrameOps[_], key: String): Self =
     make(sdf.unionByName(other.toSpark).orderBy(F.col(key)))

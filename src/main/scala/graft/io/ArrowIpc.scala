@@ -143,6 +143,87 @@ object ArrowIpc {
     } finally { reader.close(); in.close(); alloc.close() }
   }
 
+  /** Arrow IPC *stream* format (reference io/ipc.rb:108 read_ipc_stream,
+    * write_ipc_stream) — same row handling as the file format. */
+  def writeStream(df: DataFrame, path: String, batchSize: Int = 4096): Unit = {
+    val schema = df.schema
+    val aSchema = new ASchema(schema.fields.map(toArrowField).toSeq.asJava)
+    val alloc = new RootAllocator()
+    val root = VectorSchemaRoot.create(aSchema, alloc)
+    val out = new FileOutputStream(path)
+    val writer = new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, null, out.getChannel)
+    try {
+      writer.start()
+      df.toLocalIterator().asScala.grouped(batchSize).foreach { batch =>
+        root.allocateNew()
+        batch.zipWithIndex.foreach { case (row, i) => setRow(root, schema, row, i) }
+        root.setRowCount(batch.size)
+        writer.writeBatch()
+      }
+      writer.end()
+    } finally { writer.close(); out.close(); root.close(); alloc.close() }
+  }
+
+  def readStream(path: String)(implicit spark: SparkSession): DataFrame = {
+    val alloc = new RootAllocator()
+    val in = new FileInputStream(path)
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, alloc)
+    try readFromReader(reader.getVectorSchemaRoot, () => reader.loadNextBatch())
+    finally { reader.close(); in.close(); alloc.close() }
+  }
+
+  private def readFromReader(root: VectorSchemaRoot, next: () => Boolean)
+                            (implicit spark: SparkSession): DataFrame = {
+    val fields = root.getSchema.getFields.asScala.toSeq
+    val sparkSchema = StructType(fields.map { f =>
+      StructField(f.getName, arrowToSpark(f.getType), f.isNullable)
+    })
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    while (next()) {
+      val n = root.getRowCount
+      (0 until n).foreach { i =>
+        rows += Row.fromSeq(fields.indices.map(c => vecValue(root.getVector(c), i)))
+      }
+    }
+    spark.createDataFrame(rows.asJava, sparkSchema)
+  }
+
+  private def arrowToSpark(t: ArrowType): DataType = t match {
+    case t: ArrowType.Int if t.getBitWidth == 64 => LongType
+    case t: ArrowType.Int if t.getBitWidth == 32 => IntegerType
+    case t: ArrowType.Int if t.getBitWidth == 16 => ShortType
+    case _: ArrowType.Int => ByteType
+    case t: ArrowType.FloatingPoint if t.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
+    case _: ArrowType.FloatingPoint => FloatType
+    case _: ArrowType.Utf8 => StringType
+    case _: ArrowType.Bool => BooleanType
+    case _: ArrowType.Binary => BinaryType
+    case _: ArrowType.Timestamp => TimestampNTZType
+    case _: ArrowType.Date => DateType
+    case t => throw new UnsupportedOperationException(s"arrow ipc read: $t")
+  }
+
+  private def vecValue(vec: FieldVector, i: Int): Any =
+    if (vec.isNull(i)) null
+    else vec match {
+      case v: BigIntVector => v.get(i)
+      case v: IntVector => v.get(i)
+      case v: SmallIntVector => v.get(i)
+      case v: TinyIntVector => v.get(i)
+      case v: Float8Vector => v.get(i)
+      case v: Float4Vector => v.get(i)
+      case v: VarCharVector => new String(v.get(i), "UTF-8")
+      case v: BitVector => v.get(i) == 1
+      case v: VarBinaryVector => v.get(i)
+      case v: TimeStampMicroVector =>
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(v.get(i), 1000000L),
+          (Math.floorMod(v.get(i), 1000000L) * 1000).toInt,
+          java.time.ZoneOffset.UTC)
+      case v: DateDayVector => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.get(i)))
+      case v => throw new UnsupportedOperationException(s"arrow ipc read vec: ${v.getClass}")
+    }
+
   /** Peek schema without materializing data (reference io/ipc.rb:164). */
   def readSchema(path: String): StructType = {
     val alloc = new RootAllocator()

@@ -56,6 +56,23 @@ class IoSpec extends SparkSpec {
     assert(ArrowIpc.readSchema(p).fieldNames.toSeq == Seq("a", "b", "c", "ts"))
   }
 
+  test("arrow ipc stream format round trip") {
+    val p = tmp(".arrows")
+    val df = Seq((1L, "x"), (2L, "y")).toDF("a", "b")
+    ArrowIpc.writeStream(df, p)
+    val back = ArrowIpc.readStream(p).orderBy("a").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "x"), (2L, "y")))
+  }
+
+  test("with_context scalar pattern") {
+    val main = DataFrame(Seq(1.0, 2.0, 3.0).toDF("v"))
+    val other = DataFrame(Seq(10.0, 20.0).toDF("w"))
+    val out = main.withContext(other, "w_mean" -> col("w").mean)
+      .select((col("v") * col("w_mean")).alias("scaled")).toSpark
+      .collect().map(_.getDouble(0)).sorted
+    assert(out.toSeq == Seq(15.0, 30.0, 45.0))
+  }
+
   test("scan (lazy) csv keeps plan lazy") {
     val p = tmp("/csv2")
     DataFrame(sample).writeCsv(p)

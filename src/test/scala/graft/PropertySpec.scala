@@ -1,0 +1,130 @@
+package graft
+
+import scala.util.Random
+import graft.Polars._
+import graft.api.DataFrame
+import graft.kernel.DurationDsl
+import org.apache.spark.sql.{functions => F}
+
+/** Property-style invariants over seeded random inputs (SURVEY §5: ScalaTest
+  * unit + property tests; deterministic seeds keep CI stable). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomFrame(seed: Long, n: Int = 60) = {
+    val rnd = new Random(seed)
+    DataFrame(Seq.fill(n)((rnd.nextInt(10), rnd.nextDouble() * 100, rnd.nextPrintableChar().toString))
+      .toDF("k", "v", "s"))
+  }
+
+  test("filter partitions the frame: |p| + |!p| = |all|") {
+    for (seed <- 1L to 5L) {
+      val df = randomFrame(seed)
+      val p = col("v") > 50.0
+      val a = df.filter(p).toSpark.count()
+      val b = df.filter(!p).toSpark.count()
+      assert(a + b == df.toSpark.count())
+    }
+  }
+
+  test("sort is a permutation: multiset of values preserved") {
+    for (seed <- 1L to 5L) {
+      val df = randomFrame(seed)
+      val before = df.toSpark.select("v").collect().map(_.getDouble(0)).sorted.toSeq
+      val after = df.sortBy(Seq(col("v")), Seq(seed % 2 == 0)).toSpark
+        .select("v").collect().map(_.getDouble(0)).sorted.toSeq
+      assert(before == after)
+    }
+  }
+
+  test("cum_sum last element equals total sum") {
+    for (seed <- 1L to 5L) {
+      val df = randomFrame(seed)
+      val cs = df.select(col("v").cumSum().alias("cs")).toSpark
+        .collect().map(_.getDouble(0))
+      val total = df.toSpark.agg(F.sum("v")).collect()(0).getDouble(0)
+      assert(math.abs(cs.last - total) < 1e-6)
+    }
+  }
+
+  test("concat vertical preserves row count; diagonal preserves columns") {
+    for (seed <- 1L to 5L) {
+      val a = randomFrame(seed, 30)
+      val b = randomFrame(seed + 100, 20)
+      assert(Polars.concat(Seq(a, b)).toSpark.count() == 50)
+      val c = DataFrame(Seq((1, true)).toDF("k", "extra"))
+      val d = Polars.concat(Seq(a, c), how = "diagonal")
+      assert(d.columns.toSet == Set("k", "v", "s", "extra"))
+      assert(d.toSpark.count() == 31)
+    }
+  }
+
+  test("unique(any) row count equals distinct count; keep=first is a subset") {
+    for (seed <- 1L to 5L) {
+      val df = randomFrame(seed)
+      val nd = df.toSpark.select("k").distinct().count()
+      assert(df.unique(Seq("k")).toSpark.count() == nd)
+      assert(df.unique(Seq("k"), keep = "first").toSpark.count() == nd)
+    }
+  }
+
+  test("rank ordinal is a permutation of 1..n") {
+    for (seed <- 1L to 3L) {
+      val df = randomFrame(seed, 40)
+      val ranks = df.select(col("v").rank("ordinal").alias("r")).toSpark
+        .collect().map(_.getInt(0)).sorted.toSeq
+      assert(ranks == (1 to 40).toSeq)
+    }
+  }
+
+  test("shift round trip: shift(n) then access original interior values") {
+    for (seed <- 1L to 3L) {
+      val df = randomFrame(seed, 30)
+      val orig = df.toSpark.select("v").collect().map(_.getDouble(0)).toSeq
+      val shifted = df.select(col("v").shift(3).alias("sv")).toSpark
+        .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+      assert(shifted.take(3).forall(_.isEmpty))
+      assert(shifted.drop(3).flatten == orig.dropRight(3))
+    }
+  }
+
+  test("duration DSL is additive over concatenation") {
+    val rnd = new Random(7)
+    for (_ <- 1 to 20) {
+      val (a, b) = (rnd.nextInt(100) + 1, rnd.nextInt(100) + 1)
+      val (ua, ub) = (Seq("s", "m", "h", "d")(rnd.nextInt(4)), Seq("s", "m", "h", "d")(rnd.nextInt(4)))
+      val joint = DurationDsl.parse(s"$a$ua$b$ub")
+      val parts = DurationDsl.parse(s"$a$ua").totalNanos + DurationDsl.parse(s"$b$ub").totalNanos
+      assert(joint.totalNanos == parts)
+    }
+  }
+
+  test("jaccard symmetry and identity on random strings") {
+    val rnd = new Random(11)
+    val pairs = Seq.fill(5) {
+      val base = Seq.fill(30)(('a' + rnd.nextInt(4)).toChar).mkString
+      val other = Seq.fill(30)(('a' + rnd.nextInt(4)).toChar).mkString
+      (base, other)
+    }
+    val df = pairs.toDF("a", "b")
+    val out = df.select(
+      graft.ml.Dedup.jaccard(df, F.col("a"), F.col("a")).as("self"),
+      graft.ml.Dedup.jaccard(df, F.col("a"), F.col("b")).as("ab"),
+      graft.ml.Dedup.jaccard(df, F.col("b"), F.col("a")).as("ba")).collect()
+    out.foreach { r =>
+      assert(r.getDouble(0) == 1.0)
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-12)
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+    }
+  }
+
+  test("group sums equal global sum") {
+    for (seed <- 1L to 5L) {
+      val df = randomFrame(seed)
+      val grouped = df.groupBy("k").agg(col("v").sum.alias("sv")).toSpark
+        .agg(F.sum("sv")).collect()(0).getDouble(0)
+      val global = df.toSpark.agg(F.sum("v")).collect()(0).getDouble(0)
+      assert(math.abs(grouped - global) < 1e-6)
+    }
+  }
+}
