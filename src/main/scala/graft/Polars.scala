@@ -75,13 +75,15 @@ object Polars {
   def concatList(exprs: Expr*): Expr = Expr(F.concat(exprs.map(_.col): _*))
 
   // ---- stats (reference: functions/lazy.rb:679-872) ----
-  def corr(a: Expr, b: Expr, method: String = "pearson"): Expr = method match {
-    case "pearson" => Expr(F.corr(a.col, b.col))
-    case "spearman" =>
-      import org.apache.spark.sql.expressions.Window
-      val ra = F.rank().over(Window.orderBy(a.col)).cast("double")
-      val rb = F.rank().over(Window.orderBy(b.col)).cast("double")
-      Expr(F.corr(ra, rb))
+  def corr(a: Expr, b: Expr): Expr = Expr(F.corr(a.col, b.col))
+  /** Spearman = Pearson over ranks; windows can't nest inside aggregates, so
+    * this is a two-step frame op (rank projection, then corr). */
+  def spearmanCorr(df: DataFrame, a: String, b: String, as: String = "spearman"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    DataFrame(df.toSpark
+      .withColumn("__ra__", F.rank().over(Window.orderBy(F.col(a))).cast("double"))
+      .withColumn("__rb__", F.rank().over(Window.orderBy(F.col(b))).cast("double"))
+      .agg(F.corr(F.col("__ra__"), F.col("__rb__")).as(as)))
   }
   def cov(a: Expr, b: Expr, ddof: Int = 1): Expr =
     Expr(if (ddof == 1) F.covar_samp(a.col, b.col) else F.covar_pop(a.col, b.col))
