@@ -129,7 +129,19 @@ object Queries5 {
       .sortBy(Seq(col("event_id")))
       .collect().toSpark
 
+  /** Native StrReplaceN expression through the function registry. */
+  private def qReplaceN(s: SparkSession, dir: String): SDF = {
+    graft.ext.GraftExtensions.register(s)
+    lf(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        col("text").str.slice(0, Some(40)).str.replaceN("a", "@", 1).alias("one_sub"))
+      .sortBy(Seq(col("doc_id")))
+      .collect().toSpark
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
+    "q_replace_n" -> (qReplaceN _),
     "q_concat_diagonal" -> (qConcatDiagonal _),
     "q_to_dummies" -> (qToDummies _),
     "q_forward_fill" -> (qForwardFill _),
@@ -144,6 +156,9 @@ object Queries5 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_replace_n" ->
+      """SELECT doc_id, regexp_replace(substr(text, 1, 40), 'a', '@') AS one_sub
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_concat_diagonal" ->
       """SELECT count(*) AS n_rows, count(o_totalprice) AS n_price,
         |count(o_orderpriority) AS n_prio FROM (
