@@ -184,7 +184,8 @@ object Queries2 {
     events(s, dir)
       .withColumns(
         "next_value" -> Expr(F.lead("value", 1).over(w)),
-        "pct_change" -> Expr((F.col("value") - F.lag("value", 1).over(w)) / F.lag("value", 1).over(w)))
+        "pct_change" -> Expr((F.col("value") - F.lag("value", 1).over(w)) /
+          F.nullif(F.lag("value", 1).over(w), F.lit(0.0))))
       .select(col("event_id"), col("next_value"), col("pct_change"))
       .sortBy(Seq(col("event_id")))
       .collect().toSpark
@@ -495,7 +496,7 @@ object Queries2 {
     "q_lead_pct" ->
       """SELECT event_id,
         |lead(value, 1) OVER w AS next_value,
-        |(value - lag(value, 1) OVER w) / lag(value, 1) OVER w AS pct_change
+        |(value - lag(value, 1) OVER w) / nullif(lag(value, 1) OVER w, 0.0) AS pct_change
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
     "q_ntile" ->

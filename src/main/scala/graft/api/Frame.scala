@@ -44,10 +44,15 @@ trait FrameOps[Self] {
     make(mapping.foldLeft(sdf) { case (d, (from, to)) => d.withColumnRenamed(from, to) })
   def rename(mapping: Map[String, String]): Self = withColumnsRenamed(mapping)
   def drop(names: String*): Self = make(sdf.drop(names: _*))
-  def dropNulls(): Self = make(sdf.na.drop())
-  def dropNulls(subset: Seq[String]): Self = make(sdf.na.drop(subset))
+  // NOT sdf.na.drop: Spark's na.drop also removes NaNs; polars drop_nulls
+  // drops only missing (null) — NaN is a float value (SURVEY §1.2)
+  def dropNulls(): Self = dropNulls(columns)
+  def dropNulls(subset: Seq[String]): Self =
+    make(sdf.filter(subset.map(c => F.col(c).isNotNull).reduce(_ && _)))
   def dropNans(subset: Seq[String]): Self =
-    make(subset.foldLeft(sdf)((d, c) => d.filter(!F.isnan(F.col(c)))))
+    // polars drop_nans removes NaN rows but KEEPS nulls (missing != NaN)
+    make(subset.foldLeft(sdf)((d, c) =>
+      d.filter(F.col(c).isNull || !F.isnan(F.col(c)))))
   def fillNull(value: Any): Self = make(value match {
     case d: Double  => sdf.na.fill(d)
     case l: Long    => sdf.na.fill(l)

@@ -210,8 +210,10 @@ final case class Expr(col: Column, requiresIndex: Boolean = false) {
     (if (n >= 0) F.lag(col, n, fill) else F.lead(col, -n, fill)).over(idxWindow), requiresIndex = true)
   def diff(n: Int = 1): Expr = Expr((col - F.lag(col, n).over(idxWindow)), requiresIndex = true)
   def pctChange(n: Int = 1): Expr = {
+    // nullif guard: ANSI mode (Spark 4 default) errors on divide-by-zero;
+    // zero-previous yields null (documented deviation from polars' ±inf)
     val prev = F.lag(col, n).over(idxWindow)
-    Expr((col - prev) / prev, requiresIndex = true)
+    Expr((col - prev) / F.nullif(prev, F.lit(0)), requiresIndex = true)
   }
   def cumSum(reverse: Boolean = false): Expr = cum(F.sum, reverse)
   def cumMin(reverse: Boolean = false): Expr = cum(F.min, reverse)
