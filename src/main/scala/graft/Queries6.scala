@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, DataFrame => SDF, functions => F}
+import org.apache.spark.sql.types.LongType
+import graft.api.LazyFrame
+import graft.expr.Expr
+import graft.Polars._
+import graft.ml.{Dedup, Similarity}
+
+/** Wave-6 driver queries: frame-level rolling, dt.round, string affixes /
+  * multi-needle / split_exact, embedding LSH + IVF paths. */
+object Queries6 {
+
+  private def t(s: SparkSession, dir: String, name: String): SDF =
+    s.read.parquet(s"$dir/$name.parquet")
+  private def lf(s: SparkSession, dir: String, name: String): LazyFrame =
+    LazyFrame(t(s, dir, name))
+  private def events(s: SparkSession, dir: String): LazyFrame =
+    LazyFrame(t(s, dir, "events")
+      .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))))
+
+  /** Library rolling() API — trailing 2h window per user. */
+  private def qRollingFrame(s: SparkSession, dir: String): SDF =
+    events(s, dir)
+      .rolling("ts", "2h", by = Seq("user_id"))
+      .agg(
+        "roll_sum" -> col("value").sum,
+        "roll_n" -> Expr(F.count(F.lit(1))))
+      .select(col("event_id"), col("roll_sum"), col("roll_n"))
+      .sortBy(Seq(col("event_id")))
+      .collect().toSpark
+
+  private def qDtRound(s: SparkSession, dir: String): SDF =
+    events(s, dir)
+      .select(
+        col("event_id"),
+        col("ts").dt.round("15m").dt.epoch("s").alias("rounded_ep"),
+        col("ts").dt.truncate("15m").dt.epoch("s").alias("trunc_ep"))
+      .sortBy(Seq(col("event_id")))
+      .collect().toSpark
+
+  private def qStrAffix(s: SparkSession, dir: String): SDF =
+    lf(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        col("p_brand").str.stripPrefix("Brand#").alias("brand_id"),
+        col("p_name").str.stripSuffix("e").alias("name_noe"),
+        col("p_type").str.toTitlecase.alias("type_title"))
+      .sortBy(Seq(col("p_partkey")))
+      .collect().toSpark
+
+  private def qContainsAny(s: SparkSession, dir: String): SDF =
+    lf(s, dir, "documents")
+      .withColumn("hit", col("text").str.containsAny(Seq("spark", "query", "table")))
+      .groupBy("hit")
+      .agg(Expr(F.count(F.lit(1))).alias("n"))
+      .sortBy(Seq(col("hit")))
+      .collect().toSpark
+
+  private def qSplitExact(s: SparkSession, dir: String): SDF =
+    lf(s, dir, "nation")
+      .withColumn("parts", Polars.concatStr(Seq(col("n_name"), col("n_regionkey")), ":").str.splitExact(":", 1))
+      .select(
+        col("n_nationkey"),
+        col("parts").struct.field("field_0").alias("left_part"),
+        col("parts").struct.field("field_1").alias("right_part"))
+      .sortBy(Seq(col("n_nationkey")))
+      .collect().toSpark
+
+  /** Embedding near-dup candidates via hyperplane LSH (rows-only). */
+  private def qEmbeddingPairs(s: SparkSession, dir: String): SDF =
+    Dedup.embeddingCandidates(
+      t(s, dir, "embeddings").filter(F.col("vec_id") < 500), "embedding", "vec_id",
+      nPlanes = 8)
+      .orderBy(F.col("cosine").desc, F.col("id_a"), F.col("id_b"))
+      .limit(100)
+
+  /** IVF assign + probe search (rows-only; exercises the scale path). */
+  private def qIvfTopK(s: SparkSession, dir: String): SDF = {
+    val emb = t(s, dir, "embeddings")
+    val query = emb.filter(F.col("vec_id") === 1)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    val assigned = Similarity.ivfAssign(emb, "embedding", nCells = 8)
+    Similarity.ivfTopK(assigned, "embedding", "vec_id", query, nProbe = 8, k = 5)
+  }
+
+  def queries: Map[String, (SparkSession, String) => SDF] = Map(
+    "q_rolling_frame" -> (qRollingFrame _),
+    "q_dt_round" -> (qDtRound _),
+    "q_str_affix" -> (qStrAffix _),
+    "q_contains_any" -> (qContainsAny _),
+    "q_split_exact" -> (qSplitExact _),
+    "q_embedding_pairs" -> (qEmbeddingPairs _),
+    "q_ivf_topk" -> (qIvfTopK _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_rolling_frame" ->
+      """SELECT event_id, sum(value) OVER w AS roll_sum, count(*) OVER w AS roll_n
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q_dt_round" ->
+      """SELECT event_id,
+        |CAST(round(epoch_us(ts) / 900000000.0) * 900 AS BIGINT) AS rounded_ep,
+        |CAST(floor(epoch_us(ts) / 900000000.0) * 900 AS BIGINT) AS trunc_ep
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_str_affix" ->
+      """SELECT p_partkey,
+        |CASE WHEN starts_with(p_brand, 'Brand#') THEN substr(p_brand, 7) ELSE p_brand END AS brand_id,
+        |CASE WHEN ends_with(p_name, 'e') THEN substr(p_name, 1, length(p_name) - 1) ELSE p_name END AS name_noe,
+        |list_aggregate(list_transform(string_split(p_type, ' '),
+        |  w -> upper(substr(w, 1, 1)) || lower(substr(w, 2))), 'string_agg', ' ') AS type_title
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_contains_any" ->
+      """SELECT (contains(text, 'spark') OR contains(text, 'query')
+        |OR contains(text, 'table')) AS hit, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_split_exact" ->
+      """SELECT n_nationkey,
+        |string_split(n_name || ':' || n_regionkey, ':')[1] AS left_part,
+        |string_split(n_name || ':' || n_regionkey, ':')[2] AS right_part
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    // q_embedding_pairs / q_ivf_topk: rows-only — LSH bucketing and IVF probe
+    // selection aren't SQL-expressible; MlSpec pins cosine/top-k semantics.
+  )
+}

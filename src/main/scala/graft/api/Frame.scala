@@ -211,6 +211,11 @@ trait FrameOps[Self] {
   def groupByExprs(keys: Expr*): GroupBy[Self] =
     new GroupBy[Self](sdf, keys.map(_.col), make)
 
+  /** Frame-level rolling trailing-window aggregation (reference:
+    * lazy_frame.rb:1161). */
+  def rolling(indexColumn: String, period: String, by: Seq[String] = Nil): RollingGroupBy[Self] =
+    new RollingGroupBy[Self](sdf, indexColumn, period, by, make)
+
   /** group_by_dynamic — calendar/tumbling/sliding windows (reference:
     * lazy_frame.rb:1416-1459). Maps to Spark's `window()` which gives exactly
     * the multi-membership sliding semantics incl. bounds. */

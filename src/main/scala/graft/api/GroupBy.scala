@@ -50,6 +50,23 @@ final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk: SDF => Self) {
   }
 }
 
+/** Frame-level rolling(index_column:, period:) — each row's aggregate over its
+  * trailing time window (reference: lazy_frame.rb:1161-1181,
+  * rolling_group_by.rb). Range-frame window over µs epoch: one shuffle on the
+  * by-keys, no self-join. Agg exprs must be plain aggregates (sum/mean/min/
+  * max/count/...) — they are applied `.over` the trailing range frame. */
+final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
+                                 by: Seq[String], mk: SDF => Self) {
+  def agg(exprs: (String, Expr)*): Self = {
+    val d = DurationDsl.parse(period)
+    require(!d.isCalendar, "calendar periods (1mo/1y): bucket via dt.truncate")
+    val base = if (by.nonEmpty) Window.partitionBy(by.map(F.col): _*) else Window.partitionBy()
+    val w = base.orderBy(F.unix_micros(F.col(indexColumn).cast("timestamp")))
+      .rangeBetween(-d.totalMicros, 0)
+    mk(exprs.foldLeft(sdf) { case (acc, (n, e)) => acc.withColumn(n, e.col.over(w)) })
+  }
+}
+
 /** group_by_dynamic (reference: lazy_frame.rb:1416-1459, dynamic_group_by.rb).
   * `every` = stride, `period` = window length (defaults to every), `offset`
   * shifts bucket origins. Spark's `window()` yields the same multi-membership
