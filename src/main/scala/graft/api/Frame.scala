@@ -295,6 +295,38 @@ final case class DataFrame(private val df: SDF) extends FrameOps[DataFrame] {
         outCols.map(c => org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
     DataFrame(spark.createDataFrame(spark.sparkContext.parallelize(data.toIndexedSeq), schema))
   }
+  /** describe — summary table in the reference's exact shape (reference:
+    * data_frame.rb:1195): one row per statistic, one column per input column
+    * (values stringified since dtypes mix). */
+  def describe(): DataFrame = {
+    val numCols = df.schema.fields.filter(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]).map(_.name)
+    val allCols = df.columns.toSeq
+    val n = df.count()
+    def statRow(name: String, agg: String => Column): Seq[Any] = {
+      val vals = df.agg(F.lit(0).as("__z__"), allCols.map(c => agg(c).as(c)): _*)
+        .drop("__z__").collect()(0)
+      name +: allCols.map(c => Option(vals.get(vals.fieldIndex(c))).map(_.toString).orNull)
+    }
+    def numOnly(f: Column => Column): String => Column = c =>
+      if (numCols.contains(c)) f(F.col(c)) else F.lit(null)
+    val rows = Seq(
+      Seq("count") ++ allCols.map(_ => n.toString),
+      statRow("null_count", c => F.count(F.lit(1)) - F.count(F.col(c))),
+      statRow("mean", numOnly(F.avg)),
+      statRow("std", numOnly(F.stddev_samp)),
+      statRow("min", c => F.min(F.col(c))),
+      statRow("25%", numOnly(c => F.percentile(c, F.lit(0.25)))),
+      statRow("50%", numOnly(c => F.percentile(c, F.lit(0.5)))),
+      statRow("75%", numOnly(c => F.percentile(c, F.lit(0.75)))),
+      statRow("max", c => F.max(F.col(c))))
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("statistic", org.apache.spark.sql.types.StringType) +:
+        allCols.map(c => org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
+    DataFrame(df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(rows.map(r => org.apache.spark.sql.Row.fromSeq(r))),
+      schema))
+  }
+
   /** pivot (reference: data_frame.rb:2999) → groupBy(index).pivot(on).agg. */
   def pivot(on: String, index: Seq[String], values: String,
             aggregateFunction: String = "first"): DataFrame = {
