@@ -47,34 +47,43 @@ object Similarity {
       .select(F.col(queryId), F.col(corpusId), F.col("cosine"), F.col("__rn__").as("rank"))
   }
 
+  /** Deterministic centroid sample: hash-order the corpus and take the first
+    * nCells vectors — reproducible across runs without driver-side RNG state. */
+  def sampleCentroids(corpus: DataFrame, vecCol: String, nCells: Int,
+                      seed: Long = 42): Array[Seq[Float]] =
+    corpus.select(F.col(vecCol))
+      .orderBy(F.xxhash64(F.col(vecCol).cast("string"), F.lit(seed)))
+      .limit(nCells).collect().map(_.getSeq[Float](0))
+
   /** IVF-style scale path: partition the corpus into `nCells` Voronoi cells
     * around sampled centroids; a query probes only `nProbe` nearest cells.
-    * Centroids are sampled deterministically and broadcast; cell assignment is
-    * one narrow pass. At 100 TB the corpus is bucketed/written by cell_id so
-    * probes prune partitions. */
+    * Distances land in ONE array column (each computed once), argmin via
+    * array_position — no expression-tree duplication. At 100 TB the corpus is
+    * bucketed/written by cell_id so probes prune partitions. */
   def ivfAssign(corpus: DataFrame, vecCol: String, nCells: Int = 16, seed: Long = 42): DataFrame = {
-    val centroids = corpus.select(F.col(vecCol)).orderBy(F.xxhash64(F.col(vecCol).cast("string"), F.lit(seed)))
-      .limit(nCells).collect().map(_.getSeq[Float](0)).zipWithIndex
-    val cellCol = centroids.map { case (c, i) =>
-      val cc = F.array(c.map(x => F.lit(x)): _*)
-      F.struct(l2Distance(F.col(vecCol), cc).as("d"), F.lit(i).as("cell"))
-    }.reduce((a, b) => F.when(a.getField("d") <= b.getField("d"), a).otherwise(b))
-    corpus.withColumn("cell_id", cellCol.getField("cell"))
+    val centroids = sampleCentroids(corpus, vecCol, nCells, seed)
+    val dists = F.array(centroids.map { c =>
+      l2Distance(F.col(vecCol), F.array(c.map(x => F.lit(x)): _*))
+    }.toIndexedSeq: _*)
+    corpus
+      .withColumn("__dists__", dists)
+      .withColumn("cell_id",
+        (F.array_position(F.col("__dists__"), F.array_min(F.col("__dists__"))) - 1).cast("int"))
+      .drop("__dists__")
   }
 
-  /** IVF search: assign query to its nProbe nearest cells, then brute-force
-    * only within those cells. */
+  /** IVF search: rank cells for the query against the SAME deterministic
+    * centroids (computed driver-side — nCells×dim floats), then brute-force
+    * only the nProbe nearest cells. */
   def ivfTopK(assigned: DataFrame, vecCol: String, idCol: String,
               query: Seq[Float], nProbe: Int = 4, k: Int = 10,
               nCells: Int = 16, seed: Long = 42): DataFrame = {
-    // recompute the same deterministic centroids to rank cells for the query
+    val centroids = sampleCentroids(assigned, vecCol, nCells, seed)
+    val probeCells = centroids.zipWithIndex.map { case (c, i) =>
+      val d = c.zip(query).map { case (a, b) => val t = a.toDouble - b; t * t }.sum
+      (math.sqrt(d), i)
+    }.sortBy(_._1).take(nProbe).map(_._2).toSeq
     val q = F.array(query.map(x => F.lit(x)): _*)
-    val probeCells = assigned.select(F.col("cell_id"), F.col(vecCol))
-      .groupBy("cell_id")
-      .agg(F.first(F.col(vecCol)).as("rep"))
-      .select(F.col("cell_id"), l2Distance(q, F.col("rep")).as("d"))
-      .orderBy("d").limit(nProbe)
-      .collect().map(_.getInt(0)).toSeq
     assigned.filter(F.col("cell_id").isin(probeCells: _*))
       .select(F.col(idCol), cosine(F.col(vecCol), q).as("cosine"))
       .orderBy(F.col("cosine").desc, F.col(idCol))
