@@ -141,6 +141,41 @@ object Polars {
     DataFrame(spark.createDataFrame(rdd, schema))
   }
 
+  /** Column-oriented constructor — the reference's primary `DataFrame.new`
+    * form (hash of name → values, reference data_frame.rb:21). Dtypes
+    * inferred from the first non-null value per column. */
+  def dataFrame(columns: (String, Seq[Any])*)(implicit spark: SparkSession): DataFrame = {
+    require(columns.nonEmpty)
+    val n = columns.head._2.size
+    require(columns.forall(_._2.size == n), "all columns must have equal length")
+    import org.apache.spark.sql.types._
+    val schema = StructType(columns.map { case (name, vals) =>
+      val dt: DataType = vals.collectFirst {
+        case _: Int => IntegerType
+        case _: Long => LongType
+        case _: Double => DoubleType
+        case _: Float => FloatType
+        case _: String => StringType
+        case _: Boolean => BooleanType
+        case _: java.sql.Date => DateType
+        case _: java.sql.Timestamp => TimestampType
+      }.getOrElse(StringType)
+      StructField(name, dt)
+    })
+    val rows = (0 until n).map(i => org.apache.spark.sql.Row.fromSeq(columns.map(_._2(i))))
+    DataFrame(spark.createDataFrame(spark.sparkContext.parallelize(rows), schema))
+  }
+
+  /** Run several lazy queries concurrently (reference: functions/lazy.rb:1016
+    * collect_all) — Spark jobs share the session's scheduler pools. */
+  def collectAll(frames: Seq[LazyFrame]): Seq[DataFrame] = {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fs = frames.map(f => Future { val d = f.collect(); d.toSpark.count(); d })
+    Await.result(Future.sequence(fs), Duration.Inf)
+  }
+
   /** align_frames: same key universe (full-outer union of `on` values) in the
     * same sorted order for every frame (reference: functions/eager.rb:144). */
   def alignFrames(frames: Seq[DataFrame], on: String): Seq[DataFrame] = {

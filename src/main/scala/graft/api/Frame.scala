@@ -264,6 +264,21 @@ final case class DataFrame(private val df: SDF) extends FrameOps[DataFrame] {
   def height: Long = df.count()
   def shape: (Long, Int) = (height, width)
   def collectRows(): Array[org.apache.spark.sql.Row] = df.collect()
+  /** Row-oriented egress (reference data_frame.rb to_hashes/rows). */
+  def toMaps: Seq[Map[String, Any]] = {
+    val names = df.columns
+    df.collect().map(r => names.zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap).toSeq
+  }
+  /** Memory-surface shims (reference data_frame.rb:942,3695,4157,4530):
+    * chunks = partitions on Spark; estimated size from Catalyst plan stats. */
+  def nChunks: Int = df.rdd.getNumPartitions
+  def rechunk(n: Int = 0): DataFrame =
+    DataFrame(if (n > 0) df.repartition(n) else df.coalesce(1))
+  def estimatedSize: BigInt = df.queryExecution.optimizedPlan.stats.sizeInBytes
+  /** sorted-flag shims — Catalyst derives ordering from the plan itself, so
+    * these are no-ops kept for API parity (reference expr.rb:6715). */
+  def setSorted(column: String, descending: Boolean = false): DataFrame = this
+  def flags: Map[String, Boolean] = Map.empty
   def show(n: Int = 20): Unit = df.show(n, truncate = false)
   def cache(): DataFrame = DataFrame(df.cache())
   def writeParquet(path: String): Unit = df.write.mode("overwrite").parquet(path)

@@ -75,6 +75,17 @@ final case class Expr(col: Column, requiresIndex: Boolean = false) {
   def isInfinite: Expr = map(c => c === Double.PositiveInfinity || c === Double.NegativeInfinity)
   def fillNull(v: Expr): Expr = zip(v)((c, x) => F.coalesce(c, x))
   def fillNull(v: Any): Expr = fillNull(Expr.lit(v))
+  /** fill_null(strategy:) (reference expr.rb:1721): forward/backward use the
+    * row-order discipline; min/max/mean broadcast a global agg via window. */
+  def fillNullStrategy(strategy: String): Expr = strategy match {
+    case "forward"  => forwardFill
+    case "backward" => backwardFill
+    case "zero"     => fillNull(0)
+    case "one"      => fillNull(1)
+    case "min"      => Expr(F.coalesce(col, F.min(col).over(Window.partitionBy())), requiresIndex)
+    case "max"      => Expr(F.coalesce(col, F.max(col).over(Window.partitionBy())), requiresIndex)
+    case "mean"     => Expr(F.coalesce(col, F.avg(col).over(Window.partitionBy())), requiresIndex)
+  }
   def fillNan(v: Expr): Expr = zip(v)((c, x) => F.when(F.isnan(c), x).otherwise(c))
   def fillNan(v: Any): Expr = fillNan(Expr.lit(v))
 

@@ -1,0 +1,53 @@
+package graft
+
+import graft.Polars._
+import graft.api.DataFrame
+
+class EagerSurfaceSpec extends SparkSpec {
+  import spark.implicits._
+  private implicit def sp: org.apache.spark.sql.SparkSession = spark
+
+  test("hash-of-columns constructor with dtype inference") {
+    val df = Polars.dataFrame(
+      "i" -> Seq(1, 2, 3),
+      "x" -> Seq(1.5, 2.5, 3.5),
+      "s" -> Seq("a", "b", "c"))
+    assert(df.schema.map(_.dataType.simpleString) == Seq("int", "double", "string"))
+    assert(df.shape == (3L, 3))
+    intercept[IllegalArgumentException] {
+      Polars.dataFrame("a" -> Seq(1), "b" -> Seq(1, 2))
+    }
+  }
+
+  test("to_maps row egress") {
+    val maps = Polars.dataFrame("i" -> Seq(1, 2), "s" -> Seq("x", "y")).toMaps
+    assert(maps == Seq(Map("i" -> 1, "s" -> "x"), Map("i" -> 2, "s" -> "y")))
+  }
+
+  test("memory shims: n_chunks / rechunk / estimated_size / flags") {
+    val df = Polars.dataFrame("i" -> (1 to 100).toSeq)
+    assert(df.nChunks >= 1)
+    assert(df.rechunk(4).nChunks == 4)
+    assert(df.estimatedSize > 0)
+    assert(df.setSorted("i").flags.isEmpty)
+  }
+
+  test("collect_all runs queries concurrently") {
+    val a = Polars.dataFrame("i" -> Seq(1, 2, 3)).lazyFrame.filter(col("i") > 1)
+    val b = Polars.dataFrame("j" -> Seq(10.0)).lazyFrame
+    val Seq(ra, rb) = Polars.collectAll(Seq(a, b))
+    assert(ra.toSpark.count() == 2 && rb.toSpark.count() == 1)
+  }
+
+  test("fill_null strategies") {
+    val df = DataFrame(Seq[java.lang.Double](1.0, null, 3.0).toDF("v"))
+    def s(name: String) = df.select(col("v").fillNullStrategy(name).alias("f"))
+      .toSpark.collect().map(r => Option(r.get(0)))
+    assert(s("forward").toSeq == Seq(Some(1.0), Some(1.0), Some(3.0)))
+    assert(s("backward").toSeq == Seq(Some(1.0), Some(3.0), Some(3.0)))
+    assert(s("zero")(1) == Some(0.0))
+    assert(s("mean")(1) == Some(2.0))
+    assert(s("min")(1) == Some(1.0))
+    assert(s("max")(1) == Some(3.0))
+  }
+}
