@@ -84,7 +84,20 @@ object Queries6 {
     Similarity.ivfTopK(assigned, "embedding", "vec_id", query, nProbe = 8, k = 5)
   }
 
+  /** Multimodal plumbing against an arithmetic oracle: treat text bytes as an
+    * opaque payload, frame-sample every 2nd 256-byte chunk, count frames. */
+  private def qMultimodalFrames(s: SparkSession, dir: String): SDF = {
+    val docs = t(s, dir, "documents")
+      .select(F.col("doc_id"), F.col("text").cast("binary").as("payload"))
+    graft.ml.Multimodal.sampleFrames(docs, "payload", everyNth = 2, frameBytes = 256)
+      .groupBy("doc_id")
+      .agg(F.count(F.lit(1)).as("n_sampled"),
+        F.max(F.octet_length(F.col("frame_payload"))).as("max_frame_bytes"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
+    "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_rolling_frame" -> (qRollingFrame _),
     "q_dt_round" -> (qDtRound _),
     "q_str_affix" -> (qStrAffix _),
@@ -95,6 +108,11 @@ object Queries6 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_multimodal_frames" ->
+      """SELECT doc_id,
+        |CAST(floor((greatest(floor(length(text) / 256), 1) - 1) / 2) + 1 AS BIGINT) AS n_sampled,
+        |CAST(least(length(text), 256) AS INT) AS max_frame_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_rolling_frame" ->
       """SELECT event_id, sum(value) OVER w AS roll_sum, count(*) OVER w AS roll_n
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts
