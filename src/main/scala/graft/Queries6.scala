@@ -96,7 +96,18 @@ object Queries6 {
       .orderBy("doc_id")
   }
 
+  /** group_by with expression keys (reference group_by keys-as-exprs). */
+  private def qGroupExprKey(s: SparkSession, dir: String): SDF =
+    lf(s, dir, "orders")
+      .groupByExprs(
+        col("o_orderpriority").str.slice(0, Some(1)).alias("prio_code"),
+        (col("o_totalprice") > 200000).alias("is_big"))
+      .agg(Expr(F.count(F.lit(1))).alias("n"), col("o_totalprice").sum.alias("total"))
+      .sortBy(Seq(col("prio_code"), col("is_big")))
+      .collect().toSpark
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
+    "q_group_expr_key" -> (qGroupExprKey _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_rolling_frame" -> (qRollingFrame _),
     "q_dt_round" -> (qDtRound _),
@@ -108,6 +119,10 @@ object Queries6 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_group_expr_key" ->
+      """SELECT substr(o_orderpriority, 1, 1) AS prio_code,
+        |o_totalprice > 200000 AS is_big, count(*) AS n, sum(o_totalprice) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_multimodal_frames" ->
       """SELECT doc_id,
         |CAST(floor((greatest(floor(length(text) / 256), 1) - 1) / 2) + 1 AS BIGINT) AS n_sampled,

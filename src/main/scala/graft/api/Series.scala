@@ -16,6 +16,21 @@ final case class Series(name: String, df: SDF) {
   def rename(newName: String): Series = Series(newName, df.select(F.col(name).as(newName)))
   def toFrame: DataFrame = DataFrame(df)
 
+  /** Element-wise arithmetic between equal-length series — positional zip via
+    * the dense row index (reference series.rb:148-412 operators). */
+  private def zipWith(other: Series, f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+                      outName: String): Series = {
+    val IDX = graft.kernel.RowIndex.name
+    val a = graft.kernel.RowIndex.attachDense(df)
+    val b = graft.kernel.RowIndex.attachDense(other.rename("__other__").df)
+    Series(outName, a.join(b, IDX).orderBy(IDX)
+      .select(f(F.col(name), F.col("__other__")).as(outName)))
+  }
+  def +(o: Series): Series = zipWith(o, _ + _, name)
+  def -(o: Series): Series = zipWith(o, _ - _, name)
+  def *(o: Series): Series = zipWith(o, _ * _, name)
+  def /(o: Series): Series = zipWith(o, _ / _, name)
+
   private def scalar(e: Expr): Any = df.select(e.col).collect()(0).get(0)
   def sum: Any = scalar(Expr(F.sum(F.col(name))))
   def mean: Any = scalar(Expr(F.avg(F.col(name))))

@@ -39,6 +39,13 @@ class EagerSurfaceSpec extends SparkSpec {
     assert(ra.toSpark.count() == 2 && rb.toSpark.count() == 1)
   }
 
+  test("series element-wise arithmetic zips positionally") {
+    val a = graft.api.Series("x", Seq(1.0, 2.0, 3.0))
+    val b = graft.api.Series("y", Seq(10.0, 20.0, 30.0))
+    assert((a + b).toList == List(11.0, 22.0, 33.0))
+    assert((b / a).toList == List(10.0, 10.0, 10.0))
+  }
+
   test("fill_null strategies") {
     val df = DataFrame(Seq[java.lang.Double](1.0, null, 3.0).toDF("v"))
     def s(name: String) = df.select(col("v").fillNullStrategy(name).alias("f"))
