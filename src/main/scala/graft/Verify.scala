@@ -18,9 +18,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val out = fn(spark, sfDir)
+        // Coerce TIMESTAMP (ltz) columns to TIMESTAMP_NTZ before writing:
+        // identity under the UTC session tz, but aligns the parquet
+        // annotation with DuckDB's naive TIMESTAMP so the oracle compare
+        // sees identical types either way.
+        import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+        import org.apache.spark.sql.functions.col
+        val coerced = out.schema.fields.filter(_.dataType == TimestampType)
+          .foldLeft(out)((d, f) => d.withColumn(f.name, col(f.name).cast(TimestampNTZType)))
+        coerced.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
