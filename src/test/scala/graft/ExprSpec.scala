@@ -152,6 +152,24 @@ class ExprSpec extends SparkSpec {
     assert(out.getString(4) == "13:45")
   }
 
+  test("str.extractGroups struct of named captures") {
+    val df = DataFrame(Seq("Brand#42-red", "plain").toDF("t"))
+    val out = df.select(
+      col("t").str.extractGroups("Brand#([0-9]+)-([a-z]+)", Seq("num", "color")).alias("g"))
+      .toSpark.select("g.num", "g.color").collect()
+    assert(out(0).getString(0) == "42" && out(0).getString(1) == "red")
+    assert(out(1).isNullAt(0) && out(1).isNullAt(1))
+  }
+
+  test("dt.castTimeUnit rescales ticks") {
+    val df = DataFrame(Seq(1500000L).toDF("us"))
+    val out = df.select(
+      col("us").dt.castTimeUnit("us", "ms").alias("ms"),
+      col("us").dt.castTimeUnit("us", "ns").alias("ns")).toSpark.collect()(0)
+    assert(out.getLong(0) == 1500L)
+    assert(out.getLong(1) == 1500000000L)
+  }
+
   test("cut buckets") {
     val df = DataFrame(Seq(1.0, 5.0, 15.0).toDF("v"))
     val out = df.select(col("v").cut(Seq(3.0, 10.0), Some(Seq("lo", "mid", "hi"))).alias("b"))
