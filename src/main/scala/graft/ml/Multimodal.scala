@@ -32,18 +32,28 @@ object Multimodal {
       StructField("n_samples", LongType))))))
 
   /** Wrap arbitrary binary payloads with inferred image metadata columns.
-    * Metadata sniffing (magic bytes) is a real, cheap, codegen-able pass. */
+    * Magic-byte sniffing + PNG IHDR dimension parsing are REAL (pure
+    * codegen-able expressions — PNG stores width/height as big-endian u32 at
+    * fixed offsets 16..23); JPEG dimensions need SOF marker scanning and stay
+    * null here (??? bind a codec in decodeImageFeatures for full decode). */
   def withImageMeta(df: DataFrame, payloadCol: String): DataFrame = {
     val p = F.col(payloadCol)
     val magic = F.hex(F.substring(p, 1, 4))
+    val isPng = magic.startsWith("89504E47")
     val format = F.when(magic.startsWith("FFD8"), "jpeg")
-      .when(magic.startsWith("89504E47"), "png")
+      .when(isPng, "png")
       .otherwise("unknown")
+    def beU32(offset1Based: Int) = // big-endian u32 from 4 payload bytes
+      F.conv(F.hex(F.substring(p, offset1Based, 4)), 16, 10).cast(IntegerType)
+    // PNG color type (byte 26, 0-based 25): 0 gray,2 rgb,3 palette,4 gray+a,6 rgba
+    val colorType = F.conv(F.hex(F.substring(p, 26, 1)), 16, 10).cast(IntegerType)
+    val channels = F.when(colorType === 0, 1).when(colorType === 2, 3)
+      .when(colorType === 3, 1).when(colorType === 4, 2).when(colorType === 6, 4)
     df.withColumn("meta", F.struct(
       format.as("format"),
-      F.lit(null).cast(IntegerType).as("width"),   // ??? real decode: parse header
-      F.lit(null).cast(IntegerType).as("height"),  // ??? real decode: parse header
-      F.lit(null).cast(IntegerType).as("channels")))
+      F.when(isPng, beU32(17)).as("width"),
+      F.when(isPng, beU32(21)).as("height"),
+      F.when(isPng, channels).as("channels")))
   }
 
   /** STUB decode: deterministic fake features from the payload bytes. In

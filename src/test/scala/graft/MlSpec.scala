@@ -81,12 +81,21 @@ class MlSpec extends SparkSpec {
     assert(feats.getSeq[Float](feats.fieldIndex("features")).length == 8)
   }
 
-  test("image meta sniffs format from magic bytes") {
-    val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0, 0)
+  test("image meta sniffs format and parses PNG IHDR dimensions") {
+    // minimal PNG prefix: signature(8) + IHDR len/type(8) + w=256,h=128 (BE u32) + bitdepth + colorType=6 (rgba)
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 0x0D, 'I', 'H', 'D', 'R',
+      0, 0, 1, 0, // width 256
+      0, 0, 0, 0x80.toByte, // height 128
+      8, 6) // bit depth, color type rgba
     val jpg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte, 0)
     val d = Seq((1L, png), (2L, jpg)).toDF("media_id", "payload")
     val out = Multimodal.withImageMeta(d, "payload")
-      .select(F.col("media_id"), F.col("meta.format")).orderBy("media_id").collect()
-    assert(out.map(_.getString(1)).toSeq == Seq("png", "jpeg"))
+      .select(F.col("media_id"), F.col("meta.format"), F.col("meta.width"),
+        F.col("meta.height"), F.col("meta.channels"))
+      .orderBy("media_id").collect()
+    assert(out(0).getString(1) == "png")
+    assert(out(0).getInt(2) == 256 && out(0).getInt(3) == 128 && out(0).getInt(4) == 4)
+    assert(out(1).getString(1) == "jpeg" && out(1).isNullAt(2))
   }
 }
