@@ -85,6 +85,10 @@ object Dedup {
           F.xxhash64(bandCols: _*).as("band_hash"))
       }: _*)).as("band"))
       .select(F.col(idCol), F.col("band.band_idx"), F.col("band.band_hash"))
+      // persist: the self-join would otherwise recompute the whole
+      // shingle→hash→min pipeline for BOTH sides; banded rows are tiny
+      // (id + 2 longs) so this is cheap at any corpus size
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, F.col("a.band_idx") === F.col("b.band_idx") &&
@@ -144,6 +148,7 @@ object Dedup {
           F.shiftright(F.col("sig"), c * 16).bitwiseAND(0xFFFFL).as("chunk_val"))
       }: _*)).as("ch"))
       .select(F.col(idCol), F.col("sig"), F.col("ch.chunk_idx"), F.col("ch.chunk_val"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = chunks.as("a"); val b = chunks.as("b")
     a.join(b, F.col("a.chunk_idx") === F.col("b.chunk_idx") &&
         F.col("a.chunk_val") === F.col("b.chunk_val") &&
@@ -170,6 +175,7 @@ object Dedup {
         }: _*),
         F.lit(0L), (acc, x) => acc.bitwiseOR(x))
     val sig = df.select(F.col(idCol), F.col(vecCol), planeSig(F.col(vecCol)).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sig.as("a"); val b = sig.as("b")
     a.join(b, F.col("a.bucket") === F.col("b.bucket") && F.col(s"a.$idCol") < F.col(s"b.$idCol"))
       .select(F.col(s"a.$idCol").as("id_a"), F.col(s"b.$idCol").as("id_b"),
