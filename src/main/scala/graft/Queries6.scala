@@ -106,7 +106,19 @@ object Queries6 {
       .sortBy(Seq(col("prio_code"), col("is_big")))
       .collect().toSpark
 
+  /** str.json_decode with an explicit schema (from_json), distinct from the
+    * json-path extraction in q_str_json. */
+  private def qJsonDecode(s: SparkSession, dir: String): SDF =
+    events(s, dir)
+      .withColumn("j", col("props").str.jsonDecode(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))))
+      .select(col("event_id"), col("j").struct.field("k").alias("k_decoded"))
+      .sortBy(Seq(col("event_id")))
+      .collect().toSpark
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
+    "q_json_decode" -> (qJsonDecode _),
     "q_group_expr_key" -> (qGroupExprKey _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_rolling_frame" -> (qRollingFrame _),
@@ -119,6 +131,9 @@ object Queries6 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_json_decode" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_decoded
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_group_expr_key" ->
       """SELECT substr(o_orderpriority, 1, 1) AS prio_code,
         |o_totalprice > 200000 AS is_big, count(*) AS n, sum(o_totalprice) AS total
