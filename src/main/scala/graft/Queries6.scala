@@ -117,7 +117,28 @@ object Queries6 {
       .sortBy(Seq(col("event_id")))
       .collect().toSpark
 
+  /** Structured-Streaming round trip (out-of-core sink_* semantics, §2.9):
+    * stream the events parquet → AvailableNow sink → read back → aggregate.
+    * Oracle-checked: the streamed copy must be byte-equivalent. */
+  private def qStreamingSink(s: SparkSession, dir: String): SDF = {
+    val schema = t(s, dir, "events").schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q-stream").toFile
+    tmp.deleteOnExit()
+    val out = tmp.getAbsolutePath + "/out"
+    // file stream sources take directories: link the single parquet into one
+    val inDir = java.nio.file.Files.createDirectory(tmp.toPath.resolve("in"))
+    java.nio.file.Files.createSymbolicLink(
+      inDir.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = graft.streaming.Streaming.scanParquetStream(inDir.toString, schema)(s)
+    graft.streaming.Streaming.sinkParquet(stream, out, tmp.getAbsolutePath + "/cp")
+    s.read.parquet(out)
+      .groupBy("event_type")
+      .agg(F.count(F.lit(1)).as("n"), F.sum("value").as("sv"))
+      .orderBy("event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
+    "q_streaming_sink" -> (qStreamingSink _),
     "q_json_decode" -> (qJsonDecode _),
     "q_group_expr_key" -> (qGroupExprKey _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
@@ -131,6 +152,9 @@ object Queries6 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_streaming_sink" ->
+      """SELECT event_type, count(*) AS n, sum(value) AS sv
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_json_decode" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_decoded
         |FROM events ORDER BY event_id""".stripMargin,
