@@ -18,7 +18,7 @@ object Queries2 {
     LazyFrame(t(s, dir, name))
   private def events(s: SparkSession, dir: String): LazyFrame =
     LazyFrame(t(s, dir, "events")
-      .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))))
+      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
 
   // ---- strings (§2.8 .str) ----
   private def qStrOps(s: SparkSession, dir: String): SDF =
@@ -143,7 +143,7 @@ object Queries2 {
     val purchases = ev.filter(F.col("event_type") === "purchase")
       .select(F.col("user_id"), F.col("ts"), F.col("value"))
     AsofJoin.join(clicks, purchases, on = "ts", by = Seq("user_id"))
-      .select(F.col("event_id"), F.col("user_id"), F.col("value_right").as("last_purchase"))
+      .select(F.col("event_id"), F.col("user_id"), F.col("value").as("last_purchase"))
       .orderBy("event_id")
   }
 
@@ -345,7 +345,9 @@ object Queries2 {
     val emb = t(s, dir, "embeddings")
     val query = emb.filter(F.col("vec_id") === 0)
       .select("embedding").collect()(0).getSeq[Float](0)
+    // round for the exact-hash oracle compare: fp32-vs-fp64 accumulation noise
     Similarity.bruteForceTopK(emb, "embedding", "vec_id", query, k = 10)
+      .select(F.col("vec_id"), F.round(F.col("cosine"), 6).as("cosine"))
   }
 
   /** MinHash-LSH near-dup candidates (rows-only check — LSH bucketing is not
@@ -570,9 +572,12 @@ object Queries2 {
         |/ greatest(len(string_split(lower(trim(text)), ' ')), 1) AS sw_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_ann_topk" ->
-      """SELECT vec_id,
-        |list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS cosine
-        |FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+      """SELECT vec_id, round(cosine, 6) AS cosine FROM (
+        |  SELECT vec_id,
+        |  list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS cosine
+        |  FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10)
+        |ORDER BY cosine DESC, vec_id""".stripMargin,
     // q_minhash_pairs / q_simhash_pairs / q_lang_id / q_quality_score:
     // intentionally no oracle — LSH bucketing / heuristics aren't SQL-
     // expressible; the driver records the weaker rows-only check and the

@@ -17,7 +17,7 @@ object Queries3 {
     LazyFrame(t(s, dir, name))
   private def events(s: SparkSession, dir: String): SDF =
     t(s, dir, "events")
-      .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
   /** EWM mean per user over event time (rows-only: no SQL ewm equivalent;
     * semantics pinned by Kernel2Spec against pandas-identical values). */
@@ -185,7 +185,7 @@ object Queries3 {
         |    first_value(CASE WHEN pv IS NOT NULL THEN o END IGNORE NULLS) OVER wn AS next_o
         |  FROM (SELECT event_id, user_id,
         |          CASE WHEN event_type = 'purchase' THEN value END AS pv,
-        |          CAST(epoch_us(ts) / 1000 AS DOUBLE) * 1000 AS o
+        |          CAST(epoch_us(ts) AS DOUBLE) / 1000000 AS o
         |        FROM events)
         |  WINDOW wp AS (PARTITION BY user_id ORDER BY o
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
@@ -217,7 +217,7 @@ object Queries3 {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_epoch" ->
       """SELECT o_orderkey,
-        |epoch(o_orderdate) AS ep_s,
+        |CAST(epoch(o_orderdate) AS BIGINT) AS ep_s,
         |epoch_ms(o_orderdate) AS ep_ms,
         |datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS ep_d
         |FROM orders ORDER BY o_orderkey""".stripMargin,

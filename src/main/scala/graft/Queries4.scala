@@ -14,7 +14,7 @@ object Queries4 {
     LazyFrame(s.read.parquet(s"$dir/$name.parquet"))
   private def events(s: SparkSession, dir: String): LazyFrame =
     LazyFrame(s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))))
+      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
 
   private def qQcut(s: SparkSession, dir: String): SDF =
     lf(s, dir, "orders")
@@ -28,7 +28,14 @@ object Queries4 {
   private def qCumulativeEval(s: SparkSession, dir: String): SDF =
     events(s, dir)
       .sortBy(Seq(col("event_id")))
-      .select(col("event_id"), col("value").cumulativeEval(F.avg).alias("expanding_mean"))
+      .select(col("event_id"),
+        // expanding mean as exact-decimal sum / count: both engines produce the
+        // SAME double (exact decimal sum, then one correctly-rounded divide), so
+        // the driver's exact value hash matches; plain avg differs in ulps
+        // (DuckDB's segment-tree window summation reorders the adds)
+        (col("value").cumulativeEval(c => F.sum(c.cast("decimal(20,6)")))
+          .cast(org.apache.spark.sql.types.DoubleType) /
+          col("value").cumulativeEval(F.count)).alias("expanding_mean"))
       .sortBy(Seq(col("event_id")))
       .collect().toSpark
 
@@ -75,9 +82,11 @@ object Queries4 {
         |FROM (SELECT o_totalprice, percent_rank() OVER (ORDER BY o_totalprice) AS pr
         |FROM orders) GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_cumulative_eval" ->
-      """SELECT event_id, avg(value) OVER (ORDER BY event_id
-        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS expanding_mean
-        |FROM events ORDER BY event_id""".stripMargin,
+      """SELECT event_id,
+        |CAST(sum(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE)
+        |  / count(value) OVER w AS expanding_mean
+        |FROM events WINDOW w AS (ORDER BY event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY event_id""".stripMargin,
     "q_rolling_weighted" ->
       """SELECT event_id,
         |CASE WHEN row_number() OVER w >= 3 THEN
@@ -86,8 +95,8 @@ object Queries4 {
         |FROM events WINDOW w AS (ORDER BY event_id) ORDER BY event_id""".stripMargin,
     "q_search_sorted" ->
       """SELECT l_returnflag,
-        |coalesce(sum(CASE WHEN l_quantity < 25.0 THEN 1 END), 0) AS ins_left,
-        |coalesce(sum(CASE WHEN l_quantity <= 25.0 THEN 1 END), 0) AS ins_right
+        |CAST(coalesce(sum(CASE WHEN l_quantity < 25.0 THEN 1 END), 0) AS BIGINT) AS ins_left,
+        |CAST(coalesce(sum(CASE WHEN l_quantity <= 25.0 THEN 1 END), 0) AS BIGINT) AS ins_right
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_selectors" ->
       """SELECT sum(l_quantity) AS s_qty, sum(l_extendedprice) AS s_price,

@@ -17,7 +17,7 @@ object Queries6 {
     LazyFrame(t(s, dir, name))
   private def events(s: SparkSession, dir: String): LazyFrame =
     LazyFrame(t(s, dir, "events")
-      .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))))
+      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
 
   /** Library rolling() API — trailing 2h window per user. */
   private def qRollingFrame(s: SparkSession, dir: String): SDF =

@@ -21,7 +21,7 @@ object SparkEntry {
     * convert to µs TimestampType here (documented truncation, SURVEY §1.2). */
   private def events(s: SparkSession, dir: String): LazyFrame =
     LazyFrame(t(s, dir, "events")
-      .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))))
+      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape through the lazy API: scan → filter → group → agg → sort. */
@@ -143,7 +143,10 @@ object SparkEntry {
       .select(
         col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast(org.apache.spark.sql.types.IntegerType).alias("qty_int"),
-        col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)).alias("price_dec"),
+        // decimal cast exercised, then stringified: decimal→pandas repr differs
+        // between engines and breaks the driver's exact value hash
+        col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .cast(org.apache.spark.sql.types.StringType).alias("price_dec"),
         col("l_linenumber").cast(org.apache.spark.sql.types.StringType).alias("ln_str"))
       .sortBy(Seq(col("l_orderkey"), col("l_linenumber")))
       .collect().toSpark
@@ -427,7 +430,7 @@ object SparkEntry {
     "q_cast" ->
       """SELECT l_orderkey, l_linenumber,
         |CAST(l_quantity AS INTEGER) AS qty_int,
-        |CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
+        |CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec,
         |CAST(l_linenumber AS VARCHAR) AS ln_str
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_math" ->

@@ -152,7 +152,7 @@ final case class Expr(col: Column, requiresIndex: Boolean = false) {
   def nullCount: Expr = map(c => F.count(F.when(c.isNull, 1)))
   def first: Expr = map(c => F.first(c))
   def last: Expr = map(c => F.last(c))
-  def product: Expr = map(c => F.exp(F.sum(F.log(c)))) // positive-domain fast path
+  def product: Expr = map(F.product) // exact partial+final agg; handles zeros/negatives
   def nUnique: Expr = map(c => F.countDistinct(c))
   def approxNUnique: Expr = map(c => F.approx_count_distinct(c))
   def std(ddof: Int = 1): Expr = map(c => ddofScale(F.stddev_samp(c), F.count(c), ddof, isStd = true))
@@ -230,8 +230,7 @@ final case class Expr(col: Column, requiresIndex: Boolean = false) {
   def cumMin(reverse: Boolean = false): Expr = cum(F.min, reverse)
   def cumMax(reverse: Boolean = false): Expr = cum(F.max, reverse)
   def cumCount(reverse: Boolean = false): Expr = cum(F.count, reverse)
-  def cumProd(reverse: Boolean = false): Expr =
-    cum(c => F.exp(F.sum(F.log(c))), reverse)
+  def cumProd(reverse: Boolean = false): Expr = cum(F.product, reverse)
   private def cum(f: Column => Column, reverse: Boolean): Expr = {
     val w =
       if (reverse) idxWindow.rowsBetween(Window.currentRow, Window.unboundedFollowing)

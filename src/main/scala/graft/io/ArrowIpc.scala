@@ -77,7 +77,9 @@ object ArrowIpc {
         case (BooleanType, v: BitVector) => v.setSafe(i, if (row.getBoolean(c)) 1 else 0)
         case (BinaryType, v: VarBinaryVector) => v.setSafe(i, row.getAs[Array[Byte]](c))
         case (TimestampType, v: TimeStampMicroVector) =>
-          v.setSafe(i, row.getAs[java.sql.Timestamp](c).getTime * 1000)
+          // getTime is millis (floor-div for pre-epoch); getNanos carries the full sub-second
+          val ts = row.getAs[java.sql.Timestamp](c)
+          v.setSafe(i, Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000)
         case (TimestampNTZType, v: TimeStampMicroVector) =>
           val ldt = row.getAs[java.time.LocalDateTime](c)
           v.setSafe(i, ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000)

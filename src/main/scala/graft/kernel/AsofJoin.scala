@@ -27,7 +27,7 @@ object AsofJoin {
       // two passes, pick the closer match per row
       val b = join1(left, right, on, by, "backward", None, suffix, keepKey = true)
       val bk = b.withColumnRenamed("__asof_key__", "__bk__")
-      val renamedCols = rightValueCols(left, right, on, by).map(c => c + suffix)
+      val renamedCols = outputCols(left, right, on, by, suffix)
       val bPrefixed = renamedCols.foldLeft(bk)((d, c) => d.withColumnRenamed(c, c + "__b"))
       val f = join1(bPrefixed, right, on, by, "forward", None, suffix, keepKey = true)
       val keyC = F.col(on).cast("double")
@@ -40,7 +40,7 @@ object AsofJoin {
       applyTolerance(out.drop("__bk__"), on, renamedCols, tolerance, nearest = true)
         .drop("__asof_key__")
     } else {
-      val renamedCols = rightValueCols(left, right, on, by).map(c => c + suffix)
+      val renamedCols = outputCols(left, right, on, by, suffix)
       val j = join1(left, right, on, by, strategy, None, suffix, keepKey = true)
       applyTolerance(j, on, renamedCols, tolerance, nearest = false, forward = strategy == "forward")
         .drop("__asof_key__")
@@ -50,13 +50,20 @@ object AsofJoin {
   private def rightValueCols(left: DataFrame, right: DataFrame, on: String, by: Seq[String]): Seq[String] =
     right.columns.toSeq.filterNot(c => c == on || by.contains(c))
 
+  /** Output names for the right-side value columns: suffixed ONLY when they
+    * clash with a left column (polars join_asof semantics). */
+  private def outputCols(left: DataFrame, right: DataFrame, on: String, by: Seq[String],
+                         suffix: String): Seq[String] = {
+    val leftCols = left.columns.toSet
+    rightValueCols(left, right, on, by).map(c => if (leftCols.contains(c)) c + suffix else c)
+  }
+
   private def join1(left: DataFrame, right: DataFrame, on: String, by: Seq[String],
                     strategy: String, tolerance: Option[Double], suffix: String,
                     keepKey: Boolean): DataFrame = {
     val valueCols = rightValueCols(left, right, on, by)
-    val leftCols = left.columns.toSeq
-    // right side projected to key+by+values, values suffixed if clashing with left
-    val sfx = valueCols.map(c => if (leftCols.contains(c)) c + suffix else c + suffix)
+    // right side projected to key+by+values, values suffixed only if clashing with left
+    val sfx = outputCols(left, right, on, by, suffix)
     val r = right.select((Seq(F.col(on)) ++ by.map(F.col) ++
       valueCols.zip(sfx).map { case (c, a) => F.col(c).as(a) }): _*)
       .withColumn("__asof_key__", F.col(on))

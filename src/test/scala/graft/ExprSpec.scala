@@ -120,6 +120,26 @@ class ExprSpec extends SparkSpec {
     assert(out.getString(1) == "a-b-c")
   }
 
+  test("str replace first works across newlines and repeated spaces") {
+    val df = DataFrame(Seq("a\nXbXc", "no match", " X X").toDF("t"))
+    val out = df.select(col("t").str.replace("X", "-").alias("r")).toSpark.collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a\n-bXc", "no match", " - X"))
+  }
+
+  test("product handles zeros and negatives exactly") {
+    val df = DataFrame(Seq(2.0, 0.0).toDF("v"))
+    assert(df.select(col("v").product.alias("p")).toSpark.collect()(0).getDouble(0) == 0.0)
+    val df2 = DataFrame(Seq(2.0, -3.0, 4.0).toDF("v"))
+    assert(df2.select(col("v").product.alias("p")).toSpark.collect()(0).getDouble(0) == -24.0)
+  }
+
+  test("dt isoYear at year boundaries") {
+    val df = DataFrame(Seq("2021-01-01", "2020-12-31", "2024-12-30", "2023-07-15").toDF("d"))
+      .withColumn("d", col("d").cast(org.apache.spark.sql.types.DateType))
+    val out = df.select(col("d").dt.isoYear.alias("iy")).toSpark.collect().map(_.getInt(0))
+    assert(out.toSeq == Seq(2020, 2020, 2025, 2023))
+  }
+
   test("list namespace") {
     val df = DataFrame(Seq(Seq(3, 1, 2), Seq(5, 5)).toDF("l"))
     val out = df.select(

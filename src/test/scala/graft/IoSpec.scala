@@ -45,7 +45,7 @@ class IoSpec extends SparkSpec {
     val p = tmp(".arrow")
     val df = Seq[(java.lang.Long, String, java.lang.Double)](
       (1L, "x", 1.5), (2L, null, null), (3L, "z", 3.5)).toDF("a", "b", "c")
-      .withColumn("ts", F.to_timestamp(F.lit("2024-06-01 12:00:00")))
+      .withColumn("ts", F.to_timestamp(F.lit("2024-06-01 12:00:00.123456"))) // sub-milli micros must survive
     ArrowIpc.write(df, p)
     val back = ArrowIpc.read(p).orderBy("a")
     assert(back.count() == 3)
@@ -53,6 +53,7 @@ class IoSpec extends SparkSpec {
     assert(r(1).isNullAt(1) && r(1).isNullAt(2))
     assert(r(0).getString(1) == "x" && r(2).getDouble(2) == 3.5)
     assert(back.schema("ts").dataType.typeName.startsWith("timestamp"))
+    assert(r(0).getAs[java.time.LocalDateTime]("ts").getNano == 123456000)
     assert(ArrowIpc.readSchema(p).fieldNames.toSeq == Seq("a", "b", "c", "ts"))
   }
 
