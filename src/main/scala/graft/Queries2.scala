@@ -578,9 +578,41 @@ object Queries2 {
         |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS cosine
         |  FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10)
         |ORDER BY cosine DESC, vec_id""".stripMargin,
-    // q_minhash_pairs / q_simhash_pairs / q_lang_id / q_quality_score:
-    // intentionally no oracle — LSH bucketing / heuristics aren't SQL-
-    // expressible; the driver records the weaker rows-only check and the
-    // ScalaTest specs pin their semantics.
+    // Heuristics ARE SQL-expressible when the oracle mirrors the exact
+    // operation order (so both engines produce the same doubles):
+    "q_lang_id" ->
+      """SELECT lang, pred, count(*) AS n FROM (
+        |  SELECT lang,
+        |    CASE WHEN greatest(s_en, s_de, s_fr, s_es) < 0.05 THEN 'und'
+        |         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |         WHEN s_fr >= s_es THEN 'fr'
+        |         ELSE 'es' END AS pred
+        |  FROM (
+        |    SELECT lang,
+        |      CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is','it','you','that'))) AS DOUBLE) / greatest(len(toks), 1) AS s_en,
+        |      CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ich','nicht','ein','zu','mit'))) AS DOUBLE) / greatest(len(toks), 1) AS s_de,
+        |      CAST(len(list_filter(toks, t -> t IN ('le','la','les','et','est','je','pas','un','une','avec'))) AS DOUBLE) / greatest(len(toks), 1) AS s_fr,
+        |      CAST(len(list_filter(toks, t -> t IN ('el','la','los','y','es','yo','no','un','una','con'))) AS DOUBLE) / greatest(len(toks), 1) AS s_es
+        |    FROM (SELECT lang, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |          FROM documents)))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_quality_score" ->
+      """SELECT min(q) AS min_q, avg(q) AS avg_q, max(q) AS max_q, count(*) AS n FROM (
+        |  SELECT (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |    + (1.0 - least(CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
+        |        / greatest(length(text), 1) * 5.0, 1.0))
+        |    + least(CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |          t -> t IN ('the','a','and','of','to','in','is','it','you','that'))) AS DOUBLE)
+        |        / greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1) * 4.0, 1.0)
+        |    + CASE WHEN CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |        / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+        |                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1)
+        |        BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END
+        |  ) / 4.0 AS q FROM documents)""".stripMargin,
+    // q_minhash_pairs / q_simhash_pairs / q_embedding_pairs / q_ivf_topk /
+    // q_ewm: intentionally no oracle — LSH bucketing / IVF probing / the
+    // recursive ewm have no SQL equivalent; the driver records the weaker
+    // rows-only check and the ScalaTest specs pin their semantics.
   )
 }
