@@ -117,6 +117,30 @@ object Queries6 {
       .sortBy(Seq(col("event_id")))
       .collect().toSpark
 
+  /** Watermarked tumbling-window streaming aggregation (the true streaming
+    * twin of group_by_dynamic): file-stream the events, 6h windows per
+    * event_type with a 1h watermark, drain via AvailableNow into a memory
+    * table. Oracle-checked against the equivalent batch time_bucket SQL —
+    * streaming partial aggregation must agree with batch. */
+  private def qStreamingWindow(s: SparkSession, dir: String): SDF = {
+    implicit val sp: SparkSession = s
+    val schema = t(s, dir, "events").schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q-swin").toFile
+    tmp.deleteOnExit()
+    val inDir = java.nio.file.Files.createDirectory(tmp.toPath.resolve("in"))
+    java.nio.file.Files.createSymbolicLink(
+      inDir.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = graft.streaming.Streaming.scanParquetStream(inDir.toString, schema)
+      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    val windowed = graft.streaming.Streaming.windowedAgg(
+      stream, "ts", "6 hours", by = Seq("event_type"),
+      aggs = Seq(F.count(F.lit(1)).as("n"), F.sum("value").as("sv")))
+    graft.streaming.Streaming.runToMemory(windowed, "graft_q_streaming_window")
+      .select(F.col("event_type"), F.col("window.start").as("ts"),
+        F.col("n"), F.col("sv"))
+      .orderBy("event_type", "ts")
+  }
+
   /** Structured-Streaming round trip (out-of-core sink_* semantics, §2.9):
     * stream the events parquet → AvailableNow sink → read back → aggregate.
     * Oracle-checked: the streamed copy must be byte-equivalent. */
@@ -138,6 +162,7 @@ object Queries6 {
   }
 
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
+    "q_streaming_window" -> (qStreamingWindow _),
     "q_streaming_sink" -> (qStreamingSink _),
     "q_json_decode" -> (qJsonDecode _),
     "q_group_expr_key" -> (qGroupExprKey _),
@@ -152,6 +177,10 @@ object Queries6 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_streaming_window" ->
+      """SELECT event_type, CAST(time_bucket(INTERVAL '6 hours', ts, TIMESTAMP '1970-01-01') AS TIMESTAMP) AS ts,
+        |count(*) AS n, sum(value) AS sv
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_streaming_sink" ->
       """SELECT event_type, count(*) AS n, sum(value) AS sv
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

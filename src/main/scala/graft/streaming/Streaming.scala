@@ -40,6 +40,29 @@ object Streaming {
       .agg(F.count(F.lit(1)).as("n"))
       .select(F.col("window.start").as(tsCol), F.col("n"))
 
+  /** Watermarked tumbling-window aggregation with grouping keys — the full
+    * streaming twin of group_by_dynamic. The watermark bounds state: windows
+    * older than (max event time - delay) are finalized and evictable, which is
+    * what makes the operator runnable indefinitely on an unbounded stream. */
+  def windowedAgg(stream: DataFrame, tsCol: String, every: String,
+                  by: Seq[String], aggs: Seq[org.apache.spark.sql.Column],
+                  watermark: String = "1 hour"): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .groupBy((F.window(F.col(tsCol), every) +: by.map(F.col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Drain a (bounded) stream into an in-memory table and return it.
+    * `complete` mode keeps all windows including ones still above the
+    * watermark — right for tests and bounded backfills; unbounded production
+    * sinks should use append mode + [[sinkParquet]] instead. */
+  def runToMemory(stream: DataFrame, queryName: String,
+                  mode: String = "complete")(implicit spark: SparkSession): DataFrame = {
+    val q = stream.writeStream.format("memory").queryName(queryName)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** sink_parquet for streams: append to a parquet directory, processing all
     * available input then stopping (out-of-core batch semantics, like the
     * reference's sink_* which stream a query result to disk). */

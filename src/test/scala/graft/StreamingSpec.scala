@@ -35,6 +35,26 @@ class StreamingSpec extends SparkSpec {
     assert(total == 2)
   }
 
+  test("watermarked windowed agg matches batch group_by_dynamic") {
+    val in = tmpDir()
+    val src = Seq(
+      ("2024-01-01 00:10:00", "a", 1.0), ("2024-01-01 05:50:00", "a", 2.0),
+      ("2024-01-01 06:10:00", "b", 3.0), ("2024-01-01 12:01:00", "a", 4.0))
+      .toDF("ts", "k", "v").select(F.to_timestamp(F.col("ts")).as("ts"), F.col("k"), F.col("v"))
+    src.coalesce(1).write.mode("overwrite").parquet(in)
+    val stream = Streaming.scanParquetStream(in, src.schema)
+    val windowed = Streaming.windowedAgg(stream, "ts", "6 hours", by = Seq("k"),
+      aggs = Seq(F.count(F.lit(1)).as("n"), F.sum("v").as("sv")))
+    val got = Streaming.runToMemory(windowed, "spec_swin")
+      .select(F.col("k"), F.col("window.start").as("w"), F.col("n"), F.col("sv"))
+      .orderBy("k", "w").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("a", "2024-01-01 00:00:00.0", 2L, 3.0),
+      ("a", "2024-01-01 12:00:00.0", 1L, 4.0),
+      ("b", "2024-01-01 06:00:00.0", 1L, 3.0)))
+  }
+
   test("batched iterator chunks deterministically") {
     val df = spark.range(10).toDF("i")
     val batches = Streaming.batchedIterator(df, batchSize = 4).toSeq
