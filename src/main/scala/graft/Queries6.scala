@@ -135,10 +135,16 @@ object Queries6 {
     val windowed = graft.streaming.Streaming.windowedAgg(
       stream, "ts", "6 hours", by = Seq("event_type"),
       aggs = Seq(F.count(F.lit(1)).as("n"), F.sum("value").as("sv")))
-    graft.streaming.Streaming.runToMemory(windowed, "graft_q_streaming_window")
-      .select(F.col("event_type"), F.col("window.start").as("ts"),
-        F.col("n"), F.col("sv"))
-      .orderBy("event_type", "ts")
+    // state-store commits cost ~constant per partition per batch; the windowed
+    // state here is tiny (types × windows), so run the stream narrow
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try
+      graft.streaming.Streaming.runToMemory(windowed, "graft_q_streaming_window")
+        .select(F.col("event_type"), F.col("window.start").as("ts"),
+          F.col("n"), F.col("sv"))
+        .orderBy("event_type", "ts")
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Structured-Streaming round trip (out-of-core sink_* semantics, §2.9):

@@ -25,31 +25,16 @@ object RowIndex {
   /** Attach a dense 0-based index (needed when arithmetic on the index matters,
     * e.g. gather_every / slice).
     *
-    * Two passes like RDD zipWithIndex (a count job, then the main job) but the
-    * frame stays in Tungsten/codegen the whole way: pass 1 collects only
-    * per-partition counts (numPartitions rows); pass 2 computes
-    * `offset(partition) + local_position` where local_position is the low 33
-    * bits of `monotonically_increasing_id` (its layout is pid << 33 | offset).
-    * No Row conversion, no loss of columnar scan batching, partition
-    * parallelism preserved — the shape that survives a 1000-executor scale-up. */
+    * Must run both zip passes (count + indexed map) over ONE lineage so the
+    * partition boundaries agree — two independent executions of a sorted plan
+    * can sample different range-partition bounds, silently misaligning the
+    * index. [[org.apache.spark.sql.GraftInternalOps.zipWithDenseIndex]] does
+    * the zip over InternalRows, so rows stay in the Tungsten binary format
+    * (no external-Row boxing) while keeping zipWithIndex's shuffle reuse and
+    * partition parallelism. */
   def attachDense(df: DataFrame): DataFrame =
     if (df.columns.contains(name)) df
-    else {
-      // narrow count pass over InternalRows — no shuffle, no Row conversion
-      val counts = df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
-        var n = 0L; while (it.hasNext) { it.next(); n += 1 }; Iterator((pid, n))
-      }.collect().sortBy(_._1)
-      if (counts.isEmpty) df.withColumn(name, F.lit(0L))
-      else {
-        var acc = 0L
-        val offsets: Map[Int, Long] =
-          counts.map { case (p, n) => val o = acc; acc += n; (p, o) }.toMap
-        val localMask = (1L << 33) - 1
-        df.withColumn(name,
-          F.element_at(F.typedLit(offsets), F.spark_partition_id()) +
-            F.monotonically_increasing_id().bitwiseAND(F.lit(localMask)))
-      }
-    }
+    else org.apache.spark.sql.GraftInternalOps.zipWithDenseIndex(df, name)
 
   def drop(df: DataFrame): DataFrame =
     if (df.columns.contains(name)) df.drop(name) else df

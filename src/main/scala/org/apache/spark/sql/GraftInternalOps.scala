@@ -1,0 +1,33 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Minimal internal-API bridge (this package placement reaches `private[sql]`
+  * members).
+  *
+  * Dense row indexing needs two jobs over the SAME lineage — a per-partition
+  * count, then the indexed map — so that shuffle outputs are reused and both
+  * passes see identical partition boundaries (separate executions of a sorted
+  * plan can sample different range-partition bounds). `RDD.zipWithIndex` on
+  * `df.rdd` gives exactly that but converts every row to an external `Row`
+  * (per-field boxing) and back. Zipping `queryExecution.toRdd` keeps rows in
+  * the Tungsten binary format end to end: the only per-row cost is an
+  * UnsafeRow byte copy.
+  */
+object GraftInternalOps {
+
+  /** `df` with a trailing dense 0-based long index column, same row order and
+    * partitioning as `df`'s execution. */
+  def zipWithDenseIndex(df: DataFrame, name: String): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val schema = StructType(df.schema.fields :+ StructField(name, LongType, nullable = false))
+    val zipped = ds.queryExecution.toRdd.zipWithIndex().mapPartitions { it =>
+      it.map { case (row, i) =>
+        new JoinedRow(row.copy(), new GenericInternalRow(Array[Any](i))): InternalRow
+      }
+    }
+    ds.sparkSession.internalCreateDataFrame(zipped, schema)
+  }
+}
