@@ -67,6 +67,7 @@ object StrReplaceN {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.replaceNDescriptor)
+    ext.injectFunction(GraftExtensions.minhashDescriptor)
   }
 }
 
@@ -79,9 +80,20 @@ object GraftExtensions {
       StrReplaceN(children(0), children(1), children(2), children(3))
     })
 
+  private val minhashDescriptor = (
+    new FunctionIdentifier("graft_minhash"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3, "graft_minhash(text, shingle_k, num_hashes)")
+      MinHashSig(children(0), children(1), children(2))
+    })
+
   /** Direct registration on an existing session (extensions only apply at
     * session construction). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       replaceNDescriptor._1, replaceNDescriptor._2, replaceNDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      minhashDescriptor._1, minhashDescriptor._2, minhashDescriptor._3)
+  }
 }

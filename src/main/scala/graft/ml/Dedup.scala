@@ -69,6 +69,18 @@ object Dedup {
       .groupBy(F.col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
+  /** Whole MinHash signature as ONE native codegen expression
+    * ([[graft.ext.MinHashSig]]): no explode, no aggregation — two hashes per
+    * shingle plus register-resident double hashing. Preferred over
+    * [[minhashSignatures]] in bulk pipelines. */
+  def minhashSignature(text: Column, numHashes: Int = 64, shingleK: Int = 5): Column = {
+    import org.apache.spark.sql.GraftInternalOps
+    GraftInternalOps.column(graft.ext.MinHashSig(
+      GraftInternalOps.expression(text),
+      GraftInternalOps.expression(F.lit(shingleK)),
+      GraftInternalOps.expression(F.lit(numHashes))))
+  }
+
   /** MinHash-LSH candidate pairs: shingle → minhash → band → bucket-join.
     * `bands * rowsPerBand = numHashes`. Returns (id_a, id_b, n_shared_bands)
     * with id_a < id_b. The self-join is on (band_idx, band_hash) — a hash
@@ -76,13 +88,13 @@ object Dedup {
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignatures(df, textCol, idCol, numHashes, shingleK)
+    val sig = df.select(F.col(idCol),
+      minhashSignature(F.col(textCol), numHashes, shingleK).as("__sig__"))
     val banded = sig.select(
       F.col(idCol),
       F.explode(F.array((0 until bands).map { b =>
-        val bandCols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => F.col(s"h$i"))
         F.struct(F.lit(b).as("band_idx"),
-          F.xxhash64(bandCols: _*).as("band_hash"))
+          F.xxhash64(F.slice(F.col("__sig__"), b * rowsPerBand + 1, rowsPerBand)).as("band_hash"))
       }: _*)).as("band"))
       .select(F.col(idCol), F.col("band.band_idx"), F.col("band.band_hash"))
       // persist: the self-join would otherwise recompute the whole

@@ -18,6 +18,14 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object GraftInternalOps {
 
+  /** Wrap a raw Catalyst Expression as a user-facing Column (and back) —
+    * needed to use graft's native expressions from library code without a
+    * function-registry round trip. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** `df` with a trailing dense 0-based long index column, same row order and
     * partitioning as `df`'s execution. */
   def zipWithDenseIndex(df: DataFrame, name: String): DataFrame = {

@@ -28,4 +28,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(nulls.select(col("t").str.replaceN("a", "b", 1).alias("r"))
       .toSpark.collect()(0).isNullAt(0))
   }
+
+  test("graft_minhash: one-pass signature matches MinHash invariants") {
+    GraftExtensions.register(spark)
+    // identical texts -> identical signatures; near texts share most entries;
+    // far texts share few. Whitespace/case normalization is applied.
+    val base = "The quick  brown fox jumps over the lazy dog and runs away tonight"
+    val near = base.replace("tonight", "today")
+    val far = "completely different content about columnar query engines"
+    val df = Seq((1L, base), (2L, base.toLowerCase), (3L, near), (4L, far)).toDF("id", "t")
+    val sigs = df.select(org.apache.spark.sql.functions.col("id"),
+        graft.ml.Dedup.minhashSignature(org.apache.spark.sql.functions.col("t"), 32, 5).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L).size == 32)
+    assert(sigs(1L) == sigs(2L)) // case-normalized
+    val shareNear = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    val shareFar = sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b }
+    assert(shareNear > 20, s"near dup should share most minhashes, got $shareNear/32")
+    assert(shareFar < 8, s"unrelated should share few minhashes, got $shareFar/32")
+    // SQL registry path
+    val n = spark.sql("SELECT size(graft_minhash('hello world', 5, 16)) AS n")
+      .collect()(0).getInt(0)
+    assert(n == 16)
+    // null propagation
+    val nullSig = Seq[(Long, String)]((1L, null)).toDF("id", "t")
+      .select(graft.ml.Dedup.minhashSignature(org.apache.spark.sql.functions.col("t")).as("s"))
+    assert(nullSig.collect()(0).isNullAt(0))
+  }
 }
