@@ -92,6 +92,10 @@ final case class Expr(col: Column, requiresIndex: Boolean = false) {
   // ---- casts (reference: expr.rb:1234) ----
   def cast(dt: DataType, strict: Boolean = true): Expr =
     map(c => if (strict) c.cast(dt) else c.try_cast(dt))
+  /** Bit-reinterpret Int64 <-> UInt64 (reference expr.rb:3808). Spark has no
+    * unsigned types; per the SURVEY §1.2 physical mapping u64 is carried in a
+    * signed long, so both directions are the identity on the physical bits. */
+  def reinterpret(signed: Boolean = true): Expr = this
 
   // ---- math (reference: expr.rb:245-289,1088-1139,5594-6229) ----
   def abs: Expr = map(F.abs)

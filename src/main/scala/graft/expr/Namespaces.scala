@@ -66,10 +66,21 @@ final class StrNS(e: Expr) {
   def head(n: Int): Expr = slice(0, Some(n))
   def tail(n: Int): Expr = m(c => c.substr(F.greatest(F.length(c) - n + 1, F.lit(1)), F.length(c)))
   def split(by: String): Expr = m(c => F.split(c, java.util.regex.Pattern.quote(by)))
+  /** split(inclusive: true) keeps the delimiter attached to the preceding
+    * token (reference string_expr.rb:1089) — a lookbehind split. */
+  def split(by: String, inclusive: Boolean): Expr =
+    if (!inclusive) split(by)
+    else m(c => F.split(c, "(?<=" + java.util.regex.Pattern.quote(by) + ")"))
   def splitRegex(pat: String): Expr = m(c => F.split(c, pat))
   def splitExact(by: String, n: Int): Expr = m { c =>
     val parts = F.split(c, java.util.regex.Pattern.quote(by), n + 1)
     F.struct((0 to n).map(i => F.element_at(parts, i + 1).as(s"field_$i")): _*)
+  }
+  /** splitn: at most n fields, last field keeps the remainder (reference
+    * string_expr.rb:1168); missing parts are null. */
+  def splitn(by: String, n: Int): Expr = m { c =>
+    val parts = F.split(c, java.util.regex.Pattern.quote(by), n)
+    F.struct((0 until n).map(i => F.element_at(parts, i + 1).as(s"field_$i")): _*)
   }
   def join(sep: String = ""): Expr = m(c => F.array_join(F.collect_list(c), sep))
   def concat(sep: String = ""): Expr = join(sep)
@@ -87,6 +98,11 @@ final class StrNS(e: Expr) {
     case "base64" => F.base64(c)
   })
   def toDate(format: String = "%Y-%m-%d"): Expr = m(c => F.to_date(c, Strftime.toJava(format)))
+  /** Parse a time-of-day string to the Time physical type (nanos since
+    * midnight, SURVEY §1.2 — Spark has no time dtype). Parsing lands on
+    * 1970-01-01 in the UTC session, so epoch µs IS time-of-day µs. */
+  def toTime(format: String = "%H:%M:%S"): Expr =
+    m(c => F.unix_micros(F.to_timestamp(c, Strftime.toJava(format))) * 1000L)
   def toDatetime(format: String = "%Y-%m-%d %H:%M:%S"): Expr =
     m(c => F.to_timestamp(c, Strftime.toJava(format)))
   def strptime(dtype: DataType, format: String): Expr = m { c =>
@@ -181,6 +197,21 @@ final class DtNS(e: Expr) {
   def combine(time: Column): Expr = m(c => F.to_timestamp(F.concat_ws(" ", F.date_format(c, "yyyy-MM-dd"), time)))
   def convertTimeZone(tz: String): Expr = m(c => F.from_utc_timestamp(c, tz))
   def replaceTimeZone(tz: String): Expr = m(c => F.to_utc_timestamp(c, tz))
+  /** Standard (non-DST) UTC offset of `tz` at each instant, as Duration µs
+    * (reference date_time_expr.rb:1367 — zone comes from the dtype there;
+    * naive-UTC physical storage here, so the zone is an argument). Exact JVM
+    * tz-database rules via the native [[graft.ext.TzOffset]] expression. */
+  def baseUtcOffset(tz: String): Expr = tzOffset(tz, dst = false)
+  /** Daylight-savings component at each instant, as Duration µs (reference
+    * date_time_expr.rb:1393). */
+  def dstOffset(tz: String): Expr = tzOffset(tz, dst = true)
+  private def tzOffset(tz: String, dst: Boolean): Expr = m { c =>
+    import org.apache.spark.sql.GraftInternalOps
+    GraftInternalOps.column(graft.ext.TzOffset(
+      GraftInternalOps.expression(F.unix_micros(c.cast("timestamp"))),
+      GraftInternalOps.expression(F.lit(tz)),
+      GraftInternalOps.expression(F.lit(dst))))
+  }
   /** Rescale duration ticks between time units (reference
     * date_time_expr.rb:838-875 with_time_unit/cast_time_unit on the
     * long-ticks Duration representation). */

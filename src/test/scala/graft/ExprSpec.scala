@@ -133,6 +133,32 @@ class ExprSpec extends SparkSpec {
     assert(df2.select(col("v").product.alias("p")).toSpark.collect()(0).getDouble(0) == -24.0)
   }
 
+  test("str splitn / inclusive split / toTime") {
+    val df = DataFrame(Seq("a-b-c-d").toDF("t"))
+    val r = df.select(
+      col("t").str.splitn("-", 2).alias("s2"),
+      col("t").str.split("-", inclusive = true).alias("inc")).toSpark.collect()(0)
+    assert(r.getStruct(0).toSeq == Seq("a", "b-c-d"))
+    assert(r.getSeq[String](1) == Seq("a-", "b-", "c-", "d"))
+    val t = DataFrame(Seq("13:45:30").toDF("t"))
+      .select(col("t").str.toTime().alias("ns")).toSpark.collect()(0).getLong(0)
+    assert(t == ((13L * 3600 + 45 * 60 + 30) * 1000000000L))
+  }
+
+  test("dt base_utc_offset and dst_offset via tz rules") {
+    val df = DataFrame(Seq("2024-01-15 12:00:00", "2024-07-15 12:00:00").toDF("s"))
+      .withColumn("ts", col("s").cast(org.apache.spark.sql.types.TimestampType))
+    val out = df.select(
+      col("ts").dt.baseUtcOffset("America/New_York").alias("base"),
+      col("ts").dt.dstOffset("America/New_York").alias("dst"),
+      col("ts").dt.dstOffset("Australia/Sydney").alias("dst_au")).toSpark.collect()
+    assert(out(0).getLong(0) == -5L * 3600 * 1000000) // EST standard
+    assert(out(0).getLong(1) == 0L)                   // January: no US DST
+    assert(out(1).getLong(1) == 3600L * 1000000)      // July: EDT
+    assert(out(0).getLong(2) == 3600L * 1000000)      // January: Sydney DST on
+    assert(out(1).getLong(2) == 0L)                   // July: Sydney DST off
+  }
+
   test("dt isoYear at year boundaries") {
     val df = DataFrame(Seq("2021-01-01", "2020-12-31", "2024-12-30", "2023-07-15").toDF("d"))
       .withColumn("d", col("d").cast(org.apache.spark.sql.types.DateType))
