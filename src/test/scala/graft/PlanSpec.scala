@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Pins the plan shapes that matter at 100 TB: filter pushdown and column
+  * pruning at the parquet scan, broadcast for small dims, sort+limit collapse,
+  * and rank-limit pushdown. A regression here is a silent 10-100x at scale
+  * even when results stay correct. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("parquet scan gets pushed filters and pruned schema") {
+    val p = plan(spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(F.col("l_quantity") < 10.0)
+      .select("l_orderkey", "l_quantity"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,10.0)]"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+  }
+
+  test("small dimension join broadcasts") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val p = plan(orders.join(cust, orders("o_custkey") === cust("c_custkey")))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("sort + limit collapses to TakeOrderedAndProject") {
+    val p = plan(spark.read.parquet(s"$sf/orders.parquet")
+      .orderBy(F.col("o_totalprice").desc).limit(10))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("rank filter pushes a WindowGroupLimit below the shuffle") {
+    val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    val p = plan(spark.read.parquet(s"$sf/lineitem.parquet")
+      .withColumn("r", F.rank().over(w)).filter(F.col("r") <= 3))
+    assert(p.contains("WindowGroupLimit"), p)
+    // partial limit must appear on the map side (before the exchange)
+    assert(p.indexOf("WindowGroupLimit") != p.lastIndexOf("WindowGroupLimit"), p)
+  }
+
+  test("dense row index keeps scan parallelism (no single-partition collapse)") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet").repartition(4)
+    val indexed = graft.kernel.RowIndex.attachDense(df)
+    assert(indexed.rdd.getNumPartitions == 4)
+  }
+}
