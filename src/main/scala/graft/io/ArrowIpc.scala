@@ -21,22 +21,27 @@ import org.apache.spark.sql.types._
   */
 object ArrowIpc {
 
-  private def toArrowField(f: StructField): Field = {
-    val t: ArrowType = f.dataType match {
-      case LongType => new ArrowType.Int(64, true)
-      case IntegerType => new ArrowType.Int(32, true)
-      case ShortType => new ArrowType.Int(16, true)
-      case ByteType => new ArrowType.Int(8, true)
-      case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
-      case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
-      case StringType => new ArrowType.Utf8
-      case BooleanType => new ArrowType.Bool
-      case BinaryType => new ArrowType.Binary
-      case TimestampType | TimestampNTZType => new ArrowType.Timestamp(ATimeUnit.MICROSECOND, null)
-      case DateType => new ArrowType.Date(org.apache.arrow.vector.types.DateUnit.DAY)
-      case dt => throw new UnsupportedOperationException(s"arrow ipc: $dt")
-    }
-    new Field(f.name, new FieldType(f.nullable, t, null), Nil.asJava)
+  private def toArrowField(f: StructField): Field = f.dataType match {
+    case ArrayType(elem, containsNull) =>
+      val child = toArrowField(StructField("item", elem, containsNull))
+      new Field(f.name, new FieldType(f.nullable, new ArrowType.List(), null),
+        Seq(child).asJava)
+    case dt =>
+      val t: ArrowType = dt match {
+        case LongType => new ArrowType.Int(64, true)
+        case IntegerType => new ArrowType.Int(32, true)
+        case ShortType => new ArrowType.Int(16, true)
+        case ByteType => new ArrowType.Int(8, true)
+        case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+        case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+        case StringType => new ArrowType.Utf8
+        case BooleanType => new ArrowType.Bool
+        case BinaryType => new ArrowType.Binary
+        case TimestampType | TimestampNTZType => new ArrowType.Timestamp(ATimeUnit.MICROSECOND, null)
+        case DateType => new ArrowType.Date(org.apache.arrow.vector.types.DateUnit.DAY)
+        case other => throw new UnsupportedOperationException(s"arrow ipc: $other")
+      }
+      new Field(f.name, new FieldType(f.nullable, t, null), Nil.asJava)
   }
 
   def write(df: DataFrame, path: String, batchSize: Int = 4096): Unit = {
@@ -85,64 +90,41 @@ object ArrowIpc {
           v.setSafe(i, ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000)
         case (DateType, v: DateDayVector) =>
           v.setSafe(i, row.getAs[java.sql.Date](c).toLocalDate.toEpochDay.toInt)
+        case (ArrayType(elem, _), v: complex.ListVector) =>
+          val w = v.getWriter
+          w.setPosition(i)
+          w.startList()
+          row.getSeq[Any](c).foreach(e => writeListElem(w, elem, e, v))
+          w.endList()
         case (dt, v) => throw new UnsupportedOperationException(s"arrow ipc write: $dt -> ${v.getClass}")
       }
+    }
+
+  /** Write one element of a list cell through the position-based writer. */
+  private def writeListElem(w: org.apache.arrow.vector.complex.impl.UnionListWriter,
+                            elem: DataType, e: Any,
+                            v: complex.ListVector): Unit =
+    if (e == null) w.writeNull()
+    else elem match {
+      case LongType => w.bigInt().writeBigInt(e.asInstanceOf[Long])
+      case IntegerType => w.integer().writeInt(e.asInstanceOf[Int])
+      case DoubleType => w.float8().writeFloat8(e.asInstanceOf[Double])
+      case FloatType => w.float4().writeFloat4(e.asInstanceOf[Float])
+      case BooleanType => w.bit().writeBit(if (e.asInstanceOf[Boolean]) 1 else 0)
+      case StringType =>
+        val bytes = e.toString.getBytes("UTF-8")
+        val buf = v.getAllocator.buffer(bytes.length.toLong)
+        try { buf.setBytes(0, bytes); w.varChar().writeVarChar(0, bytes.length, buf) }
+        finally buf.close()
+      case other => throw new UnsupportedOperationException(s"arrow ipc list elem: $other")
     }
 
   def read(path: String)(implicit spark: SparkSession): DataFrame = {
     val alloc = new RootAllocator()
     val in = new FileInputStream(path)
     val reader = new ArrowFileReader(in.getChannel, alloc)
-    try {
-      val root = reader.getVectorSchemaRoot
-      val fields = root.getSchema.getFields.asScala.toSeq
-      val sparkSchema = StructType(fields.map { f =>
-        val dt: DataType = f.getType match {
-          case t: ArrowType.Int if t.getBitWidth == 64 => LongType
-          case t: ArrowType.Int if t.getBitWidth == 32 => IntegerType
-          case t: ArrowType.Int if t.getBitWidth == 16 => ShortType
-          case t: ArrowType.Int => ByteType
-          case t: ArrowType.FloatingPoint if t.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
-          case _: ArrowType.FloatingPoint => FloatType
-          case _: ArrowType.Utf8 => StringType
-          case _: ArrowType.Bool => BooleanType
-          case _: ArrowType.Binary => BinaryType
-          case _: ArrowType.Timestamp => TimestampNTZType
-          case _: ArrowType.Date => DateType
-          case t => throw new UnsupportedOperationException(s"arrow ipc read: $t")
-        }
-        StructField(f.getName, dt, f.isNullable)
-      })
-      val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
-      while (reader.loadNextBatch()) {
-        val n = root.getRowCount
-        (0 until n).foreach { i =>
-          rows += Row.fromSeq(fields.indices.map { c =>
-            val vec = root.getVector(c)
-            if (vec.isNull(i)) null
-            else vec match {
-              case v: BigIntVector => v.get(i)
-              case v: IntVector => v.get(i)
-              case v: SmallIntVector => v.get(i)
-              case v: TinyIntVector => v.get(i)
-              case v: Float8Vector => v.get(i)
-              case v: Float4Vector => v.get(i)
-              case v: VarCharVector => new String(v.get(i), "UTF-8")
-              case v: BitVector => v.get(i) == 1
-              case v: VarBinaryVector => v.get(i)
-              case v: TimeStampMicroVector =>
-                java.time.LocalDateTime.ofEpochSecond(
-                  Math.floorDiv(v.get(i), 1000000L),
-                  (Math.floorMod(v.get(i), 1000000L) * 1000).toInt,
-                  java.time.ZoneOffset.UTC)
-              case v: DateDayVector => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.get(i)))
-              case v => throw new UnsupportedOperationException(s"arrow ipc read vec: ${v.getClass}")
-            }
-          })
-        }
-      }
-      spark.createDataFrame(rows.asJava, sparkSchema)
-    } finally { reader.close(); in.close(); alloc.close() }
+    try readFromReader(reader.getVectorSchemaRoot, () => reader.loadNextBatch())
+    finally { reader.close(); in.close(); alloc.close() }
   }
 
   /** Arrow IPC *stream* format (reference io/ipc.rb:108 read_ipc_stream,
@@ -178,7 +160,7 @@ object ArrowIpc {
                             (implicit spark: SparkSession): DataFrame = {
     val fields = root.getSchema.getFields.asScala.toSeq
     val sparkSchema = StructType(fields.map { f =>
-      StructField(f.getName, arrowToSpark(f.getType), f.isNullable)
+      StructField(f.getName, sparkTypeOf(f), f.isNullable)
     })
     val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
     while (next()) {
@@ -188,6 +170,13 @@ object ArrowIpc {
       }
     }
     spark.createDataFrame(rows.asJava, sparkSchema)
+  }
+
+  private def sparkTypeOf(f: Field): DataType = f.getType match {
+    case _: ArrowType.List =>
+      val child = f.getChildren.get(0)
+      ArrayType(sparkTypeOf(child), child.isNullable)
+    case t => arrowToSpark(t)
   }
 
   private def arrowToSpark(t: ArrowType): DataType = t match {
@@ -223,6 +212,11 @@ object ArrowIpc {
           (Math.floorMod(v.get(i), 1000000L) * 1000).toInt,
           java.time.ZoneOffset.UTC)
       case v: DateDayVector => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.get(i)))
+      case v: complex.ListVector =>
+        v.getObject(i).asScala.map {
+          case t: org.apache.arrow.vector.util.Text => t.toString
+          case e => e
+        }.toSeq
       case v => throw new UnsupportedOperationException(s"arrow ipc read vec: ${v.getClass}")
     }
 

@@ -57,6 +57,21 @@ class IoSpec extends SparkSpec {
     assert(ArrowIpc.readSchema(p).fieldNames.toSeq == Seq("a", "b", "c", "ts"))
   }
 
+  test("arrow ipc round trips list columns (embeddings shape)") {
+    val p = tmp(".arrow")
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f), Seq("a", "b")),
+      (2L, Seq(4.5f), Seq.empty[String]),
+      (3L, null, Seq("c"))).toDF("id", "emb", "tags")
+    ArrowIpc.write(df, p)
+    val back = ArrowIpc.read(p).orderBy("id").collect()
+    assert(back(0).getSeq[Float](1) == Seq(1.0f, 2.0f, 3.0f))
+    assert(back(0).getSeq[String](2) == Seq("a", "b"))
+    assert(back(1).getSeq[Float](1) == Seq(4.5f))
+    assert(back(1).getSeq[String](2).isEmpty)
+    assert(back(2).isNullAt(1) && back(2).getSeq[String](2) == Seq("c"))
+  }
+
   test("arrow ipc stream format round trip") {
     val p = tmp(".arrows")
     val df = Seq((1L, "x"), (2L, "y")).toDF("a", "b")
