@@ -112,15 +112,57 @@ object Polars {
     DataFrame(spark.read.parquet(path))
   def scanParquet(path: String)(implicit spark: SparkSession): LazyFrame =
     LazyFrame(spark.read.parquet(path))
+  /** read_csv with the reference's common options (lib/polars/io/csv.rb):
+    * skip_rows/null_values/dtypes/quote_char/comment_prefix/encoding/eol_char/
+    * n_rows/new_columns/ignore_errors, mapped onto the Spark CSV reader.
+    * `skipRows` has no Spark option — those leading lines are dropped via a
+    * text pre-read (dense index filter), then parsed as CSV. */
   def readCsv(path: String, sep: String = ",", hasHeader: Boolean = true,
-              inferSchema: Boolean = true, tryParseDates: Boolean = false)
+              inferSchema: Boolean = true, tryParseDates: Boolean = false,
+              skipRows: Int = 0, nullValues: Seq[String] = Nil,
+              dtypes: Option[org.apache.spark.sql.types.StructType] = None,
+              quoteChar: String = "\"", commentPrefix: Option[String] = None,
+              encoding: String = "UTF-8", eolChar: String = "\n",
+              nRows: Option[Int] = None, newColumns: Seq[String] = Nil,
+              ignoreErrors: Boolean = false)
              (implicit spark: SparkSession): DataFrame =
-    DataFrame(csvReader(spark, sep, hasHeader, inferSchema).csv(path))
+    DataFrame(readCsvSpark(path, sep, hasHeader, inferSchema, skipRows, nullValues,
+      dtypes, quoteChar, commentPrefix, encoding, eolChar, nRows, newColumns, ignoreErrors))
   def scanCsv(path: String, sep: String = ",", hasHeader: Boolean = true,
               inferSchema: Boolean = true)(implicit spark: SparkSession): LazyFrame =
     LazyFrame(csvReader(spark, sep, hasHeader, inferSchema).csv(path))
   private def csvReader(spark: SparkSession, sep: String, header: Boolean, infer: Boolean) =
     spark.read.option("sep", sep).option("header", header).option("inferSchema", infer)
+  private def readCsvSpark(path: String, sep: String, header: Boolean, infer: Boolean,
+                           skipRows: Int, nullValues: Seq[String],
+                           dtypes: Option[org.apache.spark.sql.types.StructType],
+                           quoteChar: String, commentPrefix: Option[String],
+                           encoding: String, eolChar: String, nRows: Option[Int],
+                           newColumns: Seq[String], ignoreErrors: Boolean)
+                          (implicit spark: SparkSession): SDF = {
+    var r = spark.read.option("sep", sep).option("header", header)
+      .option("quote", quoteChar).option("encoding", encoding)
+      .option("lineSep", eolChar)
+      .option("mode", if (ignoreErrors) "PERMISSIVE" else "FAILFAST")
+    commentPrefix.foreach(c => r = r.option("comment", c))
+    nullValues.headOption.foreach(v => r = r.option("nullValue", v))
+    r = dtypes match {
+      case Some(schema) => r.schema(schema)
+      case None => r.option("inferSchema", infer)
+    }
+    val parsed =
+      if (skipRows <= 0) r.csv(path)
+      else {
+        import spark.implicits._
+        val lines = spark.read.option("lineSep", eolChar).textFile(path)
+        val kept = graft.kernel.RowIndex.drop(
+          graft.kernel.RowIndex.attachDense(lines.toDF("value"))
+            .filter(F.col(graft.kernel.RowIndex.name) >= skipRows))
+        r.csv(kept.as[String])
+      }
+    val limited = nRows.map(parsed.limit).getOrElse(parsed)
+    if (newColumns.nonEmpty) limited.toDF(newColumns: _*) else limited
+  }
   def readJson(path: String, multiLine: Boolean = true)(implicit spark: SparkSession): DataFrame =
     DataFrame(spark.read.option("multiLine", multiLine).json(path))
   def readNdjson(path: String)(implicit spark: SparkSession): DataFrame =

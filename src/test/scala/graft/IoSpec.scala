@@ -80,6 +80,22 @@ class IoSpec extends SparkSpec {
     assert(back.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "x"), (2L, "y")))
   }
 
+  test("read_csv options: skip_rows, null_values, dtypes, new_columns, n_rows") {
+    val p = tmp(".csv")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      "garbage line to skip\na,b\n1,x\n2,NA\n3,z\n4,w\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.StringType)))
+    val df = Polars.readCsv(p, skipRows = 1, nullValues = Seq("NA"),
+      dtypes = Some(schema), newColumns = Seq("id", "label"), nRows = Some(3))
+      .toSpark.orderBy("id").collect()
+    assert(df.length == 3)
+    assert(df.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(df(1).isNullAt(1)) // "NA" -> null
+    assert(df(0).getString(1) == "x")
+  }
+
   test("with_context scalar pattern") {
     val main = DataFrame(Seq(1.0, 2.0, 3.0).toDF("v"))
     val other = DataFrame(Seq(10.0, 20.0).toDF("w"))
