@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // let AQE coalesce small shuffles to the advisory size instead of
+      // preserving max parallelism — fewer tasks for sub-64MB exchanges,
+      // which is pure scheduling overhead at any scale
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Steady-state timing: first run per query warms whole-stage-codegen JIT
