@@ -32,15 +32,17 @@ object Multimodal {
       StructField("n_samples", LongType))))))
 
   /** Wrap arbitrary binary payloads with inferred image metadata columns.
-    * Magic-byte sniffing + PNG IHDR dimension parsing are REAL (pure
-    * codegen-able expressions — PNG stores width/height as big-endian u32 at
-    * fixed offsets 16..23); JPEG dimensions need SOF marker scanning and stay
-    * null here (??? bind a codec in decodeImageFeatures for full decode). */
+    * Magic-byte sniffing + PNG IHDR + JPEG SOF dimension parsing are all REAL
+    * byte-level parsers: PNG stores width/height as big-endian u32 at fixed
+    * offsets 16..23; JPEG needs a segment scan for the SOF marker, done by
+    * the native codegen expression [[graft.ext.JpegDims]]. Only pixel DECODE
+    * is stubbed (decodeImageFeatures — no codec libs in this container). */
   def withImageMeta(df: DataFrame, payloadCol: String): DataFrame = {
     val p = F.col(payloadCol)
     val magic = F.hex(F.substring(p, 1, 4))
     val isPng = magic.startsWith("89504E47")
-    val format = F.when(magic.startsWith("FFD8"), "jpeg")
+    val isJpeg = magic.startsWith("FFD8")
+    val format = F.when(isJpeg, "jpeg")
       .when(isPng, "png")
       .otherwise("unknown")
     def beU32(offset1Based: Int) = // big-endian u32 from 4 payload bytes
@@ -49,11 +51,37 @@ object Multimodal {
     val colorType = F.conv(F.hex(F.substring(p, 26, 1)), 16, 10).cast(IntegerType)
     val channels = F.when(colorType === 0, 1).when(colorType === 2, 3)
       .when(colorType === 3, 1).when(colorType === 4, 2).when(colorType === 6, 4)
-    df.withColumn("meta", F.struct(
-      format.as("format"),
-      F.when(isPng, beU32(17)).as("width"),
-      F.when(isPng, beU32(21)).as("height"),
-      F.when(isPng, channels).as("channels")))
+    val jpegDims = org.apache.spark.sql.GraftInternalOps.column(
+      graft.ext.JpegDims(org.apache.spark.sql.GraftInternalOps.expression(p)))
+    df.withColumn("__jd__", F.when(isJpeg, jpegDims))
+      .withColumn("meta", F.struct(
+        format.as("format"),
+        F.when(isPng, beU32(17)).when(isJpeg, F.element_at(F.col("__jd__"), 1)).as("width"),
+        F.when(isPng, beU32(21)).when(isJpeg, F.element_at(F.col("__jd__"), 2)).as("height"),
+        F.when(isPng, channels).when(isJpeg, F.element_at(F.col("__jd__"), 3)).as("channels")))
+      .drop("__jd__")
+  }
+
+  /** Audio (WAV/RIFF) metadata from the canonical PCM header layout — real
+    * little-endian byte parsing via declarative expressions: channels @22,
+    * sample rate @24, byte rate @28, bits/sample @34, data size @40 (0-based);
+    * duration = data_size / byte_rate. Non-WAV payloads get format "unknown"
+    * and null fields. */
+  def withAudioMeta(df: DataFrame, payloadCol: String): DataFrame = {
+    val p = F.col(payloadCol)
+    def u8(off1: Int) = F.conv(F.hex(F.substring(p, off1, 1)), 16, 10).cast("long")
+    def leU16(off1: Int) = u8(off1) + u8(off1 + 1) * 256L
+    def leU32(off1: Int) = leU16(off1) + leU16(off1 + 2) * 65536L
+    val isWav = F.hex(F.substring(p, 1, 4)) === "52494646" && // "RIFF"
+      F.hex(F.substring(p, 9, 4)) === "57415645"              // "WAVE"
+    val byteRate = leU32(29)
+    df.withColumn("audio_meta", F.struct(
+      F.when(isWav, "wav").otherwise("unknown").as("format"),
+      F.when(isWav, leU16(23).cast(IntegerType)).as("channels"),
+      F.when(isWav, leU32(25).cast(IntegerType)).as("sample_rate"),
+      F.when(isWav, leU16(35).cast(IntegerType)).as("bits_per_sample"),
+      F.when(isWav, (leU32(41).cast("double") / F.nullif(byteRate, F.lit(0L)))
+        .cast("double")).as("duration_s")))
   }
 
   /** STUB decode: deterministic fake features from the payload bytes. In

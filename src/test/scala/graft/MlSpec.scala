@@ -88,7 +88,13 @@ class MlSpec extends SparkSpec {
       0, 0, 1, 0, // width 256
       0, 0, 0, 0x80.toByte, // height 128
       8, 6) // bit depth, color type rgba
-    val jpg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte, 0)
+    // minimal JPEG: SOI + APP0 (len 4, empty) + SOF0 (len 11): h=64 w=48, 3 components
+    val jpg = Array[Byte](0xFF.toByte, 0xD8.toByte,
+      0xFF.toByte, 0xE0.toByte, 0, 4, 0, 0, // APP0, length 4
+      0xFF.toByte, 0xC0.toByte, 0, 11, 8,   // SOF0, length 11, precision 8
+      0, 0x40, // height 64
+      0, 0x30, // width 48
+      3)       // components
     val d = Seq((1L, png), (2L, jpg)).toDF("media_id", "payload")
     val out = Multimodal.withImageMeta(d, "payload")
       .select(F.col("media_id"), F.col("meta.format"), F.col("meta.width"),
@@ -96,6 +102,28 @@ class MlSpec extends SparkSpec {
       .orderBy("media_id").collect()
     assert(out(0).getString(1) == "png")
     assert(out(0).getInt(2) == 256 && out(0).getInt(3) == 128 && out(0).getInt(4) == 4)
-    assert(out(1).getString(1) == "jpeg" && out(1).isNullAt(2))
+    assert(out(1).getString(1) == "jpeg")
+    assert(out(1).getInt(2) == 48 && out(1).getInt(3) == 64 && out(1).getInt(4) == 3)
+  }
+
+  test("audio meta parses WAV header fields") {
+    // canonical 44-byte PCM WAV header: 2ch, 44100 Hz, 16-bit, 1s of data
+    val bb = java.nio.ByteBuffer.allocate(48).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(40); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1); bb.putShort(2)
+    bb.putInt(44100); bb.putInt(44100 * 4); bb.putShort(4); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(44100 * 4)
+    val wav = bb.array()
+    val notWav = "hello".getBytes
+    val d = Seq((1L, wav), (2L, notWav)).toDF("media_id", "payload")
+    val out = Multimodal.withAudioMeta(d, "payload")
+      .select(F.col("media_id"), F.col("audio_meta.format"), F.col("audio_meta.channels"),
+        F.col("audio_meta.sample_rate"), F.col("audio_meta.bits_per_sample"),
+        F.col("audio_meta.duration_s"))
+      .orderBy("media_id").collect()
+    assert(out(0).getString(1) == "wav")
+    assert(out(0).getInt(2) == 2 && out(0).getInt(3) == 44100 && out(0).getInt(4) == 16)
+    assert(math.abs(out(0).getDouble(5) - 1.0) < 1e-9)
+    assert(out(1).getString(1) == "unknown" && out(1).isNullAt(2))
   }
 }
