@@ -15,6 +15,7 @@ object Bench {
       // which is pure scheduling overhead at any scale
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.sql.files.maxPartitionBytes", sys.env.getOrElse("SPARK_GRAFT_MPB", "134217728"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Steady-state timing: first run per query warms whole-stage-codegen JIT
