@@ -147,6 +147,30 @@ object Queries6 {
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Streaming dedup-within-watermark over the events stream: one row per
+    * user_id (watermark wider than the data's time span, so no key re-emits).
+    * Projects only the key so the kept-row choice (arrival order) cannot leak
+    * into the compare; oracle is plain DISTINCT. */
+  private def qStreamingDedup(s: SparkSession, dir: String): SDF = {
+    implicit val sp: SparkSession = s
+    val schema = t(s, dir, "events").schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q-sdedup").toFile
+    tmp.deleteOnExit()
+    val inDir = java.nio.file.Files.createDirectory(tmp.toPath.resolve("in"))
+    java.nio.file.Files.createSymbolicLink(
+      inDir.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = graft.streaming.Streaming.scanParquetStream(inDir.toString, schema)
+      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    val deduped = graft.streaming.Streaming.dedupWithinWatermark(
+      stream, Seq("user_id"), "ts", watermark = "60 days")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try
+      graft.streaming.Streaming.runToMemory(deduped, "graft_q_streaming_dedup", mode = "append")
+        .select(F.col("user_id")).orderBy("user_id")
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Structured-Streaming round trip (out-of-core sink_* semantics, §2.9):
     * stream the events parquet → AvailableNow sink → read back → aggregate.
     * Oracle-checked: the streamed copy must be byte-equivalent. */
@@ -169,6 +193,7 @@ object Queries6 {
 
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
     "q_streaming_window" -> (qStreamingWindow _),
+    "q_streaming_dedup" -> (qStreamingDedup _),
     "q_streaming_sink" -> (qStreamingSink _),
     "q_json_decode" -> (qJsonDecode _),
     "q_group_expr_key" -> (qGroupExprKey _),
@@ -187,6 +212,8 @@ object Queries6 {
       """SELECT event_type, CAST(time_bucket(INTERVAL '6 hours', ts, TIMESTAMP '1970-01-01') AS TIMESTAMP) AS ts,
         |count(*) AS n, sum(value) AS sv
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_streaming_dedup" ->
+      "SELECT DISTINCT user_id FROM events ORDER BY user_id",
     "q_streaming_sink" ->
       """SELECT event_type, count(*) AS n, sum(value) AS sv
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -51,6 +51,24 @@ object Streaming {
       .groupBy((F.window(F.col(tsCol), every) +: by.map(F.col)): _*)
       .agg(aggs.head, aggs.tail: _*)
 
+  /** Streaming deduplication with bounded state: duplicates are dropped
+    * within the watermark horizon and state older than the watermark is
+    * evicted — the only dedup shape that runs forever on an unbounded stream
+    * (an unbounded dropDuplicates would accrete state without limit). The
+    * streaming twin of Dedup.exact for ingest pipelines. */
+  def dedupWithinWatermark(stream: DataFrame, cols: Seq[String], tsCol: String,
+                           watermark: String = "1 hour"): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(cols.head, cols.tail: _*)
+
+  /** Switch streaming state to RocksDB (bundled rocksdbjni): state lives off
+    * the JVM heap with incremental snapshots — the provider that holds up
+    * when keyed state is millions of windows/keys per partition. Set BEFORE
+    * the query starts; applies to queries started from this session. */
+  def useRocksDbStateStore(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
   /** Drain a (bounded) stream into an in-memory table and return it.
     * `complete` mode keeps all windows including ones still above the
     * watermark — right for tests and bounded backfills; unbounded production

@@ -55,6 +55,40 @@ class StreamingSpec extends SparkSpec {
       ("b", "2024-01-01 06:00:00.0", 1L, 3.0)))
   }
 
+  test("streaming dedup within watermark drops duplicates, keeps distinct") {
+    val in = tmpDir()
+    val src = Seq(
+      ("2024-01-01 10:00:00", "k1", 1.0), ("2024-01-01 10:05:00", "k1", 2.0),
+      ("2024-01-01 10:10:00", "k2", 3.0))
+      .toDF("ts", "k", "v").select(F.to_timestamp(F.col("ts")).as("ts"), F.col("k"), F.col("v"))
+    src.coalesce(1).write.mode("overwrite").parquet(in)
+    val stream = Streaming.scanParquetStream(in, src.schema)
+    val deduped = Streaming.dedupWithinWatermark(stream, Seq("k"), "ts")
+    val got = Streaming.runToMemory(deduped, "spec_sdedup", mode = "append")
+      .select("k").orderBy("k").collect().map(_.getString(0))
+    assert(got.toSeq == Seq("k1", "k2"))
+  }
+
+  test("rocksdb state store provider runs a windowed agg") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    Streaming.useRocksDbStateStore(spark)
+    try {
+      val in = tmpDir()
+      val src = Seq(("2024-01-01 00:10:00", 1.0), ("2024-01-01 06:10:00", 2.0))
+        .toDF("ts", "v").select(F.to_timestamp(F.col("ts")).as("ts"), F.col("v"))
+      src.coalesce(1).write.mode("overwrite").parquet(in)
+      val stream = Streaming.scanParquetStream(in, src.schema)
+      val windowed = Streaming.windowedAgg(stream, "ts", "6 hours", by = Nil,
+        aggs = Seq(F.count(F.lit(1)).as("n")))
+      val got = Streaming.runToMemory(windowed, "spec_rocks")
+        .select("n").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == Seq(1L, 1L))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("batched iterator chunks deterministically") {
     val df = spark.range(10).toDF("i")
     val batches = Streaming.batchedIterator(df, batchSize = 4).toSeq
