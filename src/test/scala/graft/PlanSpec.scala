@@ -43,6 +43,20 @@ class PlanSpec extends SparkSpec {
     assert(p.indexOf("WindowGroupLimit") != p.lastIndexOf("WindowGroupLimit"), p)
   }
 
+  test("hive-partitioned writes prune partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppart").toFile
+    dir.deleteOnExit()
+    spark.read.parquet(s"$sf/orders.parquet")
+      .withColumn("o_year", F.year(F.col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir.getAbsolutePath)
+    val pruned = spark.read.parquet(dir.getAbsolutePath)
+      .filter(F.col("o_year") === 1995)
+    val p = plan(pruned)
+    assert(p.contains("PartitionFilters: [isnotnull(o_year"), p)
+    // the partition predicate must NOT appear as a data filter
+    assert(!p.contains("PushedFilters: [IsNotNull(o_year)"), p)
+  }
+
   test("dense row index keeps scan parallelism (no single-partition collapse)") {
     val df = spark.read.parquet(s"$sf/lineitem.parquet").repartition(4)
     val indexed = graft.kernel.RowIndex.attachDense(df)
