@@ -42,8 +42,17 @@ final case class Series(name: String, df: SDF) {
 
   def map(e: Expr => Expr): Series = Series(name, df.select(e(Expr(F.col(name))).col.as(name)))
   def cast(dt: DataType): Series = map(_.cast(dt))
-  def valueCounts(): DataFrame =
-    DataFrame(df.groupBy(name).agg(F.count(F.lit(1)).as("count")).orderBy(F.col("count").desc))
+  def valueCounts(sort: Boolean = true, normalize: Boolean = false): DataFrame = {
+    val cname = if (normalize) "proportion" else "count"
+    val counted = df.groupBy(name).agg(F.count(F.lit(1)).as("__n__"))
+    val valued =
+      if (normalize)
+        counted.withColumn(cname, F.col("__n__") /
+          F.sum("__n__").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      else counted.withColumn(cname, F.col("__n__"))
+    val out = valued.drop("__n__")
+    DataFrame(if (sort) out.orderBy(F.col(cname).desc) else out)
+  }
 
   private def indexed = graft.kernel.RowIndex.attachDense(df)
   private val IDX = graft.kernel.RowIndex.name

@@ -317,14 +317,17 @@ final case class Expr(col: Column, requiresIndex: Boolean = false) {
     }.otherwise(c)
   }
   /** cut into buckets by break points (reference expr.rb:2530). */
-  def cut(breaks: Seq[Double], labels: Option[Seq[String]] = None): Expr = map { c =>
+  def cut(breaks: Seq[Double], labels: Option[Seq[String]] = None,
+          leftClosed: Boolean = false): Expr = map { c =>
     val lbls = labels.getOrElse {
       val pts = Double.NegativeInfinity +: breaks :+ Double.PositiveInfinity
-      pts.sliding(2).map { case Seq(a, b) => s"($a, $b]" }.toSeq
+      pts.sliding(2).map { case Seq(a, b) =>
+        if (leftClosed) s"[$a, $b)" else s"($a, $b]" }.toSeq
     }
-    val first = F.when(c <= breaks.head, lbls.head)
+    def below(b: Double) = if (leftClosed) c < b else c <= b
+    val first = F.when(below(breaks.head), lbls.head)
     val mid = breaks.indices.drop(1).foldLeft(first) { (acc, i) =>
-      acc.when(c <= breaks(i), lbls(i))
+      acc.when(below(breaks(i)), lbls(i))
     }
     mid.otherwise(lbls.last)
   }

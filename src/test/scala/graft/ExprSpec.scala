@@ -133,6 +133,16 @@ class ExprSpec extends SparkSpec {
     assert(df2.select(col("v").product.alias("p")).toSpark.collect()(0).getDouble(0) == -24.0)
   }
 
+  test("cut left_closed flips boundary membership") {
+    val df = DataFrame(Seq(1.0, 2.0, 3.0).toDF("v"))
+    val right = df.select(col("v").cut(Seq(2.0), Some(Seq("lo", "hi"))).alias("b"))
+      .toSpark.collect().map(_.getString(0))
+    val left = df.select(col("v").cut(Seq(2.0), Some(Seq("lo", "hi")), leftClosed = true).alias("b"))
+      .toSpark.collect().map(_.getString(0))
+    assert(right.toSeq == Seq("lo", "lo", "hi")) // 2.0 in (-inf, 2]
+    assert(left.toSeq == Seq("lo", "hi", "hi"))  // 2.0 in [2, inf)
+  }
+
   test("str splitn / inclusive split / toTime") {
     val df = DataFrame(Seq("a-b-c-d").toDF("t"))
     val r = df.select(
