@@ -127,4 +127,29 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(grouped - global) < 1e-6)
     }
   }
+
+  test("minhash signature invariant under whitespace collapse and case") {
+    val texts = Seq("The Quick  Brown\tFox", "the quick brown fox",
+      "  THE QUICK BROWN FOX  ")
+    import org.apache.spark.unsafe.types.UTF8String
+    val sigs = texts.map(t =>
+      graft.ext.MinHashSig.compute(UTF8String.fromString(t), 5, 16).toLongArray.toSeq)
+    // leading/trailing whitespace is a real character for shingling, but
+    // internal runs collapse and case folds: first two must agree
+    assert(sigs(0) == sigs(1))
+    assert(sigs.forall(_.size == 16))
+  }
+
+  test("tz offset is zero for UTC and total = base + dst") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val instants = Seq(0L, 1704067200000000L, 1721088000000000L) // 1970, 2024-01, 2024-07
+    for (us <- instants) {
+      assert(graft.ext.TzOffset.offsetMicros(us, UTF8String.fromString("UTC"), false) == 0L)
+      assert(graft.ext.TzOffset.offsetMicros(us, UTF8String.fromString("UTC"), true) == 0L)
+      val base = graft.ext.TzOffset.offsetMicros(us, UTF8String.fromString("Europe/Berlin"), false)
+      val dst = graft.ext.TzOffset.offsetMicros(us, UTF8String.fromString("Europe/Berlin"), true)
+      assert(base == 3600L * 1000000) // CET standard offset is +1h year-round
+      assert(dst == 0L || dst == 3600L * 1000000)
+    }
+  }
 }
