@@ -393,6 +393,7 @@ final case class Expr(col: Column, requiresIndex: Boolean = false) {
   def cat: CatNS = new CatNS(this)
   def struct: StructNS = new StructNS(this)
   def name: NameNS = new NameNS(this)
+  def meta: MetaNS = new MetaNS(this)
 }
 
 object Expr {

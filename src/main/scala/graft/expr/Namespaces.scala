@@ -340,3 +340,62 @@ final class NameNS(e: Expr) {
   def keep: Expr = e
   def map(f: String => String): Expr = e // frame-side
 }
+
+/** Expression introspection (reference meta_expr.rb:66-212) — implemented
+  * over the Catalyst tree behind our Expr (SURVEY §7: we control the AST).
+  * Name semantics mirror polars: `outputName` is the materialization name
+  * (top alias, else the first/leftmost column leaf); `rootNames` are every
+  * referenced column. */
+final class MetaNS(e: Expr) {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, Literal}
+  import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedAlias, UnresolvedStar}
+  private def expr: Expression = org.apache.spark.sql.GraftInternalOps.catalystExpression(e.col)
+
+  private def leafNames(ex: Expression): Seq[String] = ex match {
+    case a: UnresolvedAttribute => Seq(a.name)
+    case a: Attribute => Seq(a.name)
+    case other => other.children.flatMap(leafNames)
+  }
+
+  /** The name this expression materializes under (alias wins, else first
+    * column leaf); None for pure literals. */
+  def outputName: Option[String] = expr match {
+    case a: Alias => Some(a.name)
+    case ex => leafNames(ex).headOption
+  }
+  /** All column names referenced, in first-appearance order, deduplicated. */
+  def rootNames: Seq[String] = leafNames(expr).distinct
+  def isColumn: Boolean = expr match {
+    case _: UnresolvedAttribute | _: Attribute => true
+    case _ => false
+  }
+  def isLiteral: Boolean = expr.isInstanceOf[Literal]
+  def hasMultipleOutputs: Boolean = expr match {
+    case _: UnresolvedStar => true
+    case a: UnresolvedAttribute => a.name == "*"
+    case _ => false
+  }
+  def isRegexProjection: Boolean = expr match {
+    case a: UnresolvedAttribute => a.name.startsWith("^") && a.name.endsWith("$")
+    case _ => false
+  }
+  /** Strip top-level aliases (reference meta_expr.rb:170 undo_aliases). */
+  def undoAliases: Expr = {
+    def strip(ex: Expression): Expression = ex match {
+      case a: Alias => strip(a.child)
+      case a: UnresolvedAlias => strip(a.child)
+      case other => other
+    }
+    Expr(org.apache.spark.sql.GraftInternalOps.column(strip(expr)), e.requiresIndex)
+  }
+  /** The root's direct sub-expressions (reference meta_expr.rb:134 pop). */
+  def pop: Seq[Expr] =
+    expr.children.map(c => Expr(org.apache.spark.sql.GraftInternalOps.column(c), e.requiresIndex))
+  /** Structural equality of the underlying trees (reference meta_expr.rb:38
+    * eq/ne; named treeEq here because AnyRef.eq is final in Scala). */
+  def treeEq(other: Expr): Boolean =
+    expr == org.apache.spark.sql.GraftInternalOps.catalystExpression(other.col)
+  def treeNe(other: Expr): Boolean = !treeEq(other)
+  /** Render the expression tree (reference meta_expr.rb:212 tree_format). */
+  def treeFormat: String = expr.treeString
+}

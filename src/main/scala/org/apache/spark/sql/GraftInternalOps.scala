@@ -26,6 +26,12 @@ object GraftInternalOps {
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** Eagerly convert a Column's lazy ColumnNode AST into the catalyst
+    * expression tree (ExpressionUtils.expression returns an opaque wrapper) —
+    * needed for structural introspection (Expr.meta). */
+  def catalystExpression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** `df` with a trailing dense 0-based long index column, same row order and
     * partitioning as `df`'s execution. */
   def zipWithDenseIndex(df: DataFrame, name: String): DataFrame = {

@@ -133,6 +133,18 @@ class ExprSpec extends SparkSpec {
     assert(df2.select(col("v").product.alias("p")).toSpark.collect()(0).getDouble(0) == -24.0)
   }
 
+  test("meta namespace: output_name, root_names, is_column, undo_aliases") {
+    val e = (col("a") + col("b")).alias("s")
+    assert(e.meta.outputName.contains("s"))
+    assert(e.meta.rootNames == Seq("a", "b"))
+    assert(!e.meta.isColumn && col("a").meta.isColumn)
+    assert(Polars.lit(1).meta.isLiteral)
+    assert(e.meta.undoAliases.meta.outputName.contains("a")) // alias stripped -> leftmost leaf
+    assert(col("a").meta.treeEq(col("a")) && col("a").meta.treeNe(col("b")))
+    assert((col("a") + 1).meta.pop.nonEmpty)
+    assert(e.meta.treeFormat.nonEmpty)
+  }
+
   test("cut left_closed flips boundary membership") {
     val df = DataFrame(Seq(1.0, 2.0, 3.0).toDF("v"))
     val right = df.select(col("v").cut(Seq(2.0), Some(Seq("lo", "hi"))).alias("b"))
