@@ -147,6 +147,26 @@ object Queries6 {
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** str.to_time round trip: format each event's time-of-day then parse it
+    * back to nanos-since-midnight (the Time physical type, §1.2). */
+  private def qToTime(s: SparkSession, dir: String): SDF =
+    events(s, dir)
+      .select(col("event_id"),
+        col("ts").dt.strftime("%H:%M:%S").str.toTime().alias("tod_ns"))
+      .sortBy(Seq(col("event_id")))
+      .collect().toSpark
+
+  /** str.splitn: first token + remainder (limit-2 split, nulls when absent). */
+  private def qSplitn(s: SparkSession, dir: String): SDF =
+    lf(s, dir, "documents")
+      .withColumn("parts", col("text").str.splitn(" ", 2))
+      .select(
+        col("doc_id"),
+        col("parts").struct.field("field_0").alias("w0"),
+        col("parts").struct.field("field_1").alias("rest"))
+      .sortBy(Seq(col("doc_id")))
+      .collect().toSpark
+
   /** Streaming dedup-within-watermark over the events stream: one row per
     * user_id (watermark wider than the data's time span, so no key re-emits).
     * Projects only the key so the kept-row choice (arrival order) cannot leak
@@ -194,6 +214,8 @@ object Queries6 {
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
     "q_streaming_window" -> (qStreamingWindow _),
     "q_streaming_dedup" -> (qStreamingDedup _),
+    "q_to_time" -> (qToTime _),
+    "q_splitn" -> (qSplitn _),
     "q_streaming_sink" -> (qStreamingSink _),
     "q_json_decode" -> (qJsonDecode _),
     "q_group_expr_key" -> (qGroupExprKey _),
@@ -214,6 +236,18 @@ object Queries6 {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_streaming_dedup" ->
       "SELECT DISTINCT user_id FROM events ORDER BY user_id",
+    "q_to_time" ->
+      """SELECT event_id,
+        |CAST((date_part('hour', ts) * 3600 + date_part('minute', ts) * 60
+        |  + date_part('second', ts)) AS BIGINT) * 1000000000 AS tod_ns
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_splitn" ->
+      """SELECT doc_id,
+        |CASE WHEN strpos(text, ' ') > 0 THEN substr(text, 1, strpos(text, ' ') - 1)
+        |     ELSE text END AS w0,
+        |CASE WHEN strpos(text, ' ') > 0 THEN substr(text, strpos(text, ' ') + 1)
+        |     ELSE NULL END AS rest
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_streaming_sink" ->
       """SELECT event_type, count(*) AS n, sum(value) AS sv
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
