@@ -96,6 +96,21 @@ class IoSpec extends SparkSpec {
     assert(df(0).getString(1) == "x")
   }
 
+  test("read_database round trip via embedded Derby JDBC") {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft-derby").toFile
+    dbDir.deleteOnExit()
+    val url = s"jdbc:derby:${dbDir.getAbsolutePath}/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE t (id INT, name VARCHAR(20))")
+      st.execute("INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+      st.close()
+    } finally conn.close()
+    val df = Polars.readDatabase(url, "t").toSpark.orderBy("ID").collect()
+    assert(df.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "a"), (2, "b")))
+  }
+
   test("with_context scalar pattern") {
     val main = DataFrame(Seq(1.0, 2.0, 3.0).toDF("v"))
     val other = DataFrame(Seq(10.0, 20.0).toDF("w"))
