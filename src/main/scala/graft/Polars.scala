@@ -170,7 +170,11 @@ object Polars {
   def scanNdjson(path: String)(implicit spark: SparkSession): LazyFrame =
     LazyFrame(spark.read.json(path))
   def readAvro(path: String)(implicit spark: SparkSession): DataFrame =
-    DataFrame(spark.read.format("avro").load(path))
+    try DataFrame(spark.read.format("avro").load(path))
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      // no spark-avro datasource jar: driver-side container-file reader
+      DataFrame(io.AvroIo.read(path))
+    }
   def readParquetSchema(path: String)(implicit spark: SparkSession): org.apache.spark.sql.types.StructType =
     spark.read.parquet(path).schema
   def readDatabase(url: String, table: String, props: java.util.Properties = new java.util.Properties)

@@ -285,7 +285,13 @@ final case class DataFrame(private val df: SDF) extends FrameOps[DataFrame] {
   def writeCsv(path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", true).csv(path)
   def writeNdjson(path: String): Unit = df.write.mode("overwrite").json(path)
-  def writeAvro(path: String): Unit = df.write.mode("overwrite").format("avro").save(path)
+  def writeAvro(path: String): Unit =
+    try df.write.mode("overwrite").format("avro").save(path)
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      // spark-avro datasource jar absent: write a single container file via
+      // avro-core (driver-side, the reference's eager write_avro semantics)
+      graft.io.AvroIo.write(df, path)
+    }
   /** partition_by (reference data_frame.rb:3308) — driver-side key enumeration. */
   def partitionBy(keys: Seq[String]): Map[Seq[Any], DataFrame] = {
     val distinct = df.select(keys.map(F.col): _*).distinct().collect()

@@ -96,6 +96,22 @@ class IoSpec extends SparkSpec {
     assert(df(0).getString(1) == "x")
   }
 
+  test("avro round trip incl. nulls, lists, binary") {
+    val p = tmp(".avro")
+    val df = Seq(
+      (1L, "x", Some(1.5), Seq(1, 2), Array[Byte](1, 2)),
+      (2L, null, None, Seq.empty[Int], Array.empty[Byte]))
+      .toDF("id", "s", "d", "l", "b")
+      .select(F.col("id"), F.col("s"), F.col("d"), F.col("l"), F.col("b"))
+    // goes through the datasource-absent fallback path on both sides
+    DataFrame(df).writeAvro(p)
+    val back = Polars.readAvro(p).toSpark.orderBy("id").collect()
+    assert(back(0).getLong(0) == 1L && back(0).getString(1) == "x")
+    assert(back(0).getDouble(2) == 1.5 && back(0).getSeq[Int](3) == Seq(1, 2))
+    assert(back(0).getAs[Array[Byte]](4).toSeq == Seq[Byte](1, 2))
+    assert(back(1).isNullAt(1) && back(1).isNullAt(2) && back(1).getSeq[Int](3).isEmpty)
+  }
+
   test("read_database round trip via embedded Derby JDBC") {
     val dbDir = java.nio.file.Files.createTempDirectory("graft-derby").toFile
     dbDir.deleteOnExit()
