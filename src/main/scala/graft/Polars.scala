@@ -145,10 +145,17 @@ object Polars {
       .option("lineSep", eolChar)
       .option("mode", if (ignoreErrors) "PERMISSIVE" else "FAILFAST")
     commentPrefix.foreach(c => r = r.option("comment", c))
+    // The Spark CSV reader has a single nullValue option; the reference's
+    // null_values accepts a list where EVERY listed string becomes null. For
+    // >1 values: parse all columns as string, replace any listed marker with
+    // null, then cast to the requested dtypes (or re-derive the types the
+    // single-marker path would have inferred on the cleaned data).
+    val multiNull = nullValues.size > 1
     nullValues.headOption.foreach(v => r = r.option("nullValue", v))
     r = dtypes match {
-      case Some(schema) => r.schema(schema)
-      case None => r.option("inferSchema", infer)
+      case Some(schema) if !multiNull => r.schema(schema)
+      case Some(_) => r.option("inferSchema", false) // all-string; cast after cleaning
+      case None => r.option("inferSchema", infer && !multiNull)
     }
     val parsed =
       if (skipRows <= 0) r.csv(path)
@@ -161,7 +168,48 @@ object Polars {
         r.csv(kept.as[String])
       }
     val limited = nRows.map(parsed.limit).getOrElse(parsed)
-    if (newColumns.nonEmpty) limited.toDF(newColumns: _*) else limited
+    val named = if (newColumns.nonEmpty) limited.toDF(newColumns: _*) else limited
+    if (!multiNull) named
+    else {
+      val cleaned = named.select(named.columns.map { c =>
+        F.when(F.col(c).isin(nullValues: _*), F.lit(null)).otherwise(F.col(c)).as(c)
+      }: _*)
+      dtypes match {
+        case Some(schema) =>
+          val cast = if (ignoreErrors) "try_cast" else "cast"
+          cleaned.select(schema.fields.map(f =>
+            F.expr(s"$cast(${quoteId(f.name)} as ${f.dataType.sql})").as(f.name)): _*)
+        case None => if (infer) inferCleanedTypes(cleaned) else cleaned
+      }
+    }
+  }
+  private def quoteId(c: String) = "`" + c.replace("`", "``") + "`"
+  /** Re-derives long/double/boolean column types on an all-string frame after
+    * multi-marker null replacement: one aggregate of try_cast success counts,
+    * then the narrowest type every non-null value casts to (the same ladder
+    * the Spark CSV reader's inference walks). */
+  private def inferCleanedTypes(df: SDF): SDF = {
+    import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, LongType}
+    val cols = df.columns
+    val candidates: Seq[(String, DataType)] =
+      Seq("bigint" -> LongType, "double" -> DoubleType, "boolean" -> BooleanType)
+    val aggs = cols.flatMap { c =>
+      F.count(F.col(c)).as(s"n:$c") +:
+        candidates.map { case (sqlT, _) =>
+          F.count(F.expr(s"try_cast(${quoteId(c)} as $sqlT)")).as(s"$sqlT:$c")
+        }
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    df.select(cols.map { c =>
+      val nonNull = row.getAs[Long](s"n:$c")
+      val picked = candidates.collectFirst {
+        case (sqlT, dt) if nonNull > 0 && row.getAs[Long](s"$sqlT:$c") == nonNull => dt
+      }
+      picked match {
+        case Some(dt) => F.col(c).cast(dt).as(c)
+        case None => F.col(c)
+      }
+    }: _*)
   }
   def readJson(path: String, multiLine: Boolean = true)(implicit spark: SparkSession): DataFrame =
     DataFrame(spark.read.option("multiLine", multiLine).json(path))

@@ -42,7 +42,10 @@ final case class Series(name: String, df: SDF) {
 
   def map(e: Expr => Expr): Series = Series(name, df.select(e(Expr(F.col(name))).col.as(name)))
   def cast(dt: DataType): Series = map(_.cast(dt))
-  def valueCounts(sort: Boolean = true, normalize: Boolean = false): DataFrame = {
+  /** Counts per distinct value (reference lib/polars/series.rb value_counts;
+    * default sort: false matches its signature — pass sort=true for the
+    * count-descending order). */
+  def valueCounts(sort: Boolean = false, normalize: Boolean = false): DataFrame = {
     val cname = if (normalize) "proportion" else "count"
     val counted = df.groupBy(name).agg(F.count(F.lit(1)).as("__n__"))
     val valued =

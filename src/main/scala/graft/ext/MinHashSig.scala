@@ -55,6 +55,8 @@ object MinHashSig {
 
   /** Shared by interpreted eval and generated code. */
   def compute(text: UTF8String, k: Int, numHashes: Int): GenericArrayData = {
+    require(k >= 1, s"graft_minhash: shingle size k must be >= 1, got $k")
+    require(numHashes >= 1, s"graft_minhash: numHashes must be >= 1, got $numHashes")
     val norm = UTF8String.fromString(
       text.toString.replaceAll("\\s+", " ")).toLowerCase
     val len = norm.numChars()

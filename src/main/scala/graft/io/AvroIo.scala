@@ -23,6 +23,9 @@ object AvroIo {
   private def sparkType(s: Schema): (DataType, Boolean) = s.getType match {
     case Schema.Type.UNION =>
       val branches = s.getTypes.asScala.filterNot(_.getType == Schema.Type.NULL)
+      if (branches.size > 1)
+        throw new UnsupportedOperationException(
+          s"avro read: multi-type union ${s.getTypes.asScala.map(_.getType).mkString("[", ",", "]")}")
       val nullable = branches.size != s.getTypes.size()
       val (dt, _) = sparkType(branches.head)
       (dt, nullable)

@@ -72,8 +72,15 @@ object Multimodal {
     def u8(off1: Int) = F.conv(F.hex(F.substring(p, off1, 1)), 16, 10).cast("long")
     def leU16(off1: Int) = u8(off1) + u8(off1 + 1) * 256L
     def leU32(off1: Int) = leU16(off1) + leU16(off1 + 2) * 65536L
+    // Fixed-offset parsing is only valid for the canonical 44-byte PCM layout,
+    // so also pin the chunk ids at the assumed offsets: 'fmt ' at 12 with
+    // size 16, 'data' at 36. Extended-fmt / fact / LIST files (still RIFF/WAVE)
+    // degrade to null fields instead of garbage.
     val isWav = F.hex(F.substring(p, 1, 4)) === "52494646" && // "RIFF"
-      F.hex(F.substring(p, 9, 4)) === "57415645"              // "WAVE"
+      F.hex(F.substring(p, 9, 4)) === "57415645" &&           // "WAVE"
+      F.hex(F.substring(p, 13, 4)) === "666D7420" &&          // "fmt "
+      leU32(17) === 16L &&                                    // PCM fmt size
+      F.hex(F.substring(p, 37, 4)) === "64617461"             // "data"
     val byteRate = leU32(29)
     df.withColumn("audio_meta", F.struct(
       F.when(isWav, "wav").otherwise("unknown").as("format"),

@@ -54,5 +54,15 @@ class ExtensionsSpec extends SparkSpec {
     val nullSig = Seq[(Long, String)]((1L, null)).toDF("id", "t")
       .select(graft.ml.Dedup.minhashSignature(org.apache.spark.sql.functions.col("t")).as("s"))
     assert(nullSig.collect()(0).isNullAt(0))
+    // invalid k / numHashes are explicit errors, not NegativeArraySize or
+    // silently-empty signatures
+    val badK = intercept[IllegalArgumentException](
+      graft.ext.MinHashSig.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString("x"), 0, 16))
+    assert(badK.getMessage.contains("shingle"))
+    val badN = intercept[IllegalArgumentException](
+      graft.ext.MinHashSig.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString("x"), 5, -1))
+    assert(badN.getMessage.contains("numHashes"))
   }
 }

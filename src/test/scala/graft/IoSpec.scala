@@ -96,6 +96,41 @@ class IoSpec extends SparkSpec {
     assert(df(0).getString(1) == "x")
   }
 
+  test("read_csv null_values list: every listed marker becomes null") {
+    val p = tmp(".csv")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      "a,b,c\n1,x,true\nNA,null,false\n3,-,true\n")
+    // inference path: a stays numeric (markers cleaned BEFORE type inference)
+    val df = Polars.readCsv(p, nullValues = Seq("NA", "null", "-"))
+      .toSpark.orderBy(F.col("a").asc_nulls_first).collect()
+    assert(df(0).isNullAt(0) && df(0).isNullAt(1) && df(0).getBoolean(2) == false)
+    assert(df(1).getLong(0) == 1L && df(1).getString(1) == "x")
+    assert(df(2).getLong(0) == 3L && df(2).isNullAt(1))
+    // explicit-dtypes path
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("c", org.apache.spark.sql.types.BooleanType)))
+    val typed = Polars.readCsv(p, nullValues = Seq("NA", "null", "-"), dtypes = Some(schema))
+      .toSpark
+    assert(typed.schema == schema)
+    assert(typed.filter(F.col("a").isNull || F.col("b").isNull).count() == 2)
+  }
+
+  test("avro multi-type union is an explicit unsupported error") {
+    val p = tmp(".avro")
+    val schema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"u","type":["null","long","string"]}]}""".stripMargin)
+    val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, new java.io.File(p))
+    val rec = new org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("u", 1L); w.append(rec); w.close()
+    val e = intercept[UnsupportedOperationException](Polars.readAvro(p))
+    assert(e.getMessage.contains("union"))
+  }
+
   test("avro round trip incl. nulls, lists, binary") {
     val p = tmp(".avro")
     val df = Seq(

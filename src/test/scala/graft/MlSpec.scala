@@ -126,4 +126,31 @@ class MlSpec extends SparkSpec {
     assert(math.abs(out(0).getDouble(5) - 1.0) < 1e-9)
     assert(out(1).getString(1) == "unknown" && out(1).isNullAt(2))
   }
+
+  test("audio meta: non-canonical WAV layouts degrade to nulls, not garbage") {
+    // extended fmt chunk (size 18) shifts every later offset — fixed-offset
+    // parsing must refuse it rather than return wrong values
+    val bb = java.nio.ByteBuffer.allocate(50).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(42); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(18); bb.putShort(3); bb.putShort(2)
+    bb.putInt(48000); bb.putInt(48000 * 8); bb.putShort(8); bb.putShort(32)
+    bb.putShort(0) // cbSize
+    bb.put("data".getBytes); bb.putInt(0)
+    val extFmt = bb.array()
+    // fact chunk between fmt and data (canonical fmt, shifted data chunk)
+    val b2 = java.nio.ByteBuffer.allocate(60).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b2.put("RIFF".getBytes); b2.putInt(52); b2.put("WAVE".getBytes)
+    b2.put("fmt ".getBytes); b2.putInt(16); b2.putShort(1); b2.putShort(1)
+    b2.putInt(8000); b2.putInt(16000); b2.putShort(2); b2.putShort(16)
+    b2.put("fact".getBytes); b2.putInt(4); b2.putInt(100)
+    b2.put("data".getBytes); b2.putInt(200)
+    val factChunk = b2.array()
+    val d = Seq((1L, extFmt), (2L, factChunk)).toDF("media_id", "payload")
+    val out = Multimodal.withAudioMeta(d, "payload")
+      .select(F.col("media_id"), F.col("audio_meta.format"), F.col("audio_meta.channels"),
+        F.col("audio_meta.sample_rate"))
+      .orderBy("media_id").collect()
+    assert(out(0).getString(1) == "unknown" && out(0).isNullAt(2) && out(0).isNullAt(3))
+    assert(out(1).getString(1) == "unknown" && out(1).isNullAt(2) && out(1).isNullAt(3))
+  }
 }

@@ -41,7 +41,7 @@ class TestingSpec extends SparkSpec {
     assert(s.dtype.typeName == "double")
     val doubled = s.map(_ * 2).rename("x")
     Testing.assertSeriesEqual(Series("x", Seq(2.0, 4.0, 6.0)), doubled)
-    val vc = Series("k", Seq("a", "b", "a")).valueCounts().toSpark.collect()
+    val vc = Series("k", Seq("a", "b", "a")).valueCounts(sort = true).toSpark.collect()
     assert(vc.head.getString(0) == "a" && vc.head.getLong(1) == 2)
   }
 
