@@ -610,9 +610,10 @@ object Queries2 {
         |                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1)
         |        BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END
         |  ) / 4.0 AS q FROM documents)""".stripMargin,
-    // q_minhash_pairs / q_simhash_pairs / q_embedding_pairs / q_ivf_topk /
-    // q_ewm: intentionally no oracle — LSH bucketing / IVF probing / the
-    // recursive ewm have no SQL equivalent; the driver records the weaker
+    // q_minhash_pairs / q_simhash_pairs / q_embedding_pairs / q_ivf_topk:
+    // intentionally no oracle — LSH bucketing / IVF probing depend on xxhash64
+    // bit patterns DuckDB cannot reproduce; the driver records the weaker
     // rows-only check and the ScalaTest specs pin their semantics.
+    // (q_ewm IS oracle-checked — recursive CTE in Queries3.)
   )
 }

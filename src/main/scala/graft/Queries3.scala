@@ -254,6 +254,31 @@ object Queries3 {
     "q_repeat_by" ->
       """SELECT l_returnflag AS rep, CAST(sum(l_linenumber) AS BIGINT) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-    // q_ewm: rows-only — no SQL ewm; Kernel2Spec pins pandas-identical values.
+    // q_ewm oracle: SQL has no ewm aggregate, but the adjusted-EWM state
+    // (Σw, Σw·x, Σw·x², Σw²) is a linear recursion — a recursive CTE walks
+    // each user's timeline computing exactly the registers Ewm.ewm keeps
+    // (mean = wx/wsum; unbiased var = (wx2/wsum − mean²)/(1 − w2sum/wsum²)).
+    "q_ewm" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT event_id, user_id, CAST(value AS DOUBLE) AS x,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        |  FROM events
+        |), rec AS (
+        |  SELECT user_id, rn, event_id, x,
+        |         CAST(1 AS DOUBLE) AS wsum, x AS wx, x*x AS wx2,
+        |         CAST(1 AS DOUBLE) AS w2sum
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, e.event_id, e.x,
+        |         0.7*r.wsum + 1, 0.7*r.wx + e.x, 0.7*r.wx2 + e.x*e.x,
+        |         0.49*r.w2sum + 1
+        |  FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+        |)
+        |SELECT event_id, user_id, wx/wsum AS value_ewm_mean,
+        |  CASE WHEN rn > 1 AND (1 - w2sum/(wsum*wsum)) > 0 THEN
+        |    sqrt(greatest(wx2/wsum - (wx/wsum)*(wx/wsum), 0)
+        |         / (1 - w2sum/(wsum*wsum)))
+        |  END AS value_ewm_std
+        |FROM rec ORDER BY event_id""".stripMargin,
   )
 }
