@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession, DataFrame => SDF, functions => F}
+import graft.api.LazyFrame
+import graft.Polars._
+
+/** Wave-7 driver queries (round 3): timezone-offset components and the
+  * multimodal header parsers exercised end-to-end with full value oracles.
+  * The binary parsers are fed declaratively-constructed payloads (PNG is
+  * big-endian, WAV little-endian — both built from hex strings per row), so
+  * the oracle can recompute the expected fields arithmetically while the
+  * Spark side must round-trip them through real byte parsing.
+  */
+object Queries7 {
+
+  private def t(s: SparkSession, dir: String, name: String): SDF =
+    s.read.parquet(s"$dir/$name.parquet")
+  private def events(s: SparkSession, dir: String): LazyFrame =
+    LazyFrame(t(s, dir, "events")
+      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+
+  // hex builders: Spark's hex() is big-endian; WAV needs little-endian, which
+  // is a byte-pair reversal of the padded hex string
+  private def be32hex(c: Column): Column = F.lpad(F.hex(c.cast("bigint")), 8, "0")
+  private def le32hex(c: Column): Column = {
+    val h = be32hex(c)
+    F.concat(F.substring(h, 7, 2), F.substring(h, 5, 2), F.substring(h, 3, 2), F.substring(h, 1, 2))
+  }
+  private def le16hex(c: Column): Column = {
+    val h = F.lpad(F.hex(c.cast("bigint")), 4, "0")
+    F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+  }
+
+  /** dt.base_utc_offset / dt.dst_offset per event instant, for a northern
+    * zone (NY: DST inactive in the January data → dst 0) and a southern zone
+    * (Sydney: DST active → dst +1h). Exercises [[graft.ext.TzOffset]]'s JVM
+    * tz-database rules; the oracle rederives both components from DuckDB's
+    * ICU timezone conversion (standard = min of the Jan-15/Jul-15 offsets,
+    * which is exact for zones whose DST adds time). */
+  private def qTzOffset(s: SparkSession, dir: String): SDF =
+    events(s, dir)
+      .select(
+        col("event_id"),
+        col("ts").dt.baseUtcOffset("America/New_York").alias("base_ny"),
+        col("ts").dt.dstOffset("America/New_York").alias("dst_ny"),
+        col("ts").dt.baseUtcOffset("Australia/Sydney").alias("base_syd"),
+        col("ts").dt.dstOffset("Australia/Sydney").alias("dst_syd"))
+      .sortBy(Seq(col("event_id")))
+      .collect().toSpark
+
+  /** PNG header parse round trip: build a valid IHDR prefix per doc (width/
+    * height/color type derived from doc_id), then recover the fields through
+    * [[graft.ml.Multimodal.withImageMeta]]'s byte parsing. */
+  private def qImageMeta(s: SparkSession, dir: String): SDF = {
+    val d = t(s, dir, "documents").select(F.col("doc_id"))
+    val w = (F.col("doc_id") % 1920 + 1).cast("int")
+    val h = (F.col("doc_id") % 1080 + 1).cast("int")
+    // color type cycles gray(1ch) / rgb(3ch) / rgba(4ch)
+    val colorHex = F.when(F.col("doc_id") % 3 === 0, "00")
+      .when(F.col("doc_id") % 3 === 1, "02")
+      .otherwise("06")
+    val hexStr = F.concat(
+      F.lit("89504E470D0A1A0A" + "0000000D" + "49484452"), // magic + len + IHDR
+      be32hex(w), be32hex(h), F.lit("08"), colorHex)
+    val withPayload = d.withColumn("payload", F.unhex(hexStr))
+    graft.ml.Multimodal.withImageMeta(withPayload, "payload")
+      .select(F.col("doc_id"), F.col("meta.format").as("format"),
+        F.col("meta.width").as("width"), F.col("meta.height").as("height"),
+        F.col("meta.channels").as("channels"))
+      .orderBy("doc_id")
+  }
+
+  /** WAV header parse round trip: build a canonical 44-byte PCM header per
+    * doc (channels/rate/size from doc_id, little-endian), recover the fields
+    * through [[graft.ml.Multimodal.withAudioMeta]] — including the duration
+    * division and the chunk-id validation at fixed offsets. */
+  private def qAudioMeta(s: SparkSession, dir: String): SDF = {
+    val d = t(s, dir, "documents").select(F.col("doc_id"))
+    val ch = (F.col("doc_id") % 2 + 1).cast("int")            // 1..2
+    val rate = ((F.col("doc_id") % 5 + 1) * 8000).cast("int") // 8k..40k
+    val dataSize = ((F.col("doc_id") % 997 + 1) * 4).cast("int")
+    val byteRate = ch * rate * 2
+    val blockAlign = ch * 2
+    val hexStr = F.concat(
+      F.lit("52494646"), le32hex(dataSize + 36), F.lit("57415645"), // RIFF size WAVE
+      F.lit("666D7420" + "10000000" + "0100"),  // 'fmt ' size=16 audio_format=1
+      le16hex(ch), le32hex(rate), le32hex(byteRate), le16hex(blockAlign),
+      F.lit("1000"),                            // bits_per_sample = 16
+      F.lit("64617461"), le32hex(dataSize))     // 'data' size
+    val withPayload = d.withColumn("payload", F.unhex(hexStr))
+    graft.ml.Multimodal.withAudioMeta(withPayload, "payload")
+      .select(F.col("doc_id"), F.col("audio_meta.format").as("format"),
+        F.col("audio_meta.channels").as("channels"),
+        F.col("audio_meta.sample_rate").as("sample_rate"),
+        F.col("audio_meta.bits_per_sample").as("bits_per_sample"),
+        F.col("audio_meta.duration_s").as("duration_s"))
+      .orderBy("doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => SDF] = Map(
+    "q_tz_offset" -> (qTzOffset _),
+    "q_image_meta" -> (qImageMeta _),
+    "q_audio_meta" -> (qAudioMeta _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // offsets are whole seconds, so truncate ts first and the ns fraction
+    // cancels; standard offset = min(Jan-15, Jul-15) total offsets
+    "q_tz_offset" ->
+      """WITH t AS (
+        |  SELECT event_id, date_trunc('second', ts) AS tss,
+        |    make_timestamp(CAST(year(ts) AS BIGINT), 1, 15, 0, 0, 0) AS jan,
+        |    make_timestamp(CAST(year(ts) AS BIGINT), 7, 15, 0, 0, 0) AS jul
+        |  FROM events
+        |), o AS (
+        |  SELECT event_id,
+        |    epoch(timezone('America/New_York', tss AT TIME ZONE 'UTC')) - epoch(tss) AS tot_ny,
+        |    epoch(timezone('America/New_York', jan AT TIME ZONE 'UTC')) - epoch(jan) AS jan_ny,
+        |    epoch(timezone('America/New_York', jul AT TIME ZONE 'UTC')) - epoch(jul) AS jul_ny,
+        |    epoch(timezone('Australia/Sydney', tss AT TIME ZONE 'UTC')) - epoch(tss) AS tot_syd,
+        |    epoch(timezone('Australia/Sydney', jan AT TIME ZONE 'UTC')) - epoch(jan) AS jan_syd,
+        |    epoch(timezone('Australia/Sydney', jul AT TIME ZONE 'UTC')) - epoch(jul) AS jul_syd
+        |  FROM t
+        |)
+        |SELECT event_id,
+        |  CAST(least(jan_ny, jul_ny) * 1000000 AS BIGINT) AS base_ny,
+        |  CAST((tot_ny - least(jan_ny, jul_ny)) * 1000000 AS BIGINT) AS dst_ny,
+        |  CAST(least(jan_syd, jul_syd) * 1000000 AS BIGINT) AS base_syd,
+        |  CAST((tot_syd - least(jan_syd, jul_syd)) * 1000000 AS BIGINT) AS dst_syd
+        |FROM o ORDER BY event_id""".stripMargin,
+    "q_image_meta" ->
+      """SELECT doc_id, 'png' AS format,
+        |  CAST(doc_id % 1920 + 1 AS INTEGER) AS width,
+        |  CAST(doc_id % 1080 + 1 AS INTEGER) AS height,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INTEGER) AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_audio_meta" ->
+      """SELECT doc_id, 'wav' AS format,
+        |  CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+        |  CAST((doc_id % 5 + 1) * 8000 AS INTEGER) AS sample_rate,
+        |  CAST(16 AS INTEGER) AS bits_per_sample,
+        |  CAST((doc_id % 997 + 1) * 4 AS DOUBLE)
+        |    / ((doc_id % 2 + 1) * (doc_id % 5 + 1) * 8000 * 2) AS duration_s
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

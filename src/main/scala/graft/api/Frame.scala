@@ -281,7 +281,13 @@ final case class DataFrame(private val df: SDF) extends FrameOps[DataFrame] {
   def flags: Map[String, Boolean] = Map.empty
   def show(n: Int = 20): Unit = df.show(n, truncate = false)
   def cache(): DataFrame = DataFrame(df.cache())
-  def writeParquet(path: String): Unit = df.write.mode("overwrite").parquet(path)
+  /** write_parquet; `partitionBy` emits hive-style key=value directories so
+    * downstream scans prune partitions (the 100 TB layout: partition on the
+    * coarse filter keys, let the reader skip whole directories). */
+  def writeParquet(path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
   def writeCsv(path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", true).csv(path)
   def writeNdjson(path: String): Unit = df.write.mode("overwrite").json(path)

@@ -92,6 +92,36 @@ final case class Series(name: String, df: SDF) {
     Series(name, df.unionAll(extra))
   }
 
+  /** Reshape into fixed-width rows (reference series.rb:2244 / expr.rb:6517
+    * reshape): dims (r, c) with at most one -1 to infer, or (-1) to flatten a
+    * list series back to scalars. Distributed shape: dense index → groupBy
+    * (idx div c) with map-side partial collect_list, order restored inside
+    * each group by the index — the only global sort is over len/c group keys,
+    * never the elements themselves. */
+  def reshape(dims: Seq[Long]): Series = dims match {
+    case Seq(-1L) =>
+      require(dtype.isInstanceOf[ArrayType], s"reshape((-1,)): series is $dtype, not a list")
+      Series(name, indexed
+        .select(F.col(IDX), F.posexplode_outer(F.col(name)))
+        .orderBy(F.col(IDX), F.col("pos"))
+        .select(F.col("col").as(name)))
+    case Seq(r0, c0) =>
+      require(r0 != -1 || c0 != -1, "reshape: only one dimension may be -1")
+      val total = len
+      val c = if (c0 == -1) { require(r0 > 0 && total % r0 == 0,
+        s"cannot infer cols: $total elements into $r0 rows"); total / r0 } else c0
+      val r = if (r0 == -1) { require(c0 > 0 && total % c0 == 0,
+        s"cannot infer rows: $total elements into width $c0"); total / c0 } else r0
+      require(r * c == total, s"cannot reshape $total elements into ($r0, $c0)")
+      Series(name, indexed
+        .groupBy(F.expr(s"`$IDX` div $c").as("__g__"))
+        // struct-wrap before collect_list so null elements survive the agg
+        .agg(F.array_sort(F.collect_list(F.struct(F.col(IDX).as("i"), F.col(name).as("v")))).as("__sv__"))
+        .orderBy("__g__")
+        .select(F.transform(F.col("__sv__"), x => x.getField("v")).as(name)))
+    case other => throw new IllegalArgumentException(s"reshape: unsupported dims $other")
+  }
+
   /** Cast to the smallest integer dtype that fits (reference expr.rb:6775). */
   def shrinkDtype: Series = {
     dtype match {

@@ -26,6 +26,20 @@ class IoSpec extends SparkSpec {
     Testing.assertFrameEqual(readParquet(p).toSpark.orderBy("a"), sample)
   }
 
+  test("partitioned parquet write prunes at scan time") {
+    val p = tmp("/pqpart")
+    val df = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0)).toDF("id", "k", "v")
+    DataFrame(df).writeParquet(p, partitionBy = Seq("k"))
+    // hive-style layout on disk
+    val dirs = new java.io.File(p).listFiles().map(_.getName).filter(_.startsWith("k=")).sorted
+    assert(dirs.toSeq == Seq("k=a", "k=b"))
+    val back = readParquet(p).toSpark
+    assert(back.filter(F.col("k") === "a").count() == 2)
+    // the partition filter must reach the scan as partition pruning, not a row filter
+    val plan = back.filter(F.col("k") === "a").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("k#"))
+  }
+
   test("csv round trip with header + schema inference") {
     val p = tmp("/csv")
     DataFrame(sample).writeCsv(p)

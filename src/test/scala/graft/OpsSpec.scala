@@ -98,6 +98,23 @@ class OpsSpec extends SparkSpec {
     assert(r.getLong(0) == Long.MinValue && r.getInt(1) == Int.MaxValue)
   }
 
+  test("series reshape: 2-D, inferred dim, flatten, errors") {
+    val s = Series("x", Seq(1, 2, 3, 4, 5, 6))
+    val r = s.reshape(Seq(2, 3))
+    assert(r.toList == List(Seq(1, 2, 3), Seq(4, 5, 6)))
+    val inferred = s.reshape(Seq(-1, 2))
+    assert(inferred.toList == List(Seq(1, 2), Seq(3, 4), Seq(5, 6)))
+    val back = inferred.reshape(Seq(-1))
+    assert(back.toList == List(1, 2, 3, 4, 5, 6))
+    intercept[IllegalArgumentException](s.reshape(Seq(4, 2)))
+    intercept[IllegalArgumentException](s.reshape(Seq(-1, 4)))
+    intercept[IllegalArgumentException](s.reshape(Seq(-1, -1)))
+    // nulls survive the grouped collect
+    val withNull = Series("y", Seq[Any](1, null, 3, 4))(spark)
+    assert(Series("y", withNull.df.selectExpr("CAST(y AS INT) AS y")).reshape(Seq(2, 2)).toList ==
+      List(Seq(1, null), Seq(3, 4)))
+  }
+
   test("groupBy partitionBy eager split") {
     val df = DataFrame(Seq(("a", 1), ("b", 2), ("a", 3)).toDF("k", "v"))
     val parts = df.partitionBy(Seq("k"))
