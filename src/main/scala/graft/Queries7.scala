@@ -97,10 +97,28 @@ object Queries7 {
       .orderBy("doc_id")
   }
 
+  /** Near-dup clustering end-to-end on a deterministic graph: edges connect
+    * consecutive doc_ids sharing a language, so components are the maximal
+    * same-lang runs — which a gaps-and-islands SQL oracle can rederive while
+    * the Spark side runs the REAL distributed connected-components loop
+    * (min-label propagation + pointer jumping) that near-dup dedup uses on
+    * minhash candidate pairs at corpus scale. */
+  private def qDedupCluster(s: SparkSession, dir: String): SDF = {
+    val d = t(s, dir, "documents").select(F.col("doc_id"), F.col("lang"))
+    val e = d.alias("x").join(d.alias("y"),
+        F.col("x.doc_id") + 1 === F.col("y.doc_id") && F.col("x.lang") === F.col("y.lang"))
+      .select(F.col("x.doc_id").as("id_a"), F.col("y.doc_id").as("id_b"))
+    val cc = graft.ml.Dedup.connectedComponents(e, "id_a", "id_b")
+    d.join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(F.col("doc_id"), F.coalesce(F.col("comp"), F.col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
     "q_tz_offset" -> (qTzOffset _),
     "q_image_meta" -> (qImageMeta _),
     "q_audio_meta" -> (qAudioMeta _),
+    "q_dedup_cluster" -> (qDedupCluster _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -142,5 +160,19 @@ object Queries7 {
         |  CAST((doc_id % 997 + 1) * 4 AS DOUBLE)
         |    / ((doc_id % 2 + 1) * (doc_id % 5 + 1) * 8000 * 2) AS duration_s
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // components of the consecutive-same-lang chain graph = maximal runs:
+    // gaps-and-islands rederivation
+    "q_dedup_cluster" ->
+      """WITH flagged AS (
+        |  SELECT doc_id,
+        |    CASE WHEN lag(lang) OVER (ORDER BY doc_id) = lang
+        |          AND lag(doc_id) OVER (ORDER BY doc_id) = doc_id - 1
+        |         THEN 0 ELSE 1 END AS chg
+        |  FROM documents
+        |), runs AS (
+        |  SELECT doc_id, sum(chg) OVER (ORDER BY doc_id) AS run_id FROM flagged
+        |)
+        |SELECT doc_id, min(doc_id) OVER (PARTITION BY run_id) AS cluster_id
+        |FROM runs ORDER BY doc_id""".stripMargin,
   )
 }

@@ -24,6 +24,24 @@ class MlSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("connected components cluster candidate pairs; cluster-dedup keeps canonical") {
+    // components: {1,2,3,4} (chain + extra edge), {10,11}, isolated 99
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 2L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(edges, "id_a", "id_b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // long chain exercises the pointer-jumping path (diameter >> iterations
+    // a naive propagation-only loop at maxIter=8 could cover)
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ccChain = Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 8).collect()
+    assert(ccChain.forall(_.getLong(1) == 0L))
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (10L, "e"), (11L, "f"), (99L, "g"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupByClusters(docs, "doc_id", edges).collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 10L, 99L))
+  }
+
   test("jaccard of identical is 1") {
     val d = Seq(("abcdefgh", "abcdefgh")).toDF("a", "b")
     val j = d.select(Dedup.jaccard(d, F.col("a"), F.col("b")).as("j")).collect()(0).getDouble(0)
