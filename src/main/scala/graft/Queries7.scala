@@ -114,11 +114,43 @@ object Queries7 {
       .orderBy("doc_id")
   }
 
+  /** PII scrub over text carrying synthetic (deterministically-derived)
+    * emails/IPs/phones spliced into the real document text: both engines
+    * build the identical string, Spark redacts via the library op, the
+    * oracle applies the same patterns with DuckDB's RE2 'g' replace. */
+  private def qPiiRedact(s: SparkSession, dir: String): SDF = {
+    val d = t(s, dir, "documents")
+    val dirty = F.concat(
+      F.lit("reach "), F.col("source"), F.col("doc_id").cast("string"),
+      F.lit("@example.com via 203.0."), (F.col("doc_id") % 256).cast("string"),
+      F.lit(".7 or +1202555"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+      F.lit(" now: "), F.col("text"))
+    d.select(F.col("doc_id"),
+        graft.ml.TextAnalysis.redactPii(dirty).as("clean"),
+        graft.ml.TextAnalysis.piiCounts(dirty).getField("emails").as("n_emails"),
+        graft.ml.TextAnalysis.piiCounts(dirty).getField("ips").as("n_ips"))
+      .orderBy("doc_id")
+  }
+
+  /** URL host extraction for per-domain grouping; every 7th doc is a non-URL
+    * (null host) to pin the miss path. */
+  private def qUrlHost(s: SparkSession, dir: String): SDF = {
+    val d = t(s, dir, "documents")
+    val url = F.when(F.col("doc_id") % 7 === 0, F.lit("not a url"))
+      .otherwise(F.concat(F.lit("https://user@"), F.lower(F.col("source")),
+        (F.col("doc_id") % 50).cast("string"), F.lit(".example.org:8443/path?q=1")))
+    d.select(F.col("doc_id"), graft.ml.TextAnalysis.urlHost(url).as("host"))
+      .groupBy("host").agg(F.count(F.lit(1)).as("n"))
+      .orderBy("host")
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
     "q_tz_offset" -> (qTzOffset _),
     "q_image_meta" -> (qImageMeta _),
     "q_audio_meta" -> (qAudioMeta _),
     "q_dedup_cluster" -> (qDedupCluster _),
+    "q_pii_redact" -> (qPiiRedact _),
+    "q_url_host" -> (qUrlHost _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -174,5 +206,39 @@ object Queries7 {
         |)
         |SELECT doc_id, min(doc_id) OVER (PARTITION BY run_id) AS cluster_id
         |FROM runs ORDER BY doc_id""".stripMargin,
+    // same synthetic dirty string, same patterns, RE2 'g' replace; email →
+    // IPv4 → phone order must match TextAnalysis.redactPii
+    "q_pii_redact" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    'reach ' || source || CAST(doc_id AS VARCHAR)
+        |      || '@example.com via 203.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.7 or +1202555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' now: ' || text AS s
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+        |    '\+?[0-9][0-9()\-. ]{7,}[0-9]', '[PHONE]', 'g') AS clean,
+        |  CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(s, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INTEGER) AS n_ips
+        |FROM dirty ORDER BY doc_id""".stripMargin,
+    "q_url_host" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'not a url'
+        |         ELSE 'https://user@' || lower(source) || CAST(doc_id % 50 AS VARCHAR)
+        |              || '.example.org:8443/path?q=1' END AS url
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    nullif(regexp_extract(lower(url),
+        |      '^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1), '') AS host
+        |  FROM u
+        |)
+        |SELECT host, count(*) AS n FROM h GROUP BY host ORDER BY host""".stripMargin,
   )
 }

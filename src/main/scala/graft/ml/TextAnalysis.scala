@@ -110,4 +110,42 @@ object TextAnalysis {
     * (rolling-hash flavored; stable under small edits at the ends). */
   def robustFingerprint(text: Column, k: Int = 8): Column =
     F.array_min(F.transform(Dedup.shingles(text, k), s => F.xxhash64(s)))
+
+  // ---- PII scrubbing (training corpora must not memorize contact data) ----
+  // Deliberately simple, auditable patterns — codegen'd regexp_replace, no
+  // UDF; swap patterns per policy. Order matters: emails before phones so a
+  // user@host with digits isn't half-eaten.
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"
+  val Ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Redact emails, phone-like digit runs and IPv4 literals. */
+  def redactPii(text: Column,
+                emailTag: String = "[EMAIL]", phoneTag: String = "[PHONE]",
+                ipTag: String = "[IP]"): Column =
+    F.regexp_replace(
+      F.regexp_replace(
+        F.regexp_replace(text, EmailPattern, emailTag),
+        Ipv4Pattern, ipTag),
+      PhonePattern, phoneTag)
+
+  /** Count of PII hits per kind (pre-redaction audit metric). Group idx 0 —
+    * Spark's regexp_extract_all defaults to group 1, which errors on
+    * group-less patterns. */
+  def piiCounts(text: Column): Column = F.struct(
+    F.size(F.regexp_extract_all(text, F.lit(EmailPattern), F.lit(0))).as("emails"),
+    F.size(F.regexp_extract_all(text, F.lit(Ipv4Pattern), F.lit(0))).as("ips"))
+
+  // ---- URL analysis (per-domain quality/dedup grouping) ----
+  /** Registrable host of a URL-ish string, lowercased, null when absent —
+    * pure regexp, so it stays inside whole-stage codegen (parse_url is
+    * UTF8String-library-backed but regexp keeps the DuckDB oracle exact). */
+  def urlHost(url: Column): Column = {
+    val h = F.regexp_extract(F.lower(url), "^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1)
+    F.when(h === "", F.lit(null)).otherwise(h)
+  }
+
+  /** Extract all http(s) URLs from free text. */
+  def extractUrls(text: Column): Column =
+    F.regexp_extract_all(text, F.lit("https?://[^\\s<>\"')\\]]+"), F.lit(0))
 }

@@ -42,6 +42,30 @@ class MlSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 10L, 99L))
   }
 
+  test("PII redaction and URL host extraction") {
+    val d = Seq(
+      (1L, "mail bob.smith+x@corp.example.co.uk or call +1 (202) 555-0176 soon"),
+      (2L, "server at 192.168.1.17 responded"),
+      (3L, "clean text, no pii here"),
+      (4L, "see https://sub.Example.org:8080/a?b=1 and http://plain.net/x"))
+      .toDF("id", "t")
+    val out = d.select(F.col("id"), TextAnalysis.redactPii(F.col("t")).as("r"),
+        TextAnalysis.piiCounts(F.col("t")).as("c"),
+        TextAnalysis.extractUrls(F.col("t")).as("u"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "mail [EMAIL] or call [PHONE] soon")
+    assert(out(0).getStruct(2).getInt(0) == 1) // one email
+    assert(out(1).getString(1) == "server at [IP] responded")
+    assert(out(1).getStruct(2).getInt(1) == 1) // one ip
+    assert(out(2).getString(1) == "clean text, no pii here")
+    assert(out(3).getSeq[String](3) ==
+      Seq("https://sub.Example.org:8080/a?b=1", "http://plain.net/x"))
+    val hosts = d.select(TextAnalysis.urlHost(
+        F.try_element_at(TextAnalysis.extractUrls(F.col("t")), F.lit(1))).as("h"))
+      .orderBy("id").collect().map(r => Option(r.getString(0)).orNull)
+    assert(hosts.toSeq == Seq(null, null, null, "sub.example.org"))
+  }
+
   test("jaccard of identical is 1") {
     val d = Seq(("abcdefgh", "abcdefgh")).toDF("a", "b")
     val j = d.select(Dedup.jaccard(d, F.col("a"), F.col("b")).as("j")).collect()(0).getDouble(0)
