@@ -24,7 +24,10 @@ object Bench {
     // target scale the compile cost is noise — warm numbers compare the
     // actual data-path throughput. BASELINE.md reports both cold and warm.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts to named queries (local iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only.fold(SparkEntry.queries)(names => SparkEntry.queries.filter(kv => names(kv._1)))
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

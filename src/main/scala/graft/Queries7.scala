@@ -108,7 +108,13 @@ object Queries7 {
     val e = d.alias("x").join(d.alias("y"),
         F.col("x.doc_id") + 1 === F.col("y.doc_id") && F.col("x.lang") === F.col("y.lang"))
       .select(F.col("x.doc_id").as("id_a"), F.col("y.doc_id").as("id_b"))
-    val cc = graft.ml.Dedup.connectedComponents(e, "id_a", "id_b")
+    // the iterative loop materializes per round — size its shuffles to the
+    // (tiny) label table, not the session default, like the streaming queries
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val cc =
+      try graft.ml.Dedup.connectedComponents(e, "id_a", "id_b")
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     d.join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(F.col("doc_id"), F.coalesce(F.col("comp"), F.col("doc_id")).as("cluster_id"))
       .orderBy("doc_id")

@@ -214,12 +214,19 @@ object Dedup {
     val sym = sym0.union(sym0.select(F.col("b").as("a"), F.col("a").as("b")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(F.col("a").as("node")).distinct()
-      .withColumn("comp", F.col("node"))
+    // seed with round-1 propagation (min over self+neighbors) straight off
+    // the edge list — one groupBy instead of a join against identity labels
+    var labels = sym.groupBy("a")
+      .agg(F.least(F.col("a"), F.min(F.col("b"))).as("comp"))
+      .select(F.col("a").as("node"), F.col("comp"))
       .localCheckpoint(true)
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
+    // per-node labels only ever decrease, so Σcomp is a strictly-decreasing
+    // progress measure: fixpoint iff the sum is unchanged — one scalar
+    // aggregate per round instead of a change-count join
+    var prevSum = Option.empty[java.math.BigDecimal] // decimal sum: exact and overflow-free at any node-id scale
+    var converged = false
+    while (!converged && iter < maxIter) {
       val nbrMin = sym
         .join(labels.select(F.col("node").as("b"), F.col("comp").as("bcomp")), "b")
         .groupBy("a").agg(F.min("bcomp").as("nmin")) // map-side partial min
@@ -231,8 +238,10 @@ object Dedup {
           Seq("comp"), "left")
         .select(F.col("node"), F.coalesce(F.col("cc"), F.col("comp")).as("comp"))
         .localCheckpoint(true)
-      changed = jumped.join(labels.withColumnRenamed("comp", "prev"), "node")
-        .where(F.col("comp") =!= F.col("prev")).count()
+      val sum = jumped.agg(F.sum(F.col("comp").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0)
+      converged = prevSum.exists(_.compareTo(sum) == 0)
+      prevSum = Some(sum)
       labels = jumped
       iter += 1
     }
