@@ -140,6 +140,32 @@ class PropertySpec extends SparkSpec {
     assert(sigs.forall(_.size == 16))
   }
 
+  test("connected components match driver-side union-find on random graphs") {
+    for (seed <- 1L to 3L) {
+      val rnd = new Random(seed)
+      val n = 30
+      val edges = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: classic union-find with path compression
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt)); if (ra != rb) parent(ra) = rb
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> {
+          // canonical label = min member of the component
+          val root = find(v.toInt)
+          (0L until n).filter(u => find(u.toInt) == root)
+            .filter(u => edges.exists(e => e._1 == u || e._2 == u)).min
+        }).toMap
+      val got = graft.ml.Dedup.connectedComponents(
+          edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("tz offset is zero for UTC and total = base + dst") {
     import org.apache.spark.unsafe.types.UTF8String
     val instants = Seq(0L, 1704067200000000L, 1721088000000000L) // 1970, 2024-01, 2024-07
