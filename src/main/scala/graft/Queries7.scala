@@ -150,6 +150,17 @@ object Queries7 {
       .orderBy("host")
   }
 
+  /** Z-order curve values over two bounded order keys — the clustering
+    * transform behind [[graft.io.Layout.zorderWrite]]'s multi-dimensional
+    * data skipping, checked bit-for-bit against the same interleave in SQL. */
+  private def qZorder(s: SparkSession, dir: String): SDF = {
+    val o = t(s, dir, "orders")
+    o.select(F.col("o_orderkey"),
+        graft.io.Layout.zValue(
+          Seq(F.col("o_orderkey") % 1024, F.col("o_custkey") % 1024), bits = 10).as("z"))
+      .orderBy("o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
     "q_tz_offset" -> (qTzOffset _),
     "q_image_meta" -> (qImageMeta _),
@@ -157,7 +168,16 @@ object Queries7 {
     "q_dedup_cluster" -> (qDedupCluster _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_url_host" -> (qUrlHost _),
+    "q_zorder" -> (qZorder _),
   )
+
+  private val zorderOracle: String = {
+    val terms = (for { j <- 0 to 1; i <- 0 until 10 } yield {
+      val c = if (j == 0) "(o_orderkey % 1024)" else "(o_custkey % 1024)"
+      s"((($c >> $i) & 1) << ${i * 2 + j})"
+    }).mkString(" | ")
+    s"SELECT o_orderkey, CAST($terms AS BIGINT) AS z FROM orders ORDER BY o_orderkey"
+  }
 
   def oracleSql: Map[String, String] = Map(
     // offsets are whole seconds, so truncate ts first and the ns fraction
@@ -246,5 +266,6 @@ object Queries7 {
         |  FROM u
         |)
         |SELECT host, count(*) AS n FROM h GROUP BY host ORDER BY host""".stripMargin,
+    "q_zorder" -> zorderOracle,
   )
 }
