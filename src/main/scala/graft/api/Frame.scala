@@ -199,11 +199,19 @@ trait FrameOps[Self] {
   // ---- concat-ish ----
   def vstack(other: FrameOps[_]): Self = make(sdf.unionAll(other.toSpark))
   def extend(other: FrameOps[_]): Self = vstack(other)
-  def hstack(other: FrameOps[_]): Self = {
-    val a = RowIndex.attachDense(sdf)
-    val b = RowIndex.attachDense(other.toSpark)
-    make(a.join(b, RowIndex.name).drop(RowIndex.name))
-  }
+  /** Positional column concat (reference data_frame.rb hstack). Fast path:
+    * when both sides are projections over the same base plan (the dominant
+    * hstack shape), fuse into one projection over that base — a single
+    * execution with no index and no shuffle. Otherwise fall back to the
+    * dense-index equi-join. */
+  def hstack(other: FrameOps[_]): Self =
+    org.apache.spark.sql.GraftInternalOps.fusedHstack(sdf, other.toSpark) match {
+      case Some(fused) => make(fused)
+      case None =>
+        val a = RowIndex.attachDense(sdf)
+        val b = RowIndex.attachDense(other.toSpark)
+        make(a.join(b, RowIndex.name).drop(RowIndex.name))
+    }
 
   // ---- group by (reference: data_frame.rb:1684, group_by.rb:203) ----
   def groupBy(keys: String*): GroupBy[Self] =

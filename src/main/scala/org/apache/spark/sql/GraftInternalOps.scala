@@ -32,6 +32,40 @@ object GraftInternalOps {
   def catalystExpression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Fuse an hstack of two projections over canonically-equal bases into ONE
+    * projection over the shared base: hstack pairs row i of each side, and
+    * when both sides are `Project(_, B)` with the same `B` (up to
+    * canonicalization — any B: scan, filter, sort, join), per-row pairing is
+    * exactly `Project(leftList ++ rightList, B)`. One execution, no index, no
+    * shuffle, stays columnar/codegen — and sidesteps cross-execution
+    * nondeterminism (re-executing a sorted base can sample different range
+    * bounds). Returns None when the bases differ or output names would
+    * collide (callers fall back to the dense-index join). */
+  def fusedHstack(a: DataFrame, b: DataFrame): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeMap, AttributeReference, NamedExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    val da = a.asInstanceOf[classic.Dataset[Row]]
+    val db = b.asInstanceOf[classic.Dataset[Row]]
+    def split(p: LogicalPlan): (Seq[NamedExpression], LogicalPlan) = p match {
+      case Project(list, c) => (list, c)
+      case other => (other.output, other)
+    }
+    // analyzed (not optimized) plans: the optimizer pushes column pruning
+    // below sorts/joins, reshaping each side's base differently — the
+    // analyzed tree still has the user's Project directly over the shared
+    // base, and the fused Project re-optimizes afterwards anyway
+    val (la, ba) = split(da.queryExecution.analyzed)
+    val (lb, bb) = split(db.queryExecution.analyzed)
+    if (!ba.sameResult(bb)) return None
+    val attrMap = AttributeMap(bb.output.zip(ba.output))
+    val lbRemapped = lb.map(_.transform {
+      case ar: AttributeReference => attrMap.getOrElse(ar, ar)
+    }.asInstanceOf[NamedExpression])
+    val names = (la ++ lbRemapped).map(_.name)
+    if (names.distinct.size != names.size) return None
+    Some(classic.Dataset.ofRows(da.sparkSession, Project(la ++ lbRemapped, ba)))
+  }
+
   /** `df` with a trailing dense 0-based long index column, same row order and
     * partitioning as `df`'s execution. */
   def zipWithDenseIndex(df: DataFrame, name: String): DataFrame = {

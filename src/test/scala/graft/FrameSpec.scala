@@ -107,6 +107,28 @@ class FrameSpec extends SparkSpec {
     val out = a.hstack(b).toSpark.collect()
     assert(out.length == 3)
     assert(out.map(r => (r.getInt(0), r.getString(1))).toSet == Set((1, "p"), (2, "q"), (3, "r")))
+    // mismatched layouts (different partition counts) take the index-join path
+    val c = DataFrame(Seq("p", "q", "r").toDF("y").repartition(7))
+    val out2 = a.hstack(c).toSpark.collect()
+    assert(out2.map(r => (r.getInt(0), r.getString(1))).toSet.size == 3)
+  }
+
+  test("hstack of same-base projections is shuffle-free") {
+    val p = java.nio.file.Files.createTempDirectory("graft-hstack").toFile
+    p.deleteOnExit()
+    val path = p.getAbsolutePath + "/t"
+    Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("k", "s", "v")
+      .write.parquet(path)
+    val base = DataFrame(spark.read.parquet(path))
+    val left = base.select(col("k"))
+    val right = base.select(col("s"), col("v"))
+    val stacked = left.hstack(right)
+    val rows = stacked.toSpark.orderBy("k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    // aligned-zip fast path: the zipped result's plan has no Exchange at all
+    val plan = stacked.toSpark.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
   }
 
   test("sort with nulls handling and stability tiebreak") {
