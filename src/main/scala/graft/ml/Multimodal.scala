@@ -125,6 +125,36 @@ object Multimodal {
     }
   }
 
+  /** Resize stub: emits a width×height grayscale grid derived
+    * deterministically from the payload bytes (real decoder+scaler binds at
+    * the marked line). Same mapPartitions shape as [[decodeImageFeatures]]:
+    * per-partition codec init, binary out column plus dimension metadata —
+    * the schema/batching a real implementation keeps. */
+  def resizeImages(df: DataFrame, payloadCol: String,
+                   width: Int = 32, height: Int = 32): DataFrame = {
+    require(width > 0 && height > 0, "resize dims must be positive")
+    val spark = df.sparkSession
+    val outSchema = df.schema
+      .add("resized", BinaryType)
+      .add("resized_width", IntegerType, nullable = false)
+      .add("resized_height", IntegerType, nullable = false)
+    val idx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      // ??? real implementation: initialize codec/scaler once here
+      it.map { row =>
+        val bytes = row.get(idx) match {
+          case b: Array[Byte] => b
+          case _              => Array.empty[Byte]
+        }
+        val out =
+          if (bytes.isEmpty) null
+          else Array.tabulate(width * height)(i => bytes(i % bytes.length))
+        Row.fromSeq(row.toSeq ++ Seq(out, width, height))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame-sample stub for video: pick every nth "frame" (chunk) of the
     * payload — real plumbing (explode to frame rows, metadata propagation),
     * fake chunking. */

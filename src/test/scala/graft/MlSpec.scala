@@ -66,6 +66,17 @@ class MlSpec extends SparkSpec {
     assert(hosts.toSeq == Seq(null, null, null, "sub.example.org"))
   }
 
+  test("resize stub keeps schema plumbing and determinism") {
+    val d = Seq((1L, Array[Byte](10, 20, 30)), (2L, Array.empty[Byte]))
+      .toDF("media_id", "payload")
+    val out = Multimodal.resizeImages(d, "payload", width = 4, height = 2)
+      .orderBy("media_id").collect()
+    assert(out(0).getAs[Array[Byte]]("resized").toSeq ==
+      Seq[Byte](10, 20, 30, 10, 20, 30, 10, 20))
+    assert(out(0).getAs[Int]("resized_width") == 4 && out(0).getAs[Int]("resized_height") == 2)
+    assert(out(1).isNullAt(out(1).fieldIndex("resized"))) // empty payload -> null, not garbage
+  }
+
   test("jaccard of identical is 1") {
     val d = Seq(("abcdefgh", "abcdefgh")).toDF("a", "b")
     val j = d.select(Dedup.jaccard(d, F.col("a"), F.col("b")).as("j")).collect()(0).getDouble(0)

@@ -140,6 +140,18 @@ class PropertySpec extends SparkSpec {
     assert(sigs.forall(_.size == 16))
   }
 
+  test("reshape(r,c) then flatten is the identity for random lengths") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    for (seed <- 1L to 3L) {
+      val rnd = new Random(seed)
+      val c = rnd.nextInt(5) + 1
+      val r = rnd.nextInt(8) + 1
+      val values = Seq.fill(r * c)(rnd.nextInt(1000))
+      val s = graft.api.Series("x", values)
+      assert(s.reshape(Seq(r.toLong, c.toLong)).reshape(Seq(-1L)).toList == values.toList)
+    }
+  }
+
   test("connected components match driver-side union-find on random graphs") {
     for (seed <- 1L to 3L) {
       val rnd = new Random(seed)
