@@ -161,6 +161,35 @@ object Queries7 {
       .orderBy("o_orderkey")
   }
 
+  /** Event-time sessionization through Structured Streaming: per-user
+    * sessions with a 2h inactivity gap, drained via AvailableNow. The oracle
+    * rederives sessions with gaps-and-islands SQL (new session only when the
+    * gap STRICTLY exceeds 2h — session_window's close is inclusive at
+    * prev_end, StreamingSpec pins it), on µs-truncated timestamps matching
+    * the Spark-side ns→µs conversion. */
+  private def qStreamingSession(s: SparkSession, dir: String): SDF = {
+    implicit val sp: SparkSession = s
+    val schema = t(s, dir, "events").schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q-ssess").toFile
+    tmp.deleteOnExit()
+    val inDir = java.nio.file.Files.createDirectory(tmp.toPath.resolve("in"))
+    java.nio.file.Files.createSymbolicLink(
+      inDir.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = graft.streaming.Streaming.scanParquetStream(inDir.toString, schema)
+      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    val sessions = graft.streaming.Streaming.sessionWindowAgg(
+      stream, "ts", "2 hours", by = Seq("user_id"),
+      aggs = Seq(F.count(F.lit(1)).as("n"), F.sum("value").as("sv")))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try
+      graft.streaming.Streaming.runToMemory(sessions, "graft_q_streaming_session")
+        .select(F.col("user_id"), F.col("session_window.start").as("session_start"),
+          F.col("n"), F.col("sv"))
+        .orderBy("user_id", "session_start")
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
     "q_tz_offset" -> (qTzOffset _),
     "q_image_meta" -> (qImageMeta _),
@@ -169,6 +198,7 @@ object Queries7 {
     "q_pii_redact" -> (qPiiRedact _),
     "q_url_host" -> (qUrlHost _),
     "q_zorder" -> (qZorder _),
+    "q_streaming_session" -> (qStreamingSession _),
   )
 
   private val zorderOracle: String = {
@@ -267,5 +297,21 @@ object Queries7 {
         |)
         |SELECT host, count(*) AS n FROM h GROUP BY host ORDER BY host""".stripMargin,
     "q_zorder" -> zorderOracle,
+    "q_streaming_session" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS tsu, value FROM events
+        |), flagged AS (
+        |  SELECT user_id, tsu, value,
+        |    CASE WHEN lag(tsu) OVER w IS NULL
+        |          OR tsu - lag(tsu) OVER w > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu)
+        |), runs AS (
+        |  SELECT user_id, tsu, value,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY tsu) AS sess
+        |  FROM flagged
+        |)
+        |SELECT user_id, min(tsu) AS session_start, count(*) AS n, sum(value) AS sv
+        |FROM runs GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 }

@@ -51,6 +51,19 @@ object Streaming {
       .groupBy((F.window(F.col(tsCol), every) +: by.map(F.col)): _*)
       .agg(aggs.head, aggs.tail: _*)
 
+  /** Event-time session windows with a static inactivity gap: events within
+    * `gap` of each other (per key) merge into one session; the watermark
+    * finalizes and evicts sessions whose close precedes the horizon. The
+    * canonical sessionization shape for behavioral pipelines — state is one
+    * open session per active key, merged incrementally as micro-batches
+    * arrive (no per-event state accretion). */
+  def sessionWindowAgg(stream: DataFrame, tsCol: String, gap: String,
+                       by: Seq[String], aggs: Seq[org.apache.spark.sql.Column],
+                       watermark: String = "1 hour"): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .groupBy((F.session_window(F.col(tsCol), gap) +: by.map(F.col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
   /** Streaming deduplication with bounded state: duplicates are dropped
     * within the watermark horizon and state older than the watermark is
     * evicted — the only dedup shape that runs forever on an unbounded stream

@@ -55,6 +55,29 @@ class StreamingSpec extends SparkSpec {
       ("b", "2024-01-01 06:00:00.0", 1L, 3.0)))
   }
 
+  test("session windows merge within gap, split at or beyond it") {
+    val in = tmpDir()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(minutes: Int) = new java.sql.Timestamp(t0.getTime + minutes * 60000L)
+    // u1: 0m, 30m (merge), 91m (split: 61m > 1h gap; exactly-at-gap merges —
+    // session_window's close is inclusive at prev_end)
+    // u2: single event
+    val src = Seq(("u1", at(0), 1.0), ("u1", at(30), 2.0), ("u1", at(91), 4.0),
+      ("u2", at(10), 8.0)).toDF("user_id", "ts", "v")
+    src.coalesce(1).write.mode("overwrite").parquet(in)
+    val stream = Streaming.scanParquetStream(in, src.schema)
+    val sessions = Streaming.sessionWindowAgg(stream, "ts", "1 hour",
+      by = Seq("user_id"), aggs = Seq(F.count(F.lit(1)).as("n"), F.sum("v").as("sv")))
+    val out = Streaming.runToMemory(sessions, "graft_sessions_test")
+      .select(F.col("user_id"), F.col("session_window.start").as("start"), F.col("n"), F.col("sv"))
+      .orderBy("user_id", "start").collect()
+    assert(out.length == 3)
+    assert(out(0).getString(0) == "u1" && out(0).getLong(2) == 2 && out(0).getDouble(3) == 3.0)
+    assert(out(1).getString(0) == "u1" && out(1).getLong(2) == 1 && out(1).getDouble(3) == 4.0)
+    assert(out(1).getTimestamp(1) == at(91)) // session start = first event of the run
+    assert(out(2).getString(0) == "u2" && out(2).getLong(2) == 1 && out(2).getDouble(3) == 8.0)
+  }
+
   test("streaming dedup within watermark drops duplicates, keeps distinct") {
     val in = tmpDir()
     val src = Seq(
