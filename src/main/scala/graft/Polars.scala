@@ -128,9 +128,20 @@ object Polars {
              (implicit spark: SparkSession): DataFrame =
     DataFrame(readCsvSpark(path, sep, hasHeader, inferSchema, skipRows, nullValues,
       dtypes, quoteChar, commentPrefix, encoding, eolChar, nRows, newColumns, ignoreErrors))
+  /** scan_csv with full read_csv option parity (reference io/csv.rb:scan_csv
+    * takes the same surface). The plan stays lazy; only multi-marker
+    * null_values type inference runs an eager stats pass, mirroring the
+    * reference's eager schema inference on scan. */
   def scanCsv(path: String, sep: String = ",", hasHeader: Boolean = true,
-              inferSchema: Boolean = true)(implicit spark: SparkSession): LazyFrame =
-    LazyFrame(csvReader(spark, sep, hasHeader, inferSchema).csv(path))
+              inferSchema: Boolean = true, skipRows: Int = 0,
+              nullValues: Seq[String] = Nil,
+              dtypes: Option[org.apache.spark.sql.types.StructType] = None,
+              quoteChar: String = "\"", commentPrefix: Option[String] = None,
+              encoding: String = "UTF-8", eolChar: String = "\n",
+              nRows: Option[Int] = None, newColumns: Seq[String] = Nil,
+              ignoreErrors: Boolean = false)(implicit spark: SparkSession): LazyFrame =
+    LazyFrame(readCsvSpark(path, sep, hasHeader, inferSchema, skipRows, nullValues,
+      dtypes, quoteChar, commentPrefix, encoding, eolChar, nRows, newColumns, ignoreErrors))
   private def csvReader(spark: SparkSession, sep: String, header: Boolean, infer: Boolean) =
     spark.read.option("sep", sep).option("header", header).option("inferSchema", infer)
   private def readCsvSpark(path: String, sep: String, header: Boolean, infer: Boolean,

@@ -246,6 +246,10 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents: not converged after $maxIter rounds — labels are " +
+          "an upper bound on components; raise maxIter for adversarial graphs")
     labels
   }
 

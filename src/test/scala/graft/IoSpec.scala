@@ -110,6 +110,18 @@ class IoSpec extends SparkSpec {
     assert(df(0).getString(1) == "x")
   }
 
+  test("scan_csv carries the full read_csv option surface") {
+    val p = tmp(".csv")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      "junk\na,b\n1,x\nNA,-\n3,z\n")
+    val lf = Polars.scanCsv(p, skipRows = 1, nullValues = Seq("NA", "-"),
+      newColumns = Seq("id", "label"))
+    val rows = lf.toSpark.orderBy(F.col("id").asc_nulls_first).collect()
+    assert(rows.length == 3)
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1)) // both markers null
+    assert(rows(1).getLong(0) == 1L && rows(2).getLong(0) == 3L) // inferred numeric
+  }
+
   test("read_csv null_values list: every listed marker becomes null") {
     val p = tmp(".csv")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
