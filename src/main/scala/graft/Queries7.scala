@@ -190,6 +190,20 @@ object Queries7 {
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** rolling_quantile (linear + lower modes) and rolling_skew over a
+    * trailing 5-row window on the event timeline. Oracles: quantile_cont as
+    * a window aggregate, sorted-list indexing for the "lower" mode, and
+    * DuckDB's sample skewness de-corrected to the biased g1 Spark computes. */
+  private def qRollingQuantile(s: SparkSession, dir: String): SDF =
+    events(s, dir)
+      .sortBy(Seq(col("event_id")))
+      .select(col("event_id"),
+        col("value").rollingQuantile(0.25, 5, "linear").alias("rq"),
+        col("value").rollingQuantile(0.25, 5, "lower").alias("rq_lo"),
+        col("value").rollingSkew(5, bias = true, minPeriods = 3).alias("rsk"))
+      .sortBy(Seq(col("event_id")))
+      .collect().toSpark
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
     "q_tz_offset" -> (qTzOffset _),
     "q_image_meta" -> (qImageMeta _),
@@ -199,6 +213,7 @@ object Queries7 {
     "q_url_host" -> (qUrlHost _),
     "q_zorder" -> (qZorder _),
     "q_streaming_session" -> (qStreamingSession _),
+    "q_rolling_quantile" -> (qRollingQuantile _),
   )
 
   private val zorderOracle: String = {
@@ -313,5 +328,17 @@ object Queries7 {
         |SELECT user_id, min(tsu) AS session_start, count(*) AS n, sum(value) AS sv
         |FROM runs GROUP BY user_id, sess
         |ORDER BY user_id, session_start""".stripMargin,
+    "q_rolling_quantile" ->
+      """SELECT event_id,
+        |  quantile_cont(value, 0.25) OVER w AS rq,
+        |  list_sort(list(value) OVER w)
+        |    [CAST(floor(0.25 * (count(*) OVER w - 1)) AS INT) + 1] AS rq_lo,
+        |  CASE WHEN count(*) OVER w >= 3 THEN
+        |    skewness(value) OVER w * (count(*) OVER w - 2)
+        |      / sqrt(count(*) OVER w * (count(*) OVER w - 1.0))
+        |  END AS rsk
+        |FROM events
+        |WINDOW w AS (ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
   )
 }

@@ -279,11 +279,49 @@ final case class Expr(col: Column, requiresIndex: Boolean = false) {
   def rollingMax(n: Int, minPeriods: Int = 1): Expr = rolling(F.max, n, minPeriods)
   def rollingStd(n: Int, minPeriods: Int = 2): Expr = rolling(F.stddev_samp, n, minPeriods)
   def rollingVar(n: Int, minPeriods: Int = 2): Expr = rolling(F.var_samp, n, minPeriods)
-  def rollingMedian(n: Int, minPeriods: Int = 1): Expr = rolling(c => F.median(c), n, minPeriods)
+  def rollingMedian(n: Int, minPeriods: Int = 1): Expr =
+    rollingQuantile(0.5, n, "linear", minPeriods)
   private def rolling(f: Column => Column, n: Int, minPeriods: Int): Expr = {
     val w = idxWindow.rowsBetween(-(n - 1).toLong, 0L)
     val cnt = F.count(col).over(w)
     Expr(F.when(cnt >= minPeriods, f(col).over(w)), requiresIndex = true)
+  }
+  /** rolling_quantile (reference expr.rb:5480): exact quantile over a
+    * trailing rows window with polars' interpolation modes. Spark's
+    * percentile/median aggregates reject window FRAMES, so every mode indexes
+    * the sorted collected window (n is a small constant — the collect is
+    * per-row bounded, not a data-sized state). */
+  def rollingQuantile(q: Double, n: Int, interpolation: String = "nearest",
+                      minPeriods: Int = 1): Expr = {
+    val w = idxWindow.rowsBetween(-(n - 1).toLong, 0L)
+    val cnt = F.count(col).over(w)
+    val sorted = F.sort_array(F.collect_list(col).over(w))
+    val h = F.lit(q) * (F.size(sorted) - 1).cast("double")
+    val lo = F.element_at(sorted, F.floor(h).cast("int") + 1)
+    val hi = F.element_at(sorted, F.ceil(h).cast("int") + 1)
+    val value = interpolation match {
+      case "linear"   => lo + (hi - lo) * (h - F.floor(h))
+      case "lower"    => lo
+      case "higher"   => hi
+      case "midpoint" => (lo + hi) / 2.0
+      case "nearest"  => F.when(h - F.floor(h) > 0.5, hi).otherwise(lo)
+    }
+    Expr(F.when(cnt >= minPeriods, value), requiresIndex = true)
+  }
+  /** rolling_skew (reference expr.rb:5567): windowed skewness. Spark's
+    * skewness aggregate is the biased g1 = m3/m2^1.5; bias: false applies the
+    * sample correction sqrt(n(n-1))/(n-2), null under 3 points. */
+  def rollingSkew(n: Int, bias: Boolean = true, minPeriods: Int = 1): Expr = {
+    val w = idxWindow.rowsBetween(-(n - 1).toLong, 0L)
+    val cnt = F.count(col).over(w)
+    val g1 = F.skewness(col).over(w)
+    val value =
+      if (bias) g1
+      else {
+        val m = cnt.cast("double")
+        F.when(m > 2, g1 * F.sqrt(m * (m - 1)) / (m - 2))
+      }
+    Expr(F.when(cnt >= minPeriods, value), requiresIndex = true)
   }
 
   /** Run-length-encoding id: increments when the value changes, over implicit

@@ -81,6 +81,31 @@ class ExprSpec extends SparkSpec {
     assert(out.toSeq == Seq(None, Some(1.5), Some(2.0), Some(3.0)))
   }
 
+  test("rolling quantile modes and rolling skew") {
+    val df = DataFrame(Seq(3.0, 1.0, 4.0, 1.0, 5.0).toDF("v"))
+    // linear median over trailing-3 equals rollingMedian
+    val med = df.select(
+      col("v").rollingQuantile(0.5, 3, "linear").alias("rq"),
+      col("v").rollingMedian(3).alias("rm")).toSpark.collect()
+    med.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // lower/higher index the sorted window: last window sorted = [1,4,5]
+    val lh = df.select(
+      col("v").rollingQuantile(0.5, 3, "lower").alias("lo"),
+      col("v").rollingQuantile(0.9, 3, "higher").alias("hi")).toSpark.collect().last
+    assert(lh.getDouble(0) == 4.0 && lh.getDouble(1) == 5.0)
+    // skew of the last window [4,1,5]: m2=17/9... compute expected directly
+    val xs = Seq(4.0, 1.0, 5.0)
+    val mean = xs.sum / 3
+    val m2 = xs.map(x => math.pow(x - mean, 2)).sum / 3
+    val m3 = xs.map(x => math.pow(x - mean, 3)).sum / 3
+    val g1 = m3 / math.pow(m2, 1.5)
+    val sk = df.select(
+      col("v").rollingSkew(3).alias("b"),
+      col("v").rollingSkew(3, bias = false).alias("u")).toSpark.collect().last
+    assert(math.abs(sk.getDouble(0) - g1) < 1e-12)
+    assert(math.abs(sk.getDouble(1) - g1 * math.sqrt(3.0 * 2.0) / 1.0) < 1e-12)
+  }
+
   test("fill null / forward fill") {
     val df = DataFrame(Seq[(Integer, Integer)]((1, null), (2, 5), (3, null), (4, 7))
       .toDF("i", "v"))
