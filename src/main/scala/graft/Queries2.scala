@@ -128,8 +128,10 @@ object Queries2 {
     events(s, dir)
       .withColumns(
         "roll_1h_sum" -> Expr(F.sum("value").over(w)),
-        "roll_1h_n" -> Expr(F.count(F.lit(1)).over(w)))
-      .select(col("event_id"), col("user_id"), col("roll_1h_sum"), col("roll_1h_n"))
+        "roll_1h_n" -> Expr(F.count(F.lit(1)).over(w)),
+        "roll_1h_med" -> col("value").rollingQuantileOver(0.5, w, "linear"))
+      .select(col("event_id"), col("user_id"), col("roll_1h_sum"), col("roll_1h_n"),
+        col("roll_1h_med"))
       .sortBy(Seq(col("event_id")))
       .collect().toSpark
   }
@@ -469,7 +471,8 @@ object Queries2 {
     "q_rolling_time" ->
       """SELECT event_id, user_id,
         |sum(value) OVER w AS roll_1h_sum,
-        |count(*) OVER w AS roll_1h_n
+        |count(*) OVER w AS roll_1h_n,
+        |quantile_cont(value, 0.5) OVER w AS roll_1h_med
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,

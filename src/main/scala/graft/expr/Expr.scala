@@ -296,17 +296,17 @@ final case class Expr(col: Column, requiresIndex: Boolean = false) {
     val w = idxWindow.rowsBetween(-(n - 1).toLong, 0L)
     val cnt = F.count(col).over(w)
     val sorted = F.sort_array(F.collect_list(col).over(w))
-    val h = F.lit(q) * (F.size(sorted) - 1).cast("double")
-    val lo = F.element_at(sorted, F.floor(h).cast("int") + 1)
-    val hi = F.element_at(sorted, F.ceil(h).cast("int") + 1)
-    val value = interpolation match {
-      case "linear"   => lo + (hi - lo) * (h - F.floor(h))
-      case "lower"    => lo
-      case "higher"   => hi
-      case "midpoint" => (lo + hi) / 2.0
-      case "nearest"  => F.when(h - F.floor(h) > 0.5, hi).otherwise(lo)
-    }
-    Expr(F.when(cnt >= minPeriods, value), requiresIndex = true)
+    Expr(F.when(cnt >= minPeriods, Expr.quantileOfSorted(sorted, q, interpolation)),
+      requiresIndex = true)
+  }
+  /** rolling_quantile_by (reference expr.rb:4848): quantile over a caller-
+    * supplied WindowSpec — the range-frame formulation used for temporal
+    * `_by` windows (`Window.partitionBy(keys).orderBy(unix_micros(ts))
+    * .rangeBetween(-duration, 0)`). */
+  def rollingQuantileOver(q: Double, w: WindowSpec,
+                          interpolation: String = "nearest"): Expr = {
+    val sorted = F.sort_array(F.collect_list(col).over(w))
+    Expr(Expr.quantileOfSorted(sorted, q, interpolation), requiresIndex)
   }
   /** rolling_skew (reference expr.rb:5567): windowed skewness. Spark's
     * skewness aggregate is the biased g1 = m3/m2^1.5; bias: false applies the
@@ -439,6 +439,21 @@ object Expr {
     case e: Expr   => e
     case c: Column => Expr(c)
     case x         => Expr(F.lit(x))
+  }
+  /** Quantile of an already-sorted array column with polars' interpolation
+    * modes (shared by the rolling-quantile family). */
+  private[expr] def quantileOfSorted(sorted: Column, q: Double,
+                                     interpolation: String): Column = {
+    val h = F.lit(q) * (F.size(sorted) - 1).cast("double")
+    val lo = F.element_at(sorted, F.floor(h).cast("int") + 1)
+    val hi = F.element_at(sorted, F.ceil(h).cast("int") + 1)
+    interpolation match {
+      case "linear"   => lo + (hi - lo) * (h - F.floor(h))
+      case "lower"    => lo
+      case "higher"   => hi
+      case "midpoint" => (lo + hi) / 2.0
+      case "nearest"  => F.when(h - F.floor(h) > 0.5, hi).otherwise(lo)
+    }
   }
   /** Rescale a sample std/var to an arbitrary ddof (Polars allows ddof 0..n). */
   private[expr] def ddofScale(sampStat: Column, n: Column, ddof: Int, isStd: Boolean): Column =
