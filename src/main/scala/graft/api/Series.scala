@@ -67,6 +67,29 @@ final case class Series(name: String, df: SDF) {
       .agg(F.min(F.col(IDX)).as("__fs__"), F.count(F.lit(1)).as("unique_counts"))
       .orderBy("__fs__").select("unique_counts"))
 
+  /** Indices of the first occurrence of each distinct value, ascending
+    * (reference series.rb arg_unique). */
+  def argUnique: Series = Series("arg_unique",
+    indexed.groupBy(F.col(name)).agg(F.min(F.col(IDX)).as("arg_unique"))
+      .orderBy("arg_unique").select("arg_unique"))
+
+  /** Run-length encode into struct(len, value) rows in run order (reference
+    * expr.rb:2648 rle; rle_id is the Expr-level sibling). */
+  def rle: Series = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(F.col(IDX))
+    val changed = F.when(F.row_number().over(w) === 1, 1)
+      .when(!(F.col(name) <=> F.lag(F.col(name), 1).over(w)), 1).otherwise(0)
+    val runs = indexed.withColumn("__run__",
+      F.sum(changed).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+    Series("rle", runs.groupBy("__run__")
+      .agg(F.count(F.lit(1)).as("len"), F.first(F.col(name)).as("value"),
+        F.min(F.col(IDX)).as("__fs__"))
+      .orderBy("__fs__")
+      .select(F.struct(F.col("len"), F.col("value")).as("rle")))
+  }
+
   /** Indices that would sort the series (reference series.rb arg_sort). */
   def argSort(descending: Boolean = false): Series = Series("arg_sort",
     indexed.orderBy(if (descending) F.col(name).desc else F.col(name).asc)

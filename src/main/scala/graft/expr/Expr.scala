@@ -124,6 +124,7 @@ final case class Expr(col: Column, requiresIndex: Boolean = false) {
   def atanh: Expr = map(F.atanh)
   def degrees: Expr = map(F.degrees)
   def radians: Expr = map(F.radians)
+  def cot: Expr = map(F.cot)
   def clip(lo: Expr, hi: Expr): Expr =
     Expr(F.least(F.greatest(col, lo.col), hi.col), requiresIndex)
   def clip(lo: Any, hi: Any): Expr = clip(Expr.lit(lo), Expr.lit(hi))
@@ -159,6 +160,21 @@ final case class Expr(col: Column, requiresIndex: Boolean = false) {
   def product: Expr = map(F.product) // exact partial+final agg; handles zeros/negatives
   def nUnique: Expr = map(c => F.countDistinct(c))
   def approxNUnique: Expr = map(c => F.approx_count_distinct(c))
+  /** NaN-propagating extrema (reference expr.rb:2263 nan_max/nan_min): any
+    * NaN in the group makes the result NaN. Spark already orders NaN above
+    * every double, so max propagates; min needs the explicit check. */
+  def nanMax: Expr = map(F.max)
+  def nanMin: Expr = map(c =>
+    F.when(F.count(F.when(F.isnan(c), 1)) > 0, Double.NaN).otherwise(F.min(c)))
+  /** sort_by in aggregation context (reference expr.rb:1427): this column's
+    * group values ordered by the key column(s) — the agg shape behind
+    * `col("a").sort_by("b").first`. Struct-wrap keeps nulls and gives
+    * lexicographic multi-key order. */
+  def sortByAgg(by: Expr, descending: Boolean = false): Expr = {
+    val sorted = F.array_sort(F.collect_list(F.struct(by.col.as("k"), col.as("v"))))
+    val values = F.transform(sorted, s => s.getField("v"))
+    Expr(if (descending) F.reverse(values) else values, requiresIndex || by.requiresIndex)
+  }
   def std(ddof: Int = 1): Expr = map(c => ddofScale(F.stddev_samp(c), F.count(c), ddof, isStd = true))
   def variance(ddof: Int = 1): Expr = map(c => ddofScale(F.var_samp(c), F.count(c), ddof, isStd = false))
   /** Exact quantile, all five Polars interpolation modes (reference: expr.rb:2107).
@@ -353,6 +369,19 @@ final case class Expr(col: Column, requiresIndex: Boolean = false) {
     mapping.foldLeft(F.when(F.lit(false), F.lit(null))) { case (acc, (k, v)) =>
       acc.when(c === F.lit(k), F.lit(v))
     }.otherwise(c)
+  }
+  /** replace_strict (reference expr.rb:7010): every value must be mapped;
+    * unmapped values take `default` when given, otherwise error at runtime
+    * (the reference raises InvalidOperationError). */
+  def replaceStrict(mapping: Map[Any, Any], default: Option[Any] = None): Expr = map { c =>
+    val tail = default match {
+      case Some(d) => F.lit(d)
+      case None => F.raise_error(F.concat(
+        F.lit("replace_strict: value not mapped: "), c.cast("string")))
+    }
+    mapping.foldLeft(F.when(F.lit(false), F.lit(null))) { case (acc, (k, v)) =>
+      acc.when(c === F.lit(k), F.lit(v))
+    }.otherwise(tail)
   }
   /** cut into buckets by break points (reference expr.rb:2530). */
   def cut(breaks: Seq[Double], labels: Option[Seq[String]] = None,

@@ -81,6 +81,37 @@ class ExprSpec extends SparkSpec {
     assert(out.toSeq == Seq(None, Some(1.5), Some(2.0), Some(3.0)))
   }
 
+  test("nan extrema, cot, replace_strict, sort_by agg") {
+    val df = DataFrame(Seq(("a", 1.0), ("a", Double.NaN), ("b", 2.0), ("b", 5.0))
+      .toDF("k", "v"))
+    val agg = df.groupBy("k").agg(
+      col("v").nanMax.alias("nmx"), col("v").nanMin.alias("nmn")).sortBy(Seq(col("k")))
+      .toSpark.collect()
+    assert(agg(0).getDouble(1).isNaN && agg(0).getDouble(2).isNaN) // a: NaN poisons both
+    assert(agg(1).getDouble(1) == 5.0 && agg(1).getDouble(2) == 2.0)
+    val c = DataFrame(Seq(1.0).toDF("x"))
+      .select(col("x").cot.alias("c")).toSpark.collect()(0).getDouble(0)
+    assert(math.abs(c - 1.0 / math.tan(1.0)) < 1e-12)
+    val rs = DataFrame(Seq("x", "y").toDF("s"))
+      .select(col("s").replaceStrict(Map("x" -> 1, "y" -> 2)).alias("r"))
+      .toSpark.collect().map(_.getInt(0)).toSeq
+    assert(rs == Seq(1, 2))
+    val err = intercept[Exception] {
+      DataFrame(Seq("x", "z").toDF("s"))
+        .select(col("s").replaceStrict(Map("x" -> 1)).alias("r")).toSpark.collect()
+    }
+    assert(err.getMessage.contains("not mapped"))
+    val dflt = DataFrame(Seq("x", "z").toDF("s"))
+      .select(col("s").replaceStrict(Map("x" -> 1), default = Some(0)).alias("r"))
+      .toSpark.collect().map(_.getInt(0)).toSeq
+    assert(dflt == Seq(1, 0))
+    // sort_by in agg: values of v ordered by key w
+    val sb = DataFrame(Seq((1, 30, "c"), (1, 10, "a"), (1, 20, "b")).toDF("g", "w", "v"))
+      .groupBy("g").agg(col("v").sortByAgg(col("w")).alias("sorted"))
+      .toSpark.collect()(0).getSeq[String](1)
+    assert(sb == Seq("a", "b", "c"))
+  }
+
   test("rolling quantile modes and rolling skew") {
     val df = DataFrame(Seq(3.0, 1.0, 4.0, 1.0, 5.0).toDF("v"))
     // linear median over trailing-3 equals rollingMedian

@@ -98,6 +98,13 @@ class OpsSpec extends SparkSpec {
     assert(r.getLong(0) == Long.MinValue && r.getInt(1) == Int.MaxValue)
   }
 
+  test("series rle and arg_unique") {
+    val s = Series("x", Seq("a", "a", "b", "b", "b", "a"))
+    val runs = s.rle.toList.map { case r: org.apache.spark.sql.Row => (r.getLong(0), r.getString(1)) }
+    assert(runs == List((2L, "a"), (3L, "b"), (1L, "a")))
+    assert(s.argUnique.toList == List(0L, 2L))
+  }
+
   test("series reshape: 2-D, inferred dim, flatten, errors") {
     val s = Series("x", Seq(1, 2, 3, 4, 5, 6))
     val r = s.reshape(Seq(2, 3))
