@@ -219,6 +219,22 @@ trait FrameOps[Self] {
   def groupByExprs(keys: Expr*): GroupBy[Self] =
     new GroupBy[Self](sdf, keys.map(_.col), make)
 
+  /** upsample (reference data_frame.rb:3955): fill the time axis at `every`
+    * intervals between each group's own min and max; non-key columns are
+    * null on inserted rows. One aggregate for the bounds, sequence-explode
+    * for the grid, left join back — the grid is rows-per-group × steps,
+    * never materialized on the driver. */
+  def upsample(timeColumn: String, every: String, by: Seq[String] = Nil): Self = {
+    val step = graft.kernel.DurationDsl.parse(every).sqlInterval
+    val bounds =
+      if (by.isEmpty) sdf.agg(F.min(timeColumn).as("__lo__"), F.max(timeColumn).as("__hi__"))
+      else sdf.groupBy(by.map(F.col): _*)
+        .agg(F.min(timeColumn).as("__lo__"), F.max(timeColumn).as("__hi__"))
+    val grid = bounds.select((by.map(F.col) :+
+      F.explode(F.sequence(F.col("__lo__"), F.col("__hi__"), F.expr(step))).as(timeColumn)): _*)
+    make(grid.join(sdf, by :+ timeColumn, "left"))
+  }
+
   /** Frame-level rolling trailing-window aggregation (reference:
     * lazy_frame.rb:1161). */
   def rolling(indexColumn: String, period: String, by: Seq[String] = Nil): RollingGroupBy[Self] =
@@ -277,6 +293,39 @@ final case class DataFrame(private val df: SDF) extends FrameOps[DataFrame] {
     val names = df.columns
     df.collect().map(r => names.zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap).toSeq
   }
+  /** Column egress (reference data_frame.rb get_column/get_columns/
+    * to_series/dtypes). */
+  def dtypes: Seq[org.apache.spark.sql.types.DataType] =
+    df.schema.fields.map(_.dataType).toSeq
+  def getColumn(name: String): Series = Series(name, df.select(name))
+  def getColumns: Seq[Series] = df.columns.toSeq.map(getColumn)
+  def toSeries(index: Int = 0): Series = getColumn(df.columns(index))
+  /** Single-value egress (reference data_frame.rb:1012 item). */
+  def item(): Any = {
+    val rows = df.limit(2).collect()
+    require(rows.length == 1 && rows(0).length == 1,
+      s"item(): frame is not 1x1 (${df.columns.length} cols)")
+    rows(0).get(0)
+  }
+  /** Stable per-row content hash over all columns (reference
+    * data_frame.rb:4456 hash_rows) — codegen xxhash64, usable as a dedup or
+    * partitioning key at any scale. */
+  def hashRows(seed: Long = 0): Series = Series("hash_rows",
+    df.select(F.xxhash64((F.lit(seed) +: df.columns.toSeq.map(F.col)): _*).as("hash_rows")))
+  /** pipe (reference data_frame.rb:2792): apply a function to the frame. */
+  def pipe[T](f: DataFrame => T): T = f(this)
+  /** insert_column / replace_column (reference data_frame.rb:1587,3181) —
+    * positional column surgery via the hstack fuse/zip machinery. */
+  def insertColumn(index: Int, s: Series): DataFrame = {
+    val stacked = hstack(s.toFrame)
+    val cols = df.columns.toSeq
+    val order = (cols.take(index) :+ s.name) ++ cols.drop(index)
+    stacked.select(order.map(c => Expr(F.col(c))): _*)
+  }
+  def replaceColumn(name: String, s: Series): DataFrame = {
+    val stacked = DataFrame(df.drop(name)).hstack(s.rename(name).toFrame)
+    stacked.select(df.columns.toSeq.map(c => Expr(F.col(c))): _*)
+  }
   /** Memory-surface shims (reference data_frame.rb:942,3695,4157,4530):
     * chunks = partitions on Spark; estimated size from Catalyst plan stats. */
   def nChunks: Int = df.rdd.getNumPartitions
@@ -299,6 +348,14 @@ final case class DataFrame(private val df: SDF) extends FrameOps[DataFrame] {
   def writeCsv(path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", true).csv(path)
   def writeNdjson(path: String): Unit = df.write.mode("overwrite").json(path)
+  /** write_json (reference io/json.rb): one JSON array document, driver-side
+    * like the reference's eager writer. */
+  def writeJson(path: String): Unit = {
+    val doc = df.toJSON.collect().mkString("[", ",", "]")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), doc)
+  }
+  def writeIpc(path: String): Unit = graft.io.ArrowIpc.write(df, path)
+  def writeIpcStream(path: String): Unit = graft.io.ArrowIpc.writeStream(df, path)
   def writeAvro(path: String): Unit =
     try df.write.mode("overwrite").format("avro").save(path)
     catch { case _: org.apache.spark.sql.AnalysisException =>
@@ -426,4 +483,8 @@ final case class LazyFrame(private val df: SDF) extends FrameOps[LazyFrame] {
   def sinkParquet(path: String): Unit = df.write.mode("overwrite").parquet(path)
   def sinkCsv(path: String): Unit = df.write.mode("overwrite").option("header", true).csv(path)
   def sinkNdjson(path: String): Unit = df.write.mode("overwrite").json(path)
+  def sinkIpc(path: String): Unit = graft.io.ArrowIpc.write(df, path)
+  def dtypes: Seq[org.apache.spark.sql.types.DataType] =
+    df.schema.fields.map(_.dataType).toSeq
+  def pipe[T](f: LazyFrame => T): T = f(this)
 }

@@ -38,7 +38,25 @@ final case class Series(name: String, df: SDF) {
   def max: Any = scalar(Expr(F.max(F.col(name))))
   def median: Any = scalar(Expr(F.median(F.col(name))))
   def std: Any = scalar(Expr(F.stddev_samp(F.col(name))))
+  def variance: Any = scalar(Expr(F.var_samp(F.col(name))))
   def nUnique: Long = df.select(F.countDistinct(F.col(name))).collect()(0).getLong(0)
+
+  // dtype predicates (reference series.rb is_numeric/is_float/is_boolean/
+  // is_utf8/is_datelike)
+  def isNumeric: Boolean = dtype.isInstanceOf[org.apache.spark.sql.types.NumericType]
+  def isFloat: Boolean = dtype == DoubleType || dtype == FloatType
+  def isBoolean: Boolean = dtype == BooleanType
+  def isUtf8: Boolean = dtype == StringType
+  def isDatelike: Boolean = dtype == DateType || dtype == TimestampType
+
+  // memory-surface shims (chunks = partitions on Spark)
+  def chunkLengths: Seq[Long] = {
+    val counts = df.rdd.mapPartitions(it => Iterator(it.size.toLong), true).collect()
+    counts.toSeq
+  }
+  def shrinkToFit: Series = this
+  /** Empty series with the same name/dtype (reference series.rb cleared). */
+  def cleared: Series = Series(name, df.limit(0))
 
   def map(e: Expr => Expr): Series = Series(name, df.select(e(Expr(F.col(name))).col.as(name)))
   def cast(dt: DataType): Series = map(_.cast(dt))
@@ -66,6 +84,34 @@ final case class Series(name: String, df: SDF) {
     indexed.groupBy(F.col(name))
       .agg(F.min(F.col(IDX)).as("__fs__"), F.count(F.lit(1)).as("unique_counts"))
       .orderBy("__fs__").select("unique_counts"))
+
+  /** take/gather by positional indices, output in the given order
+    * (reference series.rb gather, alias take). */
+  def gather(indices: Seq[Long]): Series = {
+    import scala.jdk.CollectionConverters._
+    val posSchema = StructType(Seq(
+      StructField(IDX, LongType, nullable = false),
+      StructField("__pos__", LongType, nullable = false)))
+    val pos = df.sparkSession.createDataFrame(
+      indices.zipWithIndex.map { case (v, i) =>
+        org.apache.spark.sql.Row(v, i.toLong) }.asJava, posSchema)
+    Series(name, indexed.join(pos, IDX).orderBy("__pos__").select(name))
+  }
+  def take(indices: Seq[Long]): Series = gather(indices)
+
+  /** ewm_mean/std/var over the series' own order (reference series.rb
+    * ewm_*) — the mapPartitions kernel with the dense index as the order. */
+  def ewmMean(alpha: Double, adjust: Boolean = true, minPeriods: Int = 1): Series =
+    ewmOut("mean", alpha, adjust, minPeriods)
+  def ewmStd(alpha: Double, adjust: Boolean = true, minPeriods: Int = 1): Series =
+    ewmOut("std", alpha, adjust, minPeriods)
+  def ewmVar(alpha: Double, adjust: Boolean = true, minPeriods: Int = 1): Series =
+    ewmOut("var", alpha, adjust, minPeriods)
+  private def ewmOut(out: String, alpha: Double, adjust: Boolean, minPeriods: Int): Series = {
+    val r = graft.kernel.Ewm.ewm(indexed, name, IDX,
+      alpha = alpha, adjust = adjust, minPeriods = minPeriods, outputs = Seq(out))
+    Series(name, r.orderBy(IDX).select(F.col(s"${name}_ewm_$out").as(name)))
+  }
 
   /** Indices of the first occurrence of each distinct value, ascending
     * (reference series.rb arg_unique). */

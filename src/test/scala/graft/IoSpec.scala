@@ -48,6 +48,15 @@ class IoSpec extends SparkSpec {
     assert(back.collect().map(_.getString(1)).toSeq == Seq("one", "two", "three"))
   }
 
+  test("write_json emits one JSON array document") {
+    val p = tmp(".json")
+    DataFrame(Seq((1L, "a")).toDF("id", "s")).writeJson(p)
+    val doc = java.nio.file.Files.readString(java.nio.file.Paths.get(p))
+    assert(doc == """[{"id":1,"s":"a"}]""")
+    val back = readJson(p).toSpark.collect()
+    assert(back(0).getAs[Long]("id") == 1L && back(0).getAs[String]("s") == "a")
+  }
+
   test("ndjson round trip") {
     val p = tmp("/nd")
     DataFrame(sample).writeNdjson(p)

@@ -98,6 +98,44 @@ class OpsSpec extends SparkSpec {
     assert(r.getLong(0) == Long.MinValue && r.getInt(1) == Int.MaxValue)
   }
 
+  test("frame egress surface: get_column, item, hash_rows, pipe, column surgery, upsample") {
+    val df = DataFrame(Seq((1, "a", 1.0), (2, "b", 2.0)).toDF("k", "s", "v"))
+    assert(df.getColumn("s").toList == List("a", "b"))
+    assert(df.getColumns.map(_.name) == Seq("k", "s", "v"))
+    assert(df.toSeries(2).toList == List(1.0, 2.0))
+    assert(df.dtypes.map(_.typeName) == Seq("integer", "string", "double"))
+    assert(DataFrame(Seq(42).toDF("x")).item() == 42)
+    intercept[IllegalArgumentException](df.item())
+    assert(df.hashRows().len == 2)
+    assert(df.pipe(_.height) == 2L)
+    val ins = df.insertColumn(1, Series("z", Seq(9, 8)))
+    assert(ins.columns == Seq("k", "z", "s", "v"))
+    val repl = df.replaceColumn("s", Series("s", Seq("x", "y")))
+    assert(repl.columns == Seq("k", "s", "v"))
+    assert(repl.getColumn("s").toList == List("x", "y"))
+    // upsample: per-group daily grid between own bounds, nulls on fill rows
+    val ts = DataFrame(Seq(
+      ("g1", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      ("g1", java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), 3.0))
+      .toDF("g", "t", "v"))
+    val up = ts.upsample("t", "1d", by = Seq("g")).sortBy(Seq(col("t"))).toSpark.collect()
+    assert(up.length == 3)
+    assert(up(1).isNullAt(2)) // inserted Jan-02 row has null v
+  }
+
+  test("series scalar/pred/shim surface: variance, gather, ewm, dtype checks") {
+    val s = Series("x", Seq(1.0, 2.0, 3.0, 4.0))
+    assert(math.abs(s.variance.asInstanceOf[Double] - 5.0 / 3) < 1e-12)
+    assert(s.isNumeric && s.isFloat && !s.isBoolean && !s.isUtf8)
+    assert(s.gather(Seq(3L, 0L)).toList == List(4.0, 1.0))
+    assert(s.take(Seq(1L)).toList == List(2.0))
+    assert(s.cleared.len == 0 && s.cleared.dtype == s.dtype)
+    assert(s.chunkLengths.sum == 4L)
+    // ewm_mean adjust=true over [1,2]: second value = (2 + 0.5*1)/(1.5) for alpha=0.5
+    val em = Series("x", Seq(1.0, 2.0)).ewmMean(alpha = 0.5).toList
+    assert(math.abs(em(1).asInstanceOf[Double] - (2.0 + 0.5) / 1.5) < 1e-12)
+  }
+
   test("series rle and arg_unique") {
     val s = Series("x", Seq("a", "a", "b", "b", "b", "a"))
     val runs = s.rle.toList.map { case r: org.apache.spark.sql.Row => (r.getLong(0), r.getString(1)) }
