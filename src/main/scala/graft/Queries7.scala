@@ -204,6 +204,41 @@ object Queries7 {
       .sortBy(Seq(col("event_id")))
       .collect().toSpark
 
+  /** Watermarked stream-stream join: clicks joined to the same user's
+    * purchases within the preceding hour, both sides unbounded streams with
+    * 1h watermarks bounding the join state. Oracle: the equivalent batch
+    * range join on µs-truncated timestamps. */
+  private def qStreamingJoin(s: SparkSession, dir: String): SDF = {
+    implicit val sp: SparkSession = s
+    val schema = t(s, dir, "events").schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q-sjoin").toFile
+    tmp.deleteOnExit()
+    val inDir = java.nio.file.Files.createDirectory(tmp.toPath.resolve("in"))
+    java.nio.file.Files.createSymbolicLink(
+      inDir.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+    def stream() = graft.streaming.Streaming.scanParquetStream(inDir.toString, schema)
+      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    val clicks = stream().filter(F.col("event_type") === "click")
+      .select(F.col("event_id").as("click_id"), F.col("user_id").as("c_user"),
+        F.col("ts").as("click_ts"))
+    val purchases = stream().filter(F.col("event_type") === "purchase")
+      .select(F.col("event_id").as("purchase_id"), F.col("user_id").as("p_user"),
+        F.col("ts").as("p_ts"), F.col("value").as("p_value"))
+    val joined = graft.streaming.Streaming.streamStreamJoin(
+      clicks, "click_ts", purchases, "p_ts",
+      F.col("c_user") === F.col("p_user") &&
+        F.col("p_ts") >= F.col("click_ts") - F.expr("INTERVAL 1 HOUR") &&
+        F.col("p_ts") <= F.col("click_ts"),
+      watermark = "1 hour")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try
+      graft.streaming.Streaming.runToMemory(joined, "graft_q_streaming_join", mode = "append")
+        .select(F.col("click_id"), F.col("purchase_id"), F.col("p_value"))
+        .orderBy("click_id", "purchase_id")
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
     "q_tz_offset" -> (qTzOffset _),
     "q_image_meta" -> (qImageMeta _),
@@ -214,6 +249,7 @@ object Queries7 {
     "q_zorder" -> (qZorder _),
     "q_streaming_session" -> (qStreamingSession _),
     "q_rolling_quantile" -> (qRollingQuantile _),
+    "q_streaming_join" -> (qStreamingJoin _),
   )
 
   private val zorderOracle: String = {
@@ -340,5 +376,18 @@ object Queries7 {
         |FROM events
         |WINDOW w AS (ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "q_streaming_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    date_trunc('microseconds', ts) AS tsu, value
+        |  FROM events
+        |)
+        |SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  p.value AS p_value
+        |FROM e c JOIN e p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.tsu BETWEEN c.tsu - INTERVAL 1 HOUR AND c.tsu
+        |ORDER BY click_id, purchase_id""".stripMargin,
   )
 }

@@ -64,6 +64,18 @@ object Streaming {
       .groupBy((F.session_window(F.col(tsCol), gap) +: by.map(F.col)): _*)
       .agg(aggs.head, aggs.tail: _*)
 
+  /** Watermarked stream-stream inner join: the condition must relate the two
+    * event-time columns (a range/interval predicate) so Spark can bound the
+    * join state from the watermarks — rows older than horizon-minus-range
+    * are evicted, which is what lets two unbounded streams join forever.
+    * Sides must carry disjoint column names. */
+  def streamStreamJoin(left: DataFrame, leftTs: String,
+                       right: DataFrame, rightTs: String,
+                       condition: org.apache.spark.sql.Column,
+                       watermark: String = "1 hour"): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark), condition)
+
   /** Streaming deduplication with bounded state: duplicates are dropped
     * within the watermark horizon and state older than the watermark is
     * evicted — the only dedup shape that runs forever on an unbounded stream
