@@ -230,13 +230,25 @@ object Queries7 {
         F.col("p_ts") >= F.col("click_ts") - F.expr("INTERVAL 1 HOUR") &&
         F.col("p_ts") <= F.col("click_ts"),
       watermark = "1 hour")
+    // stream-stream joins keep 4 state stores per shuffle partition and the
+    // trailing no-data batch only advances the watermark for state EVICTION —
+    // an inner join's emitted rows don't depend on it, so skip it and keep
+    // the partition count (= state-store commit count) minimal
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val prevNoData = s.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try
       graft.streaming.Streaming.runToMemory(joined, "graft_q_streaming_join", mode = "append")
         .select(F.col("click_id"), F.col("purchase_id"), F.col("p_value"))
         .orderBy("click_id", "purchase_id")
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevNoData match {
+        case Some(v) => s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => s.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
