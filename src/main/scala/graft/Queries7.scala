@@ -251,6 +251,31 @@ object Queries7 {
     }
   }
 
+  /** Co-located bucketed join through the driver gate: both sides written
+    * hash-bucketed on the join key (the write-once/join-many 100 TB layout),
+    * then joined and aggregated with NO exchange on the join key
+    * (BucketingSpec pins the plan shape; this query pins the VALUES).
+    * Result is materialized before the temp tables are dropped. */
+  private def qBucketedJoin(s: SparkSession, dir: String): SDF = {
+    val db = s"graft_bjoin_${math.abs(dir.hashCode).toString}"
+    val loc = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    try {
+      graft.io.Bucketed.write(t(s, dir, "orders"), s"$db.orders_b",
+        Seq("o_custkey"), buckets = 8, sortCols = Seq("o_custkey"))
+      graft.io.Bucketed.write(t(s, dir, "customer"), s"$db.customer_b",
+        Seq("c_custkey"), buckets = 8, sortCols = Seq("c_custkey"))
+      val o = s.table(s"$db.orders_b")
+      val c = s.table(s"$db.customer_b")
+      val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).as("n"), F.sum("o_totalprice").as("total"))
+        .orderBy("c_mktsegment")
+      val rows = joined.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), joined.schema)
+    } finally s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
     "q_tz_offset" -> (qTzOffset _),
     "q_image_meta" -> (qImageMeta _),
@@ -262,6 +287,7 @@ object Queries7 {
     "q_streaming_session" -> (qStreamingSession _),
     "q_rolling_quantile" -> (qRollingQuantile _),
     "q_streaming_join" -> (qStreamingJoin _),
+    "q_bucketed_join" -> (qBucketedJoin _),
   )
 
   private val zorderOracle: String = {
@@ -401,5 +427,9 @@ object Queries7 {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.tsu BETWEEN c.tsu - INTERVAL 1 HOUR AND c.tsu
         |ORDER BY click_id, purchase_id""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n, sum(o_totalprice) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
