@@ -276,6 +276,33 @@ object Queries7 {
     } finally s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
   }
 
+  /** Salted join through the gate: the skew-scatter machinery (content-hash
+    * salt on the large side, salt-exploded small side) must produce exactly
+    * the rows of the plain join. */
+  private def qSaltedJoin(s: SparkSession, dir: String): SDF = {
+    val li = t(s, dir, "lineitem").select(F.col("l_orderkey"), F.col("l_extendedprice"))
+    val o = t(s, dir, "orders").select(F.col("o_orderkey").as("l_orderkey"), F.col("o_orderpriority"))
+    graft.kernel.Skew.saltedJoin(li, o, "l_orderkey", salts = 4)
+      .groupBy("o_orderpriority")
+      .agg(F.count(F.lit(1)).as("n"), F.sum("l_extendedprice").as("total"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** align_frames: two aggregates over different key subsets aligned onto
+    * the union key universe (nulls where a side is absent). */
+  private def qAlignFrames(s: SparkSession, dir: String): SDF = {
+    val bySeg = graft.api.DataFrame(t(s, dir, "customer")
+      .filter(F.col("c_nationkey") < 15)
+      .groupBy("c_nationkey").agg(F.count(F.lit(1)).as("n_cust")))
+    val byNation = graft.api.DataFrame(t(s, dir, "supplier")
+      .filter(F.col("s_nationkey") >= 5)
+      .groupBy(F.col("s_nationkey").as("c_nationkey")).agg(F.count(F.lit(1)).as("n_supp")))
+    val Seq(a, b) = Polars.alignFrames(Seq(bySeg, byNation), "c_nationkey")
+    a.hstack(graft.api.DataFrame(b.toSpark.select("n_supp")))
+      .sortBy(Seq(col("c_nationkey")))
+      .toSpark
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
     "q_tz_offset" -> (qTzOffset _),
     "q_image_meta" -> (qImageMeta _),
@@ -288,6 +315,8 @@ object Queries7 {
     "q_rolling_quantile" -> (qRollingQuantile _),
     "q_streaming_join" -> (qStreamingJoin _),
     "q_bucketed_join" -> (qBucketedJoin _),
+    "q_salted_join" -> (qSaltedJoin _),
+    "q_align_frames" -> (qAlignFrames _),
   )
 
   private val zorderOracle: String = {
@@ -431,5 +460,24 @@ object Queries7 {
       """SELECT c_mktsegment, count(*) AS n, sum(o_totalprice) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n, sum(l_extendedprice) AS total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_align_frames" ->
+      """WITH keys AS (
+        |  SELECT c_nationkey FROM customer WHERE c_nationkey < 15
+        |  UNION SELECT s_nationkey FROM supplier WHERE s_nationkey >= 5
+        |), cust AS (
+        |  SELECT c_nationkey, count(*) AS n_cust FROM customer
+        |  WHERE c_nationkey < 15 GROUP BY 1
+        |), supp AS (
+        |  SELECT s_nationkey AS c_nationkey, count(*) AS n_supp FROM supplier
+        |  WHERE s_nationkey >= 5 GROUP BY 1
+        |)
+        |SELECT k.c_nationkey, cust.n_cust, supp.n_supp
+        |FROM keys k LEFT JOIN cust USING (c_nationkey)
+        |LEFT JOIN supp USING (c_nationkey)
+        |ORDER BY k.c_nationkey""".stripMargin,
   )
 }
