@@ -62,4 +62,22 @@ class PlanSpec extends SparkSpec {
     val indexed = graft.kernel.RowIndex.attachDense(df)
     assert(indexed.rdd.getNumPartitions == 4)
   }
+
+  test("z-value projection stays inside whole-stage codegen") {
+    val df = spark.read.parquet(s"$sf/orders.parquet")
+      .select(graft.io.Layout.zValue(
+        Seq(F.col("o_orderkey") % 1024, F.col("o_custkey") % 1024), bits = 10).as("z"))
+    val p = plan(df)
+    assert(p.contains("*(1) Project"), p) // the * marks whole-stage codegen
+    assert(!p.contains("Exchange"), p) // pure projection: scan + project only
+  }
+
+  test("fused hstack of same-base projections adds no Exchange and keeps pushdown") {
+    val base = graft.api.LazyFrame(spark.read.parquet(s"$sf/orders.parquet"))
+    val stacked = base.select(graft.Polars.col("o_orderkey"))
+      .hstack(base.select(graft.Polars.col("o_totalprice")))
+    val p = plan(stacked.toSpark)
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Scan parquet"), p) // still the original scan, not an RDD barrier
+  }
 }
