@@ -303,6 +303,18 @@ object Queries7 {
       .toSpark
   }
 
+  /** Exact 5-gram Jaccard between consecutive docs — DuckDB rebuilds the
+    * identical shingle sets with a list comprehension, so the similarity
+    * (the verification step after LSH candidate generation) is value-checked
+    * end to end, not just spec'd. */
+  private def qJaccard(s: SparkSession, dir: String): SDF = {
+    val d = t(s, dir, "documents").select(F.col("doc_id"), F.col("text"))
+    d.alias("x").join(d.alias("y"), F.col("x.doc_id") + 1 === F.col("y.doc_id"))
+      .select(F.col("x.doc_id").as("doc_id"),
+        graft.ml.Dedup.jaccard(F.col("x.text"), F.col("y.text"), 5).as("jac"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
     "q_tz_offset" -> (qTzOffset _),
     "q_image_meta" -> (qImageMeta _),
@@ -317,6 +329,7 @@ object Queries7 {
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_align_frames" -> (qAlignFrames _),
+    "q_jaccard" -> (qJaccard _),
   )
 
   private val zorderOracle: String = {
@@ -479,5 +492,20 @@ object Queries7 {
         |FROM keys k LEFT JOIN cust USING (c_nationkey)
         |LEFT JOIN supp USING (c_nationkey)
         |ORDER BY k.c_nationkey""".stripMargin,
+    "q_jaccard" ->
+      """WITH n AS (
+        |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(0, greatest(length(t) - 5, 0) + 1),
+        |      i -> substr(t, CAST(i + 1 AS INT), 5))) AS s
+        |  FROM n
+        |)
+        |SELECT a.doc_id,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY a.doc_id""".stripMargin,
   )
 }

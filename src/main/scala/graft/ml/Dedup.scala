@@ -111,11 +111,14 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity for candidate verification. */
-  def jaccard(df: DataFrame, textA: Column, textB: Column, k: Int = 5): Column = {
+  def jaccard(textA: Column, textB: Column, k: Int): Column = {
     val sa = shingles(textA, k); val sb = shingles(textB, k)
     val inter = F.size(F.array_intersect(sa, sb)).cast("double")
     inter / (F.size(sa) + F.size(sb) - inter)
   }
+  /** Legacy signature (frame argument unused — jaccard is a pure column). */
+  def jaccard(df: DataFrame, textA: Column, textB: Column, k: Int = 5): Column =
+    jaccard(textA, textB, k)
 
   /** 64-bit SimHash over whitespace tokens — per-bit aggregate HOFs build the
     * 64 signed counters (Catalyst CSE shares the token hashing), then sign
