@@ -96,6 +96,32 @@ class MlSpec extends SparkSpec {
     assert(row.getInt(0) <= 12)
   }
 
+  test("IVF top-k recall against brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(F.col("vec_id") < 3)
+      .collect().map(r => r.getSeq[Float](r.fieldIndex("embedding")))
+    val assigned = Similarity.ivfAssign(emb, "embedding", nCells = 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val recalls = queries.map { q =>
+      val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, k = 10)
+        .collect().map(_.getLong(0)).toSet
+      val approx = Similarity.ivfTopK(assigned, "embedding", "vec_id", q,
+        nProbe = 4, k = 10, nCells = 8)
+        .collect().map(_.getLong(0)).toSet
+      exact.intersect(approx).size.toDouble / exact.size
+    }
+    assigned.unpersist()
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.5, s"mean recall@10 = $mean (probing half the cells)")
+    // probing ALL cells must be exhaustive: recall 1.0
+    val q0 = queries.head
+    val full = Similarity.ivfTopK(assigned, "embedding", "vec_id", q0,
+      nProbe = 8, k = 10, nCells = 8).collect().map(_.getLong(0)).toSet
+    val exact0 = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q0, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == exact0)
+  }
+
   test("cosine similarity and brute-force top-k") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f)))
