@@ -213,6 +213,28 @@ trait FrameOps[Self] {
         make(a.join(b, RowIndex.name).drop(RowIndex.name))
     }
 
+  // ---- frame-level aggregates (reference: data_frame.rb:3727-3947 axis 0,
+  // :4183 null_count): one-row frame, per-column; numeric-only functions
+  // yield null for non-numeric columns like the reference ----
+  private def aggAll(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                     numericOnly: Boolean): Self = {
+    val cols = sdf.schema.fields.map { fld =>
+      val ok = !numericOnly || fld.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+      (if (ok) f(F.col(fld.name)) else F.lit(null)).as(fld.name)
+    }
+    make(sdf.agg(cols.head, cols.tail: _*))
+  }
+  def maxFrame: Self = aggAll(F.max, numericOnly = false)
+  def minFrame: Self = aggAll(F.min, numericOnly = false)
+  def sumFrame: Self = aggAll(F.sum, numericOnly = true)
+  def meanFrame: Self = aggAll(F.avg, numericOnly = true)
+  def medianFrame: Self = aggAll(c => F.median(c), numericOnly = true)
+  def stdFrame(ddof: Int = 1): Self =
+    aggAll(c => Expr.ddofScale(F.stddev_samp(c), F.count(c), ddof, isStd = true), numericOnly = true)
+  def varFrame(ddof: Int = 1): Self =
+    aggAll(c => Expr.ddofScale(F.var_samp(c), F.count(c), ddof, isStd = false), numericOnly = true)
+  def nullCount: Self = aggAll(c => F.count(F.when(c.isNull, 1)), numericOnly = false)
+
   // ---- group by (reference: data_frame.rb:1684, group_by.rb:203) ----
   def groupBy(keys: String*): GroupBy[Self] =
     new GroupBy[Self](sdf, keys.map(F.col), make)

@@ -485,7 +485,7 @@ object Expr {
     }
   }
   /** Rescale a sample std/var to an arbitrary ddof (Polars allows ddof 0..n). */
-  private[expr] def ddofScale(sampStat: Column, n: Column, ddof: Int, isStd: Boolean): Column =
+  private[graft] def ddofScale(sampStat: Column, n: Column, ddof: Int, isStd: Boolean): Column =
     if (ddof == 1) sampStat
     else {
       val varSamp = if (isStd) sampStat * sampStat else sampStat

@@ -136,6 +136,21 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(em(1).asInstanceOf[Double] - (2.0 + 0.5) / 1.5) < 1e-12)
   }
 
+  test("frame-level aggregates: one-row per-column, numeric-only nulls") {
+    val df = DataFrame(Seq((1, "b", 2.0), (3, "a", 4.0)).toDF("i", "s", "v"))
+    val mx = df.maxFrame.toSpark.collect()(0)
+    assert(mx.getInt(0) == 3 && mx.getString(1) == "b" && mx.getDouble(2) == 4.0)
+    val sm = df.sumFrame.toSpark.collect()(0)
+    assert(sm.getLong(0) == 4L && sm.isNullAt(1) && sm.getDouble(2) == 6.0)
+    val mean = df.meanFrame.toSpark.collect()(0)
+    assert(mean.getDouble(0) == 2.0 && mean.isNullAt(1))
+    val nc = DataFrame(Seq[(Integer, String)]((1, null), (null, "x"), (2, "y"))
+      .toDF("a", "b")).nullCount.toSpark.collect()(0)
+    assert(nc.getLong(0) == 1L && nc.getLong(1) == 1L)
+    val sd = df.stdFrame(ddof = 0).toSpark.collect()(0)
+    assert(math.abs(sd.getDouble(2) - 1.0) < 1e-12) // pop std of [2,4]
+  }
+
   test("series rle and arg_unique") {
     val s = Series("x", Seq("a", "a", "b", "b", "b", "a"))
     val runs = s.rle.toList.map { case r: org.apache.spark.sql.Row => (r.getLong(0), r.getString(1)) }
