@@ -52,6 +52,14 @@ object Polars {
   }
   def allHorizontal(exprs: Expr*): Expr = Expr(exprs.map(_.col).reduce(_ && _))
   def anyHorizontal(exprs: Expr*): Expr = Expr(exprs.map(_.col).reduce(_ || _))
+  /** cum_sum_horizontal (reference horizontal.rb:235): struct of running
+    * row-wise sums, one field per input in order. */
+  def cumSumHorizontal(cols: (String, Expr)*): Expr = {
+    val running = cols.scanLeft(Option.empty[Column]) { case (acc, (_, e)) =>
+      Some(acc.fold(e.col)(_ + e.col))
+    }.flatten
+    Expr(F.struct(cols.map(_._1).zip(running).map { case (n, c) => c.as(n) }: _*))
+  }
 
   // ---- fold / reduce (reference: functions/lazy.rb:745,778 — plan-time fold,
   //      no runtime UDF) ----
@@ -88,6 +96,12 @@ object Polars {
   def cov(a: Expr, b: Expr, ddof: Int = 1): Expr =
     Expr(if (ddof == 1) F.covar_samp(a.col, b.col) else F.covar_pop(a.col, b.col))
   def arctan2(y: Expr, x: Expr): Expr = Expr(F.atan2(y.col, x.col))
+  /** arctan2 in degrees (reference functions/lazy.rb arctan2d). */
+  def arctan2d(y: Expr, x: Expr): Expr = Expr(F.degrees(F.atan2(y.col, x.col)))
+  /** Named aliases (reference functions.rb pearson_corr/spearman_rank_corr). */
+  def pearsonCorr(a: Expr, b: Expr): Expr = corr(a, b)
+  def spearmanRankCorr(df: DataFrame, a: String, b: String, as: String = "spearman"): DataFrame =
+    spearmanCorr(df, a, b, as)
 
   // ---- ranges (reference: functions/range/*.rb) ----
   def intRange(start: Int, end: Int, step: Int = 1): Expr =
@@ -98,6 +112,25 @@ object Polars {
     val d = graft.kernel.DurationDsl.parse(interval)
     Expr(F.sequence(start.col, end.col, F.expr(d.sqlInterval)))
   }
+  /** Plural/datetime/time range variants (reference functions/range):
+    * dateRanges is dateRange applied per row (already columnar);
+    * datetimeRange keeps the timestamp component; timeRange produces
+    * nanos-since-midnight longs (the Time physical carrier, §1.2). */
+  def dateRanges(start: Expr, end: Expr, interval: String = "1d"): Expr =
+    dateRange(start, end, interval)
+  def datetimeRange(start: Expr, end: Expr, interval: String = "1h"): Expr =
+    dateRange(start.cast(org.apache.spark.sql.types.TimestampType),
+      end.cast(org.apache.spark.sql.types.TimestampType), interval)
+  def datetimeRanges(start: Expr, end: Expr, interval: String = "1h"): Expr =
+    datetimeRange(start, end, interval)
+  def timeRange(start: Long, end: Long, interval: String = "1h"): Expr = {
+    val stepNs = graft.kernel.DurationDsl.parse(interval).totalNanos
+    Expr(F.sequence(F.lit(start), F.lit(end), F.lit(stepNs)))
+  }
+  def timeRanges(start: Expr, end: Expr, interval: String = "1h"): Expr = {
+    val stepNs = graft.kernel.DurationDsl.parse(interval).totalNanos
+    Expr(F.sequence(start.col, end.col, F.lit(stepNs)))
+  }
   def duration(weeks: Long = 0, days: Long = 0, hours: Long = 0, minutes: Long = 0,
                seconds: Long = 0, milliseconds: Long = 0, microseconds: Long = 0): Expr =
     Expr(F.lit(((weeks * 7 + days) * 86400L + hours * 3600L + minutes * 60L + seconds) * 1000000L
@@ -106,6 +139,47 @@ object Polars {
   def coalesce(exprs: Expr*): Expr = Expr(F.coalesce(exprs.map(_.col): _*))
   def repeatExpr(v: Any, n: Int): Expr = Expr(F.array_repeat(F.lit(v), n))
   def sqlExpr(sql: String): Expr = Expr(F.expr(sql))
+
+  /** from_epoch (reference functions/lazy.rb:900): integer epoch ticks →
+    * timestamp at the given unit; "d" yields a date. ns uses integer div so
+    * no double rounding at 1e18-scale ticks. */
+  def fromEpoch(e: Expr, timeUnit: String = "s"): Expr = Expr(timeUnit match {
+    case "s"  => F.timestamp_seconds(e.col)
+    case "ms" => F.timestamp_millis(e.col)
+    case "us" => F.timestamp_micros(e.col)
+    case "ns" => F.timestamp_micros(F.call_function("div", e.col, F.lit(1000L)))
+    case "d"  => F.date_add(F.lit(java.sql.Date.valueOf("1970-01-01")), e.col.cast("int"))
+    case other => throw new IllegalArgumentException(s"from_epoch time_unit: $other")
+  })
+
+  /** Eager constructors (reference functions/repeat.rb ones/zeros/repeat). */
+  def ones(n: Long)(implicit spark: SparkSession): api.Series =
+    api.Series("ones", spark.range(n).select(F.lit(1.0).as("ones")))
+  def zeros(n: Long)(implicit spark: SparkSession): api.Series =
+    api.Series("zeros", spark.range(n).select(F.lit(0.0).as("zeros")))
+  def repeatSeries(v: Any, n: Long, name: String = "repeat")
+                  (implicit spark: SparkSession): api.Series =
+    api.Series(name, spark.range(n).select(F.lit(v).as(name)))
+
+  /** arg_where / arg_sort_by (reference functions/lazy.rb): row indices
+    * where the predicate holds / that would sort by the keys. */
+  def argWhere(df: api.DataFrame, cond: Expr): api.Series = {
+    val IDX = graft.kernel.RowIndex.name
+    api.Series("arg_where", graft.kernel.RowIndex.attachDense(df.toSpark)
+      .filter(cond.col).select(F.col(IDX).as("arg_where")).orderBy("arg_where"))
+  }
+  def argSortBy(df: api.DataFrame, by: Seq[Expr],
+                descending: Seq[Boolean] = Nil): api.Series = {
+    val IDX = graft.kernel.RowIndex.name
+    val keys = by.zipWithIndex.map { case (e, i) =>
+      if (descending.lift(i).getOrElse(false)) e.col.desc else e.col.asc
+    }
+    api.Series("arg_sort_by", graft.kernel.RowIndex.attachDense(df.toSpark)
+      .orderBy(keys: _*).select(F.col(IDX).as("arg_sort_by")))
+  }
+  /** get_dummies (reference functions.rb) — alias of DataFrame#to_dummies. */
+  def getDummies(df: api.DataFrame, cols: Seq[String] = Nil): api.DataFrame =
+    df.toDummies(if (cols.isEmpty) df.columns else cols)
 
   // ---- frame constructors / IO (reference: lib/polars/io/*.rb) ----
   def readParquet(path: String)(implicit spark: SparkSession): DataFrame =

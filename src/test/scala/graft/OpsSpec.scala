@@ -136,6 +136,34 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(em(1).asInstanceOf[Double] - (2.0 + 0.5) / 1.5) < 1e-12)
   }
 
+  test("functions sweep: cum_sum_horizontal, from_epoch, ranges, ones/zeros, arg_*") {
+    val df = DataFrame(Seq((1, 10, 100), (2, 20, 200)).toDF("a", "b", "c"))
+    val cs = df.select(Polars.cumSumHorizontal(
+        "a" -> col("a"), "b" -> col("b"), "c" -> col("c")).alias("cs"))
+      .toSpark.select("cs.a", "cs.b", "cs.c").collect()
+    assert(cs(0).toSeq == Seq(1, 11, 111) && cs(1).toSeq == Seq(2, 22, 222))
+    val ep = DataFrame(Seq((1704067200L, 1704067200000000L)).toDF("s", "us"))
+      .select(Polars.fromEpoch(col("s"), "s").alias("ts"),
+        Polars.fromEpoch(col("us"), "us").alias("tu"),
+        Polars.fromEpoch(col("us") * 1000, "ns").alias("tn"))
+      .toSpark.collect()(0)
+    assert(ep.getTimestamp(0) == ep.getTimestamp(1) && ep.getTimestamp(1) == ep.getTimestamp(2))
+    val tr = DataFrame(Seq(1).toDF("x"))
+      .select(Polars.timeRange(0L, 7200L * 1000000000L, "1h").alias("r"))
+      .toSpark.collect()(0).getSeq[Long](0)
+    assert(tr == Seq(0L, 3600000000000L, 7200000000000L))
+    assert(Polars.ones(3).toList == List(1.0, 1.0, 1.0))
+    assert(Polars.zeros(2).toList == List(0.0, 0.0))
+    assert(Polars.repeatSeries("x", 2).toList == List("x", "x"))
+    val d2 = DataFrame(Seq((5, "b"), (3, "a"), (9, "c")).toDF("v", "s"))
+    assert(Polars.argWhere(d2, col("v") > 4).toList == List(0L, 2L))
+    assert(Polars.argSortBy(d2, Seq(col("v"))).toList == List(1L, 0L, 2L))
+    assert(Polars.argSortBy(d2, Seq(col("v")), Seq(true)).toList == List(2L, 0L, 1L))
+    val at2 = DataFrame(Seq((1.0, 1.0)).toDF("y", "x"))
+      .select(Polars.arctan2d(col("y"), col("x")).alias("deg")).toSpark.collect()(0).getDouble(0)
+    assert(math.abs(at2 - 45.0) < 1e-9)
+  }
+
   test("frame-level aggregates: one-row per-column, numeric-only nulls") {
     val df = DataFrame(Seq((1, "b", 2.0), (3, "a", 4.0)).toDF("i", "s", "v"))
     val mx = df.maxFrame.toSpark.collect()(0)
