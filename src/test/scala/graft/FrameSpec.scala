@@ -131,6 +131,34 @@ class FrameSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("hstack fusion edge cases: computed projections, filters, collisions") {
+    val p = java.nio.file.Files.createTempDirectory("graft-hstack2").toFile
+    p.deleteOnExit()
+    val path = p.getAbsolutePath + "/t"
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v").write.parquet(path)
+    val base = DataFrame(spark.read.parquet(path))
+    // computed projections over the same base fuse and stay correct
+    val f1 = base.select((col("k") * 10).alias("k10"))
+      .hstack(base.select((col("v") + 1).alias("v1")))
+    val r1 = f1.toSpark.orderBy("k10").collect()
+    assert(r1.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((10L, 11.0), (20L, 21.0), (30L, 31.0)))
+    assert(!f1.toSpark.queryExecution.executedPlan.toString.contains("Exchange"))
+    // same filtered base (one instance) still fuses
+    val filt = base.filter(col("v") > 15.0)
+    val f2 = filt.select(col("k")).hstack(filt.select(col("v")))
+    assert(f2.toSpark.orderBy("k").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    assert(!f2.toSpark.queryExecution.executedPlan.toString.contains("Exchange"))
+    // DIFFERENT filters must not fuse (row sets differ) — falls back and the
+    // index join zips each side's own 2 rows positionally
+    val g = base.filter(col("v") > 15.0).select(col("k"))
+      .hstack(DataFrame(Seq(100L, 200L).toDF("m")))
+    assert(g.toSpark.collect().length == 2)
+    // name collision falls back to the historical dup-column behavior
+    val h = base.select(col("k")).hstack(base.select(col("k")))
+    assert(h.toSpark.columns.count(_ == "k") == 2)
+  }
+
   test("sort with nulls handling and stability tiebreak") {
     val d = DataFrame(Seq[(Integer, String)]((3, "c"), (null, "n"), (1, "a")).toDF("v", "s"))
     val nf = d.sort("v").toSpark.collect().map(r => Option(r.get(0)))
