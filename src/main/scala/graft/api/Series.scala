@@ -95,7 +95,13 @@ final case class Series(name: String, df: SDF) {
     val pos = df.sparkSession.createDataFrame(
       indices.zipWithIndex.map { case (v, i) =>
         org.apache.spark.sql.Row(v, i.toLong) }.asJava, posSchema)
-    Series(name, indexed.join(pos, IDX).orderBy("__pos__").select(name))
+    val joined = indexed.join(pos, IDX).orderBy("__pos__").select(name).cache()
+    // polars raises on out-of-bounds take; a silent inner-join drop would be
+    // wrong data, so validate the resolved count
+    val got = joined.count()
+    require(got == indices.length,
+      s"gather: ${indices.length - got} of ${indices.length} indices out of bounds")
+    Series(name, joined)
   }
   def take(indices: Seq[Long]): Series = gather(indices)
 

@@ -261,6 +261,13 @@ object Dedup {
     * `pairs` (id_a, id_b). Documents in no pair survive untouched. */
   def dedupByClusters(df: DataFrame, idCol: String, pairs: DataFrame,
                       pairA: String = "id_a", pairB: String = "id_b"): DataFrame = {
+    // connectedComponents works on long node ids — a string id would cast to
+    // null and silently drop every pair, which is wrong data, not an error
+    require(Seq(org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(df.schema(idCol).dataType),
+      s"dedupByClusters: $idCol must be an integral id column, " +
+        s"got ${df.schema(idCol).dataType.simpleString} (hash string ids to longs first)")
     val comp = connectedComponents(pairs, pairA, pairB)
       .select(F.col("node").as(idCol), F.col("comp"))
     df.join(comp, Seq(idCol), "left")

@@ -128,6 +128,8 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(s.variance.asInstanceOf[Double] - 5.0 / 3) < 1e-12)
     assert(s.isNumeric && s.isFloat && !s.isBoolean && !s.isUtf8)
     assert(s.gather(Seq(3L, 0L)).toList == List(4.0, 1.0))
+    assert(s.gather(Seq(1L, 1L)).toList == List(2.0, 2.0)) // duplicates allowed
+    intercept[IllegalArgumentException](s.gather(Seq(0L, 99L))) // OOB raises
     assert(s.take(Seq(1L)).toList == List(2.0))
     assert(s.cleared.len == 0 && s.cleared.dtype == s.dtype)
     assert(s.chunkLengths.sum == 4L)
