@@ -245,7 +245,9 @@ trait FrameOps[Self] {
     * intervals between each group's own min and max; non-key columns are
     * null on inserted rows. One aggregate for the bounds, sequence-explode
     * for the grid, left join back — the grid is rows-per-group × steps,
-    * never materialized on the driver. */
+    * never materialized on the driver. Rows whose time column is null are
+    * not representable on the grid (the reference requires a sorted non-null
+    * time column and errors); here they are excluded from the output. */
   def upsample(timeColumn: String, every: String, by: Seq[String] = Nil): Self = {
     val step = graft.kernel.DurationDsl.parse(every).sqlInterval
     val bounds =
@@ -339,6 +341,8 @@ final case class DataFrame(private val df: SDF) extends FrameOps[DataFrame] {
   /** insert_column / replace_column (reference data_frame.rb:1587,3181) —
     * positional column surgery via the hstack fuse/zip machinery. */
   def insertColumn(index: Int, s: Series): DataFrame = {
+    require(index >= 0 && index <= df.columns.length,
+      s"insert_column: index $index out of range 0..${df.columns.length}")
     val stacked = hstack(s.toFrame)
     val cols = df.columns.toSeq
     val order = (cols.take(index) :+ s.name) ++ cols.drop(index)
