@@ -269,26 +269,34 @@ object Polars {
     }
   }
   private def quoteId(c: String) = "`" + c.replace("`", "``") + "`"
-  /** Re-derives long/double/boolean column types on an all-string frame after
-    * multi-marker null replacement: one aggregate of try_cast success counts,
-    * then the narrowest type every non-null value casts to (the same ladder
-    * the Spark CSV reader's inference walks). */
+  /** Re-derives column types on an all-string frame after multi-marker null
+    * replacement: one aggregate of try_cast success counts, then the
+    * narrowest type every non-null value casts to — int/long/double/boolean/
+    * date/timestamp, the same ladder the Spark CSV reader's inference walks
+    * (date needs the strict yyyy-MM-dd shape since timestamps also cast). */
   private def inferCleanedTypes(df: SDF): SDF = {
-    import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, LongType}
+    import org.apache.spark.sql.types._
     val cols = df.columns
-    val candidates: Seq[(String, DataType)] =
-      Seq("bigint" -> LongType, "double" -> DoubleType, "boolean" -> BooleanType)
+    val candidates: Seq[(String, DataType, Option[String])] = Seq(
+      ("int", IntegerType, None),
+      ("bigint", LongType, None),
+      ("double", DoubleType, None),
+      ("boolean", BooleanType, None),
+      ("date", DateType, Some("^\\d{4}-\\d{2}-\\d{2}$")),
+      ("timestamp", TimestampType, None))
     val aggs = cols.flatMap { c =>
       F.count(F.col(c)).as(s"n:$c") +:
-        candidates.map { case (sqlT, _) =>
-          F.count(F.expr(s"try_cast(${quoteId(c)} as $sqlT)")).as(s"$sqlT:$c")
+        candidates.map { case (sqlT, _, pattern) =>
+          val castOk = F.expr(s"try_cast(${quoteId(c)} as $sqlT)").isNotNull
+          val ok = pattern.fold(castOk)(p => castOk && F.col(c).rlike(p))
+          F.count(F.when(ok, 1)).as(s"$sqlT:$c")
         }
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     df.select(cols.map { c =>
       val nonNull = row.getAs[Long](s"n:$c")
       val picked = candidates.collectFirst {
-        case (sqlT, dt) if nonNull > 0 && row.getAs[Long](s"$sqlT:$c") == nonNull => dt
+        case (sqlT, dt, _) if nonNull > 0 && row.getAs[Long](s"$sqlT:$c") == nonNull => dt
       }
       picked match {
         case Some(dt) => F.col(c).cast(dt).as(c)

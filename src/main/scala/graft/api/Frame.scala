@@ -343,14 +343,24 @@ final case class DataFrame(private val df: SDF) extends FrameOps[DataFrame] {
   def insertColumn(index: Int, s: Series): DataFrame = {
     require(index >= 0 && index <= df.columns.length,
       s"insert_column: index $index out of range 0..${df.columns.length}")
+    requireSameLength(s, "insert_column")
     val stacked = hstack(s.toFrame)
     val cols = df.columns.toSeq
     val order = (cols.take(index) :+ s.name) ++ cols.drop(index)
     stacked.select(order.map(c => Expr(F.col(c))): _*)
   }
   def replaceColumn(name: String, s: Series): DataFrame = {
+    require(df.columns.contains(name),
+      s"replace_column: no column '$name' in ${df.columns.mkString("[", ", ", "]")}")
+    requireSameLength(s, "replace_column")
     val stacked = DataFrame(df.drop(name)).hstack(s.rename(name).toFrame)
     stacked.select(df.columns.toSeq.map(c => Expr(F.col(c))): _*)
+  }
+  // the hstack fallback is an inner index join, which would silently TRUNCATE
+  // on a length mismatch where polars raises ShapeError
+  private def requireSameLength(s: Series, op: String): Unit = {
+    val (h, sl) = (height, s.len)
+    require(h == sl, s"$op: series length $sl != frame height $h")
   }
   /** Memory-surface shims (reference data_frame.rb:942,3695,4157,4530):
     * chunks = partitions on Spark; estimated size from Catalyst plan stats. */

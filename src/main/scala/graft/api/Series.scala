@@ -95,9 +95,10 @@ final case class Series(name: String, df: SDF) {
     val pos = df.sparkSession.createDataFrame(
       indices.zipWithIndex.map { case (v, i) =>
         org.apache.spark.sql.Row(v, i.toLong) }.asJava, posSchema)
-    val joined = indexed.join(pos, IDX).orderBy("__pos__").select(name).cache()
+    val joined = indexed.join(pos, IDX).orderBy("__pos__").select(name)
     // polars raises on out-of-bounds take; a silent inner-join drop would be
-    // wrong data, so validate the resolved count
+    // wrong data, so validate the resolved count (plan is deterministic, so
+    // recomputation on later use is safe — no lingering cache)
     val got = joined.count()
     require(got == indices.length,
       s"gather: ${indices.length - got} of ${indices.length} indices out of bounds")

@@ -312,8 +312,10 @@ final case class Expr(col: Column, requiresIndex: Boolean = false) {
     val w = idxWindow.rowsBetween(-(n - 1).toLong, 0L)
     val cnt = F.count(col).over(w)
     val sorted = F.sort_array(F.collect_list(col).over(w))
-    Expr(F.when(cnt >= minPeriods, Expr.quantileOfSorted(sorted, q, interpolation)),
-      requiresIndex = true)
+    // clamp to >= 1: an all-null window must yield null, not element_at on an
+    // empty array (ANSI error)
+    Expr(F.when(cnt >= math.max(minPeriods, 1),
+      Expr.quantileOfSorted(sorted, q, interpolation)), requiresIndex = true)
   }
   /** rolling_quantile_by (reference expr.rb:4848): quantile over a caller-
     * supplied WindowSpec — the range-frame formulation used for temporal
@@ -322,7 +324,10 @@ final case class Expr(col: Column, requiresIndex: Boolean = false) {
   def rollingQuantileOver(q: Double, w: WindowSpec,
                           interpolation: String = "nearest"): Expr = {
     val sorted = F.sort_array(F.collect_list(col).over(w))
-    Expr(Expr.quantileOfSorted(sorted, q, interpolation), requiresIndex)
+    // a window holding only nulls collects an empty array → null result, not
+    // an element_at error
+    Expr(F.when(F.size(sorted) >= 1, Expr.quantileOfSorted(sorted, q, interpolation)),
+      requiresIndex)
   }
   /** rolling_skew (reference expr.rb:5567): windowed skewness. Spark's
     * skewness aggregate is the biased g1 = m3/m2^1.5; bias: false applies the

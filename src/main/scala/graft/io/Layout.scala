@@ -51,7 +51,12 @@ object Layout {
       val aggs = clusterCols.flatMap(c =>
         Seq(F.min(F.col(c).cast("double")), F.max(F.col(c).cast("double"))))
       val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-      clusterCols.indices.map(i => (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+      clusterCols.indices.map { i =>
+        require(!r.isNullAt(2 * i) && !r.isNullAt(2 * i + 1),
+          s"zorderWrite: no stats for '${clusterCols(i)}' (empty input or " +
+            "all-null column) — pass explicit ranges or skip clustering")
+        (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+      }
     }
     val z = zValueScaled(clusterCols.zip(stats).map { case (c, (lo, hi)) => (F.col(c), lo, hi) }, bits)
     df.withColumn("__z__", z)

@@ -124,6 +124,12 @@ class ExprSpec extends SparkSpec {
       col("v").rollingQuantile(0.5, 3, "lower").alias("lo"),
       col("v").rollingQuantile(0.9, 3, "higher").alias("hi")).toSpark.collect().last
     assert(lh.getDouble(0) == 4.0 && lh.getDouble(1) == 5.0)
+    // an all-null window yields null, not an element_at error
+    val nulls = DataFrame(Seq[(Integer, Integer)]((1, null), (2, null), (3, 7))
+      .toDF("i", "nv"))
+    val nq = nulls.select(col("nv").rollingQuantile(0.5, 2, "linear").alias("q"))
+      .toSpark.collect()
+    assert(nq(0).isNullAt(0) && nq(1).isNullAt(0) && !nq(2).isNullAt(0))
     // skew of the last window [4,1,5]: m2=17/9... compute expected directly
     val xs = Seq(4.0, 1.0, 5.0)
     val mean = xs.sum / 3

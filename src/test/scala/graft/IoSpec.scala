@@ -128,19 +128,25 @@ class IoSpec extends SparkSpec {
     val rows = lf.toSpark.orderBy(F.col("id").asc_nulls_first).collect()
     assert(rows.length == 3)
     assert(rows(0).isNullAt(0) && rows(0).isNullAt(1)) // both markers null
-    assert(rows(1).getLong(0) == 1L && rows(2).getLong(0) == 3L) // inferred numeric
+    assert(rows(1).getInt(0) == 1 && rows(2).getInt(0) == 3) // inferred numeric
   }
 
   test("read_csv null_values list: every listed marker becomes null") {
     val p = tmp(".csv")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
       "a,b,c\n1,x,true\nNA,null,false\n3,-,true\n")
+    // dtype parity with the single-marker path: timestamps survive inference
+    val p2 = tmp(".csv")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p2),
+      "d,t\n2024-01-01,2024-01-01 12:30:00\nNA,-\n")
+    val typed2 = Polars.readCsv(p2, nullValues = Seq("NA", "-")).toSpark
+    assert(typed2.schema.map(_.dataType.typeName) == Seq("date", "timestamp"))
     // inference path: a stays numeric (markers cleaned BEFORE type inference)
     val df = Polars.readCsv(p, nullValues = Seq("NA", "null", "-"))
       .toSpark.orderBy(F.col("a").asc_nulls_first).collect()
     assert(df(0).isNullAt(0) && df(0).isNullAt(1) && df(0).getBoolean(2) == false)
-    assert(df(1).getLong(0) == 1L && df(1).getString(1) == "x")
-    assert(df(2).getLong(0) == 3L && df(2).isNullAt(1))
+    assert(df(1).getInt(0) == 1 && df(1).getString(1) == "x") // int like single-marker inference
+    assert(df(2).getInt(0) == 3 && df(2).isNullAt(1))
     // explicit-dtypes path
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType),

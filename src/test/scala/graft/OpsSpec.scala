@@ -113,6 +113,9 @@ class OpsSpec extends SparkSpec {
     val repl = df.replaceColumn("s", Series("s", Seq("x", "y")))
     assert(repl.columns == Seq("k", "s", "v"))
     assert(repl.getColumn("s").toList == List("x", "y"))
+    // unknown column and length mismatch are errors, not silent no-ops/truncation
+    intercept[IllegalArgumentException](df.replaceColumn("nope", Series("nope", Seq(1, 2))))
+    intercept[IllegalArgumentException](df.insertColumn(0, Series("short", Seq(1))))
     // upsample: per-group daily grid between own bounds, nulls on fill rows
     val ts = DataFrame(Seq(
       ("g1", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
