@@ -152,6 +152,19 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("z-value is monotone per coordinate and a bijection on the grid") {
+    val pts = for { x <- 0 until 16; y <- 0 until 16 } yield (x, y)
+    val z = pts.toDF("x", "y")
+      .select(F.col("x"), F.col("y"),
+        graft.io.Layout.zValue(Seq(F.col("x"), F.col("y")), bits = 4).as("z"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // bijection onto 0..255
+    assert(z.values.toSet == (0L until 256L).toSet)
+    // fixing one coordinate, z is strictly increasing in the other
+    for (x <- 0 until 16; y <- 0 until 15) assert(z((x, y)) < z((x, y + 1)))
+    for (y <- 0 until 16; x <- 0 until 15) assert(z((x, y)) < z((x + 1, y)))
+  }
+
   test("connected components match driver-side union-find on random graphs") {
     for (seed <- 1L to 3L) {
       val rnd = new Random(seed)
