@@ -315,6 +315,21 @@ object Queries7 {
       .orderBy("doc_id")
   }
 
+  /** Corpus line dedup on synthetic two-line docs (line1 = own text,
+    * line2 = next doc's text — so every line occurs twice and the
+    * first-occurrence rule does real work): doc i keeps its line2 but for
+    * i > 0 loses line1 to doc i-1's line2. Oracle rebuilds the same
+    * explode → first-occurrence window → ordered string_agg in SQL. */
+  private def qDedupLines(s: SparkSession, dir: String): SDF = {
+    val d = t(s, dir, "documents").select(F.col("doc_id"), F.col("text"))
+    val twoLine = d.alias("x").join(d.alias("y"),
+        F.col("x.doc_id") + 1 === F.col("y.doc_id"), "left")
+      .select(F.col("x.doc_id").as("doc_id"),
+        F.concat_ws("\n", F.col("x.text"), F.col("y.text")).as("text"))
+    graft.ml.Dedup.dedupLines(twoLine, "text", "doc_id")
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
     "q_tz_offset" -> (qTzOffset _),
     "q_image_meta" -> (qImageMeta _),
@@ -330,6 +345,7 @@ object Queries7 {
     "q_salted_join" -> (qSaltedJoin _),
     "q_align_frames" -> (qAlignFrames _),
     "q_jaccard" -> (qJaccard _),
+    "q_dedup_lines" -> (qDedupLines _),
   )
 
   private val zorderOracle: String = {
@@ -507,5 +523,23 @@ object Queries7 {
         |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY a.doc_id""".stripMargin,
+    "q_dedup_lines" ->
+      """WITH two AS (
+        |  SELECT x.doc_id,
+        |    CASE WHEN y.text IS NULL THEN x.text
+        |         ELSE x.text || chr(10) || y.text END AS text
+        |  FROM documents x LEFT JOIN documents y ON y.doc_id = x.doc_id + 1
+        |), l AS (
+        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS ln,
+        |         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS li
+        |  FROM two
+        |), kept AS (
+        |  SELECT doc_id, li, ln,
+        |    row_number() OVER (PARTITION BY ln ORDER BY doc_id, li) AS rn
+        |  FROM l
+        |)
+        |SELECT doc_id, string_agg(ln, chr(10) ORDER BY li) AS text
+        |FROM kept WHERE rn = 1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

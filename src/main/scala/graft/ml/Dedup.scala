@@ -197,6 +197,28 @@ object Dedup {
         Similarity.cosine(F.col(s"a.$vecCol"), F.col(s"b.$vecCol")).as("cosine"))
   }
 
+  /** Corpus-level exact line dedup (the C4-style cleaning step): each
+    * distinct line survives only at its FIRST occurrence in (id, position)
+    * order; later repeats — boilerplate, navigation, license headers — are
+    * dropped from every other document. Shape: posexplode → one hash-shuffle
+    * window over the line → ordered reassembly. The window key is the line
+    * itself, so pathological corpora (billions of empty lines) should
+    * pre-filter or salt; ids must be orderable for "first" to be defined. */
+  def dedupLines(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val lines = df.select(F.col(idCol),
+      F.posexplode(F.split(F.col(textCol), "\n")).as(Seq("__li__", "__ln__")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__ln__").orderBy(F.col(idCol), F.col("__li__"))
+    val kept = lines.withColumn("__rn__", F.row_number().over(w))
+      .filter(F.col("__rn__") === 1)
+    kept.groupBy(idCol).agg(
+      F.array_join(
+        F.transform(
+          F.array_sort(F.collect_list(F.struct(F.col("__li__"), F.col("__ln__")))),
+          s => s.getField("__ln__")),
+        "\n").as(textCol))
+  }
+
   /** Connected components over an undirected edge list — the step that turns
     * near-dup candidate PAIRS (minhash/simhash/embedding buckets) into dedup
     * CLUSTERS so one canonical document per cluster survives.

@@ -24,6 +24,13 @@ class MlSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("corpus line dedup keeps only the first occurrence of each line") {
+    val docs = Seq((1L, "a\nb"), (2L, "b\nc"), (3L, "a\nd")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "text", "doc_id")
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(out.toSeq == Seq(1L -> "a\nb", 2L -> "c", 3L -> "d"))
+  }
+
   test("connected components cluster candidate pairs; cluster-dedup keeps canonical") {
     // components: {1,2,3,4} (chain + extra edge), {10,11}, isolated 99
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 2L), (10L, 11L))
