@@ -58,6 +58,14 @@ final case class Series(name: String, df: SDF) {
   /** Empty series with the same name/dtype (reference series.rb cleared). */
   def cleared: Series = Series(name, df.limit(0))
 
+  /** Seeded shuffle / sample (reference series.rb shuffle/sample) — the
+    * order/selection is a deterministic function of the seed and values. */
+  def shuffle(seed: Long = 42): Series =
+    Series(name, df.orderBy(F.xxhash64(F.lit(seed), F.col(name).cast("string"),
+      F.monotonically_increasing_id())))
+  def sample(fraction: Double, seed: Long = 42, withReplacement: Boolean = false): Series =
+    Series(name, df.sample(withReplacement, fraction, seed))
+
   def map(e: Expr => Expr): Series = Series(name, df.select(e(Expr(F.col(name))).col.as(name)))
   def cast(dt: DataType): Series = map(_.cast(dt))
   /** Counts per distinct value (reference lib/polars/series.rb value_counts;

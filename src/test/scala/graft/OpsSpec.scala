@@ -139,6 +139,11 @@ class OpsSpec extends SparkSpec {
     // ewm_mean adjust=true over [1,2]: second value = (2 + 0.5*1)/(1.5) for alpha=0.5
     val em = Series("x", Seq(1.0, 2.0)).ewmMean(alpha = 0.5).toList
     assert(math.abs(em(1).asInstanceOf[Double] - (2.0 + 0.5) / 1.5) < 1e-12)
+    // shuffle is a seeded permutation; sample is seeded-deterministic
+    val big = Series("x", (1 to 50).map(_.toDouble))
+    val sh = big.shuffle(7).toList
+    assert(sh.toSet == big.toList.toSet && sh == big.shuffle(7).toList)
+    assert(big.sample(0.5, seed = 9).toList == big.sample(0.5, seed = 9).toList)
   }
 
   test("functions sweep: cum_sum_horizontal, from_epoch, ranges, ones/zeros, arg_*") {
