@@ -148,4 +148,42 @@ object TextAnalysis {
   /** Extract all http(s) URLs from free text. */
   def extractUrls(text: Column): Column =
     F.regexp_extract_all(text, F.lit("https?://[^\\s<>\"')\\]]+"), F.lit(0))
+
+  // ---- Corpus-level term weighting (rare-term surfacing, keyword dedup) ----
+
+  /** Per-(doc, term) TF-IDF over the corpus. Linear idf (N/df, no log) so
+    * every arithmetic step is an exactly-rounded IEEE division — the score is
+    * bit-reproducible across engines, which a transcendental log is not.
+    *
+    * Shape: explode tokens -> (id, term) hash-agg -> term-keyed df agg joined
+    * back (term table is corpus-vocabulary-sized -> broadcast), doc length
+    * from the original frame. Two shuffles total; N via a 1-row aggregate
+    * cross join (no driver action, stays one job). */
+  def tfidf(df: org.apache.spark.sql.DataFrame, textCol: String,
+            idCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(F.col(idCol), F.explode(tokens(F.col(textCol))).as("term"))
+    val tf = toks.groupBy(F.col(idCol), F.col("term"))
+      .agg(F.count(F.lit(1)).as("cnt"))
+    val docLen = df.select(F.col(idCol),
+      F.size(tokens(F.col(textCol))).cast("long").as("__ntok__"))
+    val dfreq = tf.groupBy(F.col("term")).agg(F.count(F.lit(1)).as("doc_freq"))
+    val n = df.select(F.count(F.lit(1)).as("__n__"))
+    tf.join(docLen, Seq(idCol))
+      .join(F.broadcast(dfreq), Seq("term"))
+      .crossJoin(F.broadcast(n))
+      .select(F.col(idCol), F.col("term"), F.col("cnt"), F.col("doc_freq"),
+        ((F.col("cnt").cast("double") / F.col("__ntok__").cast("double")) *
+          (F.col("__n__").cast("double") / F.col("doc_freq").cast("double")))
+          .as("tfidf"))
+  }
+
+  /** The top-weighted term per document (ties broken toward the
+    * lexicographically-largest term — binary collation, engine-agnostic). */
+  def topTfidfTerm(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   idCol: String): org.apache.spark.sql.DataFrame =
+    tfidf(df, textCol, idCol)
+      .groupBy(F.col(idCol))
+      .agg(F.max(F.struct(F.col("tfidf").as("s"), F.col("term").as("t"))).as("__top__"))
+      .select(F.col(idCol), F.col("__top__.t").as("top_term"),
+        F.col("__top__.s").as("top_tfidf"))
 }

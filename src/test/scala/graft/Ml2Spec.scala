@@ -1,0 +1,162 @@
+package graft
+
+import graft.ml.{Contamination, Packing, QualityFilters, Sampling, Similarity, TextAnalysis}
+import org.apache.spark.sql.{functions => F}
+
+/** Round-4 training-corpus curation operators: repetition filters,
+  * decontamination, sampling, packing, TF-IDF, embedding quantization. */
+class Ml2Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("duplicate word fraction and n-gram builders") {
+    val df = Seq((1L, "a b a b a"), (2L, "x y z"), (3L, "")).toDF("id", "t")
+    val out = df.select(F.col("id"),
+        QualityFilters.duplicateWordFraction(F.col("t")).as("dwf"),
+        QualityFilters.wordNgrams(F.col("t"), 2).as("g2"))
+      .orderBy("id").collect()
+    assert(out(0).getDouble(1) == 1.0 - 2.0 / 5.0)
+    assert(out(1).getDouble(1) == 0.0)
+    assert(out(2).getDouble(1) == 0.0)
+    assert(out(0).getSeq[String](2) == Seq("a b", "b a", "a b", "b a"))
+    assert(out(2).getSeq[String](2) == Seq.empty)
+  }
+
+  test("repetition signals: top/dup 2-gram char coverage") {
+    // "a b a b c": 2-grams = [a b, b a, a b, b c]; top = "a b" x2 (3 chars)
+    // dup chars = 2*3 = 6; total chars = 9
+    val df = Seq((1L, "a b a b c")).toDF("id", "t")
+    val out = QualityFilters.repetitionSignals(df, "t", "id", n = 2).collect()(0)
+    assert(out.getAs[Double]("top_ngram_char_fraction") == 6.0 / 9.0)
+    assert(out.getAs[Double]("dup_ngram_char_fraction") == 6.0 / 9.0)
+  }
+
+  test("gopher keep predicate enforces word-count and repetition caps") {
+    val ok = ("word " * 60).trim
+    val tooShort = "too short"
+    val repetitive = ("spam " * 60).trim // dup word fraction ~ 59/60 > 0.63
+    val df = Seq((1L, ok), (2L, tooShort), (3L, repetitive)).toDF("id", "t")
+    val kept = df.filter(QualityFilters.gopherKeep(F.col("t"), maxDupWordFraction = 0.63))
+      .collect().map(_.getLong(0)).toSet
+    // "ok" is also repetitive (single word repeated) — use distinct words
+    val varied = (1 to 60).map(i => s"word$i").mkString(" ")
+    val kept2 = Seq((4L, varied)).toDF("id", "t")
+      .filter(QualityFilters.gopherKeep(F.col("t"))).count()
+    assert(!kept.contains(2L) && !kept.contains(3L))
+    assert(kept2 == 1L)
+  }
+
+  test("contamination overlap counts shared distinct n-grams") {
+    val train = Seq((1L, "alpha beta gamma delta"), (2L, "nothing shared here at all"))
+      .toDF("id", "t")
+    val bench = Seq((100L, "alpha beta gamma zeta")).toDF("id", "t")
+    val out = Contamination.ngramOverlap(train, bench, "t", "id", n = 3)
+      .orderBy("id").collect()
+    // doc 1 grams: [alpha beta gamma, beta gamma delta]; bench shares the first
+    assert(out(0).getAs[Long]("n_grams") == 2L)
+    assert(out(0).getAs[Long]("n_overlap") == 1L)
+    assert(out(0).getAs[Long]("n_bench_docs") == 1L)
+    assert(out(0).getAs[Double]("overlap_ratio") == 0.5)
+    assert(out(1).getAs[Long]("n_overlap") == 0L)
+    val clean = Contamination.decontaminate(train, bench, "t", "id", n = 3,
+      maxOverlapRatio = 0.5).collect().map(_.getLong(0))
+    assert(clean.toSeq == Seq(2L))
+  }
+
+  test("stratified exact sample takes ceil(frac * n) per stratum in order") {
+    val df = (1L to 10L).map(i => (i, if (i <= 7) "en" else "de")).toDF("id", "lang")
+    val out = Sampling.stratifiedExact(df, "lang", 0.3, "id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // en: ceil(7*0.3)=3 -> 1,2,3 ; de: ceil(3*0.3)=1 -> 8
+    assert(out == Seq(1L, 2L, 3L, 8L))
+  }
+
+  test("hash sample is deterministic and approximately sized") {
+    val df = (1L to 2000L).toDF("id")
+    val a = Sampling.hashSample(df, "id", 0.25, seed = 7).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(df, "id", 0.25, seed = 7).collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(math.abs(a.size - 500) < 100)
+    val c = Sampling.hashSample(df, "id", 0.25, seed = 8).collect().map(_.getLong(0)).toSet
+    assert(a != c)
+  }
+
+  test("capPerStratum keeps first-n per stratum, others whole") {
+    val df = (1L to 10L).map(i => (i, if (i % 2 == 0) "even" else "odd")).toDF("id", "s")
+    val out = Sampling.capPerStratum(df, "s", Map("even" -> 2L), "id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 2L, 3L, 4L, 5L, 7L, 9L)) // evens capped at {2,4}
+  }
+
+  test("linear packing assigns bins by preceding token offset") {
+    val df = Seq((1L, 300L), (2L, 300L), (3L, 100L), (4L, 500L)).toDF("id", "ntok")
+    val out = Packing.linearPack(df, "ntok", "id", budget = 512L)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("bin_offset"))).toSeq
+    // offsets: 0, 300, 600, 700 -> bins 0,0,1,1 ; offsets%512: 0,300,88,188
+    assert(out == Seq((0L, 0L), (0L, 300L), (1L, 88L), (1L, 188L)))
+  }
+
+  test("next-fit packing never splits a doc and never overfills a bin") {
+    val df = Seq((1L, 300L), (2L, 300L), (3L, 100L), (4L, 500L), (5L, 600L))
+      .toDF("id", "ntok")
+    val out = Packing.nextFitPack(df, "ntok", "id", budget = 512L)
+      .orderBy("id").collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("bin"))
+    // greedy: 300 -> bin0; 300 overflows -> bin1; +100=400 fits bin1;
+    // 500 overflows -> bin2; 600 oversized -> bin3 alone
+    assert(out.toSeq == Seq(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+    val stats = Packing.binStats(
+      Packing.nextFitPack(df, "ntok", "id", 512L), "ntok", 512L)
+      .orderBy("bin").collect()
+    assert(stats.map(_.getAs[Long]("n_tokens")).toSeq == Seq(300L, 400L, 500L, 600L))
+  }
+
+  test("next-fit packing bins are globally unique across partitions") {
+    val df = (1L to 400L).map(i => (i, 100L)).toDF("id", "ntok").repartition(8)
+    val packed = Packing.nextFitPack(df, "ntok", "id", budget = 500L)
+    // 5 docs per bin within each sorted range; bins distinct count = total/5
+    val bins = packed.select("bin").distinct().count()
+    val perBin = Packing.binStats(packed, "ntok", 500L)
+      .agg(F.max("n_tokens")).collect()(0).getLong(0)
+    assert(perBin <= 500L)
+    assert(bins >= 80L) // 400 docs / 5-per-bin = 80 bins minimum
+  }
+
+  test("tfidf surfaces rare terms; top term deterministic") {
+    val df = Seq(
+      (1L, "common common rare"),
+      (2L, "common common common"),
+      (3L, "common other other")).toDF("id", "t")
+    val top = TextAnalysis.topTfidfTerm(df, "t", "id").orderBy("id").collect()
+    assert(top(0).getAs[String]("top_term") == "rare") // df=1 vs common df=3
+    assert(top(0).getAs[Double]("top_tfidf") == (1.0 / 3.0) * (3.0 / 1.0))
+    assert(top(2).getAs[String]("top_term") == "other")
+  }
+
+  test("l2Normalize yields unit vectors; zero vector stays zero") {
+    val df = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(0.0f, 0.0f))).toDF("id", "v")
+    val out = df.select(F.col("id"), Similarity.l2Normalize(F.col("v")).as("n"))
+      .orderBy("id").collect()
+    assert(out(0).getSeq[Double](1) == Seq(0.6, 0.8))
+    assert(out(1).getSeq[Double](1) == Seq(0.0, 0.0))
+  }
+
+  test("int8 quantization: codes bounded, cosine close to exact") {
+    val vecs = Seq(
+      (1L, Seq(0.1f, -0.5f, 0.9f, 0.3f)),
+      (2L, Seq(0.2f, -0.4f, 0.8f, 0.1f)),
+      (3L, Seq(-0.9f, 0.1f, -0.2f, 0.7f))).toDF("id", "v")
+    val q = vecs.select(F.col("id"), Similarity.quantizeInt8(F.col("v")).as("q"),
+      F.col("v"))
+    val codes = q.select(F.col("q.codes")).collect().map(_.getSeq[Int](0))
+    assert(codes.forall(_.forall(c => c >= -127 && c <= 127)))
+    assert(codes.forall(_.exists(c => math.abs(c) == 127))) // scale hits max
+    // quantized cosine within 1% of exact for these magnitudes
+    val pairs = q.as("a").crossJoin(q.select(F.col("id").as("id2"),
+        F.col("q").as("q2"), F.col("v").as("v2")).as("b"))
+      .filter(F.col("id") < F.col("id2"))
+      .select(Similarity.cosineQuantized(F.col("q"), F.col("q2")).as("cq"),
+        Similarity.cosine(F.col("v"), F.col("v2")).as("c"))
+      .collect()
+    pairs.foreach { r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.01) }
+  }
+}
