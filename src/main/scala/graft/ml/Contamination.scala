@@ -14,11 +14,15 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
   */
 object Contamination {
 
-  /** Distinct word n-grams per document, one row per (id, gram). */
+  /** Distinct word n-grams per document, one row per (id, gram). The words
+    * array is projected before the n-gram lambda so the regex split runs
+    * once per document, not once per gram (see
+    * [[QualityFilters.wordNgramsFromWords]]). */
   def docNgrams(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    df.select(F.col(idCol),
-      F.explode(F.array_distinct(
-        QualityFilters.wordNgrams(F.col(textCol), n))).as("gram"))
+    df.select(F.col(idCol), QualityFilters.words(F.col(textCol)).as("__ws__"))
+      .select(F.col(idCol),
+        F.explode(F.array_distinct(
+          QualityFilters.wordNgramsFromWords(F.col("__ws__"), n))).as("gram"))
 
   /** Per-training-doc contamination report against `bench`:
     * `n_overlap` distinct shared grams, `n_bench_docs` distinct benchmark
@@ -26,21 +30,25 @@ object Contamination {
     * Training docs with no overlap are kept with zeros (left join). */
   def ngramOverlap(train: DataFrame, bench: DataFrame,
                    textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    // Single pass: explode each side once, LEFT-join train grams to the
+    // (broadcast) benchmark grams, then one aggregation. A matched gram
+    // appears once per matching bench doc, so every count is a distinct —
+    // that costs one Expand (×3 rows) but avoids recomputing the regexp
+    // split + n-gram build for a second totals branch, which dominates.
     val tg = docNgrams(train, textCol, idCol, n)
     val bg = docNgrams(bench, textCol, idCol, n)
       .withColumnRenamed(idCol, "__bench_id__")
-    val hits = tg.join(F.broadcast(bg), Seq("gram"))
+    tg.join(F.broadcast(bg), Seq("gram"), "left")
       .groupBy(F.col(idCol))
-      .agg(F.countDistinct(F.col("gram")).as("n_overlap"),
+      .agg(
+        F.countDistinct(F.col("gram")).as("n_grams"),
+        F.countDistinct(F.when(F.col("__bench_id__").isNotNull, F.col("gram")))
+          .as("n_overlap"),
         F.countDistinct(F.col("__bench_id__")).as("n_bench_docs"))
-    val totals = tg.groupBy(F.col(idCol))
-      .agg(F.count(F.lit(1)).as("n_grams"))
-    totals.join(hits, Seq(idCol), "left")
-      .select(F.col(idCol), F.col("n_grams"),
-        F.coalesce(F.col("n_overlap"), F.lit(0L)).as("n_overlap"),
-        F.coalesce(F.col("n_bench_docs"), F.lit(0L)).as("n_bench_docs"),
-        (F.coalesce(F.col("n_overlap"), F.lit(0L)).cast("double") /
-          F.col("n_grams").cast("double")).as("overlap_ratio"))
+      .select(F.col(idCol), F.col("n_grams"), F.col("n_overlap"),
+        F.col("n_bench_docs"),
+        (F.col("n_overlap").cast("double") / F.col("n_grams").cast("double"))
+          .as("overlap_ratio"))
   }
 
   /** Decontaminate: drop training docs whose overlap ratio is at or above

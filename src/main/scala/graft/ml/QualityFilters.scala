@@ -18,16 +18,25 @@ object QualityFilters {
     F.when(F.length(F.trim(text)) === 0, F.array().cast("array<string>"))
       .otherwise(F.split(F.trim(text), "\\s+"))
 
-  /** Word n-grams as space-joined strings: zip-shift composition, evaluated
-    * per row without a UDF. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val ws = words(text)
+  /** Word n-grams from an already-materialized words array. IMPORTANT: pass
+    * a plain column reference, not an expression tree — subexpressions inside
+    * a higher-order-function lambda are re-evaluated PER ELEMENT, so handing
+    * this `split(...)` directly re-runs the regex split once per n-gram
+    * (measured ~50× slowdown). Project the words array first. */
+  def wordNgramsFromWords(ws: Column, n: Int): Column = {
     val count = F.greatest(F.size(ws) - (n - 1), F.lit(0))
     // sequence(0, -1) yields a DESCENDING sequence, not empty — guard count=0
     F.when(count === 0, F.array().cast("array<string>"))
       .otherwise(F.transform(F.sequence(F.lit(0), count - 1),
         i => F.array_join(F.slice(ws, i + 1, F.lit(n)), " ")))
   }
+
+  /** Word n-grams as space-joined strings: zip-shift composition, evaluated
+    * per row without a UDF. Convenience form — in hot paths project
+    * [[words]] to a column first and use [[wordNgramsFromWords]] (see the
+    * per-element re-evaluation note there). */
+  def wordNgrams(text: Column, n: Int): Column =
+    wordNgramsFromWords(words(text), n)
 
   /** Fraction of words that are repeats of an earlier word in the same doc:
     * 1 - distinct/total. */
@@ -53,7 +62,9 @@ object QualityFilters {
   def repetitionSignals(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 2): DataFrame = {
     val grams = df.select(F.col(idCol), F.length(F.col(textCol)).as("__chars__"),
-        F.explode(wordNgrams(F.col(textCol), n)).as("__gram__"))
+        words(F.col(textCol)).as("__ws__"))
+      .select(F.col(idCol), F.col("__chars__"),
+        F.explode(wordNgramsFromWords(F.col("__ws__"), n)).as("__gram__"))
       .groupBy(F.col(idCol), F.col("__gram__"), F.col("__chars__"))
       .agg(F.count(F.lit(1)).as("__cnt__"))
     // top gram = max of the (count, gram) struct: most frequent, ties broken
