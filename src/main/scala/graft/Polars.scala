@@ -98,6 +98,28 @@ object Polars {
   def arctan2(y: Expr, x: Expr): Expr = Expr(F.atan2(y.col, x.col))
   /** arctan2 in degrees (reference functions/lazy.rb arctan2d). */
   def arctan2d(y: Expr, x: Expr): Expr = Expr(F.degrees(F.atan2(y.col, x.col)))
+  /** Row-index-per-group agg (reference functions/lazy.rb groups — module
+    * spelling of Expr#agg_groups). */
+  def groups(name: String): Expr = col(name).aggGroups
+  /** Module-level sample variance (reference functions/lazy.rb var; named
+    * `variance` because `var` is a Scala keyword). */
+  def variance(e: Expr, ddof: Int = 1): Expr = e.variance(ddof)
+
+  // ---- global shims (reference functions/random.rb, string_cache.rb) ----
+  /** Default seed consumed by seeded ops' parameter defaults (reference
+    * set_random_seed; our RNG surface is always explicitly seeded, so this
+    * just moves the default). */
+  @volatile private var _defaultSeed: Long = 42L
+  def setRandomSeed(seed: Long): Unit = _defaultSeed = seed
+  def defaultRandomSeed: Long = _defaultSeed
+  /** Global string cache is meaningless on Spark (no global dictionary —
+    * SURVEY §1.2): kept as explicit no-ops for call-site compatibility. */
+  def enableStringCache(): Unit = ()
+  def disableStringCache(): Unit = ()
+  def usingStringCache[T](f: => T): T = f
+  /** from_hash (reference convert.rb): hash-of-columns constructor alias. */
+  def fromHash(columns: Map[String, Seq[Any]])(implicit spark: SparkSession): api.DataFrame =
+    dataFrame(columns.toSeq: _*)
   /** Named aliases (reference functions.rb pearson_corr/spearman_rank_corr). */
   def pearsonCorr(a: Expr, b: Expr): Expr = corr(a, b)
   def spearmanRankCorr(df: DataFrame, a: String, b: String, as: String = "spearman"): DataFrame =

@@ -302,6 +302,25 @@ trait FrameOps[Self] {
     make(sdf.unpivot(index.map(F.col).toArray, on.map(F.col).toArray, variableName, valueName))
 
   def isEmpty: Boolean = sdf.isEmpty
+
+  def takeEvery(n: Int, offset: Int = 0): Self = gatherEvery(n, offset) // deprecated alias
+  /** Column membership (reference include?). */
+  def contains(column: String): Boolean = columns.contains(column)
+  /** Positional index of a column (reference get_column_index). */
+  def getColumnIndex(column: String): Int = {
+    val i = columns.indexOf(column)
+    require(i >= 0, s"get_column_index: no column '$column'")
+    i
+  }
+  /** Empty frame with the same schema (reference clear). */
+  def clear(): Self = make(sdf.limit(0))
+  /** As-of join against another frame (reference join_asof; backward/
+    * forward/nearest, optional group keys and tolerance) — delegates to the
+    * union-tag window kernel, no per-key loops. */
+  def joinAsof(other: FrameOps[_], on: String, by: Seq[String] = Nil,
+               strategy: String = "backward", tolerance: Option[Double] = None,
+               suffix: String = "_right"): Self =
+    make(graft.kernel.AsofJoin.join(sdf, other.toSpark, on, by, strategy, tolerance, suffix))
 }
 
 /** Eager frame (reference: lib/polars/data_frame.rb). */
@@ -338,6 +357,61 @@ final case class DataFrame(private val df: SDF) extends FrameOps[DataFrame] {
     df.select(F.xxhash64((F.lit(seed) +: df.columns.toSeq.map(F.col)): _*).as("hash_rows")))
   /** pipe (reference data_frame.rb:2792): apply a function to the frame. */
   def pipe[T](f: DataFrame => T): T = f(this)
+  /** Row iterator without materializing the whole frame on the driver
+    * (reference each_row/iter_rows — toLocalIterator streams one partition
+    * at a time). */
+  def iterRows(): Iterator[org.apache.spark.sql.Row] = {
+    import scala.jdk.CollectionConverters._
+    df.toLocalIterator().asScala
+  }
+  def eachRow(f: org.apache.spark.sql.Row => Unit): Unit = iterRows().foreach(f)
+  /** Remove a column, returning it alongside the remaining frame (reference
+    * drop_in_place — immutable flavor). */
+  def dropInPlace(name: String): (Series, DataFrame) =
+    (getColumn(name), DataFrame(df.drop(name)))
+  /** delete (reference): drop-if-present, returning the removed series. */
+  def delete(name: String): Option[Series] =
+    if (df.columns.contains(name)) Some(dropInPlace(name)._1) else None
+  /** Whole-frame equality (reference equals(null_equal:)): same schema and
+    * positionally identical rows. */
+  def frameEquals(other: DataFrame, nullEqual: Boolean = true): Boolean = {
+    if (df.schema != other.toSpark.schema) return false
+    val IDX = graft.kernel.RowIndex.name
+    val l = graft.kernel.RowIndex.attachDense(df)
+    val r = graft.kernel.RowIndex.attachDense(other.toSpark)
+    val conds = df.columns.map { c =>
+      if (nullEqual) F.col(s"l.$c") <=> F.col(s"r.$c")
+      else F.col(s"l.$c") === F.col(s"r.$c")
+    }.reduce(_ && _)
+    val j = l.as("l").join(r.as("r"), F.col(s"l.$IDX") === F.col(s"r.$IDX"), "full")
+    j.filter(!F.coalesce(conds, F.lit(false))).isEmpty
+  }
+  /** Row-level uniqueness mask over all columns (reference is_unique /
+    * is_duplicated as DataFrame methods). */
+  def isUniqueRows: Series = rowCountMask(_ === 1, "is_unique")
+  def isDuplicatedRows: Series = rowCountMask(_ > 1, "is_duplicated")
+  private def rowCountMask(pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                           out: String): Series = {
+    val IDX = graft.kernel.RowIndex.name
+    Series(out, graft.kernel.RowIndex.attachDense(df)
+      .withColumn("__c__", F.count(F.lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(df.columns.map(F.col): _*)))
+      .orderBy(IDX).select(pred(F.col("__c__")).as(out)))
+  }
+  /** CSV egress as a string (reference to_csv / write_csv(nil)) —
+    * driver-side by definition; use [[writeCsv]] for data at scale. */
+  def toCsvString(includeHeader: Boolean = true): String = {
+    val names = df.columns
+    def cell(v: Any): String = v match {
+      case null => ""
+      case s: String if s.exists(",\"\n\r".contains(_)) =>
+        "\"" + s.replace("\"", "\"\"") + "\""
+      case x => x.toString
+    }
+    val rows = df.collect().map(_.toSeq.map(cell).mkString(","))
+    val header = if (includeHeader) Seq(names.mkString(",")) else Nil
+    (header ++ rows).mkString("", "\n", "\n")
+  }
   /** insert_column / replace_column (reference data_frame.rb:1587,3181) —
     * positional column surgery via the hstack fuse/zip machinery. */
   def insertColumn(index: Int, s: Series): DataFrame = {

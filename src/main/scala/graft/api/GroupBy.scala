@@ -13,7 +13,10 @@ final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk: SDF => Self) {
 
   def agg(exprs: Expr*): Self = {
     require(exprs.nonEmpty)
-    mk(sdf.groupBy(keys: _*).agg(exprs.head.col, exprs.tail.map(_.col): _*))
+    // order-sensitive aggs (agg_groups, implode in row order) reference the
+    // dense row index — attach it when any expression asks for it
+    val base = if (exprs.exists(_.requiresIndex)) RowIndex.attachDense(sdf) else sdf
+    mk(base.groupBy(keys: _*).agg(exprs.head.col, exprs.tail.map(_.col): _*))
   }
 
   private def aggAll(f: Column => Column, suffix: String = ""): Self = {

@@ -68,6 +68,89 @@ final case class Series(name: String, df: SDF) {
 
   def map(e: Expr => Expr): Series = Series(name, df.select(e(Expr(F.col(name))).col.as(name)))
   def cast(dt: DataType): Series = map(_.cast(dt))
+
+  // ---- reference-surface long tail (series.rb) ----
+  /** Vertical concat with another series (reference series.rb append /
+    * extend; immutable here — returns the combined series). */
+  def append(other: Series): Series =
+    Series(name, df.unionAll(other.df.select(F.col(other.name).as(name))))
+  /** Named comparison spellings (reference eq/ne/gt/ge/lt/le). */
+  def eq(o: Series): Series = zipWith(o, _ === _, name)
+  def ne(o: Series): Series = zipWith(o, _ =!= _, name)
+  def gt(o: Series): Series = zipWith(o, _ > _, name)
+  def ge(o: Series): Series = zipWith(o, _ >= _, name)
+  def lt(o: Series): Series = zipWith(o, _ < _, name)
+  def le(o: Series): Series = zipWith(o, _ <= _, name)
+  /** Whole-series equality (reference series.rb equals(null_equal:)) —
+    * positional, name-insensitive. */
+  def seriesEquals(o: Series, nullEqual: Boolean = true): Boolean = {
+    if (dtype != o.dtype) return false
+    val l = indexed
+    val r = graft.kernel.RowIndex.attachDense(o.df.select(F.col(o.name).as(name)))
+    val cmp = if (nullEqual) F.col(s"l.$name") <=> F.col(s"r.$name")
+              else F.col(s"l.$name") === F.col(s"r.$name")
+    val j = l.as("l").join(r.as("r"), F.col(s"l.$IDX") === F.col(s"r.$IDX"), "full")
+    j.filter(!F.coalesce(cmp, F.lit(false))).isEmpty
+  }
+  /** True when the series contains no nulls... inverted per the reference:
+    * has_validity = "are there any nulls" in polars 0.41 (series.rb). */
+  def hasValidity: Boolean = df.filter(F.col(name).isNull).limit(1).count() > 0
+  /** Element dtype of a List series (reference series.rb inner_dtype). */
+  def innerDtype: Option[DataType] = dtype match {
+    case ArrayType(et, _) => Some(et)
+    case _ => None
+  }
+  /** Time unit of the temporal physical carrier — always µs here
+    * (SURVEY §1.2 long-µs-ticks mapping; reference series.rb time_unit). */
+  def timeUnit: String = "us"
+  /** Row-level uniqueness masks (reference is_unique/is_first/is_last). */
+  def isUnique: Series = maskOp(F.count(F.lit(1)), _ === 1, "is_unique")
+  def isDuplicated: Series = maskOp(F.count(F.lit(1)), _ > 1, "is_duplicated")
+  def isFirstDistinct: Series = Series("is_first_distinct",
+    indexed.withColumn("__rn__", F.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(F.col(name)).orderBy(F.col(IDX))))
+      .orderBy(IDX).select((F.col("__rn__") === 1).as("is_first_distinct")))
+  private def maskOp(agg: org.apache.spark.sql.Column,
+                     pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                     out: String): Series = Series(out,
+    indexed.withColumn("__c__", agg.over(
+        org.apache.spark.sql.expressions.Window.partitionBy(F.col(name))))
+      .orderBy(IDX).select(pred(F.col("__c__")).as(out)))
+  /** Constant series from one element of this one (reference
+    * new_from_index(index, length)). */
+  def newFromIndex(index: Long, length: Long): Series = {
+    val v = indexed.filter(F.col(IDX) === index).select(name).collect()
+    require(v.nonEmpty, s"new_from_index: index $index out of bounds")
+    Series(name, df.sparkSession.range(length).select(F.lit(v(0).get(0)).as(name)))
+  }
+  /** Set values at positions (reference scatter / set-at-idx): positional
+    * left join against the replacement map — no driver-side row loop. */
+  def scatter(indices: Seq[Long], values: Seq[Any]): Series = {
+    require(indices.length == values.length, "scatter: indices/values length mismatch")
+    import df.sparkSession.implicits._
+    val repl = indices.map(_.toString).zip(values.map(v => Option(v).map(_.toString)))
+      .toDF("__i__", "__v__")
+      .select(F.col("__i__").cast("long").as("__i__"),
+        F.col("__v__").cast(dtype).as("__v__"))
+    Series(name, indexed.join(repl, F.col(IDX) === F.col("__i__"), "left")
+      .orderBy(IDX)
+      .select(F.when(F.col("__i__").isNotNull, F.col("__v__"))
+        .otherwise(F.col(name)).as(name)))
+  }
+  /** Boolean-mask set (reference set(filter, value)). */
+  def set(mask: Series, value: Any): Series = {
+    val l = indexed
+    val r = graft.kernel.RowIndex.attachDense(mask.df.select(F.col(mask.name).as("__m__")))
+    Series(name, l.join(r, IDX).orderBy(IDX)
+      .select(F.when(F.col("__m__"), F.lit(value)).otherwise(F.col(name)).as(name)))
+  }
+  /** Every n-th element (reference gather_every / take_every). */
+  def gatherEvery(n: Int, offset: Int = 0): Series = {
+    require(n >= 1, s"gather_every: n must be >= 1, got $n")
+    Series(name, indexed.filter((F.col(IDX) - offset) % n === 0 && F.col(IDX) >= offset)
+      .orderBy(IDX).select(name))
+  }
+  def takeEvery(n: Int, offset: Int = 0): Series = gatherEvery(n, offset)
   /** Counts per distinct value (reference lib/polars/series.rb value_counts;
     * default sort: false matches its signature — pass sort=true for the
     * count-descending order). */

@@ -456,6 +456,45 @@ final case class Expr(col: Column, requiresIndex: Boolean = false) {
     case org.apache.spark.sql.types.FloatType => Float.PositiveInfinity
   }))
 
+  // ---- reference-name spellings (expr.rb named operators & arc-trig) ----
+  // polars exposes both operator and named forms; named forms matter for
+  // fold/reduce-style call sites that pass methods by name.
+  def add(o: Expr): Expr = this + o
+  def sub(o: Expr): Expr = this - o
+  def mul(o: Expr): Expr = this * o
+  def truediv(o: Expr): Expr = this / o
+  def mod(o: Expr): Expr = this % o
+  def neg: Expr = map(c => -c)
+  def eq(o: Expr): Expr = this === o
+  def ne(o: Expr): Expr = this !== o
+  def gt(o: Expr): Expr = this > o
+  def ge(o: Expr): Expr = this >= o
+  def lt(o: Expr): Expr = this < o
+  def le(o: Expr): Expr = this <= o
+  def arcsin: Expr = asin
+  def arccos: Expr = acos
+  def arctan: Expr = atan
+  def arcsinh: Expr = asinh
+  def arccosh: Expr = acosh
+  def arctanh: Expr = atanh
+  def isNot: Expr = not                  // deprecated reference alias of NOT
+  def isUnique: Expr = isUniqueMask
+  def isFirst: Expr = isFirstDistinct    // deprecated alias (expr.rb is_first)
+  def isLast: Expr = isLastDistinct
+  /** `variance` under the reference's short name is not expressible —
+    * `var` is a Scala keyword; use [[variance]]. */
+  def varSamp(ddof: Int = 1): Expr = variance(ddof)
+  /** Explode a list column to rows (reference expr.rb explode/flatten —
+    * flatten is its documented alias). Changes cardinality: valid in a
+    * select over list columns, same as Spark's explode. */
+  def explode: Expr = map(F.explode)
+  def flatten: Expr = explode
+  def keepName: Expr = name.keep
+  def mapAlias(f: String => String): Expr =
+    meta.outputName.fold(this)(n => alias(f(n)))
+  def prefix(p: String): Expr = mapAlias(p + _)
+  def suffix(s: String): Expr = mapAlias(_ + s)
+
   // ---- namespaces ----
   def str: StrNS = new StrNS(this)
   def dt: DtNS = new DtNS(this)

@@ -46,6 +46,7 @@ final class StrNS(e: Expr) {
     }: _*)
   }
   def countMatches(pat: String): Expr = m(c => F.regexp_count(c, F.lit(pat)))
+  def countMatch(pat: String): Expr = countMatches(pat) // deprecated reference alias
   def replace(pat: String, repl: String): Expr = // first occurrence only (polars default n=1)
     // \A anchors the single possible match at the string start; lazy (?s).*? then
     // spans up to the EARLIEST pat occurrence (DOTALL so newlines don't break the scan).
@@ -84,6 +85,18 @@ final class StrNS(e: Expr) {
   }
   def join(sep: String = ""): Expr = m(c => F.array_join(F.collect_list(c), sep))
   def concat(sep: String = ""): Expr = join(sep)
+  // deprecated reference aliases (string_name_space.rb lstrip/rstrip/
+  // ljust/rjust/n_chars/parse_int): ljust pads on the RIGHT (left-justify)
+  def lstrip: Expr = stripCharsStart
+  def lstrip(chars: String): Expr = stripCharsStart(chars)
+  def rstrip: Expr = stripCharsEnd
+  def rstrip(chars: String): Expr = stripCharsEnd(chars)
+  def ljust(n: Int, fill: String = " "): Expr = padEnd(n, fill)
+  def rjust(n: Int, fill: String = " "): Expr = padStart(n, fill)
+  def nChars: Expr = lenChars
+  def nBytes: Expr = lenBytes
+  /** parse_int(radix) — polars' radix default is 2. */
+  def parseInt(radix: Int = 2): Expr = toInteger(radix)
   def toInteger(base: Int = 10): Expr =
     m(c => if (base == 10) c.cast("long") else F.conv(c, base, 10).cast("long"))
   def toDecimal(precision: Int = 38, scale: Int = 10): Expr = m(_.cast(s"decimal($precision,$scale)"))
@@ -197,6 +210,10 @@ final class DtNS(e: Expr) {
   def combine(time: Column): Expr = m(c => F.to_timestamp(F.concat_ws(" ", F.date_format(c, "yyyy-MM-dd"), time)))
   def convertTimeZone(tz: String): Expr = m(c => F.from_utc_timestamp(c, tz))
   def replaceTimeZone(tz: String): Expr = m(c => F.to_utc_timestamp(c, tz))
+  def tzLocalize(tz: String): Expr = replaceTimeZone(tz) // deprecated alias
+  /** Datetime view of the underlying representation (reference
+    * date_time_expr.rb:584 dt.datetime) — a cast on the µs-timestamp carrier. */
+  def datetime: Expr = m(_.cast("timestamp"))
   /** Standard (non-DST) UTC offset of `tz` at each instant, as Duration µs
     * (reference date_time_expr.rb:1367 — zone comes from the dtype there;
     * naive-UTC physical storage here, so the zone is an argument). Exact JVM
@@ -222,6 +239,16 @@ final class DtNS(e: Expr) {
     val (f, t) = (scale(from), scale(to))
     m(c => if (f >= t) c * (f / t) else (c / (t / f)).cast("long"))
   }
+  /** Reinterpret duration ticks in another unit WITHOUT rescaling the tick
+    * count (reference with_time_unit: metadata-only change — 5 µs-ticks
+    * become 5 ms-ticks). The µs canonical carrier makes that a value change
+    * here: ticks × (new unit / µs). */
+  def withTimeUnit(to: String): Expr = m(c => to match {
+    case "ns" => (c / 1000L).cast("long")
+    case "us" => c
+    case "ms" => c * 1000L
+    case other => throw new IllegalArgumentException(s"with_time_unit: $other")
+  })
 
   // Duration accessors over long-ticks (µs) duration representation
   def totalDays: Expr = m(c => (c / 86400000000L).cast("long"))
@@ -306,6 +333,11 @@ final class CatNS(e: Expr) {
   def getCategories: Expr = Expr(F.collect_set(e.col))
   def toPhysical: Expr = Expr(F.dense_rank().over(
     org.apache.spark.sql.expressions.Window.orderBy(e.col)) - 1)
+  /** Spark strings carry no global dictionary, so every "categorical" is
+    * local by construction (reference cat_name_space.rb is_local/to_local —
+    * they concern the global string cache, a no-op here per SURVEY §1.2). */
+  def isLocal: Boolean = true
+  def toLocal: Expr = e
 }
 
 /** Enum shim (reference: data_types.rb:303-348): StringType physically, with
@@ -331,6 +363,10 @@ final class StructNS(e: Expr) {
   def withField(name: String, value: Expr): Expr =
     Expr(e.col.withField(name, value.col), e.requiresIndex || value.requiresIndex)
   def renameFields(names: Seq[String]): Expr = Expr(e.col, e.requiresIndex) // resolved frame-side via cast
+  /** Field names of the struct (reference struct_name_space.rb fields) —
+    * schema metadata surfaced as an array expression; constant-folded when
+    * the struct's type is known at plan time. */
+  def fields: Expr = Expr(F.json_object_keys(F.to_json(e.col)), e.requiresIndex)
 }
 
 /** Name namespace — reference: lib/polars/name_expr.rb:51-194. Spark Columns

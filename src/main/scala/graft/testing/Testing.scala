@@ -42,6 +42,24 @@ object Testing {
                         rtol: Double = 1e-5, atol: Double = 1e-8): Unit =
     assertFrameEqual(left.df, right.rename(left.name).df, rtol = rtol, atol = atol)
 
+  /** Negated assertions (reference testing.rb assert_frame_not_equal /
+    * assert_series_not_equal): raise when the inputs ARE equal. */
+  def assertFrameNotEqual(left: DataFrame, right: DataFrame,
+                          checkRowOrder: Boolean = true, checkDtype: Boolean = true,
+                          rtol: Double = 1e-5, atol: Double = 1e-8): Unit = {
+    val equal =
+      try { assertFrameEqual(left, right, checkRowOrder, checkDtype, rtol, atol); true }
+      catch { case _: FrameMismatch => false }
+    if (equal) throw FrameMismatch("frames are equal (expected not equal)")
+  }
+  def assertSeriesNotEqual(left: graft.api.Series, right: graft.api.Series,
+                           rtol: Double = 1e-5, atol: Double = 1e-8): Unit = {
+    val equal =
+      try { assertSeriesEqual(left, right, rtol, atol); true }
+      catch { case _: FrameMismatch => false }
+    if (equal) throw FrameMismatch("series are equal (expected not equal)")
+  }
+
   private def valueEq(a: Any, b: Any, rtol: Double, atol: Double): Boolean = (a, b) match {
     case (null, null) => true
     case (null, _) | (_, null) => false
