@@ -80,4 +80,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
     assert(p.contains("Scan parquet"), p) // still the original scan, not an RDD barrier
   }
+
+  test("contamination joins the (small) benchmark side as a broadcast, scans pruned") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ml.Contamination.ngramOverlap(
+      docs.filter(F.col("doc_id") % 17 =!= 0),
+      docs.filter(F.col("doc_id") % 17 === 0), "text", "doc_id", n = 3))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("tfidf broadcasts the vocabulary and the corpus-count scalar") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ml.TextAnalysis.topTfidfTerm(docs, "text", "doc_id"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // 1-row count side: broadcast nested loop cross join, never a shuffle join
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("linear packing is one global-window pass, no extra shuffles") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(F.col("doc_id"),
+        graft.ml.TextAnalysis.tokenCount(F.col("text")).cast("long").as("ntok"))
+    val p = plan(graft.ml.Packing.linearPack(docs, "ntok", "doc_id", 512L))
+    assert(p.contains("Window"), p)
+    // exactly one exchange: the single-partition window sort
+    assert(p.indexOf("Exchange") == p.lastIndexOf("Exchange"), p)
+  }
 }
