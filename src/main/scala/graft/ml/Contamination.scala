@@ -61,4 +61,32 @@ object Contamination {
       .select(F.col(idCol))
     train.join(flagged, Seq(idCol), "left_anti")
   }
+
+  /** Bloom-filter candidate pre-filter — the 100 TB shape of decontamination.
+    * The benchmark's distinct grams (millions, not billions) compress into a
+    * driver-built Bloom filter that is broadcast to every executor; each
+    * training doc is kept as a CANDIDATE only if some gram hits the filter.
+    * False positives are possible (tune `fpp`), false negatives are not, so
+    * `ngramOverlap` run on the (tiny) candidate set gives the exact answer
+    * without ever shuffling the full corpus' grams.
+    *
+    * Membership has no builtin SQL expression, so this is one of the rare
+    * justified closure filters — it runs against a broadcast value, keeps
+    * pushdown on every earlier stage, and touches each doc once. */
+  def bloomCandidates(train: DataFrame, bench: DataFrame, textCol: String,
+                      idCol: String, n: Int = 3,
+                      fpp: Double = 0.01): DataFrame = {
+    val bg = docNgrams(bench, textCol, idCol, n)
+    val expected = math.max(bg.count(), 1L)
+    val bloom = bg.stat.bloomFilter("gram", expected, fpp)
+    val bcast = train.sparkSession.sparkContext.broadcast(bloom)
+    val hit = F.udf((grams: Seq[String]) =>
+      grams != null && grams.exists(bcast.value.mightContainString))
+    train
+      .withColumn("__ws__", QualityFilters.words(F.col(textCol)))
+      .withColumn("__grams__",
+        F.array_distinct(QualityFilters.wordNgramsFromWords(F.col("__ws__"), n)))
+      .filter(hit(F.col("__grams__")))
+      .drop("__ws__", "__grams__")
+  }
 }

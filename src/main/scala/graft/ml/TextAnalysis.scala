@@ -186,4 +186,36 @@ object TextAnalysis {
       .agg(F.max(F.struct(F.col("tfidf").as("s"), F.col("term").as("t"))).as("__top__"))
       .select(F.col(idCol), F.col("__top__.t").as("top_term"),
         F.col("__top__.s").as("top_tfidf"))
+
+  /** Exact heavy-hitter terms (top-k by corpus frequency) — hash-agg plus
+    * TakeOrderedAndProject; the baseline the sketch variant approximates. */
+  def topTerms(df: org.apache.spark.sql.DataFrame, textCol: String,
+               k: Int = 100): org.apache.spark.sql.DataFrame =
+    df.select(F.explode(tokens(F.col(textCol))).as("term"))
+      .groupBy("term").agg(F.count(F.lit(1)).as("n"))
+      .orderBy(F.col("n").desc, F.col("term"))
+      .limit(k)
+
+  /** Mergeable count-min sketch of term frequencies (Spark's builtin
+    * count_min_sketch aggregate): one pass, fixed memory regardless of
+    * vocabulary size — at 100 TB the per-partition sketches merge in the
+    * reduce step instead of shuffling a billion-row (term, count) table.
+    * Returns the serialized sketch; query it driver-side via
+    * [[estimateTermCount]]. */
+  def termSketch(df: org.apache.spark.sql.DataFrame, textCol: String,
+                 eps: Double = 0.0001, confidence: Double = 0.99,
+                 seed: Int = 42): Array[Byte] =
+    df.select(F.explode(tokens(F.col(textCol))).as("term"))
+      .agg(F.count_min_sketch(F.col("term"), F.lit(eps), F.lit(confidence),
+        F.lit(seed)).as("sk"))
+      .collect()(0).getAs[Array[Byte]](0)
+
+  /** Point estimate from a [[termSketch]] — always >= the true count, within
+    * eps * total-terms with the configured confidence. */
+  def estimateTermCount(sketch: Array[Byte], term: String): Long = {
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketch))
+    // the SQL aggregate adds strings as their UTF-8 bytes
+    cms.estimateCount(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 }

@@ -132,6 +132,36 @@ class Ml2Spec extends SparkSpec {
     assert(top(2).getAs[String]("top_term") == "other")
   }
 
+  test("bloom candidate pre-filter is a superset of exact overlap, subset on clean docs") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "totally clean document nothing shared"),
+      (3L, "epsilon zeta eta theta iota")).toDF("id", "t")
+    val bench = Seq((100L, "alpha beta gamma zeta"),
+      (101L, "epsilon zeta eta qqq")).toDF("id", "t")
+    val cand = Contamination.bloomCandidates(train, bench, "t", "id", n = 3)
+      .collect().map(_.getLong(0)).toSet
+    // docs 1 and 3 share a 3-gram with the benchmark; doc 2 shares none —
+    // with fpp=0.01 and this tiny filter a false positive is ~impossible
+    assert(cand.contains(1L) && cand.contains(3L))
+    assert(!cand.contains(2L))
+  }
+
+  test("count-min term sketch over-estimates, bounded by eps * total") {
+    val docs = Seq(
+      (1L, "spark spark spark duck"),
+      (2L, "spark row column duck duck")).toDF("id", "t")
+    val sk = TextAnalysis.termSketch(docs, "t", eps = 0.01)
+    val sparkEst = TextAnalysis.estimateTermCount(sk, "spark")
+    val duckEst = TextAnalysis.estimateTermCount(sk, "duck")
+    assert(sparkEst >= 4L && sparkEst <= 5L) // 9 tokens total, eps slack ~0
+    assert(duckEst >= 3L && duckEst <= 4L)
+    assert(TextAnalysis.estimateTermCount(sk, "absent") <= 1L)
+    val top = TextAnalysis.topTerms(docs, "t", k = 2).collect()
+    assert(top(0).getString(0) == "spark" && top(0).getLong(1) == 4L)
+    assert(top(1).getString(0) == "duck" && top(1).getLong(1) == 3L)
+  }
+
   test("l2Normalize yields unit vectors; zero vector stays zero") {
     val df = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(0.0f, 0.0f))).toDF("id", "v")
     val out = df.select(F.col("id"), Similarity.l2Normalize(F.col("v")).as("n"))

@@ -203,4 +203,44 @@ class PropertySpec extends SparkSpec {
       assert(dst == 0L || dst == 3600L * 1000000)
     }
   }
+
+  test("packing invariants on random corpora: offsets bounded, bins monotone, tokens conserved") {
+    for (seed <- 1L to 3L) {
+      val rnd = new Random(seed)
+      val docs = (1L to 200L).map(i => (i, rnd.nextInt(400) + 1L)).toDF("id", "ntok")
+      val budget = 512L
+      val lin = graft.ml.Packing.linearPack(docs, "ntok", "id", budget)
+        .orderBy("id").collect()
+      assert(lin.forall(r => r.getAs[Long]("bin_offset") >= 0 &&
+        r.getAs[Long]("bin_offset") < budget))
+      val bins = lin.map(_.getAs[Long]("bin"))
+      assert(bins.zip(bins.tail).forall { case (a, b) => a <= b }) // monotone in id order
+      val nf = graft.ml.Packing.nextFitPack(docs, "ntok", "id", budget)
+      val stats = graft.ml.Packing.binStats(nf, "ntok", budget).collect()
+      // no bin overfills unless it holds a single oversized doc (none here)
+      assert(stats.forall(_.getAs[Long]("n_tokens") <= budget))
+      assert(stats.map(_.getAs[Long]("n_tokens")).sum ==
+        docs.collect().map(_.getLong(1)).sum) // every token lands exactly once
+    }
+  }
+
+  test("int8 quantization error bounded by half a step per coordinate") {
+    for (seed <- 1L to 3L) {
+      val rnd = new Random(seed)
+      val vecs = (1L to 50L).map(i =>
+        (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("id", "v")
+      val out = vecs.select(F.col("v"),
+          graft.ml.Similarity.quantizeInt8(F.col("v")).as("q"))
+        .collect()
+      out.foreach { r =>
+        val v = r.getSeq[Float](0)
+        val q = r.getStruct(1)
+        val codes = q.getSeq[Int](0); val scale = q.getDouble(1)
+        v.zip(codes).foreach { case (x, c) =>
+          assert(math.abs(x.toDouble - c / scale) <= 0.5 / scale + 1e-12)
+          assert(c >= -127 && c <= 127)
+        }
+      }
+    }
+  }
 }
