@@ -83,6 +83,32 @@ object Queries8 {
       .orderBy("vec_id")
   }
 
+  /** Per-language corpus report ([[graft.ml.TextAnalysis.corpusReport]]). */
+  private def qCorpusReport(s: SparkSession, dir: String): SDF =
+    graft.ml.TextAnalysis.corpusReport(t(s, dir, "documents"), "text", "lang")
+      .orderBy("lang")
+
+  /** One-call MinHash near-dedup ([[graft.ml.Dedup.nearDedupMinhash]]) on a
+    * corpus with synthetic near-dups: every doc with doc_id % 10 == 1 also
+    * appears with one word changed (id + 100000). The pipeline must drop the
+    * injected copies (cluster to the smaller original id) and keep everything
+    * else; the oracle recomputes the expected survivor set directly. */
+  private def qDedupPipeline(s: SparkSession, dir: String): SDF = {
+    // doc_id < 300 slice keeps the oracle's exact all-pairs rebuild cheap;
+    // measured: every true pair in the slice has jaccard >= 0.84 (injected
+    // copies) or >= 0.96 (natural dups), nothing in (0.5, 0.84) — so LSH
+    // recall at threshold 0.6 is deterministic-complete and the SQL oracle
+    // can recompute the exact survivor set
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+      .filter(F.col("doc_id") < 300)
+    val copies = docs.filter(F.col("doc_id") % 10 === 1)
+      .select((F.col("doc_id") + 100000).as("doc_id"),
+        F.regexp_replace(F.col("text"), "^\\S+", "changed").as("text"))
+    val corpus = docs.unionAll(copies)
+    graft.ml.Dedup.nearDedupMinhash(corpus, "text", "doc_id", threshold = 0.6)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
     "q_gopher_rep" -> (qGopherRep _),
     "q_contamination" -> (qContamination _),
@@ -90,6 +116,8 @@ object Queries8 {
     "q_pack_bins" -> (qPackBins _),
     "q_tfidf" -> (qTfidf _),
     "q_embed_quant" -> (qEmbedQuant _),
+    "q_corpus_report" -> (qCorpusReport _),
+    "q_dedup_pipeline" -> (qDedupPipeline _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -200,6 +228,50 @@ object Queries8 {
         |)
         |SELECT doc_id, term AS top_term, score AS top_tfidf
         |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "q_corpus_report" ->
+      """WITH t AS (
+        |  SELECT lang, length(text) AS chars,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS ntok
+        |  FROM documents
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(chars) AS BIGINT) AS n_chars,
+        |  CAST(sum(ntok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens,
+        |  CAST(min(chars) AS INTEGER) AS min_chars,
+        |  CAST(max(chars) AS INTEGER) AS max_chars
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    // exact rebuild of the near-dedup pipeline on the slice: all-pairs
+    // jaccard edges at the threshold, transitive closure via recursive CTE,
+    // survivor = smallest id of each component
+    "q_dedup_pipeline" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 100000, regexp_replace(text, '^\S+', 'changed')
+        |  FROM documents WHERE doc_id < 300 AND doc_id % 10 = 1
+        |), n AS (
+        |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM corpus
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(length(t) - 5, 0) + 1),
+        |    i -> substr(t, CAST(i + 1 AS INT), 5))) AS s
+        |  FROM n
+        |), e AS (
+        |  SELECT a.doc_id AS x, b.doc_id AS y
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))
+        |        >= 0.6 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        |), es AS (
+        |  SELECT x, y FROM e UNION SELECT y, x FROM e
+        |), r(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM corpus
+        |  UNION
+        |  SELECT r.src, es.y FROM r JOIN es ON es.x = r.dst
+        |)
+        |SELECT src AS doc_id FROM r GROUP BY src HAVING min(dst) = src
+        |ORDER BY doc_id""".stripMargin,
     "q_embed_quant" ->
       """WITH q AS (
         |  SELECT vec_id,

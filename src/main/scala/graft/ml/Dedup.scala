@@ -38,12 +38,21 @@ object Dedup {
     * per element. This column form is fine for one-off expressions on small
     * data (jaccard verification of candidate pairs); the bulk pipelines below
     * use an explode→codegen formulation instead. */
-  def shingles(text: Column, k: Int = 5): Column = {
-    val t = F.lower(F.regexp_replace(text, "\\s+", " "))
+  /** Whitespace-collapse + lowercase — the shared shingle normalization. */
+  def normalizeText(text: Column): Column =
+    F.lower(F.regexp_replace(text, "\\s+", " "))
+
+  /** Character k-shingles over an ALREADY-normalized text column. Pass a
+    * bound attribute in hot paths: expressions captured inside the transform
+    * lambda re-evaluate per element (see QualityFilters.wordNgramsFromWords),
+    * so handing `normalizeText(...)` directly re-runs the regex per shingle. */
+  def shinglesFromNormalized(t: Column, k: Int = 5): Column =
     F.array_distinct(F.transform(
       F.sequence(F.lit(0), F.greatest(F.length(t) - k, F.lit(0))),
       i => t.substr(i + 1, F.lit(k))))
-  }
+
+  def shingles(text: Column, k: Int = 5): Column =
+    shinglesFromNormalized(normalizeText(text), k)
 
   /** One row per (id, shingle) — normalization computed once per document,
     * shingle substrings once per position, everything codegen'd (no HOFs).
@@ -281,6 +290,29 @@ object Dedup {
   /** Cluster-dedup: keep the min-id document of each near-dup component,
     * where components come from [[connectedComponents]] over candidate
     * `pairs` (id_a, id_b). Documents in no pair survive untouched. */
+  /** One-call MinHash near-dedup pipeline: LSH candidates → exact-Jaccard
+    * verification at `threshold` → connected components → keep each
+    * cluster's smallest id. The standard production shape (candidates are a
+    * tiny fraction of all pairs; only they pay the exact-Jaccard join). */
+  def nearDedupMinhash(df: DataFrame, textCol: String, idCol: String,
+                       threshold: Double = 0.7, numHashes: Int = 64,
+                       bands: Int = 16, shingleK: Int = 5): DataFrame = {
+    val cand = minhashCandidates(df, textCol, idCol, numHashes, bands, shingleK)
+    // pre-normalize once per doc so the shingle lambda binds an attribute
+    val txt = df.select(F.col(idCol), normalizeText(F.col(textCol)).as("__norm__"))
+    val verified = cand
+      .join(txt.select(F.col(idCol).as("id_a"), F.col("__norm__").as("__ta__")), Seq("id_a"))
+      .join(txt.select(F.col(idCol).as("id_b"), F.col("__norm__").as("__tb__")), Seq("id_b"))
+      .filter({
+        val sa = shinglesFromNormalized(F.col("__ta__"), shingleK)
+        val sb = shinglesFromNormalized(F.col("__tb__"), shingleK)
+        val inter = F.size(F.array_intersect(sa, sb)).cast("double")
+        inter / (F.size(sa) + F.size(sb) - inter) >= threshold
+      })
+      .select("id_a", "id_b")
+    dedupByClusters(df, idCol, verified)
+  }
+
   def dedupByClusters(df: DataFrame, idCol: String, pairs: DataFrame,
                       pairA: String = "id_a", pairB: String = "id_b"): DataFrame = {
     // connectedComponents works on long node ids — a string id would cast to

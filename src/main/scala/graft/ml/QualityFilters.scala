@@ -88,6 +88,25 @@ object QualityFilters {
       .withColumn("dup_ngram_char_fraction", F.coalesce(F.col("dup_ngram_char_fraction"), F.lit(0.0)))
   }
 
+  /** Full Gopher filter over a frame: the cheap per-row predicate
+    * ([[gopherKeep]]) plus the corpus-exploded repetition caps
+    * ([[repetitionSignals]]). Returns only the surviving rows; set
+    * `explain = true` to keep the signal columns for auditing drops. */
+  def gopherFilter(df: DataFrame, textCol: String, idCol: String,
+                   minWords: Int = 50, maxDupWordFraction: Double = 0.63,
+                   maxTopNgramCharFraction: Double = 0.20,
+                   maxDupNgramCharFraction: Double = 0.40,
+                   explain: Boolean = false): DataFrame = {
+    val signaled = repetitionSignals(df, textCol, idCol, n = 2)
+    val kept = signaled.filter(
+      gopherKeep(F.col(textCol), minWords = minWords,
+        maxDupWordFraction = maxDupWordFraction) &&
+        F.col("top_ngram_char_fraction") <= maxTopNgramCharFraction &&
+        F.col("dup_ngram_char_fraction") <= maxDupNgramCharFraction)
+    if (explain) kept
+    else kept.drop("top_ngram_char_fraction", "dup_ngram_char_fraction")
+  }
+
   /** Gopher-style keep/drop predicate from the standard thresholds (word
     * count, mean word length, symbol ratio, repetition caps). Tunable; the
     * defaults are the published paper values. */

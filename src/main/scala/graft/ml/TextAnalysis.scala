@@ -187,6 +187,21 @@ object TextAnalysis {
       .select(F.col(idCol), F.col("__top__.t").as("top_term"),
         F.col("__top__.s").as("top_tfidf"))
 
+  /** Per-stratum corpus report (the first artifact of any curation run):
+    * document/token/char totals and means per language-or-source stratum —
+    * one hash aggregation, engine-exact arithmetic. */
+  def corpusReport(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   strataCol: String): org.apache.spark.sql.DataFrame =
+    df.groupBy(F.col(strataCol))
+      .agg(
+        F.count(F.lit(1)).as("n_docs"),
+        F.sum(tokenCount(F.col(textCol)).cast("long")).as("n_tokens"),
+        F.sum(F.length(F.col(textCol)).cast("long")).as("n_chars"),
+        (F.sum(tokenCount(F.col(textCol)).cast("long")).cast("double") /
+          F.count(F.lit(1)).cast("double")).as("avg_tokens"),
+        F.min(F.length(F.col(textCol))).as("min_chars"),
+        F.max(F.length(F.col(textCol))).as("max_chars"))
+
   /** Exact heavy-hitter terms (top-k by corpus frequency) — hash-agg plus
     * TakeOrderedAndProject; the baseline the sketch variant approximates. */
   def topTerms(df: org.apache.spark.sql.DataFrame, textCol: String,

@@ -132,6 +132,41 @@ class Ml2Spec extends SparkSpec {
     assert(top(2).getAs[String]("top_term") == "other")
   }
 
+  test("one-call near-dedup drops verified near-dups, keeps sub-threshold pairs") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps running through the long empty field tonight"
+    val near = base.replace("tonight", "today") // high jaccard
+    val mid = "the quick brown fox sleeps under a tree while everything else in the field is completely different now"
+    val docs = Seq((1L, base), (2L, near), (3L, mid), (4L, "entirely unrelated text about query engines"))
+      .toDF("doc_id", "text")
+    val kept = graft.ml.Dedup.nearDedupMinhash(docs, "text", "doc_id", threshold = 0.7)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L)) // 2 clusters with 1; 3 is similar-ish but < 0.7
+  }
+
+  test("gopherFilter keeps varied prose, drops short and repetitive docs") {
+    val varied = (1 to 60).map(i => s"word$i").mkString(" ")
+    val repetitiveNgrams = ("alpha beta " * 40).trim // dup 2-gram coverage ~ 1
+    val docs = Seq((1L, varied), (2L, "too short"), (3L, repetitiveNgrams))
+      .toDF("doc_id", "text")
+    val kept = graft.ml.QualityFilters.gopherFilter(docs, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L))
+    val explained = graft.ml.QualityFilters.gopherFilter(docs, "text", "doc_id",
+      explain = true)
+    assert(explained.columns.contains("top_ngram_char_fraction"))
+  }
+
+  test("corpusReport aggregates per stratum") {
+    val docs = Seq((1L, "a b c", "en"), (2L, "d e", "en"), (3L, "x", "de"))
+      .toDF("doc_id", "text", "lang")
+    val rep = graft.ml.TextAnalysis.corpusReport(docs, "text", "lang")
+      .orderBy("lang").collect()
+    assert(rep(0).getAs[Long]("n_docs") == 1L && rep(0).getAs[Long]("n_tokens") == 1L)
+    assert(rep(1).getAs[Long]("n_docs") == 2L && rep(1).getAs[Long]("n_tokens") == 5L)
+    assert(rep(1).getAs[Double]("avg_tokens") == 2.5)
+    assert(rep(1).getAs[Int]("min_chars") == 3 && rep(1).getAs[Int]("max_chars") == 5)
+  }
+
   test("bloom candidate pre-filter is a superset of exact overlap, subset on clean docs") {
     val train = Seq(
       (1L, "alpha beta gamma delta"),
