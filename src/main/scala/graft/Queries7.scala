@@ -308,10 +308,17 @@ object Queries7 {
     * (the verification step after LSH candidate generation) is value-checked
     * end to end, not just spec'd. */
   private def qJaccard(s: SparkSession, dir: String): SDF = {
-    val d = t(s, dir, "documents").select(F.col("doc_id"), F.col("text"))
+    // shingle sets projected per doc BEFORE the join: normalization and the
+    // substring lambda run once per document, not once per pair side
+    val d = t(s, dir, "documents")
+      .select(F.col("doc_id"), graft.ml.Dedup.normalizeText(F.col("text")).as("__n__"))
+      .select(F.col("doc_id"),
+        graft.ml.Dedup.shinglesFromNormalized(F.col("__n__"), 5).as("__s__"))
     d.alias("x").join(d.alias("y"), F.col("x.doc_id") + 1 === F.col("y.doc_id"))
-      .select(F.col("x.doc_id").as("doc_id"),
-        graft.ml.Dedup.jaccard(F.col("x.text"), F.col("y.text"), 5).as("jac"))
+      .select(F.col("x.doc_id").as("doc_id"), {
+        val inter = F.size(F.array_intersect(F.col("x.__s__"), F.col("y.__s__"))).cast("double")
+        (inter / (F.size(F.col("x.__s__")) + F.size(F.col("y.__s__")) - inter)).as("jac")
+      })
       .orderBy("doc_id")
   }
 

@@ -207,7 +207,8 @@ object Queries8 {
         |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
         |  FROM documents
         |), tf AS (
-        |  SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY ALL
+        |  SELECT doc_id, term, count(*) AS cnt FROM tok
+        |  WHERE term <> '' GROUP BY ALL
         |), dl AS (
         |  SELECT doc_id,
         |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS ntok

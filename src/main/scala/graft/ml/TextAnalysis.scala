@@ -161,7 +161,10 @@ object TextAnalysis {
     * cross join (no driver action, stays one job). */
   def tfidf(df: org.apache.spark.sql.DataFrame, textCol: String,
             idCol: String): org.apache.spark.sql.DataFrame = {
+    // split("") yields [""] — drop empty terms so empty/whitespace docs
+    // don't surface a phantom "" token
     val toks = df.select(F.col(idCol), F.explode(tokens(F.col(textCol))).as("term"))
+      .filter(F.col("term") =!= "")
     val tf = toks.groupBy(F.col(idCol), F.col("term"))
       .agg(F.count(F.lit(1)).as("cnt"))
     val docLen = df.select(F.col(idCol),

@@ -132,6 +132,36 @@ class Ml2Spec extends SparkSpec {
     assert(top(2).getAs[String]("top_term") == "other")
   }
 
+  test("null and empty texts flow through curation ops without crashing") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon"), (2L, null), (3L, ""))
+      .toDF("doc_id", "text")
+    // repetition signals: null/empty docs come back with zero/null fractions
+    val rep = QualityFilters.repetitionSignals(docs, "text", "doc_id", 2)
+      .orderBy("doc_id").collect()
+    assert(rep.length == 3)
+    assert(rep(2).getAs[Double]("top_ngram_char_fraction") == 0.0)
+    // n-gram explode drops null/empty docs, keeps real ones
+    assert(Contamination.docNgrams(docs, "text", "doc_id", 3).count() == 3)
+    // contamination report covers only docs that produced grams
+    val bench = Seq((9L, "alpha beta gamma")).toDF("doc_id", "text")
+    val rep2 = Contamination.ngramOverlap(docs, bench, "text", "doc_id", 3)
+      .collect()
+    assert(rep2.map(_.getLong(0)).toSeq == Seq(1L))
+    // tfidf ignores null/empty docs
+    assert(TextAnalysis.topTfidfTerm(docs, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // corpus report keeps the rows (null text -> null sums propagate as null)
+    assert(TextAnalysis.corpusReport(docs.withColumn("lang", F.lit("en")),
+      "text", "lang").count() == 1)
+    // exact dedup treats null and empty as distinct values, no crash
+    assert(graft.ml.Dedup.exact(docs, "text", idCol = "doc_id").count() == 3)
+    // packing: null token counts would poison the cumsum — callers coalesce;
+    // tokenCount(null) is null, so pin that contract here
+    val ntok = docs.select(TextAnalysis.tokenCount(F.col("text")).as("n"))
+      .collect().map(r => if (r.isNullAt(0)) -1 else r.getInt(0)).toSeq
+    assert(ntok == Seq(5, -1, 0))
+  }
+
   test("one-call near-dedup drops verified near-dups, keeps sub-threshold pairs") {
     val base = "the quick brown fox jumps over the lazy dog and keeps running through the long empty field tonight"
     val near = base.replace("tonight", "today") // high jaccard
