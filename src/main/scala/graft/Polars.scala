@@ -223,13 +223,15 @@ object Polars {
               ignoreErrors: Boolean = false)
              (implicit spark: SparkSession): DataFrame =
     DataFrame(readCsvSpark(path, sep, hasHeader, inferSchema, skipRows, nullValues,
-      dtypes, quoteChar, commentPrefix, encoding, eolChar, nRows, newColumns, ignoreErrors))
+      dtypes, quoteChar, commentPrefix, encoding, eolChar, nRows, newColumns, ignoreErrors,
+      tryParseDates))
   /** scan_csv with full read_csv option parity (reference io/csv.rb:scan_csv
     * takes the same surface). The plan stays lazy; only multi-marker
     * null_values type inference runs an eager stats pass, mirroring the
     * reference's eager schema inference on scan. */
   def scanCsv(path: String, sep: String = ",", hasHeader: Boolean = true,
-              inferSchema: Boolean = true, skipRows: Int = 0,
+              inferSchema: Boolean = true, tryParseDates: Boolean = false,
+              skipRows: Int = 0,
               nullValues: Seq[String] = Nil,
               dtypes: Option[org.apache.spark.sql.types.StructType] = None,
               quoteChar: String = "\"", commentPrefix: Option[String] = None,
@@ -237,7 +239,8 @@ object Polars {
               nRows: Option[Int] = None, newColumns: Seq[String] = Nil,
               ignoreErrors: Boolean = false)(implicit spark: SparkSession): LazyFrame =
     LazyFrame(readCsvSpark(path, sep, hasHeader, inferSchema, skipRows, nullValues,
-      dtypes, quoteChar, commentPrefix, encoding, eolChar, nRows, newColumns, ignoreErrors))
+      dtypes, quoteChar, commentPrefix, encoding, eolChar, nRows, newColumns, ignoreErrors,
+      tryParseDates))
   private def csvReader(spark: SparkSession, sep: String, header: Boolean, infer: Boolean) =
     spark.read.option("sep", sep).option("header", header).option("inferSchema", infer)
   private def readCsvSpark(path: String, sep: String, header: Boolean, infer: Boolean,
@@ -245,12 +248,23 @@ object Polars {
                            dtypes: Option[org.apache.spark.sql.types.StructType],
                            quoteChar: String, commentPrefix: Option[String],
                            encoding: String, eolChar: String, nRows: Option[Int],
-                           newColumns: Seq[String], ignoreErrors: Boolean)
+                           newColumns: Seq[String], ignoreErrors: Boolean,
+                           tryParseDates: Boolean = false)
                           (implicit spark: SparkSession): SDF = {
+    // reference parity: date-like strings stay strings unless
+    // try_parse_dates is set. preferDate gates date inference; timestamp
+    // inference has no switch, so when dates are NOT wanted (and no explicit
+    // dtypes drive parsing) an unmatchable timestampFormat makes temporal
+    // candidates fall back to StringType.
     var r = spark.read.option("sep", sep).option("header", header)
       .option("quote", quoteChar).option("encoding", encoding)
+      .option("preferDate", tryParseDates)
       .option("lineSep", eolChar)
-      .option("mode", if (ignoreErrors) "PERMISSIVE" else "FAILFAST")
+    r = r.option("mode", if (ignoreErrors) "PERMISSIVE" else "FAILFAST")
+    if (!tryParseDates && dtypes.isEmpty) {
+      r = r.option("timestampFormat", "'graft-no-temporal-inference'")
+        .option("timestampNTZFormat", "'graft-no-temporal-inference'")
+    }
     commentPrefix.foreach(c => r = r.option("comment", c))
     // The Spark CSV reader has a single nullValue option; the reference's
     // null_values accepts a list where EVERY listed string becomes null. For

@@ -287,9 +287,6 @@ object Dedup {
     labels
   }
 
-  /** Cluster-dedup: keep the min-id document of each near-dup component,
-    * where components come from [[connectedComponents]] over candidate
-    * `pairs` (id_a, id_b). Documents in no pair survive untouched. */
   /** One-call MinHash near-dedup pipeline: LSH candidates → exact-Jaccard
     * verification at `threshold` → connected components → keep each
     * cluster's smallest id. The standard production shape (candidates are a
@@ -313,6 +310,9 @@ object Dedup {
     dedupByClusters(df, idCol, verified)
   }
 
+  /** Cluster-dedup: keep the min-id document of each near-dup component,
+    * where components come from [[connectedComponents]] over candidate
+    * `pairs` (id_a, id_b). Documents in no pair survive untouched. */
   def dedupByClusters(df: DataFrame, idCol: String, pairs: DataFrame,
                       pairA: String = "id_a", pairB: String = "id_b"): DataFrame = {
     // connectedComponents works on long node ids — a string id would cast to

@@ -119,6 +119,27 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Continuous corpus curation: the cleaning pipeline as a streaming job —
+    * new document files are PII-redacted, quality-filtered (cheap Gopher
+    * predicate; the corpus-level repetition caps need a batch pass), and
+    * appended to the cleaned store. Stateless row transforms only, so there
+    * is no watermark or state store: each file is cleaned exactly once
+    * (checkpoint-tracked), which is the 100 TB ingestion shape — clean on
+    * arrival, dedup/decontaminate in scheduled batch sweeps over the store.
+    * Exposed as a transform so tests can also run it on bounded frames. */
+  def curateTransform(docs: DataFrame, textCol: String,
+                      minWords: Int = 50): DataFrame =
+    docs
+      .withColumn(textCol, graft.ml.TextAnalysis.redactPii(F.col(textCol)))
+      .filter(graft.ml.QualityFilters.gopherKeep(F.col(textCol), minWords = minWords))
+
+  def curateStream(path: String, schema: StructType, textCol: String,
+                   outPath: String, checkpoint: String, minWords: Int = 50)
+                  (implicit spark: SparkSession): Unit =
+    sinkParquet(
+      curateTransform(scanParquetStream(path, schema), textCol, minWords),
+      outPath, checkpoint)
+
   /** foreachBatch bridge: run an arbitrary batch function per micro-batch. */
   def foreachBatch(stream: DataFrame, checkpoint: String)
                   (f: (DataFrame, Long) => Unit): Unit = {

@@ -180,6 +180,17 @@ class ParitySweepSpec extends SparkSpec {
     Polars.enableStringCache(); Polars.disableStringCache()
   }
 
+  test("read_csv try_parse_dates: dates stay strings unless requested") {
+    val f = java.nio.file.Files.createTempFile("graft-dates", ".csv")
+    java.nio.file.Files.writeString(f, "d,v\n2024-01-02,1\n2024-03-04,2\n")
+    val asStr = Polars.readCsv(f.toString)
+    assert(asStr.schema("d").dataType == StringType) // reference default
+    val asDate = Polars.readCsv(f.toString, tryParseDates = true)
+    assert(asDate.schema("d").dataType == DateType)
+    assert(asDate.toSpark.orderBy("v").collect()(0).getDate(0).toString == "2024-01-02")
+    java.nio.file.Files.delete(f)
+  }
+
   test("SQLContext registerMany and Testing not-equal asserts") {
     val ctx = new graft.api.SQLContext(spark)
     ctx.registerMany(Map(

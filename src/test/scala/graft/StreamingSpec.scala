@@ -112,6 +112,24 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming curation cleans on arrival: PII redacted, low-quality dropped") {
+    val in = tmpDir(); val out = tmpDir() + "/out"; val cp = tmpDir() + "/cp"
+    val good = (1 to 60).map(i => s"word$i").mkString(" ") + " mail me at a@b.co"
+    val short = "too short to keep"
+    val src = Seq((1L, good), (2L, short)).toDF("doc_id", "text")
+    src.coalesce(1).write.mode("overwrite").parquet(in)
+    Streaming.curateStream(in, src.schema, "text", out, cp, minWords = 50)
+    val cleaned = spark.read.parquet(out).collect()
+    assert(cleaned.length == 1 && cleaned(0).getLong(0) == 1L)
+    val text = cleaned(0).getString(1)
+    assert(text.contains("[EMAIL]") && !text.contains("a@b.co"))
+    // second drain with new files only processes the new arrivals
+    Seq((3L, good)).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(in)
+    Streaming.curateStream(in, src.schema, "text", out, cp, minWords = 50)
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
   test("batched iterator chunks deterministically") {
     val df = spark.range(10).toDF("i")
     val batches = Streaming.batchedIterator(df, batchSize = 4).toSeq
