@@ -33,10 +33,32 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = f"$v%.3f"
+    // Full per-query detail goes to a file (the driver only tail-captures
+    // ~2000 chars of stdout, which truncated the 130-query JSON line in
+    // earlier rounds and broke its parse); the stdout line stays compact:
+    // total + the slowest queries, budgeted to fit the tail window.
+    val detail = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
+    val detailJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$detail,"sf":"$sfDir"}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (detailJson + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => }
+    val budget = 1500 // chars for the queries map; keeps the full line < ~1700
+    val slowestFirst = results.toSeq.sortBy(-_._2)
+    val sb = new StringBuilder
+    var taken = 0
+    slowestFirst.foreach { case (k, v) =>
+      val entry = s"\"$k\":${fmt(v)}"
+      if (sb.length + entry.length + 1 <= budget) {
+        if (sb.nonEmpty) sb.append(',')
+        sb.append(entry); taken += 1
+      }
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_reported":$taken,"detail":"$detailPath","queries":{$sb},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

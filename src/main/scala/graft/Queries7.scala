@@ -267,9 +267,15 @@ object Queries7 {
         Seq("c_custkey"), buckets = 8, sortCols = Seq("c_custkey"))
       val o = s.table(s"$db.orders_b")
       val c = s.table(s"$db.customer_b")
+      // Sum in decimal cents: double accumulation order differs between the
+      // bucketed partial-agg tree and the oracle's single pass, so a plain
+      // double sum is ulp-unstable under the driver's exact value hash.
+      // decimal(18,2) addition is exact and order-independent; the final
+      // decimal -> double cast is deterministic in both engines.
       val joined = o.join(c, o("o_custkey") === c("c_custkey"))
         .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).as("n"), F.sum("o_totalprice").as("total"))
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
         .orderBy("c_mktsegment")
       val rows = joined.collect()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), joined.schema)
@@ -493,7 +499,8 @@ object Queries7 {
         | AND p.tsu BETWEEN c.tsu - INTERVAL 1 HOUR AND c.tsu
         |ORDER BY click_id, purchase_id""".stripMargin,
     "q_bucketed_join" ->
-      """SELECT c_mktsegment, count(*) AS n, sum(o_totalprice) AS total
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_salted_join" ->
