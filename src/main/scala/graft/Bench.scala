@@ -19,22 +19,31 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Steady-state timing: first run per query warms whole-stage-codegen JIT
-    // + parquet footers (untimed), second run is measured. Engines without a
-    // JIT (polars/duckdb) have no equivalent fixed cost, and at the real
-    // target scale the compile cost is noise — warm numbers compare the
-    // actual data-path throughput. BASELINE.md reports both cold and warm.
+    // + parquet footers (untimed); the median of `SPARK_GRAFT_RUNS` (default 3)
+    // measured runs is reported, which keeps one scheduling hiccup from
+    // doubling a query's number (the round-5 q_lang_id 2x "regression" was
+    // exactly that kind of single-sample noise). Engines without a JIT
+    // (polars/duckdb) have no equivalent fixed cost, and at the real target
+    // scale the compile cost is noise — warm numbers compare the actual
+    // data-path throughput. BASELINE.md reports both cold and warm.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     // SPARK_GRAFT_ONLY=q_a,q_b restricts to named queries (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(names => SparkEntry.queries.filter(kv => names(kv._1)))
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.size / 2)
     }.toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the default locale, which under a
+    // comma-decimal locale would emit "1,234" and break the JSON
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // Full per-query detail goes to a file (the driver only tail-captures
     // ~2000 chars of stdout, which truncated the 130-query JSON line in
     // earlier rounds and broke its parse); the stdout line stays compact:
@@ -42,23 +51,33 @@ object Bench {
     val detail = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":$runs,"queries":$detail,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-      (detailJson + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => }
+    val detailWritten =
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+          (detailJson + "\n").getBytes("UTF-8"))
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"bench: failed to write $detailPath: $e"); false
+      }
+    val detailField = if (detailWritten) s""""$detailPath"""" else "null"
     val budget = 1500 // chars for the queries map; keeps the full line < ~1700
     val slowestFirst = results.toSeq.sortBy(-_._2)
     val sb = new StringBuilder
     var taken = 0
-    slowestFirst.foreach { case (k, v) =>
+    // strict slowest-N: stop at the first entry that doesn't fit, so the
+    // reported set is a prefix of the slowest-first ordering
+    slowestFirst.takeWhile { case (k, v) =>
       val entry = s"\"$k\":${fmt(v)}"
-      if (sb.length + entry.length + 1 <= budget) {
+      val fits = sb.length + entry.length + 1 <= budget
+      if (fits) {
         if (sb.nonEmpty) sb.append(',')
         sb.append(entry); taken += 1
       }
+      fits
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_reported":$taken,"detail":"$detailPath","queries":{$sb},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_reported":$taken,"detail":$detailField,"queries":{$sb},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

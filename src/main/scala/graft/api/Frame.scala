@@ -92,13 +92,13 @@ trait FrameOps[Self] {
   }
   def limit(n: Int): Self = make(sdf.limit(n))
   def head(n: Int = 5): Self = limit(n)
+  /** tail = top-n by descending row index, re-sorted ascending — plans as a
+    * distributed TakeOrderedAndProject (per-partition top-n + driver merge of
+    * n rows per partition), not a count-over-window single-partition pass. */
   def tail(n: Int = 5): Self = {
     val d = RowIndex.attach(sdf)
-    val cnt = Window.partitionBy()
-    make(d.withColumn("__cnt__", F.count(F.lit(1)).over(cnt))
-      .withColumn("__rn__", F.row_number().over(Window.orderBy(F.col(RowIndex.name))))
-      .filter(F.col("__rn__") > F.col("__cnt__") - n)
-      .drop("__cnt__", "__rn__", RowIndex.name))
+    make(d.orderBy(F.col(RowIndex.name).desc).limit(n)
+      .orderBy(F.col(RowIndex.name).asc).drop(RowIndex.name))
   }
   /** slice = rows [offset, offset+length) in current order — native
     * Offset+Limit operators (pushdown-friendly), no row-index materialization. */

@@ -76,9 +76,12 @@ object Contamination {
   def bloomCandidates(train: DataFrame, bench: DataFrame, textCol: String,
                       idCol: String, n: Int = 3,
                       fpp: Double = 0.01): DataFrame = {
-    val bg = docNgrams(bench, textCol, idCol, n)
+    // persist: count() and bloomFilter() are two jobs over the gram frame —
+    // without it the bench-side explode runs twice
+    val bg = docNgrams(bench, textCol, idCol, n).persist()
     val expected = math.max(bg.count(), 1L)
     val bloom = bg.stat.bloomFilter("gram", expected, fpp)
+    bg.unpersist(blocking = false)
     val bcast = train.sparkSession.sparkContext.broadcast(bloom)
     val hit = F.udf((grams: Seq[String]) =>
       grams != null && grams.exists(bcast.value.mightContainString))
