@@ -84,14 +84,14 @@ object Polars {
 
   // ---- stats (reference: functions/lazy.rb:679-872) ----
   def corr(a: Expr, b: Expr): Expr = Expr(F.corr(a.col, b.col))
-  /** Spearman = Pearson over ranks; windows can't nest inside aggregates, so
-    * this is a two-step frame op (rank projection, then corr). */
+  /** Spearman = Pearson over ranks; min-method (SQL `rank()`) ranks computed
+    * by the distributed rank kernel (per-value counts + prefix sums +
+    * join-back, [[graft.kernel.Scan.withRank]]) — no global-sort window. */
   def spearmanCorr(df: DataFrame, a: String, b: String, as: String = "spearman"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    DataFrame(df.toSpark
-      .withColumn("__ra__", F.rank().over(Window.orderBy(F.col(a))).cast("double"))
-      .withColumn("__rb__", F.rank().over(Window.orderBy(F.col(b))).cast("double"))
-      .agg(F.corr(F.col("__ra__"), F.col("__rb__")).as(as)))
+    val d1 = graft.kernel.Scan.withRank(df.toSpark, F.col(a), "__ra__", "min")
+    val d2 = graft.kernel.Scan.withRank(d1, F.col(b), "__rb__", "min")
+    DataFrame(d2.agg(
+      F.corr(F.col("__ra__").cast("double"), F.col("__rb__").cast("double")).as(as)))
   }
   def cov(a: Expr, b: Expr, ddof: Int = 1): Expr =
     Expr(if (ddof == 1) F.covar_samp(a.col, b.col) else F.covar_pop(a.col, b.col))

@@ -352,17 +352,27 @@ object Queries2 {
       .select(F.col("vec_id"), F.round(F.col("cosine"), 6).as("cosine"))
   }
 
-  /** MinHash-LSH near-dup candidates (rows-only check — LSH bucketing is not
-    * SQL-expressible in the oracle). */
-  private def qMinhashPairs(s: SparkSession, dir: String): SDF =
-    Dedup.minhashCandidates(t(s, dir, "documents"), "text", "doc_id",
-      numHashes = 32, bands = 8)
-      .orderBy("id_a", "id_b")
+  /** MinHash-LSH near-dup candidates. The banded signature rows (which depend
+    * on xxhash64 bit patterns DuckDB cannot mirror) are STAGED to parquet and
+    * the pair join re-derived from the staged rows, so the oracle verifies
+    * the bucket-join logic over identical inputs. */
+  private def qMinhashPairs(s: SparkSession, dir: String): SDF = {
+    val banded = QueryStage.stage(
+      Dedup.bandedSignatures(t(s, dir, "documents"), "text", "doc_id",
+        numHashes = 32, bands = 8),
+      dir, "minhash_bands")
+    Dedup.minhashCandidatesFromBands(banded, "doc_id").orderBy("id_a", "id_b")
+  }
 
-  /** SimHash fingerprints + near-dup pairs (rows-only). */
-  private def qSimhashPairs(s: SparkSession, dir: String): SDF =
-    Dedup.simhashCandidates(t(s, dir, "documents"), "text", "doc_id", maxHamming = 10)
+  /** SimHash fingerprints + near-dup pairs — signatures staged, chunk-blocked
+    * hamming join verified by the oracle over the staged rows. */
+  private def qSimhashPairs(s: SparkSession, dir: String): SDF = {
+    val sigs = QueryStage.stage(
+      Dedup.simhashSignatures(t(s, dir, "documents"), "text", "doc_id"),
+      dir, "simhash_sigs")
+    Dedup.simhashCandidatesFromSigs(sigs, "doc_id", maxHamming = 10)
       .orderBy("id_a", "id_b")
+  }
 
   /** Language-ID heuristic distribution (rows-only; heuristic has no oracle).
     * Bulk explode formulation — fully codegen'd, no interpreted HOFs. */
@@ -613,10 +623,27 @@ object Queries2 {
         |                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1)
         |        BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END
         |  ) / 4.0 AS q FROM documents)""".stripMargin,
-    // q_minhash_pairs / q_simhash_pairs / q_embedding_pairs / q_ivf_topk:
-    // intentionally no oracle — LSH bucketing / IVF probing depend on xxhash64
-    // bit patterns DuckDB cannot reproduce; the driver records the weaker
-    // rows-only check and the ScalaTest specs pin their semantics.
+    // q_minhash_pairs / q_simhash_pairs: the signatures depend on xxhash64
+    // bit patterns DuckDB cannot reproduce, so the queries STAGE them
+    // (QueryStage) and the oracle re-derives the candidate join from the
+    // staged rows — band equality for minhash, 16-bit-chunk blocking +
+    // hamming for simhash. Paths assume the driver's sf0.01 verify run.
+    "q_minhash_pairs" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+        |FROM '/tmp/graft_stage/sf0.01/minhash_bands/*.parquet' a
+        |JOIN '/tmp/graft_stage/sf0.01/minhash_bands/*.parquet' b
+        |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+        | AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_simhash_pairs" ->
+      """WITH c AS (
+        |  SELECT doc_id, sig, ci, (sig >> (ci * 16)) & 65535 AS cv
+        |  FROM '/tmp/graft_stage/sf0.01/simhash_sigs/*.parquet', unnest([0,1,2,3]) AS u(ci))
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        |FROM c a JOIN c b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 10
+        |ORDER BY 1, 2""".stripMargin,
     // (q_ewm IS oracle-checked — recursive CTE in Queries3.)
   )
 }

@@ -33,9 +33,9 @@ object Queries4 {
         // SAME double (exact decimal sum, then one correctly-rounded divide), so
         // the driver's exact value hash matches; plain avg differs in ulps
         // (DuckDB's segment-tree window summation reorders the adds)
-        (col("value").cumulativeEval(c => F.sum(c.cast("decimal(20,6)")))
+        (col("value").cumulativeEval(c => F.sum(c.cast("decimal(20,6)")), "sum")
           .cast(org.apache.spark.sql.types.DoubleType) /
-          col("value").cumulativeEval(F.count)).alias("expanding_mean"))
+          col("value").cumulativeEval(F.count, "sum")).alias("expanding_mean"))
       .sortBy(Seq(col("event_id")))
       .collect().toSpark
 

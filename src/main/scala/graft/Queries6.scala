@@ -67,21 +67,47 @@ object Queries6 {
       .sortBy(Seq(col("n_nationkey")))
       .collect().toSpark
 
-  /** Embedding near-dup candidates via hyperplane LSH (rows-only). */
-  private def qEmbeddingPairs(s: SparkSession, dir: String): SDF =
-    Dedup.embeddingCandidates(
-      t(s, dir, "embeddings").filter(F.col("vec_id") < 500), "embedding", "vec_id",
-      nPlanes = 8)
+  /** Embedding near-dup candidates via hyperplane LSH — (id, vec, bucket)
+    * rows staged as fp64 so the oracle re-derives the same-bucket pairs and
+    * cosines from identical data. Ordered by the ROUNDED cosine so ulp-level
+    * fp noise cannot reorder the limit boundary between engines. */
+  private def qEmbeddingPairs(s: SparkSession, dir: String): SDF = {
+    val sig = QueryStage.stage(
+      t(s, dir, "embeddings").filter(F.col("vec_id") < 500)
+        .select(F.col("vec_id"),
+          F.col("embedding").cast("array<double>").as("embedding"),
+          Dedup.hyperplaneBucket(F.col("embedding"), nPlanes = 8).as("bucket")),
+      dir, "embedding_buckets")
+    Dedup.embeddingCandidatesFromBuckets(sig, "embedding", "vec_id")
+      .select(F.col("id_a"), F.col("id_b"), F.round(F.col("cosine"), 6).as("cosine"))
       .orderBy(F.col("cosine").desc, F.col("id_a"), F.col("id_b"))
       .limit(100)
+  }
 
-  /** IVF assign + probe search (rows-only; exercises the scale path). */
+  /** IVF assign + probe search: cell assignments AND the probed cell ids are
+    * staged, so the oracle verifies cell membership + cosine + top-k over
+    * identical rows (3 of 8 cells probed — the pruning actually prunes). */
   private def qIvfTopK(s: SparkSession, dir: String): SDF = {
+    import s.implicits._
     val emb = t(s, dir, "embeddings")
-    val query = emb.filter(F.col("vec_id") === 1)
-      .select("embedding").collect()(0).getSeq[Float](0)
-    val assigned = Similarity.ivfAssign(emb, "embedding", nCells = 8)
-    Similarity.ivfTopK(assigned, "embedding", "vec_id", query, nProbe = 8, k = 5)
+    val staged = QueryStage.stage(
+      Similarity.ivfAssign(emb, "embedding", nCells = 8)
+        .select(F.col("vec_id"), F.col("cell_id"),
+          F.col("embedding").cast("array<double>").as("embedding")),
+      dir, "ivf_cells")
+    val query = staged.filter(F.col("vec_id") === 1)
+      .select("embedding").collect()(0).getSeq[Double](0)
+    val centroids = Similarity.sampleCentroids(emb, "embedding", 8)
+    val probeCells = centroids.zipWithIndex.map { case (c, i) =>
+      (math.sqrt(c.zip(query).map { case (a, b) => val t = a.toDouble - b; t * t }.sum), i)
+    }.sortBy(_._1).take(3).map(_._2).toSeq
+    val probes = QueryStage.stage(probeCells.toDF("cell_id"), dir, "ivf_probes")
+    staged.join(probes, Seq("cell_id"))
+      .select(F.col("vec_id"),
+        F.round(Similarity.cosine(F.col("embedding"),
+          F.array(query.map(F.lit): _*)), 6).as("cosine"))
+      .orderBy(F.col("cosine").desc, F.col("vec_id"))
+      .limit(5)
   }
 
   /** Multimodal plumbing against an arithmetic oracle: treat text bytes as an
@@ -289,7 +315,27 @@ object Queries6 {
         |string_split(n_name || ':' || n_regionkey, ':')[1] AS left_part,
         |string_split(n_name || ':' || n_regionkey, ':')[2] AS right_part
         |FROM nation ORDER BY n_nationkey""".stripMargin,
-    // q_embedding_pairs / q_ivf_topk: rows-only — LSH bucketing and IVF probe
-    // selection aren't SQL-expressible; MlSpec pins cosine/top-k semantics.
+    // q_embedding_pairs / q_ivf_topk: bucket/cell signatures staged by the
+    // query (QueryStage) — the oracle re-derives bucket-equality pairs /
+    // probed-cell top-k + cosine from the staged fp64 rows. Paths assume the
+    // driver's sf0.01 verify run.
+    "q_embedding_pairs" ->
+      """WITH s AS (SELECT * FROM '/tmp/graft_stage/sf0.01/embedding_buckets/*.parquet')
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.embedding, b.embedding) /
+        |    (sqrt(list_dot_product(a.embedding, a.embedding)) *
+        |     sqrt(list_dot_product(b.embedding, b.embedding))), 6) AS cosine
+        |FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |ORDER BY cosine DESC, id_a, id_b LIMIT 100""".stripMargin,
+    "q_ivf_topk" ->
+      """WITH s AS (SELECT * FROM '/tmp/graft_stage/sf0.01/ivf_cells/*.parquet'),
+        |probes AS (SELECT cell_id FROM '/tmp/graft_stage/sf0.01/ivf_probes/*.parquet'),
+        |q AS (SELECT embedding AS qe FROM s WHERE vec_id = 1)
+        |SELECT s.vec_id,
+        |  round(list_dot_product(s.embedding, q.qe) /
+        |    (sqrt(list_dot_product(s.embedding, s.embedding)) *
+        |     sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine
+        |FROM s JOIN probes USING (cell_id), q
+        |ORDER BY cosine DESC, s.vec_id LIMIT 5""".stripMargin,
   )
 }

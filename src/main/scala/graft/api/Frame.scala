@@ -23,12 +23,18 @@ trait FrameOps[Self] {
   def explainPlan(): String = sdf.queryExecution.optimizedPlan.toString
 
   /** Resolve exprs; if any needs the hidden row index, attach it first
-    * (SURVEY §7 row-order discipline). */
+    * (SURVEY §7 row-order discipline), then run each expression's
+    * preparation stages (distributed prefix scans, broadcast scalars —
+    * [[graft.kernel.Scan]]) so the exprs' helper columns exist. */
   private def withIdx(exprs: Seq[Expr])(f: SDF => SDF): SDF = {
     val needs = exprs.exists(_.requiresIndex)
-    val base = if (needs) RowIndex.attach(sdf) else sdf
+    val preps = exprs.flatMap(_.preps).distinctBy(_.key)
+    val base0 = if (needs) RowIndex.attach(sdf) else sdf
+    val base = preps.foldLeft(base0)((d, p) => p.build(d))
     val out = f(base)
-    if (needs && out.columns.contains(RowIndex.name)) out.drop(RowIndex.name) else out
+    val drops = (RowIndex.name +: graft.kernel.Scan.BUCKET +: preps.flatMap(_.drops))
+      .distinct.filter(out.columns.contains)
+    if (drops.nonEmpty) out.drop(drops: _*) else out
   }
 
   // ---- projections (reference: data_frame.rb:3559,3671; lazy_frame.rb:1028,1784) ----

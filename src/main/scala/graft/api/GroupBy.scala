@@ -15,7 +15,8 @@ final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk: SDF => Self) {
     require(exprs.nonEmpty)
     // order-sensitive aggs (agg_groups, implode in row order) reference the
     // dense row index — attach it when any expression asks for it
-    val base = if (exprs.exists(_.requiresIndex)) RowIndex.attachDense(sdf) else sdf
+    val base0 = if (exprs.exists(_.requiresIndex)) RowIndex.attachDense(sdf) else sdf
+    val base = exprs.flatMap(_.preps).distinctBy(_.key).foldLeft(base0)((d, p) => p.build(d))
     mk(base.groupBy(keys: _*).agg(exprs.head.col, exprs.tail.map(_.col): _*))
   }
 

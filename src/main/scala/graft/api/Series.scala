@@ -159,8 +159,9 @@ final case class Series(name: String, df: SDF) {
     val counted = df.groupBy(name).agg(F.count(F.lit(1)).as("__n__"))
     val valued =
       if (normalize)
-        counted.withColumn(cname, F.col("__n__") /
-          F.sum("__n__").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+        // scalar total via broadcast 1-row cross join, not a global window
+        counted.crossJoin(F.broadcast(counted.agg(F.sum("__n__").as("__tot__"))))
+          .withColumn(cname, F.col("__n__") / F.col("__tot__")).drop("__tot__")
       else counted.withColumn(cname, F.col("__n__"))
     val out = valued.drop("__n__")
     DataFrame(if (sort) out.orderBy(F.col(cname).desc) else out)

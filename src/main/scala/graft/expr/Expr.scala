@@ -1,8 +1,16 @@
 package graft.expr
 
-import org.apache.spark.sql.{Column, functions => F}
+import org.apache.spark.sql.{Column, functions => F, DataFrame => SDF}
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.types.DataType
+import graft.kernel.Scan
+
+/** A frame preparation an expression needs before it can resolve: `build`
+  * adds helper column(s) (a broadcast scalar, a distributed prefix-scan
+  * result, a rank join) that the expression's Column references; `drops` are
+  * cleaned up by the frame layer afterwards. `key` dedupes shared preps
+  * within one resolution batch. */
+final case class Prep(key: String, build: SDF => SDF, drops: Seq[String])
 
 /** Composable column expression — the Spark-native counterpart of the
   * reference's `Polars::Expr` (reference: lib/polars/expr.rb:28-7215).
@@ -12,14 +20,33 @@ import org.apache.spark.sql.types.DataType
   * pushdown. Order-dependent ops (shift/cum/rolling/rank without an explicit
   * `over`) reference the hidden row-index column maintained by the frame layer
   * (see [[graft.kernel.RowIndex]]); `requiresIndex` tells the frame to attach
-  * it before resolving.
+  * it before resolving, and `preps` carry the distributed prefix-scan /
+  * scalar-broadcast stages ([[graft.kernel.Scan]]) the frame applies first —
+  * so no order-dependent op ever plans a single-partition window over data.
   */
-final case class Expr(col: Column, requiresIndex: Boolean = false) {
+final case class Expr(col: Column, requiresIndex: Boolean = false,
+                      preps: Seq[Prep] = Nil) {
   import Expr._
 
-  private def map(f: Column => Column): Expr = Expr(f(col), requiresIndex)
+  private def map(f: Column => Column): Expr = Expr(f(col), requiresIndex, preps)
   private def zip(o: Expr)(f: (Column, Column) => Column): Expr =
-    Expr(f(col, o.col), requiresIndex || o.requiresIndex)
+    Expr(f(col, o.col), requiresIndex || o.requiresIndex, mergePreps(preps, o.preps))
+
+  /** Order-dependent op: the result is a helper column produced by a
+    * [[graft.kernel.Scan]] stage over the hidden row index. */
+  private def scanned(build: (SDF, String) => SDF): Expr = {
+    val out = Scan.fresh("x")
+    Expr(F.col(out), requiresIndex = true,
+      preps :+ Prep(out, d => build(d, out), Seq(out, Scan.BUCKET)))
+  }
+
+  /** Whole-column scalar aggregate, broadcast-cross-joined (never a
+    * single-partition `Window.partitionBy()`). */
+  private def withScalar(agg: Column => Column)(f: (Column, Column) => Column): Expr = {
+    val s = Scan.fresh("s")
+    Expr(f(col, F.col(s)), requiresIndex,
+      preps :+ Prep(s, d => d.crossJoin(F.broadcast(d.agg(agg(col).as(s)))), Seq(s)))
+  }
 
   // ---- naming (reference: expr.rb:324,407-449; name_expr.rb) ----
   def alias(name: String): Expr = map(_.as(name))
@@ -76,15 +103,16 @@ final case class Expr(col: Column, requiresIndex: Boolean = false) {
   def fillNull(v: Expr): Expr = zip(v)((c, x) => F.coalesce(c, x))
   def fillNull(v: Any): Expr = fillNull(Expr.lit(v))
   /** fill_null(strategy:) (reference expr.rb:1721): forward/backward use the
-    * row-order discipline; min/max/mean broadcast a global agg via window. */
+    * row-order discipline; min/max/mean are scalar aggregates broadcast via
+    * a 1-row cross join (no single-partition window). */
   def fillNullStrategy(strategy: String): Expr = strategy match {
     case "forward"  => forwardFill
     case "backward" => backwardFill
     case "zero"     => fillNull(0)
     case "one"      => fillNull(1)
-    case "min"      => Expr(F.coalesce(col, F.min(col).over(Window.partitionBy())), requiresIndex)
-    case "max"      => Expr(F.coalesce(col, F.max(col).over(Window.partitionBy())), requiresIndex)
-    case "mean"     => Expr(F.coalesce(col, F.avg(col).over(Window.partitionBy())), requiresIndex)
+    case "min"      => withScalar(F.min)(F.coalesce(_, _))
+    case "max"      => withScalar(F.max)(F.coalesce(_, _))
+    case "mean"     => withScalar(F.avg)(F.coalesce(_, _))
   }
   def fillNan(v: Expr): Expr = zip(v)((c, x) => F.when(F.isnan(c), x).otherwise(c))
   def fillNan(v: Any): Expr = fillNan(Expr.lit(v))
@@ -232,45 +260,38 @@ final case class Expr(col: Column, requiresIndex: Boolean = false) {
   def ascNullsFirst: Expr = map(_.asc_nulls_first)
   def descNullsFirst: Expr = map(_.desc_nulls_first)
 
-  // ---- order-dependent ops: resolved against the frame's hidden row index ----
+  // ---- order-dependent ops: resolved against the frame's hidden row index
+  //      via the distributed prefix-scan kernel (graft.kernel.Scan) — never a
+  //      single-partition Window.orderBy(idx) over data ----
   private def idxWindow: WindowSpec = Window.orderBy(F.col(graft.kernel.RowIndex.name))
   /** shift(n) — lag/lead over implicit row order (reference: expr.rb:1624) */
-  def shift(n: Int = 1): Expr = Expr(
-    (if (n >= 0) F.lag(col, n) else F.lead(col, -n)).over(idxWindow), requiresIndex = true)
-  def shiftAndFill(n: Int, fill: Any): Expr = Expr(
-    (if (n >= 0) F.lag(col, n, fill) else F.lead(col, -n, fill)).over(idxWindow), requiresIndex = true)
-  def diff(n: Int = 1): Expr = Expr((col - F.lag(col, n).over(idxWindow)), requiresIndex = true)
+  def shift(n: Int = 1): Expr =
+    if (n == 0) this else scanned((d, out) => Scan.shifted(d, col, n, out))
+  def shiftAndFill(n: Int, fill: Any): Expr =
+    if (n == 0) this
+    else scanned((d, out) => Scan.shifted(d, col, n, out, Some(Expr.lit(fill).col)))
+  def diff(n: Int = 1): Expr = this - shift(n)
   def pctChange(n: Int = 1): Expr = {
     // nullif guard: ANSI mode (Spark 4 default) errors on divide-by-zero;
     // zero-previous yields null (documented deviation from polars' ±inf)
-    val prev = F.lag(col, n).over(idxWindow)
-    Expr((col - prev) / F.nullif(prev, F.lit(0)), requiresIndex = true)
+    val prev = shift(n)
+    Expr((col - prev.col) / F.nullif(prev.col, F.lit(0)), requiresIndex = true,
+      mergePreps(preps, prev.preps))
   }
-  def cumSum(reverse: Boolean = false): Expr = cum(F.sum, reverse)
-  def cumMin(reverse: Boolean = false): Expr = cum(F.min, reverse)
-  def cumMax(reverse: Boolean = false): Expr = cum(F.max, reverse)
-  def cumCount(reverse: Boolean = false): Expr = cum(F.count, reverse)
-  def cumProd(reverse: Boolean = false): Expr = cum(F.product, reverse)
-  private def cum(f: Column => Column, reverse: Boolean): Expr = {
-    val w =
-      if (reverse) idxWindow.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      else idxWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Expr(f(col).over(w), requiresIndex = true)
-  }
-  /** rank over implicit row order of values (reference: expr.rb:5691) */
+  def cumSum(reverse: Boolean = false): Expr = cum(F.sum, "sum", reverse)
+  def cumMin(reverse: Boolean = false): Expr = cum(F.min, "min", reverse)
+  def cumMax(reverse: Boolean = false): Expr = cum(F.max, "max", reverse)
+  def cumCount(reverse: Boolean = false): Expr = cum(F.count, "sum", reverse)
+  def cumProd(reverse: Boolean = false): Expr = cum(c => F.product(c), "product", reverse)
+  private def cum(f: Column => Column, kind: String, reverse: Boolean): Expr =
+    scanned((d, out) => Scan.running(d, col, out, f, kind, reverse))
+  /** rank over implicit row order of values (reference: expr.rb:5691).
+    * Distributed: per-value counts + prefix sums on the distinct-value frame,
+    * joined back — nulls rank null (the reference's behavior). */
   def rank(method: String = "average", descending: Boolean = false): Expr = {
-    val ord = if (descending) col.desc else col.asc
-    val w = Window.orderBy(ord)
-    val c = method match {
-      case "min"     => F.rank().over(w)
-      case "dense"   => F.dense_rank().over(w)
-      case "ordinal" => F.row_number().over(w)
-      case "max"     => F.rank().over(w) + F.count(F.lit(1)).over(Window.partitionBy(col)) - 1
-      case "average" =>
-        (F.rank().over(w).cast("double") +
-          (F.rank().over(w) + F.count(F.lit(1)).over(Window.partitionBy(col)) - 1).cast("double")) / 2.0
-    }
-    Expr(c, requiresIndex)
+    val out = Scan.fresh("x")
+    Expr(F.col(out), requiresIndex = method == "ordinal" || requiresIndex,
+      preps :+ Prep(out, d => Scan.withRank(d, col, out, method, descending), Seq(out)))
   }
   def isDuplicated: Expr = Expr(F.count(F.lit(1)).over(Window.partitionBy(col)) > 1, requiresIndex)
   def isUniqueMask: Expr = Expr(F.count(F.lit(1)).over(Window.partitionBy(col)) === 1, requiresIndex)
@@ -280,12 +301,8 @@ final case class Expr(col: Column, requiresIndex: Boolean = false) {
   def isLastDistinct: Expr = Expr(
     F.row_number().over(Window.partitionBy(col).orderBy(F.col(graft.kernel.RowIndex.name).desc)) === 1,
     requiresIndex = true)
-  def forwardFill: Expr = Expr(
-    F.last(col, ignoreNulls = true).over(idxWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    requiresIndex = true)
-  def backwardFill: Expr = Expr(
-    F.first(col, ignoreNulls = true).over(idxWindow.rowsBetween(Window.currentRow, Window.unboundedFollowing)),
-    requiresIndex = true)
+  def forwardFill: Expr = scanned((d, out) => Scan.filled(d, col, out, backward = false))
+  def backwardFill: Expr = scanned((d, out) => Scan.filled(d, col, out, backward = true))
   def reverseExpr: Expr = Expr(col, requiresIndex) // frame-level reverse handles ordering
 
   // ---- rolling (fixed window, reference: expr.rb:4936-5567) ----
@@ -346,23 +363,29 @@ final case class Expr(col: Column, requiresIndex: Boolean = false) {
   }
 
   /** Run-length-encoding id: increments when the value changes, over implicit
-    * row order (reference: expr.rb:2674 `rle_id`). */
+    * row order (reference: expr.rb:2674 `rle_id`). One shifted (marker, value)
+    * struct distinguishes "no previous row" from "previous value null", then a
+    * running sum of change flags — both distributed scan stages. */
   def rleId: Expr = {
-    val changed = F.when(
-      F.lag(col, 1).over(idxWindow).isNull && F.lag(F.lit(1), 1).over(idxWindow).isNull, 0)
-      .when(!(col <=> F.lag(col, 1).over(idxWindow)), 1).otherwise(0)
-    Expr(F.sum(changed).over(idxWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-      requiresIndex = true)
+    val prev = Scan.fresh("x")
+    val prevPrep = Prep(prev,
+      d => Scan.shifted(d, F.struct(F.lit(1).as("m"), col.as("x")), 1, prev),
+      Seq(prev, Scan.BUCKET))
+    val changed = F.when(F.col(prev).isNull, 0L)
+      .when(!(col <=> F.col(prev).getField("x")), 1L).otherwise(0L)
+    val out = Scan.fresh("x")
+    Expr(F.col(out), requiresIndex = true,
+      preps ++ Seq(prevPrep,
+        Prep(out, d => Scan.running(d, changed, out, F.sum, "sum"), Seq(out, Scan.BUCKET))))
   }
   /** Local maxima mask (reference: expr.rb:2376 `peak_max`). */
-  def peakMax: Expr = Expr(
-    col > F.coalesce(F.lag(col, 1).over(idxWindow), F.lit(Double.NegativeInfinity)) &&
-      col > F.coalesce(F.lead(col, 1).over(idxWindow), F.lit(Double.NegativeInfinity)),
-    requiresIndex = true)
-  def peakMin: Expr = Expr(
-    col < F.coalesce(F.lag(col, 1).over(idxWindow), F.lit(Double.PositiveInfinity)) &&
-      col < F.coalesce(F.lead(col, 1).over(idxWindow), F.lit(Double.PositiveInfinity)),
-    requiresIndex = true)
+  def peakMax: Expr = peak(F.lit(Double.NegativeInfinity), _ > _)
+  def peakMin: Expr = peak(F.lit(Double.PositiveInfinity), _ < _)
+  private def peak(bound: Column, cmp: (Column, Column) => Column): Expr = {
+    val (p, nx) = (shift(1), shift(-1))
+    Expr(cmp(col, F.coalesce(p.col, bound)) && cmp(col, F.coalesce(nx.col, bound)),
+      requiresIndex = true, mergePreps(mergePreps(preps, p.preps), nx.preps))
+  }
 
   // ---- misc (reference: expr.rb §2.8 tail) ----
   def hash(seed: Long = 0): Expr = map(c => F.xxhash64(F.lit(seed), c))
@@ -404,13 +427,16 @@ final case class Expr(col: Column, requiresIndex: Boolean = false) {
     mid.otherwise(lbls.last)
   }
 
-  /** qcut: quantile-based buckets via percent_rank (reference expr.rb:2611). */
+  /** qcut: quantile-based buckets via a distributed percent rank
+    * (reference expr.rb:2611). */
   def qcut(quantiles: Seq[Double], labels: Seq[String]): Expr = {
     require(labels.size == quantiles.size + 1)
-    val pr = F.percent_rank().over(Window.orderBy(col))
-    val first = F.when(pr <= quantiles.head, labels.head)
-    val mid = quantiles.indices.drop(1).foldLeft(first)((acc, i) => acc.when(pr <= quantiles(i), labels(i)))
-    Expr(mid.otherwise(labels.last), requiresIndex)
+    val pr = Scan.fresh("x")
+    val prep = Prep(pr, d => Scan.withPercentRank(d, col, pr), Seq(pr))
+    val first = F.when(F.col(pr) <= quantiles.head, labels.head)
+    val mid = quantiles.indices.drop(1).foldLeft(first)((acc, i) =>
+      acc.when(F.col(pr) <= quantiles(i), labels(i)))
+    Expr(mid.otherwise(labels.last), requiresIndex, preps :+ prep)
   }
   /** Insertion index keeping sorted order = count of smaller elements
     * (reference expr.rb:1500 search_sorted). Aggregation context. */
@@ -421,8 +447,15 @@ final case class Expr(col: Column, requiresIndex: Boolean = false) {
   /** Row indices of each group's members (reference expr.rb:701 agg_groups). */
   def aggGroups: Expr = Expr(
     F.sort_array(F.collect_list(F.col(graft.kernel.RowIndex.name))), requiresIndex = true)
-  /** Expanding-window aggregate (reference expr.rb:6684 cumulative_eval —
-    * the agg-expr case; arbitrary exprs via collect_list+HOF). */
+  /** Expanding-window aggregate (reference expr.rb:6684 cumulative_eval).
+    * The `kind` overload names how per-bucket partials of `agg` merge across
+    * the distributed scan (sum|min|max|product; counts merge as sum) — any
+    * aggregate with a decomposable merge runs fully distributed. The
+    * single-arg form supports ARBITRARY aggregates for reference parity but
+    * cannot split them, so it plans a single-partition window — prefer the
+    * kind overload at scale. */
+  def cumulativeEval(agg: Column => Column, kind: String): Expr =
+    scanned((d, out) => Scan.running(d, col, out, agg, kind))
   def cumulativeEval(agg: Column => Column): Expr = Expr(
     agg(col).over(idxWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     requiresIndex = true)
@@ -513,6 +546,9 @@ object Expr {
     case c: Column => Expr(c)
     case x         => Expr(F.lit(x))
   }
+  /** Order-preserving union of two preparation lists (dedup by key). */
+  private[graft] def mergePreps(a: Seq[Prep], b: Seq[Prep]): Seq[Prep] =
+    (a ++ b).distinctBy(_.key)
   /** Quantile of an already-sorted array column with polars' interpolation
     * modes (shared by the rolling-quantile family). */
   private[expr] def quantileOfSorted(sorted: Column, q: Double,

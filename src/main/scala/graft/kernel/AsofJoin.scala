@@ -75,11 +75,20 @@ object AsofJoin {
     val ord =
       if (strategy == "backward") Seq(F.col(on).asc, F.col("__side__").asc)
       else Seq(F.col(on).desc, F.col("__side__").asc)
-    val w = (if (by.nonEmpty) Window.partitionBy(by.map(F.col): _*) else Window.partitionBy())
-      .orderBy(ord: _*).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = (sfx :+ "__asof_key__").foldLeft(unioned) { (d, c) =>
-      d.withColumn(c, F.last(F.col(c), ignoreNulls = true).over(w))
-    }
+    val fillCols = sfx :+ "__asof_key__"
+    val filled =
+      if (by.nonEmpty) {
+        val w = Window.partitionBy(by.map(F.col): _*)
+          .orderBy(ord: _*).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        fillCols.foldLeft(unioned) { (d, c) =>
+          d.withColumn(c, F.last(F.col(c), ignoreNulls = true).over(w))
+        }
+      } else {
+        // un-keyed as-of: a global forward fill over the merge order — the
+        // distributed prefix-scan kernel, not a single-partition window
+        val sorted = RowIndex.attach(unioned.orderBy(ord: _*))
+        Scan.fillOrdered(sorted, fillCols).drop(RowIndex.name, Scan.BUCKET)
+      }
     filled.filter(F.col("__side__") === 1).drop("__side__")
   }
 

@@ -1,0 +1,232 @@
+package graft.kernel
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+
+/** Distributed prefix-scan kernel (SURVEY §7 row-order discipline at scale).
+  *
+  * Polars' ordered-frame ops (cum_*, shift, fills, rank without `over`;
+  * reference expr.rb:928-1062, 1624, 5691) need a GLOBAL row order. The naive
+  * Spark spelling `Window.orderBy(idx)` funnels every row through one task
+  * ("Moving all data to a single partition"), which is correct at sf0.1 and
+  * dead at 100 TB. This kernel keeps the exact semantics but distributes the
+  * execution with the classic two-pass scan:
+  *
+  *   1. bucket rows by the partition field of the monotonic row index
+  *      ([[RowIndex.attach]] ids are `pid << 33 | offset`, so `idx >>> 33`
+  *      yields contiguous runs of the global order — and any monotone
+  *      function of a global order key gives valid scan segments);
+  *   2. run the window per bucket (`Window.partitionBy(bucket).orderBy(idx)`):
+  *      ONE balanced hash shuffle instead of a single-partition sort;
+  *   3. reduce one partial row per bucket, prefix-combine the partials on the
+  *      bucket-count-sized frame (that tiny window IS single-partition — over
+  *      #source-partitions rows, never data), and broadcast-join the carry
+  *      back on the bucket key.
+  *
+  * The partials branch re-reads the base relation; Catalyst's ReuseExchange
+  * dedupes the shared shuffle where shapes allow, and the id projection is
+  * deterministic for deterministic scans (the same caveat [[RowIndex]]
+  * already documents).
+  */
+object Scan {
+  val BUCKET = "__graft_bucket__"
+  private val IDX = RowIndex.name
+  private val ctr = new AtomicLong()
+
+  /** Fresh reserved helper-column name (plan-time unique within the JVM). */
+  def fresh(prefix: String): String = s"__graft_${prefix}${ctr.incrementAndGet()}__"
+
+  /** Derive the scan bucket from the (already attached) monotonic row index. */
+  def withBucket(d: DataFrame): DataFrame =
+    if (d.columns.contains(BUCKET)) d
+    else d.withColumn(BUCKET, F.shiftrightunsigned(F.col(IDX), 33))
+
+  /** Per-bucket ordered window — the distributed replacement for
+    * `Window.orderBy(idx)`. */
+  def bucketWindow: WindowSpec =
+    Window.partitionBy(F.col(BUCKET)).orderBy(F.col(IDX))
+
+  // tiny windows over the per-bucket partials frame (#buckets rows)
+  private def prior = Window.orderBy(F.col(BUCKET)).rowsBetween(Window.unboundedPreceding, -1)
+  private def later = Window.orderBy(F.col(BUCKET)).rowsBetween(1, Window.unboundedFollowing)
+
+  /** Null-transparent merge: running aggregates are null until the first
+    * non-null input, exactly like a window aggregate over the full order. */
+  private def merge(f: (Column, Column) => Column)(local: Column, off: Column): Column =
+    F.when(local.isNull, off).when(off.isNull, local).otherwise(f(local, off))
+
+  /** Cross-bucket reduction per running kind: how per-bucket partials combine.
+    * ("sum" also merges counts — partial counts add.) */
+  private def kindFns(kind: String): (Column => Column, (Column, Column) => Column) =
+    kind match {
+      case "sum"     => (F.sum, merge(_ + _))
+      case "min"     => (F.min, merge(F.least(_, _)))
+      case "max"     => (F.max, merge(F.greatest(_, _)))
+      case "product" => (c => F.product(c), merge(_ * _))
+      case k => throw new IllegalArgumentException(
+        s"Scan.running: kind must be sum|min|max|product, got '$k'")
+    }
+
+  /** `out` := running aggregate of `value` over the global idx order.
+    * `aggF` runs both per-row (window within bucket) and per-bucket
+    * (partial); `kind` names the cross-bucket merge — pass "sum" for counts.
+    * `inclusive = false` excludes the current row (exclusive prefix).
+    * `value` is projected to a real column first, so it may itself contain
+    * window expressions (composed order-dependent exprs never nest windows
+    * inside the aggregate). */
+  def running(d0: DataFrame, value: Column, out: String, aggF: Column => Column,
+              kind: String, reverse: Boolean = false,
+              inclusive: Boolean = true): DataFrame = {
+    val v = fresh("v"); val off = fresh("off")
+    val d = withBucket(d0).withColumn(v, value)
+    val frame =
+      if (reverse) bucketWindow.rowsBetween(if (inclusive) Window.currentRow else 1L, Window.unboundedFollowing)
+      else bucketWindow.rowsBetween(Window.unboundedPreceding, if (inclusive) Window.currentRow else -1L)
+    val (offAgg, combine) = kindFns(kind)
+    val partials = d.groupBy(F.col(BUCKET)).agg(aggF(F.col(v)).as("__t__"))
+    val offsets = partials.select(F.col(BUCKET),
+      offAgg(F.col("__t__")).over(if (reverse) later else prior).as(off))
+    d.join(F.broadcast(offsets), Seq(BUCKET), "left")
+      .withColumn(out, combine(aggF(F.col(v)).over(frame), F.col(off)))
+      .drop(v, off)
+  }
+
+  /** Forward (backward) fill the named columns IN PLACE over the global idx
+    * order. The per-bucket boundary value is the struct-max trick —
+    * `max(struct(idx, v))` among non-null v — so no order-sensitive
+    * aggregate is involved; the carry is the nearest prior (following)
+    * bucket's boundary value. */
+  def fillOrdered(d0: DataFrame, cols: Seq[String], backward: Boolean = false): DataFrame = {
+    val d = withBucket(d0)
+    val localW =
+      if (backward) bucketWindow.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else bucketWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = cols.map { c =>
+      val pair = F.when(F.col(c).isNotNull, F.struct(F.col(IDX).as("i"), F.col(c).as("v")))
+      (if (backward) F.min(pair) else F.max(pair)).getField("v").as(s"__b_$c")
+    }
+    val partials = d.groupBy(F.col(BUCKET)).agg(boundary.head, boundary.tail: _*)
+    val carry = cols.map { c =>
+      (if (backward) F.first(F.col(s"__b_$c"), ignoreNulls = true).over(later)
+       else F.last(F.col(s"__b_$c"), ignoreNulls = true).over(prior)).as(s"__o_$c")
+    }
+    val offsets = partials.select((F.col(BUCKET) +: carry): _*)
+    val joined = d.join(F.broadcast(offsets), Seq(BUCKET), "left")
+    val filled = cols.foldLeft(joined) { (acc, c) =>
+      acc.withColumn(c, F.coalesce(
+        (if (backward) F.first(F.col(c), ignoreNulls = true)
+         else F.last(F.col(c), ignoreNulls = true)).over(localW),
+        F.col(s"__o_$c")))
+    }
+    filled.drop(cols.map(c => s"__o_$c"): _*)
+  }
+
+  /** `out` := `value` filled forward/backward (expression form of
+    * [[fillOrdered]]). */
+  def filled(d0: DataFrame, value: Column, out: String, backward: Boolean): DataFrame =
+    fillOrdered(d0.withColumn(out, value), Seq(out), backward)
+
+  /** `out` := `value` shifted by `n` rows over the global idx order
+    * (n > 0 looks back, n < 0 looks ahead; reference expr.rb:1624). Rows
+    * whose shift stays inside their bucket use a plain per-bucket lag/lead;
+    * rows near a bucket boundary read from a carry array — the |n| rows
+    * nearest the boundary of each other bucket, flattened across buckets on
+    * the partials frame so undersized buckets chain correctly. Structurally
+    * out-of-range rows yield `fill` (default null). */
+  def shifted(d0: DataFrame, value: Column, n: Int, out: String,
+              fill: Option[Column] = None): DataFrame = {
+    require(n != 0, "Scan.shifted: n must be non-zero")
+    val k = math.abs(n); val back = n > 0
+    val v = fresh("v"); val rn = fresh("rn"); val rb = fresh("rb"); val carry = fresh("c")
+    val d = withBucket(d0).withColumn(v, value)
+    val descW = Window.partitionBy(F.col(BUCKET)).orderBy(F.col(IDX).desc)
+    // row number counted from the boundary the shift reaches across
+    val rnW = if (back) bucketWindow else descW
+    // per-bucket boundary slice: the k rows nearest the opposite boundary
+    // (tail for lag, head for lead) as (idx, value) structs in idx order
+    val bW = if (back) descW else bucketWindow
+    val slices = d.withColumn(rb, F.row_number().over(bW)).filter(F.col(rb) <= k)
+      .groupBy(F.col(BUCKET))
+      .agg(F.array_sort(F.collect_list(F.struct(F.col(IDX).as("i"), F.col(v).as("x")))).as("__s__"))
+    val gathered =
+      if (back) F.flatten(F.collect_list(F.col("__s__")).over(prior))
+      else F.flatten(F.collect_list(F.col("__s__")).over(later))
+    val kept =
+      if (back) F.slice(gathered, F.greatest(F.lit(1), F.size(gathered) - (k - 1)), F.lit(k))
+      else F.slice(gathered, F.lit(1), F.lit(k))
+    val offsets = slices.select(F.col(BUCKET),
+      F.transform(kept, s => s.getField("x")).as(carry))
+    val local = if (back) F.lag(F.col(v), k).over(bucketWindow)
+                else F.lead(F.col(v), k).over(bucketWindow)
+    val d2 = d.withColumn(rn, F.row_number().over(rnW))
+      .join(F.broadcast(offsets), Seq(BUCKET), "left")
+    // carry position: lag reads (size - k + rn)-th from an idx-ascending
+    // tail; lead reads (k - rn + 1)-th from an idx-ascending head
+    val pos = if (back) F.size(F.col(carry)) - k + F.col(rn)
+              else F.lit(k) - F.col(rn) + 1
+    d2.withColumn(out,
+        F.when(F.col(rn) > k, local)
+          .when(pos >= 1 && pos <= F.size(F.col(carry)),
+            F.element_at(F.col(carry), pos.cast("int")))
+          .otherwise(fill.getOrElse(F.lit(null))))
+      .drop(v, rn, carry)
+  }
+
+  /** `out` := global rank of `value` (min/max/dense/ordinal/average; nulls
+    * rank null, the reference's null behavior). Distributed shape: per-value
+    * counts, exclusive prefix sum over the range-sorted distinct-value frame
+    * (via [[running]]), shuffle join back on the value — never a
+    * whole-data single-partition sort. `ordinal` additionally breaks ties by
+    * row order and requires the idx column on `d0`. */
+  def withRank(d0: DataFrame, value: Column, out: String, method: String,
+               descending: Boolean = false): DataFrame = {
+    val v = fresh("v")
+    val d = d0.withColumn(v, value)
+    val vc = d.groupBy(F.col(v)).agg(F.count(F.lit(1)).as("__c__"))
+      .filter(F.col(v).isNotNull)
+    val sorted = RowIndex.attach(
+      vc.orderBy(if (descending) F.col(v).desc else F.col(v).asc))
+    val withLt = running(sorted, F.col("__c__"), "__lt__", F.sum, "sum", inclusive = false)
+    val withDense =
+      if (method == "dense") running(withLt, F.lit(1L), "__d__", F.sum, "sum")
+      else withLt
+    val lt = F.coalesce(F.col("__lt__"), F.lit(0L))
+    // dtype parity with the previous window spelling (and polars' idx-sized
+    // ranks): min/dense/ordinal int, max long, average double
+    val rankCol = method match {
+      case "min"     => (lt + 1).cast("int")
+      case "max"     => lt + F.col("__c__")
+      case "dense"   => F.col("__d__").cast("int")
+      case "ordinal" => (lt + 1).cast("int") // + per-row tiebreak below
+      case "average" => lt.cast("double") + (F.col("__c__") + 1).cast("double") / 2.0
+      case m => throw new IllegalArgumentException(
+        s"rank: method must be average|min|max|dense|ordinal, got '$m'")
+    }
+    val table = withDense.select(F.col(v), rankCol.as(out))
+    val joined = d.join(table, Seq(v), "left")
+    val resolved =
+      if (method == "ordinal")
+        joined.withColumn(out, (F.col(out) +
+          F.row_number().over(Window.partitionBy(F.col(v)).orderBy(F.col(IDX))) - 1).cast("int"))
+      else joined
+    resolved.drop(v)
+  }
+
+  /** `out` := percent rank of `value` over non-null values —
+    * `(min_rank - 1) / (n - 1)`, 0.0 for a single value, null for nulls.
+    * Backs qcut (reference expr.rb:2611). */
+  def withPercentRank(d0: DataFrame, value: Column, out: String,
+                      descending: Boolean = false): DataFrame = {
+    val r = fresh("r"); val n = fresh("n")
+    val d1 = withRank(d0, value, r, "min", descending)
+    val total = d1.agg(F.count(value).as(n))
+    d1.crossJoin(F.broadcast(total))
+      .withColumn(out,
+        F.when(F.col(r).isNull, F.lit(null))
+          .when(F.col(n) > 1, (F.col(r) - 1).cast("double") / (F.col(n) - 1).cast("double"))
+          .otherwise(F.lit(0.0)))
+      .drop(r, n)
+  }
+}

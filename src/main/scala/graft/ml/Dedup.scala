@@ -90,26 +90,27 @@ object Dedup {
       GraftInternalOps.expression(F.lit(numHashes))))
   }
 
-  /** MinHash-LSH candidate pairs: shingle → minhash → band → bucket-join.
-    * `bands * rowsPerBand = numHashes`. Returns (id_a, id_b, n_shared_bands)
-    * with id_a < id_b. The self-join is on (band_idx, band_hash) — a hash
-    * shuffle over bucket keys; no quadratic blow-up outside buckets. */
-  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5): DataFrame = {
+  /** Banded MinHash signature rows (id, band_idx, band_hash) — the LSH bucket
+    * keys behind [[minhashCandidates]], exposed so callers can materialize
+    * them (e.g. for oracle verification of the bucket-join logic). */
+  def bandedSignatures(df: DataFrame, textCol: String, idCol: String,
+                       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sig = df.select(F.col(idCol),
       minhashSignature(F.col(textCol), numHashes, shingleK).as("__sig__"))
-    val banded = sig.select(
+    sig.select(
       F.col(idCol),
       F.explode(F.array((0 until bands).map { b =>
         F.struct(F.lit(b).as("band_idx"),
           F.xxhash64(F.slice(F.col("__sig__"), b * rowsPerBand + 1, rowsPerBand)).as("band_hash"))
       }: _*)).as("band"))
       .select(F.col(idCol), F.col("band.band_idx"), F.col("band.band_hash"))
-      // persist: the self-join would otherwise recompute the whole
-      // shingle→hash→min pipeline for BOTH sides; banded rows are tiny
-      // (id + 2 longs) so this is cheap at any corpus size
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Candidate pairs from banded signature rows: self-join on
+    * (band_idx, band_hash) — a hash shuffle over bucket keys; no quadratic
+    * blow-up outside buckets. Returns (id_a, id_b, n_shared_bands), id_a < id_b. */
+  def minhashCandidatesFromBands(banded: DataFrame, idCol: String): DataFrame = {
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, F.col("a.band_idx") === F.col("b.band_idx") &&
@@ -117,6 +118,18 @@ object Dedup {
         F.col(s"a.$idCol") < F.col(s"b.$idCol"))
       .groupBy(F.col(s"a.$idCol").as("id_a"), F.col(s"b.$idCol").as("id_b"))
       .agg(F.count(F.lit(1)).as("n_shared_bands"))
+  }
+
+  /** MinHash-LSH candidate pairs: shingle → minhash → band → bucket-join.
+    * `bands * rowsPerBand = numHashes`. */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5): DataFrame = {
+    // persist: the self-join would otherwise recompute the whole
+    // shingle→hash→min pipeline for BOTH sides; banded rows are tiny
+    // (id + 2 longs) so this is cheap at any corpus size
+    val banded = bandedSignatures(df, textCol, idCol, numHashes, bands, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashCandidatesFromBands(banded, idCol)
   }
 
   /** Exact n-gram Jaccard similarity for candidate verification. */
@@ -164,8 +177,13 @@ object Dedup {
   /** SimHash near-dup candidate pairs: block on rotated 16-bit chunks so any
     * pair within hamming distance <= 3 shares at least one of 4 chunk keys. */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        maxHamming: Int = 3): DataFrame = {
-    val withSig = simhashSignatures(df, textCol, idCol)
+                        maxHamming: Int = 3): DataFrame =
+    simhashCandidatesFromSigs(simhashSignatures(df, textCol, idCol), idCol, maxHamming)
+
+  /** Chunk-blocked pair search over materialized (id, sig) simhash rows —
+    * the join stage of [[simhashCandidates]], exposed for restaging. */
+  def simhashCandidatesFromSigs(withSig: DataFrame, idCol: String,
+                                maxHamming: Int): DataFrame = {
     val chunks = withSig.select(F.col(idCol), F.col("sig"),
       F.explode(F.array((0 until 4).map { c =>
         F.struct(F.lit(c).as("chunk_idx"),
@@ -186,24 +204,35 @@ object Dedup {
   /** Embedding cosine near-duplicate pairs via LSH (random hyperplane signs).
     * planes: seeded pseudo-random via hash of (seed, dim) — deterministic,
     * no driver-side state to broadcast. */
-  def embeddingCandidates(df: DataFrame, vecCol: String, idCol: String,
-                          nPlanes: Int = 16): DataFrame = {
-    def planeSig(v: Column): Column =
-      F.aggregate(
-        F.array((0 until nPlanes).map { p =>
-          val dot = F.aggregate(
-            F.zip_with(v, F.sequence(F.lit(0), F.size(v) - 1),
-              (x, i) => x * (F.pmod(F.xxhash64(F.lit(p), i), F.lit(2000)).cast("double") / 1000.0 - 1.0)),
-            F.lit(0.0), (acc, x) => acc + x)
-          F.when(dot > 0, F.shiftleft(F.lit(1L), p)).otherwise(F.lit(0L))
-        }: _*),
-        F.lit(0L), (acc, x) => acc.bitwiseOR(x))
-    val sig = df.select(F.col(idCol), F.col(vecCol), planeSig(F.col(vecCol)).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Hyperplane sign bucket for one vector (the LSH key of
+    * [[embeddingCandidates]]). */
+  def hyperplaneBucket(v: Column, nPlanes: Int): Column =
+    F.aggregate(
+      F.array((0 until nPlanes).map { p =>
+        val dot = F.aggregate(
+          F.zip_with(v, F.sequence(F.lit(0), F.size(v) - 1),
+            (x, i) => x * (F.pmod(F.xxhash64(F.lit(p), i), F.lit(2000)).cast("double") / 1000.0 - 1.0)),
+          F.lit(0.0), (acc, x) => acc + x)
+        F.when(dot > 0, F.shiftleft(F.lit(1L), p)).otherwise(F.lit(0L))
+      }: _*),
+      F.lit(0L), (acc, x) => acc.bitwiseOR(x))
+
+  /** Same-bucket pair join over materialized (id, vec, bucket) rows — the
+    * join stage of [[embeddingCandidates]], exposed for restaging. */
+  def embeddingCandidatesFromBuckets(sig: DataFrame, vecCol: String,
+                                     idCol: String): DataFrame = {
     val a = sig.as("a"); val b = sig.as("b")
     a.join(b, F.col("a.bucket") === F.col("b.bucket") && F.col(s"a.$idCol") < F.col(s"b.$idCol"))
       .select(F.col(s"a.$idCol").as("id_a"), F.col(s"b.$idCol").as("id_b"),
         Similarity.cosine(F.col(s"a.$vecCol"), F.col(s"b.$vecCol")).as("cosine"))
+  }
+
+  def embeddingCandidates(df: DataFrame, vecCol: String, idCol: String,
+                          nPlanes: Int = 16): DataFrame = {
+    val sig = df.select(F.col(idCol), F.col(vecCol),
+        hyperplaneBucket(F.col(vecCol), nPlanes).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    embeddingCandidatesFromBuckets(sig, vecCol, idCol)
   }
 
   /** Corpus-level exact line dedup (the C4-style cleaning step): each

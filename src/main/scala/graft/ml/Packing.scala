@@ -13,19 +13,20 @@ object Packing {
   /** Linear (offset) packing: documents in `orderCol` order are laid end to
     * end on a token tape; a document's bin is the tape block its first token
     * falls in (`floor(preceding_cumsum / budget)`). Documents may straddle a
-    * boundary — the reader splits, as in GPT-style span packing. One global
-    * window cumsum; fully declarative and SQL-mirrorable, and the cumsum is
-    * computed distributed (range-partitioned sort) rather than per-driver. */
+    * boundary — the reader splits, as in GPT-style span packing. The
+    * exclusive cumsum runs through the distributed prefix-scan kernel
+    * ([[graft.kernel.Scan.running]]): range-sort on `orderCol`, per-bucket
+    * windows + a broadcast carry — no single-partition window. */
   def linearPack(df: DataFrame, tokenCountCol: String, orderCol: String,
                  budget: Long): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
-    val w = Window.orderBy(F.col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    df.withColumn("__offset__",
-        F.coalesce(F.sum(F.col(tokenCountCol)).over(w), F.lit(0L)))
+    val sorted = graft.kernel.RowIndex.attach(df.orderBy(F.col(orderCol)))
+    graft.kernel.Scan.running(sorted, F.col(tokenCountCol), "__offset__",
+        F.sum, "sum", inclusive = false)
+      .withColumn("__offset__", F.coalesce(F.col("__offset__"), F.lit(0L)))
       .withColumn("bin", F.floor(F.col("__offset__") / budget))
       .withColumn("bin_offset", F.col("__offset__") % budget)
-      .drop("__offset__")
+      .drop("__offset__", graft.kernel.RowIndex.name, graft.kernel.Scan.BUCKET)
   }
 
   /** Greedy next-fit packing: stream documents in `orderCol` order; a

@@ -99,13 +99,53 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("linear packing is one global-window pass, no extra shuffles") {
+  /** The prefix-scan invariant: the data-sized window is hash-partitioned on
+    * the scan bucket, and ANY single-partition exchange in the plan sits
+    * directly above an aggregate (the bucket-count-sized partials frame) —
+    * never above row-sized data. */
+  private def assertDistributedScan(p: String): Unit = {
+    assert(p.contains("Exchange hashpartitioning(__graft_bucket__"), p)
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach { case (_, i) =>
+      assert(lines.slice(i + 1, i + 4).exists(_.contains("Aggregate")),
+        s"data-sized single-partition exchange at line $i:\n$p")
+    }
+  }
+
+  test("linear packing distributes the global cumsum (bucketed scan, no data-sized single partition)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(F.col("doc_id"),
         graft.ml.TextAnalysis.tokenCount(F.col("text")).cast("long").as("ntok"))
     val p = plan(graft.ml.Packing.linearPack(docs, "ntok", "doc_id", 512L))
     assert(p.contains("Window"), p)
-    // exactly one exchange: the single-partition window sort
-    assert(p.indexOf("Exchange") == p.lastIndexOf("Exchange"), p)
+    assertDistributedScan(p)
+  }
+
+  test("un-over'd cum_sum / shift run through the distributed scan kernel") {
+    val ev = graft.api.LazyFrame(spark.read.parquet(s"$sf/events.parquet"))
+    val p1 = plan(ev.select(Polars.col("value").cumSum().alias("cs")).toSpark)
+    assertDistributedScan(p1)
+    val p2 = plan(ev.select(Polars.col("value").shift(2).alias("sh")).toSpark)
+    assertDistributedScan(p2)
+    val p3 = plan(ev.select(Polars.col("value").forwardFill.alias("ff")).toSpark)
+    assertDistributedScan(p3)
+  }
+
+  test("un-keyed as-of join distributes the merge fill") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val left = ev.select(F.col("event_id"), F.col("value"))
+    val right = ev.filter(F.col("event_id") % 10 === 0)
+      .select(F.col("event_id"), F.col("value").as("ref"))
+    val p = plan(graft.kernel.AsofJoin.join(left, right, "event_id"))
+    assertDistributedScan(p)
+  }
+
+  test("global rank / qcut avoid a data-sized single-partition sort") {
+    val orders = graft.api.LazyFrame(spark.read.parquet(s"$sf/orders.parquet"))
+    val p1 = plan(orders.select(Polars.col("o_totalprice").rank("min").alias("r")).toSpark)
+    assertDistributedScan(p1)
+    val p2 = plan(orders.withColumn("tier",
+      Polars.col("o_totalprice").qcut(Seq(0.5), Seq("lo", "hi"))).toSpark)
+    assertDistributedScan(p2)
   }
 }
