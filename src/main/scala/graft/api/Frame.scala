@@ -363,6 +363,13 @@ final case class DataFrame(private val df: SDF) extends FrameOps[DataFrame] {
     df.select(F.xxhash64((F.lit(seed) +: df.columns.toSeq.map(F.col)): _*).as("hash_rows")))
   /** pipe (reference data_frame.rb:2792): apply a function to the frame. */
   def pipe[T](f: DataFrame => T): T = f(this)
+  /** map_rows (reference data_frame.rb:2438, ext map/dataframe.rs): apply an
+    * arbitrary row closure, producing rows of `schema`. Distributed
+    * `Dataset.map` under a Row encoder — one pass, no driver collect — but
+    * opaque to Catalyst (same trade the reference makes for Ruby-block rows);
+    * prefer expression-level `withColumns`/`select` where expressible. */
+  def mapRows(schema: StructType)(f: org.apache.spark.sql.Row => org.apache.spark.sql.Row): DataFrame =
+    DataFrame(df.map(f)(org.apache.spark.sql.Encoders.row(schema)))
   /** Row iterator without materializing the whole frame on the driver
     * (reference each_row/iter_rows — toLocalIterator streams one partition
     * at a time). */

@@ -64,6 +64,10 @@ final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
   def agg(exprs: (String, Expr)*): Self = {
     val d = DurationDsl.parse(period)
     require(!d.isCalendar, "calendar periods (1mo/1y): bucket via dt.truncate")
+    // keyless temporal rolling keeps the single-partition range window: the
+    // carry set per boundary is unbounded (all rows within `period`), so the
+    // bucket-phantom trick doesn't apply — at scale, pass `by` keys (the
+    // reference's rolling is likewise per-group in every real pipeline)
     val base = if (by.nonEmpty) Window.partitionBy(by.map(F.col): _*) else Window.partitionBy()
     val w = base.orderBy(F.unix_micros(F.col(indexColumn).cast("timestamp")))
       .rangeBetween(-d.totalMicros, 0)

@@ -69,6 +69,26 @@ final case class Series(name: String, df: SDF) {
   def map(e: Expr => Expr): Series = Series(name, df.select(e(Expr(F.col(name))).col.as(name)))
   def cast(dt: DataType): Series = map(_.cast(dt))
 
+  /** map_elements with an ARBITRARY per-element closure (reference
+    * series.rb:2885; dispatcher ext/polars/src/map/series.rs:10-68). Runs as
+    * a typed `Dataset.map` — distributed, one pass over the partitions, no
+    * driver collect — but opaque to Catalyst, exactly like the reference's
+    * Ruby-block dispatch leaves Polars' optimizer: prefer [[map]] (expression
+    * form) whenever the transform is expressible. Nulls pass through without
+    * invoking `f` (the reference's skip_nulls: true default). */
+  def mapElements[I, O](f: I => O)(implicit ie: org.apache.spark.sql.Encoder[Option[I]],
+                                   oe: org.apache.spark.sql.Encoder[Option[O]]): Series = {
+    val mapped = df.select(F.col(name)).as[Option[I]](ie)
+      .map((v: Option[I]) => v.map(f))(oe)
+    Series(name, mapped.toDF(name))
+  }
+
+  /** map_elements returning the raw Dataset for callers that want to keep
+    * composing typed transforms (reference returns a Series likewise). */
+  def mapElementsStrict[I, O](f: I => O)(implicit ie: org.apache.spark.sql.Encoder[I],
+                                         oe: org.apache.spark.sql.Encoder[O]): Series =
+    Series(name, df.select(F.col(name)).as[I](ie).map(f)(oe).toDF(name))
+
   // ---- reference-surface long tail (series.rb) ----
   /** Vertical concat with another series (reference series.rb append /
     * extend; immutable here — returns the combined series). */

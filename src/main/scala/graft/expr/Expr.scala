@@ -314,26 +314,23 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   def rollingVar(n: Int, minPeriods: Int = 2): Expr = rolling(F.var_samp, n, minPeriods)
   def rollingMedian(n: Int, minPeriods: Int = 1): Expr =
     rollingQuantile(0.5, n, "linear", minPeriods)
-  private def rolling(f: Column => Column, n: Int, minPeriods: Int): Expr = {
-    val w = idxWindow.rowsBetween(-(n - 1).toLong, 0L)
-    val cnt = F.count(col).over(w)
-    Expr(F.when(cnt >= minPeriods, f(col).over(w)), requiresIndex = true)
-  }
+  private def rolling(f: Column => Column, n: Int, minPeriods: Int): Expr =
+    scanned((d, out) => Scan.rollingApply(d, col, n, out, (v, w) =>
+      F.when(F.count(v).over(w) >= minPeriods, f(v).over(w))))
   /** rolling_quantile (reference expr.rb:5480): exact quantile over a
     * trailing rows window with polars' interpolation modes. Spark's
     * percentile/median aggregates reject window FRAMES, so every mode indexes
     * the sorted collected window (n is a small constant — the collect is
     * per-row bounded, not a data-sized state). */
   def rollingQuantile(q: Double, n: Int, interpolation: String = "nearest",
-                      minPeriods: Int = 1): Expr = {
-    val w = idxWindow.rowsBetween(-(n - 1).toLong, 0L)
-    val cnt = F.count(col).over(w)
-    val sorted = F.sort_array(F.collect_list(col).over(w))
-    // clamp to >= 1: an all-null window must yield null, not element_at on an
-    // empty array (ANSI error)
-    Expr(F.when(cnt >= math.max(minPeriods, 1),
-      Expr.quantileOfSorted(sorted, q, interpolation)), requiresIndex = true)
-  }
+                      minPeriods: Int = 1): Expr =
+    scanned((d, out) => Scan.rollingApply(d, col, n, out, (v, w) => {
+      val sorted = F.sort_array(F.collect_list(v).over(w))
+      // clamp to >= 1: an all-null window must yield null, not element_at on
+      // an empty array (ANSI error)
+      F.when(F.count(v).over(w) >= math.max(minPeriods, 1),
+        Expr.quantileOfSorted(sorted, q, interpolation))
+    }))
   /** rolling_quantile_by (reference expr.rb:4848): quantile over a caller-
     * supplied WindowSpec — the range-frame formulation used for temporal
     * `_by` windows (`Window.partitionBy(keys).orderBy(unix_micros(ts))
@@ -349,18 +346,18 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   /** rolling_skew (reference expr.rb:5567): windowed skewness. Spark's
     * skewness aggregate is the biased g1 = m3/m2^1.5; bias: false applies the
     * sample correction sqrt(n(n-1))/(n-2), null under 3 points. */
-  def rollingSkew(n: Int, bias: Boolean = true, minPeriods: Int = 1): Expr = {
-    val w = idxWindow.rowsBetween(-(n - 1).toLong, 0L)
-    val cnt = F.count(col).over(w)
-    val g1 = F.skewness(col).over(w)
-    val value =
-      if (bias) g1
-      else {
-        val m = cnt.cast("double")
-        F.when(m > 2, g1 * F.sqrt(m * (m - 1)) / (m - 2))
-      }
-    Expr(F.when(cnt >= minPeriods, value), requiresIndex = true)
-  }
+  def rollingSkew(n: Int, bias: Boolean = true, minPeriods: Int = 1): Expr =
+    scanned((d, out) => Scan.rollingApply(d, col, n, out, (v, w) => {
+      val cnt = F.count(v).over(w)
+      val g1 = F.skewness(v).over(w)
+      val value =
+        if (bias) g1
+        else {
+          val m = cnt.cast("double")
+          F.when(m > 2, g1 * F.sqrt(m * (m - 1)) / (m - 2))
+        }
+      F.when(cnt >= minPeriods, value)
+    }))
 
   /** Run-length-encoding id: increments when the value changes, over implicit
     * row order (reference: expr.rb:2674 `rle_id`). One shifted (marker, value)
@@ -463,13 +460,14 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     * literal weights (reference expr.rb rolling weights:). */
   def rollingSumWeighted(weights: Seq[Double], minPeriods: Int = 1): Expr = {
     val n = weights.size
-    val w = idxWindow.rowsBetween(-(n - 1).toLong, 0L)
-    val vals = F.collect_list(col).over(w)
-    val wArr = F.array(weights.map(F.lit): _*)
-    val dot = F.aggregate(
-      F.zip_with(vals, F.slice(wArr, F.lit(1), F.size(vals)), (v, wt) => v * wt),
-      F.lit(0.0), (acc, x) => acc + x)
-    Expr(F.when(F.size(vals) >= math.max(minPeriods, n), dot), requiresIndex = true)
+    scanned((d, out) => Scan.rollingApply(d, col, n, out, (v, w) => {
+      val vals = F.collect_list(v).over(w)
+      val wArr = F.array(weights.map(F.lit): _*)
+      val dot = F.aggregate(
+        F.zip_with(vals, F.slice(wArr, F.lit(1), F.size(vals)), (x, wt) => x * wt),
+        F.lit(0.0), (acc, x) => acc + x)
+      F.when(F.size(vals) >= math.max(minPeriods, n), dot)
+    }))
   }
   /** Dtype min/max literals (reference expr.rb:5942 lower_bound/upper_bound). */
   def lowerBound(dt: DataType): Expr = Expr(F.lit(dt match {

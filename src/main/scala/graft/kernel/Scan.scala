@@ -174,6 +174,45 @@ object Scan {
       .drop(v, rn, carry)
   }
 
+  /** `out` := an arbitrary trailing-`n`-row window aggregate over the global
+    * idx order, executed per bucket with PHANTOM rows carried across bucket
+    * boundaries: the (n-1) rows nearest each boundary travel as structs on
+    * the partials frame, are exploded back into their successor buckets
+    * (flagged, filtered after the window), so every real row's frame holds
+    * exactly its global predecessors. `build` receives the value column and
+    * the framed window spec and may reference both any number of times —
+    * native aggregate numerics (skewness, stddev, collect_list order) are
+    * bit-identical to the single-partition spelling. */
+  def rollingApply(d0: DataFrame, value: Column, n: Int, out: String,
+                   build: (Column, WindowSpec) => Column): DataFrame = {
+    require(n >= 1, s"rollingApply: window must be >= 1, got $n")
+    val k = n - 1
+    val v = fresh("v"); val ph = fresh("ph"); val rb = fresh("rb"); val carry = fresh("c")
+    val d = withBucket(d0).withColumn(v, value)
+    val frame = bucketWindow.rowsBetween(-k.toLong, 0L)
+    if (k == 0)
+      return d.withColumn(out, build(F.col(v), frame)).drop(v)
+    val descW = Window.partitionBy(F.col(BUCKET)).orderBy(F.col(IDX).desc)
+    val slices = d.withColumn(rb, F.row_number().over(descW)).filter(F.col(rb) <= k)
+      .groupBy(F.col(BUCKET))
+      .agg(F.array_sort(F.collect_list(F.struct(F.col(IDX).as("i"), F.col(v).as("x")))).as("__s__"))
+    val gathered = F.flatten(F.collect_list(F.col("__s__")).over(prior))
+    val kept = F.slice(gathered, F.greatest(F.lit(1), F.size(gathered) - (k - 1)), F.lit(k))
+    // two steps: a generator cannot consume a window expression directly
+    val withCarry = slices.select(F.col(BUCKET), kept.as(carry))
+    val phantoms = withCarry.select(F.col(BUCKET), F.explode(F.col(carry)).as("__e__"))
+      .select(F.col(BUCKET) +:
+        d.columns.filterNot(_ == BUCKET).map {
+          case IDX    => F.col("__e__.i").as(IDX)
+          case `v`    => F.col("__e__.x").as(v)
+          case c      => F.lit(null).cast(d.schema(c).dataType).as(c)
+        }.toSeq :+ F.lit(true).as(ph): _*)
+    val aug = d.withColumn(ph, F.lit(false)).unionByName(phantoms)
+    aug.withColumn(out, build(F.col(v), frame))
+      .filter(!F.col(ph))
+      .drop(v, ph)
+  }
+
   /** `out` := global rank of `value` (min/max/dense/ordinal/average; nulls
     * rank null, the reference's null behavior). Distributed shape: per-value
     * counts, exclusive prefix sum over the range-sorted distinct-value frame

@@ -204,4 +204,28 @@ class ParitySweepSpec extends SparkSpec {
       graft.testing.Testing.assertFrameNotEqual(l, l))
     graft.testing.Testing.assertSeriesNotEqual(Series("a", Seq(1)), Series("a", Seq(2)))
   }
+
+  test("Series#map_elements runs an arbitrary closure per element, skipping nulls") {
+    // reference test/series_test.rb map_elements: s.map_elements { |x| x * 2 }
+    val s = Series("a", Seq[Option[Int]](Some(1), None, Some(3)).toDF("a"))
+    val doubled = s.mapElements((x: Int) => x * 2)
+    assert(doubled.name == "a")
+    assert(doubled.toList == List(2, null, 6))
+    // type-changing closure (Int => String), the dispatcher case
+    val named = Series("a", Seq(1, 2).toDF("a")).mapElements((x: Int) => s"v$x")
+    assert(named.toList == List("v1", "v2"))
+    val strict = Series("a", Seq(2, 5).toDF("a")).mapElementsStrict((x: Int) => x + 10)
+    assert(strict.toList == List(12, 15))
+  }
+
+  test("DataFrame#map_rows applies a row closure under an explicit schema") {
+    // reference test/data_frame_test.rb map_rows: df.map_rows { |r| [r[0] * 2, r[1]] }
+    val df = DataFrame(Seq((1, "a"), (2, "b")).toDF("x", "s"))
+    val out = df.mapRows(StructType(Seq(
+      StructField("x2", IntegerType), StructField("s", StringType))))(
+      r => org.apache.spark.sql.Row(r.getInt(0) * 2, r.getString(1)))
+    assert(out.columns == Seq("x2", "s"))
+    assert(out.toSpark.orderBy("x2").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      == Seq((2, "a"), (4, "b")))
+  }
 }
