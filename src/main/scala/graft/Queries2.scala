@@ -193,13 +193,18 @@ object Queries2 {
       .collect().toSpark
   }
 
-  private def qNtile(s: SparkSession, dir: String): SDF =
-    lf(s, dir, "orders")
-      .withColumn("nt", Expr(F.ntile(4).over(Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey")))))
+  private def qNtile(s: SparkSession, dir: String): SDF = {
+    // distributed NTILE: ordinal rank of the (price, key) struct + broadcast
+    // count — no global-sort single-partition window
+    val base = graft.kernel.RowIndex.attach(t(s, dir, "orders"))
+    val nt = graft.kernel.Scan.withNtile(base,
+      F.struct(F.col("o_totalprice"), F.col("o_orderkey")), "nt", 4)
+    LazyFrame(nt.drop(graft.kernel.RowIndex.name, graft.kernel.Scan.BUCKET))
       .groupBy("nt")
       .agg(Expr(F.count(F.lit(1))).alias("n"), col("o_totalprice").max.alias("max_price"))
       .sortBy(Seq(col("nt")))
       .collect().toSpark
+  }
 
   private def qFirstLastWindow(s: SparkSession, dir: String): SDF = {
     val w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))

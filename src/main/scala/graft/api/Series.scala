@@ -239,18 +239,19 @@ final case class Series(name: String, df: SDF) {
       .orderBy("arg_unique").select("arg_unique"))
 
   /** Run-length encode into struct(len, value) rows in run order (reference
-    * expr.rb:2648 rle; rle_id is the Expr-level sibling). */
+    * expr.rb:2648 rle; rle_id is the Expr-level sibling). Change flags and
+    * the run-id prefix sum both go through the distributed scan kernel. */
   def rle: Series = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(F.col(IDX))
-    val changed = F.when(F.row_number().over(w) === 1, 1)
-      .when(!(F.col(name) <=> F.lag(F.col(name), 1).over(w)), 1).otherwise(0)
-    val runs = indexed.withColumn("__run__",
-      F.sum(changed).over(w.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)))
+    import graft.kernel.{RowIndex, Scan}
+    val d0 = RowIndex.attach(df)
+    val prev = Scan.shifted(d0,
+      F.struct(F.lit(1).as("m"), F.col(name).as("x")), 1, "__prev__")
+    val changed = F.when(F.col("__prev__").isNull, 1L)
+      .when(!(F.col(name) <=> F.col("__prev__").getField("x")), 1L).otherwise(0L)
+    val runs = Scan.running(prev, changed, "__run__", F.sum, "sum")
     Series("rle", runs.groupBy("__run__")
       .agg(F.count(F.lit(1)).as("len"), F.first(F.col(name)).as("value"),
-        F.min(F.col(IDX)).as("__fs__"))
+        F.min(F.col(RowIndex.name)).as("__fs__"))
       .orderBy("__fs__")
       .select(F.struct(F.col("len"), F.col("value")).as("rle")))
   }

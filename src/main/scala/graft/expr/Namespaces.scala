@@ -331,8 +331,9 @@ final class BinNS(e: Expr) {
   * a no-op on Spark. reference: lib/polars/cat_expr.rb:32. */
 final class CatNS(e: Expr) {
   def getCategories: Expr = Expr(F.collect_set(e.col))
-  def toPhysical: Expr = Expr(F.dense_rank().over(
-    org.apache.spark.sql.expressions.Window.orderBy(e.col)) - 1)
+  /** Physical code = 0-based dense rank of the value — the distributed rank
+    * kernel, not a global-sort window; nulls stay null. */
+  def toPhysical: Expr = e.rank("dense") - 1
   /** Spark strings carry no global dictionary, so every "categorical" is
     * local by construction (reference cat_name_space.rb is_local/to_local —
     * they concern the global string cache, a no-op here per SURVEY §1.2). */

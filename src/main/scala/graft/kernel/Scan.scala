@@ -253,6 +253,25 @@ object Scan {
     resolved.drop(v)
   }
 
+  /** `out` := SQL NTILE(buckets) over `value` order (ties broken by row
+    * order), distributed: ordinal rank via [[withRank]] + a broadcast row
+    * count, then the first-(N mod k)-buckets-are-larger arithmetic. Requires
+    * the idx column on `d0` (ordinal tiebreak). */
+  def withNtile(d0: DataFrame, value: Column, out: String, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"withNtile: buckets must be >= 1, got $buckets")
+    val r = fresh("r"); val nn = fresh("n")
+    val d1 = withRank(d0, value, r, "ordinal")
+    val d2 = d1.crossJoin(F.broadcast(d1.agg(F.count(value).as(nn))))
+    val size = F.floor(F.col(nn) / buckets)
+    val large = F.col(nn) % buckets
+    val r0 = (F.col(r) - 1).cast("long")
+    val cut = large * (size + 1)
+    d2.withColumn(out,
+        (F.when(r0 < cut, F.floor(r0 / (size + 1)))
+          .otherwise(large + F.floor((r0 - cut) / size)) + 1).cast("int"))
+      .drop(r, nn)
+  }
+
   /** `out` := percent rank of `value` over non-null values —
     * `(min_rank - 1) / (n - 1)`, 0.0 for a single value, null for nulls.
     * Backs qcut (reference expr.rb:2611). */
