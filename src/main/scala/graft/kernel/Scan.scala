@@ -253,23 +253,27 @@ object Scan {
     resolved.drop(v)
   }
 
-  /** `out` := SQL NTILE(buckets) over `value` order (ties broken by row
-    * order), distributed: ordinal rank via [[withRank]] + a broadcast row
-    * count, then the first-(N mod k)-buckets-are-larger arithmetic. Requires
-    * the idx column on `d0` (ordinal tiebreak). */
+  /** `out` := SQL NTILE(buckets) over `value` order, distributed: one range
+    * sort + a dense-index zip (single lineage, no join — the
+    * zipWithDenseIndex machinery) gives the 0-based ordinal, a broadcast row
+    * count feeds the first-(N mod k)-buckets-are-larger arithmetic. Tie
+    * order within equal values is arbitrary, as in SQL NTILE — pass a
+    * tiebreaking key inside `value` for determinism. */
   def withNtile(d0: DataFrame, value: Column, out: String, buckets: Int): DataFrame = {
     require(buckets >= 1, s"withNtile: buckets must be >= 1, got $buckets")
-    val r = fresh("r"); val nn = fresh("n")
-    val d1 = withRank(d0, value, r, "ordinal")
-    val d2 = d1.crossJoin(F.broadcast(d1.agg(F.count(value).as(nn))))
+    val v = fresh("v"); val ord = fresh("o"); val nn = fresh("n")
+    val sorted = org.apache.spark.sql.GraftInternalOps.zipWithDenseIndex(
+      d0.withColumn(v, value).orderBy(F.col(v).asc), ord)
+    val total = d0.agg(F.count(value).as(nn))
     val size = F.floor(F.col(nn) / buckets)
     val large = F.col(nn) % buckets
-    val r0 = (F.col(r) - 1).cast("long")
+    val r0 = F.col(ord)
     val cut = large * (size + 1)
-    d2.withColumn(out,
+    sorted.crossJoin(F.broadcast(total))
+      .withColumn(out,
         (F.when(r0 < cut, F.floor(r0 / (size + 1)))
           .otherwise(large + F.floor((r0 - cut) / size)) + 1).cast("int"))
-      .drop(r, nn)
+      .drop(v, ord, nn)
   }
 
   /** `out` := percent rank of `value` over non-null values —
@@ -278,8 +282,10 @@ object Scan {
   def withPercentRank(d0: DataFrame, value: Column, out: String,
                       descending: Boolean = false): DataFrame = {
     val r = fresh("r"); val n = fresh("n")
+    // count from the base frame: counting after the rank join would
+    // re-execute the join for the scalar
+    val total = d0.agg(F.count(value).as(n))
     val d1 = withRank(d0, value, r, "min", descending)
-    val total = d1.agg(F.count(value).as(n))
     d1.crossJoin(F.broadcast(total))
       .withColumn(out,
         F.when(F.col(r).isNull, F.lit(null))
