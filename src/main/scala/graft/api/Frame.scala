@@ -495,20 +495,39 @@ final case class DataFrame(private val df: SDF) extends FrameOps[DataFrame] {
       vals -> DataFrame(df.filter(pred))
     }.toMap
   }
-  /** transpose — small-data op, collect and rebuild (reference data_frame.rb:1004). */
+  /** transpose (reference data_frame.rb:1004): rows become `column_i`
+    * string columns. Executor-side: posexplode each row's stringified cells
+    * → pivot on the dense row index — the data never collects to the driver
+    * (only the row COUNT does, to name the output columns). A transpose is
+    * only usable when the row count is modest (it becomes the column count),
+    * but the column count — the output row count — can be arbitrarily wide. */
   def transpose(includeHeader: Boolean = true, headerName: String = "column"): DataFrame = {
     val spark = df.sparkSession
     val cols = df.columns
-    val rows = df.collect()
-    val outCols = (0 until rows.length).map(i => s"column_$i")
-    val data = cols.zipWithIndex.map { case (c, ci) =>
-      org.apache.spark.sql.Row.fromSeq(
-        (if (includeHeader) Seq(c) else Nil) ++ rows.map(r => Option(r.get(ci)).map(_.toString).orNull))
+    val n = df.count()
+    if (n == 0) {
+      // no data rows: one header-only row per column (matches the collect-
+      // based shape; nothing to distribute)
+      val schema = StructType(
+        if (includeHeader) Seq(org.apache.spark.sql.types.StructField(headerName, org.apache.spark.sql.types.StringType))
+        else Nil)
+      val data = if (includeHeader) cols.toIndexedSeq.map(c => org.apache.spark.sql.Row(c))
+                 else IndexedSeq.empty[org.apache.spark.sql.Row]
+      return DataFrame(spark.createDataFrame(spark.sparkContext.parallelize(data), schema))
     }
-    val schema = StructType(
-      (if (includeHeader) Seq(org.apache.spark.sql.types.StructField(headerName, org.apache.spark.sql.types.StringType)) else Nil) ++
-        outCols.map(c => org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
-    DataFrame(spark.createDataFrame(spark.sparkContext.parallelize(data.toIndexedSeq), schema))
+    val d = RowIndex.attachDense(df)
+    val stacked = d.select(F.col(RowIndex.name).as("__ri__"),
+      F.posexplode(F.array(cols.map(c => F.col(c).cast("string")): _*)).as(Seq("__ci__", "__v__")))
+    val wide = stacked.groupBy("__ci__")
+      .pivot("__ri__", (0L until n).map(i => i: Any))
+      .agg(F.first(F.col("__v__")))
+    val header =
+      if (includeHeader)
+        Seq(F.element_at(F.array(cols.map(F.lit): _*), F.col("__ci__").cast("int") + 1).as(headerName))
+      else Nil
+    val out = wide.orderBy("__ci__").select(
+      (header ++ (0L until n).map(i => F.col(s"$i").as(s"column_$i"))): _*)
+    DataFrame(out)
   }
   /** describe — summary table in the reference's exact shape (reference:
     * data_frame.rb:1195): one row per statistic, one column per input column

@@ -430,7 +430,10 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     require(labels.size == quantiles.size + 1)
     val pr = Scan.fresh("x")
     val prep = Prep(pr, d => Scan.withPercentRank(d, col, pr), Seq(pr))
-    val first = F.when(F.col(pr) <= quantiles.head, labels.head)
+    // null values have a null percent rank and must yield a null bucket —
+    // without the guard they would fall through to the last label
+    val first = F.when(F.col(pr).isNull, F.lit(null))
+      .when(F.col(pr) <= quantiles.head, labels.head)
     val mid = quantiles.indices.drop(1).foldLeft(first)((acc, i) =>
       acc.when(F.col(pr) <= quantiles(i), labels(i)))
     Expr(mid.otherwise(labels.last), requiresIndex, preps :+ prep)

@@ -57,4 +57,20 @@ class EagerSurfaceSpec extends SparkSpec {
     assert(s("min")(1) == Some(1.0))
     assert(s("max")(1) == Some(3.0))
   }
+
+  test("transpose is executor-side and matches the reference shape") {
+    val df = graft.api.DataFrame(
+      Seq((1, "a", 2.5), (2, "b", 3.5), (3, null.asInstanceOf[String], 4.5))
+        .toDF("x", "s", "d").repartition(3))
+    val t = df.transpose()
+    assert(t.columns == Seq("column", "column_0", "column_1", "column_2"))
+    val rows = t.toSpark.collect().map(_.toSeq)
+    assert(rows(0) == Seq("x", "1", "2", "3"))
+    assert(rows(1) == Seq("s", "a", "b", null))
+    assert(rows(2) == Seq("d", "2.5", "3.5", "4.5"))
+    // no header variant + empty frame
+    assert(df.transpose(includeHeader = false).columns == Seq("column_0", "column_1", "column_2"))
+    val empty = graft.api.DataFrame(Seq.empty[(Int, String)].toDF("x", "s"))
+    assert(empty.transpose().toSpark.collect().map(_.getString(0)).toSeq == Seq("x", "s"))
+  }
 }

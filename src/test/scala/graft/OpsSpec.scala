@@ -16,6 +16,11 @@ class OpsSpec extends SparkSpec {
       .toSpark.collect().map(r => (r.getInt(0), r.getString(1)))
     assert(out.count(_._2 == "lo") == 4 && out.count(_._2 == "hi") == 4)
     assert(out.filter(_._1 <= 4).forall(_._2 == "lo"))
+    // null values bucket to null, not the last label
+    val withNull = DataFrame(Seq(Some(1), None, Some(3)).toDF("v"))
+      .select(col("v").qcut(Seq(0.5), Seq("lo", "hi")).alias("b"))
+      .toSpark.collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(withNull.count(_ == null) == 1 && withNull.count(_ != null) == 2)
   }
 
   test("searchSorted / argMin / argMax / argTrue on series") {
