@@ -110,6 +110,28 @@ object Queries6 {
       .limit(5)
   }
 
+  /** PQ (product-quantized) ANN: codebooks trained driver-side (model
+    * state), corpus encoded executor-side to 8 sub-codes, search via an ADC
+    * lookup table. Codes and the query's LUT are staged so the oracle
+    * re-derives the gather-and-sum + top-k from identical rows. */
+  private def qPqTopK(s: SparkSession, dir: String): SDF = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val codebooks = Similarity.pqTrain(emb, "embedding", m = 8, k = 16)
+    val codes = QueryStage.stage(
+      Similarity.pqEncode(emb, "embedding", "vec_id", codebooks), dir, "pq_codes")
+    val query = emb.filter(F.col("vec_id") === 1)
+      .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toSeq
+    val lut = Similarity.pqLut(query, codebooks)
+    val lutRows = for (j <- lut.indices; c <- lut(j).indices) yield (j + 1, c, lut(j)(c))
+    val lutDf = QueryStage.stage(lutRows.toDF("j", "code", "sq"), dir, "pq_lut")
+    codes.select(F.col("vec_id"), F.posexplode(F.col("codes")).as(Seq("j0", "c0")))
+      .join(lutDf, F.col("j") === F.col("j0") + 1 && F.col("code") === F.col("c0"))
+      .groupBy("vec_id").agg(F.round(F.sqrt(F.sum("sq")), 6).as("dist"))
+      .orderBy(F.col("dist").asc, F.col("vec_id"))
+      .limit(10)
+  }
+
   /** Multimodal plumbing against an arithmetic oracle: treat text bytes as an
     * opaque payload, frame-sample every 2nd 256-byte chunk, count frames. */
   private def qMultimodalFrames(s: SparkSession, dir: String): SDF = {
@@ -253,6 +275,7 @@ object Queries6 {
     "q_split_exact" -> (qSplitExact _),
     "q_embedding_pairs" -> (qEmbeddingPairs _),
     "q_ivf_topk" -> (qIvfTopK _),
+    "q_pq_topk" -> (qPqTopK _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -327,6 +350,15 @@ object Queries6 {
         |     sqrt(list_dot_product(b.embedding, b.embedding))), 6) AS cosine
         |FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |ORDER BY cosine DESC, id_a, id_b LIMIT 100""".stripMargin,
+    "q_pq_topk" ->
+      """WITH c AS (SELECT * FROM '/tmp/graft_stage/sf0.01/pq_codes/*.parquet'),
+        |l AS (SELECT * FROM '/tmp/graft_stage/sf0.01/pq_lut/*.parquet')
+        |SELECT vec_id, round(sqrt(d), 6) AS dist FROM (
+        |  SELECT c.vec_id, sum(l.sq) AS d
+        |  FROM c CROSS JOIN range(1, 9) t(j)
+        |  JOIN l ON l.j = t.j AND l.code = c.codes[t.j]
+        |  GROUP BY 1)
+        |ORDER BY dist, vec_id LIMIT 10""".stripMargin,
     "q_ivf_topk" ->
       """WITH s AS (SELECT * FROM '/tmp/graft_stage/sf0.01/ivf_cells/*.parquet'),
         |probes AS (SELECT cell_id FROM '/tmp/graft_stage/sf0.01/ivf_probes/*.parquet'),

@@ -113,6 +113,99 @@ object Similarity {
       scale.as("scale"))
   }
 
+  // ---- product quantization (PQ) — the memory-scale ANN path beyond IVF:
+  // a d-dim vector becomes m sub-codes into per-subspace codebooks of k
+  // centroids (m bytes instead of 4d). Codebooks are MODEL STATE (m*k*dsub
+  // doubles): trained driver-side on a bounded deterministic sample, applied
+  // executor-side as literal expressions — the corpus never leaves the
+  // executors, queries search via an ADC lookup table. ----
+
+  /** Train per-subspace codebooks with Lloyd's k-means on a deterministic
+    * hash-ordered sample (same discipline as [[sampleCentroids]] — no RNG
+    * state, reproducible across runs). Empty clusters keep their previous
+    * centroid. Returns codebooks(m)(k)(dsub). */
+  def pqTrain(corpus: DataFrame, vecCol: String, m: Int, k: Int = 16,
+              iters: Int = 10, sampleSize: Int = 2048, seed: Long = 42): Array[Array[Array[Double]]] = {
+    val sample = corpus.select(F.col(vecCol))
+      .orderBy(F.xxhash64(F.col(vecCol).cast("string"), F.lit(seed)))
+      .limit(sampleSize).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "pqTrain: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    Array.tabulate(m) { j =>
+      val sub = sample.map(_.slice(j * dsub, (j + 1) * dsub))
+      var cents = Array.tabulate(k)(i => sub(i * sub.length / k).clone())
+      for (_ <- 0 until iters) {
+        val assign = sub.map { v =>
+          var best = 0; var bd = Double.MaxValue
+          for (c <- 0 until k) {
+            var d = 0.0; var t = 0
+            while (t < dsub) { val x = v(t) - cents(c)(t); d += x * x; t += 1 }
+            if (d < bd) { bd = d; best = c }
+          }
+          best
+        }
+        cents = Array.tabulate(k) { c =>
+          val members = sub.indices.filter(assign(_) == c)
+          if (members.isEmpty) cents(c)
+          else Array.tabulate(dsub)(t => members.map(i => sub(i)(t)).sum / members.size)
+        }
+      }
+      cents
+    }
+  }
+
+  /** Encode each vector as m sub-codes (argmin centroid per subspace) —
+    * one codegen'd expression over literal centroids, no UDF. */
+  def pqEncode(df: DataFrame, vecCol: String, idCol: String,
+               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length; val dsub = codebooks(0)(0).length
+    val codeCols = (0 until m).map { j =>
+      val sub = F.slice(F.col(vecCol), j * dsub + 1, dsub)
+      val dists = F.array(codebooks(j).map { c =>
+        F.aggregate(
+          F.zip_with(sub, F.array(c.map(F.lit): _*), (x, y) => {
+            val d = x.cast("double") - y; d * d
+          }),
+          F.lit(0.0), (acc, x) => acc + x)
+      }: _*)
+      (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    }
+    df.select(F.col(idCol), F.array(codeCols: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance lookup table for one query: lut(j)(c) = squared L2
+    * between the query's j-th subvector and centroid c. Driver-side (m*k
+    * doubles of model state). */
+  def pqLut(query: Seq[Double], codebooks: Array[Array[Array[Double]]]): Array[Array[Double]] = {
+    val m = codebooks.length; val dsub = codebooks(0)(0).length
+    require(query.length == m * dsub, s"pqLut: query dim ${query.length} != ${m * dsub}")
+    Array.tabulate(m) { j =>
+      val q = query.slice(j * dsub, (j + 1) * dsub)
+      codebooks(j).map(c => c.zip(q).map { case (a, b) => val d = a - b; d * d }.sum)
+    }
+  }
+
+  /** ADC distance of each coded vector to the query: gather the m lut cells
+    * named by the codes and sum — a fold over literal arrays, O(m) per row,
+    * never touching the original vectors. */
+  def pqAdcDistance(codes: Column, lut: Array[Array[Double]]): Column = {
+    val lutCol = F.array(lut.map(row => F.array(row.map(F.lit): _*)): _*)
+    F.sqrt(F.aggregate(
+      F.zip_with(codes, lutCol, (code, row) => F.element_at(row, code + 1)),
+      F.lit(0.0), (acc, x) => acc + x))
+  }
+
+  /** PQ top-k: smallest ADC distance to the query — TakeOrderedAndProject
+    * over the codes frame, no shuffle of the corpus. */
+  def pqTopK(codesDf: DataFrame, idCol: String, lut: Array[Array[Double]],
+             k: Int = 10): DataFrame =
+    codesDf.select(F.col(idCol), pqAdcDistance(F.col("codes"), lut).as("dist"))
+      .orderBy(F.col("dist").asc, F.col(idCol))
+      .limit(k)
+
   /** Cosine between two int8-quantized vectors (structs from
     * [[quantizeInt8]]): integer dot product on the codes, norms likewise —
     * the scales cancel in cosine, so no dequantization multiply at all. */
