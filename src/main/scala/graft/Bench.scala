@@ -48,10 +48,21 @@ object Bench {
     // ~2000 chars of stdout, which truncated the 130-query JSON line in
     // earlier rounds and broke its parse); the stdout line stays compact:
     // total + the slowest queries, budgeted to fit the tail window.
+    // DuckDB reference total at the current SF (measured by tools/headtohead.py
+    // on the same oracle SQL, committed as DUCKDB_BASELINE.json) — surfaced in
+    // the bench line so the comparison travels with the number it anchors
+    val duckField =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("DUCKDB_BASELINE.json")), "UTF-8")
+        val sfName = new java.io.File(sfDir).getName // e.g. sf0.1
+        val m = (s""""${java.util.regex.Pattern.quote(sfName)}":\\s*\\{\\s*"total_sec":\\s*([0-9.]+)""").r
+        m.findFirstMatchIn(txt).map(g => s""","duckdb_total":${g.group(1)}""").getOrElse("")
+      } catch { case _: Throwable => "" }
     val detail = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":$runs,"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":$runs$duckField,"queries":$detail,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     val detailWritten =
       try {
@@ -77,7 +88,7 @@ object Bench {
       }
       fits
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_reported":$taken,"detail":$detailField,"queries":{$sb},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_reported":$taken,"detail":$detailField$duckField,"queries":{$sb},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

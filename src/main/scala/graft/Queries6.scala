@@ -5,7 +5,7 @@ import org.apache.spark.sql.types.LongType
 import graft.api.LazyFrame
 import graft.expr.Expr
 import graft.Polars._
-import graft.ml.{Dedup, Similarity}
+import graft.ml.{Dedup, Similarity, TextAnalysis}
 
 /** Wave-6 driver queries: frame-level rolling, dt.round, string affixes /
   * multi-needle / split_exact, embedding LSH + IVF paths. */
@@ -109,6 +109,16 @@ object Queries6 {
       .orderBy(F.col("cosine").desc, F.col("vec_id"))
       .limit(5)
   }
+
+  /** Encoding-health curation signals: mojibake / control-byte / non-ASCII
+    * ratios per document (exact int-division doubles — engine-identical). */
+  private def qEncodingQuality(s: SparkSession, dir: String): SDF =
+    t(s, dir, "documents")
+      .select(F.col("doc_id"), TextAnalysis.encodingSignals(F.col("text")).as("sig"))
+      .select(F.col("doc_id"), F.col("sig.replacement_ratio").as("replacement_ratio"),
+        F.col("sig.control_ratio").as("control_ratio"),
+        F.col("sig.non_ascii_ratio").as("non_ascii_ratio"))
+      .orderBy("doc_id")
 
   /** PQ (product-quantized) ANN: codebooks trained driver-side (model
     * state), corpus encoded executor-side to 8 sub-codes, search via an ADC
@@ -276,6 +286,7 @@ object Queries6 {
     "q_embedding_pairs" -> (qEmbeddingPairs _),
     "q_ivf_topk" -> (qIvfTopK _),
     "q_pq_topk" -> (qPqTopK _),
+    "q_encoding_quality" -> (qEncodingQuality _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -350,6 +361,12 @@ object Queries6 {
         |     sqrt(list_dot_product(b.embedding, b.embedding))), 6) AS cosine
         |FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |ORDER BY cosine DESC, id_a, id_b LIMIT 100""".stripMargin,
+    "q_encoding_quality" ->
+      """SELECT doc_id,
+        |len(regexp_extract_all(text, '�')) / greatest(length(text), 1) AS replacement_ratio,
+        |len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]')) / greatest(length(text), 1) AS control_ratio,
+        |len(regexp_extract_all(text, '[^\x00-\x7F]')) / greatest(length(text), 1) AS non_ascii_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_pq_topk" ->
       """WITH c AS (SELECT * FROM '/tmp/graft_stage/sf0.01/pq_codes/*.parquet'),
         |l AS (SELECT * FROM '/tmp/graft_stage/sf0.01/pq_lut/*.parquet')

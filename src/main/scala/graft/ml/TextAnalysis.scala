@@ -102,6 +102,20 @@ object TextAnalysis {
     (lenScore + punctScore + stopScore + wordScore) / 4.0
   }
 
+  /** Encoding-health signals for corpus curation: mojibake (U+FFFD
+    * replacement chars from a bad decode), stray control bytes, and
+    * non-ASCII density — the cheap first-pass filters before any
+    * language-specific processing. Pure regexp counts, fully codegen'd;
+    * ratios are exact IEEE divisions of two ints so they hash identically
+    * across engines. */
+  def encodingSignals(text: Column): Column = {
+    val len = F.greatest(F.length(text), F.lit(1)).cast("double")
+    F.struct(
+      (F.regexp_count(text, F.lit("�")) / len).as("replacement_ratio"),
+      (F.regexp_count(text, F.lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")) / len).as("control_ratio"),
+      (F.regexp_count(text, F.lit("[^\\x00-\\x7F]")) / len).as("non_ascii_ratio"))
+  }
+
   /** Deterministic document fingerprint: xxhash64 of the normalized text. */
   def fingerprint(text: Column): Column =
     F.xxhash64(F.lower(F.regexp_replace(text, "[^a-zA-Z0-9]+", " ")))

@@ -254,4 +254,22 @@ class Ml2Spec extends SparkSpec {
       .collect()
     pairs.foreach { r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.01) }
   }
+
+  test("encoding signals flag mojibake, control bytes, and non-ASCII density") {
+    val rows = Seq(
+      ("clean ascii text", 0.0, 0.0, 0.0),
+      ("bad � decode � here", 2.0 / 19, 0.0, 2.0 / 19),
+      ("ctl", 0.0, 2.0 / 5, 0.0),
+      ("café", 0.0, 0.0, 1.0 / 4),
+      ("", 0.0, 0.0, 0.0))
+    val df = rows.map(_._1).toDF("t")
+      .select(F.col("t"), graft.ml.TextAnalysis.encodingSignals(F.col("t")).as("s"))
+      .collect().map(r => (r.getString(0), r.getStruct(1))).toMap
+    rows.foreach { case (t, rep, ctl, na) =>
+      val s = df(t)
+      assert(math.abs(s.getDouble(0) - rep) < 1e-12, s"rep '$t'")
+      assert(math.abs(s.getDouble(1) - ctl) < 1e-12, s"ctl '$t'")
+      assert(math.abs(s.getDouble(2) - na) < 1e-12, s"na '$t'")
+    }
+  }
 }
