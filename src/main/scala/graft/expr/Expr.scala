@@ -303,6 +303,35 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     requiresIndex = true)
   def forwardFill: Expr = scanned((d, out) => Scan.filled(d, col, out, backward = false))
   def backwardFill: Expr = scanned((d, out) => Scan.filled(d, col, out, backward = true))
+  /** interpolate nulls between neighboring non-nulls over row positions
+    * (reference expr.rb:3871; frame/time-indexed form in
+    * [[graft.kernel.Interpolate]]). Positions come from a distributed
+    * running count (the monotonic idx has inter-partition gaps that would
+    * skew linear weights), neighbors from two kernel fills. */
+  def interpolate(method: String = "linear"): Expr = {
+    require(Seq("linear", "nearest").contains(method),
+      s"interpolate: method must be linear|nearest, got '$method'")
+    scanned { (d, out) =>
+      val pos = Scan.fresh("p"); val prev = Scan.fresh("x"); val nxt = Scan.fresh("x")
+      val d1 = Scan.running(d, F.lit(1L), pos, F.count, "sum")
+      val pair = F.when(col.isNotNull,
+        F.struct(F.col(pos).cast("double").as("o"), col.cast("double").as("x")))
+      val d2 = Scan.filled(d1, pair, prev, backward = false)
+      val d3 = Scan.filled(d2, pair, nxt, backward = true)
+      val o = F.col(pos).cast("double")
+      val (pv, po) = (F.col(prev).getField("x"), F.col(prev).getField("o"))
+      val (nv, no) = (F.col(nxt).getField("x"), F.col(nxt).getField("o"))
+      val blended = method match {
+        case "linear" =>
+          F.when(col.isNotNull, col.cast("double"))
+            .when(pv.isNotNull && nv.isNotNull, pv + (nv - pv) * (o - po) / (no - po))
+        case "nearest" =>
+          F.when(col.isNotNull, col.cast("double"))
+            .when(pv.isNotNull && nv.isNotNull, F.when(o - po <= no - o, pv).otherwise(nv))
+      }
+      d3.withColumn(out, blended).drop(pos, prev, nxt)
+    }
+  }
   def reverseExpr: Expr = Expr(col, requiresIndex) // frame-level reverse handles ordering
 
   // ---- rolling (fixed window, reference: expr.rb:4936-5567) ----

@@ -146,6 +146,24 @@ class ScanKernelSpec extends SparkSpec {
     }
   }
 
+  test("Expr.interpolate fills gaps linearly over row positions across buckets") {
+    // spark.range with 5 partitions keeps ordered contiguous splits, so the
+    // idx order is the id order while still spanning many buckets
+    val base = spark.range(0, 7, 1, 5).select(
+      F.when(F.col("id") === 0, 0.0).when(F.col("id") === 3, 3.0)
+        .when(F.col("id") === 5, 5.0).as("v"))
+    val df = graft.api.LazyFrame(base)
+    def run(method: String): Seq[Option[Double]] =
+      df.select(Polars.col("v").interpolate(method).alias("i"),
+          graft.Polars.col(RowIndex.name).alias("ord")).toSpark
+        .orderBy("ord")
+        .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(run("linear") ==
+      Seq(Some(0.0), Some(1.0), Some(2.0), Some(3.0), Some(4.0), Some(5.0), None))
+    assert(run("nearest") ==
+      Seq(Some(0.0), Some(0.0), Some(3.0), Some(3.0), Some(3.0), Some(5.0), None))
+  }
+
   test("withNtile matches the SQL first-buckets-larger distribution") {
     for ((seed, n, parts, k) <- Seq((31L, 103, 9, 4), (32L, 20, 6, 7), (33L, 3, 5, 4))) {
       val rnd = new Random(seed)
