@@ -110,6 +110,15 @@ object Queries6 {
       .limit(5)
   }
 
+  /** Batch sessionization: gaps-and-islands per user with a 2h gap — the
+    * batch twin of q_streaming_session, as a library operator. */
+  private def qSessionize(s: SparkSession, dir: String): SDF = {
+    val sess = graft.ml.Sessionize.assign(
+      events(s, dir).toSpark, "ts", Seq("user_id"), gapMicros = 2L * 3600 * 1000000)
+    graft.ml.Sessionize.stats(sess, "ts", Seq("user_id"))
+      .orderBy("user_id", "session")
+  }
+
   /** Encoding-health curation signals: mojibake / control-byte / non-ASCII
     * ratios per document (exact int-division doubles — engine-identical). */
   private def qEncodingQuality(s: SparkSession, dir: String): SDF =
@@ -287,6 +296,7 @@ object Queries6 {
     "q_ivf_topk" -> (qIvfTopK _),
     "q_pq_topk" -> (qPqTopK _),
     "q_encoding_quality" -> (qEncodingQuality _),
+    "q_sessionize" -> (qSessionize _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -361,6 +371,22 @@ object Queries6 {
         |     sqrt(list_dot_product(b.embedding, b.embedding))), 6) AS cosine
         |FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |ORDER BY cosine DESC, id_a, id_b LIMIT 100""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS us FROM events
+        |), flagged AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 7200000000
+        |         THEN 1 ELSE 0 END AS st
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        |), sess AS (
+        |  SELECT user_id, us,
+        |    sum(st) OVER (PARTITION BY user_id ORDER BY us) - 1 AS session
+        |  FROM flagged
+        |)
+        |SELECT user_id, session, min(us) AS start_us, max(us) AS end_us,
+        |  count(*) AS n_events, max(us) - min(us) AS duration_us
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_encoding_quality" ->
       """SELECT doc_id,
         |len(regexp_extract_all(text, '�')) / greatest(length(text), 1) AS replacement_ratio,

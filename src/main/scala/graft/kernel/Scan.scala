@@ -25,10 +25,14 @@ import org.apache.spark.sql.expressions.{Window, WindowSpec}
   *      #source-partitions rows, never data), and broadcast-join the carry
   *      back on the bucket key.
   *
-  * The partials branch re-reads the base relation; Catalyst's ReuseExchange
-  * dedupes the shared shuffle where shapes allow, and the id projection is
-  * deterministic for deterministic scans (the same caveat [[RowIndex]]
-  * already documents).
+  * Cost model: the partials branch is one extra COLUMN-PRUNED pass of the
+  * base (map-side partial aggregation — only #buckets rows ever shuffle),
+  * so a kernel op costs ~2 narrow reads + 1 balanced shuffle instead of the
+  * old 1 read + 1 all-to-one shuffle. Catalyst's ReuseExchange dedupes
+  * identical exchange subtrees where shapes allow; for expensive composed
+  * upstreams, cache the input frame before stacking kernel ops. The id
+  * projection is deterministic for deterministic scans (the same caveat
+  * [[RowIndex]] already documents).
   */
 object Scan {
   val BUCKET = "__graft_bucket__"

@@ -255,6 +255,30 @@ class Ml2Spec extends SparkSpec {
     pairs.foreach { r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.01) }
   }
 
+  test("sessionize: exact-gap events merge, strict exceed splits, ties share a session") {
+    val h = 3600L * 1000000
+    val rows = Seq( // (user, ts_us)
+      (1L, 0L), (1L, 2 * h), (1L, 4 * h + 1),         // merge at exactly 2h, split at 2h+1µs
+      (1L, 4 * h + 1), (1L, 4 * h + 1),               // tied timestamps: same session
+      (2L, 10 * h))                                   // other key: own numbering from 0
+    val df = rows.toDF("user_id", "us")
+      .select(F.col("user_id"), F.col("us"), F.timestamp_micros(F.col("us")).as("ts"))
+    val got = graft.ml.Sessionize.assign(df, "ts", Seq("user_id"), gapMicros = 2 * h)
+      .select("user_id", "us", "session").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L), (1L, 2 * h, 0L),
+      (1L, 4 * h + 1, 1L), (1L, 4 * h + 1, 1L), (1L, 4 * h + 1, 1L),
+      (2L, 10 * h, 0L)))
+    val st = graft.ml.Sessionize.stats(
+        graft.ml.Sessionize.assign(df, "ts", Seq("user_id"), gapMicros = 2 * h),
+        "ts", Seq("user_id")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(4), r.getLong(5)))).toMap
+    assert(st((1L, 0L)) == (2L, 2 * h))   // 2 events spanning 2h
+    assert(st((1L, 1L)) == (3L, 0L))      // 3 tied events, zero duration
+    assert(st((2L, 0L)) == (1L, 0L))
+  }
+
   test("encoding signals flag mojibake, control bytes, and non-ASCII density") {
     val rows = Seq(
       ("clean ascii text", 0.0, 0.0, 0.0),
