@@ -134,6 +134,9 @@ class ScanKernelSpec extends SparkSpec {
       val gotAvg = outByIdx(Scan.withRank(d, F.col("v"), "o", "average"), "o")(
         r => if (r.isNullAt(r.fieldIndex("o"))) None else Some(r.getDouble(r.fieldIndex("o"))))
       assert(gotAvg == vs.map(_.map(x => ltCount(x) + (eqCount(x) + 1) / 2.0)), s"avg seed=$seed")
+      val gotMinDesc = outByIdx(Scan.withRank(d, F.col("v"), "o", "min", descending = true), "o")(
+        r => if (r.isNullAt(r.fieldIndex("o"))) None else Some(r.getInt(r.fieldIndex("o")).toLong))
+      assert(gotMinDesc == vs.map(_.map(x => nonNull.count(_ > x).toLong + 1)), s"min-desc seed=$seed")
       // ordinal: a permutation of 1..#nonNull, consistent with min/max bounds
       val gotOrd = outByIdx(Scan.withRank(d, F.col("v"), "o", "ordinal"), "o")(
         r => if (r.isNullAt(r.fieldIndex("o"))) None else Some(r.getInt(r.fieldIndex("o"))))
