@@ -381,7 +381,7 @@ object Queries6 {
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
         |), sess AS (
         |  SELECT user_id, us,
-        |    sum(st) OVER (PARTITION BY user_id ORDER BY us) - 1 AS session
+        |    CAST(sum(st) OVER (PARTITION BY user_id ORDER BY us) - 1 AS BIGINT) AS session
         |  FROM flagged
         |)
         |SELECT user_id, session, min(us) AS start_us, max(us) AS end_us,

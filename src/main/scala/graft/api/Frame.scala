@@ -30,7 +30,11 @@ trait FrameOps[Self] {
     val needs = exprs.exists(_.requiresIndex)
     val preps = exprs.flatMap(_.preps).distinctBy(_.key)
     val base0 = if (needs) RowIndex.attach(sdf) else sdf
-    val base = preps.foldLeft(base0)((d, p) => p.build(d))
+    // each prep's partials branch re-reads its input; with several preps
+    // stacked, persist the shared base once so all branches read one
+    // materialization instead of N re-executions of the upstream lineage
+    val base1 = if (preps.size > 1) graft.kernel.PrepCache.persistBounded(base0) else base0
+    val base = preps.foldLeft(base1)((d, p) => p.build(d))
     val out = f(base)
     val drops = (RowIndex.name +: graft.kernel.Scan.BUCKET +: preps.flatMap(_.drops))
       .distinct.filter(out.columns.contains)

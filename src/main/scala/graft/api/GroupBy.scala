@@ -13,11 +13,19 @@ final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk: SDF => Self) {
 
   def agg(exprs: Expr*): Self = {
     require(exprs.nonEmpty)
+    // scanned ops (shift/cum/fill/rank without `over`) carry frame preps that
+    // resolve over the GLOBAL row order; inside group_by().agg the reference
+    // semantics is per-group, which the preps mechanism cannot express — a
+    // global scan here would silently run a full pass and then fail as a
+    // non-aggregate reference. Reject up front with a usable message.
+    require(!exprs.exists(_.preps.nonEmpty),
+      "group_by().agg: order-dependent expressions (shift/cum_*/fill/rank without `over`) " +
+        "are not supported inside agg — polars evaluates them per group; use " +
+        "`expr.over(keys)` on the frame, or sort_by/implode + list ops instead")
     // order-sensitive aggs (agg_groups, implode in row order) reference the
     // dense row index — attach it when any expression asks for it
     val base0 = if (exprs.exists(_.requiresIndex)) RowIndex.attachDense(sdf) else sdf
-    val base = exprs.flatMap(_.preps).distinctBy(_.key).foldLeft(base0)((d, p) => p.build(d))
-    mk(base.groupBy(keys: _*).agg(exprs.head.col, exprs.tail.map(_.col): _*))
+    mk(base0.groupBy(keys: _*).agg(exprs.head.col, exprs.tail.map(_.col): _*))
   }
 
   private def aggAll(f: Column => Column, suffix: String = ""): Self = {

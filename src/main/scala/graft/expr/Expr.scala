@@ -31,6 +31,11 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   private def map(f: Column => Column): Expr = Expr(f(col), requiresIndex, preps)
   private def zip(o: Expr)(f: (Column, Column) => Column): Expr =
     Expr(f(col, o.col), requiresIndex || o.requiresIndex, mergePreps(preps, o.preps))
+  /** Union this expr's preps with each operand's (order-preserving, deduped) —
+    * every combinator must thread preps so a scanned op (shift/cum/fill/rank)
+    * composed through it still builds its helper column. */
+  private def mergedWith(os: Expr*): Seq[Prep] =
+    os.foldLeft(preps)((acc, e) => mergePreps(acc, e.preps))
 
   /** Order-dependent op: the result is a helper column produced by a
     * [[graft.kernel.Scan]] stage over the hidden row index. */
@@ -153,11 +158,14 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   def degrees: Expr = map(F.degrees)
   def radians: Expr = map(F.radians)
   def cot: Expr = map(F.cot)
+  // greatest/least skip nulls (Spark returns the non-null arg), but polars
+  // clip preserves null inputs — guard explicitly
   def clip(lo: Expr, hi: Expr): Expr =
-    Expr(F.least(F.greatest(col, lo.col), hi.col), requiresIndex)
+    Expr(F.when(col.isNotNull, F.least(F.greatest(col, lo.col), hi.col)),
+      requiresIndex || lo.requiresIndex || hi.requiresIndex, mergedWith(lo, hi))
   def clip(lo: Any, hi: Any): Expr = clip(Expr.lit(lo), Expr.lit(hi))
-  def clipMin(lo: Any): Expr = map(c => F.greatest(c, Expr.lit(lo).col))
-  def clipMax(hi: Any): Expr = map(c => F.least(c, Expr.lit(hi).col))
+  def clipMin(lo: Any): Expr = map(c => F.when(c.isNotNull, F.greatest(c, Expr.lit(lo).col)))
+  def clipMax(hi: Any): Expr = map(c => F.when(c.isNotNull, F.least(c, Expr.lit(hi).col)))
 
   // ---- membership / ranges (reference: expr.rb:3612,3727) ----
   def isIn(values: Seq[Any]): Expr = map(_.isin(values: _*))
@@ -171,7 +179,7 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
       case "right" => col > l && col <= h
       case "none"  => col > l && col < h
     }
-    Expr(c, requiresIndex || lo.requiresIndex || hi.requiresIndex)
+    Expr(c, requiresIndex || lo.requiresIndex || hi.requiresIndex, mergedWith(lo, hi))
   }
 
   // ---- aggregations (reference: expr.rb:1852-2215,721-741) ----
@@ -201,7 +209,8 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   def sortByAgg(by: Expr, descending: Boolean = false): Expr = {
     val sorted = F.array_sort(F.collect_list(F.struct(by.col.as("k"), col.as("v"))))
     val values = F.transform(sorted, s => s.getField("v"))
-    Expr(if (descending) F.reverse(values) else values, requiresIndex || by.requiresIndex)
+    Expr(if (descending) F.reverse(values) else values,
+      requiresIndex || by.requiresIndex, mergedWith(by))
   }
   def std(ddof: Int = 1): Expr = map(c => ddofScale(F.stddev_samp(c), F.count(c), ddof, isStd = true))
   def variance(ddof: Int = 1): Expr = map(c => ddofScale(F.var_samp(c), F.count(c), ddof, isStd = false))
@@ -243,14 +252,17 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
 
   // ---- conditional agg helper (reference: expr.rb:2713 Expr#filter) ----
   /** Keep only elements matching the predicate inside an aggregation context. */
-  def filter(pred: Expr): Expr = Expr(F.when(pred.col, col), requiresIndex || pred.requiresIndex)
+  def filter(pred: Expr): Expr = zip(pred)((c, p) => F.when(p, c))
 
   // ---- window: over (reference: expr.rb:2278) ----
   def over(partitionBy: Expr*): Expr =
-    Expr(col.over(Window.partitionBy(partitionBy.map(_.col): _*)), requiresIndex)
-  def over(w: WindowSpec): Expr = Expr(col.over(w), requiresIndex)
+    Expr(col.over(Window.partitionBy(partitionBy.map(_.col): _*)),
+      requiresIndex || partitionBy.exists(_.requiresIndex), mergedWith(partitionBy: _*))
+  def over(w: WindowSpec): Expr = Expr(col.over(w), requiresIndex, preps)
   def overOrdered(partitionBy: Seq[Expr], orderBy: Seq[Expr]): Expr =
-    Expr(col.over(Window.partitionBy(partitionBy.map(_.col): _*).orderBy(orderBy.map(_.col): _*)), requiresIndex)
+    Expr(col.over(Window.partitionBy(partitionBy.map(_.col): _*).orderBy(orderBy.map(_.col): _*)),
+      requiresIndex || (partitionBy ++ orderBy).exists(_.requiresIndex),
+      mergedWith(partitionBy ++ orderBy: _*))
 
   // ---- sorting keys helpers ----
   def asc: Expr = map(_.asc)
@@ -293,14 +305,16 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     Expr(F.col(out), requiresIndex = method == "ordinal" || requiresIndex,
       preps :+ Prep(out, d => Scan.withRank(d, col, out, method, descending), Seq(out)))
   }
-  def isDuplicated: Expr = Expr(F.count(F.lit(1)).over(Window.partitionBy(col)) > 1, requiresIndex)
-  def isUniqueMask: Expr = Expr(F.count(F.lit(1)).over(Window.partitionBy(col)) === 1, requiresIndex)
+  def isDuplicated: Expr =
+    Expr(F.count(F.lit(1)).over(Window.partitionBy(col)) > 1, requiresIndex, preps)
+  def isUniqueMask: Expr =
+    Expr(F.count(F.lit(1)).over(Window.partitionBy(col)) === 1, requiresIndex, preps)
   def isFirstDistinct: Expr = Expr(
     F.row_number().over(Window.partitionBy(col).orderBy(F.col(graft.kernel.RowIndex.name))) === 1,
-    requiresIndex = true)
+    requiresIndex = true, preps)
   def isLastDistinct: Expr = Expr(
     F.row_number().over(Window.partitionBy(col).orderBy(F.col(graft.kernel.RowIndex.name).desc)) === 1,
-    requiresIndex = true)
+    requiresIndex = true, preps)
   def forwardFill: Expr = scanned((d, out) => Scan.filled(d, col, out, backward = false))
   def backwardFill: Expr = scanned((d, out) => Scan.filled(d, col, out, backward = true))
   /** interpolate nulls between neighboring non-nulls over row positions
@@ -332,7 +346,7 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
       d3.withColumn(out, blended).drop(pos, prev, nxt)
     }
   }
-  def reverseExpr: Expr = Expr(col, requiresIndex) // frame-level reverse handles ordering
+  def reverseExpr: Expr = Expr(col, requiresIndex, preps) // frame-level reverse handles ordering
 
   // ---- rolling (fixed window, reference: expr.rb:4936-5567) ----
   def rollingSum(n: Int, minPeriods: Int = 1): Expr = rolling(F.sum, n, minPeriods)
@@ -370,7 +384,7 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     // a window holding only nulls collects an empty array → null result, not
     // an element_at error
     Expr(F.when(F.size(sorted) >= 1, Expr.quantileOfSorted(sorted, q, interpolation)),
-      requiresIndex)
+      requiresIndex, preps)
   }
   /** rolling_skew (reference expr.rb:5567): windowed skewness. Spark's
     * skewness aggregate is the biased g1 = m3/m2^1.5; bias: false applies the
@@ -417,7 +431,8 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   def hash(seed: Long = 0): Expr = map(c => F.xxhash64(F.lit(seed), c))
   def repeatBy(n: Expr): Expr = zip(n)((c, k) => F.array_repeat(c, k.cast("int")))
   def coalesceWith(others: Expr*): Expr =
-    Expr(F.coalesce((col +: others.map(_.col)): _*), requiresIndex || others.exists(_.requiresIndex))
+    Expr(F.coalesce((col +: others.map(_.col)): _*),
+      requiresIndex || others.exists(_.requiresIndex), mergedWith(others: _*))
   /** Map distinct old→new values (reference expr.rb:6915 `replace`). */
   def replaceValues(mapping: Map[Any, Any]): Expr = map { c =>
     mapping.foldLeft(F.when(F.lit(false), F.lit(null))) { case (acc, (k, v)) =>
@@ -475,7 +490,7 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   }
   /** Row indices of each group's members (reference expr.rb:701 agg_groups). */
   def aggGroups: Expr = Expr(
-    F.sort_array(F.collect_list(F.col(graft.kernel.RowIndex.name))), requiresIndex = true)
+    F.sort_array(F.collect_list(F.col(graft.kernel.RowIndex.name))), requiresIndex = true, preps)
   /** Expanding-window aggregate (reference expr.rb:6684 cumulative_eval).
     * The `kind` overload names how per-bucket partials of `agg` merge across
     * the distributed scan (sum|min|max|product; counts merge as sum) — any
@@ -487,7 +502,7 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     scanned((d, out) => Scan.running(d, col, out, agg, kind))
   def cumulativeEval(agg: Column => Column): Expr = Expr(
     agg(col).over(idxWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    requiresIndex = true)
+    requiresIndex = true, preps)
   /** Weighted rolling sum: collect the frame window + HOF dot product with
     * literal weights (reference expr.rb rolling weights:). */
   def rollingSumWeighted(weights: Seq[Double], minPeriods: Int = 1): Expr = {

@@ -86,7 +86,7 @@ object AsofJoin {
       } else {
         // un-keyed as-of: a global forward fill over the merge order — the
         // distributed prefix-scan kernel, not a single-partition window
-        val sorted = RowIndex.attach(unioned.orderBy(ord: _*))
+        val sorted = RowIndex.reattachOrdered(unioned, ord: _*)
         Scan.fillOrdered(sorted, fillCols).drop(RowIndex.name, Scan.BUCKET)
       }
     filled.filter(F.col("__side__") === 1).drop("__side__")

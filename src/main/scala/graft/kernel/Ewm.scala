@@ -2,6 +2,7 @@ package graft.kernel
 
 import org.apache.spark.sql.{DataFrame, Row, functions => F}
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 /** Exponentially-weighted moving aggregates (reference: lib/polars/expr.rb:
   * 6381-6444 `ewm_mean/ewm_std/ewm_var`, alpha prep expr.rb:7169; native
@@ -11,9 +12,39 @@ import org.apache.spark.sql.types._
   * one of the few places where `mapPartitions` beats any declarative
   * formulation (SURVEY §7: custom work list). Scale shape: repartition by the
   * group keys, sort within partitions by (keys, order), then stream each
-  * partition once with O(1) state per group — no per-group collect, no window
-  * over a single global partition unless there are no keys (in which case the
-  * semantics themselves are global-sequential, same as the reference).
+  * partition once with O(1) state per group — no per-group collect.
+  *
+  * The KEYLESS form is a global sequential recurrence, but a first-order
+  * linear recurrence is associative under affine-map composition: each state
+  * register evolves as s_i = β·s_{i-1} + b_i (β² for the Σw² register), so a
+  * partition holding m non-null values transforms any incoming state as
+  * s_out = β^m·s_in + local, where `local` is the partition's own recurrence
+  * run from zero. That gives the same two-pass shape as [[Scan.running]]:
+  *
+  *   1. range-sort on the order column, persist the partitioned rows (both
+  *      passes MUST see identical range-partition bounds — re-executing the
+  *      sort could sample different bounds);
+  *   2. pass 1 streams each partition once and emits ONE summary row
+  *      (m, final local registers) — scalar-only driver traffic, like the
+  *      dedup components' convergence counters;
+  *   3. the driver prefix-composes the #partitions affine maps into per-
+  *      partition seed states (bounded: #partitions × 4 doubles);
+  *   4. pass 2 re-streams each partition seeded with its actual incoming
+  *      state — the same per-row loop as the keyed path.
+  *
+  * Numerics: every term decays (β < 1), so the carry factor β^m underflows
+  * gracefully to 0.0 for huge partitions — the mathematically correct limit
+  * (state from >~350k rows ago contributes nothing at double precision);
+  * nothing overflows, so no log-space composition is needed. adjust=false has
+  * an init special case (the first value enters with weight 1, not α), so
+  * pass 1 tracks two locals: the actual rule from scratch (used when no
+  * non-null precedes the partition) and the linear continuation rule (used
+  * otherwise; its wSum register uses the β·s+α form, not the =1 shortcut,
+  * because only the linear form composes).
+  *
+  * The keyless path runs one Spark job eagerly at build time (the summary
+  * collect); the persisted RDD is released by the ContextCleaner once the
+  * result's lineage is unreachable.
   */
 object Ewm {
 
@@ -40,61 +71,152 @@ object Ewm {
           by: Seq[String] = Nil, alpha: Double = 0.5, adjust: Boolean = true,
           minPeriods: Int = 1, outputs: Seq[String] = Seq("mean")): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
+    if (by.isEmpty)
+      return ewmKeyless(df, valueCol, orderCol, alpha, adjust, minPeriods, outputs)
     val spark = df.sparkSession
-    val partitioned =
-      if (by.nonEmpty)
-        df.repartition(by.map(F.col): _*)
-          .sortWithinPartitions((by.map(F.col) :+ F.col(orderCol)): _*)
-      else df.coalesce(1).sortWithinPartitions(F.col(orderCol))
+    val partitioned = df.repartition(by.map(F.col): _*)
+      .sortWithinPartitions((by.map(F.col) :+ F.col(orderCol)): _*)
 
-    val schema = outputs.foldLeft(df.schema) { (sc, o) =>
-      sc.add(s"${valueCol}_ewm_$o", DoubleType, nullable = true)
-    }
+    val schema = outSchema(df.schema, valueCol, outputs)
     val vIdx = df.schema.fieldIndex(valueCol)
     val byIdx = by.map(df.schema.fieldIndex)
-    val beta = 1.0 - alpha
+    val a = alpha; val adj = adjust; val mp = minPeriods; val outs0 = outputs
 
     val rdd = partitioned.rdd.mapPartitions { it =>
       // running state, reset on group-key change
       var key: Seq[Any] = null
-      var wSum, wx, wx2, w2Sum = 0.0 // Σw, Σw·x, Σw·x², Σw²
-      var n = 0
+      val st = new EwmState(a, adj)
       it.map { row =>
         val k = byIdx.map(row.get)
-        if (key == null || k != key) { key = k; wSum = 0; wx = 0; wx2 = 0; w2Sum = 0; n = 0 }
-        val x = row.get(vIdx) match {
-          case null => Double.NaN
-          case v: Number => v.doubleValue()
-        }
-        val outs: Seq[Any] =
-          if (x.isNaN) outputs.map(_ => null) // nulls pass through, state unchanged
-          else {
-            if (adjust) {
-              wSum = beta * wSum + 1.0; wx = beta * wx + x
-              wx2 = beta * wx2 + x * x; w2Sum = beta * beta * w2Sum + 1.0
-            } else {
-              if (n == 0) { wSum = 1.0; wx = x; wx2 = x * x; w2Sum = 1.0 }
-              else {
-                wSum = 1.0 // weights sum to 1 in recursive form
-                wx = beta * wx + alpha * x
-                wx2 = beta * wx2 + alpha * x * x
-                w2Sum = beta * beta * w2Sum + alpha * alpha
-              }
-            }
-            n += 1
-            val mean = wx / wSum
-            val varBiased = math.max(wx2 / wSum - mean * mean, 0.0)
-            val denom = 1.0 - w2Sum / (wSum * wSum)
-            val varUnbiased = if (denom > 0) varBiased / denom else Double.NaN
-            outputs.map {
-              case "mean" => if (n >= minPeriods) mean else null
-              case "var" => if (n >= minPeriods && n > 1 && !varUnbiased.isNaN) varUnbiased else null
-              case "std" => if (n >= minPeriods && n > 1 && !varUnbiased.isNaN) math.sqrt(varUnbiased) else null
-            }
-          }
-        Row.fromSeq(row.toSeq ++ outs)
+        if (key == null || k != key) { key = k; st.reset() }
+        Row.fromSeq(row.toSeq ++ st.step(numOf(row.get(vIdx)), mp, outs0))
       }
     }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** Keyless global EWM, distributed via affine-carry composition (see the
+    * object doc). Values match the single-partition recurrence to FP
+    * re-association (~1 ulp per partition boundary). */
+  private def ewmKeyless(df: DataFrame, valueCol: String, orderCol: String,
+                         alpha: Double, adjust: Boolean, minPeriods: Int,
+                         outputs: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val schema = outSchema(df.schema, valueCol, outputs)
+    val vIdx = df.schema.fieldIndex(valueCol)
+    val beta = 1.0 - alpha
+    val a = alpha; val adj = adjust; val mp = minPeriods; val outs0 = outputs
+
+    val rdd0 = df.orderBy(F.col(orderCol)).rdd
+    rdd0.persist(StorageLevel.MEMORY_AND_DISK)
+    val nParts = rdd0.getNumPartitions
+
+    // pass 1: one (m, fresh-final, continuation-final) summary per partition
+    val partials = rdd0.mapPartitionsWithIndex { (pid, it) =>
+      var m = 0L
+      val fresh = new EwmState(a, adj)
+      var cwSum, cwx, cwx2, cw2 = 0.0 // linear continuation rule from zero
+      it.foreach { row =>
+        val x = numOf(row.get(vIdx))
+        if (!x.isNaN) {
+          fresh.update(x)
+          if (adj) {
+            cwSum = beta * cwSum + 1.0; cwx = beta * cwx + x
+            cwx2 = beta * cwx2 + x * x; cw2 = beta * beta * cw2 + 1.0
+          } else {
+            cwSum = beta * cwSum + a; cwx = beta * cwx + a * x
+            cwx2 = beta * cwx2 + a * x * x; cw2 = beta * beta * cw2 + a * a
+          }
+          m += 1
+        }
+      }
+      Iterator.single((pid, m,
+        Array(fresh.wSum, fresh.wx, fresh.wx2, fresh.w2Sum),
+        Array(cwSum, cwx, cwx2, cw2)))
+    }.collect()
+
+    // driver prefix-compose: seed(pid) = (non-null count before pid, state)
+    val seeds = new Array[(Long, Array[Double])](math.max(nParts, 1))
+    var n = 0L
+    var s: Array[Double] = null
+    partials.sortBy(_._1).foreach { case (pid, m, freshF, contF) =>
+      seeds(pid) = (n, s)
+      if (m > 0) {
+        s =
+          if (n == 0) freshF
+          else {
+            val pb = math.pow(beta, m.toDouble)
+            val pb2 = math.pow(beta * beta, m.toDouble)
+            Array(pb * s(0) + contF(0), pb * s(1) + contF(1),
+              pb * s(2) + contF(2), pb2 * s(3) + contF(3))
+          }
+        n += m
+      }
+    }
+    val bc = spark.sparkContext.broadcast(seeds)
+
+    // pass 2: the ordinary sequential loop, seeded per partition
+    val out = rdd0.mapPartitionsWithIndex { (pid, it) =>
+      val (nPrior, seed) = bc.value(pid)
+      val st = new EwmState(a, adj)
+      st.seed(nPrior, seed)
+      it.map(row => Row.fromSeq(row.toSeq ++ st.step(numOf(row.get(vIdx)), mp, outs0)))
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  private def outSchema(base: StructType, valueCol: String, outputs: Seq[String]): StructType =
+    outputs.foldLeft(base)((sc, o) => sc.add(s"${valueCol}_ewm_$o", DoubleType, nullable = true))
+
+  private def numOf(v: Any): Double = v match {
+    case null => Double.NaN
+    case n: Number => n.doubleValue()
+  }
+
+  /** The four EWM registers (Σw, Σw·x, Σw·x², Σw²) plus the non-null count,
+    * with the polars update rules for both adjust modes. */
+  private final class EwmState(alpha: Double, adjust: Boolean) extends Serializable {
+    private val beta = 1.0 - alpha
+    var wSum, wx, wx2, w2Sum = 0.0
+    var n = 0L
+
+    def reset(): Unit = { wSum = 0; wx = 0; wx2 = 0; w2Sum = 0; n = 0 }
+
+    def seed(nPrior: Long, state: Array[Double]): Unit = {
+      n = nPrior
+      if (state != null) { wSum = state(0); wx = state(1); wx2 = state(2); w2Sum = state(3) }
+    }
+
+    def update(x: Double): Unit = {
+      if (adjust) {
+        wSum = beta * wSum + 1.0; wx = beta * wx + x
+        wx2 = beta * wx2 + x * x; w2Sum = beta * beta * w2Sum + 1.0
+      } else if (n == 0) {
+        wSum = 1.0; wx = x; wx2 = x * x; w2Sum = 1.0
+      } else {
+        wSum = 1.0 // weights sum to 1 in recursive form
+        wx = beta * wx + alpha * x
+        wx2 = beta * wx2 + alpha * x * x
+        w2Sum = beta * beta * w2Sum + alpha * alpha
+      }
+      n += 1
+    }
+
+    /** Advance on `x` (NaN/null passes through: state unchanged, null out)
+      * and emit the requested outputs for this row. */
+    def step(x: Double, minPeriods: Int, outputs: Seq[String]): Seq[Any] =
+      if (x.isNaN) outputs.map(_ => null)
+      else {
+        update(x)
+        val mean = wx / wSum
+        val varBiased = math.max(wx2 / wSum - mean * mean, 0.0)
+        val denom = 1.0 - w2Sum / (wSum * wSum)
+        val varUnbiased = if (denom > 0) varBiased / denom else Double.NaN
+        outputs.map {
+          case "mean" => if (n >= minPeriods) mean else null
+          case "var" => if (n >= minPeriods && n > 1 && !varUnbiased.isNaN) varUnbiased else null
+          case "std" => if (n >= minPeriods && n > 1 && !varUnbiased.isNaN) math.sqrt(varUnbiased) else null
+        }
+      }
   }
 }

@@ -46,7 +46,7 @@ object Interpolate {
     } else {
       // keyless: distributed forward/backward fill of (position, value) pairs
       val pair = F.when(v.isNotNull, F.struct(ord.as("o"), v.cast("double").as("x")))
-      val d0 = RowIndex.attach(df.orderBy(F.col(orderCol)))
+      val d0 = RowIndex.reattachOrdered(df, F.col(orderCol))
       val d1 = Scan.filled(d0, pair, "__ip_prev__", backward = false)
       val d2 = Scan.filled(d1, pair, "__ip_next__", backward = true)
       val filled = blend(

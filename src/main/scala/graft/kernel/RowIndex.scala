@@ -38,4 +38,12 @@ object RowIndex {
 
   def drop(df: DataFrame): DataFrame =
     if (df.columns.contains(name)) df.drop(name) else df
+
+  /** Drop any stale hidden index/bucket, then attach fresh. Kernel entry
+    * points that impose their own order (`orderBy(col)` then attach) MUST use
+    * this: `attach` is a no-op when `__graft_idx__` is already present, so a
+    * frame arriving with the index attached would have its scan buckets driven
+    * by the stale pre-sort order — silently wrong fills. */
+  def reattachOrdered(df: DataFrame, order: org.apache.spark.sql.Column*): DataFrame =
+    attach(df.drop(name, graft.kernel.Scan.BUCKET).orderBy(order: _*))
 }

@@ -20,7 +20,7 @@ object Packing {
   def linearPack(df: DataFrame, tokenCountCol: String, orderCol: String,
                  budget: Long): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
-    val sorted = graft.kernel.RowIndex.attach(df.orderBy(F.col(orderCol)))
+    val sorted = graft.kernel.RowIndex.reattachOrdered(df, F.col(orderCol))
     graft.kernel.Scan.running(sorted, F.col(tokenCountCol), "__offset__",
         F.sum, "sum", inclusive = false)
       .withColumn("__offset__", F.coalesce(F.col("__offset__"), F.lit(0L)))

@@ -1,0 +1,221 @@
+package graft
+
+import scala.util.Random
+import graft.Polars._
+import graft.api.DataFrame
+import graft.kernel.Ewm
+import org.apache.spark.sql.{functions => F}
+
+/** Round-7 pins: preps propagation through Expr combinators, null-safe
+  * NTILE, stale-index kernel entry points, GroupBy.agg rejection of scanned
+  * exprs, the distributed keyless EWM, the shared-base prep cache, and
+  * sessionize tie/boundary properties. */
+class Round7Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def withConf[T](key: String, value: String)(body: => T): T = {
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  // ---- Expr preps propagation (ADVICE r6: clip/isBetween/filter/coalesce) ----
+
+  test("scanned ops compose through clip") {
+    val df = DataFrame(Seq(1, 2, 3, 4, 5).toDF("x"))
+    val got = df.select(col("x").shift(1).clip(2, 3).alias("c")).toSpark
+      .collect().map(r => if (r.isNullAt(0)) null else r.get(0))
+    assert(got.toSeq == Seq(null, 2, 2, 3, 3))
+  }
+
+  test("scanned ops compose through isBetween") {
+    val df = DataFrame(Seq(1, 2, 3, 4, 5).toDF("x"))
+    val got = df.select(col("x").cumSum().isBetween(3, 10).alias("b")).toSpark
+      .collect().map(_.getBoolean(0))
+    assert(got.toSeq == Seq(false, true, true, true, false))
+  }
+
+  test("scanned ops compose through filter and coalesceWith") {
+    val df = DataFrame(Seq(1, 2, 3, 4, 5).toDF("x"))
+    val f = df.select(col("x").filter(col("x").shift(1) >= 2).alias("f")).toSpark
+      .collect().map(r => if (r.isNullAt(0)) null else r.get(0))
+    assert(f.toSeq == Seq(null, null, 3, 4, 5))
+
+    val nn = DataFrame(Seq[(Int, Option[Int])]((1, Some(10)), (2, None), (3, None))
+      .toDF("x", "y"))
+    val c = nn.select(col("y").coalesceWith(col("x").shift(1)).alias("c")).toSpark
+      .collect().map(r => if (r.isNullAt(0)) null else r.get(0))
+    assert(c.toSeq == Seq(10, 1, 2))
+  }
+
+  test("forward fill composes through isBetween and filter") {
+    val df = DataFrame(Seq[Option[Int]](Some(1), None, Some(5), None)
+      .toDF("x"))
+    val got = df.select(col("x").forwardFill.isBetween(1, 4).alias("b")).toSpark
+      .collect().map(_.getBoolean(0))
+    assert(got.toSeq == Seq(true, true, false, false))
+  }
+
+  // ---- GroupBy.agg rejects scanned exprs (ADVICE r6) ----
+
+  test("group_by().agg rejects order-dependent scanned exprs with a clear message") {
+    val df = DataFrame(Seq((1, 1.0), (1, 2.0)).toDF("k", "v"))
+    val e = intercept[IllegalArgumentException](
+      df.groupBy("k").agg(col("v").cumSum().alias("cs")))
+    assert(e.getMessage.contains("order-dependent"), e.getMessage)
+  }
+
+  // ---- NTILE over a nullable column (ADVICE r6) ----
+
+  test("withNtile buckets null values with a count-all total") {
+    val df = Seq[(Int, Option[Double])](
+      (0, None), (1, None), (2, Some(1.0)), (3, Some(2.0)), (4, Some(3.0)), (5, Some(4.0)))
+      .toDF("id", "v")
+    val out = graft.kernel.Scan.withNtile(df, F.col("v"), "nt", 3)
+      .select("id", "nt").collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    // 6 rows / 3 buckets = 2 each; nulls sort first (NULLS FIRST asc)
+    assert(out(0) == 1 && out(1) == 1)
+    assert(out(2) == 2 && out(3) == 2)
+    assert(out(4) == 3 && out(5) == 3)
+  }
+
+  // ---- stale hidden index at kernel entry points (ADVICE r6) ----
+
+  test("keyless interpolate ignores a stale pre-attached row index") {
+    val base = Seq[(Int, Option[Double])](
+      (5, Some(50.0)), (1, Some(10.0)), (3, None), (2, None), (4, Some(40.0)))
+      .toDF("o", "v")
+    val stale = graft.kernel.RowIndex.attach(base) // arrival order, NOT o order
+    val got = graft.kernel.Interpolate.interpolate(stale, "v", "o")
+      .orderBy("o").collect().map(_.getDouble(1))
+    assert(got.zip(Seq(10.0, 20.0, 30.0, 40.0, 50.0))
+      .forall { case (a, b) => math.abs(a - b) < 1e-9 }, got.toSeq.toString)
+  }
+
+  test("linearPack ignores a stale pre-attached row index") {
+    val base = Seq((3L, 30L), (1L, 10L), (2L, 20L)).toDF("ord", "ntok")
+    val stale = graft.kernel.RowIndex.attach(base)
+    val got = graft.ml.Packing.linearPack(stale, "ntok", "ord", 25L)
+      .select("ord", "bin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ord order: offsets 0,10,30 → bins 0,0,1
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+
+  // ---- distributed keyless EWM ----
+
+  /** Independent sequential reference (the definition, not the kernel). */
+  private def seqEwm(xs: Seq[Option[Double]], alpha: Double, adjust: Boolean)
+    : Seq[Option[(Double, Double)]] = {
+    val beta = 1 - alpha
+    var wSum = 0.0; var wx = 0.0; var wx2 = 0.0; var w2 = 0.0; var n = 0L
+    xs.map {
+      case None => None
+      case Some(x) =>
+        if (adjust) {
+          wSum = beta * wSum + 1; wx = beta * wx + x
+          wx2 = beta * wx2 + x * x; w2 = beta * beta * w2 + 1
+        } else if (n == 0) { wSum = 1; wx = x; wx2 = x * x; w2 = 1 }
+        else {
+          wSum = 1; wx = beta * wx + alpha * x
+          wx2 = beta * wx2 + alpha * x * x; w2 = beta * beta * w2 + alpha * alpha
+        }
+        n += 1
+        val mean = wx / wSum
+        val vb = math.max(wx2 / wSum - mean * mean, 0.0)
+        val denom = 1 - w2 / (wSum * wSum)
+        Some((mean, if (denom > 0) vb / denom else Double.NaN))
+    }
+  }
+
+  private def ewmStress(adjust: Boolean): Unit = {
+    val rnd = new Random(if (adjust) 7 else 13)
+    val xs = Seq.fill(500)(
+      if (rnd.nextInt(10) == 0) None else Some(rnd.nextDouble() * 10 - 5))
+    val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("i", "x").repartition(7)
+    // AQE coalesces this tiny sort to one partition, masking the pin; force
+    // the multi-partition shape the kernel must survive at scale
+    val out = withConf("spark.sql.adaptive.enabled", "false") {
+      Ewm.ewm(df, "x", "i", alpha = 0.3, adjust = adjust,
+        minPeriods = 1, outputs = Seq("mean", "var"))
+    }
+    assert(out.rdd.getNumPartitions > 1, "keyless ewm collapsed to one partition")
+    val got = out.orderBy("i").collect().map { r =>
+      if (r.isNullAt(2)) None
+      else Some((r.getDouble(2), if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    }
+    val exp = seqEwm(xs, 0.3, adjust)
+    got.zip(exp).zipWithIndex.foreach { case ((g, e), i) =>
+      (g, e) match {
+        case (None, None) =>
+        case (Some((gm, gv)), Some((em, ev))) =>
+          assert(math.abs(gm - em) < 1e-9, s"mean mismatch at $i: $gm vs $em")
+          if (!ev.isNaN && i > 0) // var defined from the 2nd non-null on
+            assert(gv.isNaN == ev.isNaN || math.abs(gv - ev) < 1e-9,
+              s"var mismatch at $i: $gv vs $ev")
+        case _ => fail(s"null mismatch at $i: $g vs $e")
+      }
+    }
+  }
+
+  test("keyless ewm adjust=true distributes and matches the sequential recurrence") {
+    ewmStress(adjust = true)
+  }
+  test("keyless ewm adjust=false distributes and matches the sequential recurrence") {
+    ewmStress(adjust = false)
+  }
+
+  // ---- shared-base prep cache ----
+
+  test("stacked kernel ops read one cached base (no N re-scans)") {
+    val ev = DataFrame(spark.read.parquet(s"$sf/events.parquet"))
+    val out = ev.select(
+      col("value").cumSum().alias("cs"),
+      col("value").shift(1).alias("sh"),
+      col("value").forwardFill.alias("ff")).toSpark
+    val rows = out.collect() // materialize through the cache
+    assert(rows.nonEmpty)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"),
+      s"expected the multi-prep base to be cached:\n$p")
+  }
+
+  // ---- sessionize tie/boundary properties (VERDICT r6 #5) ----
+
+  test("sessionize properties: ties share, exact gap merges, ids dense per key") {
+    val gap = 1000L * 1000000 // 1000 s in µs
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed)
+      // coarse grid forces tied timestamps and exact-gap boundaries; a few
+      // single-event users come from the sparse key draw
+      val rows = Seq.fill(300)(
+        (rnd.nextInt(8).toLong, rnd.nextInt(40).toLong * (gap / 2)))
+      val df = rows.toDF("user_id", "us")
+        .select(F.col("user_id"), F.col("us"), F.timestamp_micros(F.col("us")).as("ts"))
+      val got = graft.ml.Sessionize.assign(df, "ts", Seq("user_id"), gapMicros = gap)
+        .select("user_id", "us", "session").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+      assert(got.length == rows.length) // null-free, no rows dropped
+      got.groupBy(_._1).foreach { case (u, evs) =>
+        val byTs = evs.sortBy(_._2)
+        // expected ids from the sequential definition: split iff gap exceeded
+        var sid = 0L; var prev = Long.MinValue
+        val expected = byTs.map { case (_, ts, _) =>
+          if (prev != Long.MinValue && ts - prev > gap) sid += 1
+          prev = ts; sid
+        }
+        assert(byTs.map(_._3).toSeq == expected.toSeq, s"user $u: ${byTs.toSeq}")
+        // ties share a session
+        byTs.groupBy(_._2).values.foreach(g => assert(g.map(_._3).distinct.length == 1))
+        // ids dense from 0
+        assert(evs.map(_._3).distinct.sorted.toSeq == (0L to expected.max).toSeq)
+      }
+    }
+  }
+}
