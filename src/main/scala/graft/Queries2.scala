@@ -509,7 +509,8 @@ object Queries2 {
     "q_rank_window" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, rnk, drnk FROM (
         |SELECT l_returnflag, l_orderkey, l_linenumber,
-        |rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+        |CAST(rank() OVER w AS INTEGER) AS rnk,
+        |CAST(dense_rank() OVER w AS INTEGER) AS drnk
         |FROM lineitem WINDOW w AS (PARTITION BY l_returnflag
         |  ORDER BY l_quantity, l_orderkey, l_linenumber))
         |WHERE rnk <= 5 ORDER BY l_returnflag, rnk, l_orderkey, l_linenumber""".stripMargin,
@@ -521,7 +522,8 @@ object Queries2 {
         |ORDER BY event_id""".stripMargin,
     "q_ntile" ->
       """SELECT nt, count(*) AS n, max(o_totalprice) AS max_price FROM (
-        |SELECT o_totalprice, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS nt
+        |SELECT o_totalprice,
+        |CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS nt
         |FROM orders) GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_first_last_window" ->
       """SELECT event_id,

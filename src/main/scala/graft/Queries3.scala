@@ -219,7 +219,7 @@ object Queries3 {
       """SELECT o_orderkey,
         |CAST(epoch(o_orderdate) AS BIGINT) AS ep_s,
         |epoch_ms(o_orderdate) AS ep_ms,
-        |datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS ep_d
+        |CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS ep_d
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_list_ops2" ->
       """SELECT vec_id,

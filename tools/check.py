@@ -1,12 +1,19 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [--strict-types]
 
 For each query in <verifyOutDir>/oracle_sql.json: run the SQL in DuckDB with
 views over <sfDir>/*.parquet, load the Spark result parquet, compare columns
 (sorted by name), dtypes (loosely), and values (float rtol 1e-5 / atol 1e-8,
 rows sorted).
+
+--strict-types additionally compares the ARROW TYPES column by column and
+fails on any divergence. The driver's gate hashes values exactly, so a type
+that DuckDB silently widens (sum over INTEGER -> HUGEINT/decimal128, integer
+division, count arithmetic) is a latent hash failure even when every value
+matches loosely — q_sessionize burned round 6 on exactly this class. Pin the
+oracle SQL with explicit casts until this mode is clean.
 """
 import sys, os, json, glob, math
 
@@ -59,8 +66,27 @@ def eq(a, b):
     return a == b
 
 
+def type_mismatches(spark_tbl, duck):
+    """Column-by-column arrow-type comparison. Timestamp/date representations
+    that hash identically through the driver (both microsecond instants) are
+    treated as equal; everything else must match exactly."""
+    def canon(t):
+        s = str(t)
+        # spark writes timestamps as timestamp[us, tz=UTC] (session tz UTC);
+        # duckdb arrow emits timestamp[us] — same instant, same hash
+        return s.replace(", tz=UTC", "")
+    out = []
+    for c in spark_tbl.column_names:
+        st = canon(spark_tbl.schema.field(c).type)
+        dt = canon(duck.schema.field(c).type)
+        if st != dt:
+            out.append(f"{c}: spark={st} duck={dt}")
+    return out
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    strict = "--strict-types" in sys.argv[3:]
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -103,6 +129,10 @@ def main():
                 bad = (i, sr, dr)
                 break
         results[name] = "OK" if bad is None else f"VALUE_MISMATCH at sorted-row {bad[0]}:\n  spark={bad[1]}\n  duck ={bad[2]}"
+        if strict and results[name] == "OK":
+            tm = type_mismatches(spark_tbl, duck)
+            if tm:
+                results[name] = "TYPE_MISMATCH: " + "; ".join(tm)
     n_ok = sum(1 for v in results.values() if v == "OK")
     for name, r in sorted(results.items()):
         mark = "PASS" if r == "OK" else "FAIL"
