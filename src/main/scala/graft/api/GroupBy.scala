@@ -66,20 +66,36 @@ final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk: SDF => Self) {
   * trailing time window (reference: lazy_frame.rb:1161-1181,
   * rolling_group_by.rb). Range-frame window over µs epoch: one shuffle on the
   * by-keys, no self-join. Agg exprs must be plain aggregates (sum/mean/min/
-  * max/count/...) — they are applied `.over` the trailing range frame. */
+  * max/count/...) — they are applied `.over` the trailing range frame.
+  *
+  * KEYLESS rolling is also distributed: a trailing window of width `period`
+  * can only reach into the previous time-bucket of the same width (a row in
+  * bucket b has epoch >= b·P, a row in bucket b-2 has epoch < (b-1)·P —
+  * always out of range), so each bucket's rows ride into the NEXT bucket as
+  * flagged phantom rows and the range window runs per bucket: one balanced
+  * hash shuffle on the time-bucket, <= 2x row volume, never a global
+  * single-partition sort. Same phantom-carry shape as
+  * [[graft.kernel.Scan.rollingApply]], bucketed by time instead of rows. */
 final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
                                  by: Seq[String], mk: SDF => Self) {
   def agg(exprs: (String, Expr)*): Self = {
     val d = DurationDsl.parse(period)
     require(!d.isCalendar, "calendar periods (1mo/1y): bucket via dt.truncate")
-    // keyless temporal rolling keeps the single-partition range window: the
-    // carry set per boundary is unbounded (all rows within `period`), so the
-    // bucket-phantom trick doesn't apply — at scale, pass `by` keys (the
-    // reference's rolling is likewise per-group in every real pipeline)
-    val base = if (by.nonEmpty) Window.partitionBy(by.map(F.col): _*) else Window.partitionBy()
-    val w = base.orderBy(F.unix_micros(F.col(indexColumn).cast("timestamp")))
-      .rangeBetween(-d.totalMicros, 0)
-    mk(exprs.foldLeft(sdf) { case (acc, (n, e)) => acc.withColumn(n, e.col.over(w)) })
+    val p = d.totalMicros
+    val epoch = F.unix_micros(F.col(indexColumn).cast("timestamp"))
+    if (by.nonEmpty) {
+      val w = Window.partitionBy(by.map(F.col): _*).orderBy(epoch).rangeBetween(-p, 0)
+      mk(exprs.foldLeft(sdf) { case (acc, (n, e)) => acc.withColumn(n, e.col.over(w)) })
+    } else {
+      import graft.kernel.Scan
+      val tb = Scan.fresh("tb"); val ph = Scan.fresh("ph"); val ep = Scan.fresh("ep")
+      val base = sdf.withColumn(ep, epoch).withColumn(tb, F.floor(F.col(ep) / p))
+      val aug = base.withColumn(ph, F.lit(false)).unionByName(
+        base.withColumn(tb, F.col(tb) + 1).withColumn(ph, F.lit(true)))
+      val w = Window.partitionBy(F.col(tb)).orderBy(F.col(ep)).rangeBetween(-p, 0)
+      val out = exprs.foldLeft(aug) { case (acc, (n, e)) => acc.withColumn(n, e.col.over(w)) }
+      mk(out.filter(!F.col(ph)).drop(tb, ph, ep))
+    }
   }
 }
 

@@ -185,6 +185,33 @@ class Round7Spec extends SparkSpec {
       s"expected the multi-prep base to be cached:\n$p")
   }
 
+  // ---- keyless frame-level rolling: time-bucket phantom distribution ----
+
+  test("keyless rolling() distributes via time-bucket phantoms and matches brute force") {
+    val rnd = new Random(11)
+    val p = 1000L * 1000000 // 1000 s
+    val rows = Seq.tabulate(200)(i =>
+      (i.toLong, rnd.nextInt(5000).toLong * 1000000L, rnd.nextDouble() * 10))
+    val df = DataFrame(rows.toDF("id", "us", "v")
+      .select(F.col("id"), F.col("v"), F.timestamp_micros(F.col("us")).as("ts")))
+    val out = df.rolling("ts", "1000s")
+      .agg("rs" -> col("v").sum, "rn" -> graft.expr.Expr(F.count(F.lit(1)))).toSpark
+    val plan = out.queryExecution.executedPlan.toString
+    plan.linesIterator.zipWithIndex
+      .filter(_._1.contains("Exchange SinglePartition")).foreach { case (_, i) =>
+        fail(s"keyless rolling planned a single-partition exchange:\n$plan")
+      }
+    val got = out.select("id", "rs", "rn").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    rows.foreach { case (id, us, _) =>
+      val in = rows.filter { case (_, u2, _) => u2 >= us - p && u2 <= us }
+      val (es, en) = (in.map(_._3).sum, in.size.toLong)
+      val (gs, gn) = got(id)
+      assert(gn == en, s"id $id: window count $gn vs $en")
+      assert(math.abs(gs - es) < 1e-6, s"id $id: window sum $gs vs $es")
+    }
+  }
+
   // ---- sessionize tie/boundary properties (VERDICT r6 #5) ----
 
   test("sessionize properties: ties share, exact gap merges, ids dense per key") {
