@@ -109,7 +109,26 @@ object Queries8 {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** Exact-substring duplicate spans (chunk-hash formulation of Lee et al.
+    * 2022): injected prefix-modified copies guarantee cross-document window
+    * hits beyond the corpus's natural dups. The chunk table (xxhash64-
+    * dependent) is staged so the DuckDB oracle re-derives the duplicated
+    * spans from identical rows — the LSH staging pattern. */
+  private def qDupSpans(s: SparkSession, dir: String): SDF = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+      .filter(F.col("doc_id") < 500)
+    val copies = docs.filter(F.col("doc_id") % 7 === 2)
+      .select((F.col("doc_id") + 200000).as("doc_id"),
+        F.regexp_replace(F.col("text"), "^\\S+", "prefixed").as("text"))
+    val chunks = QueryStage.stage(
+      graft.ml.Dedup.spanChunks(docs.unionAll(copies), "text", "doc_id",
+        windowTokens = 30, anchorStride = 10), dir, "span_chunks")
+    graft.ml.Dedup.duplicateSpansFromChunks(chunks, "doc_id")
+      .orderBy("doc_id", "start_token")
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
+    "q_dup_spans" -> (qDupSpans _),
     "q_gopher_rep" -> (qGopherRep _),
     "q_contamination" -> (qContamination _),
     "q_sample_by" -> (qSampleBy _),
@@ -121,6 +140,14 @@ object Queries8 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_dup_spans" ->
+      """WITH c AS (SELECT * FROM '/tmp/graft_stage/sf0.01/span_chunks/*.parquet'),
+        |d AS (SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
+        |             count(*) AS n_occurrences
+        |      FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) > 1)
+        |SELECT c.doc_id, c.start_token, c.chunk_hash, d.n_docs, d.n_occurrences
+        |FROM c JOIN d USING (chunk_hash)
+        |ORDER BY c.doc_id, c.start_token""".stripMargin,
     "q_gopher_rep" ->
       """WITH w AS (
         |  SELECT doc_id, length(text) AS chars,

@@ -357,4 +357,86 @@ object Dedup {
       .where(F.col("comp").isNull || F.col("comp") === F.col(idCol))
       .drop("comp")
   }
+
+  /** One row per (doc, window start): the xxhash64 of each `windowTokens`-
+    * token window starting at a CONTENT-DEFINED anchor — a position whose
+    * token hash is ≡ 0 (mod `anchorStride`) — the chunk table behind
+    * exact-substring duplicate-span detection.
+    *
+    * Anchors are content-defined (CDC, the rsync/LBFS boundary trick), not
+    * position-strided, because stride-aligned windows can NEVER match a
+    * duplicated run whose offsets differ by a non-multiple of the stride:
+    * window starts sit at absolute positions ≡ 0 (mod stride) in each
+    * document separately. Hash anchors travel with the content, so a shared
+    * run anchors at the same relative positions in every document that
+    * contains it; a duplicated run of length L >= windowTokens misses only
+    * if none of its first L - windowTokens + 1 tokens anchors — probability
+    * (1 - 1/anchorStride)^(L - windowTokens + 1) under uniform hashing.
+    * `anchorStride = 1` anchors every position (exhaustive, exact).
+    *
+    * Documents shorter than one window emit nothing (doc-level dedup owns
+    * those). The token array is materialized once per document and the
+    * window hashes are built inside one `transform` over the anchor
+    * positions, so the explode carries only (id, start, hash) rows — never
+    * the token array; expected per-doc work is O(tokens x window / stride). */
+  def spanChunks(df: DataFrame, textCol: String, idCol: String,
+                 windowTokens: Int = 50, anchorStride: Int = 25): DataFrame = {
+    require(windowTokens >= 1, s"spanChunks: windowTokens must be >= 1, got $windowTokens")
+    require(anchorStride >= 1, s"spanChunks: anchorStride must be >= 1, got $anchorStride")
+    val toks = F.split(F.trim(normalizeText(F.col(textCol))), " ")
+    val d = df.select(F.col(idCol), toks.as("__toks__"), F.size(toks).as("__n__"))
+      .withColumn("__th__", F.transform(F.col("__toks__"), t => F.xxhash64(t)))
+    // greatest(.., 0) keeps the sequence bounds legal for short docs; the
+    // spurious start-0 window those emit fails the start+W <= n filter
+    val starts = F.filter(
+      F.sequence(F.lit(0), F.greatest(F.col("__n__") - windowTokens, F.lit(0))),
+      i => F.pmod(F.element_at(F.col("__th__"), i + 1), F.lit(anchorStride.toLong)) === 0)
+    val spans = F.transform(starts, i => F.struct(
+      i.as("start_token"),
+      F.xxhash64(F.concat_ws(" ",
+        F.slice(F.col("__toks__"), i + 1, F.lit(windowTokens)))).as("chunk_hash")))
+    d.select(F.col(idCol), F.col("__n__"), F.explode(spans).as("__s__"))
+      .filter(F.col("__s__.start_token") + windowTokens <= F.col("__n__"))
+      .select(F.col(idCol), F.col("__s__.start_token").as("start_token"),
+        F.col("__s__.chunk_hash").as("chunk_hash"))
+  }
+
+  /** Exact-substring duplicate spans — the distributed chunk-hash
+    * approximation of suffix-array substring dedup ("Deduplicating Training
+    * Data Makes Language Models Better", Lee et al. 2022): every window
+    * whose hash occurs in more than one document, with its corpus-wide
+    * document and occurrence counts. One balanced shuffle on the window
+    * hash; candidate verification is exact by construction (identical
+    * windows hash identically; xxhash64 collisions are the usual 2^-64). */
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                     windowTokens: Int = 50, anchorStride: Int = 25): DataFrame =
+    duplicateSpansFromChunks(
+      spanChunks(df, textCol, idCol, windowTokens, anchorStride), idCol)
+
+  /** The join-back half of [[duplicateSpans]], exposed separately so staged
+    * chunk tables (oracle exactness) can re-enter the pipeline. */
+  def duplicateSpansFromChunks(chunks: DataFrame, idCol: String): DataFrame = {
+    val dup = chunks.groupBy("chunk_hash")
+      .agg(F.countDistinct(F.col(idCol)).as("n_docs"),
+        F.count(F.lit(1)).as("n_occurrences"))
+      .filter(F.col("n_docs") > 1)
+    chunks.join(dup, Seq("chunk_hash"))
+      .select(F.col(idCol), F.col("start_token"), F.col("chunk_hash"),
+        F.col("n_docs"), F.col("n_occurrences"))
+  }
+
+  /** Per-document duplicated-span ratio: the fraction of a document's chunk
+    * windows that also occur in another document — the curation signal used
+    * to drop boilerplate-heavy documents. Documents too short to chunk are
+    * absent (no windows, no signal). */
+  def spanDupRatio(df: DataFrame, textCol: String, idCol: String,
+                   windowTokens: Int = 50, anchorStride: Int = 25): DataFrame = {
+    val chunks = spanChunks(df, textCol, idCol, windowTokens, anchorStride)
+    val counts = chunks.groupBy("chunk_hash")
+      .agg(F.countDistinct(F.col(idCol)).as("__nd__"))
+    chunks.join(counts, Seq("chunk_hash"))
+      .groupBy(F.col(idCol))
+      .agg(F.count(F.lit(1)).as("n_windows"),
+        F.avg(F.when(F.col("__nd__") > 1, 1.0).otherwise(0.0)).as("dup_ratio"))
+  }
 }

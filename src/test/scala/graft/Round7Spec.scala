@@ -212,6 +212,46 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  // ---- exact-substring duplicate spans ----
+
+  test("duplicateSpans finds shared token windows across documents only") {
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, s"$shared delta epsilon zeta"),
+      (3L, "nothing in common with anything here at all"),
+      (4L, "self self self self self self self self self self self self"))
+      .toDF("doc_id", "text")
+    val spans = graft.ml.Dedup.duplicateSpans(docs, "text", "doc_id",
+      windowTokens = 6, anchorStride = 2).collect()
+    // docs 1 and 2 share 12 consecutive tokens at DIFFERENT offsets —
+    // content-defined anchors land at the same tokens in both, so windows
+    // inside the shared run collide; doc 3 never appears; doc 4's internal
+    // repetition is single-document (n_docs = 1), filtered out
+    val byDoc = spans.map(_.getLong(0)).toSet
+    assert(byDoc == Set(1L, 2L), spans.mkString("\n"))
+    assert(spans.forall(_.getLong(3) == 2)) // n_docs
+    // the same window hash appears in both docs
+    val hashes1 = spans.filter(_.getLong(0) == 1L).map(_.getLong(2)).toSet
+    val hashes2 = spans.filter(_.getLong(0) == 2L).map(_.getLong(2)).toSet
+    assert(hashes1.intersect(hashes2).nonEmpty)
+
+    val ratios = graft.ml.Dedup.spanDupRatio(docs, "text", "doc_id",
+      windowTokens = 6, anchorStride = 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ratios(3L) == 0.0 && ratios(4L) == 0.0)
+    assert(ratios(1L) > 0.0 && ratios(2L) > 0.0)
+  }
+
+  test("spanChunks: short docs emit nothing; anchorStride=1 is exhaustive") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c d e f g h")).toDF("doc_id", "text")
+    val chunks = graft.ml.Dedup.spanChunks(docs, "text", "doc_id",
+      windowTokens = 4, anchorStride = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(!chunks.exists(_._1 == 1L)) // 3 tokens < window of 4
+    assert(chunks.filter(_._1 == 2L).map(_._2).sorted.toSeq == Seq(0, 1, 2, 3, 4))
+  }
+
   // ---- sessionize tie/boundary properties (VERDICT r6 #5) ----
 
   test("sessionize properties: ties share, exact gap merges, ids dense per key") {
