@@ -153,7 +153,26 @@ object Queries3 {
       .sortBy(Seq(col("rep")))
       .collect().toSpark
 
+  /** Keyed forms of the order-dependent ops — polars' `cum_sum.over(k)` /
+    * `shift(1).over(k)` / `rank.over(k)` / `forward_fill.over(k)` spellings,
+    * re-spelled as per-key windows over the hidden row order (one shuffle on
+    * the keys, no scan kernel). The frame is pre-sorted so the implicit row
+    * order is (ts, event_id) and the oracle can mirror it. */
+  private def qOverScan(s: SparkSession, dir: String): SDF =
+    LazyFrame(events(s, dir))
+      .sortBy(Seq(col("ts"), col("event_id")))
+      .withColumns(
+        "cs" -> col("value").cumSum().over(col("user_id")),
+        "prev" -> col("value").shift(1).over(col("user_id")),
+        "rnk" -> col("value").rank("min").over(col("user_id")),
+        "ff" -> col("value").filter(col("event_type") === "click")
+          .forwardFill.over(col("user_id")))
+      .select(col("event_id"), col("cs"), col("prev"), col("rnk"), col("ff"))
+      .sortBy(Seq(col("event_id")))
+      .toSpark
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
+    "q_over_scan" -> (qOverScan _),
     "q_ewm" -> (qEwm _),
     "q_interpolate" -> (qInterpolate _),
     "q_rle_id" -> (qRleId _),
@@ -171,6 +190,18 @@ object Queries3 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_over_scan" ->
+      """SELECT event_id,
+        |sum(value) OVER wr AS cs,
+        |lag(value, 1) OVER w AS prev,
+        |CAST(rank() OVER (PARTITION BY user_id ORDER BY value) AS INTEGER) AS rnk,
+        |last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+        |  OVER wr AS ff
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  wr AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q_interpolate" ->
       """SELECT event_id, user_id,
         |CASE WHEN pv IS NOT NULL THEN CAST(pv AS DOUBLE)

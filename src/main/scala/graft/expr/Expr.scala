@@ -12,6 +12,15 @@ import graft.kernel.Scan
   * within one resolution batch. */
 final case class Prep(key: String, build: SDF => SDF, drops: Seq[String])
 
+/** How an order-dependent op re-spells itself when `.over(keys)` is applied:
+  * polars' `cum_sum.over(k)` / `shift(1).over(k)` / `rank.over(k)` mean the
+  * PER-KEY op in row order, which on Spark is a plain keyed window — one
+  * shuffle on the keys, no scan kernel needed. `mk` receives the partition
+  * keys and returns the keyed expression (built in the op's own scope, so
+  * inherited preps of the INPUT expression survive while the op's global
+  * scan prep is dropped). */
+final case class KeyedForm(mk: Seq[Column] => Expr)
+
 /** Composable column expression — the Spark-native counterpart of the
   * reference's `Polars::Expr` (reference: lib/polars/expr.rb:28-7215).
   *
@@ -25,7 +34,8 @@ final case class Prep(key: String, build: SDF => SDF, drops: Seq[String])
   * so no order-dependent op ever plans a single-partition window over data.
   */
 final case class Expr(col: Column, requiresIndex: Boolean = false,
-                      preps: Seq[Prep] = Nil) {
+                      preps: Seq[Prep] = Nil,
+                      keyed: Option[KeyedForm] = None) {
   import Expr._
 
   private def map(f: Column => Column): Expr = Expr(f(col), requiresIndex, preps)
@@ -255,10 +265,31 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   def filter(pred: Expr): Expr = zip(pred)((c, p) => F.when(p, c))
 
   // ---- window: over (reference: expr.rb:2278) ----
-  def over(partitionBy: Expr*): Expr =
-    Expr(col.over(Window.partitionBy(partitionBy.map(_.col): _*)),
-      requiresIndex || partitionBy.exists(_.requiresIndex), mergedWith(partitionBy: _*))
-  def over(w: WindowSpec): Expr = Expr(col.over(w), requiresIndex, preps)
+  /** Per-key evaluation. For plain aggregates this is the Spark window; for
+    * order-dependent ops (shift/cum/fill/rank/rolling) it re-spells the op
+    * as a keyed window in row order — polars' `cum_sum.over(k)` semantics —
+    * replacing the global scan-kernel prep entirely (one shuffle on the
+    * keys). */
+  def over(partitionBy: Expr*): Expr = keyed match {
+    case Some(k) =>
+      val e = k.mk(partitionBy.map(_.col))
+      Expr(e.col, e.requiresIndex || partitionBy.exists(_.requiresIndex),
+        mergePreps(e.preps, partitionBy.flatMap(_.preps).distinctBy(_.key)))
+    case None =>
+      if (preps.nonEmpty) throw new UnsupportedOperationException(
+        "over: this expression composes order-dependent ops in a form that has no " +
+          "per-key window spelling; apply .over(keys) to the shift/cum/fill/rank/rolling " +
+          "op directly (e.g. col(\"x\").shift(1).over(k) - col(\"x\").over-free terms)")
+      Expr(col.over(Window.partitionBy(partitionBy.map(_.col): _*)),
+        requiresIndex || partitionBy.exists(_.requiresIndex), mergedWith(partitionBy: _*))
+  }
+  def over(w: WindowSpec): Expr = {
+    if (keyed.isDefined) throw new UnsupportedOperationException(
+      "over(WindowSpec): order-dependent ops re-spell per key from partition KEYS " +
+        "(the frame's hidden row order supplies the ordering); pass the keys — " +
+        "over(col(\"k\")) — instead of a prebuilt WindowSpec")
+    Expr(col.over(w), requiresIndex, preps)
+  }
   def overOrdered(partitionBy: Seq[Expr], orderBy: Seq[Expr]): Expr =
     Expr(col.over(Window.partitionBy(partitionBy.map(_.col): _*).orderBy(orderBy.map(_.col): _*)),
       requiresIndex || (partitionBy ++ orderBy).exists(_.requiresIndex),
@@ -276,12 +307,23 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   //      via the distributed prefix-scan kernel (graft.kernel.Scan) — never a
   //      single-partition Window.orderBy(idx) over data ----
   private def idxWindow: WindowSpec = Window.orderBy(F.col(graft.kernel.RowIndex.name))
-  /** shift(n) — lag/lead over implicit row order (reference: expr.rb:1624) */
-  def shift(n: Int = 1): Expr =
-    if (n == 0) this else scanned((d, out) => Scan.shifted(d, col, n, out))
-  def shiftAndFill(n: Int, fill: Any): Expr =
+  /** Keyed window in hidden row order — what `.over(keys)` means for the
+    * order-dependent ops. */
+  private def keyedIdxW(keys: Seq[Column]): WindowSpec =
+    Window.partitionBy(keys: _*).orderBy(F.col(graft.kernel.RowIndex.name))
+  /** shift(n) — lag/lead over implicit row order (reference: expr.rb:1624).
+    * Keyed form: Spark lag/lead fill their default only for out-of-range
+    * rows, exactly polars' structural-fill semantics. */
+  def shift(n: Int = 1): Expr = shiftImpl(n, None)
+  def shiftAndFill(n: Int, fill: Any): Expr = shiftImpl(n, Some(Expr.lit(fill).col))
+  private def shiftImpl(n: Int, fill: Option[Column]): Expr =
     if (n == 0) this
-    else scanned((d, out) => Scan.shifted(d, col, n, out, Some(Expr.lit(fill).col)))
+    else scanned((d, out) => Scan.shifted(d, col, n, out, fill)).copy(keyed =
+      Some(KeyedForm { keys =>
+        val dflt = fill.getOrElse(F.lit(null))
+        val c = if (n > 0) F.lag(col, n, dflt) else F.lead(col, -n, dflt)
+        Expr(c.over(keyedIdxW(keys)), requiresIndex = true, preps)
+      }))
   def diff(n: Int = 1): Expr = this - shift(n)
   def pctChange(n: Int = 1): Expr = {
     // nullif guard: ANSI mode (Spark 4 default) errors on divide-by-zero;
@@ -296,14 +338,41 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   def cumCount(reverse: Boolean = false): Expr = cum(F.count, "sum", reverse)
   def cumProd(reverse: Boolean = false): Expr = cum(c => F.product(c), "product", reverse)
   private def cum(f: Column => Column, kind: String, reverse: Boolean): Expr =
-    scanned((d, out) => Scan.running(d, col, out, f, kind, reverse))
+    scanned((d, out) => Scan.running(d, col, out, f, kind, reverse)).copy(keyed =
+      Some(KeyedForm { keys =>
+        val w =
+          if (reverse) keyedIdxW(keys).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+          else keyedIdxW(keys).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Expr(f(col).over(w), requiresIndex = true, preps)
+      }))
   /** rank over implicit row order of values (reference: expr.rb:5691).
     * Distributed: per-value counts + prefix sums on the distinct-value frame,
     * joined back — nulls rank null (the reference's behavior). */
   def rank(method: String = "average", descending: Boolean = false): Expr = {
     val out = Scan.fresh("x")
     Expr(F.col(out), requiresIndex = method == "ordinal" || requiresIndex,
-      preps :+ Prep(out, d => Scan.withRank(d, col, out, method, descending), Seq(out)))
+      preps :+ Prep(out, d => Scan.withRank(d, col, out, method, descending), Seq(out)),
+      keyed = Some(KeyedForm { keys =>
+        // per-key rank of values: nulls_last ordering keeps non-null ranks
+        // 1..m, then null inputs mask to null (polars' null behavior); dtype
+        // parity with Scan.withRank: min/dense/ordinal int, max long,
+        // average double
+        val ord = if (descending) col.desc_nulls_last else col.asc_nulls_last
+        val w = Window.partitionBy(keys: _*).orderBy(ord)
+        val tieCnt = F.count(col).over(Window.partitionBy((keys :+ col): _*))
+        val minRank = F.rank().over(w)
+        val c = method match {
+          case "min"     => minRank
+          case "max"     => (minRank - 1).cast("long") + tieCnt
+          case "dense"   => F.dense_rank().over(w)
+          case "ordinal" => F.row_number().over(
+            Window.partitionBy(keys: _*).orderBy(ord, F.col(graft.kernel.RowIndex.name).asc))
+          case "average" => (minRank - 1).cast("double") + (tieCnt + 1).cast("double") / 2.0
+          case m => throw new IllegalArgumentException(
+            s"rank: method must be average|min|max|dense|ordinal, got '$m'")
+        }
+        Expr(F.when(col.isNotNull, c), requiresIndex = method == "ordinal", preps)
+      }))
   }
   def isDuplicated: Expr =
     Expr(F.count(F.lit(1)).over(Window.partitionBy(col)) > 1, requiresIndex, preps)
@@ -315,8 +384,18 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   def isLastDistinct: Expr = Expr(
     F.row_number().over(Window.partitionBy(col).orderBy(F.col(graft.kernel.RowIndex.name).desc)) === 1,
     requiresIndex = true, preps)
-  def forwardFill: Expr = scanned((d, out) => Scan.filled(d, col, out, backward = false))
-  def backwardFill: Expr = scanned((d, out) => Scan.filled(d, col, out, backward = true))
+  def forwardFill: Expr =
+    scanned((d, out) => Scan.filled(d, col, out, backward = false)).copy(keyed =
+      Some(KeyedForm { keys =>
+        val w = keyedIdxW(keys).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Expr(F.last(col, ignoreNulls = true).over(w), requiresIndex = true, preps)
+      }))
+  def backwardFill: Expr =
+    scanned((d, out) => Scan.filled(d, col, out, backward = true)).copy(keyed =
+      Some(KeyedForm { keys =>
+        val w = keyedIdxW(keys).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        Expr(F.first(col, ignoreNulls = true).over(w), requiresIndex = true, preps)
+      }))
   /** interpolate nulls between neighboring non-nulls over row positions
     * (reference expr.rb:3871; frame/time-indexed form in
     * [[graft.kernel.Interpolate]]). Positions come from a distributed
@@ -357,9 +436,17 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   def rollingVar(n: Int, minPeriods: Int = 2): Expr = rolling(F.var_samp, n, minPeriods)
   def rollingMedian(n: Int, minPeriods: Int = 1): Expr =
     rollingQuantile(0.5, n, "linear", minPeriods)
+  /** Trailing-n-row op with both spellings: global via the phantom-carry
+    * kernel, keyed (`.over(keys)`) as a plain rows-frame window. */
+  private def rollingScanned(n: Int)(build: (Column, WindowSpec) => Column): Expr =
+    scanned((d, out) => Scan.rollingApply(d, col, n, out, build)).copy(keyed =
+      Some(KeyedForm { keys =>
+        val w = keyedIdxW(keys).rowsBetween(-(n - 1).toLong, 0L)
+        Expr(build(col, w), requiresIndex = true, preps)
+      }))
   private def rolling(f: Column => Column, n: Int, minPeriods: Int): Expr =
-    scanned((d, out) => Scan.rollingApply(d, col, n, out, (v, w) =>
-      F.when(F.count(v).over(w) >= minPeriods, f(v).over(w))))
+    rollingScanned(n)((v, w) =>
+      F.when(F.count(v).over(w) >= minPeriods, f(v).over(w)))
   /** rolling_quantile (reference expr.rb:5480): exact quantile over a
     * trailing rows window with polars' interpolation modes. Spark's
     * percentile/median aggregates reject window FRAMES, so every mode indexes
@@ -367,13 +454,13 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     * per-row bounded, not a data-sized state). */
   def rollingQuantile(q: Double, n: Int, interpolation: String = "nearest",
                       minPeriods: Int = 1): Expr =
-    scanned((d, out) => Scan.rollingApply(d, col, n, out, (v, w) => {
+    rollingScanned(n)((v, w) => {
       val sorted = F.sort_array(F.collect_list(v).over(w))
       // clamp to >= 1: an all-null window must yield null, not element_at on
       // an empty array (ANSI error)
       F.when(F.count(v).over(w) >= math.max(minPeriods, 1),
         Expr.quantileOfSorted(sorted, q, interpolation))
-    }))
+    })
   /** rolling_quantile_by (reference expr.rb:4848): quantile over a caller-
     * supplied WindowSpec — the range-frame formulation used for temporal
     * `_by` windows (`Window.partitionBy(keys).orderBy(unix_micros(ts))
@@ -390,7 +477,7 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     * skewness aggregate is the biased g1 = m3/m2^1.5; bias: false applies the
     * sample correction sqrt(n(n-1))/(n-2), null under 3 points. */
   def rollingSkew(n: Int, bias: Boolean = true, minPeriods: Int = 1): Expr =
-    scanned((d, out) => Scan.rollingApply(d, col, n, out, (v, w) => {
+    rollingScanned(n)((v, w) => {
       val cnt = F.count(v).over(w)
       val g1 = F.skewness(v).over(w)
       val value =
@@ -400,7 +487,7 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
           F.when(m > 2, g1 * F.sqrt(m * (m - 1)) / (m - 2))
         }
       F.when(cnt >= minPeriods, value)
-    }))
+    })
 
   /** Run-length-encoding id: increments when the value changes, over implicit
     * row order (reference: expr.rb:2674 `rle_id`). One shifted (marker, value)
@@ -507,14 +594,14 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     * literal weights (reference expr.rb rolling weights:). */
   def rollingSumWeighted(weights: Seq[Double], minPeriods: Int = 1): Expr = {
     val n = weights.size
-    scanned((d, out) => Scan.rollingApply(d, col, n, out, (v, w) => {
+    rollingScanned(n)((v, w) => {
       val vals = F.collect_list(v).over(w)
       val wArr = F.array(weights.map(F.lit): _*)
       val dot = F.aggregate(
         F.zip_with(vals, F.slice(wArr, F.lit(1), F.size(vals)), (x, wt) => x * wt),
         F.lit(0.0), (acc, x) => acc + x)
       F.when(F.size(vals) >= math.max(minPeriods, n), dot)
-    }))
+    })
   }
   /** Dtype min/max literals (reference expr.rb:5942 lower_bound/upper_bound). */
   def lowerBound(dt: DataType): Expr = Expr(F.lit(dt match {

@@ -212,6 +212,59 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  // ---- keyed forms: polars' cum_sum/shift/fill/rank/rolling .over(keys) ----
+
+  test("order-dependent ops re-spell per key under .over(keys)") {
+    // rows arrive interleaved across keys; per-key row order is arrival order
+    val df = DataFrame(Seq(
+      ("a", 1), ("b", 10), ("a", 2), ("b", 20), ("a", 3), ("b", 30))
+      .toDF("k", "v"))
+    val cs = df.withColumn("r", col("v").cumSum().over(col("k"))).toSpark
+      .select("k", "v", "r").collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(cs.sorted.toSeq == Seq(("a", 1, 1L), ("a", 2, 3L), ("a", 3, 6L),
+      ("b", 10, 10L), ("b", 20, 30L), ("b", 30, 60L)))
+
+    val sh = df.withColumn("r", col("v").shift(1).over(col("k"))).toSpark
+      .select("k", "v", "r").collect()
+      .map(r => (r.getString(0), r.getInt(1), if (r.isNullAt(2)) -1 else r.getInt(2)))
+    assert(sh.sorted.toSeq == Seq(("a", 1, -1), ("a", 2, 1), ("a", 3, 2),
+      ("b", 10, -1), ("b", 20, 10), ("b", 30, 20)))
+
+    // shift_and_fill fills only structurally-missing rows, not null values
+    val sf = df.withColumn("r", col("v").shiftAndFill(1, 0).over(col("k"))).toSpark
+      .select("k", "r").collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(sf.count(_._2 == 0) == 2) // one leading row per key
+
+    val rk = DataFrame(Seq(("a", 2), ("a", 1), ("a", 2), ("b", 5)).toDF("k", "v"))
+      .withColumn("r", col("v").rank("min").over(col("k"))).toSpark
+      .select("k", "v", "r").collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(rk.sorted.toSeq == Seq(("a", 1, 1), ("a", 2, 2), ("a", 2, 2), ("b", 5, 1)))
+
+    val ff = DataFrame(Seq(("a", Some(1.0)), ("a", None), ("b", None), ("b", Some(2.0)))
+      .toDF("k", "v"))
+    val ffr = ff.withColumn("r", col("v").forwardFill.over(col("k"))).toSpark
+      .select("k", "r").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(ffr.sorted.toSeq == Seq(("a", Some(1.0)), ("a", Some(1.0)),
+      ("b", None), ("b", Some(2.0))))
+
+    val rm = df.withColumn("r", col("v").rollingMean(2).over(col("k"))).toSpark
+      .select("k", "v", "r").collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    assert(rm.sorted.toSeq == Seq(("a", 1, 1.0), ("a", 2, 1.5), ("a", 3, 2.5),
+      ("b", 10, 10.0), ("b", 20, 15.0), ("b", 30, 25.0)))
+
+    // keyed plan shape: one hash shuffle on the keys, no scan-kernel bucket
+    val plan = df.withColumn("r", col("v").cumSum().over(col("k"))).toSpark
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("__graft_bucket__"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+
+    // composed order-dependent exprs have no keyed spelling: clear error
+    val e = intercept[UnsupportedOperationException](
+      (col("v").diff(1)).over(col("k")))
+    assert(e.getMessage.contains("per-key window spelling"), e.getMessage)
+  }
+
   // ---- exact-substring duplicate spans ----
 
   test("duplicateSpans finds shared token windows across documents only") {
