@@ -324,13 +324,21 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
         val c = if (n > 0) F.lag(col, n, dflt) else F.lead(col, -n, dflt)
         Expr(c.over(keyedIdxW(keys)), requiresIndex = true, preps)
       }))
-  def diff(n: Int = 1): Expr = this - shift(n)
+  def diff(n: Int = 1): Expr =
+    (this - shift(n)).copy(keyed = Some(KeyedForm { keys =>
+      val prev = (if (n > 0) F.lag(col, n) else F.lead(col, -n)).over(keyedIdxW(keys))
+      Expr(col - prev, requiresIndex = true, preps)
+    }))
   def pctChange(n: Int = 1): Expr = {
     // nullif guard: ANSI mode (Spark 4 default) errors on divide-by-zero;
     // zero-previous yields null (documented deviation from polars' ±inf)
     val prev = shift(n)
     Expr((col - prev.col) / F.nullif(prev.col, F.lit(0)), requiresIndex = true,
-      mergePreps(preps, prev.preps))
+      mergePreps(preps, prev.preps),
+      keyed = Some(KeyedForm { keys =>
+        val p = (if (n > 0) F.lag(col, n) else F.lead(col, -n)).over(keyedIdxW(keys))
+        Expr((col - p) / F.nullif(p, F.lit(0)), requiresIndex = true, preps)
+      }))
   }
   def cumSum(reverse: Boolean = false): Expr = cum(F.sum, "sum", reverse)
   def cumMin(reverse: Boolean = false): Expr = cum(F.min, "min", reverse)
@@ -404,6 +412,35 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   def interpolate(method: String = "linear"): Expr = {
     require(Seq("linear", "nearest").contains(method),
       s"interpolate: method must be linear|nearest, got '$method'")
+    val keyedForm = KeyedForm { keys =>
+      // per-key blend: positions from a keyed row_number (materialized via a
+      // prep — windows can't nest), neighbors from keyed ignore-null fills
+      val w = keyedIdxW(keys)
+      val pos = Scan.fresh("p")
+      val posPrep = Prep(pos,
+        d => d.withColumn(pos, F.row_number().over(w).cast("double")), Seq(pos))
+      val pair = F.when(col.isNotNull,
+        F.struct(F.col(pos).as("o"), col.cast("double").as("x")))
+      val prevC = F.last(pair, ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      val nextC = F.first(pair, ignoreNulls = true)
+        .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      val prev = Scan.fresh("x"); val nxt = Scan.fresh("x")
+      val fillPrep = Prep(prev,
+        d => d.withColumn(prev, prevC).withColumn(nxt, nextC), Seq(prev, nxt))
+      val o = F.col(pos)
+      val (pv, po) = (F.col(prev).getField("x"), F.col(prev).getField("o"))
+      val (nv, no) = (F.col(nxt).getField("x"), F.col(nxt).getField("o"))
+      val blended = method match {
+        case "linear" =>
+          F.when(col.isNotNull, col.cast("double"))
+            .when(pv.isNotNull && nv.isNotNull, pv + (nv - pv) * (o - po) / (no - po))
+        case "nearest" =>
+          F.when(col.isNotNull, col.cast("double"))
+            .when(pv.isNotNull && nv.isNotNull, F.when(o - po <= no - o, pv).otherwise(nv))
+      }
+      Expr(blended, requiresIndex = true, preps ++ Seq(posPrep, fillPrep))
+    }
     scanned { (d, out) =>
       val pos = Scan.fresh("p"); val prev = Scan.fresh("x"); val nxt = Scan.fresh("x")
       val d1 = Scan.running(d, F.lit(1L), pos, F.count, "sum")
@@ -423,7 +460,7 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
             .when(pv.isNotNull && nv.isNotNull, F.when(o - po <= no - o, pv).otherwise(nv))
       }
       d3.withColumn(out, blended).drop(pos, prev, nxt)
-    }
+    }.copy(keyed = Some(keyedForm))
   }
   def reverseExpr: Expr = Expr(col, requiresIndex, preps) // frame-level reverse handles ordering
 
@@ -503,7 +540,19 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     val out = Scan.fresh("x")
     Expr(F.col(out), requiresIndex = true,
       preps ++ Seq(prevPrep,
-        Prep(out, d => Scan.running(d, changed, out, F.sum, "sum"), Seq(out, Scan.BUCKET))))
+        Prep(out, d => Scan.running(d, changed, out, F.sum, "sum"), Seq(out, Scan.BUCKET))),
+      keyed = Some(KeyedForm { keys =>
+        // windows can't nest, so the keyed lag materializes through a prep
+        // and the running sum windows over the helper
+        val w = keyedIdxW(keys)
+        val kPrev = Scan.fresh("x")
+        val kPrep = Prep(kPrev, d => d.withColumn(kPrev,
+          F.lag(F.struct(F.lit(1).as("m"), col.as("x")), 1).over(w)), Seq(kPrev))
+        val kChanged = F.when(F.col(kPrev).isNull, 0L)
+          .when(!(col <=> F.col(kPrev).getField("x")), 1L).otherwise(0L)
+        Expr(F.sum(kChanged).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+          requiresIndex = true, preps :+ kPrep)
+      }))
   }
   /** Local maxima mask (reference: expr.rb:2376 `peak_max`). */
   def peakMax: Expr = peak(F.lit(Double.NegativeInfinity), _ > _)
@@ -586,7 +635,11 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     * cannot split them, so it plans a single-partition window — prefer the
     * kind overload at scale. */
   def cumulativeEval(agg: Column => Column, kind: String): Expr =
-    scanned((d, out) => Scan.running(d, col, out, agg, kind))
+    scanned((d, out) => Scan.running(d, col, out, agg, kind)).copy(keyed =
+      Some(KeyedForm { keys =>
+        val w = keyedIdxW(keys).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Expr(agg(col).over(w), requiresIndex = true, preps)
+      }))
   def cumulativeEval(agg: Column => Column): Expr = Expr(
     agg(col).over(idxWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     requiresIndex = true, preps)

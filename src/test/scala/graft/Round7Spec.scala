@@ -259,10 +259,44 @@ class Round7Spec extends SparkSpec {
     assert(!plan.contains("__graft_bucket__"), plan)
     assert(!plan.contains("Exchange SinglePartition"), plan)
 
-    // composed order-dependent exprs have no keyed spelling: clear error
+    // arbitrary compositions still have no keyed spelling: clear error
     val e = intercept[UnsupportedOperationException](
-      (col("v").diff(1)).over(col("k")))
+      (col("v").cumSum() + col("v").shift(1)).over(col("k")))
     assert(e.getMessage.contains("per-key window spelling"), e.getMessage)
+  }
+
+  test("diff/pct_change/rle_id/interpolate keyed forms under .over(keys)") {
+    val df = DataFrame(Seq(
+      ("a", 1.0), ("b", 10.0), ("a", 3.0), ("b", 10.0), ("a", 6.0), ("b", 40.0))
+      .toDF("k", "v"))
+    val d = df.withColumn("r", col("v").diff(1).over(col("k"))).toSpark
+      .select("k", "v", "r").collect()
+      .map(r => (r.getString(0), r.getDouble(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    assert(d.filterNot(_._3.isNaN).sorted.toSeq ==
+      Seq(("a", 3.0, 2.0), ("a", 6.0, 3.0), ("b", 10.0, 0.0), ("b", 40.0, 30.0)))
+
+    val p = df.withColumn("r", col("v").pctChange(1).over(col("k"))).toSpark
+      .select("k", "v", "r").collect()
+      .map(r => (r.getString(0), r.getDouble(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    assert(p.filterNot(_._3.isNaN).sorted.toSeq ==
+      Seq(("a", 3.0, 2.0), ("a", 6.0, 1.0), ("b", 10.0, 0.0), ("b", 40.0, 3.0)))
+
+    val rle = df.withColumn("r", col("v").rleId.over(col("k"))).toSpark
+      .select("k", "v", "r").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    // per-key runs in arrival order: a: 1,3,6 -> 0,1,2; b: 10,10,40 -> 0,0,1
+    assert(rle.sorted.toSeq == Seq(("a", 1.0, 0L), ("a", 3.0, 1L), ("a", 6.0, 2L),
+      ("b", 10.0, 0L), ("b", 10.0, 0L), ("b", 40.0, 1L)))
+
+    val ip = DataFrame(Seq(
+      ("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("b", Some(10.0)), ("b", None), ("b", None), ("b", Some(40.0)))
+      .toDF("k", "v"))
+      .withColumn("r", col("v").interpolate().over(col("k"))).toSpark
+      .select("k", "r").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(ip.sorted.toSeq == Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 10.0), ("b", 20.0), ("b", 30.0), ("b", 40.0)))
   }
 
   // ---- exact-substring duplicate spans ----
