@@ -36,9 +36,12 @@ object PrepCache {
   /** Persist `df` (MEMORY_AND_DISK) under LRU discipline; a semantically
     * identical plan already registered is reused rather than re-persisted. */
   def persistBounded(df: DataFrame): DataFrame = synchronized {
-    val key = df.queryExecution.analyzed.semanticHash()
+    val plan = df.queryExecution.analyzed
+    val key = plan.semanticHash()
     val prior = entries.get(key)
-    if (prior != null) prior
+    // semanticHash is 32-bit: guard reuse with a real plan comparison so a
+    // collision degrades to a duplicate persist, never to wrong data
+    if (prior != null && prior.queryExecution.analyzed.sameResult(plan)) prior
     else {
       df.persist(StorageLevel.MEMORY_AND_DISK)
       entries.put(key, df)
