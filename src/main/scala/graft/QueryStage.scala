@@ -30,7 +30,13 @@ object QueryStage {
     * the one recorded with the existing staged rows. */
   @volatile var reuseUnchanged: Boolean = false
 
-  private val memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // loaded classes cannot change within a JVM, so the code half of the
+  // fingerprint is memoized; the DATA half is re-walked on every call (one
+  // small directory listing) so regenerating the sf data mid-JVM is seen
+  private lazy val codeSig: String =
+    Option(getClass.getProtectionDomain.getCodeSource)
+      .flatMap(cs => scala.util.Try(new java.io.File(cs.getLocation.toURI)).toOption)
+      .map(fileSig).getOrElse("")
 
   def stage(df: SDF, sfDir: String, name: String): SDF = {
     val sf = new java.io.File(sfDir).getName
@@ -47,21 +53,18 @@ object QueryStage {
     df.sparkSession.read.parquet(path)
   }
 
+  private def fileSig(f: java.io.File): String =
+    if (f.isDirectory)
+      Option(f.listFiles()).map(_.sortBy(_.getName).map(fileSig).mkString(","))
+        .getOrElse("")
+    else s"${f.getName}:${f.length}:${f.lastModified}"
+
   /** Cheap content proxy: every input file's (name, size, mtime) under the
     * SF dir, plus the same over the compiled classes (a recompile must
     * invalidate — staged signatures depend on graft's hashing code). */
-  private def fingerprint(sfDir: String): String =
-    memo.computeIfAbsent(sfDir, { _ =>
-      def sig(f: java.io.File): String =
-        if (f.isDirectory)
-          Option(f.listFiles()).map(_.sortBy(_.getName).map(sig).mkString(","))
-            .getOrElse("")
-        else s"${f.getName}:${f.length}:${f.lastModified}"
-      val code = Option(getClass.getProtectionDomain.getCodeSource)
-        .flatMap(cs => scala.util.Try(new java.io.File(cs.getLocation.toURI)).toOption)
-        .map(sig).getOrElse("")
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest((sig(new java.io.File(sfDir)) + "|" + code).getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-    })
+  private def fingerprint(sfDir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest((fileSig(new java.io.File(sfDir)) + "|" + codeSig).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
 }

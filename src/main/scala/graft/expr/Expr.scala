@@ -38,14 +38,48 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
                       keyed: Option[KeyedForm] = None) {
   import Expr._
 
-  private def map(f: Column => Column): Expr = Expr(f(col), requiresIndex, preps)
-  private def zip(o: Expr)(f: (Column, Column) => Column): Expr =
-    Expr(f(col, o.col), requiresIndex || o.requiresIndex, mergePreps(preps, o.preps))
+  /** Elementwise transforms commute with per-key evaluation, so `map` and
+    * `zip` carry the keyed form through: polars' `cum_sum.alias(..).over(k)`
+    * or `(col - col.shift(1)).over(k)` evaluate the order-dependent op per
+    * key and apply the elementwise function on top. A side that is neither
+    * keyed nor prep-free blocks propagation (over() then raises the
+    * directed error instead of silently mixing scopes). */
+  private def map(f: Column => Column): Expr =
+    Expr(f(col), requiresIndex, preps,
+      keyed.map(k => KeyedForm { keys =>
+        val e = k.mk(keys); Expr(f(e.col), e.requiresIndex, e.preps)
+      }))
+  private def zip(o: Expr)(f: (Column, Column) => Column): Expr = {
+    val kf: Option[KeyedForm] =
+      if (keyed.isEmpty && o.keyed.isEmpty) None
+      else if (!keyedOrPlain(this) || !keyedOrPlain(o)) None
+      else Some(KeyedForm { keys =>
+        val a = keyedSide(this, keys); val b = keyedSide(o, keys)
+        Expr(f(a.col, b.col), a.requiresIndex || b.requiresIndex,
+          mergePreps(a.preps, b.preps))
+      })
+    Expr(f(col, o.col), requiresIndex || o.requiresIndex, mergePreps(preps, o.preps), kf)
+  }
+  /** Guard called at the top of every op's KeyedForm: if the op's INPUT
+    * already contains order-dependent machinery (scan preps), a per-key
+    * spelling of the outer op alone would evaluate the inner op globally —
+    * silently wrong. Polars evaluates the whole chain per group; we require
+    * the user to key the inner op explicitly. */
+  private def requireNoScanInput(op: String): Unit =
+    if (preps.nonEmpty) throw new UnsupportedOperationException(
+      s"$op.over(keys): the input expression itself contains order-dependent ops; " +
+        "a per-key spelling of only the outer op would evaluate the inner one " +
+        "globally. Materialize the inner op per key first " +
+        "(with_column(\"t\" -> inner.over(keys))) and chain on the new column")
   /** Union this expr's preps with each operand's (order-preserving, deduped) —
     * every combinator must thread preps so a scanned op (shift/cum/fill/rank)
     * composed through it still builds its helper column. */
   private def mergedWith(os: Expr*): Seq[Prep] =
     os.foldLeft(preps)((acc, e) => mergePreps(acc, e.preps))
+
+  private def keyedOrPlain(e: Expr): Boolean = e.keyed.isDefined || e.preps.isEmpty
+  private def keyedSide(e: Expr, keys: Seq[Column]): Expr =
+    e.keyed.map(_.mk(keys)).getOrElse(Expr(e.col, e.requiresIndex))
 
   /** Order-dependent op: the result is a helper column produced by a
     * [[graft.kernel.Scan]] stage over the hidden row index. */
@@ -320,12 +354,14 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     if (n == 0) this
     else scanned((d, out) => Scan.shifted(d, col, n, out, fill)).copy(keyed =
       Some(KeyedForm { keys =>
+        requireNoScanInput("shift")
         val dflt = fill.getOrElse(F.lit(null))
         val c = if (n > 0) F.lag(col, n, dflt) else F.lead(col, -n, dflt)
         Expr(c.over(keyedIdxW(keys)), requiresIndex = true, preps)
       }))
   def diff(n: Int = 1): Expr =
     (this - shift(n)).copy(keyed = Some(KeyedForm { keys =>
+      requireNoScanInput("diff")
       val prev = (if (n > 0) F.lag(col, n) else F.lead(col, -n)).over(keyedIdxW(keys))
       Expr(col - prev, requiresIndex = true, preps)
     }))
@@ -336,6 +372,7 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     Expr((col - prev.col) / F.nullif(prev.col, F.lit(0)), requiresIndex = true,
       mergePreps(preps, prev.preps),
       keyed = Some(KeyedForm { keys =>
+        requireNoScanInput("pct_change")
         val p = (if (n > 0) F.lag(col, n) else F.lead(col, -n)).over(keyedIdxW(keys))
         Expr((col - p) / F.nullif(p, F.lit(0)), requiresIndex = true, preps)
       }))
@@ -348,6 +385,7 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   private def cum(f: Column => Column, kind: String, reverse: Boolean): Expr =
     scanned((d, out) => Scan.running(d, col, out, f, kind, reverse)).copy(keyed =
       Some(KeyedForm { keys =>
+        requireNoScanInput("cum_" + kind)
         val w =
           if (reverse) keyedIdxW(keys).rowsBetween(Window.currentRow, Window.unboundedFollowing)
           else keyedIdxW(keys).rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -361,6 +399,7 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     Expr(F.col(out), requiresIndex = method == "ordinal" || requiresIndex,
       preps :+ Prep(out, d => Scan.withRank(d, col, out, method, descending), Seq(out)),
       keyed = Some(KeyedForm { keys =>
+        requireNoScanInput("rank")
         // per-key rank of values: nulls_last ordering keeps non-null ranks
         // 1..m, then null inputs mask to null (polars' null behavior); dtype
         // parity with Scan.withRank: min/dense/ordinal int, max long,
@@ -395,12 +434,14 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   def forwardFill: Expr =
     scanned((d, out) => Scan.filled(d, col, out, backward = false)).copy(keyed =
       Some(KeyedForm { keys =>
+        requireNoScanInput("forward_fill")
         val w = keyedIdxW(keys).rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Expr(F.last(col, ignoreNulls = true).over(w), requiresIndex = true, preps)
       }))
   def backwardFill: Expr =
     scanned((d, out) => Scan.filled(d, col, out, backward = true)).copy(keyed =
       Some(KeyedForm { keys =>
+        requireNoScanInput("backward_fill")
         val w = keyedIdxW(keys).rowsBetween(Window.currentRow, Window.unboundedFollowing)
         Expr(F.first(col, ignoreNulls = true).over(w), requiresIndex = true, preps)
       }))
@@ -413,6 +454,7 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     require(Seq("linear", "nearest").contains(method),
       s"interpolate: method must be linear|nearest, got '$method'")
     val keyedForm = KeyedForm { keys =>
+      requireNoScanInput("interpolate")
       // per-key blend: positions from a keyed row_number (materialized via a
       // prep — windows can't nest), neighbors from keyed ignore-null fills
       val w = keyedIdxW(keys)
@@ -478,6 +520,7 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   private def rollingScanned(n: Int)(build: (Column, WindowSpec) => Column): Expr =
     scanned((d, out) => Scan.rollingApply(d, col, n, out, build)).copy(keyed =
       Some(KeyedForm { keys =>
+        requireNoScanInput("rolling")
         val w = keyedIdxW(keys).rowsBetween(-(n - 1).toLong, 0L)
         Expr(build(col, w), requiresIndex = true, preps)
       }))
@@ -542,6 +585,7 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
       preps ++ Seq(prevPrep,
         Prep(out, d => Scan.running(d, changed, out, F.sum, "sum"), Seq(out, Scan.BUCKET))),
       keyed = Some(KeyedForm { keys =>
+        requireNoScanInput("rle_id")
         // windows can't nest, so the keyed lag materializes through a prep
         // and the running sum windows over the helper
         val w = keyedIdxW(keys)
@@ -637,6 +681,7 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   def cumulativeEval(agg: Column => Column, kind: String): Expr =
     scanned((d, out) => Scan.running(d, col, out, agg, kind)).copy(keyed =
       Some(KeyedForm { keys =>
+        requireNoScanInput("cumulative_eval")
         val w = keyedIdxW(keys).rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Expr(agg(col).over(w), requiresIndex = true, preps)
       }))

@@ -108,7 +108,7 @@ object Ewm {
     val a = alpha; val adj = adjust; val mp = minPeriods; val outs0 = outputs
 
     val rdd0 = df.orderBy(F.col(orderCol)).rdd
-    rdd0.persist(StorageLevel.MEMORY_AND_DISK)
+    persistBounded(rdd0)
     val nParts = rdd0.getNumPartitions
 
     // pass 1: one (m, fresh-final, continuation-final) summary per partition
@@ -163,6 +163,22 @@ object Ewm {
       it.map(row => Row.fromSeq(row.toSeq ++ st.step(numOf(row.get(vIdx)), mp, outs0)))
     }
     spark.createDataFrame(out, schema)
+  }
+
+  /** Bounded registry of the persisted sorted RDDs: many keyless-ewm calls
+    * in one session must not pin unbounded executor storage. Evicting an
+    * entry unpersists it; if its result is materialized later, the two
+    * passes still agree — the sort's shuffle files outlive the cache, so a
+    * recompute replays the SAME partitioning from the same map outputs
+    * (range bounds are sampled once per RDD lineage, not per execution). */
+  private val persisted = new java.util.ArrayDeque[org.apache.spark.rdd.RDD[_]]()
+  private def persistBounded(rdd: org.apache.spark.rdd.RDD[_]): Unit = synchronized {
+    rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    persisted.addLast(rdd)
+    while (persisted.size > 4) {
+      try persisted.removeFirst().unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   private def outSchema(base: StructType, valueCol: String, outputs: Seq[String]): StructType =

@@ -44,7 +44,10 @@ object PrepCache {
     if (prior != null && prior.queryExecution.analyzed.sameResult(plan)) prior
     else {
       df.persist(StorageLevel.MEMORY_AND_DISK)
-      entries.put(key, df)
+      val displaced = entries.put(key, df)
+      // a collision displaces the old entry from the LRU — unpersist it here
+      // or its cached blocks leak for the session lifetime
+      if (displaced != null) quietUnpersist.accept(displaced)
       df
     }
   }

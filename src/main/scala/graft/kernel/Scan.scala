@@ -263,15 +263,15 @@ object Scan {
     * count feeds the first-(N mod k)-buckets-are-larger arithmetic. Tie
     * order within equal values is arbitrary, as in SQL NTILE — pass a
     * tiebreaking key inside `value` for determinism. ALL rows are bucketed,
-    * null values included (SQL NTILE semantics): nulls take Spark's
-    * ascending NULLS FIRST position, so they land in the lowest buckets,
-    * and the total is the full row count — not the non-null count, which
-    * would misassign every bucket on a nullable column. */
+    * null values included, and nulls sort LAST (the DuckDB/Postgres NTILE
+    * default — the repo's oracle gate — so null rows land in the highest
+    * buckets); the total is the full row count — not the non-null count,
+    * which would misassign every bucket on a nullable column. */
   def withNtile(d0: DataFrame, value: Column, out: String, buckets: Int): DataFrame = {
     require(buckets >= 1, s"withNtile: buckets must be >= 1, got $buckets")
     val v = fresh("v"); val ord = fresh("o"); val nn = fresh("n")
     val sorted = org.apache.spark.sql.GraftInternalOps.zipWithDenseIndex(
-      d0.withColumn(v, value).orderBy(F.col(v).asc), ord)
+      d0.withColumn(v, value).orderBy(F.col(v).asc_nulls_last), ord)
     val total = d0.agg(F.count(F.lit(1)).as(nn))
     val size = F.floor(F.col(nn) / buckets)
     val large = F.col(nn) % buckets

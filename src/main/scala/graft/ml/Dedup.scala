@@ -411,7 +411,11 @@ object Dedup {
   def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
                      windowTokens: Int = 50, anchorStride: Int = 25): DataFrame =
     duplicateSpansFromChunks(
-      spanChunks(df, textCol, idCol, windowTokens, anchorStride), idCol)
+      // the chunk frame is consumed twice (aggregate + join back); persist it
+      // or the tokenize/hash/explode pass — the operator's dominant cost —
+      // runs over the corpus twice
+      graft.kernel.PrepCache.persistBounded(
+        spanChunks(df, textCol, idCol, windowTokens, anchorStride)), idCol)
 
   /** The join-back half of [[duplicateSpans]], exposed separately so staged
     * chunk tables (oracle exactness) can re-enter the pipeline. */
@@ -431,7 +435,8 @@ object Dedup {
     * absent (no windows, no signal). */
   def spanDupRatio(df: DataFrame, textCol: String, idCol: String,
                    windowTokens: Int = 50, anchorStride: Int = 25): DataFrame = {
-    val chunks = spanChunks(df, textCol, idCol, windowTokens, anchorStride)
+    val chunks = graft.kernel.PrepCache.persistBounded(
+      spanChunks(df, textCol, idCol, windowTokens, anchorStride))
     val counts = chunks.groupBy("chunk_hash")
       .agg(F.countDistinct(F.col(idCol)).as("__nd__"))
     chunks.join(counts, Seq("chunk_hash"))

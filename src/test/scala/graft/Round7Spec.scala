@@ -78,10 +78,11 @@ class Round7Spec extends SparkSpec {
       .toDF("id", "v")
     val out = graft.kernel.Scan.withNtile(df, F.col("v"), "nt", 3)
       .select("id", "nt").collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
-    // 6 rows / 3 buckets = 2 each; nulls sort first (NULLS FIRST asc)
-    assert(out(0) == 1 && out(1) == 1)
-    assert(out(2) == 2 && out(3) == 2)
-    assert(out(4) == 3 && out(5) == 3)
+    // 6 rows / 3 buckets = 2 each; nulls sort LAST (DuckDB/Postgres NTILE
+    // default, matching the oracle gate) so they take the highest bucket
+    assert(out(2) == 1 && out(3) == 1)
+    assert(out(4) == 2 && out(5) == 2)
+    assert(out(0) == 3 && out(1) == 3)
   }
 
   // ---- stale hidden index at kernel entry points (ADVICE r6) ----
@@ -259,10 +260,27 @@ class Round7Spec extends SparkSpec {
     assert(!plan.contains("__graft_bucket__"), plan)
     assert(!plan.contains("Exchange SinglePartition"), plan)
 
-    // arbitrary compositions still have no keyed spelling: clear error
+    // elementwise transforms commute: alias/cast/arithmetic ride the keyed form
+    val al = df.withColumn("r", col("v").cumSum().alias("cs").over(col("k"))).toSpark
+      .select("k", "r").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(al.sorted.toSeq == Seq(("a", 1L), ("a", 3L), ("a", 6L),
+      ("b", 10L), ("b", 30L), ("b", 60L)))
+    val ar = df.withColumn("r", (col("v").cumSum() * 2).over(col("k"))).toSpark
+      .select("k", "r").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(ar.sorted.toSeq == Seq(("a", 2L), ("a", 6L), ("a", 12L),
+      ("b", 20L), ("b", 60L), ("b", 120L)))
+    // two keyed ops combine per key in one shuffle
+    val two = df.withColumn("r",
+        (col("v").cumSum() + col("v").shift(1).fillNull(0)).over(col("k"))).toSpark
+      .select("k", "r").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(two.sorted.toSeq == Seq(("a", 1L), ("a", 4L), ("a", 8L),
+      ("b", 10L), ("b", 40L), ("b", 80L)))
+
+    // chaining one order-dependent op INTO another has no per-key spelling:
+    // the inner op would silently evaluate globally — must be a clear error
     val e = intercept[UnsupportedOperationException](
-      (col("v").cumSum() + col("v").shift(1)).over(col("k")))
-    assert(e.getMessage.contains("per-key window spelling"), e.getMessage)
+      df.withColumn("r", col("v").cumSum().shift(1).over(col("k"))).toSpark.collect())
+    assert(e.getMessage.contains("order-dependent"), e.getMessage)
   }
 
   test("diff/pct_change/rle_id/interpolate keyed forms under .over(keys)") {
