@@ -317,6 +317,49 @@ class Round7Spec extends SparkSpec {
       ("b", 10.0), ("b", 20.0), ("b", 30.0), ("b", 40.0)))
   }
 
+  test("keyed forms agree with the scan kernel on a single-key frame") {
+    val rnd = new Random(23)
+    val rows = Seq.tabulate(120)(i =>
+      (i.toLong, "only",
+        if (rnd.nextInt(6) == 0) None else Some(rnd.nextInt(20).toDouble)))
+    val df = DataFrame(rows.toDF("id", "k", "v"))
+    val ops: Seq[(String, () => graft.expr.Expr)] = Seq(
+      "cum_sum" -> (() => col("v").cumSum()),
+      "cum_min" -> (() => col("v").cumMin()),
+      "shift2" -> (() => col("v").shift(2)),
+      "lead1" -> (() => col("v").shift(-1)),
+      "shift_fill" -> (() => col("v").shiftAndFill(1, -1.0)),
+      "ffill" -> (() => col("v").forwardFill),
+      "bfill" -> (() => col("v").backwardFill),
+      "diff" -> (() => col("v").diff(1)),
+      "pct" -> (() => col("v").pctChange(1)),
+      "rank_min" -> (() => col("v").rank("min")),
+      "rank_avg" -> (() => col("v").rank("average")),
+      "rank_dense" -> (() => col("v").rank("dense")),
+      "rank_max" -> (() => col("v").rank("max")),
+      "roll_mean3" -> (() => col("v").rollingMean(3)),
+      "roll_sum4" -> (() => col("v").rollingSum(4, minPeriods = 2)),
+      "rle" -> (() => col("v").rleId),
+      "interp" -> (() => col("v").interpolate()))
+    ops.foreach { case (name, mk) =>
+      def collectBy(d: org.apache.spark.sql.DataFrame): Map[Long, Any] =
+        d.select("id", "r").collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.get(1))).toMap
+      val keyless = collectBy(df.withColumn("r", mk()).toSpark)
+      val keyed = collectBy(df.withColumn("r", mk().over(col("k"))).toSpark)
+      rows.foreach { case (id, _, _) =>
+        val (a, b) = (keyless(id), keyed(id))
+        val ok = (a, b) match {
+          case (null, null) => true
+          case (x: java.lang.Number, y: java.lang.Number) =>
+            math.abs(x.doubleValue() - y.doubleValue()) < 1e-9
+          case _ => a == b
+        }
+        assert(ok, s"$name diverges at id $id: keyless=$a keyed=$b")
+      }
+    }
+  }
+
   // ---- exact-substring duplicate spans ----
 
   test("duplicateSpans finds shared token windows across documents only") {
