@@ -171,7 +171,22 @@ object Queries3 {
       .sortBy(Seq(col("event_id")))
       .toSpark
 
+  /** polars group_by().agg with order-dependent exprs: evaluated per group
+    * in row order and returned as LISTS (reference group_by.rb agg docs) —
+    * backed by the keyed-form machinery + ordered collect. */
+  private def qAggLists(s: SparkSession, dir: String): SDF =
+    LazyFrame(events(s, dir))
+      .sortBy(Seq(col("ts"), col("event_id")))
+      .groupBy("user_id")
+      .agg(
+        col("value").cumSum().alias("cs_list"),
+        col("value").shift(1).alias("pv_list"),
+        Expr(F.sum(F.col("value"))).alias("sv"))
+      .sortBy(Seq(col("user_id")))
+      .toSpark
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
+    "q_agg_lists" -> (qAggLists _),
     "q_over_scan" -> (qOverScan _),
     "q_ewm" -> (qEwm _),
     "q_interpolate" -> (qInterpolate _),
@@ -190,6 +205,19 @@ object Queries3 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_agg_lists" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+        |    lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+        |  FROM events
+        |)
+        |SELECT user_id,
+        |  list(cs ORDER BY ts, event_id) AS cs_list,
+        |  list(pv ORDER BY ts, event_id) AS pv_list,
+        |  sum(value) AS sv
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_over_scan" ->
       """SELECT event_id,
         |sum(value) OVER wr AS cs,

@@ -13,19 +13,47 @@ final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk: SDF => Self) {
 
   def agg(exprs: Expr*): Self = {
     require(exprs.nonEmpty)
-    // scanned ops (shift/cum/fill/rank without `over`) carry frame preps that
-    // resolve over the GLOBAL row order; inside group_by().agg the reference
-    // semantics is per-group, which the preps mechanism cannot express — a
-    // global scan here would silently run a full pass and then fail as a
-    // non-aggregate reference. Reject up front with a usable message.
-    require(!exprs.exists(_.preps.nonEmpty),
-      "group_by().agg: order-dependent expressions (shift/cum_*/fill/rank without `over`) " +
-        "are not supported inside agg — polars evaluates them per group; use " +
-        "`expr.over(keys)` on the frame, or sort_by/implode + list ops instead")
-    // order-sensitive aggs (agg_groups, implode in row order) reference the
-    // dense row index — attach it when any expression asks for it
-    val base0 = if (exprs.exists(_.requiresIndex)) RowIndex.attachDense(sdf) else sdf
-    mk(base0.groupBy(keys: _*).agg(exprs.head.col, exprs.tail.map(_.col): _*))
+    // Order-dependent exprs (shift/cum_*/fill/rank/rolling/... without
+    // `over`) follow polars' agg semantics: evaluated PER GROUP in row
+    // order, returning a LIST per group (reference group_by.rb agg docs).
+    // Their KeyedForm supplies the per-key spelling; the windowed column is
+    // materialized pre-aggregation and collected in row order. Exprs that
+    // carry scan preps but no keyed form (chained order-dependent ops)
+    // cannot be evaluated per group and are rejected up front — the global
+    // scan would silently compute the wrong scope and then fail anyway.
+    require(exprs.forall(e => e.keyed.isDefined || e.preps.isEmpty),
+      "group_by().agg: this order-dependent expression has no per-group spelling " +
+        "(chained shift/cum/fill/rank ops); materialize the inner op per key first " +
+        "with with_column(inner.over(keys)) and aggregate the new column")
+    val listExprs = exprs.zipWithIndex.filter(_._1.keyed.isDefined)
+    if (listExprs.isEmpty) {
+      // order-sensitive aggs (agg_groups, implode in row order) reference the
+      // dense row index — attach it when any expression asks for it
+      val base0 = if (exprs.exists(_.requiresIndex)) RowIndex.attachDense(sdf) else sdf
+      mk(base0.groupBy(keys: _*).agg(exprs.head.col, exprs.tail.map(_.col): _*))
+    } else {
+      val base0 = RowIndex.attachDense(sdf)
+      var d = base0
+      val tmp = listExprs.map { case (e, i) =>
+        val ke = e.keyed.get.mk(keys)
+        d = ke.preps.distinctBy(_.key).foldLeft(d)((dd, p) => p.build(dd))
+        val name = s"__graft_agg${i}__"
+        d = d.withColumn(name, ke.col)
+        i -> (name, ke.meta.outputName.getOrElse(s"column_$i"))
+      }.toMap
+      val aggCols = exprs.zipWithIndex.map { case (e, i) =>
+        tmp.get(i) match {
+          case Some((helper, out)) =>
+            // collect in row order: unique idx makes the struct sort total
+            F.transform(
+              F.array_sort(F.collect_list(
+                F.struct(F.col(RowIndex.name).as("i"), F.col(helper).as("x")))),
+              s => s.getField("x")).as(out)
+          case None => e.col
+        }
+      }
+      mk(d.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*))
+    }
   }
 
   private def aggAll(f: Column => Column, suffix: String = ""): Self = {

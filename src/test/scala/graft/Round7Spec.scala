@@ -63,11 +63,26 @@ class Round7Spec extends SparkSpec {
 
   // ---- GroupBy.agg rejects scanned exprs (ADVICE r6) ----
 
-  test("group_by().agg rejects order-dependent scanned exprs with a clear message") {
+  test("group_by().agg rejects CHAINED order-dependent exprs with a clear message") {
     val df = DataFrame(Seq((1, 1.0), (1, 2.0)).toDF("k", "v"))
-    val e = intercept[IllegalArgumentException](
-      df.groupBy("k").agg(col("v").cumSum().alias("cs")))
+    val e = intercept[UnsupportedOperationException](
+      df.groupBy("k").agg(col("v").cumSum().shift(1).alias("cs")).toSpark.collect())
     assert(e.getMessage.contains("order-dependent"), e.getMessage)
+  }
+
+  test("group_by().agg evaluates order-dependent exprs per group as lists") {
+    val df = DataFrame(Seq(("a", 1), ("b", 10), ("a", 2), ("b", 20), ("a", 3))
+      .toDF("k", "v"))
+    val out = df.groupBy("k").agg(
+      col("v").cumSum().alias("cs"),
+      col("v").shift(1).alias("pv"),
+      graft.expr.Expr(F.sum("v")).alias("s")).toSpark
+      .collect().map { r =>
+        (r.getString(0), r.getSeq[Any](1).toList, r.getSeq[Any](2).toList, r.getLong(3))
+      }.sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("a", List(1L, 3L, 6L), List(null, 1, 2), 6L),
+      ("b", List(10L, 30L), List(null, 10), 30L)))
   }
 
   // ---- NTILE over a nullable column (ADVICE r6) ----

@@ -71,10 +71,14 @@ def type_mismatches(spark_tbl, duck):
     that hash identically through the driver (both microsecond instants) are
     treated as equal; everything else must match exactly."""
     def canon(t):
+        import re
         s = str(t)
         # spark writes timestamps as timestamp[us, tz=UTC] (session tz UTC);
         # duckdb arrow emits timestamp[us] — same instant, same hash
-        return s.replace(", tz=UTC", "")
+        s = s.replace(", tz=UTC", "")
+        # arrow list FIELD names are serialization detail: spark writes
+        # list<element: T>, duckdb emits list<l: T> — same type
+        return re.sub(r"list<\w+:", "list<item:", s)
     out = []
     for c in spark_tbl.column_names:
         st = canon(spark_tbl.schema.field(c).type)
