@@ -23,42 +23,50 @@ object Polars {
   def nth(i: Int): Expr = Expr(F.col(s"__nth_${i}__")) // frame-side resolution
 
   // ---- when/then/otherwise (reference: functions/whenthen.rb:91) ----
+  // every stage threads requiresIndex + preps, so scanned ops (shift/cum/
+  // fill/rank) compose through branches and predicates
+  private[graft] def mkExpr(c: Column, es: Seq[Expr]): Expr =
+    Expr(c, es.exists(_.requiresIndex),
+      es.foldLeft(Seq.empty[graft.expr.Prep])((a, e) => Expr.mergePreps(a, e.preps)))
   final class When(cond: Expr) {
-    def then(v: Expr): WhenThen = new WhenThen(F.when(cond.col, v.col))
+    def then(v: Expr): WhenThen =
+      new WhenThen(F.when(cond.col, v.col), Seq(cond, v))
     def then(v: Any): WhenThen = then(Expr.lit(v))
   }
-  final class WhenThen(c: Column) {
-    def when(cond: Expr): WhenThenWhen = new WhenThenWhen(c, cond)
-    def otherwise(v: Expr): Expr = Expr(c.otherwise(v.col))
+  final class WhenThen(c: Column, parts: Seq[Expr]) {
+    def when(cond: Expr): WhenThenWhen = new WhenThenWhen(c, cond, parts)
+    def otherwise(v: Expr): Expr = mkExpr(c.otherwise(v.col), parts :+ v)
     def otherwise(v: Any): Expr = otherwise(Expr.lit(v))
-    def toExpr: Expr = Expr(c)
+    def toExpr: Expr = mkExpr(c, parts)
   }
-  final class WhenThenWhen(c: Column, cond: Expr) {
-    def then(v: Expr): WhenThen = new WhenThen(c.when(cond.col, v.col))
+  final class WhenThenWhen(c: Column, cond: Expr, parts: Seq[Expr]) {
+    def then(v: Expr): WhenThen =
+      new WhenThen(c.when(cond.col, v.col), (parts :+ cond) :+ v)
     def then(v: Any): WhenThen = then(Expr.lit(v))
   }
   def when(cond: Expr): When = new When(cond)
 
   // ---- horizontal aggs (reference: functions/aggregation/horizontal.rb:34-235) ----
   def sumHorizontal(exprs: Expr*): Expr =
-    Expr(exprs.map(e => F.coalesce(e.col, F.lit(0))).reduce(_ + _))
-  def minHorizontal(exprs: Expr*): Expr = Expr(F.least(exprs.map(_.col): _*))
-  def maxHorizontal(exprs: Expr*): Expr = Expr(F.greatest(exprs.map(_.col): _*))
+    mkExpr(exprs.map(e => F.coalesce(e.col, F.lit(0))).reduce(_ + _), exprs)
+  def minHorizontal(exprs: Expr*): Expr = mkExpr(F.least(exprs.map(_.col): _*), exprs)
+  def maxHorizontal(exprs: Expr*): Expr = mkExpr(F.greatest(exprs.map(_.col): _*), exprs)
   def meanHorizontal(exprs: Expr*): Expr = {
     val vals = exprs.map(_.col)
     val s = vals.map(c => F.coalesce(c, F.lit(0.0))).reduce(_ + _)
     val n = vals.map(c => F.when(c.isNotNull, 1).otherwise(0)).reduce(_ + _)
-    Expr(s / n)
+    mkExpr(s / n, exprs)
   }
-  def allHorizontal(exprs: Expr*): Expr = Expr(exprs.map(_.col).reduce(_ && _))
-  def anyHorizontal(exprs: Expr*): Expr = Expr(exprs.map(_.col).reduce(_ || _))
+  def allHorizontal(exprs: Expr*): Expr = mkExpr(exprs.map(_.col).reduce(_ && _), exprs)
+  def anyHorizontal(exprs: Expr*): Expr = mkExpr(exprs.map(_.col).reduce(_ || _), exprs)
   /** cum_sum_horizontal (reference horizontal.rb:235): struct of running
     * row-wise sums, one field per input in order. */
   def cumSumHorizontal(cols: (String, Expr)*): Expr = {
     val running = cols.scanLeft(Option.empty[Column]) { case (acc, (_, e)) =>
       Some(acc.fold(e.col)(_ + e.col))
     }.flatten
-    Expr(F.struct(cols.map(_._1).zip(running).map { case (n, c) => c.as(n) }: _*))
+    mkExpr(F.struct(cols.map(_._1).zip(running).map { case (n, c) => c.as(n) }: _*),
+      cols.map(_._2))
   }
 
   // ---- fold / reduce (reference: functions/lazy.rb:745,778 — plan-time fold,
@@ -71,19 +79,19 @@ object Polars {
 
   // ---- string/struct constructors (reference: functions/as_datatype.rb) ----
   def concatStr(exprs: Seq[Expr], separator: String = ""): Expr =
-    Expr(F.concat_ws(separator, exprs.map(_.col): _*))
+    mkExpr(F.concat_ws(separator, exprs.map(_.col): _*), exprs)
   def format(fmt: String, exprs: Expr*): Expr = {
     val parts = fmt.split("\\{\\}", -1)
     val cols = parts.zipAll(exprs.map(_.col), "", F.lit("")).flatMap {
       case (s, c) => Seq(F.lit(s), c)
     }
-    Expr(F.concat(cols.toIndexedSeq: _*))
+    mkExpr(F.concat(cols.toIndexedSeq: _*), exprs)
   }
-  def struct(exprs: Expr*): Expr = Expr(F.struct(exprs.map(_.col): _*))
-  def concatList(exprs: Expr*): Expr = Expr(F.concat(exprs.map(_.col): _*))
+  def struct(exprs: Expr*): Expr = mkExpr(F.struct(exprs.map(_.col): _*), exprs)
+  def concatList(exprs: Expr*): Expr = mkExpr(F.concat(exprs.map(_.col): _*), exprs)
 
   // ---- stats (reference: functions/lazy.rb:679-872) ----
-  def corr(a: Expr, b: Expr): Expr = Expr(F.corr(a.col, b.col))
+  def corr(a: Expr, b: Expr): Expr = mkExpr(F.corr(a.col, b.col), Seq(a, b))
   /** Spearman = Pearson over ranks; min-method (SQL `rank()`) ranks computed
     * by the distributed rank kernel (per-value counts + prefix sums +
     * join-back, [[graft.kernel.Scan.withRank]]) — no global-sort window. */
@@ -94,10 +102,10 @@ object Polars {
       F.corr(F.col("__ra__").cast("double"), F.col("__rb__").cast("double")).as(as)))
   }
   def cov(a: Expr, b: Expr, ddof: Int = 1): Expr =
-    Expr(if (ddof == 1) F.covar_samp(a.col, b.col) else F.covar_pop(a.col, b.col))
-  def arctan2(y: Expr, x: Expr): Expr = Expr(F.atan2(y.col, x.col))
+    mkExpr(if (ddof == 1) F.covar_samp(a.col, b.col) else F.covar_pop(a.col, b.col), Seq(a, b))
+  def arctan2(y: Expr, x: Expr): Expr = mkExpr(F.atan2(y.col, x.col), Seq(y, x))
   /** arctan2 in degrees (reference functions/lazy.rb arctan2d). */
-  def arctan2d(y: Expr, x: Expr): Expr = Expr(F.degrees(F.atan2(y.col, x.col)))
+  def arctan2d(y: Expr, x: Expr): Expr = mkExpr(F.degrees(F.atan2(y.col, x.col)), Seq(y, x))
   /** Row-index-per-group agg (reference functions/lazy.rb groups — module
     * spelling of Expr#agg_groups). */
   def groups(name: String): Expr = col(name).aggGroups
@@ -129,10 +137,10 @@ object Polars {
   def intRange(start: Int, end: Int, step: Int = 1): Expr =
     Expr(F.sequence(F.lit(start), F.lit(end - math.signum(step)), F.lit(step)))
   def intRanges(start: Expr, end: Expr): Expr =
-    Expr(F.sequence(start.col, end.col - 1, F.lit(1)))
+    mkExpr(F.sequence(start.col, end.col - 1, F.lit(1)), Seq(start, end))
   def dateRange(start: Expr, end: Expr, interval: String = "1d"): Expr = {
     val d = graft.kernel.DurationDsl.parse(interval)
-    Expr(F.sequence(start.col, end.col, F.expr(d.sqlInterval)))
+    mkExpr(F.sequence(start.col, end.col, F.expr(d.sqlInterval)), Seq(start, end))
   }
   /** Plural/datetime/time range variants (reference functions/range):
     * dateRanges is dateRange applied per row (already columnar);
@@ -151,28 +159,28 @@ object Polars {
   }
   def timeRanges(start: Expr, end: Expr, interval: String = "1h"): Expr = {
     val stepNs = graft.kernel.DurationDsl.parse(interval).totalNanos
-    Expr(F.sequence(start.col, end.col, F.lit(stepNs)))
+    mkExpr(F.sequence(start.col, end.col, F.lit(stepNs)), Seq(start, end))
   }
   def duration(weeks: Long = 0, days: Long = 0, hours: Long = 0, minutes: Long = 0,
                seconds: Long = 0, milliseconds: Long = 0, microseconds: Long = 0): Expr =
     Expr(F.lit(((weeks * 7 + days) * 86400L + hours * 3600L + minutes * 60L + seconds) * 1000000L
       + milliseconds * 1000L + microseconds)) // long-µs-ticks Duration repr (SURVEY §1.2)
 
-  def coalesce(exprs: Expr*): Expr = Expr(F.coalesce(exprs.map(_.col): _*))
+  def coalesce(exprs: Expr*): Expr = mkExpr(F.coalesce(exprs.map(_.col): _*), exprs)
   def repeatExpr(v: Any, n: Int): Expr = Expr(F.array_repeat(F.lit(v), n))
   def sqlExpr(sql: String): Expr = Expr(F.expr(sql))
 
   /** from_epoch (reference functions/lazy.rb:900): integer epoch ticks →
     * timestamp at the given unit; "d" yields a date. ns uses integer div so
     * no double rounding at 1e18-scale ticks. */
-  def fromEpoch(e: Expr, timeUnit: String = "s"): Expr = Expr(timeUnit match {
+  def fromEpoch(e: Expr, timeUnit: String = "s"): Expr = mkExpr(timeUnit match {
     case "s"  => F.timestamp_seconds(e.col)
     case "ms" => F.timestamp_millis(e.col)
     case "us" => F.timestamp_micros(e.col)
     case "ns" => F.timestamp_micros(F.call_function("div", e.col, F.lit(1000L)))
     case "d"  => F.date_add(F.lit(java.sql.Date.valueOf("1970-01-01")), e.col.cast("int"))
     case other => throw new IllegalArgumentException(s"from_epoch time_unit: $other")
-  })
+  }, Seq(e))
 
   /** Eager constructors (reference functions/repeat.rb ones/zeros/repeat). */
   def ones(n: Long)(implicit spark: SparkSession): api.Series =

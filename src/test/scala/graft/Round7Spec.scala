@@ -53,6 +53,28 @@ class Round7Spec extends SparkSpec {
     assert(c.toSeq == Seq(10, 1, 2))
   }
 
+  test("scanned ops compose through when/then/otherwise and horizontal aggs") {
+    val df = DataFrame(Seq(1, 2, 3, 4).toDF("x"))
+    // branch value is a scanned op: shift = [null,1,2,3]
+    val wt = df.select(Polars.when(col("x") > 2).then(col("x").shift(1))
+        .otherwise(0).alias("r")).toSpark
+      .collect().map(_.getInt(0))
+    assert(wt.toSeq == Seq(0, 0, 2, 3))
+    // predicate is a scanned op
+    val wp = df.select(Polars.when(col("x").cumSum() >= 6).then(1)
+        .otherwise(0).alias("r")).toSpark
+      .collect().map(_.getInt(0))
+    assert(wp.toSeq == Seq(0, 0, 1, 1))
+    val hz = df.select(Polars.maxHorizontal(col("x"),
+        col("x").shift(1).fillNull(0)).alias("m")).toSpark
+      .collect().map(_.getInt(0))
+    assert(hz.toSeq == Seq(1, 2, 3, 4))
+    val co = DataFrame(Seq[Option[Int]](Some(1), None, Some(3)).toDF("x"))
+      .select(Polars.coalesce(col("x"), col("x").shift(1)).alias("c")).toSpark
+      .collect().map(r => if (r.isNullAt(0)) null else r.get(0))
+    assert(co.toSeq == Seq(1, 1, 3))
+  }
+
   test("forward fill composes through isBetween and filter") {
     val df = DataFrame(Seq[Option[Int]](Some(1), None, Some(5), None)
       .toDF("x"))
