@@ -9,7 +9,7 @@ import graft.kernel.{DurationDsl, Strftime}
   * `org.apache.spark.sql.functions` so whole-stage codegen applies.
   */
 final class StrNS(e: Expr) {
-  private def m(f: Column => Column): Expr = Expr(f(e.col), e.requiresIndex)
+  private def m(f: Column => Column): Expr = Expr(f(e.col), e.requiresIndex, e.preps)
 
   def toUppercase: Expr = m(F.upper)
   def toLowercase: Expr = m(F.lower)
@@ -31,7 +31,8 @@ final class StrNS(e: Expr) {
   def zfill(n: Int): Expr = m(c => F.lpad(c, n, "0"))
   def contains(pat: String, literal: Boolean = false): Expr =
     m(c => if (literal) c.contains(pat) else c.rlike(pat))
-  def containsExpr(pat: Expr): Expr = Expr(e.col.contains(pat.col), e.requiresIndex || pat.requiresIndex)
+  def containsExpr(pat: Expr): Expr = Expr(e.col.contains(pat.col),
+    e.requiresIndex || pat.requiresIndex, Expr.mergePreps(e.preps, pat.preps))
   def startsWith(p: String): Expr = m(_.startsWith(p))
   def endsWith(s: String): Expr = m(_.endsWith(s))
   def extract(pat: String, group: Int = 1): Expr =
@@ -136,7 +137,7 @@ final class StrNS(e: Expr) {
 /** Temporal namespace — reference: lib/polars/date_time_expr.rb (native
   * ext/polars/src/expr/datetime.rs). */
 final class DtNS(e: Expr) {
-  private def m(f: Column => Column): Expr = Expr(f(e.col), e.requiresIndex)
+  private def m(f: Column => Column): Expr = Expr(f(e.col), e.requiresIndex, e.preps)
 
   def year: Expr = m(F.year)
   def isoYear: Expr = m(Strftime.isoYear) // Thursday-of-week trick; 'YYYY' pattern throws on Spark 4
@@ -263,7 +264,7 @@ final class DtNS(e: Expr) {
 /** List namespace — reference: lib/polars/list_expr.rb (native expr/list.rs).
   * Maps to Spark ArrayType higher-order functions (codegen'd, no UDFs). */
 final class ListNS(e: Expr) {
-  private def m(f: Column => Column): Expr = Expr(f(e.col), e.requiresIndex)
+  private def m(f: Column => Column): Expr = Expr(f(e.col), e.requiresIndex, e.preps)
 
   def all: Expr = m(c => F.forall(c, x => x))
   def any: Expr = m(c => F.exists(c, x => x))
@@ -282,7 +283,8 @@ final class ListNS(e: Expr) {
   def reverse: Expr = m(F.reverse)
   def unique: Expr = m(F.array_distinct)
   def nUnique: Expr = m(c => F.size(F.array_distinct(c)))
-  def concat(o: Expr): Expr = Expr(F.concat(e.col, o.col), e.requiresIndex || o.requiresIndex)
+  def concat(o: Expr): Expr = Expr(F.concat(e.col, o.col),
+    e.requiresIndex || o.requiresIndex, Expr.mergePreps(e.preps, o.preps))
   def get(i: Int): Expr = m(c => F.element_at(c, if (i >= 0) i + 1 else i))
   def first: Expr = get(0)
   def last: Expr = get(-1)
@@ -314,7 +316,7 @@ final class ListNS(e: Expr) {
 
 /** Binary namespace — reference: lib/polars/binary_expr.rb:18-67. */
 final class BinNS(e: Expr) {
-  private def m(f: Column => Column): Expr = Expr(f(e.col), e.requiresIndex)
+  private def m(f: Column => Column): Expr = Expr(f(e.col), e.requiresIndex, e.preps)
   def contains(sub: Array[Byte]): Expr = m(c => F.contains(c, F.lit(sub)))
   def startsWith(p: Array[Byte]): Expr = m(c => F.startswith(c, F.lit(p)))
   def endsWith(s: Array[Byte]): Expr = m(c => F.endswith(c, F.lit(s)))
@@ -330,7 +332,7 @@ final class BinNS(e: Expr) {
 /** Categorical shim — physically StringType (SURVEY §1.2); the string cache is
   * a no-op on Spark. reference: lib/polars/cat_expr.rb:32. */
 final class CatNS(e: Expr) {
-  def getCategories: Expr = Expr(F.collect_set(e.col))
+  def getCategories: Expr = Expr(F.collect_set(e.col), e.requiresIndex, e.preps)
   /** Physical code = 0-based dense rank of the value — the distributed rank
     * kernel, not a global-sort window; nulls stay null. */
   def toPhysical: Expr = e.rank("dense") - 1
@@ -352,22 +354,23 @@ object EnumShim {
         F.when(c.isNull || c.isin(categories: _*), c)
           .otherwise(F.raise_error(F.concat(F.lit("value not in enum categories: "), c)))
       else F.when(c.isin(categories: _*), c)
-    Expr(checked, e.requiresIndex)
+    Expr(checked, e.requiresIndex, e.preps)
   }
 }
 
 /** Struct namespace — reference: lib/polars/struct_expr.rb:15-94. */
 final class StructNS(e: Expr) {
-  def field(name: String): Expr = Expr(e.col.getField(name), e.requiresIndex)
+  def field(name: String): Expr = Expr(e.col.getField(name), e.requiresIndex, e.preps)
   def apply(name: String): Expr = field(name)
-  def jsonEncode: Expr = Expr(F.to_json(e.col), e.requiresIndex)
+  def jsonEncode: Expr = Expr(F.to_json(e.col), e.requiresIndex, e.preps)
   def withField(name: String, value: Expr): Expr =
-    Expr(e.col.withField(name, value.col), e.requiresIndex || value.requiresIndex)
-  def renameFields(names: Seq[String]): Expr = Expr(e.col, e.requiresIndex) // resolved frame-side via cast
+    Expr(e.col.withField(name, value.col),
+      e.requiresIndex || value.requiresIndex, Expr.mergePreps(e.preps, value.preps))
+  def renameFields(names: Seq[String]): Expr = Expr(e.col, e.requiresIndex, e.preps) // resolved frame-side via cast
   /** Field names of the struct (reference struct_name_space.rb fields) —
     * schema metadata surfaced as an array expression; constant-folded when
     * the struct's type is known at plan time. */
-  def fields: Expr = Expr(F.json_object_keys(F.to_json(e.col)), e.requiresIndex)
+  def fields: Expr = Expr(F.json_object_keys(F.to_json(e.col)), e.requiresIndex, e.preps)
 }
 
 /** Name namespace — reference: lib/polars/name_expr.rb:51-194. Spark Columns
@@ -423,7 +426,7 @@ final class MetaNS(e: Expr) {
       case a: UnresolvedAlias => strip(a.child)
       case other => other
     }
-    Expr(org.apache.spark.sql.GraftInternalOps.column(strip(expr)), e.requiresIndex)
+    Expr(org.apache.spark.sql.GraftInternalOps.column(strip(expr)), e.requiresIndex, e.preps)
   }
   /** The root's direct sub-expressions (reference meta_expr.rb:134 pop). */
   def pop: Seq[Expr] =

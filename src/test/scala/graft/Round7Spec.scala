@@ -75,6 +75,19 @@ class Round7Spec extends SparkSpec {
     assert(co.toSeq == Seq(1, 1, 3))
   }
 
+  test("scanned ops compose through namespaces (.str/.dt/.struct)") {
+    val df = DataFrame(Seq("a", "bb", "ccc").toDF("s"))
+    // forwardFill on a derived nullable col, then a .str op on top
+    val up = DataFrame(Seq[Option[String]](Some("x"), None, Some("z")).toDF("s"))
+      .select(col("s").forwardFill.str.toUppercase.alias("u")).toSpark
+      .collect().map(_.getString(0))
+    assert(up.toSeq == Seq("X", "X", "Z"))
+    // .str.lengths of a shifted string column
+    val ln = df.select(col("s").shift(1).str.lenChars.alias("n")).toSpark
+      .collect().map(r => if (r.isNullAt(0)) -1 else r.getInt(0))
+    assert(ln.toSeq == Seq(-1, 1, 2))
+  }
+
   test("forward fill composes through isBetween and filter") {
     val df = DataFrame(Seq[Option[Int]](Some(1), None, Some(5), None)
       .toDF("x"))
