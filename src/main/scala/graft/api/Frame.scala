@@ -98,7 +98,9 @@ trait FrameOps[Self] {
         case (true, true)   => e.col.desc_nulls_last
       }
     }
-    make(sdf.orderBy(keys: _*))
+    // withIdx resolves scanned sort keys (sort_by(cum_sum) etc.); the helper
+    // columns drop after the sort, which preserves the ordering
+    make(withIdx(by)(_.orderBy(keys: _*)))
   }
   def limit(n: Int): Self = make(sdf.limit(n))
   def head(n: Int = 5): Self = limit(n)
@@ -128,9 +130,10 @@ trait FrameOps[Self] {
     val renamed = d.withColumn(name, F.col(RowIndex.name) + offset).drop(RowIndex.name)
     make(renamed.select((name +: renamed.columns.filterNot(_ == name)).map(F.col): _*))
   }
-  def topK(k: Int, by: Expr, descending: Boolean = false): Self =
-    make(sdf.orderBy(if (descending) by.col.asc else by.col.desc).limit(k)) // top_k = largest
-  def bottomK(k: Int, by: Expr): Self = make(sdf.orderBy(by.col.asc).limit(k))
+  def topK(k: Int, by: Expr, descending: Boolean = false): Self = // top_k = largest
+    make(withIdx(Seq(by))(_.orderBy(if (descending) by.col.asc else by.col.desc).limit(k)))
+  def bottomK(k: Int, by: Expr): Self =
+    make(withIdx(Seq(by))(_.orderBy(by.col.asc).limit(k)))
   def sample(fraction: Double, withReplacement: Boolean = false, seed: Long = 42): Self =
     make(sdf.sample(withReplacement, fraction, seed))
   def shuffle(seed: Long = 42): Self = make(sdf.orderBy(F.rand(seed)))

@@ -66,7 +66,10 @@ final case class Series(name: String, df: SDF) {
   def sample(fraction: Double, seed: Long = 42, withReplacement: Boolean = false): Series =
     Series(name, df.sample(withReplacement, fraction, seed))
 
-  def map(e: Expr => Expr): Series = Series(name, df.select(e(Expr(F.col(name))).col.as(name)))
+  // route through the frame layer so scanned exprs (shift/cum/fill/rank)
+  // built inside the mapper get their preps resolved
+  def map(e: Expr => Expr): Series =
+    Series(name, DataFrame(df).select(e(Expr(F.col(name))).alias(name)).toSpark)
   def cast(dt: DataType): Series = map(_.cast(dt))
 
   /** map_elements with an ARBITRARY per-element closure (reference

@@ -88,6 +88,20 @@ class Round7Spec extends SparkSpec {
     assert(ln.toSeq == Seq(-1, 1, 2))
   }
 
+  test("scanned ops work as sort keys, top_k keys, and Series.map bodies") {
+    val df = DataFrame(Seq(5, 1, 4, 2, 3).toDF("x"))
+    // sort by rank of x == sort by x
+    val sorted = df.sortBy(Seq(col("x").rank("min"))).toSpark
+      .collect().map(_.getInt(0))
+    assert(sorted.toSeq == Seq(1, 2, 3, 4, 5))
+    val top = df.topK(2, col("x").rank("min")).toSpark.collect().map(_.getInt(0))
+    assert(top.sorted.toSeq == Seq(4, 5))
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val s = graft.api.Series("v", Seq(1.0, 2.0, 4.0))
+      .map(_.cumSum()).toList
+    assert(s == List(1.0, 3.0, 7.0))
+  }
+
   test("forward fill composes through isBetween and filter") {
     val df = DataFrame(Seq[Option[Int]](Some(1), None, Some(5), None)
       .toDF("x"))
