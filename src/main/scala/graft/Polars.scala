@@ -28,37 +28,62 @@ object Polars {
   private[graft] def mkExpr(c: Column, es: Seq[Expr]): Expr =
     Expr(c, es.exists(_.requiresIndex),
       es.foldLeft(Seq.empty[graft.expr.Prep])((a, e) => Expr.mergePreps(a, e.preps)))
+  /** Elementwise multi-operand constructor: `build` is retained so the
+    * result also carries a per-key form when any operand is an
+    * order-dependent op — elementwise composition commutes with `.over(k)`
+    * (same rule as Expr.map/zip). */
+  private[graft] def mkExprK(es: Seq[Expr])(build: Seq[Column] => Column): Expr = {
+    val base = mkExpr(build(es.map(_.col)), es)
+    val propagatable =
+      es.exists(_.keyed.isDefined) && es.forall(e => e.keyed.isDefined || e.preps.isEmpty)
+    if (!propagatable) base
+    else base.copy(keyed = Some(graft.expr.KeyedForm { keys =>
+      val sides = es.map(e => e.keyed.map(_.mk(keys)).getOrElse(Expr(e.col, e.requiresIndex)))
+      Expr(build(sides.map(_.col)), sides.exists(_.requiresIndex),
+        sides.foldLeft(Seq.empty[graft.expr.Prep])((a, s) => Expr.mergePreps(a, s.preps)))
+    }))
+  }
+  /** (cond, value) pairs accumulate as Exprs and assemble at the end, so the
+    * whole conditional re-spells per key when a branch is a scanned op. */
+  private def buildWhen(pairs: Seq[(Expr, Expr)], otherwise: Option[Expr]): Expr = {
+    val es = pairs.flatMap(p => Seq(p._1, p._2)) ++ otherwise.toSeq
+    mkExprK(es) { cols =>
+      val it = cols.iterator
+      val chain = pairs.map(_ => (it.next(), it.next()))
+      val base = chain.tail.foldLeft(F.when(chain.head._1, chain.head._2)) {
+        case (acc, (c, v)) => acc.when(c, v)
+      }
+      otherwise.fold(base)(_ => base.otherwise(it.next()))
+    }
+  }
   final class When(cond: Expr) {
-    def then(v: Expr): WhenThen =
-      new WhenThen(F.when(cond.col, v.col), Seq(cond, v))
+    def then(v: Expr): WhenThen = new WhenThen(Seq(cond -> v))
     def then(v: Any): WhenThen = then(Expr.lit(v))
   }
-  final class WhenThen(c: Column, parts: Seq[Expr]) {
-    def when(cond: Expr): WhenThenWhen = new WhenThenWhen(c, cond, parts)
-    def otherwise(v: Expr): Expr = mkExpr(c.otherwise(v.col), parts :+ v)
+  final class WhenThen(pairs: Seq[(Expr, Expr)]) {
+    def when(cond: Expr): WhenThenWhen = new WhenThenWhen(pairs, cond)
+    def otherwise(v: Expr): Expr = buildWhen(pairs, Some(v))
     def otherwise(v: Any): Expr = otherwise(Expr.lit(v))
-    def toExpr: Expr = mkExpr(c, parts)
+    def toExpr: Expr = buildWhen(pairs, None)
   }
-  final class WhenThenWhen(c: Column, cond: Expr, parts: Seq[Expr]) {
-    def then(v: Expr): WhenThen =
-      new WhenThen(c.when(cond.col, v.col), (parts :+ cond) :+ v)
+  final class WhenThenWhen(pairs: Seq[(Expr, Expr)], cond: Expr) {
+    def then(v: Expr): WhenThen = new WhenThen(pairs :+ (cond -> v))
     def then(v: Any): WhenThen = then(Expr.lit(v))
   }
   def when(cond: Expr): When = new When(cond)
 
   // ---- horizontal aggs (reference: functions/aggregation/horizontal.rb:34-235) ----
   def sumHorizontal(exprs: Expr*): Expr =
-    mkExpr(exprs.map(e => F.coalesce(e.col, F.lit(0))).reduce(_ + _), exprs)
-  def minHorizontal(exprs: Expr*): Expr = mkExpr(F.least(exprs.map(_.col): _*), exprs)
-  def maxHorizontal(exprs: Expr*): Expr = mkExpr(F.greatest(exprs.map(_.col): _*), exprs)
-  def meanHorizontal(exprs: Expr*): Expr = {
-    val vals = exprs.map(_.col)
+    mkExprK(exprs)(_.map(c => F.coalesce(c, F.lit(0))).reduce(_ + _))
+  def minHorizontal(exprs: Expr*): Expr = mkExprK(exprs)(cs => F.least(cs: _*))
+  def maxHorizontal(exprs: Expr*): Expr = mkExprK(exprs)(cs => F.greatest(cs: _*))
+  def meanHorizontal(exprs: Expr*): Expr = mkExprK(exprs) { vals =>
     val s = vals.map(c => F.coalesce(c, F.lit(0.0))).reduce(_ + _)
     val n = vals.map(c => F.when(c.isNotNull, 1).otherwise(0)).reduce(_ + _)
-    mkExpr(s / n, exprs)
+    s / n
   }
-  def allHorizontal(exprs: Expr*): Expr = mkExpr(exprs.map(_.col).reduce(_ && _), exprs)
-  def anyHorizontal(exprs: Expr*): Expr = mkExpr(exprs.map(_.col).reduce(_ || _), exprs)
+  def allHorizontal(exprs: Expr*): Expr = mkExprK(exprs)(_.reduce(_ && _))
+  def anyHorizontal(exprs: Expr*): Expr = mkExprK(exprs)(_.reduce(_ || _))
   /** cum_sum_horizontal (reference horizontal.rb:235): struct of running
     * row-wise sums, one field per input in order. */
   def cumSumHorizontal(cols: (String, Expr)*): Expr = {
@@ -79,7 +104,7 @@ object Polars {
 
   // ---- string/struct constructors (reference: functions/as_datatype.rb) ----
   def concatStr(exprs: Seq[Expr], separator: String = ""): Expr =
-    mkExpr(F.concat_ws(separator, exprs.map(_.col): _*), exprs)
+    mkExprK(exprs)(cs => F.concat_ws(separator, cs: _*))
   def format(fmt: String, exprs: Expr*): Expr = {
     val parts = fmt.split("\\{\\}", -1)
     val cols = parts.zipAll(exprs.map(_.col), "", F.lit("")).flatMap {
@@ -87,8 +112,8 @@ object Polars {
     }
     mkExpr(F.concat(cols.toIndexedSeq: _*), exprs)
   }
-  def struct(exprs: Expr*): Expr = mkExpr(F.struct(exprs.map(_.col): _*), exprs)
-  def concatList(exprs: Expr*): Expr = mkExpr(F.concat(exprs.map(_.col): _*), exprs)
+  def struct(exprs: Expr*): Expr = mkExprK(exprs)(cs => F.struct(cs: _*))
+  def concatList(exprs: Expr*): Expr = mkExprK(exprs)(cs => F.concat(cs: _*))
 
   // ---- stats (reference: functions/lazy.rb:679-872) ----
   def corr(a: Expr, b: Expr): Expr = mkExpr(F.corr(a.col, b.col), Seq(a, b))
@@ -166,7 +191,7 @@ object Polars {
     Expr(F.lit(((weeks * 7 + days) * 86400L + hours * 3600L + minutes * 60L + seconds) * 1000000L
       + milliseconds * 1000L + microseconds)) // long-µs-ticks Duration repr (SURVEY §1.2)
 
-  def coalesce(exprs: Expr*): Expr = mkExpr(F.coalesce(exprs.map(_.col): _*), exprs)
+  def coalesce(exprs: Expr*): Expr = mkExprK(exprs)(cs => F.coalesce(cs: _*))
   def repeatExpr(v: Any, n: Int): Expr = Expr(F.array_repeat(F.lit(v), n))
   def sqlExpr(sql: String): Expr = Expr(F.expr(sql))
 

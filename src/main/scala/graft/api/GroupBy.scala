@@ -15,40 +15,64 @@ final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk: SDF => Self) {
     require(exprs.nonEmpty)
     // Order-dependent exprs (shift/cum_*/fill/rank/rolling/... without
     // `over`) follow polars' agg semantics: evaluated PER GROUP in row
-    // order, returning a LIST per group (reference group_by.rb agg docs).
-    // Their KeyedForm supplies the per-key spelling; the windowed column is
-    // materialized pre-aggregation and collected in row order. Exprs that
-    // carry scan preps but no keyed form (chained order-dependent ops)
-    // cannot be evaluated per group and are rejected up front — the global
-    // scan would silently compute the wrong scope and then fail anyway.
-    require(exprs.forall(e => e.keyed.isDefined || e.preps.isEmpty),
-      "group_by().agg: this order-dependent expression has no per-group spelling " +
-        "(chained shift/cum/fill/rank ops); materialize the inner op per key first " +
-        "with with_column(inner.over(keys)) and aggregate the new column")
-    val listExprs = exprs.zipWithIndex.filter(_._1.keyed.isDefined)
-    if (listExprs.isEmpty) {
+    // order, returning a LIST per group (reference group_by.rb agg docs) —
+    // and an AGGREGATE on top of one (shift(1).sum) evaluates op-then-
+    // aggregate per group, a scalar. The KeyedForm/GroupAggForm supply the
+    // per-key spellings; the windowed column materializes pre-aggregation.
+    // Exprs that still carry raw scan preps (a scanned op wrapped by a
+    // construct with no per-group spelling, e.g. inside when/then branches
+    // or horizontal aggs) cannot be evaluated per group and are rejected —
+    // the global scan would silently compute the wrong scope.
+    require(exprs.forall(e => e.keyed.isDefined || e.groupAgg.isDefined || e.preps.isEmpty),
+      "group_by().agg: an order-dependent op is wrapped in a construct with no " +
+        "per-group spelling (e.g. a when/then branch or horizontal agg); " +
+        "materialize the op per key first with with_column(op.over(keys)) and " +
+        "aggregate the new column")
+    val perGroup = exprs.zipWithIndex
+      .filter { case (e, _) => e.keyed.isDefined || e.groupAgg.isDefined }
+    if (perGroup.isEmpty) {
       // order-sensitive aggs (agg_groups, implode in row order) reference the
       // dense row index — attach it when any expression asks for it
       val base0 = if (exprs.exists(_.requiresIndex)) RowIndex.attachDense(sdf) else sdf
       mk(base0.groupBy(keys: _*).agg(exprs.head.col, exprs.tail.map(_.col): _*))
     } else {
-      val base0 = RowIndex.attachDense(sdf)
-      var d = base0
-      val tmp = listExprs.map { case (e, i) =>
-        val ke = e.keyed.get.mk(keys)
+      var d = RowIndex.attachDense(sdf)
+      val tmp = perGroup.map { case (e, i) =>
+        val ke = e.groupAgg.map(_.keyed).getOrElse(e.keyed.get).mk(keys)
         d = ke.preps.distinctBy(_.key).foldLeft(d)((dd, p) => p.build(dd))
         val name = s"__graft_agg${i}__"
         d = d.withColumn(name, ke.col)
-        i -> (name, ke.meta.outputName.getOrElse(s"column_$i"))
+        // output name: a user alias on an aggregate-of-scanned is composed
+        // into the agg closure, so read it off the composed aggregate; fall
+        // back to the inner op's source column name
+        val out = e.groupAgg
+          .flatMap(g => Expr(g.agg(F.col(name))).meta.outputName)
+          .filterNot(_.startsWith("__graft_"))
+          .orElse(ke.meta.outputName)
+          .getOrElse(s"column_$i")
+        i -> (name, out)
       }.toMap
+      // polars raises DuplicateError on colliding output names; a silent
+      // duplicate column surfaces as a confusing ambiguity much later
+      val outNames = exprs.zipWithIndex.map { case (e, i) =>
+        tmp.get(i).map(_._2).orElse(e.meta.outputName).getOrElse(s"column_$i")
+      }
+      require(outNames.distinct.size == outNames.size,
+        s"group_by().agg: duplicate output column names ${outNames.diff(outNames.distinct).distinct
+          .mkString(", ")} — alias the expressions distinctly")
       val aggCols = exprs.zipWithIndex.map { case (e, i) =>
         tmp.get(i) match {
           case Some((helper, out)) =>
-            // collect in row order: unique idx makes the struct sort total
-            F.transform(
-              F.array_sort(F.collect_list(
-                F.struct(F.col(RowIndex.name).as("i"), F.col(helper).as("x")))),
-              s => s.getField("x")).as(out)
+            e.groupAgg match {
+              case Some(g) =>
+                org.apache.spark.sql.GraftInternalOps.stripAlias(g.agg(F.col(helper))).as(out)
+              case None =>
+                // collect in row order: unique idx makes the struct sort total
+                F.transform(
+                  F.array_sort(F.collect_list(
+                    F.struct(F.col(RowIndex.name).as("i"), F.col(helper).as("x")))),
+                  s => s.getField("x")).as(out)
+            }
           case None => e.col
         }
       }

@@ -21,6 +21,13 @@ final case class Prep(key: String, build: SDF => SDF, drops: Seq[String])
   * scan prep is dropped). */
 final case class KeyedForm(mk: Seq[Column] => Expr)
 
+/** An AGGREGATE applied to an order-dependent op (shift(1).sum,
+  * cum_sum().max, forward_fill.implode): inside group_by().agg the polars
+  * semantics is "evaluate the op per group, then aggregate per group" — a
+  * scalar per group. `keyed` re-spells the inner op per key; `agg` is the
+  * outer aggregate (with any elementwise post-transforms composed in). */
+final case class GroupAggForm(keyed: KeyedForm, agg: Column => Column)
+
 /** Composable column expression — the Spark-native counterpart of the
   * reference's `Polars::Expr` (reference: lib/polars/expr.rb:28-7215).
   *
@@ -35,7 +42,8 @@ final case class KeyedForm(mk: Seq[Column] => Expr)
   */
 final case class Expr(col: Column, requiresIndex: Boolean = false,
                       preps: Seq[Prep] = Nil,
-                      keyed: Option[KeyedForm] = None) {
+                      keyed: Option[KeyedForm] = None,
+                      groupAgg: Option[GroupAggForm] = None) {
   import Expr._
 
   /** Elementwise transforms commute with per-key evaluation, so `map` and
@@ -48,7 +56,16 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     Expr(f(col), requiresIndex, preps,
       keyed.map(k => KeyedForm { keys =>
         val e = k.mk(keys); Expr(f(e.col), e.requiresIndex, e.preps)
-      }))
+      }),
+      // an elementwise transform AFTER an aggregate-of-scanned (alias, +1,
+      // cast) composes into the aggregate half
+      groupAgg.map(g => g.copy(agg = g.agg.andThen(f))))
+  /** Aggregate applied to this expression: never elementwise, so the keyed
+    * form must NOT ride through (sum of a per-key cum_sum is not a per-key
+    * window); instead a scanned input records a [[GroupAggForm]] so
+    * group_by().agg can evaluate op-then-aggregate per group. */
+  private def aggMap(f: Column => Column): Expr =
+    Expr(f(col), requiresIndex, preps, None, keyed.map(k => GroupAggForm(k, f)))
   private def zip(o: Expr)(f: (Column, Column) => Column): Expr = {
     val kf: Option[KeyedForm] =
       if (keyed.isEmpty && o.keyed.isEmpty) None
@@ -227,24 +244,24 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   }
 
   // ---- aggregations (reference: expr.rb:1852-2215,721-741) ----
-  def sum: Expr = map(F.sum)
-  def mean: Expr = map(F.avg)
-  def median: Expr = map(c => F.median(c))
-  def min: Expr = map(F.min)
-  def max: Expr = map(F.max)
-  def count: Expr = map(F.count)
-  def len: Expr = map(F.count) // counts nulls too in polars; see lenWithNulls
-  def nullCount: Expr = map(c => F.count(F.when(c.isNull, 1)))
-  def first: Expr = map(c => F.first(c))
-  def last: Expr = map(c => F.last(c))
-  def product: Expr = map(F.product) // exact partial+final agg; handles zeros/negatives
-  def nUnique: Expr = map(c => F.countDistinct(c))
-  def approxNUnique: Expr = map(c => F.approx_count_distinct(c))
+  def sum: Expr = aggMap(F.sum)
+  def mean: Expr = aggMap(F.avg)
+  def median: Expr = aggMap(c => F.median(c))
+  def min: Expr = aggMap(F.min)
+  def max: Expr = aggMap(F.max)
+  def count: Expr = aggMap(F.count)
+  def len: Expr = aggMap(F.count) // counts nulls too in polars; see lenWithNulls
+  def nullCount: Expr = aggMap(c => F.count(F.when(c.isNull, 1)))
+  def first: Expr = aggMap(c => F.first(c))
+  def last: Expr = aggMap(c => F.last(c))
+  def product: Expr = aggMap(F.product) // exact partial+final agg; handles zeros/negatives
+  def nUnique: Expr = aggMap(c => F.countDistinct(c))
+  def approxNUnique: Expr = aggMap(c => F.approx_count_distinct(c))
   /** NaN-propagating extrema (reference expr.rb:2263 nan_max/nan_min): any
     * NaN in the group makes the result NaN. Spark already orders NaN above
     * every double, so max propagates; min needs the explicit check. */
-  def nanMax: Expr = map(F.max)
-  def nanMin: Expr = map(c =>
+  def nanMax: Expr = aggMap(F.max)
+  def nanMin: Expr = aggMap(c =>
     F.when(F.count(F.when(F.isnan(c), 1)) > 0, Double.NaN).otherwise(F.min(c)))
   /** sort_by in aggregation context (reference expr.rb:1427): this column's
     * group values ordered by the key column(s) — the agg shape behind
@@ -256,14 +273,14 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     Expr(if (descending) F.reverse(values) else values,
       requiresIndex || by.requiresIndex, mergedWith(by))
   }
-  def std(ddof: Int = 1): Expr = map(c => ddofScale(F.stddev_samp(c), F.count(c), ddof, isStd = true))
-  def variance(ddof: Int = 1): Expr = map(c => ddofScale(F.var_samp(c), F.count(c), ddof, isStd = false))
+  def std(ddof: Int = 1): Expr = aggMap(c => ddofScale(F.stddev_samp(c), F.count(c), ddof, isStd = true))
+  def variance(ddof: Int = 1): Expr = aggMap(c => ddofScale(F.var_samp(c), F.count(c), ddof, isStd = false))
   /** Exact quantile, all five Polars interpolation modes (reference: expr.rb:2107).
     * `linear` maps to Spark's exact `percentile` (same formula as DuckDB
     * `quantile_cont`); the discrete modes index into the sorted group — exact but
     * O(group) memory, fine for agg outputs, prefer `linear`/`approxQuantile` at
     * 100 TB scale. */
-  def quantile(q: Double, interpolation: String = "nearest"): Expr = map { c =>
+  def quantile(q: Double, interpolation: String = "nearest"): Expr = aggMap { c =>
     interpolation match {
       case "linear" => F.percentile(c, F.lit(q))
       case m =>
@@ -282,13 +299,13 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     }
   }
   def approxQuantile(q: Double, accuracy: Int = 10000): Expr =
-    map(c => F.percentile_approx(c, F.lit(q), F.lit(accuracy)))
-  def mode: Expr = map(c => F.mode(c))
-  def implode: Expr = map(F.collect_list)
-  def uniqueAgg: Expr = map(F.collect_set)
-  def skew: Expr = map(F.skewness)
-  def kurtosis: Expr = map(F.kurtosis)
-  def entropy(base: Double = math.E): Expr = map { c =>
+    aggMap(c => F.percentile_approx(c, F.lit(q), F.lit(accuracy)))
+  def mode: Expr = aggMap(c => F.mode(c))
+  def implode: Expr = aggMap(F.collect_list)
+  def uniqueAgg: Expr = aggMap(F.collect_set)
+  def skew: Expr = aggMap(F.skewness)
+  def kurtosis: Expr = aggMap(F.kurtosis)
+  def entropy(base: Double = math.E): Expr = aggMap { c =>
     // -sum(p ln p)/ln(base) over value distribution is frame-level; here treat
     // col as probabilities like polars' expr.entropy on a prob column
     -F.sum(c * F.log(c)) / math.log(base)
@@ -664,7 +681,7 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   }
   /** Insertion index keeping sorted order = count of smaller elements
     * (reference expr.rb:1500 search_sorted). Aggregation context. */
-  def searchSorted(v: Any, side: String = "left"): Expr = map { c =>
+  def searchSorted(v: Any, side: String = "left"): Expr = aggMap { c =>
     val cmp = if (side == "left") c < F.lit(v) else c <= F.lit(v)
     F.coalesce(F.sum(F.when(cmp, 1L)), F.lit(0L))
   }

@@ -32,6 +32,17 @@ object GraftInternalOps {
   def catalystExpression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Remove any top-level alias so a caller can re-alias deterministically. */
+  def stripAlias(c: Column): Column = {
+    def strip(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = e match {
+      case a: org.apache.spark.sql.catalyst.expressions.Alias => strip(a.child)
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAlias => strip(a.child)
+      case other => other
+    }
+    column(strip(catalystExpression(c)))
+  }
+
   /** Fuse an hstack of two projections over canonically-equal bases into ONE
     * projection over the shared base: hstack pairs row i of each side, and
     * when both sides are `Project(_, B)` with the same `B` (up to

@@ -119,6 +119,46 @@ class Round7Spec extends SparkSpec {
     assert(e.getMessage.contains("order-dependent"), e.getMessage)
   }
 
+  test("group_by().agg: aggregate-of-scanned yields a scalar per group") {
+    val df = DataFrame(Seq(("a", 1.0), ("b", 10.0), ("a", 2.0), ("b", 20.0), ("a", 4.0))
+      .toDF("k", "v"))
+    // shift(1).sum per group: a -> 1+2 = 3; b -> 10
+    // cumSum().max per group: a -> 7; b -> 30
+    val out = df.groupBy("k").agg(
+      col("v").shift(1).sum.alias("s"),
+      col("v").cumSum().max.alias("m")).toSpark
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.toSeq == Seq(("a", 3.0, 7.0), ("b", 10.0, 30.0)))
+    // duplicate unaliased names rejected like polars' DuplicateError
+    val e = intercept[IllegalArgumentException](
+      df.groupBy("k").agg(col("v").cumSum(), col("v").shift(1)))
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+  }
+
+  test("keyed forms ride through namespaces and when/then under .over(keys)") {
+    val df = DataFrame(Seq(("a", "x"), ("b", "q"), ("a", "y"))
+      .toDF("k", "s"))
+    val up = df.withColumn("r", col("s").shift(1).str.toUppercase.over(col("k"))).toSpark
+      .select("k", "r").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) "-" else r.getString(1)))
+    assert(up.sorted.toSeq == Seq(("a", "-"), ("a", "X"), ("b", "-")))
+
+    val dfn = DataFrame(Seq(("a", 1), ("b", 10), ("a", 5), ("b", 2)).toDF("k", "v"))
+    val wt = dfn.withColumn("r",
+        Polars.when(col("v").cumSum() >= 6).then(1).otherwise(0).over(col("k"))).toSpark
+      .select("k", "v", "r").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    // per-key cumsum: a: 1,6 -> 0,1 ; b: 10,12 -> 1,1
+    assert(wt.sorted.toSeq == Seq(("a", 1, 0), ("a", 5, 1), ("b", 2, 1), ("b", 10, 1)))
+
+    val mh = dfn.withColumn("r",
+        Polars.maxHorizontal(col("v"), col("v").shift(1).fillNull(0)).over(col("k"))).toSpark
+      .select("k", "v", "r").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    // per-key: a: max(1,0)=1, max(5,1)=5 ; b: max(10,0)=10, max(2,10)=10
+    assert(mh.sorted.toSeq == Seq(("a", 1, 1), ("a", 5, 5), ("b", 2, 10), ("b", 10, 10)))
+  }
+
   test("group_by().agg evaluates order-dependent exprs per group as lists") {
     val df = DataFrame(Seq(("a", 1), ("b", 10), ("a", 2), ("b", 20), ("a", 3))
       .toDF("k", "v"))
