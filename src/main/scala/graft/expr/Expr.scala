@@ -133,7 +133,9 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   def /(v: Any): Expr = this / Expr.lit(v)
   def %(v: Any): Expr = this % Expr.lit(v)
   def pow(v: Double): Expr = pow(Expr.lit(v))
-  def dot(o: Expr): Expr = zip(o)((a, b) => F.sum(a * b))
+  // aggregate zip: the elementwise keyed propagation does not apply (the
+  // per-key form of an aggregate needs a window, which zip does not add)
+  def dot(o: Expr): Expr = zip(o)((a, b) => F.sum(a * b)).copy(keyed = None)
 
   // ---- comparisons (reference: expr.rb:3069-3179) ----
   def ===(o: Expr): Expr = zip(o)(_ === _)
