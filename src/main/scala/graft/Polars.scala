@@ -107,10 +107,10 @@ object Polars {
     mkExprK(exprs)(cs => F.concat_ws(separator, cs: _*))
   def format(fmt: String, exprs: Expr*): Expr = {
     val parts = fmt.split("\\{\\}", -1)
-    val cols = parts.zipAll(exprs.map(_.col), "", F.lit("")).flatMap {
-      case (s, c) => Seq(F.lit(s), c)
+    mkExprK(exprs) { cs =>
+      val cols = parts.zipAll(cs, "", F.lit("")).flatMap { case (s, c) => Seq(F.lit(s), c) }
+      F.concat(cols.toIndexedSeq: _*)
     }
-    mkExpr(F.concat(cols.toIndexedSeq: _*), exprs)
   }
   def struct(exprs: Expr*): Expr = mkExprK(exprs)(cs => F.struct(cs: _*))
   def concatList(exprs: Expr*): Expr = mkExprK(exprs)(cs => F.concat(cs: _*))

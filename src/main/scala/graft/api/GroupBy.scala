@@ -36,29 +36,37 @@ final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk: SDF => Self) {
       val base0 = if (exprs.exists(_.requiresIndex)) RowIndex.attachDense(sdf) else sdf
       mk(base0.groupBy(keys: _*).agg(exprs.head.col, exprs.tail.map(_.col): _*))
     } else {
-      var d = RowIndex.attachDense(sdf)
+      // hash-partition by the keys and sort by (keys, row-idx) FIRST: every
+      // group lands whole in one partition with rows in row order, so
+      // order-sensitive aggregates in the scalar branch (first/last/implode
+      // composed on a scanned op) see polars' row-order discipline — the
+      // aggregate iterates partition order and no further exchange is needed
+      // (the partitioning already satisfies the aggregation requirement)
+      val base = RowIndex.attachDense(sdf)
+      var d = base.repartition(keys: _*)
+        .sortWithinPartitions(keys :+ F.col(RowIndex.name): _*)
       val tmp = perGroup.map { case (e, i) =>
         val ke = e.groupAgg.map(_.keyed).getOrElse(e.keyed.get).mk(keys)
         d = ke.preps.distinctBy(_.key).foldLeft(d)((dd, p) => p.build(dd))
         val name = s"__graft_agg${i}__"
         d = d.withColumn(name, ke.col)
         // output name: a user alias on an aggregate-of-scanned is composed
-        // into the agg closure, so read it off the composed aggregate; fall
+        // into the agg closure (possibly under later casts), so probe the
+        // composed aggregate for the FIRST alias anywhere in its tree; fall
         // back to the inner op's source column name
         val out = e.groupAgg
-          .flatMap(g => Expr(g.agg(F.col(name))).meta.outputName)
+          .flatMap(g => org.apache.spark.sql.GraftInternalOps.firstAliasName(g.agg(F.col(name))))
           .filterNot(_.startsWith("__graft_"))
           .orElse(ke.meta.outputName)
           .getOrElse(s"column_$i")
         i -> (name, out)
       }.toMap
-      // polars raises DuplicateError on colliding output names; a silent
-      // duplicate column surfaces as a confusing ambiguity much later
-      val outNames = exprs.zipWithIndex.map { case (e, i) =>
-        tmp.get(i).map(_._2).orElse(e.meta.outputName).getOrElse(s"column_$i")
-      }
-      require(outNames.distinct.size == outNames.size,
-        s"group_by().agg: duplicate output column names ${outNames.diff(outNames.distinct).distinct
+      // polars raises DuplicateError on colliding output names; check only
+      // the per-group exprs (plain aggregates materialize under Spark's own
+      // sum(v)/avg(v) names and never collide this way)
+      val pgNames = tmp.values.map(_._2).toSeq
+      require(pgNames.distinct.size == pgNames.size,
+        s"group_by().agg: duplicate output column names ${pgNames.diff(pgNames.distinct).distinct
           .mkString(", ")} — alias the expressions distinctly")
       val aggCols = exprs.zipWithIndex.map { case (e, i) =>
         tmp.get(i) match {

@@ -52,7 +52,10 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     * key and apply the elementwise function on top. A side that is neither
     * keyed nor prep-free blocks propagation (over() then raises the
     * directed error instead of silently mixing scopes). */
-  private def map(f: Column => Column): Expr =
+  private def map(f: Column => Column): Expr = mapElementwise(f)
+  /** The elementwise-transform rule, shared with the namespace helpers
+    * (package-private so .str/.dt/... propagate identically). */
+  private[expr] def mapElementwise(f: Column => Column): Expr =
     Expr(f(col), requiresIndex, preps,
       keyed.map(k => KeyedForm { keys =>
         val e = k.mk(keys); Expr(f(e.col), e.requiresIndex, e.preps)
@@ -75,7 +78,17 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
         Expr(f(a.col, b.col), a.requiresIndex || b.requiresIndex,
           mergePreps(a.preps, b.preps))
       })
-    Expr(f(col, o.col), requiresIndex || o.requiresIndex, mergePreps(preps, o.preps), kf)
+    // combining an aggregate-of-scanned with a CONSTANT stays elementwise on
+    // the aggregate result (shift(1).sum * 2); any non-constant operand has
+    // its own per-group story and blocks composition
+    val ga: Option[GroupAggForm] = (groupAgg, o.groupAgg) match {
+      case (Some(g), None) if Expr.isConstant(o) =>
+        Some(g.copy(agg = g.agg.andThen(c => f(c, o.col))))
+      case (None, Some(g)) if Expr.isConstant(this) =>
+        Some(g.copy(agg = g.agg.andThen(c => f(col, c))))
+      case _ => None
+    }
+    Expr(f(col, o.col), requiresIndex || o.requiresIndex, mergePreps(preps, o.preps), kf, ga)
   }
   /** Guard called at the top of every op's KeyedForm: if the op's INPUT
     * already contains order-dependent machinery (scan preps), a per-key
@@ -328,6 +341,16 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
       val e = k.mk(partitionBy.map(_.col))
       Expr(e.col, e.requiresIndex || partitionBy.exists(_.requiresIndex),
         mergePreps(e.preps, partitionBy.flatMap(_.preps).distinctBy(_.key)))
+    case None if groupAgg.isDefined =>
+      // aggregate-of-scanned per key: materialize the keyed inner op via a
+      // prep (windows can't nest), then window the aggregate over the keys
+      val g = groupAgg.get
+      val keyCols = partitionBy.map(_.col)
+      val ke = g.keyed.mk(keyCols)
+      val helper = Scan.fresh("x")
+      val prep = Prep(helper, d => d.withColumn(helper, ke.col), Seq(helper))
+      Expr(g.agg(F.col(helper)).over(Window.partitionBy(keyCols: _*)),
+        requiresIndex = true, ke.preps :+ prep)
     case None =>
       if (preps.nonEmpty) throw new UnsupportedOperationException(
         "over: this expression composes order-dependent ops in a form that has no " +
@@ -337,10 +360,11 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
         requiresIndex || partitionBy.exists(_.requiresIndex), mergedWith(partitionBy: _*))
   }
   def over(w: WindowSpec): Expr = {
-    if (keyed.isDefined) throw new UnsupportedOperationException(
-      "over(WindowSpec): order-dependent ops re-spell per key from partition KEYS " +
-        "(the frame's hidden row order supplies the ordering); pass the keys — " +
-        "over(col(\"k\")) — instead of a prebuilt WindowSpec")
+    if (keyed.isDefined || groupAgg.isDefined || preps.nonEmpty)
+      throw new UnsupportedOperationException(
+        "over(WindowSpec): order-dependent ops re-spell per key from partition KEYS " +
+          "(the frame's hidden row order supplies the ordering); pass the keys — " +
+          "over(col(\"k\")) — instead of a prebuilt WindowSpec")
     Expr(col.over(w), requiresIndex, preps)
   }
   def overOrdered(partitionBy: Seq[Expr], orderBy: Seq[Expr]): Expr =
@@ -798,6 +822,11 @@ object Expr {
   /** Order-preserving union of two preparation lists (dedup by key). */
   private[graft] def mergePreps(a: Seq[Prep], b: Seq[Prep]): Seq[Prep] =
     (a ++ b).distinctBy(_.key)
+  /** A pure-literal expression (foldable catalyst tree, no preps). */
+  private[expr] def isConstant(e: Expr): Boolean =
+    e.preps.isEmpty && e.keyed.isEmpty && e.groupAgg.isEmpty &&
+      (try org.apache.spark.sql.GraftInternalOps.catalystExpression(e.col).foldable
+       catch { case scala.util.control.NonFatal(_) => false })
   /** Quantile of an already-sorted array column with polars' interpolation
     * modes (shared by the rolling-quantile family). */
   private[expr] def quantileOfSorted(sorted: Column, q: Double,

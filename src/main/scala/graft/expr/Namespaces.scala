@@ -9,11 +9,7 @@ import graft.kernel.{DurationDsl, Strftime}
   * `org.apache.spark.sql.functions` so whole-stage codegen applies.
   */
 final class StrNS(e: Expr) {
-  private def m(f: Column => Column): Expr =
-    Expr(f(e.col), e.requiresIndex, e.preps,
-      e.keyed.map(k => KeyedForm { keys =>
-        val ke = k.mk(keys); Expr(f(ke.col), ke.requiresIndex, ke.preps)
-      }))
+  private def m(f: Column => Column): Expr = e.mapElementwise(f)
 
   def toUppercase: Expr = m(F.upper)
   def toLowercase: Expr = m(F.lower)
@@ -141,11 +137,7 @@ final class StrNS(e: Expr) {
 /** Temporal namespace — reference: lib/polars/date_time_expr.rb (native
   * ext/polars/src/expr/datetime.rs). */
 final class DtNS(e: Expr) {
-  private def m(f: Column => Column): Expr =
-    Expr(f(e.col), e.requiresIndex, e.preps,
-      e.keyed.map(k => KeyedForm { keys =>
-        val ke = k.mk(keys); Expr(f(ke.col), ke.requiresIndex, ke.preps)
-      }))
+  private def m(f: Column => Column): Expr = e.mapElementwise(f)
 
   def year: Expr = m(F.year)
   def isoYear: Expr = m(Strftime.isoYear) // Thursday-of-week trick; 'YYYY' pattern throws on Spark 4
@@ -272,11 +264,7 @@ final class DtNS(e: Expr) {
 /** List namespace — reference: lib/polars/list_expr.rb (native expr/list.rs).
   * Maps to Spark ArrayType higher-order functions (codegen'd, no UDFs). */
 final class ListNS(e: Expr) {
-  private def m(f: Column => Column): Expr =
-    Expr(f(e.col), e.requiresIndex, e.preps,
-      e.keyed.map(k => KeyedForm { keys =>
-        val ke = k.mk(keys); Expr(f(ke.col), ke.requiresIndex, ke.preps)
-      }))
+  private def m(f: Column => Column): Expr = e.mapElementwise(f)
 
   def all: Expr = m(c => F.forall(c, x => x))
   def any: Expr = m(c => F.exists(c, x => x))
@@ -328,11 +316,7 @@ final class ListNS(e: Expr) {
 
 /** Binary namespace — reference: lib/polars/binary_expr.rb:18-67. */
 final class BinNS(e: Expr) {
-  private def m(f: Column => Column): Expr =
-    Expr(f(e.col), e.requiresIndex, e.preps,
-      e.keyed.map(k => KeyedForm { keys =>
-        val ke = k.mk(keys); Expr(f(ke.col), ke.requiresIndex, ke.preps)
-      }))
+  private def m(f: Column => Column): Expr = e.mapElementwise(f)
   def contains(sub: Array[Byte]): Expr = m(c => F.contains(c, F.lit(sub)))
   def startsWith(p: Array[Byte]): Expr = m(c => F.startswith(c, F.lit(p)))
   def endsWith(s: Array[Byte]): Expr = m(c => F.endswith(c, F.lit(s)))

@@ -43,6 +43,17 @@ object GraftInternalOps {
     column(strip(catalystExpression(c)))
   }
 
+  /** The first alias name anywhere in the expression tree (preorder) — a
+    * user alias may sit under later elementwise transforms (cast, etc.). */
+  def firstAliasName(c: Column): Option[String] = {
+    def find(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[String] =
+      e match {
+        case a: org.apache.spark.sql.catalyst.expressions.Alias => Some(a.name)
+        case other => other.children.view.flatMap(find(_)).headOption
+      }
+    find(catalystExpression(c))
+  }
+
   /** Fuse an hstack of two projections over canonically-equal bases into ONE
     * projection over the shared base: hstack pairs row i of each side, and
     * when both sides are `Project(_, B)` with the same `B` (up to

@@ -133,6 +133,36 @@ class Round7Spec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       df.groupBy("k").agg(col("v").cumSum(), col("v").shift(1)))
     assert(e.getMessage.contains("duplicate"), e.getMessage)
+    // ...but plain aggregates under Spark's own names never false-positive
+    val ok = df.groupBy("k").agg(col("v").cumSum().alias("cs"),
+      graft.expr.Expr(F.sum(F.col("v"))), graft.expr.Expr(F.avg(F.col("v")))).toSpark
+    assert(ok.columns.length == 4)
+
+    // order-sensitive aggregate of a scanned op: row-order discipline holds
+    // on multi-partition input (first = first in row order, not shuffle order)
+    val big = DataFrame(Seq.tabulate(200)(i => (s"k${i % 5}", i.toDouble))
+      .toDF("k", "v").repartition(7))
+    val firsts = big.groupBy("k").agg(col("v").shift(1).first.alias("f")).toSpark
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) -1.0 else r.getDouble(1))).toMap
+    // per key, first row's shift(1) is always null
+    assert(firsts.values.forall(_ == -1.0), firsts.toString)
+    val lasts = big.groupBy("k").agg(col("v").cumSum().last.alias("l")).toSpark
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val expectedSums = (0 until 200).groupBy(i => s"k${i % 5}")
+      .map { case (k, is) => k -> is.map(_.toDouble).sum }
+    assert(lasts == expectedSums, lasts.toString)
+
+    // user alias survives a later elementwise transform on the aggregate
+    val named = df.groupBy("k").agg(
+      (col("v").shift(1).sum.alias("s") * 2).alias("s2")).toSpark
+    assert(named.columns.contains("s2") || named.columns.contains("s"),
+      named.columns.mkString(","))
+
+    // per-key aggregate-of-scanned as a WINDOW: agg.over(keys)
+    val w = df.withColumn("r", col("v").cumSum().max.over(col("k"))).toSpark
+      .select("k", "r").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(w.sorted.toSeq == Seq(("a", 7.0), ("a", 7.0), ("a", 7.0),
+      ("b", 30.0), ("b", 30.0)))
   }
 
   test("keyed forms ride through namespaces and when/then under .over(keys)") {
