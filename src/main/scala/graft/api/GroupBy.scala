@@ -55,25 +55,30 @@ final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk: SDF => Self) {
         // composed aggregate for the FIRST alias anywhere in its tree; fall
         // back to the inner op's source column name
         val out = e.groupAgg
-          .flatMap(g => org.apache.spark.sql.GraftInternalOps.firstAliasName(g.agg(F.col(name))))
+          .flatMap(g => org.apache.spark.sql.GraftInternalOps.firstAliasName(g.full(F.col(name))))
           .filterNot(_.startsWith("__graft_"))
           .orElse(ke.meta.outputName)
           .getOrElse(s"column_$i")
         i -> (name, out)
       }.toMap
-      // polars raises DuplicateError on colliding output names; check only
-      // the per-group exprs (plain aggregates materialize under Spark's own
-      // sum(v)/avg(v) names and never collide this way)
+      // polars raises DuplicateError on colliding output names. Per-group
+      // names are checked against each other AND against explicitly-aliased
+      // plain aggregates (un-aliased plain aggs materialize under Spark's
+      // own sum(v)/avg(v) names and never collide this way)
       val pgNames = tmp.values.map(_._2).toSeq
-      require(pgNames.distinct.size == pgNames.size,
-        s"group_by().agg: duplicate output column names ${pgNames.diff(pgNames.distinct).distinct
+      val plainAliased = exprs.zipWithIndex
+        .filterNot { case (_, i) => tmp.contains(i) }
+        .flatMap { case (e, _) => org.apache.spark.sql.GraftInternalOps.rootAliasName(e.col) }
+      val allNames = pgNames ++ plainAliased
+      require(allNames.distinct.size == allNames.size,
+        s"group_by().agg: duplicate output column names ${allNames.diff(allNames.distinct).distinct
           .mkString(", ")} — alias the expressions distinctly")
       val aggCols = exprs.zipWithIndex.map { case (e, i) =>
         tmp.get(i) match {
           case Some((helper, out)) =>
             e.groupAgg match {
               case Some(g) =>
-                org.apache.spark.sql.GraftInternalOps.stripAlias(g.agg(F.col(helper))).as(out)
+                org.apache.spark.sql.GraftInternalOps.stripAlias(g.full(F.col(helper))).as(out)
               case None =>
                 // collect in row order: unique idx makes the struct sort total
                 F.transform(

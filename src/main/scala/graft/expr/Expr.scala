@@ -25,8 +25,16 @@ final case class KeyedForm(mk: Seq[Column] => Expr)
   * cum_sum().max, forward_fill.implode): inside group_by().agg the polars
   * semantics is "evaluate the op per group, then aggregate per group" — a
   * scalar per group. `keyed` re-spells the inner op per key; `agg` is the
-  * outer aggregate (with any elementwise post-transforms composed in). */
-final case class GroupAggForm(keyed: KeyedForm, agg: Column => Column)
+  * bare outer aggregate; `post` carries elementwise transforms applied
+  * AFTER the aggregate (alias, * constant, cast). Keeping them separate
+  * lets over(keys) window the bare aggregate — a WindowExpression's child
+  * must be an AggregateFunction, so `sum(x) * 2 over w` must be spelled
+  * `(sum(x) over w) * 2`. */
+final case class GroupAggForm(keyed: KeyedForm, agg: Column => Column,
+                              post: Column => Column = identity) {
+  /** The full per-group column: post-transforms over the aggregate. */
+  def full(c: Column): Column = post(agg(c))
+}
 
 /** Composable column expression — the Spark-native counterpart of the
   * reference's `Polars::Expr` (reference: lib/polars/expr.rb:28-7215).
@@ -61,8 +69,9 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
         val e = k.mk(keys); Expr(f(e.col), e.requiresIndex, e.preps)
       }),
       // an elementwise transform AFTER an aggregate-of-scanned (alias, +1,
-      // cast) composes into the aggregate half
-      groupAgg.map(g => g.copy(agg = g.agg.andThen(f))))
+      // cast) composes into the post half, leaving the bare aggregate
+      // windowable by over(keys)
+      groupAgg.map(g => g.copy(post = g.post.andThen(f))))
   /** Aggregate applied to this expression: never elementwise, so the keyed
     * form must NOT ride through (sum of a per-key cum_sum is not a per-key
     * window); instead a scanned input records a [[GroupAggForm]] so
@@ -80,12 +89,15 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
       })
     // combining an aggregate-of-scanned with a CONSTANT stays elementwise on
     // the aggregate result (shift(1).sum * 2); any non-constant operand has
-    // its own per-group story and blocks composition
+    // its own per-group story and blocks composition. The constant's alias
+    // is stripped — polars names arithmetic after the non-literal operand.
     val ga: Option[GroupAggForm] = (groupAgg, o.groupAgg) match {
       case (Some(g), None) if Expr.isConstant(o) =>
-        Some(g.copy(agg = g.agg.andThen(c => f(c, o.col))))
+        val oc = org.apache.spark.sql.GraftInternalOps.stripAlias(o.col)
+        Some(g.copy(post = g.post.andThen(c => f(c, oc))))
       case (None, Some(g)) if Expr.isConstant(this) =>
-        Some(g.copy(agg = g.agg.andThen(c => f(col, c))))
+        val tc = org.apache.spark.sql.GraftInternalOps.stripAlias(col)
+        Some(g.copy(post = g.post.andThen(c => f(tc, c))))
       case _ => None
     }
     Expr(f(col, o.col), requiresIndex || o.requiresIndex, mergePreps(preps, o.preps), kf, ga)
@@ -343,14 +355,19 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
         mergePreps(e.preps, partitionBy.flatMap(_.preps).distinctBy(_.key)))
     case None if groupAgg.isDefined =>
       // aggregate-of-scanned per key: materialize the keyed inner op via a
-      // prep (windows can't nest), then window the aggregate over the keys
+      // prep (windows can't nest), window the BARE aggregate over the keys
+      // (a WindowExpression's child must be an AggregateFunction), and apply
+      // post-transforms (alias, * constant, cast) outside the window. The
+      // keys' own preps run first — the helper's window references them.
       val g = groupAgg.get
       val keyCols = partitionBy.map(_.col)
       val ke = g.keyed.mk(keyCols)
       val helper = Scan.fresh("x")
       val prep = Prep(helper, d => d.withColumn(helper, ke.col), Seq(helper))
-      Expr(g.agg(F.col(helper)).over(Window.partitionBy(keyCols: _*)),
-        requiresIndex = true, ke.preps :+ prep)
+      Expr(g.post(g.agg(F.col(helper)).over(Window.partitionBy(keyCols: _*))),
+        requiresIndex = true,
+        mergePreps(mergePreps(partitionBy.flatMap(_.preps).distinctBy(_.key),
+          ke.preps), Seq(prep)))
     case None =>
       if (preps.nonEmpty) throw new UnsupportedOperationException(
         "over: this expression composes order-dependent ops in a form that has no " +
@@ -822,10 +839,13 @@ object Expr {
   /** Order-preserving union of two preparation lists (dedup by key). */
   private[graft] def mergePreps(a: Seq[Prep], b: Seq[Prep]): Seq[Prep] =
     (a ++ b).distinctBy(_.key)
-  /** A pure-literal expression (foldable catalyst tree, no preps). */
+  /** A pure-literal expression (foldable catalyst tree, no preps). The
+    * alias is stripped first: an aliased literal converts to an
+    * UnresolvedAlias whose `foldable` throws pre-analysis. */
   private[expr] def isConstant(e: Expr): Boolean =
     e.preps.isEmpty && e.keyed.isEmpty && e.groupAgg.isEmpty &&
-      (try org.apache.spark.sql.GraftInternalOps.catalystExpression(e.col).foldable
+      (try org.apache.spark.sql.GraftInternalOps.catalystExpression(
+         org.apache.spark.sql.GraftInternalOps.stripAlias(e.col)).foldable
        catch { case scala.util.control.NonFatal(_) => false })
   /** Quantile of an already-sorted array column with polars' interpolation
     * modes (shared by the rolling-quantile family). */

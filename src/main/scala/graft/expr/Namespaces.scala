@@ -360,9 +360,10 @@ object EnumShim {
 
 /** Struct namespace — reference: lib/polars/struct_expr.rb:15-94. */
 final class StructNS(e: Expr) {
-  def field(name: String): Expr = Expr(e.col.getField(name), e.requiresIndex, e.preps)
+  private def m(f: Column => Column): Expr = e.mapElementwise(f)
+  def field(name: String): Expr = m(_.getField(name))
   def apply(name: String): Expr = field(name)
-  def jsonEncode: Expr = Expr(F.to_json(e.col), e.requiresIndex, e.preps)
+  def jsonEncode: Expr = m(F.to_json)
   def withField(name: String, value: Expr): Expr =
     Expr(e.col.withField(name, value.col),
       e.requiresIndex || value.requiresIndex, Expr.mergePreps(e.preps, value.preps))
@@ -370,7 +371,7 @@ final class StructNS(e: Expr) {
   /** Field names of the struct (reference struct_name_space.rb fields) —
     * schema metadata surfaced as an array expression; constant-folded when
     * the struct's type is known at plan time. */
-  def fields: Expr = Expr(F.json_object_keys(F.to_json(e.col)), e.requiresIndex, e.preps)
+  def fields: Expr = m(c => F.json_object_keys(F.to_json(c)))
 }
 
 /** Name namespace — reference: lib/polars/name_expr.rb:51-194. Spark Columns

@@ -43,6 +43,14 @@ object GraftInternalOps {
     column(strip(catalystExpression(c)))
   }
 
+  /** Root-level alias name only (an explicit user `.as(name)`), None for
+    * everything else — used where default engine-generated names must not
+    * count (e.g. duplicate-output detection over plain aggregates). */
+  def rootAliasName(c: Column): Option[String] = catalystExpression(c) match {
+    case a: org.apache.spark.sql.catalyst.expressions.Alias => Some(a.name)
+    case _ => None
+  }
+
   /** The first alias name anywhere in the expression tree (preorder) — a
     * user alias may sit under later elementwise transforms (cast, etc.). */
   def firstAliasName(c: Column): Option[String] = {

@@ -163,6 +163,35 @@ class Round7Spec extends SparkSpec {
       .select("k", "r").collect().map(r => (r.getString(0), r.getDouble(1)))
     assert(w.sorted.toSeq == Seq(("a", 7.0), ("a", 7.0), ("a", 7.0),
       ("b", 30.0), ("b", 30.0)))
+
+    // ...and with post-transforms composed on the aggregate: the window must
+    // wrap the BARE aggregate (alias / * constant / cast applied outside)
+    val w2 = df.withColumn("r", (col("v").cumSum().max * 2).over(col("k"))).toSpark
+      .select("k", "r").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(w2.sorted.toSeq == Seq(("a", 14.0), ("a", 14.0), ("a", 14.0),
+      ("b", 60.0), ("b", 60.0)), w2.mkString(","))
+    val w3 = df.withColumn("r",
+      col("v").cumSum().max.alias("m").cast(org.apache.spark.sql.types.LongType)
+        .over(col("k"))).toSpark
+      .select("k", "r").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(w3.sorted.toSeq == Seq(("a", 7L), ("a", 7L), ("a", 7L),
+      ("b", 30L), ("b", 30L)), w3.mkString(","))
+
+    // a prep-bearing partition KEY (dense rank) builds its helper first
+    val w4 = df.withColumn("r", col("v").cumSum().max.over(col("k").rank("dense")))
+      .toSpark.select("k", "r").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(w4.sorted.toSeq == Seq(("a", 7.0), ("a", 7.0), ("a", 7.0),
+      ("b", 30.0), ("b", 30.0)), w4.mkString(","))
+
+    // an alias on the CONSTANT operand must not name the output
+    val cn = df.groupBy("k").agg(col("v").shift(1).sum * lit(2).alias("two")).toSpark
+    assert(cn.columns.toSeq == Seq("k", "v"), cn.columns.mkString(","))
+
+    // a per-group name colliding with an ALIASED plain aggregate raises
+    val dup = intercept[IllegalArgumentException](
+      df.groupBy("k").agg(col("v").cumSum().alias("x"),
+        graft.expr.Expr(F.sum(F.col("v")).as("x"))))
+    assert(dup.getMessage.contains("duplicate"), dup.getMessage)
   }
 
   test("keyed forms ride through namespaces and when/then under .over(keys)") {
