@@ -264,16 +264,39 @@ object Queries7 {
   private def qBucketedJoin(s: SparkSession, dir: String): SDF = {
     val db = s"graft_bjoin_${math.abs(dir.hashCode).toString}"
     val reuse = QueryStage.reuseUnchanged
-    val haveTables = reuse && s.catalog.databaseExists(db) &&
-      s.catalog.tableExists(s"$db.orders_b") && s.catalog.tableExists(s"$db.customer_b")
     try {
-      if (!haveTables) {
+      if (reuse) {
+        // write-once layout at a STABLE fingerprinted location: later JVMs
+        // re-register the existing bucketed files by DDL instead of paying
+        // the setup write again (and nothing accumulates in /tmp — one copy
+        // per SF, overwritten only when data or code changes)
+        val sf = new java.io.File(dir).getName
+        val loc = s"/tmp/graft_bucketed/$sf"
+        val fpPath = java.nio.file.Paths.get(loc, "_graft_fingerprint")
+        val fp = QueryStage.inputFingerprint(dir)
+        val fresh = java.nio.file.Files.isRegularFile(fpPath) &&
+          new String(java.nio.file.Files.readAllBytes(fpPath), "UTF-8") == fp
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(loc))
+        s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+        if (!fresh) {
+          Seq("orders_b", "customer_b").foreach { tn =>
+            s.sql(s"DROP TABLE IF EXISTS $db.$tn")
+            deleteRecursively(new java.io.File(s"$loc/$tn"))
+          }
+          writeBucketedTables(s, dir, db)
+          java.nio.file.Files.write(fpPath, fp.getBytes("UTF-8"))
+        } else {
+          def reg(tn: String, src: SDF, key: String): Unit =
+            if (!s.catalog.tableExists(s"$db.$tn"))
+              s.sql(s"CREATE TABLE $db.$tn (${src.schema.toDDL}) USING parquet " +
+                s"CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS LOCATION '$loc/$tn'")
+          reg("orders_b", t(s, dir, "orders"), "o_custkey")
+          reg("customer_b", t(s, dir, "customer"), "c_custkey")
+        }
+      } else {
         val loc = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
         s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
-        graft.io.Bucketed.write(t(s, dir, "orders"), s"$db.orders_b",
-          Seq("o_custkey"), buckets = 8, sortCols = Seq("o_custkey"))
-        graft.io.Bucketed.write(t(s, dir, "customer"), s"$db.customer_b",
-          Seq("c_custkey"), buckets = 8, sortCols = Seq("c_custkey"))
+        writeBucketedTables(s, dir, db)
       }
       val o = s.table(s"$db.orders_b")
       val c = s.table(s"$db.customer_b")
@@ -290,6 +313,18 @@ object Queries7 {
       val rows = joined.collect()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), joined.schema)
     } finally if (!reuse) s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+
+  private def writeBucketedTables(s: SparkSession, dir: String, db: String): Unit = {
+    graft.io.Bucketed.write(t(s, dir, "orders"), s"$db.orders_b",
+      Seq("o_custkey"), buckets = 8, sortCols = Seq("o_custkey"))
+    graft.io.Bucketed.write(t(s, dir, "customer"), s"$db.customer_b",
+      Seq("c_custkey"), buckets = 8, sortCols = Seq("c_custkey"))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 
   /** Salted join through the gate: the skew-scatter machinery (content-hash

@@ -53,6 +53,10 @@ object QueryStage {
     df.sparkSession.read.parquet(path)
   }
 
+  /** The input fingerprint for `sfDir` (data + compiled-code signature) —
+    * shared with other write-once bench artifacts (bucketed tables). */
+  private[graft] def inputFingerprint(sfDir: String): String = fingerprint(sfDir)
+
   private def fileSig(f: java.io.File): String =
     if (f.isDirectory)
       Option(f.listFiles()).map(_.sortBy(_.getName).map(fileSig).mkString(","))

@@ -46,7 +46,15 @@ final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk: SDF => Self) {
       var d = base.repartition(keys: _*)
         .sortWithinPartitions(keys :+ F.col(RowIndex.name): _*)
       val tmp = perGroup.map { case (e, i) =>
-        val ke = e.groupAgg.map(_.keyed).getOrElse(e.keyed.get).mk(keys)
+        val ke =
+          try e.groupAgg.map(_.keyed).getOrElse(e.keyed.get).mk(keys)
+          catch {
+            // keyed forms raise with .over(keys)-oriented wording; re-frame
+            // for the agg surface the user actually touched
+            case ex: UnsupportedOperationException =>
+              throw new UnsupportedOperationException(
+                s"group_by().agg: this expression cannot be spelled per group — ${ex.getMessage}")
+          }
         d = ke.preps.distinctBy(_.key).foldLeft(d)((dd, p) => p.build(dd))
         val name = s"__graft_agg${i}__"
         d = d.withColumn(name, ke.col)
@@ -70,9 +78,15 @@ final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk: SDF => Self) {
         .filterNot { case (_, i) => tmp.contains(i) }
         .flatMap { case (e, _) => org.apache.spark.sql.GraftInternalOps.rootAliasName(e.col) }
       val allNames = pgNames ++ plainAliased
-      require(allNames.distinct.size == allNames.size,
-        s"group_by().agg: duplicate output column names ${allNames.diff(allNames.distinct).distinct
-          .mkString(", ")} — alias the expressions distinctly")
+      // group keys lead the output frame, so an agg output named like a key
+      // collides too
+      val keyNames = keys.map(k =>
+        org.apache.spark.sql.GraftInternalOps.rootAliasName(k).getOrElse(k.toString))
+      val clash = allNames.diff(allNames.distinct).distinct ++
+        allNames.intersect(keyNames).distinct
+      require(clash.isEmpty,
+        s"group_by().agg: duplicate output column names ${clash.mkString(", ")} — " +
+          "alias the expressions distinctly")
       val aggCols = exprs.zipWithIndex.map { case (e, i) =>
         tmp.get(i) match {
           case Some((helper, out)) =>
@@ -155,8 +169,14 @@ final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
       import graft.kernel.Scan
       val tb = Scan.fresh("tb"); val ph = Scan.fresh("ph"); val ep = Scan.fresh("ep")
       val base = sdf.withColumn(ep, epoch).withColumn(tb, F.floor(F.col(ep) / p))
+      // null-epoch rows get NO phantom copy: null + 1 is null, so the phantom
+      // would land back in the tb=null partition where the range frame treats
+      // all null-order rows as peers — every null row would aggregate its own
+      // phantom twin and double-count. Real null rows stay (matching the
+      // keyed path: a null index row's frame is the null peer group).
       val aug = base.withColumn(ph, F.lit(false)).unionByName(
-        base.withColumn(tb, F.col(tb) + 1).withColumn(ph, F.lit(true)))
+        base.filter(F.col(tb).isNotNull)
+          .withColumn(tb, F.col(tb) + 1).withColumn(ph, F.lit(true)))
       val w = Window.partitionBy(F.col(tb)).orderBy(F.col(ep)).rangeBetween(-p, 0)
       val out = exprs.foldLeft(aug) { case (acc, (n, e)) => acc.withColumn(n, e.col.over(w)) }
       mk(out.filter(!F.col(ph)).drop(tb, ph, ep))

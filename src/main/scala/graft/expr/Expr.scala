@@ -350,9 +350,12 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     * keys). */
   def over(partitionBy: Expr*): Expr = keyed match {
     case Some(k) =>
+      // the keys' own preps run FIRST: a keyed form that materializes its
+      // own prep (rle_id, interpolate) windows over the key columns, which
+      // a prep-bearing key (rank, cum_sum) only produces once built
       val e = k.mk(partitionBy.map(_.col))
       Expr(e.col, e.requiresIndex || partitionBy.exists(_.requiresIndex),
-        mergePreps(e.preps, partitionBy.flatMap(_.preps).distinctBy(_.key)))
+        mergePreps(partitionBy.flatMap(_.preps).distinctBy(_.key), e.preps))
     case None if groupAgg.isDefined =>
       // aggregate-of-scanned per key: materialize the keyed inner op via a
       // prep (windows can't nest), window the BARE aggregate over the keys
@@ -364,7 +367,13 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
       val ke = g.keyed.mk(keyCols)
       val helper = Scan.fresh("x")
       val prep = Prep(helper, d => d.withColumn(helper, ke.col), Seq(helper))
-      Expr(g.post(g.agg(F.col(helper)).over(Window.partitionBy(keyCols: _*))),
+      // DISTINCT aggregates (n_unique) are unsupported as window functions —
+      // re-spell count(distinct x) as size-outside-of collect_set-in-window
+      // (same semantics: both ignore nulls)
+      val (winAgg, wrap) = org.apache.spark.sql.GraftInternalOps
+        .distinctWindowSpelling(g.agg(F.col(helper)))
+      val windowed = wrap(winAgg.over(Window.partitionBy(keyCols: _*)))
+      Expr(g.post(windowed),
         requiresIndex = true,
         mergePreps(mergePreps(partitionBy.flatMap(_.preps).distinctBy(_.key),
           ke.preps), Seq(prep)))

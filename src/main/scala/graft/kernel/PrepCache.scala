@@ -38,7 +38,14 @@ object PrepCache {
   def persistBounded(df: DataFrame): DataFrame = synchronized {
     val plan = df.queryExecution.analyzed
     val key = plan.semanticHash()
-    val prior = entries.get(key)
+    var prior = entries.get(key)
+    // a cached frame is bound to the session that registered it; after that
+    // session stops (suite teardown), handing it back would fail on first
+    // action — drop the dead entry and re-persist in the live session
+    if (prior != null && prior.sparkSession.sparkContext.isStopped) {
+      entries.remove(key)
+      prior = null
+    }
     // semanticHash is 32-bit: guard reuse with a real plan comparison so a
     // collision degrades to a duplicate persist, never to wrong data
     if (prior != null && prior.queryExecution.analyzed.sameResult(plan)) prior

@@ -43,6 +43,27 @@ object GraftInternalOps {
     column(strip(catalystExpression(c)))
   }
 
+  /** Window-safe spelling for DISTINCT count aggregates: Spark rejects
+    * `count(DISTINCT x) OVER w`, but `collect_set(x) OVER w` is legal and
+    * `size` of it computes the same value (both ignore nulls). Returns the
+    * column to window plus a wrapper to apply OUTSIDE the window — the
+    * window function must be the bare aggregate, so the `size` cannot sit
+    * inside it. Non-distinct aggregates pass through as (c, identity). */
+  def distinctWindowSpelling(c: Column): (Column, Column => Column) = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    catalystExpression(stripAlias(c)) match {
+      case f: UnresolvedFunction
+          if f.isDistinct && f.nameParts.map(_.toLowerCase) == Seq("count") &&
+            f.arguments.size == 1 =>
+        // cast to long so the op's dtype matches its group-by spelling
+        // (count(distinct) returns bigint; size returns int)
+        (column(f.copy(isDistinct = false, nameParts = Seq("collect_set"))),
+          w => org.apache.spark.sql.functions.size(w)
+            .cast(org.apache.spark.sql.types.LongType))
+      case _ => (c, identity)
+    }
+  }
+
   /** Root-level alias name only (an explicit user `.as(name)`), None for
     * everything else — used where default engine-generated names must not
     * count (e.g. duplicate-output detection over plain aggregates). */

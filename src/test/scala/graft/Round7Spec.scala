@@ -192,6 +192,43 @@ class Round7Spec extends SparkSpec {
       df.groupBy("k").agg(col("v").cumSum().alias("x"),
         graft.expr.Expr(F.sum(F.col("v")).as("x"))))
     assert(dup.getMessage.contains("duplicate"), dup.getMessage)
+
+    // ...as does a per-group name colliding with a GROUP KEY
+    val dupK = intercept[IllegalArgumentException](
+      df.groupBy("k").agg(col("v").cumSum().alias("k")))
+    assert(dupK.getMessage.contains("duplicate"), dupK.getMessage)
+
+    // distinct aggregate of a scanned op as a window: count(distinct) has no
+    // window form, so it re-spells as size(collect_set)
+    val nu = df.withColumn("r", col("v").shift(1).nUnique.over(col("k"))).toSpark
+      .select("k", "r").collect().map(r => (r.getString(0), r.getLong(1)))
+    // group a: shift(1) over (1,2,4) = (null,1,2) -> 2 distinct; b: (null,10) -> 1
+    assert(nu.sorted.toSeq == Seq(("a", 2L), ("a", 2L), ("a", 2L), ("b", 1L), ("b", 1L)),
+      nu.mkString(","))
+
+    // a prep-bearing PARTITION KEY builds its helper before a keyed form
+    // that itself emits a prep (rle_id)
+    val rk = df.withColumn("r", col("v").rleId.over(col("k").rank("dense"))).toSpark
+    assert(rk.count() == 5)
+  }
+
+  test("keyless frame rolling: null index rows are not double-counted") {
+    val rows = Seq(
+      (Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")), 1.0),
+      (Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:30")), 2.0),
+      (Some(java.sql.Timestamp.valueOf("2024-01-01 00:10:00")), 4.0),
+      (None, 100.0), (None, 200.0))
+    val df = DataFrame(rows.toDF("ts", "v"))
+    val out = df.rolling("ts", "1m").agg("s" -> col("v").sum, "n" -> col("v").count)
+      .toSpark.select("v", "s", "n").collect()
+      .map(r => r.getDouble(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(out(1.0) == ((1.0, 1L)), out.toString)
+    assert(out(2.0) == ((3.0, 2L)), out.toString)   // 30s window reaches row 1
+    assert(out(4.0) == ((4.0, 1L)), out.toString)
+    // null-ts rows: each counted ONCE, peers = the null group (Spark range-
+    // frame null semantics, same as the keyed path)
+    assert(out(100.0) == ((300.0, 2L)), out.toString)
+    assert(out(200.0) == ((300.0, 2L)), out.toString)
   }
 
   test("keyed forms ride through namespaces and when/then under .over(keys)") {
