@@ -266,32 +266,38 @@ object Queries7 {
     val reuse = QueryStage.reuseUnchanged
     try {
       if (reuse) {
-        // write-once layout at a STABLE fingerprinted location: later JVMs
-        // re-register the existing bucketed files by DDL instead of paying
-        // the setup write again (and nothing accumulates in /tmp — one copy
-        // per SF, overwritten only when data or code changes)
-        val sf = new java.io.File(dir).getName
-        val loc = s"/tmp/graft_bucketed/$sf"
-        val fpPath = java.nio.file.Paths.get(loc, "_graft_fingerprint")
-        val fp = QueryStage.inputFingerprint(dir)
-        val fresh = java.nio.file.Files.isRegularFile(fpPath) &&
-          new String(java.nio.file.Files.readAllBytes(fpPath), "UTF-8") == fp
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(loc))
-        s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
-        if (!fresh) {
-          Seq("orders_b", "customer_b").foreach { tn =>
-            s.sql(s"DROP TABLE IF EXISTS $db.$tn")
-            deleteRecursively(new java.io.File(s"$loc/$tn"))
+        // write-once layout at a location keyed by the (data, code)
+        // FINGERPRINT: a different code or data state gets its own
+        // directory, so concurrent benches of different checkouts never
+        // delete files the other is reading; repeat runs in the same state
+        // re-register the existing bucketed files by DDL (no setup write)
+        // and later calls in the same JVM short-circuit on the catalog.
+        val registered = s.catalog.databaseExists(db) &&
+          s.catalog.tableExists(s"$db.orders_b") && s.catalog.tableExists(s"$db.customer_b")
+        if (!registered) {
+          val sf = new java.io.File(dir).getName
+          val loc = s"/tmp/graft_bucketed/${sf}_${QueryStage.inputFingerprint(dir).take(12)}"
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(loc))
+          s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+          // the committer's _SUCCESS marker is the completeness signal — a
+          // partial write (crash mid-setup) rewrites on the next run
+          def complete(tn: String) =
+            java.nio.file.Files.exists(java.nio.file.Paths.get(loc, tn, "_SUCCESS"))
+          if (complete("orders_b") && complete("customer_b")) {
+            def reg(tn: String, srcName: String, key: String): Unit =
+              if (!s.catalog.tableExists(s"$db.$tn"))
+                s.sql(s"CREATE TABLE $db.$tn (${t(s, dir, srcName).schema.toDDL}) " +
+                  s"USING parquet CLUSTERED BY ($key) SORTED BY ($key) " +
+                  s"INTO 8 BUCKETS LOCATION '$loc/$tn'")
+            reg("orders_b", "orders", "o_custkey")
+            reg("customer_b", "customer", "c_custkey")
+          } else {
+            Seq("orders_b", "customer_b").foreach { tn =>
+              s.sql(s"DROP TABLE IF EXISTS $db.$tn")
+              deleteRecursively(new java.io.File(s"$loc/$tn"))
+            }
+            writeBucketedTables(s, dir, db)
           }
-          writeBucketedTables(s, dir, db)
-          java.nio.file.Files.write(fpPath, fp.getBytes("UTF-8"))
-        } else {
-          def reg(tn: String, src: SDF, key: String): Unit =
-            if (!s.catalog.tableExists(s"$db.$tn"))
-              s.sql(s"CREATE TABLE $db.$tn (${src.schema.toDDL}) USING parquet " +
-                s"CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS LOCATION '$loc/$tn'")
-          reg("orders_b", t(s, dir, "orders"), "o_custkey")
-          reg("customer_b", t(s, dir, "customer"), "c_custkey")
         }
       } else {
         val loc = java.nio.file.Files.createTempDirectory("graft-bucketed").toString

@@ -32,11 +32,28 @@ object QueryStage {
 
   // loaded classes cannot change within a JVM, so the code half of the
   // fingerprint is memoized; the DATA half is re-walked on every call (one
-  // small directory listing) so regenerating the sf data mid-JVM is seen
+  // small directory listing) so regenerating the sf data mid-JVM is seen.
+  // The code source is hashed by CONTENT, not (name, size, mtime): build
+  // tools repackage the classpath into a fresh temp jar per invocation
+  // (identical bytes, new path + mtime), and a metadata signature would
+  // spuriously invalidate every cross-JVM reuse.
   private lazy val codeSig: String =
     Option(getClass.getProtectionDomain.getCodeSource)
       .flatMap(cs => scala.util.Try(new java.io.File(cs.getLocation.toURI)).toOption)
-      .map(fileSig).getOrElse("")
+      .map(contentSig).getOrElse("")
+
+  private def contentSig(f: java.io.File): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def walk(g: java.io.File): Unit =
+      if (g.isDirectory)
+        Option(g.listFiles()).foreach(_.sortBy(_.getName).foreach(walk))
+      else {
+        md.update(g.getName.getBytes("UTF-8"))
+        md.update(java.nio.file.Files.readAllBytes(g.toPath))
+      }
+    walk(f)
+    md.digest().map("%02x".format(_)).mkString
+  }
 
   def stage(df: SDF, sfDir: String, name: String): SDF = {
     val sf = new java.io.File(sfDir).getName

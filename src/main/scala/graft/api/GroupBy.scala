@@ -30,7 +30,22 @@ final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk: SDF => Self) {
         "aggregate the new column")
     val perGroup = exprs.zipWithIndex
       .filter { case (e, _) => e.keyed.isDefined || e.groupAgg.isDefined }
+    // polars raises DuplicateError on colliding output names (group keys
+    // lead the output frame, so an agg output named like a key collides
+    // too); un-aliased plain aggregates materialize under Spark's own
+    // sum(v)/avg(v) names and never collide this way
+    val keyNames = keys.map(k =>
+      org.apache.spark.sql.GraftInternalOps.rootAliasName(k).getOrElse(k.toString))
+    def requireDistinctNames(names: Seq[String]): Unit = {
+      val clash = names.diff(names.distinct).distinct ++
+        names.intersect(keyNames).distinct
+      require(clash.isEmpty,
+        s"group_by().agg: duplicate output column names ${clash.mkString(", ")} — " +
+          "alias the expressions distinctly")
+    }
     if (perGroup.isEmpty) {
+      requireDistinctNames(exprs.flatMap(e =>
+        org.apache.spark.sql.GraftInternalOps.rootAliasName(e.col)))
       // order-sensitive aggs (agg_groups, implode in row order) reference the
       // dense row index — attach it when any expression asks for it
       val base0 = if (exprs.exists(_.requiresIndex)) RowIndex.attachDense(sdf) else sdf
@@ -77,16 +92,7 @@ final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk: SDF => Self) {
       val plainAliased = exprs.zipWithIndex
         .filterNot { case (_, i) => tmp.contains(i) }
         .flatMap { case (e, _) => org.apache.spark.sql.GraftInternalOps.rootAliasName(e.col) }
-      val allNames = pgNames ++ plainAliased
-      // group keys lead the output frame, so an agg output named like a key
-      // collides too
-      val keyNames = keys.map(k =>
-        org.apache.spark.sql.GraftInternalOps.rootAliasName(k).getOrElse(k.toString))
-      val clash = allNames.diff(allNames.distinct).distinct ++
-        allNames.intersect(keyNames).distinct
-      require(clash.isEmpty,
-        s"group_by().agg: duplicate output column names ${clash.mkString(", ")} — " +
-          "alias the expressions distinctly")
+      requireDistinctNames(pgNames ++ plainAliased)
       val aggCols = exprs.zipWithIndex.map { case (e, i) =>
         tmp.get(i) match {
           case Some((helper, out)) =>

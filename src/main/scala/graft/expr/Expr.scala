@@ -382,7 +382,10 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
         "over: this expression composes order-dependent ops in a form that has no " +
           "per-key window spelling; apply .over(keys) to the shift/cum/fill/rank/rolling " +
           "op directly (e.g. col(\"x\").shift(1).over(k) - col(\"x\").over-free terms)")
-      Expr(col.over(Window.partitionBy(partitionBy.map(_.col): _*)),
+      // distinct aggregates (n_unique) have no window form — re-spell
+      val (winAgg, wrap) = org.apache.spark.sql.GraftInternalOps
+        .distinctWindowSpelling(col)
+      Expr(wrap(winAgg.over(Window.partitionBy(partitionBy.map(_.col): _*))),
         requiresIndex || partitionBy.exists(_.requiresIndex), mergedWith(partitionBy: _*))
   }
   def over(w: WindowSpec): Expr = {

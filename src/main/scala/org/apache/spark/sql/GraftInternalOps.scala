@@ -56,10 +56,16 @@ object GraftInternalOps {
           if f.isDistinct && f.nameParts.map(_.toLowerCase) == Seq("count") &&
             f.arguments.size == 1 =>
         // cast to long so the op's dtype matches its group-by spelling
-        // (count(distinct) returns bigint; size returns int)
-        (column(f.copy(isDistinct = false, nameParts = Seq("collect_set"))),
+        // (count(distinct) returns bigint; size returns int); a root alias
+        // on the original re-applies outside the wrapper
+        val sized: Column => Column =
           w => org.apache.spark.sql.functions.size(w)
-            .cast(org.apache.spark.sql.types.LongType))
+            .cast(org.apache.spark.sql.types.LongType)
+        val wrap = rootAliasName(c) match {
+          case Some(n) => sized.andThen(_.as(n))
+          case None => sized
+        }
+        (column(f.copy(isDistinct = false, nameParts = Seq("collect_set"))), wrap)
       case _ => (c, identity)
     }
   }

@@ -198,6 +198,22 @@ class Round7Spec extends SparkSpec {
       df.groupBy("k").agg(col("v").cumSum().alias("k")))
     assert(dupK.getMessage.contains("duplicate"), dupK.getMessage)
 
+    // ...and the all-plain fast path checks too (aliased like a key / twice)
+    val dupP = intercept[IllegalArgumentException](
+      df.groupBy("k").agg(graft.expr.Expr(F.sum(F.col("v")).as("k"))))
+    assert(dupP.getMessage.contains("duplicate"), dupP.getMessage)
+    val dupP2 = intercept[IllegalArgumentException](
+      df.groupBy("k").agg(graft.expr.Expr(F.sum(F.col("v")).as("x")),
+        graft.expr.Expr(F.avg(F.col("v")).as("x"))))
+    assert(dupP2.getMessage.contains("duplicate"), dupP2.getMessage)
+
+    // PLAIN n_unique as a window: count(distinct) re-spells for windows
+    val pnu = df.withColumn("r", col("v").nUnique.alias("nu").over(col("k"))).toSpark
+    assert(pnu.columns.contains("r"))
+    val pnuVals = pnu.select("k", "r").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(pnuVals.sorted.toSeq == Seq(("a", 3L), ("a", 3L), ("a", 3L), ("b", 2L), ("b", 2L)),
+      pnuVals.mkString(","))
+
     // distinct aggregate of a scanned op as a window: count(distinct) has no
     // window form, so it re-spells as size(collect_set)
     val nu = df.withColumn("r", col("v").shift(1).nUnique.over(col("k"))).toSpark
