@@ -452,17 +452,25 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   def cumSum(reverse: Boolean = false): Expr = cum(F.sum, "sum", reverse)
   def cumMin(reverse: Boolean = false): Expr = cum(F.min, "min", reverse)
   def cumMax(reverse: Boolean = false): Expr = cum(F.max, "max", reverse)
-  def cumCount(reverse: Boolean = false): Expr = cum(F.count, "sum", reverse)
+  def cumCount(reverse: Boolean = false): Expr = cum(F.count, "sum", reverse, maskNulls = false)
   def cumProd(reverse: Boolean = false): Expr = cum(c => F.product(c), "product", reverse)
-  private def cum(f: Column => Column, kind: String, reverse: Boolean): Expr =
-    scanned((d, out) => Scan.running(d, col, out, f, kind, reverse)).copy(keyed =
+  /** polars cum_* PRESERVES null positions ([1, null, 2].cum_sum = [1, null,
+    * 3]) where SQL's running aggregate would return the sum-so-far — mask
+    * the result at null inputs (cum_count excepted: it counts non-nulls and
+    * is defined at every row). */
+  private def cum(f: Column => Column, kind: String, reverse: Boolean,
+                  maskNulls: Boolean = true): Expr = {
+    def mask(r: Column): Column = if (maskNulls) F.when(col.isNotNull, r) else r
+    val base = scanned((d, out) => Scan.running(d, col, out, f, kind, reverse))
+    Expr(mask(base.col), base.requiresIndex, base.preps, keyed =
       Some(KeyedForm { keys =>
         requireNoScanInput("cum_" + kind)
         val w =
           if (reverse) keyedIdxW(keys).rowsBetween(Window.currentRow, Window.unboundedFollowing)
           else keyedIdxW(keys).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Expr(f(col).over(w), requiresIndex = true, preps)
+        Expr(mask(f(col).over(w)), requiresIndex = true, preps)
       }))
+  }
   /** rank over implicit row order of values (reference: expr.rb:5691).
     * Distributed: per-value counts + prefix sums on the distinct-value frame,
     * joined back — nulls rank null (the reference's behavior). */
