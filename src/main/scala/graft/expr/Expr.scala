@@ -438,15 +438,27 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
       Expr(col - prev, requiresIndex = true, preps)
     }))
   def pctChange(n: Int = 1): Expr = {
-    // nullif guard: ANSI mode (Spark 4 default) errors on divide-by-zero;
-    // zero-previous yields null (documented deviation from polars' ±inf)
-    val prev = shift(n)
-    Expr((col - prev.col) / F.nullif(prev.col, F.lit(0)), requiresIndex = true,
-      mergePreps(preps, prev.preps),
+    // polars FORWARD-FILLS before computing (reference expr.rb:5744-5757:
+    // [10, 11, 12, null, 12].pct_change = [null, .1, .0909, 0.0, 0.0]) — the
+    // change is between filled values, so a null row repeats the last value
+    // and yields 0. nullif guard: ANSI mode (Spark 4 default) errors on
+    // divide-by-zero; zero-previous yields null (documented deviation from
+    // polars' ±inf).
+    val filled = forwardFill
+    val prev = filled.shift(n)
+    Expr((filled.col - prev.col) / F.nullif(prev.col, F.lit(0)), requiresIndex = true,
+      mergePreps(filled.preps, prev.preps),
       keyed = Some(KeyedForm { keys =>
         requireNoScanInput("pct_change")
-        val p = (if (n > 0) F.lag(col, n) else F.lead(col, -n)).over(keyedIdxW(keys))
-        Expr((col - p) / F.nullif(p, F.lit(0)), requiresIndex = true, preps)
+        // windows cannot nest, but "forward-filled value n rows back" is
+        // expressible directly: the last non-null value in rows
+        // (-inf, current-n] — one frame, no nesting
+        val w = keyedIdxW(keys)
+        val cur = F.last(col, ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        val p = F.last(col, ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, -n.toLong))
+        Expr((cur - p) / F.nullif(p, F.lit(0)), requiresIndex = true, preps)
       }))
   }
   def cumSum(reverse: Boolean = false): Expr = cum(F.sum, "sum", reverse)

@@ -172,6 +172,80 @@ class KeyedParitySpec extends SparkSpec {
     assert(gotFirst == wantFirst, s"$gotFirst vs $wantFirst")
   }
 
+  /** Engine result of the GLOBAL (scan-kernel) path — no over(). The
+    * single-key agreement test pins keyed==kernel; this pins kernel==polars
+    * (a semantic both paths share wrongly would pass agreement). */
+  private def engineGlobal(e: graft.expr.Expr): Map[Long, Option[Double]] =
+    df.withColumn("r", e).toSpark
+      .select(F.col("id"), F.col("r").cast("double")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+
+  /** Whole-frame reference: one implicit group in id order. */
+  private def global(f: IndexedSeq[Option[Double]] => IndexedSeq[Option[Double]])
+    : Map[Long, Option[Double]] =
+    rows.map(_._1).zip(f(rows.map(_._3))).toMap
+
+  test("GLOBAL scan-kernel paths match the local reference") {
+    assertAgree("g shift(3)", engineGlobal(col("v").shift(3)),
+      global(vs => IndexedSeq.fill(3)(Option.empty[Double]) ++ vs.dropRight(3)))
+    assertAgree("g diff(1)", engineGlobal(col("v").diff(1)),
+      global { vs =>
+        vs.indices.map(i =>
+          if (i == 0) None
+          else for { a <- vs(i); b <- vs(i - 1) } yield a - b).toIndexedSeq
+      })
+    assertAgree("g forward_fill", engineGlobal(col("v").forwardFill),
+      global { vs =>
+        var last: Option[Double] = None
+        vs.map { v => if (v.isDefined) last = v; v.orElse(last) }
+      })
+    assertAgree("g cum_sum", engineGlobal(col("v").cumSum()),
+      global { vs =>
+        var acc = 0.0
+        vs.map { v => v.map { x => acc += x; acc } }
+      })
+    assertAgree("g cum_sum reverse", engineGlobal(col("v").cumSum(reverse = true)),
+      global { vs =>
+        var acc = 0.0
+        vs.reverse.map { v => v.map { x => acc += x; acc } }.reverse
+      })
+    assertAgree("g cum_min", engineGlobal(col("v").cumMin()),
+      global { vs =>
+        var m = Double.PositiveInfinity
+        vs.map { v => v.map { x => m = math.min(m, x); m } }
+      })
+    assertAgree("g rank dense", engineGlobal(col("v").rank("dense")),
+      global { vs =>
+        val order = vs.flatten.distinct.sorted
+        val r = order.zipWithIndex.toMap
+        vs.map(_.map(x => (r(x) + 1).toDouble))
+      })
+  }
+
+  test("pct_change forward-fills before computing (keyed + global)") {
+    // reference expr.rb:5744-5757: [10,11,12,null,12].pct_change =
+    // [null, 0.1, 0.0909.., 0.0, 0.0]
+    def ref(n: Int)(vs: IndexedSeq[Option[Double]]): IndexedSeq[Option[Double]] = {
+      var last: Option[Double] = None
+      val filled = vs.map { v => if (v.isDefined) last = v; v.orElse(last) }
+      filled.indices.map { i =>
+        val prev = if (i - n < 0 || i - n >= filled.size) None else filled(i - n)
+        for { c <- filled(i); p <- prev; if p != 0.0 } yield (c - p) / p
+      }.toIndexedSeq
+    }
+    assertAgree("pct_change keyed", engine(col("v").pctChange()), perKey(ref(1)))
+    assertAgree("pct_change(2) keyed", engine(col("v").pctChange(2)), perKey(ref(2)))
+    assertAgree("pct_change global", engineGlobal(col("v").pctChange()), global(ref(1)))
+    // the documented example, verbatim
+    val ex = DataFrame(Seq[java.lang.Double](10.0, 11.0, 12.0, null, 12.0).toDF("a"))
+      .withColumn("p", col("a").pctChange()).toSpark
+      .select("p").collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(ex(0).isEmpty && math.abs(ex(1).get - 0.1) < 1e-9 &&
+      math.abs(ex(2).get - 1.0 / 11) < 1e-9 && ex(3).contains(0.0) && ex(4).contains(0.0),
+      ex.mkString(","))
+  }
+
   test("per-group LIST of a scanned op matches the local reference") {
     val got = df.groupBy("k").agg(col("v").shift(1).alias("xs")).toSpark
       .select("k", "xs").collect()
