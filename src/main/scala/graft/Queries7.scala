@@ -198,8 +198,8 @@ object Queries7 {
     events(s, dir)
       .sortBy(Seq(col("event_id")))
       .select(col("event_id"),
-        col("value").rollingQuantile(0.25, 5, "linear").alias("rq"),
-        col("value").rollingQuantile(0.25, 5, "lower").alias("rq_lo"),
+        col("value").rollingQuantile(0.25, 5, "linear", minPeriods = 1).alias("rq"),
+        col("value").rollingQuantile(0.25, 5, "lower", minPeriods = 1).alias("rq_lo"),
         col("value").rollingSkew(5, bias = true, minPeriods = 3).alias("rsk"))
       .sortBy(Seq(col("event_id")))
       .collect().toSpark

@@ -599,13 +599,17 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   def reverseExpr: Expr = Expr(col, requiresIndex, preps) // frame-level reverse handles ordering
 
   // ---- rolling (fixed window, reference: expr.rb:4936-5567) ----
-  def rollingSum(n: Int, minPeriods: Int = 1): Expr = rolling(F.sum, n, minPeriods)
-  def rollingMean(n: Int, minPeriods: Int = 1): Expr = rolling(F.avg, n, minPeriods)
-  def rollingMin(n: Int, minPeriods: Int = 1): Expr = rolling(F.min, n, minPeriods)
-  def rollingMax(n: Int, minPeriods: Int = 1): Expr = rolling(F.max, n, minPeriods)
-  def rollingStd(n: Int, minPeriods: Int = 2): Expr = rolling(F.stddev_samp, n, minPeriods)
-  def rollingVar(n: Int, minPeriods: Int = 2): Expr = rolling(F.var_samp, n, minPeriods)
-  def rollingMedian(n: Int, minPeriods: Int = 1): Expr =
+  /** polars rolling default: `min_periods: nil` means WINDOW SIZE — the
+    * first n-1 rows are null (reference expr.rb:5055-5057,5085). Pass 0
+    * (the "unset" sentinel) to get that default; an explicit value counts
+    * NON-NULL values in the window. */
+  def rollingSum(n: Int, minPeriods: Int = 0): Expr = rolling(F.sum, n, minPeriods)
+  def rollingMean(n: Int, minPeriods: Int = 0): Expr = rolling(F.avg, n, minPeriods)
+  def rollingMin(n: Int, minPeriods: Int = 0): Expr = rolling(F.min, n, minPeriods)
+  def rollingMax(n: Int, minPeriods: Int = 0): Expr = rolling(F.max, n, minPeriods)
+  def rollingStd(n: Int, minPeriods: Int = 0): Expr = rolling(F.stddev_samp, n, minPeriods)
+  def rollingVar(n: Int, minPeriods: Int = 0): Expr = rolling(F.var_samp, n, minPeriods)
+  def rollingMedian(n: Int, minPeriods: Int = 0): Expr =
     rollingQuantile(0.5, n, "linear", minPeriods)
   /** Trailing-n-row op with both spellings: global via the phantom-carry
     * kernel, keyed (`.over(keys)`) as a plain rows-frame window. */
@@ -616,23 +620,27 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
         val w = keyedIdxW(keys).rowsBetween(-(n - 1).toLong, 0L)
         Expr(build(col, w), requiresIndex = true, preps)
       }))
-  private def rolling(f: Column => Column, n: Int, minPeriods: Int): Expr =
+  private def rolling(f: Column => Column, n: Int, minPeriods: Int): Expr = {
+    val mp = if (minPeriods <= 0) n else minPeriods
     rollingScanned(n)((v, w) =>
-      F.when(F.count(v).over(w) >= minPeriods, f(v).over(w)))
+      F.when(F.count(v).over(w) >= mp, f(v).over(w)))
+  }
   /** rolling_quantile (reference expr.rb:5480): exact quantile over a
     * trailing rows window with polars' interpolation modes. Spark's
     * percentile/median aggregates reject window FRAMES, so every mode indexes
     * the sorted collected window (n is a small constant — the collect is
     * per-row bounded, not a data-sized state). */
   def rollingQuantile(q: Double, n: Int, interpolation: String = "nearest",
-                      minPeriods: Int = 1): Expr =
+                      minPeriods: Int = 0): Expr = {
+    // polars default: min_periods = window size; clamp to >= 1 so an
+    // all-null window yields null, not element_at on an empty array (ANSI)
+    val mp = math.max(if (minPeriods <= 0) n else minPeriods, 1)
     rollingScanned(n)((v, w) => {
       val sorted = F.sort_array(F.collect_list(v).over(w))
-      // clamp to >= 1: an all-null window must yield null, not element_at on
-      // an empty array (ANSI error)
-      F.when(F.count(v).over(w) >= math.max(minPeriods, 1),
+      F.when(F.count(v).over(w) >= mp,
         Expr.quantileOfSorted(sorted, q, interpolation))
     })
+  }
   /** rolling_quantile_by (reference expr.rb:4848): quantile over a caller-
     * supplied WindowSpec — the range-frame formulation used for temporal
     * `_by` windows (`Window.partitionBy(keys).orderBy(unix_micros(ts))
@@ -648,7 +656,8 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   /** rolling_skew (reference expr.rb:5567): windowed skewness. Spark's
     * skewness aggregate is the biased g1 = m3/m2^1.5; bias: false applies the
     * sample correction sqrt(n(n-1))/(n-2), null under 3 points. */
-  def rollingSkew(n: Int, bias: Boolean = true, minPeriods: Int = 1): Expr =
+  def rollingSkew(n: Int, bias: Boolean = true, minPeriods: Int = 0): Expr = {
+    val mp = if (minPeriods <= 0) n else minPeriods // polars: full window
     rollingScanned(n)((v, w) => {
       val cnt = F.count(v).over(w)
       val g1 = F.skewness(v).over(w)
@@ -658,8 +667,9 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
           val m = cnt.cast("double")
           F.when(m > 2, g1 * F.sqrt(m * (m - 1)) / (m - 2))
         }
-      F.when(cnt >= minPeriods, value)
+      F.when(cnt >= mp, value)
     })
+  }
 
   /** Run-length-encoding id: increments when the value changes, over implicit
     * row order (reference: expr.rb:2674 `rle_id`). One shifted (marker, value)

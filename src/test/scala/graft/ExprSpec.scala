@@ -118,7 +118,12 @@ class ExprSpec extends SparkSpec {
     val med = df.select(
       col("v").rollingQuantile(0.5, 3, "linear").alias("rq"),
       col("v").rollingMedian(3).alias("rm")).toSpark.collect()
-    med.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    med.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+    }
+    // default min_periods = window size: the first two rows are null
+    assert(med(0).isNullAt(0) && med(1).isNullAt(0) && !med(2).isNullAt(0))
     // lower/higher index the sorted window: last window sorted = [1,4,5]
     val lh = df.select(
       col("v").rollingQuantile(0.5, 3, "lower").alias("lo"),
@@ -127,7 +132,7 @@ class ExprSpec extends SparkSpec {
     // an all-null window yields null, not an element_at error
     val nulls = DataFrame(Seq[(Integer, Integer)]((1, null), (2, null), (3, 7))
       .toDF("i", "nv"))
-    val nq = nulls.select(col("nv").rollingQuantile(0.5, 2, "linear").alias("q"))
+    val nq = nulls.select(col("nv").rollingQuantile(0.5, 2, "linear", minPeriods = 1).alias("q"))
       .toSpark.collect()
     assert(nq(0).isNullAt(0) && nq(1).isNullAt(0) && !nq(2).isNullAt(0))
     // skew of the last window [4,1,5]: m2=17/9... compute expected directly

@@ -246,6 +246,29 @@ class KeyedParitySpec extends SparkSpec {
       ex.mkString(","))
   }
 
+  test("rolling default min_periods is the window size; explicit counts non-nulls") {
+    // reference expr.rb:5072-5091: [1,8,6,2,16,10].rolling_mean(2) =
+    // [null, 4.5, 7.0, 4.0, 9.0, 13.0]
+    val ex = DataFrame(Seq(1.0, 8.0, 6.0, 2.0, 16.0, 10.0).toDF("a"))
+      .withColumn("m", col("a").rollingMean(2)).toSpark
+      .select("m").collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(ex.toSeq == Seq(None, Some(4.5), Some(7.0), Some(4.0), Some(9.0), Some(13.0)),
+      ex.mkString(","))
+
+    def refRolling(n: Int, mp: Int, f: Seq[Double] => Double)(
+        vs: IndexedSeq[Option[Double]]): IndexedSeq[Option[Double]] =
+      vs.indices.map { i =>
+        val win = vs.slice(math.max(0, i - n + 1), i + 1).flatten
+        if (win.size >= mp) Some(f(win)) else None
+      }.toIndexedSeq
+    assertAgree("rolling_sum(3) keyed", engine(col("v").rollingSum(3)),
+      perKey(refRolling(3, 3, _.sum)))
+    assertAgree("rolling_sum(3, mp=1) keyed", engine(col("v").rollingSum(3, minPeriods = 1)),
+      perKey(refRolling(3, 1, _.sum)))
+    assertAgree("rolling_max(4, mp=2) global", engineGlobal(col("v").rollingMax(4, minPeriods = 2)),
+      global(refRolling(4, 2, _.max)))
+  }
+
   test("per-group LIST of a scanned op matches the local reference") {
     val got = df.groupBy("k").agg(col("v").shift(1).alias("xs")).toSpark
       .select("k", "xs").collect()

@@ -465,10 +465,12 @@ class Round7Spec extends SparkSpec {
     assert(ffr.sorted.toSeq == Seq(("a", Some(1.0)), ("a", Some(1.0)),
       ("b", None), ("b", Some(2.0))))
 
+    // polars default min_periods = window size: first row per key is null
     val rm = df.withColumn("r", col("v").rollingMean(2).over(col("k"))).toSpark
-      .select("k", "v", "r").collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
-    assert(rm.sorted.toSeq == Seq(("a", 1, 1.0), ("a", 2, 1.5), ("a", 3, 2.5),
-      ("b", 10, 10.0), ("b", 20, 15.0), ("b", 30, 25.0)))
+      .select("k", "v", "r").collect()
+      .map(r => (r.getString(0), r.getInt(1), if (r.isNullAt(2)) -1.0 else r.getDouble(2)))
+    assert(rm.sorted.toSeq == Seq(("a", 1, -1.0), ("a", 2, 1.5), ("a", 3, 2.5),
+      ("b", 10, -1.0), ("b", 20, 15.0), ("b", 30, 25.0)))
 
     // keyed plan shape: one hash shuffle on the keys, no scan-kernel bucket
     val plan = df.withColumn("r", col("v").cumSum().over(col("k"))).toSpark
