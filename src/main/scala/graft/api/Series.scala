@@ -70,6 +70,25 @@ final case class Series(name: String, df: SDF) {
   // built inside the mapper get their preps resolved
   def map(e: Expr => Expr): Series =
     Series(name, DataFrame(df).select(e(Expr(F.col(name))).alias(name)).toSpark)
+
+  /** diff with polars' null_behavior (reference series.rb diff): "ignore"
+    * keeps the leading null(s); "drop" removes the first |n| rows — legal
+    * here because a Series owns its own length. */
+  def diff(n: Int = 1, nullBehavior: String = "ignore"): Series =
+    nullBehavior match {
+      case "ignore" => map(_.diff(n))
+      case "drop" =>
+        val d = DataFrame(df).select(Expr(F.col(name)).diff(n).alias(name))
+        val dropped =
+          if (n >= 0) d.slice(n.toLong, (Int.MaxValue - math.max(n, 1)).toLong)
+          else { // negative periods: the TRAILING |n| rows are the nulls
+            val h = d.toSpark.count()
+            d.slice(0L, math.max(0L, h + n))
+          }
+        Series(name, dropped.toSpark)
+      case other => throw new IllegalArgumentException(
+        s"diff: null_behavior must be ignore|drop, got '$other'")
+    }
   def cast(dt: DataType): Series = map(_.cast(dt))
 
   /** map_elements with an ARBITRARY per-element closure (reference

@@ -431,12 +431,21 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
         val c = if (n > 0) F.lag(col, n, dflt) else F.lead(col, -n, dflt)
         Expr(c.over(keyedIdxW(keys)), requiresIndex = true, preps)
       }))
-  def diff(n: Int = 1): Expr =
+  def diff(n: Int = 1, nullBehavior: String = "ignore"): Expr = {
+    // reference expr.rb:5722 diff(n:, null_behavior:): "drop" SHRINKS the
+    // series — expressible on a Series (api/Series.scala diff), not inside
+    // a frame projection where every column keeps the frame's length
+    if (nullBehavior == "drop") throw new UnsupportedOperationException(
+      "diff(null_behavior: \"drop\") changes the column length and cannot run " +
+        "inside a frame projection; use Series#diff (or slice the frame after)")
+    require(nullBehavior == "ignore",
+      s"diff: null_behavior must be ignore|drop, got '$nullBehavior'")
     (this - shift(n)).copy(keyed = Some(KeyedForm { keys =>
       requireNoScanInput("diff")
       val prev = (if (n > 0) F.lag(col, n) else F.lead(col, -n)).over(keyedIdxW(keys))
       Expr(col - prev, requiresIndex = true, preps)
     }))
+  }
   def pctChange(n: Int = 1): Expr = {
     // polars FORWARD-FILLS before computing (reference expr.rb:5744-5757:
     // [10, 11, 12, null, 12].pct_change = [null, .1, .0909, 0.0, 0.0]) — the
@@ -483,34 +492,45 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
         Expr(mask(f(col).over(w)), requiresIndex = true, preps)
       }))
   }
-  /** rank over implicit row order of values (reference: expr.rb:5691).
+  /** rank over implicit row order of values (reference: expr.rb:5691;
+    * methods average|min|max|dense|ordinal|random, `seed` for random).
     * Distributed: per-value counts + prefix sums on the distinct-value frame,
     * joined back — nulls rank null (the reference's behavior). */
-  def rank(method: String = "average", descending: Boolean = false): Expr = {
+  def rank(method: String = "average", descending: Boolean = false,
+           seed: Long = 0L): Expr = {
     val out = Scan.fresh("x")
     Expr(F.col(out), requiresIndex = method == "ordinal" || requiresIndex,
-      preps :+ Prep(out, d => Scan.withRank(d, col, out, method, descending), Seq(out)),
+      preps :+ Prep(out, d => Scan.withRank(d, col, out, method, descending, seed), Seq(out)),
       keyed = Some(KeyedForm { keys =>
         requireNoScanInput("rank")
         // per-key rank of values: nulls_last ordering keeps non-null ranks
         // 1..m, then null inputs mask to null (polars' null behavior); dtype
-        // parity with Scan.withRank: min/dense/ordinal int, max long,
+        // parity with Scan.withRank: min/dense/ordinal/random int, max long,
         // average double
         val ord = if (descending) col.desc_nulls_last else col.asc_nulls_last
         val w = Window.partitionBy(keys: _*).orderBy(ord)
         val tieCnt = F.count(col).over(Window.partitionBy((keys :+ col): _*))
         val minRank = F.rank().over(w)
+        // random tie order: the tiebreak must be a MATERIALIZED column
+        // (nondeterministic exprs are rejected inside window ordering)
+        lazy val rnd = Scan.fresh("rnd")
         val c = method match {
           case "min"     => minRank
           case "max"     => (minRank - 1).cast("long") + tieCnt
           case "dense"   => F.dense_rank().over(w)
           case "ordinal" => F.row_number().over(
             Window.partitionBy(keys: _*).orderBy(ord, F.col(graft.kernel.RowIndex.name).asc))
+          case "random"  => F.row_number().over(
+            Window.partitionBy(keys: _*).orderBy(ord, F.col(rnd).asc))
           case "average" => (minRank - 1).cast("double") + (tieCnt + 1).cast("double") / 2.0
           case m => throw new IllegalArgumentException(
-            s"rank: method must be average|min|max|dense|ordinal, got '$m'")
+            s"rank: method must be average|min|max|dense|ordinal|random, got '$m'")
         }
-        Expr(F.when(col.isNotNull, c), requiresIndex = method == "ordinal", preps)
+        val kePreps =
+          if (method == "random")
+            preps :+ Prep(rnd, d => d.withColumn(rnd, F.rand(seed)), Seq(rnd))
+          else preps
+        Expr(F.when(col.isNotNull, c), requiresIndex = method == "ordinal", kePreps)
       }))
   }
   def isDuplicated: Expr =

@@ -224,7 +224,7 @@ object Scan {
     * whole-data single-partition sort. `ordinal` additionally breaks ties by
     * row order and requires the idx column on `d0`. */
   def withRank(d0: DataFrame, value: Column, out: String, method: String,
-               descending: Boolean = false): DataFrame = {
+               descending: Boolean = false, seed: Long = 0L): DataFrame = {
     val v = fresh("v")
     val d = d0.withColumn(v, value)
     val vc = d.groupBy(F.col(v)).agg(F.count(F.lit(1)).as("__c__"))
@@ -237,23 +237,33 @@ object Scan {
       else withLt
     val lt = F.coalesce(F.col("__lt__"), F.lit(0L))
     // dtype parity with the previous window spelling (and polars' idx-sized
-    // ranks): min/dense/ordinal int, max long, average double
+    // ranks): min/dense/ordinal/random int, max long, average double
     val rankCol = method match {
-      case "min"     => (lt + 1).cast("int")
-      case "max"     => lt + F.col("__c__")
-      case "dense"   => F.col("__d__").cast("int")
-      case "ordinal" => (lt + 1).cast("int") // + per-row tiebreak below
+      case "min"                => (lt + 1).cast("int")
+      case "max"                => lt + F.col("__c__")
+      case "dense"              => F.col("__d__").cast("int")
+      case "ordinal" | "random" => (lt + 1).cast("int") // + per-row tiebreak below
       case "average" => lt.cast("double") + (F.col("__c__") + 1).cast("double") / 2.0
       case m => throw new IllegalArgumentException(
-        s"rank: method must be average|min|max|dense|ordinal, got '$m'")
+        s"rank: method must be average|min|max|dense|ordinal|random, got '$m'")
     }
     val table = withDense.select(F.col(v), rankCol.as(out))
     val joined = d.join(table, Seq(v), "left")
-    val resolved =
-      if (method == "ordinal")
+    // the tie-group windows are per-distinct-value sized (bounded partials),
+    // never data-sized; random ties order by a materialized seeded column
+    // (nondeterministic exprs are rejected inside window ordering)
+    val resolved = method match {
+      case "ordinal" =>
         joined.withColumn(out, (F.col(out) +
           F.row_number().over(Window.partitionBy(F.col(v)).orderBy(F.col(IDX))) - 1).cast("int"))
-      else joined
+      case "random" =>
+        val rnd = fresh("rnd")
+        joined.withColumn(rnd, F.rand(seed))
+          .withColumn(out, (F.col(out) +
+            F.row_number().over(Window.partitionBy(F.col(v)).orderBy(F.col(rnd))) - 1).cast("int"))
+          .drop(rnd)
+      case _ => joined
+    }
     resolved.drop(v)
   }
 

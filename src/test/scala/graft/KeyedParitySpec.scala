@@ -269,6 +269,43 @@ class KeyedParitySpec extends SparkSpec {
       global(refRolling(4, 2, _.max)))
   }
 
+  test("rank random: a seeded permutation of ordinal ranks within ties") {
+    // keyed and global forms: ranks per scope are a permutation of 1..m
+    // (m = non-null count), equal values get DISTINCT consecutive ranks,
+    // null stays null, and the result is reproducible for a fixed seed
+    def check(got: Map[Long, Option[Double]], scopeOf: Long => String): Unit = {
+      val byScope = got.toSeq.groupBy { case (id, _) => scopeOf(id) }
+      byScope.foreach { case (_, idRanks) =>
+        val ranks = idRanks.flatMap(_._2)
+        assert(ranks.sorted == (1 to ranks.size).map(_.toDouble), ranks.toString)
+      }
+      rows.foreach { case (id, _, v) => assert(got(id).isDefined == v.isDefined) }
+    }
+    val keyed = engine(col("v").rank("random", seed = 7))
+    check(keyed, id => rows(id.toInt)._2)
+    val globalR = engineGlobal(col("v").rank("random", seed = 7))
+    check(globalR, _ => "all")
+    assert(engineGlobal(col("v").rank("random", seed = 7)) == globalR) // reproducible
+    // ranks within a tie group are consecutive from the min rank
+    val tied = DataFrame(Seq(5.0, 1.0, 5.0, 5.0, 9.0).toDF("a"))
+      .withColumn("r", col("a").rank("random", seed = 3)).toSpark
+      .select("a", "r").collect().map(r => (r.getDouble(0), r.getInt(1)))
+    assert(tied.filter(_._1 == 5.0).map(_._2).sorted.toSeq == Seq(2, 3, 4), tied.mkString(","))
+    assert(tied.find(_._1 == 1.0).get._2 == 1 && tied.find(_._1 == 9.0).get._2 == 5)
+  }
+
+  test("Series diff null_behavior drop shrinks the series") {
+    import graft.api.Series
+    val s = Series("a", Seq(10.0, 11.0, 14.0, 18.0).toDF("a"))
+    val dropped = s.diff(1, "drop").df.collect().map(_.getDouble(0)).toSeq
+    assert(dropped == Seq(1.0, 3.0, 4.0), dropped.toString)
+    val trailing = s.diff(-1, "drop").df.collect().map(_.getDouble(0)).toSeq
+    assert(trailing == Seq(-1.0, -3.0, -4.0), trailing.toString)
+    // the frame-projection spelling raises the directed error
+    val e = intercept[UnsupportedOperationException](col("a").diff(1, "drop"))
+    assert(e.getMessage.contains("Series"), e.getMessage)
+  }
+
   test("per-group LIST of a scanned op matches the local reference") {
     val got = df.groupBy("k").agg(col("v").shift(1).alias("xs")).toSpark
       .select("k", "xs").collect()
