@@ -130,10 +130,14 @@ trait FrameOps[Self] {
     val renamed = d.withColumn(name, F.col(RowIndex.name) + offset).drop(RowIndex.name)
     make(renamed.select((name +: renamed.columns.filterNot(_ == name)).map(F.col): _*))
   }
+  // top_k/bottom_k: nulls sort LAST in both (polars treats null as missing —
+  // only included when fewer than k non-null values exist); Spark's bare asc
+  // would put nulls FIRST and fill bottom_k with null rows
   def topK(k: Int, by: Expr, descending: Boolean = false): Self = // top_k = largest
-    make(withIdx(Seq(by))(_.orderBy(if (descending) by.col.asc else by.col.desc).limit(k)))
+    make(withIdx(Seq(by))(
+      _.orderBy(if (descending) by.col.asc_nulls_last else by.col.desc_nulls_last).limit(k)))
   def bottomK(k: Int, by: Expr): Self =
-    make(withIdx(Seq(by))(_.orderBy(by.col.asc).limit(k)))
+    make(withIdx(Seq(by))(_.orderBy(by.col.asc_nulls_last).limit(k)))
   def sample(fraction: Double, withReplacement: Boolean = false, seed: Long = 42): Self =
     make(sdf.sample(withReplacement, fraction, seed))
   def shuffle(seed: Long = 42): Self = make(sdf.orderBy(F.rand(seed)))

@@ -58,6 +58,27 @@ final case class Series(name: String, df: SDF) {
   /** Empty series with the same name/dtype (reference series.rb cleared). */
   def cleared: Series = Series(name, df.limit(0))
 
+  /** sort (reference series.rb:1586 sort(reverse:, nulls_last:)): polars
+    * places nulls FIRST by default in both directions; ties keep row order. */
+  def sort(descending: Boolean = false, nullsLast: Boolean = false): Series = {
+    val ord = (descending, nullsLast) match {
+      case (false, false) => F.col(name).asc_nulls_first
+      case (false, true)  => F.col(name).asc_nulls_last
+      case (true, false)  => F.col(name).desc_nulls_first
+      case (true, true)   => F.col(name).desc_nulls_last
+    }
+    Series(name, indexed.orderBy(ord, F.col(IDX).asc).select(F.col(name)))
+  }
+  /** top_k/bottom_k (reference series.rb:1613,1635): nulls sort last —
+    * included only when fewer than k non-null values exist. */
+  def topK(k: Int = 5): Series =
+    Series(name, df.orderBy(F.col(name).desc_nulls_last).limit(k))
+  def bottomK(k: Int = 5): Series =
+    Series(name, df.orderBy(F.col(name).asc_nulls_last).limit(k))
+  /** reverse (reference series.rb:2208). */
+  def reverse: Series =
+    Series(name, indexed.orderBy(F.col(IDX).desc).select(F.col(name)))
+
   /** Seeded shuffle / sample (reference series.rb shuffle/sample) — the
     * order/selection is a deterministic function of the seed and values. */
   def shuffle(seed: Long = 42): Series =
@@ -278,22 +299,38 @@ final case class Series(name: String, df: SDF) {
       .select(F.struct(F.col("len"), F.col("value")).as("rle")))
   }
 
-  /** Indices that would sort the series (reference series.rb arg_sort). */
-  def argSort(descending: Boolean = false): Series = Series("arg_sort",
-    indexed.orderBy(if (descending) F.col(name).desc else F.col(name).asc)
+  /** Indices that would sort the series (reference series.rb arg_sort:
+    * reverse:, nulls_last: — polars places nulls FIRST by default in both
+    * directions; ties are stable in row order). */
+  def argSort(descending: Boolean = false, nullsLast: Boolean = false): Series = {
+    val ord = (descending, nullsLast) match {
+      case (false, false) => F.col(name).asc_nulls_first
+      case (false, true)  => F.col(name).asc_nulls_last
+      case (true, false)  => F.col(name).desc_nulls_first
+      case (true, true)   => F.col(name).desc_nulls_last
+    }
+    Series("arg_sort", indexed.orderBy(ord, F.col(IDX).asc)
       .select(F.col(IDX).as("arg_sort")))
+  }
 
-  def argMin: Long = indexed.orderBy(F.col(name).asc, F.col(IDX).asc)
+  // arg_min/arg_max IGNORE nulls (polars: the extreme of the non-null
+  // values) — Spark's bare asc sorts nulls first, which would return a
+  // null row's index
+  def argMin: Long = indexed.orderBy(F.col(name).asc_nulls_last, F.col(IDX).asc)
     .select(IDX).limit(1).collect()(0).getLong(0)
-  def argMax: Long = indexed.orderBy(F.col(name).desc, F.col(IDX).asc)
+  def argMax: Long = indexed.orderBy(F.col(name).desc_nulls_last, F.col(IDX).asc)
     .select(IDX).limit(1).collect()(0).getLong(0)
   /** Indices of true values (reference series.rb:1994 arg_true). */
   def argTrue: Series = Series("arg_true",
     indexed.filter(F.col(name)).select(F.col(IDX).as("arg_true")).orderBy("arg_true"))
 
-  /** Insertion index keeping sorted order (reference expr.rb:1500). */
-  def searchSorted(v: Any, side: String = "left"): Long = {
-    val cmp = if (side == "left") F.col(name) < F.lit(v) else F.col(name) <= F.lit(v)
+  /** Insertion index keeping sorted order (reference expr.rb:1500; side
+    * "any" — the reference default — may return any valid index, so the
+    * left one is a legal answer). */
+  def searchSorted(v: Any, side: String = "any"): Long = {
+    require(Set("any", "left", "right")(side),
+      s"search_sorted: side must be any|left|right, got '$side'")
+    val cmp = if (side == "right") F.col(name) <= F.lit(v) else F.col(name) < F.lit(v)
     df.select(F.coalesce(F.sum(F.when(cmp, 1L)), F.lit(0L))).collect()(0).getLong(0)
   }
 

@@ -31,6 +31,22 @@ class OpsSpec extends SparkSpec {
     val u = Series("x", Seq(5.0, 1.0, 9.0))
     assert(u.argMin == 1L && u.argMax == 2L)
     assert(Series("b", Seq(false, true, false, true)).argTrue.toList == List(1L, 3L))
+    // arg_min/arg_max ignore nulls (polars), never return a null row's index
+    val n = Series("x", Seq[java.lang.Double](null, 5.0, null, 1.0, 9.0).toDF("x"))
+    assert(n.argMin == 3L && n.argMax == 4L)
+    // arg_sort: nulls first by default, last with nulls_last; stable ties
+    assert(n.argSort().toList == List(0L, 2L, 3L, 1L, 4L))
+    assert(n.argSort(nullsLast = true).toList == List(3L, 1L, 4L, 0L, 2L))
+    assert(n.argSort(descending = true).toList == List(0L, 2L, 4L, 1L, 3L))
+    // sort: polars nulls-first default both directions; top/bottom_k skip
+    // nulls; reverse flips row order
+    assert(n.sort().toList == List(null, null, 1.0, 5.0, 9.0))
+    assert(n.sort(descending = true).toList == List(null, null, 9.0, 5.0, 1.0))
+    assert(n.sort(nullsLast = true).toList == List(1.0, 5.0, 9.0, null, null))
+    assert(n.topK(2).toList == List(9.0, 5.0))
+    assert(n.bottomK(2).toList == List(1.0, 5.0))
+    assert(n.topK(4).toList == List(9.0, 5.0, 1.0, null))
+    assert(n.reverse.toList == List(9.0, 1.0, null, 5.0, null))
   }
 
   test("uniqueCounts in first-seen order") {
