@@ -263,15 +263,20 @@ final case class Series(name: String, df: SDF) {
 
   /** ewm_mean/std/var over the series' own order (reference series.rb
     * ewm_*) — the mapPartitions kernel with the dense index as the order. */
-  def ewmMean(alpha: Double, adjust: Boolean = true, minPeriods: Int = 1): Series =
-    ewmOut("mean", alpha, adjust, minPeriods)
-  def ewmStd(alpha: Double, adjust: Boolean = true, minPeriods: Int = 1): Series =
-    ewmOut("std", alpha, adjust, minPeriods)
-  def ewmVar(alpha: Double, adjust: Boolean = true, minPeriods: Int = 1): Series =
-    ewmOut("var", alpha, adjust, minPeriods)
-  private def ewmOut(out: String, alpha: Double, adjust: Boolean, minPeriods: Int): Series = {
+  def ewmMean(alpha: Double, adjust: Boolean = true, minPeriods: Int = 1,
+              ignoreNulls: Boolean = true): Series =
+    ewmOut("mean", alpha, adjust, minPeriods, ignoreNulls)
+  def ewmStd(alpha: Double, adjust: Boolean = true, minPeriods: Int = 1,
+             ignoreNulls: Boolean = true): Series =
+    ewmOut("std", alpha, adjust, minPeriods, ignoreNulls)
+  def ewmVar(alpha: Double, adjust: Boolean = true, minPeriods: Int = 1,
+             ignoreNulls: Boolean = true): Series =
+    ewmOut("var", alpha, adjust, minPeriods, ignoreNulls)
+  private def ewmOut(out: String, alpha: Double, adjust: Boolean, minPeriods: Int,
+                     ignoreNulls: Boolean): Series = {
     val r = graft.kernel.Ewm.ewm(indexed, name, IDX,
-      alpha = alpha, adjust = adjust, minPeriods = minPeriods, outputs = Seq(out))
+      alpha = alpha, adjust = adjust, minPeriods = minPeriods, outputs = Seq(out),
+      ignoreNulls = ignoreNulls)
     Series(name, r.orderBy(IDX).select(F.col(s"${name}_ewm_$out").as(name)))
   }
 

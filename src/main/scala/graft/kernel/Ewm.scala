@@ -69,10 +69,20 @@ object Ewm {
     */
   def ewm(df: DataFrame, valueCol: String, orderCol: String,
           by: Seq[String] = Nil, alpha: Double = 0.5, adjust: Boolean = true,
-          minPeriods: Int = 1, outputs: Seq[String] = Seq("mean")): DataFrame = {
+          minPeriods: Int = 1, outputs: Seq[String] = Seq("mean"),
+          ignoreNulls: Boolean = true): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
+    // adjust=false renormalizes after EVERY observation (pandas resets
+    // old_wt to 1), so a null-gap's decay applies to a freshly normalized
+    // weight — not a linear register recurrence, and the keyless affine
+    // carry does not compose. The adjust=true weighting (polars default) is
+    // a pure linear recurrence in all four registers and is exact.
+    require(adjust || ignoreNulls,
+      "ewm: ignore_nulls=false with adjust=false is not supported (the " +
+        "renormalizing recursion does not compose distributively); use " +
+        "adjust=true or ignore_nulls=true")
     if (by.isEmpty)
-      return ewmKeyless(df, valueCol, orderCol, alpha, adjust, minPeriods, outputs)
+      return ewmKeyless(df, valueCol, orderCol, alpha, adjust, minPeriods, outputs, ignoreNulls)
     val spark = df.sparkSession
     val partitioned = df.repartition(by.map(F.col): _*)
       .sortWithinPartitions((by.map(F.col) :+ F.col(orderCol)): _*)
@@ -81,11 +91,12 @@ object Ewm {
     val vIdx = df.schema.fieldIndex(valueCol)
     val byIdx = by.map(df.schema.fieldIndex)
     val a = alpha; val adj = adjust; val mp = minPeriods; val outs0 = outputs
+    val ign = ignoreNulls
 
     val rdd = partitioned.rdd.mapPartitions { it =>
       // running state, reset on group-key change
       var key: Seq[Any] = null
-      val st = new EwmState(a, adj)
+      val st = new EwmState(a, adj, ign)
       it.map { row =>
         val k = byIdx.map(row.get)
         if (key == null || k != key) { key = k; st.reset() }
@@ -100,21 +111,24 @@ object Ewm {
     * re-association (~1 ulp per partition boundary). */
   private def ewmKeyless(df: DataFrame, valueCol: String, orderCol: String,
                          alpha: Double, adjust: Boolean, minPeriods: Int,
-                         outputs: Seq[String]): DataFrame = {
+                         outputs: Seq[String], ignoreNulls: Boolean): DataFrame = {
     val spark = df.sparkSession
     val schema = outSchema(df.schema, valueCol, outputs)
     val vIdx = df.schema.fieldIndex(valueCol)
     val beta = 1.0 - alpha
     val a = alpha; val adj = adjust; val mp = minPeriods; val outs0 = outputs
+    val ign = ignoreNulls
 
     val rdd0 = df.orderBy(F.col(orderCol)).rdd
     persistBounded(rdd0)
     val nParts = rdd0.getNumPartitions
 
-    // pass 1: one (m, fresh-final, continuation-final) summary per partition
+    // pass 1: one (m, d, fresh-final, continuation-final) summary per
+    // partition — m = non-null count (min_periods seeding), d = DECAY count
+    // (equal to m with ignore_nulls; every row including nulls without)
     val partials = rdd0.mapPartitionsWithIndex { (pid, it) =>
-      var m = 0L
-      val fresh = new EwmState(a, adj)
+      var m = 0L; var d = 0L
+      val fresh = new EwmState(a, adj, ign)
       var cwSum, cwx, cwx2, cw2 = 0.0 // linear continuation rule from zero
       it.foreach { row =>
         val x = numOf(row.get(vIdx))
@@ -127,10 +141,14 @@ object Ewm {
             cwSum = beta * cwSum + a; cwx = beta * cwx + a * x
             cwx2 = beta * cwx2 + a * x * x; cw2 = beta * beta * cw2 + a * a
           }
-          m += 1
+          m += 1; d += 1
+        } else if (!ign) {
+          fresh.decay()
+          cwSum *= beta; cwx *= beta; cwx2 *= beta; cw2 *= beta * beta
+          d += 1
         }
       }
-      Iterator.single((pid, m,
+      Iterator.single((pid, m, d,
         Array(fresh.wSum, fresh.wx, fresh.wx2, fresh.w2Sum),
         Array(cwSum, cwx, cwx2, cw2)))
     }.collect()
@@ -139,17 +157,17 @@ object Ewm {
     val seeds = new Array[(Long, Array[Double])](math.max(nParts, 1))
     var n = 0L
     var s: Array[Double] = null
-    partials.sortBy(_._1).foreach { case (pid, m, freshF, contF) =>
+    partials.sortBy(_._1).foreach { case (pid, m, d, freshF, contF) =>
       seeds(pid) = (n, s)
-      if (m > 0) {
-        s =
-          if (n == 0) freshF
-          else {
-            val pb = math.pow(beta, m.toDouble)
-            val pb2 = math.pow(beta * beta, m.toDouble)
-            Array(pb * s(0) + contF(0), pb * s(1) + contF(1),
-              pb * s(2) + contF(2), pb2 * s(3) + contF(3))
-          }
+      if (n == 0) {
+        // no non-null seen yet: the from-scratch rule applies (adjust=false
+        // init weight 1); leading null-only partitions decay nothing
+        if (m > 0) { s = freshF; n = m }
+      } else if (d > 0) {
+        val pb = math.pow(beta, d.toDouble)
+        val pb2 = math.pow(beta * beta, d.toDouble)
+        s = Array(pb * s(0) + contF(0), pb * s(1) + contF(1),
+          pb * s(2) + contF(2), pb2 * s(3) + contF(3))
         n += m
       }
     }
@@ -158,7 +176,7 @@ object Ewm {
     // pass 2: the ordinary sequential loop, seeded per partition
     val out = rdd0.mapPartitionsWithIndex { (pid, it) =>
       val (nPrior, seed) = bc.value(pid)
-      val st = new EwmState(a, adj)
+      val st = new EwmState(a, adj, ign)
       st.seed(nPrior, seed)
       it.map(row => Row.fromSeq(row.toSeq ++ st.step(numOf(row.get(vIdx)), mp, outs0)))
     }
@@ -190,8 +208,13 @@ object Ewm {
   }
 
   /** The four EWM registers (Σw, Σw·x, Σw·x², Σw²) plus the non-null count,
-    * with the polars update rules for both adjust modes. */
-  private final class EwmState(alpha: Double, adjust: Boolean) extends Serializable {
+    * with the polars update rules for both adjust modes. The adjust=false
+    * update uses the LINEAR register form (β·s + α·b) rather than the
+    * wSum=1 shortcut: both are identical on gap-free data (weights sum to
+    * 1), but only the linear form composes under the null-decay of
+    * ignore_nulls=false and the keyless affine carry. */
+  private final class EwmState(alpha: Double, adjust: Boolean,
+                               ignoreNulls: Boolean = true) extends Serializable {
     private val beta = 1.0 - alpha
     var wSum, wx, wx2, w2Sum = 0.0
     var n = 0L
@@ -210,7 +233,7 @@ object Ewm {
       } else if (n == 0) {
         wSum = 1.0; wx = x; wx2 = x * x; w2Sum = 1.0
       } else {
-        wSum = 1.0 // weights sum to 1 in recursive form
+        wSum = beta * wSum + alpha
         wx = beta * wx + alpha * x
         wx2 = beta * wx2 + alpha * x * x
         w2Sum = beta * beta * w2Sum + alpha * alpha
@@ -218,11 +241,19 @@ object Ewm {
       n += 1
     }
 
-    /** Advance on `x` (NaN/null passes through: state unchanged, null out)
-      * and emit the requested outputs for this row. */
+    /** ignore_nulls=false: a null row decays every weight (absolute-position
+      * weighting, pandas ignore_na=False) without adding a sample. */
+    def decay(): Unit = {
+      wSum *= beta; wx *= beta; wx2 *= beta; w2Sum *= beta * beta
+    }
+
+    /** Advance on `x` (NaN/null: null out; state unchanged when nulls are
+      * ignored, decayed otherwise) and emit the requested outputs. */
     def step(x: Double, minPeriods: Int, outputs: Seq[String]): Seq[Any] =
-      if (x.isNaN) outputs.map(_ => null)
-      else {
+      if (x.isNaN) {
+        if (!ignoreNulls && n > 0) decay()
+        outputs.map(_ => null)
+      } else {
         update(x)
         val mean = wx / wSum
         val varBiased = math.max(wx2 / wSum - mean * mean, 0.0)

@@ -44,6 +44,60 @@ class Kernel2Spec extends SparkSpec {
     assert(approx(out(2), 10.0) && approx(out(3), 16.666666666666668))
   }
 
+  test("ewm ignore_nulls=false decays weights at null rows (pandas ignore_na=False)") {
+    // pandas: [1, nan, 3, nan, nan, 5, 2].ewm(alpha=.5, ignore_na=False)
+    val rows = Seq[(Int, java.lang.Double)]((0, 1.0), (1, null), (2, 3.0),
+      (3, null), (4, null), (5, 5.0), (6, 2.0))
+    val df = rows.toDF("i", "x")
+    def nonNull(adjust: Boolean, ignore: Boolean): Seq[Double] =
+      Ewm.ewm(df, "x", "i", alpha = 0.5, adjust = adjust, ignoreNulls = ignore)
+        .orderBy("i").collect().filter(!_.isNullAt(2)).map(_.getDouble(2)).toSeq
+    val adjTignF = nonNull(adjust = true, ignore = false)
+    assert(adjTignF.zip(Seq(1.0, 2.6, 4.6756756757, 2.9801980198))
+      .forall { case (a, b) => math.abs(a - b) < 1e-9 }, adjTignF.toString)
+    // adjust=false renormalizes per observation (pandas old_wt reset) — the
+    // combination is refused with a directed error, never silently wrong
+    val e = intercept[IllegalArgumentException](nonNull(adjust = false, ignore = false))
+    assert(e.getMessage.contains("ignore_nulls"), e.getMessage)
+    // the defaults are unchanged (ignore_nulls=true)
+    val adjTignT = nonNull(adjust = true, ignore = true)
+    assert(adjTignT.zip(Seq(1.0, 2.3333333333, 3.8571428571, 2.8666666667))
+      .forall { case (a, b) => math.abs(a - b) < 1e-9 }, adjTignT.toString)
+    // var with absolute-position weights (pandas ewm var, ignore_na=False)
+    val v = Ewm.ewm(df, "x", "i", alpha = 0.5, adjust = true,
+      outputs = Seq("var"), ignoreNulls = false).orderBy("i").collect()
+      .filter(!_.isNullAt(2)).map(_.getDouble(2))
+    assert(v.zip(Seq(2.0, 3.1707317073, 3.9083728278))
+      .forall { case (a, b) => math.abs(a - b) < 1e-9 }, v.mkString(","))
+
+    // keyless cross-partition agreement: distributed result == sequential
+    // reference on a null-bearing frame large enough to span partitions
+    val rng = new scala.util.Random(11)
+    val big = (0 until 4000).map(i =>
+      (i, if (rng.nextInt(4) == 0) null else java.lang.Double.valueOf(rng.nextInt(100) / 7.0)))
+    val bigDf = big.toDF("i", "x").repartition(13)
+    val got = Ewm.ewm(bigDf, "x", "i", alpha = 0.3, adjust = true, ignoreNulls = false)
+      .orderBy("i").collect().map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    var wSum = 0.0; var wx = 0.0; var seen = false
+    val want = big.map { case (_, x) =>
+      if (x == null) {
+        if (seen) { wSum *= 0.7; wx *= 0.7 }
+        None
+      } else {
+        seen = true
+        wSum = 0.7 * wSum + 1.0; wx = 0.7 * wx + x.doubleValue()
+        Some(wx / wSum)
+      }
+    }
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      (g, w) match {
+        case (None, None) =>
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9, s"row $i: $a vs $b")
+        case other => fail(s"row $i: $other")
+      }
+    }
+  }
+
   test("ewm alpha parameterizations") {
     assert(approx(Ewm.alphaFrom(com = Some(1.0)), 0.5))
     assert(approx(Ewm.alphaFrom(span = Some(3.0)), 0.5))
