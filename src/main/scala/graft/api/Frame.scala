@@ -6,6 +6,19 @@ import org.apache.spark.sql.types.StructType
 import graft.expr.Expr
 import graft.kernel.RowIndex
 
+/** polars null placement for sorts: nulls FIRST by default in BOTH
+  * directions, last only when nulls_last — shared by Frame.sortBy,
+  * Series.sort, and Series.argSort so the three surfaces cannot diverge. */
+private[api] object SortKey {
+  def of(c: Column, descending: Boolean, nullsLast: Boolean): Column =
+    (descending, nullsLast) match {
+      case (false, false) => c.asc_nulls_first
+      case (false, true)  => c.asc_nulls_last
+      case (true, false)  => c.desc_nulls_first
+      case (true, true)   => c.desc_nulls_last
+    }
+}
+
 /** Shared frame ops. The reference's eager `DataFrame` round-trips through the
   * lazy engine (reference: lib/polars/data_frame.rb:2364-2437 — `join` is
   * `lazy.join(...).collect`); on Spark both surfaces build the same declarative
@@ -90,14 +103,7 @@ trait FrameOps[Self] {
     sortBy(Seq(graft.Polars.col(by)), Seq(descending), nullsLast)
   def sortBy(by: Seq[Expr], descending: Seq[Boolean] = Nil, nullsLast: Boolean = false): Self = {
     val desc = if (descending.isEmpty) Seq.fill(by.size)(false) else descending
-    val keys = by.zip(desc).map { case (e, d) =>
-      (d, nullsLast) match {
-        case (false, false) => e.col.asc_nulls_first
-        case (false, true)  => e.col.asc_nulls_last
-        case (true, false)  => e.col.desc_nulls_first
-        case (true, true)   => e.col.desc_nulls_last
-      }
-    }
+    val keys = by.zip(desc).map { case (e, d) => SortKey.of(e.col, d, nullsLast) }
     // withIdx resolves scanned sort keys (sort_by(cum_sum) etc.); the helper
     // columns drop after the sort, which preserves the ordering
     make(withIdx(by)(_.orderBy(keys: _*)))

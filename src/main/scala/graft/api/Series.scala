@@ -60,15 +60,10 @@ final case class Series(name: String, df: SDF) {
 
   /** sort (reference series.rb:1586 sort(reverse:, nulls_last:)): polars
     * places nulls FIRST by default in both directions; ties keep row order. */
-  def sort(descending: Boolean = false, nullsLast: Boolean = false): Series = {
-    val ord = (descending, nullsLast) match {
-      case (false, false) => F.col(name).asc_nulls_first
-      case (false, true)  => F.col(name).asc_nulls_last
-      case (true, false)  => F.col(name).desc_nulls_first
-      case (true, true)   => F.col(name).desc_nulls_last
-    }
-    Series(name, indexed.orderBy(ord, F.col(IDX).asc).select(F.col(name)))
-  }
+  def sort(descending: Boolean = false, nullsLast: Boolean = false): Series =
+    Series(name, indexed
+      .orderBy(SortKey.of(F.col(name), descending, nullsLast), F.col(IDX).asc)
+      .select(F.col(name)))
   /** top_k/bottom_k (reference series.rb:1613,1635): nulls sort last —
     * included only when fewer than k non-null values exist. */
   def topK(k: Int = 5): Series =
@@ -307,16 +302,10 @@ final case class Series(name: String, df: SDF) {
   /** Indices that would sort the series (reference series.rb arg_sort:
     * reverse:, nulls_last: — polars places nulls FIRST by default in both
     * directions; ties are stable in row order). */
-  def argSort(descending: Boolean = false, nullsLast: Boolean = false): Series = {
-    val ord = (descending, nullsLast) match {
-      case (false, false) => F.col(name).asc_nulls_first
-      case (false, true)  => F.col(name).asc_nulls_last
-      case (true, false)  => F.col(name).desc_nulls_first
-      case (true, true)   => F.col(name).desc_nulls_last
-    }
-    Series("arg_sort", indexed.orderBy(ord, F.col(IDX).asc)
+  def argSort(descending: Boolean = false, nullsLast: Boolean = false): Series =
+    Series("arg_sort", indexed
+      .orderBy(SortKey.of(F.col(name), descending, nullsLast), F.col(IDX).asc)
       .select(F.col(IDX).as("arg_sort")))
-  }
 
   // arg_min/arg_max IGNORE nulls (polars: the extreme of the non-null
   // values) — Spark's bare asc sorts nulls first, which would return a
@@ -331,12 +320,14 @@ final case class Series(name: String, df: SDF) {
 
   /** Insertion index keeping sorted order (reference expr.rb:1500; side
     * "any" — the reference default — may return any valid index, so the
-    * left one is a legal answer). */
+    * left one is a legal answer). Nulls sort FIRST (polars: null is
+    * smallest), so they count toward every insertion index. */
   def searchSorted(v: Any, side: String = "any"): Long = {
     require(Set("any", "left", "right")(side),
       s"search_sorted: side must be any|left|right, got '$side'")
     val cmp = if (side == "right") F.col(name) <= F.lit(v) else F.col(name) < F.lit(v)
-    df.select(F.coalesce(F.sum(F.when(cmp, 1L)), F.lit(0L))).collect()(0).getLong(0)
+    val before = F.when(F.col(name).isNull, 1L).when(cmp, 1L)
+    df.select(F.coalesce(F.sum(before), F.lit(0L))).collect()(0).getLong(0)
   }
 
   /** Append n copies of a constant (reference expr.rb:6484 extend_constant). */

@@ -787,13 +787,14 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   /** Insertion index keeping sorted order = count of smaller elements
     * (reference expr.rb:1500 search_sorted; side "any" — the reference
     * default — may return any valid index, so left is a legal answer).
-    * Aggregation context. */
+    * Nulls sort FIRST (polars: null is smallest) and count toward every
+    * insertion index. Aggregation context. */
   def searchSorted(v: Any, side: String = "any"): Expr = {
     require(Set("any", "left", "right")(side),
       s"search_sorted: side must be any|left|right, got '$side'")
     aggMap { c =>
       val cmp = if (side == "right") c <= F.lit(v) else c < F.lit(v)
-      F.coalesce(F.sum(F.when(cmp, 1L)), F.lit(0L))
+      F.coalesce(F.sum(F.when(c.isNull, 1L).when(cmp, 1L)), F.lit(0L))
     }
   }
   /** Row indices of each group's members (reference expr.rb:701 agg_groups). */

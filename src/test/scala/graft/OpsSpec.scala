@@ -47,6 +47,10 @@ class OpsSpec extends SparkSpec {
     assert(n.bottomK(2).toList == List(1.0, 5.0))
     assert(n.topK(4).toList == List(9.0, 5.0, 1.0, null))
     assert(n.reverse.toList == List(9.0, 1.0, null, 5.0, null))
+    // search_sorted counts nulls as smallest (they sort first): inserting
+    // 0.5 into [null, null, 1, 5, 9] keeps sorted order at index 2
+    assert(n.searchSorted(0.5) == 2L)
+    assert(n.searchSorted(5.0, side = "right") == 4L)
   }
 
   test("uniqueCounts in first-seen order") {
