@@ -26,9 +26,22 @@ final class StrNS(e: Expr) {
     m(c => F.when(c.startsWith(p), c.substr(F.lit(p.length + 1), F.length(c))).otherwise(c))
   def stripSuffix(s: String): Expr =
     m(c => F.when(c.endsWith(s), c.substr(F.lit(1), F.length(c) - s.length)).otherwise(c))
-  def padStart(n: Int, fill: String = " "): Expr = m(c => F.lpad(c, n, fill))
-  def padEnd(n: Int, fill: String = " "): Expr = m(c => F.rpad(c, n, fill))
-  def zfill(n: Int): Expr = m(c => F.lpad(c, n, "0"))
+  // polars pads NEVER truncate (string_expr.rb:584-593: "hippopotamus"
+  // padded to 8 stays whole) — Spark's lpad/rpad cut to the target length,
+  // so longer inputs pass through unchanged
+  def padStart(n: Int, fill: String = " "): Expr =
+    m(c => F.when(F.length(c) >= n, c).otherwise(F.lpad(c, n, fill)))
+  def padEnd(n: Int, fill: String = " "): Expr =
+    m(c => F.when(F.length(c) >= n, c).otherwise(F.rpad(c, n, fill)))
+  /** zfill is SIGN-AWARE (string_expr.rb:652: "-1".zfill(4) = "-001"):
+    * a leading +/- stays in front of the inserted zeros. */
+  def zfill(n: Int): Expr = m { c =>
+    val signed = c.startsWith("-") || c.startsWith("+")
+    F.when(F.length(c) >= n, c)
+      .when(signed, F.concat(F.substring(c, 1, 1),
+        F.lpad(F.substring(c, 2, Int.MaxValue), math.max(n - 1, 0), "0")))
+      .otherwise(F.lpad(c, n, "0"))
+  }
   def contains(pat: String, literal: Boolean = false): Expr =
     m(c => if (literal) c.contains(pat) else c.rlike(pat))
   def containsExpr(pat: Expr): Expr = Expr(e.col.contains(pat.col),
@@ -300,9 +313,23 @@ final class ListNS(e: Expr) {
   def shift(n: Int = 1): Expr = m { c =>
     F.transform(c, (_, i) => F.when(i >= n, F.element_at(c, i - n + 1)))
   }
-  def slice(offset: Int, length: Int): Expr = m(c => F.slice(c, offset + 1, length))
+  // polars resolves a negative offset as max(size + offset, 0) — clamped to
+  // the FRONT, keeping `length` elements from there ([9].slice(-2, 2) is
+  // [9]); Spark's native negative start would return empty past the bounds
+  def slice(offset: Int, length: Int): Expr = m { c =>
+    if (offset >= 0) F.slice(c, offset + 1, length)
+    else {
+      val start0 = F.greatest(F.size(c) + offset, F.lit(0))
+      F.when(F.size(c) === 0, c).otherwise(F.slice(c, start0 + 1, F.lit(length)))
+    }
+  }
   def head(n: Int): Expr = slice(0, n)
-  def tail(n: Int): Expr = m(c => F.slice(c, -n, n))
+  /** tail of a list shorter than n is the WHOLE list (polars) — a fixed
+    * -n start would fall outside Spark's bounds and return empty. */
+  def tail(n: Int): Expr = m { c =>
+    val start = F.greatest(F.lit(-n), -F.size(c))
+    F.when(F.size(c) === 0, c).otherwise(F.slice(c, start, F.lit(n)))
+  }
   def countMatches(v: Any): Expr = m(c => F.size(F.filter(c, x => x === F.lit(v))))
   def toStruct(fields: Int): Expr =
     m(c => F.struct((0 until fields).map(i => F.element_at(c, i + 1).as(s"field_$i")): _*))

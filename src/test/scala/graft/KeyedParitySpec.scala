@@ -306,6 +306,29 @@ class KeyedParitySpec extends SparkSpec {
     assert(e.getMessage.contains("Series"), e.getMessage)
   }
 
+  test("str pads never truncate; zfill is sign-aware; list slice/tail clamp") {
+    // reference string_expr.rb:652: zfill keeps the sign in front of zeros
+    val z = DataFrame(Seq("-1", "123", "999999", "+7").toDF("a"))
+      .withColumn("z", col("a").str.zfill(4)).toSpark
+      .select("z").collect().map(_.getString(0))
+    assert(z.toSeq == Seq("-001", "0123", "999999", "+007"), z.mkString(","))
+    // reference string_expr.rb:584-593: longer strings pass through whole
+    val p = DataFrame(Seq("cow", "hippopotamus").toDF("a"))
+      .withColumn("s", col("a").str.padStart(8, "*"))
+      .withColumn("e", col("a").str.padEnd(8, "*")).toSpark
+      .select("s", "e").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(p.toSeq == Seq(("*****cow", "cow*****"),
+      ("hippopotamus", "hippopotamus")), p.mkString(","))
+    // list.slice negative offset = from the end; tail of a short list = whole
+    val l = DataFrame(Seq(Seq(1, 2, 3, 4), Seq(9)).toDF("xs"))
+      .withColumn("neg", col("xs").list.slice(-2, 2))
+      .withColumn("t", col("xs").list.tail(3)).toSpark
+      .select("neg", "t").collect()
+      .map(r => (r.getSeq[Int](0).toList, r.getSeq[Int](1).toList))
+    assert(l.toSeq == Seq((List(3, 4), List(2, 3, 4)), (List(9), List(9))),
+      l.mkString(","))
+  }
+
   test("per-group LIST of a scanned op matches the local reference") {
     val got = df.groupBy("k").agg(col("v").shift(1).alias("xs")).toSpark
       .select("k", "xs").collect()
