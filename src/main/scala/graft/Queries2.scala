@@ -438,7 +438,7 @@ object Queries2 {
       """SELECT doc_id, upper(substr(text, 1, 20)) AS head_u,
         |CAST(length(text) AS INT) AS len,
         |substr(trim(text), 1, 5) AS head5,
-        |lpad(lang, 5, '_') AS lang_pad
+        |CASE WHEN length(lang) >= 5 THEN lang ELSE lpad(lang, 5, '_') END AS lang_pad
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_str_contains" ->
       """SELECT lang,

@@ -313,23 +313,28 @@ final class ListNS(e: Expr) {
   def shift(n: Int = 1): Expr = m { c =>
     F.transform(c, (_, i) => F.when(i >= n, F.element_at(c, i - n + 1)))
   }
-  // polars resolves a negative offset as max(size + offset, 0) — clamped to
-  // the FRONT, keeping `length` elements from there ([9].slice(-2, 2) is
-  // [9]); Spark's native negative start would return empty past the bounds
+  // polars slices with python-window semantics: the window is
+  // [size+offset, size+offset+length) ∩ [0, size) — a negative offset that
+  // underflows the front clamps the start AND shrinks the taken length by
+  // the underflow ([1,2].slice(-5, 2) = [], [1,2,3,4].slice(-6, 3) = [1])
   def slice(offset: Int, length: Int): Expr = m { c =>
     if (offset >= 0) F.slice(c, offset + 1, length)
     else {
+      val under = F.greatest(F.lit(-offset) - F.size(c), F.lit(0))
       val start0 = F.greatest(F.size(c) + offset, F.lit(0))
-      F.when(F.size(c) === 0, c).otherwise(F.slice(c, start0 + 1, F.lit(length)))
+      F.slice(c, start0 + 1, F.greatest(F.lit(length) - under, F.lit(0)))
     }
   }
   def head(n: Int): Expr = slice(0, n)
   /** tail of a list shorter than n is the WHOLE list (polars) — a fixed
-    * -n start would fall outside Spark's bounds and return empty. */
-  def tail(n: Int): Expr = m { c =>
-    val start = F.greatest(F.lit(-n), -F.size(c))
-    F.when(F.size(c) === 0, c).otherwise(F.slice(c, start, F.lit(n)))
-  }
+    * -n start would fall outside Spark's bounds and return empty; tail(0)
+    * is the empty list (Spark rejects a 0 start, so spell it as length 0). */
+  def tail(n: Int): Expr =
+    if (n <= 0) m(c => F.slice(c, 1, 0))
+    else m { c =>
+      val start = F.greatest(F.lit(-n), -F.size(c))
+      F.when(F.size(c) === 0, c).otherwise(F.slice(c, start, F.lit(n)))
+    }
   def countMatches(v: Any): Expr = m(c => F.size(F.filter(c, x => x === F.lit(v))))
   def toStruct(fields: Int): Expr =
     m(c => F.struct((0 until fields).map(i => F.element_at(c, i + 1).as(s"field_$i")): _*))

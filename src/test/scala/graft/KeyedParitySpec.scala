@@ -319,14 +319,19 @@ class KeyedParitySpec extends SparkSpec {
       .select("s", "e").collect().map(r => (r.getString(0), r.getString(1)))
     assert(p.toSeq == Seq(("*****cow", "cow*****"),
       ("hippopotamus", "hippopotamus")), p.mkString(","))
-    // list.slice negative offset = from the end; tail of a short list = whole
+    // list.slice: python-window semantics — an underflowing negative offset
+    // clamps the start AND shrinks the window; tail of a short list = whole
     val l = DataFrame(Seq(Seq(1, 2, 3, 4), Seq(9)).toDF("xs"))
       .withColumn("neg", col("xs").list.slice(-2, 2))
-      .withColumn("t", col("xs").list.tail(3)).toSpark
-      .select("neg", "t").collect()
-      .map(r => (r.getSeq[Int](0).toList, r.getSeq[Int](1).toList))
-    assert(l.toSeq == Seq((List(3, 4), List(2, 3, 4)), (List(9), List(9))),
-      l.mkString(","))
+      .withColumn("t", col("xs").list.tail(3))
+      .withColumn("uf", col("xs").list.slice(-6, 3))
+      .withColumn("t0", col("xs").list.tail(0)).toSpark
+      .select("neg", "t", "uf", "t0").collect()
+      .map(r => (r.getSeq[Int](0).toList, r.getSeq[Int](1).toList,
+        r.getSeq[Int](2).toList, r.getSeq[Int](3).toList))
+    assert(l.toSeq == Seq(
+      (List(3, 4), List(2, 3, 4), List(1), List()),
+      (List(9), List(9), List(), List())), l.mkString(","))
   }
 
   test("per-group LIST of a scanned op matches the local reference") {
