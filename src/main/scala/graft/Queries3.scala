@@ -173,7 +173,9 @@ object Queries3 {
 
   /** polars group_by().agg with order-dependent exprs: evaluated per group
     * in row order and returned as LISTS (reference group_by.rb agg docs) —
-    * backed by the keyed-form machinery + ordered collect. */
+    * backed by the keyed-form machinery + ordered collect. The per-group
+    * lists are then exploded back to scalar rows with a 1-based position so
+    * the output is hashable by value-level comparators (LIST cells are not). */
   private def qAggLists(s: SparkSession, dir: String): SDF =
     LazyFrame(events(s, dir))
       .sortBy(Seq(col("ts"), col("event_id")))
@@ -182,7 +184,12 @@ object Queries3 {
         col("value").cumSum().alias("cs_list"),
         col("value").shift(1).alias("pv_list"),
         Expr(F.sum(F.col("value"))).alias("sv"))
-      .sortBy(Seq(col("user_id")))
+      .explodeWith("pos", "cs_list", "pv_list")
+      .withColumns(
+        "pos" -> Expr((F.col("pos") + F.lit(1)).cast("long")),
+        "cs" -> col("cs_list"), "pv" -> col("pv_list"))
+      .select(col("user_id"), col("pos"), col("cs"), col("pv"), col("sv"))
+      .sortBy(Seq(col("user_id"), col("pos")))
       .toSpark
 
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
@@ -206,18 +213,13 @@ object Queries3 {
 
   def oracleSql: Map[String, String] = Map(
     "q_agg_lists" ->
-      """WITH c AS (
-        |  SELECT user_id, ts, event_id, value,
-        |    sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
-        |    lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
-        |  FROM events
-        |)
-        |SELECT user_id,
-        |  list(cs ORDER BY ts, event_id) AS cs_list,
-        |  list(pv ORDER BY ts, event_id) AS pv_list,
-        |  sum(value) AS sv
-        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+      """SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+        |  sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv,
+        |  sum(value) OVER (PARTITION BY user_id) AS sv
+        |FROM events ORDER BY user_id, pos""".stripMargin,
     "q_over_scan" ->
       """SELECT event_id,
         |sum(value) OVER wr AS cs,

@@ -295,10 +295,34 @@ trait FrameOps[Self] {
     new DynamicGroupBy[Self](sdf, indexColumn, every, period, offset, by, make)
 
   // ---- explode / reshape (reference: §2.7) ----
-  def explode(column: String): Self = {
-    val others = sdf.columns.filterNot(_ == column).map(F.col)
-    make(sdf.select((others :+ F.explode_outer(F.col(column)).as(column)).toIndexedSeq: _*)
-      .select(sdf.columns.map(F.col).toIndexedSeq: _*))
+  /** polars explode — multiple columns explode in LOCKSTEP (reference
+    * data_frame.rb explode docs: all listed columns must have equal list
+    * lengths per row). Divergence: a per-row length mismatch null-pads to the
+    * longest list (Spark arrays_zip) instead of raising polars' ShapeError —
+    * a distributed length check would cost an extra pass; pinned in spec. */
+  def explode(columns: String*): Self = explodeCols(columns, None)
+  /** Lockstep explode that also emits a 0-based within-list position column
+    * (composition of polars explode + int_range over list idx). */
+  def explodeWith(position: String, columns: String*): Self =
+    explodeCols(columns, Some(position))
+  private def explodeCols(columns: Seq[String], pos: Option[String]): Self = {
+    require(columns.nonEmpty, "explode requires at least one column")
+    val tmp = "__graft_ex__"
+    val others = sdf.columns.filterNot(columns.contains).map(F.col)
+    val zipped =
+      if (columns.size == 1) F.col(columns.head)
+      else F.arrays_zip(columns.map(F.col).toIndexedSeq: _*)
+    val gen = pos match {
+      case Some(p) => F.posexplode_outer(zipped).as(Seq(p, tmp))
+      case None    => F.explode_outer(zipped).as(tmp)
+    }
+    val ex = sdf.select((others :+ gen).toIndexedSeq: _*)
+    val outCols = sdf.columns.map { c =>
+      if (!columns.contains(c)) F.col(c)
+      else if (columns.size == 1) F.col(tmp).as(c)
+      else F.col(tmp).getField(c).as(c)
+    }
+    make(ex.select((outCols.toIndexedSeq ++ pos.map(F.col)): _*))
   }
   def unnest(structCol: String): Self = {
     val fields = sdf.schema(structCol).dataType.asInstanceOf[StructType].fieldNames

@@ -78,6 +78,22 @@ class FrameSpec extends SparkSpec {
     assert(out.count(_.isNullAt(1)) == 1)
   }
 
+  test("explode multiple columns in lockstep + explodeWith position") {
+    val d = DataFrame(Seq(
+      (1, Seq(10, 20), Seq("a", "b")),
+      (2, Seq.empty[Int], Seq.empty[String])).toDF("id", "l", "m"))
+    val out = d.explode("l", "m").toSpark.collect()
+    assert(out.length == 3)
+    assert(out.map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getInt(1),
+      r.getString(2))).toSeq == Seq((1, 10, "a"), (1, 20, "b"), (2, null, null)))
+    val pos = d.explodeWith("pos", "l", "m").toSpark.collect()
+    assert(pos.map(r => if (r.isNullAt(3)) -1 else r.getInt(3)).toSeq == Seq(0, 1, -1))
+    // documented divergence: mismatched lengths null-pad (polars raises)
+    val mm = DataFrame(Seq((1, Seq(10, 20), Seq("a"))).toDF("id", "l", "m"))
+      .explode("l", "m").toSpark.collect()
+    assert(mm.length == 2 && mm(1).isNullAt(2))
+  }
+
   test("unnest struct") {
     val d = DataFrame(Seq((1, ("x", 9))).toDF("id", "s"))
     val out = d.unnest("s")
