@@ -18,7 +18,7 @@ object Queries2 {
     LazyFrame(t(s, dir, name))
   private def events(s: SparkSession, dir: String): LazyFrame =
     LazyFrame(t(s, dir, "events")
-      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+      .transform(TestTables.normalizeEventsTs))
 
   // ---- strings (§2.8 .str) ----
   private def qStrOps(s: SparkSession, dir: String): SDF =

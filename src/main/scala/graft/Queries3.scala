@@ -17,7 +17,7 @@ object Queries3 {
     LazyFrame(t(s, dir, name))
   private def events(s: SparkSession, dir: String): SDF =
     t(s, dir, "events")
-      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+      .transform(TestTables.normalizeEventsTs)
 
   /** EWM mean per user over event time (rows-only: no SQL ewm equivalent;
     * semantics pinned by Kernel2Spec against pandas-identical values). */

@@ -14,7 +14,7 @@ object Queries4 {
     LazyFrame(s.read.parquet(s"$dir/$name.parquet"))
   private def events(s: SparkSession, dir: String): LazyFrame =
     LazyFrame(s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+      .transform(TestTables.normalizeEventsTs))
 
   private def qQcut(s: SparkSession, dir: String): SDF =
     lf(s, dir, "orders")

@@ -17,7 +17,7 @@ object Queries5 {
     LazyFrame(t(s, dir, name))
   private def events(s: SparkSession, dir: String): LazyFrame =
     LazyFrame(t(s, dir, "events")
-      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+      .transform(TestTables.normalizeEventsTs))
 
   private def qConcatDiagonal(s: SparkSession, dir: String): SDF = {
     val a = lf(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")).collect()

@@ -17,7 +17,7 @@ object Queries6 {
     LazyFrame(t(s, dir, name))
   private def events(s: SparkSession, dir: String): LazyFrame =
     LazyFrame(t(s, dir, "events")
-      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+      .transform(TestTables.normalizeEventsTs))
 
   /** Library rolling() API — trailing 2h window per user. */
   private def qRollingFrame(s: SparkSession, dir: String): SDF =
@@ -198,7 +198,7 @@ object Queries6 {
     java.nio.file.Files.createSymbolicLink(
       inDir.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
     val stream = graft.streaming.Streaming.scanParquetStream(inDir.toString, schema)
-      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+      .transform(TestTables.normalizeEventsTs)
     val windowed = graft.streaming.Streaming.windowedAgg(
       stream, "ts", "6 hours", by = Seq("event_type"),
       aggs = Seq(F.count(F.lit(1)).as("n"), F.sum("value").as("sv")))
@@ -247,7 +247,7 @@ object Queries6 {
     java.nio.file.Files.createSymbolicLink(
       inDir.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
     val stream = graft.streaming.Streaming.scanParquetStream(inDir.toString, schema)
-      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+      .transform(TestTables.normalizeEventsTs)
     val deduped = graft.streaming.Streaming.dedupWithinWatermark(
       stream, Seq("user_id"), "ts", watermark = "60 days")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")

@@ -17,7 +17,7 @@ object Queries7 {
     s.read.parquet(s"$dir/$name.parquet")
   private def events(s: SparkSession, dir: String): LazyFrame =
     LazyFrame(t(s, dir, "events")
-      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+      .transform(TestTables.normalizeEventsTs))
 
   // hex builders: Spark's hex() is big-endian; WAV needs little-endian, which
   // is a byte-pair reversal of the padded hex string
@@ -176,7 +176,7 @@ object Queries7 {
     java.nio.file.Files.createSymbolicLink(
       inDir.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
     val stream = graft.streaming.Streaming.scanParquetStream(inDir.toString, schema)
-      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+      .transform(TestTables.normalizeEventsTs)
     val sessions = graft.streaming.Streaming.sessionWindowAgg(
       stream, "ts", "2 hours", by = Seq("user_id"),
       aggs = Seq(F.count(F.lit(1)).as("n"), F.sum("value").as("sv")))
@@ -217,7 +217,7 @@ object Queries7 {
     java.nio.file.Files.createSymbolicLink(
       inDir.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
     def stream() = graft.streaming.Streaming.scanParquetStream(inDir.toString, schema)
-      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+      .transform(TestTables.normalizeEventsTs)
     val clicks = stream().filter(F.col("event_type") === "click")
       .select(F.col("event_id").as("click_id"), F.col("user_id").as("c_user"),
         F.col("ts").as("click_ts"))

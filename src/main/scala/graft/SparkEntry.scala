@@ -16,12 +16,11 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
   private def lf(s: SparkSession, dir: String, name: String): LazyFrame =
     LazyFrame(t(s, dir, name))
-  /** events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as long under
-    * `spark.sql.legacy.parquet.nanosAsLong` (set in Verify/Bench/tests);
-    * convert to µs TimestampType here (documented truncation, SURVEY §1.2). */
+  /** events.ts normalization across testdata generations (nanos-as-long vs
+    * native timestamp[us]) lives in [[TestTables.normalizeEventsTs]]. */
   private def events(s: SparkSession, dir: String): LazyFrame =
     LazyFrame(t(s, dir, "events")
-      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+      .transform(TestTables.normalizeEventsTs))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape through the lazy API: scan → filter → group → agg → sort. */

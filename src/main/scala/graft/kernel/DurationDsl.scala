@@ -15,6 +15,11 @@ final case class Duration(
   def totalMicros: Long = totalNanos / 1000
   def totalSeconds: Double = totalNanos / 1e9
   def isCalendar: Boolean = months != 0
+  /** Calendar months only — no fixed-length or index component mixed in.
+    * Calendar bucket arithmetic (group_by_dynamic / rolling / dt.round over
+    * mo/q/y) is only well-defined for pure month strides. */
+  def isPureCalendar: Boolean =
+    months != 0 && weeks == 0 && days == 0 && nanos == 0 && indexCount == 0
   /** Spark SQL interval literal string, e.g. "INTERVAL '3' DAY". */
   def sqlInterval: String =
     if (months != 0) s"INTERVAL '$months' MONTH"
