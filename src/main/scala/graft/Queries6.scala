@@ -35,7 +35,9 @@ object Queries6 {
       .select(
         col("event_id"),
         col("ts").dt.round("15m").dt.epoch("s").alias("rounded_ep"),
-        col("ts").dt.truncate("15m").dt.epoch("s").alias("trunc_ep"))
+        col("ts").dt.truncate("15m").dt.epoch("s").alias("trunc_ep"),
+        col("ts").dt.round("1mo").dt.epoch("s").alias("mo_ep"),
+        col("ts").dt.round("1y").dt.epoch("s").alias("yr_ep"))
       .sortBy(Seq(col("event_id")))
       .collect().toSpark
 
@@ -341,7 +343,17 @@ object Queries6 {
     "q_dt_round" ->
       """SELECT event_id,
         |CAST(round(epoch_us(ts) / 900000000.0) * 900 AS BIGINT) AS rounded_ep,
-        |CAST(floor(epoch_us(ts) / 900000000.0) * 900 AS BIGINT) AS trunc_ep
+        |CAST(floor(epoch_us(ts) / 900000000.0) * 900 AS BIGINT) AS trunc_ep,
+        |CAST(CASE WHEN epoch_us(ts) >= epoch_us(date_trunc('month', ts))
+        |    + (epoch_us(date_trunc('month', ts) + INTERVAL 1 MONTH)
+        |       - epoch_us(date_trunc('month', ts))) // 2
+        |  THEN epoch_us(date_trunc('month', ts) + INTERVAL 1 MONTH) // 1000000
+        |  ELSE epoch_us(date_trunc('month', ts)) // 1000000 END AS BIGINT) AS mo_ep,
+        |CAST(CASE WHEN epoch_us(ts) >= epoch_us(date_trunc('year', ts))
+        |    + (epoch_us(date_trunc('year', ts) + INTERVAL 1 YEAR)
+        |       - epoch_us(date_trunc('year', ts))) // 2
+        |  THEN epoch_us(date_trunc('year', ts) + INTERVAL 1 YEAR) // 1000000
+        |  ELSE epoch_us(date_trunc('year', ts)) // 1000000 END AS BIGINT) AS yr_ep
         |FROM events ORDER BY event_id""".stripMargin,
     "q_str_affix" ->
       """SELECT p_partkey,

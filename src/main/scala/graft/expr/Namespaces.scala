@@ -181,25 +181,43 @@ final class DtNS(e: Expr) {
   def truncate(every: String): Expr = m { c =>
     val d = DurationDsl.parse(every)
     if (d.isCalendar) {
-      if (d.months == 12) F.date_trunc("year", c)
-      else if (d.months == 3) F.date_trunc("quarter", c)
-      else if (d.months == 1) F.date_trunc("month", c)
-      else {
-        val monthsSinceEpoch = (F.year(c) - 1970) * 12 + F.month(c) - 1
-        val bucket = F.floor(monthsSinceEpoch / d.months.toDouble) * d.months
-        F.to_timestamp(F.make_date(F.lit(1970) + (bucket / 12).cast("int"), (bucket % 12).cast("int") + 1, F.lit(1)))
-      }
+      truncCalendar(c, d.months)
     } else {
       val us = d.totalMicros
       F.timestamp_micros((F.floor(F.unix_micros(c) / us.toDouble) * us).cast("long"))
     }
   }
+  /** Round to the nearest duration-DSL bucket boundary (reference
+    * date_time_expr.rb:107-216 — accepts calendar units mo/q/y). Polars
+    * semantics: the first half of each bucket maps to its start, the second
+    * half (midpoint inclusive) to its end. Calendar buckets have varying
+    * physical length, so the midpoint is computed per bucket from the
+    * truncated start and its `add_months` successor. */
   def round(every: String): Expr = m { c =>
     val d = DurationDsl.parse(every)
-    require(!d.isCalendar, "dt.round supports fixed durations")
-    val us = d.totalMicros
-    F.timestamp_micros((F.round(F.unix_micros(c) / us.toDouble) * us).cast("long"))
+    if (d.isCalendar) {
+      require(d.isPureCalendar,
+        "dt.round: mixed calendar+fixed durations (e.g. 1mo2d) are not supported")
+      val lower = truncCalendar(c, d.months)
+      val upper = F.add_months(lower, d.months.toInt).cast("timestamp")
+      val lo = F.unix_micros(lower); val hi = F.unix_micros(upper)
+      val mid = lo + ((hi - lo) / 2L).cast("long") // month lengths are even in µs — exact
+      F.when(F.unix_micros(c.cast("timestamp")) >= mid, upper).otherwise(lower)
+    } else {
+      val us = d.totalMicros
+      F.timestamp_micros((F.round(F.unix_micros(c) / us.toDouble) * us).cast("long"))
+    }
   }
+  /** Calendar truncate to an n-month stride (shared by truncate/round). */
+  private def truncCalendar(c: Column, months: Long): Column =
+    if (months == 12) F.date_trunc("year", c)
+    else if (months == 3) F.date_trunc("quarter", c)
+    else if (months == 1) F.date_trunc("month", c)
+    else {
+      val monthsSinceEpoch = (F.year(c) - 1970) * 12 + F.month(c) - 1
+      val bucket = F.floor(monthsSinceEpoch / months.toDouble) * months
+      F.to_timestamp(F.make_date(F.lit(1970) + (bucket / 12).cast("int"), (bucket % 12).cast("int") + 1, F.lit(1)))
+    }
   def epoch(unit: String = "us"): Expr = m { c0 =>
     val c = c0.cast("timestamp") // NTZ parquet timestamps: identity under UTC session tz
     unit match {

@@ -72,17 +72,20 @@ object Ewm {
           minPeriods: Int = 1, outputs: Seq[String] = Seq("mean"),
           ignoreNulls: Boolean = true): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
-    // adjust=false renormalizes after EVERY observation (pandas resets
-    // old_wt to 1), so a null-gap's decay applies to a freshly normalized
-    // weight — not a linear register recurrence, and the keyless affine
-    // carry does not compose. The adjust=true weighting (polars default) is
-    // a pure linear recurrence in all four registers and is exact.
-    require(adjust || ignoreNulls,
-      "ewm: ignore_nulls=false with adjust=false is not supported (the " +
-        "renormalizing recursion does not compose distributively); use " +
-        "adjust=true or ignore_nulls=true")
-    if (by.isEmpty)
+    if (by.isEmpty) {
+      // adjust=false renormalizes after EVERY observation (the old_wt reset
+      // below), so a null-gap's decay applies to a freshly normalized
+      // weight — not a linear register recurrence, and the keyless affine
+      // carry does not compose. The KEYED path streams each group
+      // sequentially and runs the renormalizing recursion exactly; only the
+      // keyless global form is rejected for this flag pair.
+      require(adjust || ignoreNulls,
+        "ewm: keyless ignore_nulls=false with adjust=false is not supported " +
+          "(the renormalizing recursion does not compose distributively " +
+          "across partitions); group the computation with by-keys, or use " +
+          "adjust=true or ignore_nulls=true")
       return ewmKeyless(df, valueCol, orderCol, alpha, adjust, minPeriods, outputs, ignoreNulls)
+    }
     val spark = df.sparkSession
     val partitioned = df.repartition(by.map(F.col): _*)
       .sortWithinPartitions((by.map(F.col) :+ F.col(orderCol)): _*)
@@ -212,14 +215,28 @@ object Ewm {
     * update uses the LINEAR register form (β·s + α·b) rather than the
     * wSum=1 shortcut: both are identical on gap-free data (weights sum to
     * 1), but only the linear form composes under the null-decay of
-    * ignore_nulls=false and the keyless affine carry. */
+    * ignore_nulls=false and the keyless affine carry.
+    *
+    * adjust=false + ignore_nulls=false is the one combination that is NOT a
+    * linear recurrence: the observation step renormalizes the accumulated
+    * weight back to 1 (so a later null-gap decays a unit weight, not the
+    * full history), which is the pandas `old_wt` recursion
+    * (ignore_na=False, adjust=False). It runs in the dedicated
+    * mean/cov/sum_wt register set below — sequential-only, used by the
+    * keyed mapPartitions path (reference flag surface: expr.rb:6381-6444). */
   private final class EwmState(alpha: Double, adjust: Boolean,
                                ignoreNulls: Boolean = true) extends Serializable {
     private val beta = 1.0 - alpha
+    private val renorm = !adjust && !ignoreNulls
     var wSum, wx, wx2, w2Sum = 0.0
+    // renormalizing-recursion registers (renorm mode only)
+    private var mean, cov, sumWt, sumWt2, oldWt = 0.0
     var n = 0L
 
-    def reset(): Unit = { wSum = 0; wx = 0; wx2 = 0; w2Sum = 0; n = 0 }
+    def reset(): Unit = {
+      wSum = 0; wx = 0; wx2 = 0; w2Sum = 0; n = 0
+      mean = 0; cov = 0; sumWt = 0; sumWt2 = 0; oldWt = 0
+    }
 
     def seed(nPrior: Long, state: Array[Double]): Unit = {
       n = nPrior
@@ -247,10 +264,44 @@ object Ewm {
       wSum *= beta; wx *= beta; wx2 *= beta; w2Sum *= beta * beta
     }
 
+    /** One step of the renormalizing recursion (adjust=false,
+      * ignore_nulls=false): a null decays the unit-normalized weight; an
+      * observation folds in with weight α against the decayed old weight,
+      * then renormalizes old_wt back to 1. Variance via the single-pass
+      * weighted-covariance update (cov against itself), debiased with
+      * Σw²/(Σw²−Σw²₂). Null inputs emit null (polars propagates null at
+      * null positions; the state still decays). */
+    private def stepRenorm(x: Double, minPeriods: Int, outputs: Seq[String]): Seq[Any] =
+      if (x.isNaN) {
+        if (n > 0) { sumWt *= beta; sumWt2 *= beta * beta; oldWt *= beta }
+        outputs.map(_ => null)
+      } else {
+        if (n == 0) { mean = x; cov = 0.0; sumWt = 1.0; sumWt2 = 1.0; oldWt = 1.0 }
+        else {
+          sumWt *= beta; sumWt2 *= beta * beta; oldWt *= beta
+          val newWt = alpha
+          val oldMean = mean
+          if (mean != x) mean = (oldWt * oldMean + newWt * x) / (oldWt + newWt)
+          cov = (oldWt * (cov + (oldMean - mean) * (oldMean - mean)) +
+            newWt * (x - mean) * (x - mean)) / (oldWt + newWt)
+          sumWt += newWt; sumWt2 += newWt * newWt; oldWt += newWt
+          sumWt /= oldWt; sumWt2 /= oldWt * oldWt; oldWt = 1.0
+        }
+        n += 1
+        val num = sumWt * sumWt
+        val den = num - sumWt2
+        outputs.map {
+          case "mean" => if (n >= minPeriods) mean else null
+          case "var"  => if (n >= minPeriods && den > 0) (num / den) * cov else null
+          case "std"  => if (n >= minPeriods && den > 0) math.sqrt((num / den) * cov) else null
+        }
+      }
+
     /** Advance on `x` (NaN/null: null out; state unchanged when nulls are
       * ignored, decayed otherwise) and emit the requested outputs. */
     def step(x: Double, minPeriods: Int, outputs: Seq[String]): Seq[Any] =
-      if (x.isNaN) {
+      if (renorm) stepRenorm(x, minPeriods, outputs)
+      else if (x.isNaN) {
         if (!ignoreNulls && n > 0) decay()
         outputs.map(_ => null)
       } else {
