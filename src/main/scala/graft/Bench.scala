@@ -35,6 +35,23 @@ object Bench {
     // SPARK_GRAFT_ONLY=q_a,q_b restricts to named queries (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(names => SparkEntry.queries.filter(kv => names(kv._1)))
+    // Ambient-noise canary: a fixed scan-dominated probe timed before and
+    // after the query sweep. Co-tenant load shows up as drift between the
+    // two samples (the round-7 bench window drifted 35.9-53.2 s on
+    // UNCHANGED code); the drift ratio rides in the JSON so a contaminated
+    // window is machine-readable — stable_window:false means the total must
+    // not be read as a regression signal.
+    def canary(): Double = {
+      import org.apache.spark.sql.{functions => CF}
+      def run(): Unit = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .agg(CF.sum("l_quantity"), CF.sum("l_extendedprice")).collect()
+      run() // warm footers + codegen
+      val ts = (1 to runs).map { _ =>
+        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(ts.size / 2)
+    }
+    val canaryFirst = canary()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       val times = (1 to runs).map { _ =>
@@ -44,6 +61,13 @@ object Bench {
       }.sorted
       name -> times(times.size / 2)
     }.toMap
+    val canaryLast = canary()
+    val canaryDrift =
+      math.max(canaryFirst, canaryLast) / math.max(1e-9, math.min(canaryFirst, canaryLast))
+    val stableWindow = canaryDrift <= 1.5
+    if (!stableWindow)
+      System.err.println(f"bench: canary drifted ${canaryDrift}%.2fx across the sweep " +
+        "(ambient load) — this total is NOT a final comparison sample; re-run in a quiet window")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Locale.ROOT: the f-interpolator uses the default locale, which under a
     // comma-decimal locale would emit "1,234" and break the JSON
@@ -63,10 +87,13 @@ object Bench {
         val m = (s""""${java.util.regex.Pattern.quote(sfName)}":\\s*\\{\\s*"total_sec":\\s*([0-9.]+)""").r
         m.findFirstMatchIn(txt).map(g => s""","duckdb_total":${g.group(1)}""").getOrElse("")
       } catch { case _: Throwable => "" }
+    val canaryFields =
+      s""","canary_first_sec":${fmt(canaryFirst)},"canary_last_sec":${fmt(canaryLast)},""" +
+        s""""canary_drift":${fmt(canaryDrift)},"stable_window":$stableWindow"""
     val detail = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":$runs$duckField,"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":$runs$duckField$canaryFields,"queries":$detail,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     val detailWritten =
       try {
@@ -92,7 +119,7 @@ object Bench {
       }
       fits
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_reported":$taken,"detail":$detailField$duckField,"queries":{$sb},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_reported":$taken,"detail":$detailField$duckField$canaryFields,"queries":{$sb},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -272,11 +272,26 @@ object Queries7 {
         // delete files the other is reading; repeat runs in the same state
         // re-register the existing bucketed files by DDL (no setup write)
         // and later calls in the same JVM short-circuit on the catalog.
+        val sf = new java.io.File(dir).getName
+        val loc = s"/tmp/graft_bucketed/${sf}_${QueryStage.inputFingerprint(dir).take(12)}"
+        // reuse is only valid when the registered tables point at the
+        // CURRENT fingerprint's location — regenerated sf data mid-JVM gets
+        // a different fingerprint, so a catalog hit alone is not enough
+        def locCurrent(tn: String): Boolean =
+          try s.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(tn, Some(db)))
+            .location.getPath == s"$loc/$tn"
+          catch { case scala.util.control.NonFatal(_) => false }
         val registered = s.catalog.databaseExists(db) &&
-          s.catalog.tableExists(s"$db.orders_b") && s.catalog.tableExists(s"$db.customer_b")
+          s.catalog.tableExists(s"$db.orders_b") && s.catalog.tableExists(s"$db.customer_b") &&
+          locCurrent("orders_b") && locCurrent("customer_b")
         if (!registered) {
-          val sf = new java.io.File(dir).getName
-          val loc = s"/tmp/graft_bucketed/${sf}_${QueryStage.inputFingerprint(dir).take(12)}"
+          // a stale registration (old fingerprint) drops WHOLE-DB so the
+          // recreated database roots at the new fingerprint's location and
+          // managed re-staging writes land there (external re-registered
+          // tables keep their files; managed stale files are the old
+          // fingerprint's and are correct to delete)
+          if (s.catalog.databaseExists(db)) s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
           java.nio.file.Files.createDirectories(java.nio.file.Paths.get(loc))
           s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
           // the committer's _SUCCESS marker is the completeness signal — a

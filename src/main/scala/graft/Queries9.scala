@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, DataFrame => SDF, functions => F}
+import graft.api.LazyFrame
+import graft.expr.Expr
+import graft.Polars._
+
+/** Wave-9 driver queries (round 8): calendar-duration windows
+  * (group_by_dynamic / frame rolling over mo/q/y) and oracle coverage for
+  * the previously spec-only surface (describe, transpose, vstack,
+  * with_context, partition_by). Calendar queries run on `orders` — the one
+  * table whose index column spans years. */
+object Queries9 {
+
+  private def t(s: SparkSession, dir: String, name: String): SDF =
+    s.read.parquet(s"$dir/$name.parquet")
+  private def lf(s: SparkSession, dir: String, name: String): LazyFrame =
+    LazyFrame(t(s, dir, name))
+
+  /** Monthly tumbling group_by_dynamic per order priority (calendar `1mo`
+    * every — reference lazy_frame.rb:1416-1459 + duration DSL mo/q/y). The
+    * upper boundary rides along so the oracle checks the add_months edge. */
+  private def qGbdMonthly(s: SparkSession, dir: String): SDF =
+    lf(s, dir, "orders")
+      .groupByDynamic("o_orderdate", every = "1mo", by = Seq("o_orderpriority"))
+      .agg(Expr(F.count(F.lit(1))).alias("n"),
+        col("o_totalprice").sum.alias("sv"))
+      .select(col("o_orderpriority"), col("o_orderdate"),
+        col("_upper_boundary").alias("ub"), col("n"), col("sv"))
+      .sortBy(Seq(col("o_orderpriority"), col("o_orderdate")))
+      .collect().toSpark
+
+  /** Sliding calendar windows: every=1mo, period=3mo — each order joins its
+    * three covering windows (multi-membership via the month-space explode). */
+  private def qGbdSliding(s: SparkSession, dir: String): SDF =
+    lf(s, dir, "orders")
+      .groupByDynamic("o_orderdate", every = "1mo", period = Some("3mo"))
+      .agg(Expr(F.count(F.lit(1))).alias("n"),
+        col("o_totalprice").sum.alias("sv"))
+      .select(col("o_orderdate"), col("n"), col("sv"))
+      .sortBy(Seq(col("o_orderdate")))
+      .collect().toSpark
+
+  /** Frame rolling over a calendar month: trailing [t - 1mo, t] per customer
+    * bucket — the distributed bucket-join kernel (day-clamped month shift,
+    * matched by DuckDB's calendar RANGE frame). */
+  private def qRollingMonth(s: SparkSession, dir: String): SDF =
+    LazyFrame(t(s, dir, "orders")
+        .withColumn("cust_bucket", F.col("o_custkey") % 50))
+      .rolling("o_orderdate", "1mo", by = Seq("cust_bucket"))
+      .agg("roll_n" -> Expr(F.count(F.lit(1))),
+        "roll_sv" -> col("o_totalprice").sum)
+      .select(col("o_orderkey"), col("roll_n"),
+        Expr(F.round(F.col("roll_sv"), 2)).alias("roll_sv"))
+      .sortBy(Seq(col("o_orderkey")))
+      .collect().toSpark
+
+  /** describe() — numeric stat rows, values re-parsed to rounded doubles so
+    * the string-typed describe surface hash-compares against SQL aggregates. */
+  private def qDescribe(s: SparkSession, dir: String): SDF =
+    lf(s, dir, "lineitem")
+      .select(col("l_quantity"), col("l_extendedprice"))
+      .collect()
+      .describe()
+      .select(col("statistic"),
+        Expr(F.round(F.col("l_quantity").cast("double"), 2)).alias("l_quantity"),
+        Expr(F.round(F.col("l_extendedprice").cast("double"), 2)).alias("l_extendedprice"))
+      .sortBy(Seq(col("statistic")))
+      .toSpark
+
+  /** vstack — duplicate-preserving vertical concat of region with itself. */
+  private def qVstack(s: SparkSession, dir: String): SDF = {
+    val r = lf(s, dir, "region")
+    r.vstack(r)
+      .groupBy("r_regionkey")
+      .agg(Expr(F.count(F.lit(1))).alias("n"),
+        col("r_name").first.alias("name"))
+      .sortBy(Seq(col("r_regionkey")))
+      .collect().toSpark
+  }
+
+  /** with_context — broadcast a one-row aggregate of another frame into this
+    * frame's expression scope (reference lazy_frame.rb with_context). */
+  private def qWithContext(s: SparkSession, dir: String): SDF =
+    lf(s, dir, "lineitem")
+      .withContext(lf(s, dir, "orders"), "avg_price" -> col("o_totalprice").mean)
+      .filter(col("l_extendedprice") > col("avg_price"))
+      .groupBy("l_returnflag")
+      .agg(Expr(F.count(F.lit(1))).alias("n"))
+      .sortBy(Seq(col("l_returnflag")))
+      .collect().toSpark
+
+  /** partition_by — driver-side key enumeration; the 'R' partition frame. */
+  private def qPartitionBy(s: SparkSession, dir: String): SDF = {
+    val parts = graft.api.DataFrame(t(s, dir, "lineitem")).partitionBy(Seq("l_returnflag"))
+    val r = parts(Seq("R"))
+    LazyFrame(r.toSpark)
+      .groupBy("l_linestatus")
+      .agg(Expr(F.count(F.lit(1))).alias("n"),
+        col("l_quantity").sum.alias("sq"))
+      .sortBy(Seq(col("l_linestatus")))
+      .collect().toSpark
+  }
+
+  /** transpose — rows become column_i string columns (executor-side stack). */
+  private def qTranspose(s: SparkSession, dir: String): SDF =
+    graft.api.DataFrame(
+        t(s, dir, "region").orderBy("r_regionkey").select("r_regionkey", "r_name"))
+      .transpose(includeHeader = true, headerName = "colname")
+      .sortBy(Seq(col("colname")))
+      .toSpark
+
+  def queries: Map[String, (SparkSession, String) => SDF] = Map(
+    "q_gbd_monthly" -> (qGbdMonthly _),
+    "q_gbd_sliding" -> (qGbdSliding _),
+    "q_rolling_month" -> (qRollingMonth _),
+    "q_describe" -> (qDescribe _),
+    "q_vstack" -> (qVstack _),
+    "q_with_context" -> (qWithContext _),
+    "q_partition_by" -> (qPartitionBy _),
+    "q_transpose" -> (qTranspose _))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_gbd_monthly" ->
+      """SELECT o_orderpriority,
+        |CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS o_orderdate,
+        |CAST(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH AS TIMESTAMP) AS ub,
+        |count(*) AS n, sum(o_totalprice) AS sv
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+    "q_gbd_sliding" ->
+      """SELECT CAST(ws AS TIMESTAMP) AS o_orderdate, count(*) AS n, sum(o_totalprice) AS sv
+        |FROM (SELECT o_totalprice, unnest([
+        |    date_trunc('month', o_orderdate),
+        |    date_trunc('month', o_orderdate) - INTERVAL 1 MONTH,
+        |    date_trunc('month', o_orderdate) - INTERVAL 2 MONTH]) AS ws
+        |  FROM orders)
+        |GROUP BY ws ORDER BY 1""".stripMargin,
+    "q_rolling_month" ->
+      """SELECT o_orderkey, count(*) OVER w AS roll_n,
+        |round(sum(o_totalprice) OVER w, 2) AS roll_sv
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey % 50 ORDER BY o_orderdate
+        |  RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_describe" ->
+      """SELECT * FROM (
+        |SELECT 'count' AS statistic, round(CAST(count(*) AS DOUBLE), 2) AS l_quantity,
+        |  round(CAST(count(*) AS DOUBLE), 2) AS l_extendedprice FROM lineitem
+        |UNION ALL SELECT 'null_count', round(CAST(count(*) - count(l_quantity) AS DOUBLE), 2),
+        |  round(CAST(count(*) - count(l_extendedprice) AS DOUBLE), 2) FROM lineitem
+        |UNION ALL SELECT 'mean', round(avg(l_quantity), 2), round(avg(l_extendedprice), 2) FROM lineitem
+        |UNION ALL SELECT 'std', round(stddev_samp(l_quantity), 2), round(stddev_samp(l_extendedprice), 2) FROM lineitem
+        |UNION ALL SELECT 'min', round(CAST(min(l_quantity) AS DOUBLE), 2), round(CAST(min(l_extendedprice) AS DOUBLE), 2) FROM lineitem
+        |UNION ALL SELECT '25%', round(quantile_cont(l_quantity, 0.25), 2), round(quantile_cont(l_extendedprice, 0.25), 2) FROM lineitem
+        |UNION ALL SELECT '50%', round(quantile_cont(l_quantity, 0.5), 2), round(quantile_cont(l_extendedprice, 0.5), 2) FROM lineitem
+        |UNION ALL SELECT '75%', round(quantile_cont(l_quantity, 0.75), 2), round(quantile_cont(l_extendedprice, 0.75), 2) FROM lineitem
+        |UNION ALL SELECT 'max', round(CAST(max(l_quantity) AS DOUBLE), 2), round(CAST(max(l_extendedprice) AS DOUBLE), 2) FROM lineitem
+        |) ORDER BY statistic""".stripMargin,
+    "q_vstack" ->
+      """SELECT r_regionkey, count(*) AS n, min(r_name) AS name
+        |FROM (SELECT * FROM region UNION ALL SELECT * FROM region)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_with_context" ->
+      """SELECT l_returnflag, count(*) AS n
+        |FROM lineitem, (SELECT avg(o_totalprice) AS ap FROM orders)
+        |WHERE l_extendedprice > ap GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_partition_by" ->
+      """SELECT l_linestatus, count(*) AS n, sum(l_quantity) AS sq
+        |FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_transpose" ->
+      """SELECT * FROM (
+        |SELECT 'r_regionkey' AS colname,
+        |  CAST(max(CASE WHEN r_regionkey = 0 THEN r_regionkey END) AS VARCHAR) AS column_0,
+        |  CAST(max(CASE WHEN r_regionkey = 1 THEN r_regionkey END) AS VARCHAR) AS column_1,
+        |  CAST(max(CASE WHEN r_regionkey = 2 THEN r_regionkey END) AS VARCHAR) AS column_2,
+        |  CAST(max(CASE WHEN r_regionkey = 3 THEN r_regionkey END) AS VARCHAR) AS column_3,
+        |  CAST(max(CASE WHEN r_regionkey = 4 THEN r_regionkey END) AS VARCHAR) AS column_4
+        |FROM region
+        |UNION ALL
+        |SELECT 'r_name',
+        |  max(CASE WHEN r_regionkey = 0 THEN r_name END),
+        |  max(CASE WHEN r_regionkey = 1 THEN r_name END),
+        |  max(CASE WHEN r_regionkey = 2 THEN r_name END),
+        |  max(CASE WHEN r_regionkey = 3 THEN r_name END),
+        |  max(CASE WHEN r_regionkey = 4 THEN r_name END)
+        |FROM region
+        |) ORDER BY colname""".stripMargin)
+}

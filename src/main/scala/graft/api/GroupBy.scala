@@ -165,7 +165,7 @@ final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
                                  by: Seq[String], mk: SDF => Self) {
   def agg(exprs: (String, Expr)*): Self = {
     val d = DurationDsl.parse(period)
-    require(!d.isCalendar, "calendar periods (1mo/1y): bucket via dt.truncate")
+    if (d.isCalendar) return aggCalendar(d, exprs)
     val p = d.totalMicros
     val epoch = F.unix_micros(F.col(indexColumn).cast("timestamp"))
     if (by.nonEmpty) {
@@ -188,6 +188,56 @@ final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
       mk(out.filter(!F.col(ph)).drop(tb, ph, ep))
     }
   }
+
+  /** Calendar-month trailing windows (`1mo`/`1q`/`1y` — reference duration
+    * DSL lazy_frame.rb:1198-1219, rolling docs lazy_frame.rb:1161-1181).
+    * Month lengths vary, so a fixed-offset range frame cannot express
+    * `[t - 1mo, t]`; this is the distributed range-join shape instead:
+    *
+    *   - bucket rows by `floor(months_since_epoch / m)` — a window start
+    *     `t - m months` keeps its month arithmetic exact (day clamping
+    *     preserves the month), so it ALWAYS lands in bucket b-1; each probe
+    *     row explodes into join buckets {b-1, b} and equi-joins candidate
+    *     rows (plus the by-keys), with the µs range check as the join
+    *     residual;
+    *   - aggregate per probe row id (the aggregate exprs see the original
+    *     column names on the candidate side), restoring the probe's own
+    *     columns via first() — no join-back pass.
+    *
+    * Two balanced shuffles (bucket join, row-id aggregate), 2× probe-side
+    * row volume, no data-sized single partition. Null index values drop
+    * (polars' rolling contract requires a sorted non-null index column). */
+  private def aggCalendar(d: graft.kernel.Duration, exprs: Seq[(String, Expr)]): Self = {
+    import graft.kernel.Scan
+    require(d.isPureCalendar,
+      "rolling: calendar periods must be pure month multiples (mo/q/y); " +
+        "mixed calendar+fixed durations (e.g. 1mo2d) are not supported")
+    val m = d.months
+    val hadIdx = sdf.columns.contains(RowIndex.name)
+    val base = RowIndex.attach(sdf)
+    val ts = F.col(indexColumn).cast("timestamp")
+    val ep = F.unix_micros(ts)
+    val mse = ((F.year(ts) - 1970) * 12 + F.month(ts) - 1).cast("long")
+    val tb = F.floor(mse.cast("double") / m).cast("long")
+    val lo = F.unix_micros(ts - F.expr(s"INTERVAL '$m' MONTH"))
+    val jb = Scan.fresh("jb")
+    val left = base
+      .withColumn("__l_ep__", ep).withColumn("__l_lo__", lo).withColumn("__l_tb__", tb)
+      .select((base.columns.map(c => F.col(c).as("__l_" + c)) ++
+        Seq(F.col("__l_ep__"), F.col("__l_lo__"), F.col("__l_tb__"))).toIndexedSeq: _*)
+      .withColumn(jb, F.explode(F.array(F.col("__l_tb__") - 1, F.col("__l_tb__"))))
+    val right = base.withColumn("__r_ep__", ep).withColumn("__r_tb__", tb)
+    val cond = by.map(b => F.col("__l_" + b) === F.col(b))
+      .foldLeft(F.col(jb) === F.col("__r_tb__") &&
+        F.col("__r_ep__") >= F.col("__l_lo__") && F.col("__r_ep__") <= F.col("__l_ep__"))(_ && _)
+    val joined = left.join(right, cond)
+    val restore = base.columns.map(c => F.first(F.col("__l_" + c)).as(c))
+    val aggs = restore ++ exprs.map { case (n, e) => e.col.as(n) }
+    val out = joined.groupBy(F.col("__l_" + RowIndex.name))
+      .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+      .drop("__l_" + RowIndex.name)
+    mk(if (hadIdx) out else out.drop(RowIndex.name))
+  }
 }
 
 /** group_by_dynamic (reference: lazy_frame.rb:1416-1459, dynamic_group_by.rb).
@@ -201,8 +251,7 @@ final class DynamicGroupBy[Self](sdf: SDF, indexColumn: String, every: String,
   def agg(exprs: Expr*): Self = {
     val everyD = DurationDsl.parse(every)
     val periodD = period.map(DurationDsl.parse).getOrElse(everyD)
-    require(!everyD.isCalendar && !periodD.isCalendar,
-      "calendar windows (1mo/1y): use truncate-based bucketing")
+    if (everyD.isCalendar || periodD.isCalendar) return aggCalendar(everyD, periodD, exprs)
     def dur(d: graft.kernel.Duration) = s"${d.totalMicros} microseconds"
     val win = offset match {
       case Some(o) =>
@@ -217,6 +266,57 @@ final class DynamicGroupBy[Self](sdf: SDF, indexColumn: String, every: String,
       .withColumn("_lower_boundary", F.col("__window__.start"))
       .withColumn("_upper_boundary", F.col("__window__.end"))
       .drop("__window__")
+    val lead = (by :+ indexColumn).map(F.col)
+    mk(out.select((lead ++ out.columns.filterNot((by :+ indexColumn).contains).map(F.col)).toIndexedSeq: _*))
+  }
+
+  /** Calendar windows (`1mo`/`1q`/`1y` — reference duration DSL
+    * lazy_frame.rb:1198-1219, group_by_dynamic docs lazy_frame.rb:1416-1459).
+    * `F.window` needs fixed-length durations, so calendar buckets run on
+    * months-since-epoch arithmetic instead (the same bucket expression as
+    * dt.truncate): each row's latest epoch-aligned window start is
+    * `floor((mse - offset) / every) * every + offset`; sliding membership
+    * (period > every) explodes each row into its ceil(period/every)
+    * candidate starts and keeps those with `ts < month_start(start+period)`
+    * — the multi-membership shape `F.window` uses, spelled in month space.
+    * One balanced shuffle on (window-start, by), identical to the fixed
+    * path; boundaries convert back to timestamps post-aggregation. */
+  private def aggCalendar(everyD: graft.kernel.Duration, periodD: graft.kernel.Duration,
+                          exprs: Seq[Expr]): Self = {
+    import graft.kernel.Scan
+    require(everyD.isPureCalendar && periodD.isPureCalendar,
+      "group_by_dynamic: calendar every/period must both be pure month " +
+        "multiples (mo/q/y); mixed calendar+fixed durations are not supported")
+    val offM = offset.map { o =>
+      val d = DurationDsl.parse(o)
+      require(d.isPureCalendar || (d.months == 0 && d.weeks == 0 && d.days == 0 && d.nanos == 0),
+        "group_by_dynamic: offset with calendar windows must be a pure month multiple")
+      d.months
+    }.getOrElse(0L)
+    val everyM = everyD.months
+    val periodM = periodD.months
+    val c = F.col(indexColumn).cast("timestamp")
+    val mse = ((F.year(c) - 1970) * 12 + F.month(c) - 1).cast("long")
+    val start0 = F.floor((mse - offM).cast("double") / everyM).cast("long") * everyM + offM
+    val nWin = ((periodM + everyM - 1) / everyM).toInt
+    def monthTs(mc: Column): Column =
+      F.to_timestamp(F.make_date(
+        (F.lit(1970) + F.floor(mc.cast("double") / 12)).cast("int"),
+        F.pmod(mc, F.lit(12L)).cast("int") + 1, F.lit(1)))
+    val ws = Scan.fresh("ws")
+    // candidate starts ascend to start0; a row is in window s iff ts < end(s)
+    // (ts >= month_start(s) holds by construction: s <= mse)
+    val exploded = sdf
+      .withColumn(ws, F.explode(F.sequence(
+        start0 - (nWin - 1).toLong * everyM, start0, F.lit(everyM))))
+      .filter(c < monthTs(F.col(ws) + periodM))
+    val groupCols = F.col(ws) +: by.map(F.col)
+    val out = exploded.groupBy(groupCols: _*)
+      .agg(exprs.head.col, exprs.tail.map(_.col): _*)
+      .withColumn(indexColumn, monthTs(F.col(ws)))
+      .withColumn("_lower_boundary", monthTs(F.col(ws)))
+      .withColumn("_upper_boundary", monthTs(F.col(ws) + periodM))
+      .drop(ws)
     val lead = (by :+ indexColumn).map(F.col)
     mk(out.select((lead ++ out.columns.filterNot((by :+ indexColumn).contains).map(F.col)).toIndexedSeq: _*))
   }

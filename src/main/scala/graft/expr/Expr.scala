@@ -121,7 +121,14 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
 
   private def keyedOrPlain(e: Expr): Boolean = e.keyed.isDefined || e.preps.isEmpty
   private def keyedSide(e: Expr, keys: Seq[Column]): Expr =
-    e.keyed.map(_.mk(keys)).getOrElse(Expr(e.col, e.requiresIndex))
+    e.keyed.map(_.mk(keys)).getOrElse {
+      // a plain operand may still be an AGGREGATE (w.sum reached through a
+      // keyed zip): polars broadcasts it per key — spell as a keyed window
+      // (or raise the directed error for unwindowable aggregate structure)
+      org.apache.spark.sql.GraftInternalOps.perKeyBroadcastSpelling(e.col, keys)
+        .map(c => Expr(c, e.requiresIndex))
+        .getOrElse(Expr(e.col, e.requiresIndex))
+    }
 
   /** Order-dependent op: the result is a helper column produced by a
     * [[graft.kernel.Scan]] stage over the hidden row index. */
@@ -499,7 +506,8 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   def rank(method: String = "average", descending: Boolean = false,
            seed: Long = 0L): Expr = {
     val out = Scan.fresh("x")
-    Expr(F.col(out), requiresIndex = method == "ordinal" || requiresIndex,
+    Expr(F.col(out),
+      requiresIndex = method == "ordinal" || method == "random" || requiresIndex,
       preps :+ Prep(out, d => Scan.withRank(d, col, out, method, descending, seed), Seq(out)),
       keyed = Some(KeyedForm { keys =>
         requireNoScanInput("rank")
@@ -528,9 +536,13 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
         }
         val kePreps =
           if (method == "random")
-            preps :+ Prep(rnd, d => d.withColumn(rnd, F.rand(seed)), Seq(rnd))
+            // deterministic seeded tiebreak (see Scan.withRank): a pure
+            // function of (seed, row-index), not a per-evaluation draw
+            preps :+ Prep(rnd, d => d.withColumn(rnd,
+              F.xxhash64(F.lit(seed), F.col(graft.kernel.RowIndex.name))), Seq(rnd))
           else preps
-        Expr(F.when(col.isNotNull, c), requiresIndex = method == "ordinal", kePreps)
+        Expr(F.when(col.isNotNull, c),
+          requiresIndex = method == "ordinal" || method == "random", kePreps)
       }))
   }
   def isDuplicated: Expr =

@@ -231,7 +231,12 @@ final class DtNS(e: Expr) {
   def timestamp(unit: String = "us"): Expr = epoch(unit)
   def offsetBy(by: String): Expr = m { c =>
     val d = DurationDsl.parse(by)
-    val withMonths = if (d.months != 0) F.add_months(c, d.months.toInt) else c
+    // interval arithmetic, NOT add_months: add_months returns a DATE and
+    // silently drops a timestamp's time-of-day; `ts + INTERVAL n MONTH`
+    // month-shifts with day clamping while preserving the time component
+    // (and a DATE input + month-only interval stays a DATE)
+    val withMonths =
+      if (d.months != 0) c + F.expr(s"INTERVAL '${d.months}' MONTH") else c
     val us = Duration0(d)
     if (us != 0) F.timestamp_micros(F.unix_micros(withMonths.cast("timestamp")) + us) else withMonths
   }

@@ -30,7 +30,11 @@ object DurationDsl {
   private val token = "([0-9]+)(ns|us|ms|mo|s|m|h|d|w|q|y|i)".r
 
   def parse(s: String): Duration = {
-    val str = s.trim.toLowerCase.replace(" ", "")
+    val str0 = s.trim.toLowerCase.replace(" ", "")
+    require(str0.nonEmpty, "empty duration")
+    // a leading '-' negates the WHOLE duration (polars: offset_by("-1mo2d"))
+    val neg = str0.startsWith("-")
+    val str = if (neg) str0.substring(1) else str0
     require(str.nonEmpty, "empty duration")
     var d = Duration()
     var matchedLen = 0
@@ -53,6 +57,6 @@ object DurationDsl {
       }
     }
     require(matchedLen == str.length, s"cannot parse duration: '$s'")
-    d
+    if (neg) Duration(-d.months, -d.weeks, -d.days, -d.nanos, -d.indexCount) else d
   }
 }

@@ -36,16 +36,16 @@ object PrepCache {
   /** Persist `df` (MEMORY_AND_DISK) under LRU discipline; a semantically
     * identical plan already registered is reused rather than re-persisted. */
   def persistBounded(df: DataFrame): DataFrame = synchronized {
-    val plan = df.queryExecution.analyzed
-    val key = plan.semanticHash()
-    var prior = entries.get(key)
     // a cached frame is bound to the session that registered it; after that
     // session stops (suite teardown), handing it back would fail on first
-    // action — drop the dead entry and re-persist in the live session
-    if (prior != null && prior.sparkSession.sparkContext.isStopped) {
-      entries.remove(key)
-      prior = null
-    }
+    // action. Sweep ALL dead-session entries — not just the requested key —
+    // so stale frames cannot sit in the LRU evicting live cached plans in
+    // long suite-per-session runs (the map is tiny; this is O(8))
+    val it = entries.values().iterator()
+    while (it.hasNext) if (it.next().sparkSession.sparkContext.isStopped) it.remove()
+    val plan = df.queryExecution.analyzed
+    val key = plan.semanticHash()
+    val prior = entries.get(key)
     // semanticHash is 32-bit: guard reuse with a real plan comparison so a
     // collision degrades to a duplicate persist, never to wrong data
     if (prior != null && prior.queryExecution.analyzed.sameResult(plan)) prior

@@ -257,10 +257,14 @@ object Scan {
         joined.withColumn(out, (F.col(out) +
           F.row_number().over(Window.partitionBy(F.col(v)).orderBy(F.col(IDX))) - 1).cast("int"))
       case "random" =>
+        // deterministic seeded tiebreak: xxhash64(seed, row-index) is a pure
+        // function of the row, so the permutation is reproducible across
+        // cluster configs/partition layouts — F.rand would re-draw per
+        // evaluation order (same seed, different placement = different ranks)
         val rnd = fresh("rnd")
-        joined.withColumn(rnd, F.rand(seed))
+        joined.withColumn(rnd, F.xxhash64(F.lit(seed), F.col(IDX)))
           .withColumn(out, (F.col(out) +
-            F.row_number().over(Window.partitionBy(F.col(v)).orderBy(F.col(rnd))) - 1).cast("int"))
+            F.row_number().over(Window.partitionBy(F.col(v)).orderBy(F.col(rnd), F.col(IDX))) - 1).cast("int"))
           .drop(rnd)
       case _ => joined
     }

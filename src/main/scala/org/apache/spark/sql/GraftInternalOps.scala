@@ -70,6 +70,50 @@ object GraftInternalOps {
     }
   }
 
+  /** True when an unresolved function call resolves to a builtin aggregate
+    * (the tree is unresolved at Expr-composition time, so class checks need
+    * the registry's builder). */
+  private def resolvesToAggregate(
+      f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction): Boolean =
+    f.nameParts.size == 1 && scala.util.Try {
+      org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.lookupFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(f.nameParts.head.toLowerCase),
+        f.arguments)
+    }.toOption.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction => true
+      case _: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression => true
+      case _ => false
+    }
+
+  /** Per-key broadcast spelling for a PLAIN aggregate operand reached by a
+    * keyed composition — polars' `(x.shift(1) + w.sum).over(k)` broadcasts
+    * the per-key sum. A bare (possibly aliased) aggregate becomes
+    * `agg OVER (PARTITION BY keys)` (distinct aggregates via the
+    * collect_set spelling); an aggregate buried inside larger structure has
+    * no bare-window form and raises the directed error instead of dying in
+    * Spark's analyzer; anything aggregate-free returns None (elementwise). */
+  def perKeyBroadcastSpelling(c: Column, keys: Seq[Column]): Option[Column] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    val stripped = stripAlias(c)
+    catalystExpression(stripped) match {
+      case f: UnresolvedFunction if resolvesToAggregate(f) =>
+        val (winnable, wrap) = distinctWindowSpelling(stripped)
+        val windowed = wrap(winnable.over(
+          org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)))
+        Some(rootAliasName(c).fold(windowed)(windowed.as(_)))
+      case e if e.exists {
+          case f: UnresolvedFunction => resolvesToAggregate(f)
+          case _ => false
+        } =>
+        throw new UnsupportedOperationException(
+          "over(keys): an operand mixes an aggregate into a larger expression " +
+            "with no bare per-key window form; materialize the aggregate per " +
+            "key first (with_column(\"t\" -> agg.over(keys))) and compose on " +
+            "the new column")
+      case _ => None
+    }
+  }
+
   /** Root-level alias name only (an explicit user `.as(name)`), None for
     * everything else — used where default engine-generated names must not
     * count (e.g. duplicate-output detection over plain aggregates). */

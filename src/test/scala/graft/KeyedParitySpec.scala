@@ -334,6 +334,52 @@ class KeyedParitySpec extends SparkSpec {
       (List(9), List(9), List(), List())), l.mkString(","))
   }
 
+  test("round-8 composition: when branches, namespace chains, agg casts per key") {
+    // (a) predicate AND both branches carry scanned ops — all three must
+    // evaluate per key under .over(keys); a null predicate takes otherwise
+    val e1 = Polars.when(col("v").cumSum() >= 0).then(col("v").cumSum())
+      .otherwise(col("v").shift(1))
+    assertAgree("when(cs>=0, cs, shift)", engine(e1), perKey { vs =>
+      var acc = 0.0
+      val cs = vs.map { v => v.foreach(acc += _); if (v.isDefined) Some(acc) else None }
+      val sh = Option.empty[Double] +: vs.dropRight(1)
+      vs.indices.map(i => cs(i) match {
+        case Some(c) if c >= 0 => cs(i)
+        case _ => sh(i)
+      }).toIndexedSeq
+    })
+    // (b) a namespace chain over a keyed form: cast-to-string + str length
+    // of a per-key shift (elementwise maps commute with keyed evaluation)
+    val e2 = col("v").shift(1)
+      .cast(org.apache.spark.sql.types.StringType).str.lenChars
+    assertAgree("shift.cast(str).len_chars", engine(e2), perKey { vs =>
+      (Option.empty[Double] +: vs.dropRight(1))
+        .map(_.map(_.toString.length.toDouble))
+    })
+    // (c) aggregate-of-scanned under cast/arithmetic (GroupAggForm post)
+    val got = df.groupBy("k").agg(
+        (col("v").shift(1).sum * 2).alias("s2"),
+        col("v").shift(1).count.cast(org.apache.spark.sql.types.IntegerType).alias("cI"))
+      .toSpark.select("k", "s2", "cI").collect()
+      .map(r => r.getString(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getDouble(1))), r.getInt(2))).toMap
+    val want = rows.groupBy(_._2).map { case (k, rs) =>
+      val sh = Option.empty[Double] +: rs.map(_._3).dropRight(1)
+      val nn = sh.flatten
+      k -> ((if (nn.isEmpty) None else Some(nn.sum * 2)), nn.size)
+    }
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, (ws, wc)) =>
+      val (gs, gc) = got(k)
+      assert(gc == wc, s"$k count: $gc vs $wc")
+      ((gs, ws): @unchecked) match {
+        case (None, None) =>
+        case (Some(a), Some(b)) =>
+          assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)), s"$k sum: $a vs $b")
+      }
+    }
+  }
+
   test("per-group LIST of a scanned op matches the local reference") {
     val got = df.groupBy("k").agg(col("v").shift(1).alias("xs")).toSpark
       .select("k", "xs").collect()

@@ -2,6 +2,8 @@ package graft
 
 import scala.util.Random
 import graft.kernel.Ewm
+import graft.expr.Expr
+import org.apache.spark.sql.{functions => F}
 
 /** Round-8 pins: the renormalizing EWM recursion (adjust=false,
   * ignore_nulls=false), calendar-duration group_by_dynamic / frame rolling,
@@ -126,5 +128,174 @@ class Round8Spec extends SparkSpec {
     assert(y == Seq("2021-01-01 00:00:00", "2021-01-01 00:00:00",
       "2021-01-01 00:00:00", "2021-01-01 00:00:00",
       "2021-01-01 00:00:00", "2022-01-01 00:00:00"), y.toString)
+  }
+
+  // ---- calendar group_by_dynamic (reference lazy_frame.rb:1416-1459) ----
+
+  private def tsFrame(rows: Seq[(String, Double)]): graft.api.DataFrame = {
+    import graft.Polars._
+    graft.api.DataFrame(
+      rows.map { case (t, v) => (java.sql.Timestamp.valueOf(t), v) }.toDF("ts", "v"))
+  }
+
+  test("group_by_dynamic monthly tumbling buckets with boundaries") {
+    import graft.Polars._
+    val d = tsFrame(Seq(
+      ("2021-01-05 10:00:00", 1.0), ("2021-01-25 00:00:00", 2.0),
+      ("2021-02-10 00:00:00", 4.0), ("2021-04-01 00:00:00", 8.0)))
+    val out = d.groupByDynamic("ts", every = "1mo")
+      .agg(col("v").sum.alias("sv"))
+      .toSpark.orderBy("ts").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getDouble(r.fieldIndex("sv")),
+        r.getTimestamp(r.fieldIndex("_upper_boundary")).toString))
+    assert(out.toSeq == Seq(
+      ("2021-01-01 00:00:00.0", 3.0, "2021-02-01 00:00:00.0"),
+      ("2021-02-01 00:00:00.0", 4.0, "2021-03-01 00:00:00.0"),
+      ("2021-04-01 00:00:00.0", 8.0, "2021-05-01 00:00:00.0")), out.toSeq.toString)
+  }
+
+  test("group_by_dynamic sliding calendar windows (every=1mo, period=2mo)") {
+    import graft.Polars._
+    val d = tsFrame(Seq(
+      ("2021-01-10 00:00:00", 1.0), ("2021-02-10 00:00:00", 2.0),
+      ("2021-03-10 00:00:00", 4.0)))
+    val out = d.groupByDynamic("ts", every = "1mo", period = Some("2mo"))
+      .agg(col("v").sum.alias("sv"))
+      .toSpark.orderBy("ts").collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getDouble(r.fieldIndex("sv"))))
+    assert(out.toSeq == Seq(
+      ("2020-12-01", 1.0), ("2021-01-01", 3.0),
+      ("2021-02-01", 6.0), ("2021-03-01", 4.0)), out.toSeq.toString)
+  }
+
+  test("group_by_dynamic quarterly with a 1mo offset shifts bucket origins") {
+    import graft.Polars._
+    val d = tsFrame(Seq(
+      ("2021-01-10 00:00:00", 1.0), // bucket [2020-11-01, 2021-02-01)
+      ("2021-03-10 00:00:00", 2.0), // bucket [2021-02-01, 2021-05-01)
+      ("2021-04-20 00:00:00", 4.0)))
+    val out = d.groupByDynamic("ts", every = "1q", offset = Some("1mo"))
+      .agg(col("v").sum.alias("sv"))
+      .toSpark.orderBy("ts").collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getDouble(r.fieldIndex("sv"))))
+    assert(out.toSeq == Seq(("2020-11-01", 1.0), ("2021-02-01", 6.0)),
+      out.toSeq.toString)
+  }
+
+  test("group_by_dynamic period shorter than every drops uncovered rows") {
+    import graft.Polars._
+    val d = tsFrame(Seq(
+      ("2021-01-10 00:00:00", 1.0),  // inside [Jan, Feb) of the Jan-start window
+      ("2021-02-20 00:00:00", 2.0))) // Feb start is not ≡ 0 mod 2mo → dropped
+    val out = d.groupByDynamic("ts", every = "2mo", period = Some("1mo"))
+      .agg(col("v").sum.alias("sv"))
+      .toSpark.orderBy("ts").collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getDouble(r.fieldIndex("sv"))))
+    assert(out.toSeq == Seq(("2021-01-01", 1.0)), out.toSeq.toString)
+  }
+
+  // ---- ADVICE r7: aggregate operands under keyed composition ----
+
+  test("plain aggregate operand in a keyed zip broadcasts per key") {
+    import graft.Polars._
+    val df = graft.api.DataFrame(Seq(
+      ("a", 1.0, 10.0), ("a", 2.0, 20.0), ("a", 3.0, 30.0), ("b", 4.0, 5.0))
+      .toDF("k", "v", "w"))
+    val got = df.select(col("k"),
+        (col("v").shift(1) + col("w").sum).over(col("k")).alias("x"))
+      .toSpark.orderBy("k", "x").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+    assert(got.toSeq == Seq("a" -> null, "a" -> 61.0, "a" -> 62.0, "b" -> null),
+      got.toSeq.toString)
+  }
+
+  test("compound aggregate operand in a keyed zip raises the directed error") {
+    import graft.Polars._
+    val df = graft.api.DataFrame(Seq(
+      ("a", 1.0, 10.0), ("a", 2.0, 20.0)).toDF("k", "v", "w"))
+    // std(ddof=0) spells as arithmetic over aggregates — no bare window form
+    // (plain std()/ddof=1 IS bare stddev_samp and broadcast-spells fine)
+    val ex = intercept[UnsupportedOperationException] {
+      df.select((col("v").shift(1) + col("w").std(0)).over(col("k")).alias("x"))
+        .toSpark.collect()
+    }
+    assert(ex.getMessage.contains("materialize the aggregate"), ex.getMessage)
+  }
+
+  // ---- ADVICE r7: rank(random) deterministic seeded tiebreak ----
+
+  test("rank(random) is reproducible for a fixed seed and permutes each tie group") {
+    import graft.Polars._
+    val base = Seq(1, 1, 1, 2, 2, 3).toDF("x").repartition(3)
+    def run(): Seq[(Int, Int)] = graft.api.DataFrame(base)
+      .select(col("x"), col("x").rank("random", seed = 7).alias("r"))
+      .toSpark.collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    val a = run(); val b = run()
+    assert(a == b, s"non-reproducible: $a vs $b")
+    // ranks are a permutation of 1..n with tie groups occupying their slots
+    assert(a.map(_._2).sorted == Seq(1, 2, 3, 4, 5, 6), a.toString)
+    assert(a.filter(_._1 == 1).map(_._2).toSet == Set(1, 2, 3), a.toString)
+    assert(a.filter(_._1 == 2).map(_._2).toSet == Set(4, 5), a.toString)
+  }
+
+  // ---- dt.offset_by month shifts preserve time-of-day; negative DSL ----
+
+  test("dt.offset_by with months keeps the timestamp's time component") {
+    import graft.Polars._
+    val d = tsFrame(Seq(("2021-03-31 14:30:45", 1.0)))
+    val got = d.select(
+        col("ts").dt.offsetBy("1mo").cast(org.apache.spark.sql.types.StringType).alias("p"),
+        col("ts").dt.offsetBy("-1mo").cast(org.apache.spark.sql.types.StringType).alias("n"),
+        col("ts").dt.offsetBy("1mo2d").cast(org.apache.spark.sql.types.StringType).alias("pd"))
+      .toSpark.collect()(0)
+    assert(got.getString(0) == "2021-04-30 14:30:45", got.toString) // clamped, time kept
+    assert(got.getString(1) == "2021-02-28 14:30:45", got.toString)
+    assert(got.getString(2) == "2021-05-02 14:30:45", got.toString)
+  }
+
+  test("duration DSL: a leading '-' negates the whole duration") {
+    import graft.kernel.DurationDsl
+    val d = DurationDsl.parse("-1mo2d")
+    assert(d.months == -1 && d.days == -2, d.toString)
+    assert(DurationDsl.parse("-90s").totalMicros == -90000000L)
+  }
+
+  // ---- calendar frame rolling (reference lazy_frame.rb:1161-1181) ----
+
+  test("frame rolling 1mo keyed: trailing calendar window with day clamping") {
+    import graft.Polars._
+    val rows = Seq(
+      ("a", "2021-01-15 10:00:00", 1.0),
+      ("a", "2021-02-10 09:00:00", 2.0),
+      ("a", "2021-02-15 10:00:00", 4.0),  // [Jan 15 10:00, Feb 15 10:00] → 1+2+4
+      ("a", "2021-03-31 00:00:00", 8.0),  // [Feb 28 00:00 (clamped), Mar 31] → 8
+      ("b", "2021-02-15 10:00:00", 16.0))
+    val d = graft.api.DataFrame(
+      rows.map { case (k, t, v) => (k, java.sql.Timestamp.valueOf(t), v) }
+        .toDF("k", "ts", "v"))
+    val out = d.rolling("ts", "1mo", by = Seq("k"))
+      .agg("s" -> col("v").sum, "n" -> Expr(F.count(F.lit(1))))
+      .toSpark.collect()
+      .map(r => r.getDouble(2) -> ((r.getDouble(3), r.getLong(4)))).toMap
+    assert(out(1.0) == ((1.0, 1L)), out.toString)
+    assert(out(2.0) == ((3.0, 2L)), out.toString)
+    assert(out(4.0) == ((7.0, 3L)), out.toString)
+    assert(out(8.0) == ((8.0, 1L)), out.toString)
+    assert(out(16.0) == ((16.0, 1L)), out.toString)
+  }
+
+  test("frame rolling 1mo keyless matches the all-rows trailing window") {
+    import graft.Polars._
+    val rows = Seq(
+      ("2021-01-15 10:00:00", 1.0), ("2021-02-10 09:00:00", 2.0),
+      ("2021-02-15 10:00:00", 4.0), ("2021-02-15 10:00:00", 16.0),
+      ("2021-03-31 00:00:00", 8.0))
+    val d = tsFrame(rows)
+    val out = d.rolling("ts", "1mo")
+      .agg("s" -> col("v").sum)
+      .toSpark.collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    // Feb 15 peers (4 and 16) share the window [Jan 15 10:00, Feb 15 10:00]
+    assert(out == Map(1.0 -> 1.0, 2.0 -> 3.0, 4.0 -> 23.0, 16.0 -> 23.0, 8.0 -> 8.0),
+      out.toString)
   }
 }
