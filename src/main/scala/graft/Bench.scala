@@ -46,7 +46,9 @@ object Bench {
       def run(): Unit = spark.read.parquet(s"$sfDir/lineitem.parquet")
         .agg(CF.sum("l_quantity"), CF.sum("l_extendedprice")).collect()
       run() // warm footers + codegen
-      val ts = (1 to runs).map { _ =>
+      // a ~0.1s probe is jitter-prone: median of >=5 samples so one
+      // scheduling hiccup cannot fake a drift verdict
+      val ts = (1 to math.max(runs, 5)).map { _ =>
         val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
       }.sorted
       ts(ts.size / 2)

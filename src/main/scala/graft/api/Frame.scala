@@ -576,24 +576,61 @@ final case class DataFrame(private val df: SDF) extends FrameOps[DataFrame] {
   def describe(): DataFrame = {
     val numCols = df.schema.fields.filter(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]).map(_.name)
     val allCols = df.columns.toSeq
-    val n = df.count()
-    def statRow(name: String, agg: String => Column): Seq[Any] = {
-      val vals = df.agg(F.lit(0).as("__z__"), allCols.map(c => agg(c).as(c)): _*)
-        .drop("__z__").collect()(0)
-      name +: allCols.map(c => Option(vals.get(vals.fieldIndex(c))).map(_.toString).orNull)
-    }
+    // ONE aggregation pass: every (stat, column) cell as a named aggregate in
+    // a single .agg — not a Spark job per stat row (9 full scans of the
+    // input); the collected row is a bounded #stats × #cols driver vector
     def numOnly(f: Column => Column): String => Column = c =>
       if (numCols.contains(c)) f(F.col(c)) else F.lit(null)
-    val rows = Seq(
-      Seq("count") ++ allCols.map(_ => n.toString),
-      statRow("null_count", c => F.count(F.lit(1)) - F.count(F.col(c))),
-      statRow("mean", numOnly(F.avg)),
-      statRow("std", numOnly(F.stddev_samp)),
-      statRow("min", c => F.min(F.col(c))),
-      statRow("25%", numOnly(c => F.percentile(c, F.lit(0.25)))),
-      statRow("50%", numOnly(c => F.percentile(c, F.lit(0.5)))),
-      statRow("75%", numOnly(c => F.percentile(c, F.lit(0.75)))),
-      statRow("max", c => F.max(F.col(c))))
+    val scalarStats: Seq[(String, String => Column)] = Seq(
+      "count" -> (_ => F.count(F.lit(1))),
+      "null_count" -> (c => F.count(F.lit(1)) - F.count(F.col(c))),
+      "mean" -> numOnly(F.avg),
+      "std" -> numOnly(F.stddev_samp),
+      "min" -> (c => F.min(F.col(c))),
+      "max" -> (c => F.max(F.col(c))))
+    val aggCols = for ((s, f) <- scalarStats; c <- allCols) yield f(c).as(s"${s}__$c")
+    val one = df.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    // Exact quartiles WITHOUT the Percentile aggregate: Percentile merges
+    // per-partition value->count maps on one reducer — a driver-sized
+    // bottleneck (and OOM hazard) when the column is high-cardinality at
+    // scale. Instead: distributed range-sort per numeric column + dense
+    // index, pick the two bracketing rows per quantile, interpolate
+    // linearly (the same definition Percentile/quantile_cont computes).
+    // One sort job per numeric column, scalar-only driver traffic.
+    val quartiles = Seq(0.25, 0.5, 0.75)
+    val pctByCol: Map[String, Seq[Option[Double]]] = numCols.toSeq.map { c =>
+      val nn = one.getLong(one.fieldIndex(s"count__$c")) -
+        one.getLong(one.fieldIndex(s"null_count__$c"))
+      if (nn == 0) c -> quartiles.map(_ => Option.empty[Double])
+      else {
+        val sorted = org.apache.spark.sql.GraftInternalOps.zipWithDenseIndex(
+          df.select(F.col(c).cast("double").as("__v__"))
+            .filter(F.col("__v__").isNotNull).orderBy("__v__"), "__i__")
+        val hs = quartiles.map(q => (nn - 1) * q)
+        val need = hs.flatMap(h => Seq(math.floor(h).toLong, math.ceil(h).toLong)).distinct
+        val got = sorted.filter(F.col("__i__").isInCollection(need))
+          .collect().map(r => r.getLong(r.fieldIndex("__i__")) ->
+            r.getDouble(r.fieldIndex("__v__"))).toMap
+        c -> hs.map { h =>
+          val lo = got(math.floor(h).toLong); val hi = got(math.ceil(h).toLong)
+          Some(lo + (hi - lo) * (h - math.floor(h)))
+        }
+      }
+    }.toMap
+    val pctRows = Seq("25%", "50%", "75%").zipWithIndex.map { case (s, i) =>
+      s +: allCols.map { c =>
+        pctByCol.get(c).flatMap(_(i)).map(_.toString).orNull
+      }
+    }
+    val byName = (scalarStats.map { case (s, _) =>
+      s +: allCols.map { c =>
+        val v = one.get(one.fieldIndex(s"${s}__$c"))
+        Option(v).map(_.toString).orNull
+      }
+    } ++ pctRows).map(r => r.head -> r).toMap
+    // polars' describe row order (data_frame.rb describe)
+    val rows = Seq("count", "null_count", "mean", "std", "min",
+      "25%", "50%", "75%", "max").map(byName)
     val schema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("statistic", org.apache.spark.sql.types.StringType) +:
         allCols.map(c => org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))

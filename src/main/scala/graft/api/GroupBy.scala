@@ -221,21 +221,26 @@ final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
     val tb = F.floor(mse.cast("double") / m).cast("long")
     val lo = F.unix_micros(ts - F.expr(s"INTERVAL '$m' MONTH"))
     val jb = Scan.fresh("jb")
+    // probe side carries ONLY the join machinery (row id, epoch, bound,
+    // bucket, by-keys) — the ×2 explode and the |window|-sized join fan-out
+    // must not drag the full row width through the shuffle; original
+    // columns re-attach by row id after the aggregate
     val left = base
       .withColumn("__l_ep__", ep).withColumn("__l_lo__", lo).withColumn("__l_tb__", tb)
-      .select((base.columns.map(c => F.col(c).as("__l_" + c)) ++
-        Seq(F.col("__l_ep__"), F.col("__l_lo__"), F.col("__l_tb__"))).toIndexedSeq: _*)
+      .select((Seq(F.col(RowIndex.name).as("__l_ri__"), F.col("__l_ep__"),
+        F.col("__l_lo__"), F.col("__l_tb__")) ++
+        by.map(b => F.col(b).as("__l_" + b))).toIndexedSeq: _*)
       .withColumn(jb, F.explode(F.array(F.col("__l_tb__") - 1, F.col("__l_tb__"))))
     val right = base.withColumn("__r_ep__", ep).withColumn("__r_tb__", tb)
     val cond = by.map(b => F.col("__l_" + b) === F.col(b))
       .foldLeft(F.col(jb) === F.col("__r_tb__") &&
         F.col("__r_ep__") >= F.col("__l_lo__") && F.col("__r_ep__") <= F.col("__l_ep__"))(_ && _)
-    val joined = left.join(right, cond)
-    val restore = base.columns.map(c => F.first(F.col("__l_" + c)).as(c))
-    val aggs = restore ++ exprs.map { case (n, e) => e.col.as(n) }
-    val out = joined.groupBy(F.col("__l_" + RowIndex.name))
+    val aggs = exprs.map { case (n, e) => e.col.as(n) }
+    val perRow = left.join(right, cond)
+      .groupBy(F.col("__l_ri__"))
       .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
-      .drop("__l_" + RowIndex.name)
+    val out = base.join(perRow, base(RowIndex.name) === perRow("__l_ri__"))
+      .drop("__l_ri__")
     mk(if (hadIdx) out else out.drop(RowIndex.name))
   }
 }
