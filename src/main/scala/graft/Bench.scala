@@ -53,6 +53,7 @@ object Bench {
       }.sorted
       ts(ts.size / 2)
     }
+    canary() // discard: the first canary otherwise measures JVM settling
     val canaryFirst = canary()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }

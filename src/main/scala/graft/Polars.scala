@@ -165,7 +165,7 @@ object Polars {
     mkExpr(F.sequence(start.col, end.col - 1, F.lit(1)), Seq(start, end))
   def dateRange(start: Expr, end: Expr, interval: String = "1d"): Expr = {
     val d = graft.kernel.DurationDsl.parse(interval)
-    mkExpr(F.sequence(start.col, end.col, F.expr(d.sqlInterval)), Seq(start, end))
+    mkExpr(F.sequence(start.col, end.col, d.intervalCol), Seq(start, end))
   }
   /** Plural/datetime/time range variants (reference functions/range):
     * dateRanges is dateRange applied per row (already columnar);

@@ -272,13 +272,13 @@ trait FrameOps[Self] {
     * not representable on the grid (the reference requires a sorted non-null
     * time column and errors); here they are excluded from the output. */
   def upsample(timeColumn: String, every: String, by: Seq[String] = Nil): Self = {
-    val step = graft.kernel.DurationDsl.parse(every).sqlInterval
+    val step = graft.kernel.DurationDsl.parse(every).intervalCol
     val bounds =
       if (by.isEmpty) sdf.agg(F.min(timeColumn).as("__lo__"), F.max(timeColumn).as("__hi__"))
       else sdf.groupBy(by.map(F.col): _*)
         .agg(F.min(timeColumn).as("__lo__"), F.max(timeColumn).as("__hi__"))
     val grid = bounds.select((by.map(F.col) :+
-      F.explode(F.sequence(F.col("__lo__"), F.col("__hi__"), F.expr(step))).as(timeColumn)): _*)
+      F.explode(F.sequence(F.col("__lo__"), F.col("__hi__"), step)).as(timeColumn)): _*)
     make(grid.join(sdf, by :+ timeColumn, "left"))
   }
 

@@ -216,7 +216,12 @@ final class DtNS(e: Expr) {
     else {
       val monthsSinceEpoch = (F.year(c) - 1970) * 12 + F.month(c) - 1
       val bucket = F.floor(monthsSinceEpoch / months.toDouble) * months
-      F.to_timestamp(F.make_date(F.lit(1970) + (bucket / 12).cast("int"), (bucket % 12).cast("int") + 1, F.lit(1)))
+      // floor-division + pmod, NOT cast-int + %: pre-1970 buckets are
+      // negative, where int cast truncates toward zero and % keeps the
+      // sign — make_date would see month 0/-1 and return null
+      F.to_timestamp(F.make_date(
+        (F.lit(1970) + F.floor(bucket / 12)).cast("int"),
+        F.pmod(bucket, F.lit(12L)).cast("int") + 1, F.lit(1)))
     }
   def epoch(unit: String = "us"): Expr = m { c0 =>
     val c = c0.cast("timestamp") // NTZ parquet timestamps: identity under UTC session tz

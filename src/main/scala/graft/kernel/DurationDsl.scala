@@ -20,10 +20,28 @@ final case class Duration(
     * mo/q/y) is only well-defined for pure month strides. */
   def isPureCalendar: Boolean =
     months != 0 && weeks == 0 && days == 0 && nanos == 0 && indexCount == 0
-  /** Spark SQL interval literal string, e.g. "INTERVAL '3' DAY". */
+  /** Spark SQL interval literal string, e.g. "INTERVAL '3' DAY" — pure
+    * durations only (ANSI interval literals cannot mix year-month and
+    * day-time fields); mixed durations go through [[intervalCol]]. */
   def sqlInterval: String =
-    if (months != 0) s"INTERVAL '$months' MONTH"
-    else s"INTERVAL '${totalMicros}' MICROSECOND"
+    if (months != 0) {
+      require(weeks == 0 && days == 0 && nanos == 0,
+        "mixed calendar+fixed duration has no ANSI interval literal; use intervalCol")
+      s"INTERVAL '$months' MONTH"
+    } else s"INTERVAL '${totalMicros}' MICROSECOND"
+
+  /** Column form of the step, usable by `sequence`/datetime arithmetic for
+    * ANY duration: mixed calendar+fixed ("1mo2d") builds a
+    * CalendarIntervalType via make_interval — previously the fixed part
+    * was silently dropped by the month-only literal. */
+  def intervalCol: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{functions => F}
+    if (months != 0 && (weeks != 0 || days != 0 || nanos != 0))
+      F.make_interval(F.lit(0), F.lit(months.toInt), F.lit(0),
+        F.lit((weeks * 7 + days).toInt), F.lit(0), F.lit(0),
+        F.lit(new java.math.BigDecimal(nanos).movePointLeft(9)))
+    else F.expr(sqlInterval)
+  }
 }
 
 object DurationDsl {

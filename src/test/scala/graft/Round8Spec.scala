@@ -238,6 +238,33 @@ class Round8Spec extends SparkSpec {
     assert(a.filter(_._1 == 2).map(_._2).toSet == Set(4, 5), a.toString)
   }
 
+  // ---- pre-1970 calendar arithmetic (negative months-since-epoch) ----
+
+  test("calendar truncate/round/group_by_dynamic handle pre-1970 dates") {
+    import graft.Polars._
+    val d = tsFrame(Seq(
+      ("1969-11-15 06:00:00", 1.0), ("1969-12-20 00:00:00", 2.0),
+      ("1970-01-10 00:00:00", 4.0)))
+    // 2mo epoch-aligned buckets: Nov 1969 has mse -2 → bucket start Nov 1969;
+    // Dec 1969 (mse -1) → same bucket; Jan 1970 → [Jan, Mar)
+    val tr = d.select(col("ts").dt.truncate("2mo")
+        .cast(org.apache.spark.sql.types.StringType).alias("t"))
+      .toSpark.collect().map(_.getString(0))
+    assert(tr.toSeq == Seq("1969-11-01 00:00:00", "1969-11-01 00:00:00",
+      "1970-01-01 00:00:00"), tr.toSeq.toString)
+    val gbd = d.groupByDynamic("ts", every = "2mo")
+      .agg(col("v").sum.alias("sv"))
+      .toSpark.orderBy("ts").collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getDouble(r.fieldIndex("sv"))))
+    assert(gbd.toSeq == Seq(("1969-11-01", 3.0), ("1970-01-01", 4.0)), gbd.toSeq.toString)
+    val rd = d.select(col("ts").dt.round("1q")
+        .cast(org.apache.spark.sql.types.StringType).alias("r"))
+      .toSpark.collect().map(_.getString(0))
+    // Q4 1969 mid = Nov 16 00:00 (92d); Q1 1970 mid = Feb 15 00:00 (90d)
+    assert(rd.toSeq == Seq("1969-10-01 00:00:00", "1970-01-01 00:00:00",
+      "1970-01-01 00:00:00"), rd.toSeq.toString)
+  }
+
   // ---- dt.offset_by month shifts preserve time-of-day; negative DSL ----
 
   test("dt.offset_by with months keeps the timestamp's time component") {
@@ -258,6 +285,25 @@ class Round8Spec extends SparkSpec {
     val d = DurationDsl.parse("-1mo2d")
     assert(d.months == -1 && d.days == -2, d.toString)
     assert(DurationDsl.parse("-90s").totalMicros == -90000000L)
+  }
+
+  test("upsample and date_range honor calendar and MIXED calendar durations") {
+    import graft.Polars._
+    // monthly upsample grid fills the missing month
+    val d = graft.api.DataFrame(Seq(
+      (java.sql.Date.valueOf("2021-01-01"), 1.0),
+      (java.sql.Date.valueOf("2021-04-01"), 4.0)).toDF("d", "v"))
+    val up = d.upsample("d", "1mo").toSpark.orderBy("d").collect()
+      .map(r => (r.getDate(0).toString, if (r.isNullAt(1)) null else r.getDouble(1)))
+    assert(up.toSeq == Seq(("2021-01-01", 1.0), ("2021-02-01", null),
+      ("2021-03-01", null), ("2021-04-01", 4.0)), up.toSeq.toString)
+    // mixed "1mo2d" steps previously dropped the +2d silently
+    val dr = graft.api.DataFrame(Seq(1).toDF("one")).select(
+      Polars.dateRange(
+        Expr(F.lit(java.sql.Date.valueOf("2021-01-01"))),
+        Expr(F.lit(java.sql.Date.valueOf("2021-03-10"))), "1mo2d").alias("r"))
+      .toSpark.collect()(0).getSeq[java.sql.Date](0).map(_.toString)
+    assert(dr.toSeq == Seq("2021-01-01", "2021-02-03", "2021-03-05"), dr.toSeq.toString)
   }
 
   // ---- calendar frame rolling (reference lazy_frame.rb:1161-1181) ----
