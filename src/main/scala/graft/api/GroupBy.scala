@@ -165,6 +165,8 @@ final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
                                  by: Seq[String], mk: SDF => Self) {
   def agg(exprs: (String, Expr)*): Self = {
     val d = DurationDsl.parse(period)
+    require(d.months > 0 || (d.months == 0 && d.totalNanos > 0),
+      s"rolling: period must be positive, got '$period'")
     if (d.isCalendar) return aggCalendar(d, exprs)
     val p = d.totalMicros
     val epoch = F.unix_micros(F.col(indexColumn).cast("timestamp"))
@@ -232,7 +234,10 @@ final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
         by.map(b => F.col(b).as("__l_" + b))).toIndexedSeq: _*)
       .withColumn(jb, F.explode(F.array(F.col("__l_tb__") - 1, F.col("__l_tb__"))))
     val right = base.withColumn("__r_ep__", ep).withColumn("__r_tb__", tb)
-    val cond = by.map(b => F.col("__l_" + b) === F.col(b))
+    // null-safe by-key equality: a null key is its own group (the fixed
+    // path's Window.partitionBy groups nulls as a partition; a plain ===
+    // would silently drop every null-key row from the output)
+    val cond = by.map(b => F.col("__l_" + b) <=> F.col(b))
       .foldLeft(F.col(jb) === F.col("__r_tb__") &&
         F.col("__r_ep__") >= F.col("__l_lo__") && F.col("__r_ep__") <= F.col("__l_ep__"))(_ && _)
     val aggs = exprs.map { case (n, e) => e.col.as(n) }
@@ -256,6 +261,10 @@ final class DynamicGroupBy[Self](sdf: SDF, indexColumn: String, every: String,
   def agg(exprs: Expr*): Self = {
     val everyD = DurationDsl.parse(every)
     val periodD = period.map(DurationDsl.parse).getOrElse(everyD)
+    def positive(d: graft.kernel.Duration) =
+      d.months > 0 || (d.months == 0 && d.totalNanos > 0)
+    require(positive(everyD) && positive(periodD),
+      "group_by_dynamic: every/period must be positive")
     if (everyD.isCalendar || periodD.isCalendar) return aggCalendar(everyD, periodD, exprs)
     def dur(d: graft.kernel.Duration) = s"${d.totalMicros} microseconds"
     val win = offset match {

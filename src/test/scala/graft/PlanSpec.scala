@@ -148,4 +148,31 @@ class PlanSpec extends SparkSpec {
       Polars.col("o_totalprice").qcut(Seq(0.5), Seq("lo", "hi"))).toSpark)
     assertDistributedScan(p2)
   }
+
+  test("calendar rolling plans as a shuffled range join, never cartesian or single-partition") {
+    val orders = graft.api.LazyFrame(spark.read.parquet(s"$sf/orders.parquet"))
+    val p = plan(orders
+      .rolling("o_orderdate", "1mo", by = Seq("o_orderpriority"))
+      .agg("n" -> graft.expr.Expr(F.count(F.lit(1))),
+        "sv" -> Polars.col("o_totalprice").sum)
+      .toSpark)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the bucket+key equi-join shuffles both sides (or AQE broadcasts the
+    // tiny sf side) — either way the range residual rides an equi-join
+    assert(p.contains("Join") && p.contains("__r_tb__"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("calendar group_by_dynamic is one hash aggregate over exploded month starts") {
+    val orders = graft.api.LazyFrame(spark.read.parquet(s"$sf/orders.parquet"))
+    val p = plan(orders
+      .groupByDynamic("o_orderdate", every = "1mo", period = Some("3mo"))
+      .agg(graft.expr.Expr(F.count(F.lit(1))).alias("n"))
+      .toSpark)
+    assert(p.contains("Generate explode"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

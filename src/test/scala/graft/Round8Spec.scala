@@ -330,6 +330,42 @@ class Round8Spec extends SparkSpec {
     assert(out(16.0) == ((16.0, 1L)), out.toString)
   }
 
+  test("frame rolling 1mo keyed: null by-key rows form their own group") {
+    import graft.Polars._
+    val rows = Seq(
+      (Some("a"), "2021-01-10 00:00:00", 1.0),
+      (None, "2021-01-10 00:00:00", 2.0),
+      (None, "2021-01-20 00:00:00", 4.0))
+    val d = graft.api.DataFrame(
+      rows.map { case (k, t, v) => (k.orNull, java.sql.Timestamp.valueOf(t), v) }
+        .toDF("k", "ts", "v"))
+    val out = d.rolling("ts", "1mo", by = Seq("k"))
+      .agg("s" -> col("v").sum)
+      .toSpark.collect().map(r => r.getDouble(2) -> r.getDouble(3)).toMap
+    assert(out == Map(1.0 -> 1.0, 2.0 -> 2.0, 4.0 -> 6.0), out.toString)
+  }
+
+  test("group_by_dynamic calendar: by-keys + sliding + offset combine") {
+    import graft.Polars._
+    val d = graft.api.DataFrame(Seq(
+      ("x", java.sql.Timestamp.valueOf("2021-01-10 00:00:00"), 1.0),
+      ("x", java.sql.Timestamp.valueOf("2021-02-10 00:00:00"), 2.0),
+      ("y", java.sql.Timestamp.valueOf("2021-02-10 00:00:00"), 4.0))
+      .toDF("k", "ts", "v"))
+    // every=1mo period=2mo offset=1mo: window starts at month-since-epoch
+    // ≡ 1 (mod 1) — offset shifts nothing for 1mo stride, but must not
+    // break; windows per row: {trunc-1, trunc}
+    val out = d.groupByDynamic("ts", every = "1mo", period = Some("2mo"),
+        offset = Some("1mo"), by = Seq("k"))
+      .agg(col("v").sum.alias("sv"))
+      .toSpark.orderBy("k", "ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString.take(10),
+        r.getDouble(r.fieldIndex("sv"))))
+    assert(out.toSeq == Seq(
+      ("x", "2020-12-01", 1.0), ("x", "2021-01-01", 3.0), ("x", "2021-02-01", 2.0),
+      ("y", "2021-01-01", 4.0), ("y", "2021-02-01", 4.0)), out.toSeq.toString)
+  }
+
   test("frame rolling 1mo keyless matches the all-rows trailing window") {
     import graft.Polars._
     val rows = Seq(
