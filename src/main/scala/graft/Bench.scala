@@ -54,8 +54,14 @@ object Bench {
       ts(ts.size / 2)
     }
     canary() // discard: the first canary otherwise measures JVM settling
-    val canaryFirst = canary()
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val canaryFirst = canary() // info only — still JIT-contaminated (the
+    // start sample ran ~2x the end sample on EVERY observed run, quiet or
+    // loaded, so start-vs-end conflates C2 maturation with ambient load)
+    var canaryMid = -1.0
+    val sortedQueries = selected.toSeq.sortBy(_._1)
+    val half = sortedQueries.size / 2
+    val results = sortedQueries.zipWithIndex.map { case ((name, fn), qi) =>
+      if (qi == half) canaryMid = canary()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -65,8 +71,10 @@ object Bench {
       name -> times(times.size / 2)
     }.toMap
     val canaryLast = canary()
+    // drift from the two fully-warm samples: mid-sweep vs end-of-sweep
+    val warmRef = if (canaryMid > 0) canaryMid else canaryFirst
     val canaryDrift =
-      math.max(canaryFirst, canaryLast) / math.max(1e-9, math.min(canaryFirst, canaryLast))
+      math.max(warmRef, canaryLast) / math.max(1e-9, math.min(warmRef, canaryLast))
     val stableWindow = canaryDrift <= 1.5
     if (!stableWindow)
       System.err.println(f"bench: canary drifted ${canaryDrift}%.2fx across the sweep " +
@@ -91,7 +99,8 @@ object Bench {
         m.findFirstMatchIn(txt).map(g => s""","duckdb_total":${g.group(1)}""").getOrElse("")
       } catch { case _: Throwable => "" }
     val canaryFields =
-      s""","canary_first_sec":${fmt(canaryFirst)},"canary_last_sec":${fmt(canaryLast)},""" +
+      s""","canary_first_sec":${fmt(canaryFirst)},"canary_mid_sec":${fmt(canaryMid)},""" +
+        s""""canary_last_sec":${fmt(canaryLast)},""" +
         s""""canary_drift":${fmt(canaryDrift)},"stable_window":$stableWindow"""
     val detail = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")

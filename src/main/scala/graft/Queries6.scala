@@ -22,7 +22,7 @@ object Queries6 {
   /** Library rolling() API — trailing 2h window per user. */
   private def qRollingFrame(s: SparkSession, dir: String): SDF =
     events(s, dir)
-      .rolling("ts", "2h", by = Seq("user_id"))
+      .rolling("ts", "2h", by = Seq("user_id"), closed = "both")
       .agg(
         "roll_sum" -> col("value").sum,
         "roll_n" -> Expr(F.count(F.lit(1))))

@@ -284,8 +284,9 @@ trait FrameOps[Self] {
 
   /** Frame-level rolling trailing-window aggregation (reference:
     * lazy_frame.rb:1161). */
-  def rolling(indexColumn: String, period: String, by: Seq[String] = Nil): RollingGroupBy[Self] =
-    new RollingGroupBy[Self](sdf, indexColumn, period, by, make)
+  def rolling(indexColumn: String, period: String, by: Seq[String] = Nil,
+              offset: Option[String] = None, closed: String = "right"): RollingGroupBy[Self] =
+    new RollingGroupBy[Self](sdf, indexColumn, period, by, make, offset, closed)
 
   /** group_by_dynamic — calendar/tumbling/sliding windows (reference:
     * lazy_frame.rb:1416-1459). Maps to Spark's `window()` which gives exactly

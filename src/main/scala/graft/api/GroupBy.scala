@@ -147,45 +147,69 @@ final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk: SDF => Self) {
   }
 }
 
-/** Frame-level rolling(index_column:, period:) — each row's aggregate over its
-  * trailing time window (reference: lazy_frame.rb:1161-1181,
-  * rolling_group_by.rb). Range-frame window over µs epoch: one shuffle on the
-  * by-keys, no self-join. Agg exprs must be plain aggregates (sum/mean/min/
-  * max/count/...) — they are applied `.over` the trailing range frame.
+/** Frame-level rolling(index_column:, period:, offset:, closed:) — each
+  * row's aggregate over its time window (reference: lazy_frame.rb:1161-1181,
+  * rolling_group_by.rb). The window is `(t+offset, t+offset+period]` with
+  * polars' defaults offset = -period, closed = "right" (endpoint
+  * inclusivity per `closed`). Range-frame window over µs epoch: one shuffle
+  * on the by-keys, no self-join; open endpoints shift the inclusive Spark
+  * range bound by 1 µs (epoch µs is integral, so this is exact).
   *
-  * KEYLESS rolling is also distributed: a trailing window of width `period`
-  * can only reach into the previous time-bucket of the same width (a row in
-  * bucket b has epoch >= b·P, a row in bucket b-2 has epoch < (b-1)·P —
-  * always out of range), so each bucket's rows ride into the NEXT bucket as
-  * flagged phantom rows and the range window runs per bucket: one balanced
-  * hash shuffle on the time-bucket, <= 2x row volume, never a global
-  * single-partition sort. Same phantom-carry shape as
-  * [[graft.kernel.Scan.rollingApply]], bucketed by time instead of rows. */
+  * KEYLESS rolling is also distributed: with bucket width P >= the
+  * window's farthest backward/forward reach, a probe row's window can only
+  * touch the adjacent buckets, so each bucket's rows ride into the next
+  * (and, for forward-reaching offsets, previous) bucket as flagged phantom
+  * rows and the range window runs per bucket: one balanced hash shuffle on
+  * the time-bucket, <= 3x row volume, never a global single-partition
+  * sort. Same phantom-carry shape as [[graft.kernel.Scan.rollingApply]],
+  * bucketed by time instead of rows. */
 final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
-                                 by: Seq[String], mk: SDF => Self) {
+                                 by: Seq[String], mk: SDF => Self,
+                                 offset: Option[String] = None,
+                                 closed: String = "right") {
   def agg(exprs: (String, Expr)*): Self = {
     val d = DurationDsl.parse(period)
     require(d.months > 0 || (d.months == 0 && d.totalNanos > 0),
       s"rolling: period must be positive, got '$period'")
+    require(Set("left", "right", "both", "none")(closed),
+      s"rolling: closed must be left|right|both|none, got '$closed'")
     if (d.isCalendar) return aggCalendar(d, exprs)
     val p = d.totalMicros
+    val off = offset.map { o =>
+      val od = DurationDsl.parse(o)
+      require(!od.isCalendar, "rolling: calendar offset requires a calendar period")
+      od.totalMicros
+    }.getOrElse(-p)
+    // window = (t+off, t+off+p] adjusted per `closed`; Spark range frames
+    // are inclusive on both bounds
+    val loIncl = if (closed == "left" || closed == "both") off else off + 1
+    val hiIncl = if (closed == "right" || closed == "both") off + p else off + p - 1
     val epoch = F.unix_micros(F.col(indexColumn).cast("timestamp"))
     if (by.nonEmpty) {
-      val w = Window.partitionBy(by.map(F.col): _*).orderBy(epoch).rangeBetween(-p, 0)
+      val w = Window.partitionBy(by.map(F.col): _*).orderBy(epoch)
+        .rangeBetween(loIncl, hiIncl)
       mk(exprs.foldLeft(sdf) { case (acc, (n, e)) => acc.withColumn(n, e.col.over(w)) })
     } else {
       import graft.kernel.Scan
+      val backReach = math.max(0L, -loIncl)
+      val fwdReach = math.max(0L, hiIncl)
+      val bw = Seq(p, backReach, fwdReach, 1L).max
       val tb = Scan.fresh("tb"); val ph = Scan.fresh("ph"); val ep = Scan.fresh("ep")
-      val base = sdf.withColumn(ep, epoch).withColumn(tb, F.floor(F.col(ep) / p))
+      val base = sdf.withColumn(ep, epoch).withColumn(tb, F.floor(F.col(ep) / bw))
       // null-epoch rows get NO phantom copy: null + 1 is null, so the phantom
       // would land back in the tb=null partition where the range frame treats
       // all null-order rows as peers — every null row would aggregate its own
       // phantom twin and double-count. Real null rows stay (matching the
       // keyed path: a null index row's frame is the null peer group).
-      val aug = base.withColumn(ph, F.lit(false)).unionByName(
-        base.filter(F.col(tb).isNotNull)
+      var aug = base.withColumn(ph, F.lit(false))
+      if (backReach > 0)
+        aug = aug.unionByName(base.filter(F.col(tb).isNotNull)
           .withColumn(tb, F.col(tb) + 1).withColumn(ph, F.lit(true)))
-      val w = Window.partitionBy(F.col(tb)).orderBy(F.col(ep)).rangeBetween(-p, 0)
+      if (fwdReach > 0)
+        aug = aug.unionByName(base.filter(F.col(tb).isNotNull)
+          .withColumn(tb, F.col(tb) - 1).withColumn(ph, F.lit(true)))
+      val w = Window.partitionBy(F.col(tb)).orderBy(F.col(ep))
+        .rangeBetween(loIncl, hiIncl)
       val out = exprs.foldLeft(aug) { case (acc, (n, e)) => acc.withColumn(n, e.col.over(w)) }
       mk(out.filter(!F.col(ph)).drop(tb, ph, ep))
     }
@@ -214,6 +238,9 @@ final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
     require(d.isPureCalendar,
       "rolling: calendar periods must be pure month multiples (mo/q/y); " +
         "mixed calendar+fixed durations (e.g. 1mo2d) are not supported")
+    require(offset.forall(o => DurationDsl.parse(o).months == -d.months &&
+        DurationDsl.parse(o).isPureCalendar),
+      "rolling: calendar periods support only the default offset (-period)")
     val m = d.months
     val hadIdx = sdf.columns.contains(RowIndex.name)
     val base = RowIndex.attach(sdf)
@@ -237,14 +264,22 @@ final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
     // null-safe by-key equality: a null key is its own group (the fixed
     // path's Window.partitionBy groups nulls as a partition; a plain ===
     // would silently drop every null-key row from the output)
+    // endpoint inclusivity per `closed`: window (t-period, t] by default
+    val loCmp =
+      if (closed == "left" || closed == "both") F.col("__r_ep__") >= F.col("__l_lo__")
+      else F.col("__r_ep__") > F.col("__l_lo__")
+    val hiCmp =
+      if (closed == "right" || closed == "both") F.col("__r_ep__") <= F.col("__l_ep__")
+      else F.col("__r_ep__") < F.col("__l_ep__")
     val cond = by.map(b => F.col("__l_" + b) <=> F.col(b))
-      .foldLeft(F.col(jb) === F.col("__r_tb__") &&
-        F.col("__r_ep__") >= F.col("__l_lo__") && F.col("__r_ep__") <= F.col("__l_ep__"))(_ && _)
+      .foldLeft(F.col(jb) === F.col("__r_tb__") && loCmp && hiCmp)(_ && _)
     val aggs = exprs.map { case (n, e) => e.col.as(n) }
     val perRow = left.join(right, cond)
       .groupBy(F.col("__l_ri__"))
       .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
-    val out = base.join(perRow, base(RowIndex.name) === perRow("__l_ri__"))
+    // LEFT join: a closed mode that excludes t itself can make a probe's
+    // window empty — the row must survive (its aggregates are null)
+    val out = base.join(perRow, base(RowIndex.name) === perRow("__l_ri__"), "left")
       .drop("__l_ri__")
     mk(if (hadIdx) out else out.drop(RowIndex.name))
   }

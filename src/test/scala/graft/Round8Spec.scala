@@ -319,7 +319,7 @@ class Round8Spec extends SparkSpec {
     val d = graft.api.DataFrame(
       rows.map { case (k, t, v) => (k, java.sql.Timestamp.valueOf(t), v) }
         .toDF("k", "ts", "v"))
-    val out = d.rolling("ts", "1mo", by = Seq("k"))
+    val out = d.rolling("ts", "1mo", by = Seq("k"), closed = "both")
       .agg("s" -> col("v").sum, "n" -> Expr(F.count(F.lit(1))))
       .toSpark.collect()
       .map(r => r.getDouble(2) -> ((r.getDouble(3), r.getLong(4)))).toMap
@@ -366,6 +366,48 @@ class Round8Spec extends SparkSpec {
       ("y", "2021-01-01", 4.0), ("y", "2021-02-01", 4.0)), out.toSeq.toString)
   }
 
+  test("rolling closed variants control endpoint inclusivity (keyless kernel)") {
+    import graft.Polars._
+    val d = tsFrame(Seq(
+      ("2021-01-01 00:00:00", 1.0), ("2021-01-01 00:01:00", 2.0),
+      ("2021-01-01 00:02:00", 4.0)))
+    def run(closed: String): Seq[Option[Double]] =
+      d.rolling("ts", "1m", closed = closed).agg("s" -> col("v").sum)
+        .toSpark.orderBy("ts").collect()
+        .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq
+    assert(run("right") == Seq(Some(1.0), Some(2.0), Some(4.0))) // (t-1m, t]
+    assert(run("both") == Seq(Some(1.0), Some(3.0), Some(6.0)))  // [t-1m, t]
+    assert(run("left") == Seq(None, Some(1.0), Some(2.0)))       // [t-1m, t)
+    assert(run("none") == Seq(None, None, None))                 // (t-1m, t)
+  }
+
+  test("rolling with a forward offset aggregates the upcoming window") {
+    import graft.Polars._
+    val d = tsFrame(Seq(
+      ("2021-01-01 00:00:00", 1.0), ("2021-01-01 00:01:00", 2.0),
+      ("2021-01-01 00:02:00", 4.0)))
+    // offset=0 → window (t, t+1m]; keyless path carries phantoms forward
+    val got = d.rolling("ts", "1m", offset = Some("0s")).agg("s" -> col("v").sum)
+      .toSpark.orderBy("ts").collect()
+      .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq
+    assert(got == Seq(Some(2.0), Some(4.0), None), got.toString)
+  }
+
+  test("calendar rolling default closed=right excludes the exact month-back boundary") {
+    import graft.Polars._
+    val rows = Seq(
+      ("a", "2021-01-15 10:00:00", 1.0),
+      ("a", "2021-02-10 09:00:00", 2.0),
+      ("a", "2021-02-15 10:00:00", 4.0)) // (Jan 15 10:00, Feb 15 10:00] → 2+4
+    val d = graft.api.DataFrame(
+      rows.map { case (k, t, v) => (k, java.sql.Timestamp.valueOf(t), v) }
+        .toDF("k", "ts", "v"))
+    val out = d.rolling("ts", "1mo", by = Seq("k"))
+      .agg("s" -> col("v").sum)
+      .toSpark.collect().map(r => r.getDouble(2) -> r.getDouble(3)).toMap
+    assert(out(4.0) == 6.0, out.toString)
+  }
+
   test("frame rolling 1mo keyless matches the all-rows trailing window") {
     import graft.Polars._
     val rows = Seq(
@@ -373,7 +415,7 @@ class Round8Spec extends SparkSpec {
       ("2021-02-15 10:00:00", 4.0), ("2021-02-15 10:00:00", 16.0),
       ("2021-03-31 00:00:00", 8.0))
     val d = tsFrame(rows)
-    val out = d.rolling("ts", "1mo")
+    val out = d.rolling("ts", "1mo", closed = "both")
       .agg("s" -> col("v").sum)
       .toSpark.collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
     // Feb 15 peers (4 and 16) share the window [Jan 15 10:00, Feb 15 10:00]
