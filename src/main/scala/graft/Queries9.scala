@@ -22,7 +22,7 @@ object Queries9 {
     * upper boundary rides along so the oracle checks the add_months edge. */
   private def qGbdMonthly(s: SparkSession, dir: String): SDF =
     lf(s, dir, "orders")
-      .groupByDynamic("o_orderdate", every = "1mo", by = Seq("o_orderpriority"))
+      .groupByDynamic("o_orderdate", every = "1mo", by = Seq("o_orderpriority"), includeBoundaries = true)
       .agg(Expr(F.count(F.lit(1))).alias("n"),
         col("o_totalprice").sum.alias("sv"))
       .select(col("o_orderpriority"), col("o_orderdate"),

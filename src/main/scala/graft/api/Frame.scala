@@ -292,8 +292,11 @@ trait FrameOps[Self] {
     * lazy_frame.rb:1416-1459). Maps to Spark's `window()` which gives exactly
     * the multi-membership sliding semantics incl. bounds. */
   def groupByDynamic(indexColumn: String, every: String, period: Option[String] = None,
-                     offset: Option[String] = None, by: Seq[String] = Nil): DynamicGroupBy[Self] =
-    new DynamicGroupBy[Self](sdf, indexColumn, every, period, offset, by, make)
+                     offset: Option[String] = None, by: Seq[String] = Nil,
+                     includeBoundaries: Boolean = false,
+                     label: String = "left"): DynamicGroupBy[Self] =
+    new DynamicGroupBy[Self](sdf, indexColumn, every, period, offset, by, make,
+      includeBoundaries, label)
 
   // ---- explode / reshape (reference: §2.7) ----
   /** polars explode — multiple columns explode in LOCKSTEP (reference

@@ -292,7 +292,9 @@ final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
   */
 final class DynamicGroupBy[Self](sdf: SDF, indexColumn: String, every: String,
                                  period: Option[String], offset: Option[String],
-                                 by: Seq[String], mk: SDF => Self) {
+                                 by: Seq[String], mk: SDF => Self,
+                                 includeBoundaries: Boolean = false,
+                                 label: String = "left") {
   def agg(exprs: Expr*): Self = {
     val everyD = DurationDsl.parse(every)
     val periodD = period.map(DurationDsl.parse).getOrElse(everyD)
@@ -300,6 +302,8 @@ final class DynamicGroupBy[Self](sdf: SDF, indexColumn: String, every: String,
       d.months > 0 || (d.months == 0 && d.totalNanos > 0)
     require(positive(everyD) && positive(periodD),
       "group_by_dynamic: every/period must be positive")
+    require(Set("left", "right", "datapoint")(label),
+      s"group_by_dynamic: label must be left|right|datapoint, got '$label'")
     if (everyD.isCalendar || periodD.isCalendar) return aggCalendar(everyD, periodD, exprs)
     def dur(d: graft.kernel.Duration) = s"${d.totalMicros} microseconds"
     val win = offset match {
@@ -309,12 +313,20 @@ final class DynamicGroupBy[Self](sdf: SDF, indexColumn: String, every: String,
       case None => F.window(F.col(indexColumn), dur(periodD), dur(everyD))
     }
     val groupCols = win.as("__window__") +: by.map(F.col)
-    val out = sdf.groupBy(groupCols: _*)
-      .agg(exprs.head.col, exprs.tail.map(_.col): _*)
-      .withColumn(indexColumn, F.col("__window__.start"))
-      .withColumn("_lower_boundary", F.col("__window__.start"))
-      .withColumn("_upper_boundary", F.col("__window__.end"))
-      .drop("__window__")
+    // label="datapoint" names each group by its first data point (min of
+    // the index values that actually fell in the window)
+    val aggsAll = exprs.map(_.col) ++
+      (if (label == "datapoint") Seq(F.min(F.col(indexColumn)).as("__dp__")) else Nil)
+    val out0 = sdf.groupBy(groupCols: _*).agg(aggsAll.head, aggsAll.tail: _*)
+    val labeled = label match {
+      case "left"      => out0.withColumn(indexColumn, F.col("__window__.start"))
+      case "right"     => out0.withColumn(indexColumn, F.col("__window__.end"))
+      case "datapoint" => out0.withColumn(indexColumn, F.col("__dp__"))
+    }
+    val out = (if (includeBoundaries)
+        labeled.withColumn("_lower_boundary", F.col("__window__.start"))
+          .withColumn("_upper_boundary", F.col("__window__.end"))
+      else labeled).drop("__window__", "__dp__")
     val lead = (by :+ indexColumn).map(F.col)
     mk(out.select((lead ++ out.columns.filterNot((by :+ indexColumn).contains).map(F.col)).toIndexedSeq: _*))
   }
@@ -360,12 +372,18 @@ final class DynamicGroupBy[Self](sdf: SDF, indexColumn: String, every: String,
         start0 - (nWin - 1).toLong * everyM, start0, F.lit(everyM))))
       .filter(c < monthTs(F.col(ws) + periodM))
     val groupCols = F.col(ws) +: by.map(F.col)
-    val out = exploded.groupBy(groupCols: _*)
-      .agg(exprs.head.col, exprs.tail.map(_.col): _*)
-      .withColumn(indexColumn, monthTs(F.col(ws)))
-      .withColumn("_lower_boundary", monthTs(F.col(ws)))
-      .withColumn("_upper_boundary", monthTs(F.col(ws) + periodM))
-      .drop(ws)
+    val aggsAll = exprs.map(_.col) ++
+      (if (label == "datapoint") Seq(F.min(F.col(indexColumn)).as("__dp__")) else Nil)
+    val out0 = exploded.groupBy(groupCols: _*).agg(aggsAll.head, aggsAll.tail: _*)
+    val labeled = label match {
+      case "left"      => out0.withColumn(indexColumn, monthTs(F.col(ws)))
+      case "right"     => out0.withColumn(indexColumn, monthTs(F.col(ws) + periodM))
+      case "datapoint" => out0.withColumn(indexColumn, F.col("__dp__"))
+    }
+    val out = (if (includeBoundaries)
+        labeled.withColumn("_lower_boundary", monthTs(F.col(ws)))
+          .withColumn("_upper_boundary", monthTs(F.col(ws) + periodM))
+      else labeled).drop(ws, "__dp__")
     val lead = (by :+ indexColumn).map(F.col)
     mk(out.select((lead ++ out.columns.filterNot((by :+ indexColumn).contains).map(F.col)).toIndexedSeq: _*))
   }

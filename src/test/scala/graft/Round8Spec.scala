@@ -143,7 +143,7 @@ class Round8Spec extends SparkSpec {
     val d = tsFrame(Seq(
       ("2021-01-05 10:00:00", 1.0), ("2021-01-25 00:00:00", 2.0),
       ("2021-02-10 00:00:00", 4.0), ("2021-04-01 00:00:00", 8.0)))
-    val out = d.groupByDynamic("ts", every = "1mo")
+    val out = d.groupByDynamic("ts", every = "1mo", includeBoundaries = true)
       .agg(col("v").sum.alias("sv"))
       .toSpark.orderBy("ts").collect()
       .map(r => (r.getTimestamp(0).toString, r.getDouble(r.fieldIndex("sv")),
@@ -152,6 +152,27 @@ class Round8Spec extends SparkSpec {
       ("2021-01-01 00:00:00.0", 3.0, "2021-02-01 00:00:00.0"),
       ("2021-02-01 00:00:00.0", 4.0, "2021-03-01 00:00:00.0"),
       ("2021-04-01 00:00:00.0", 8.0, "2021-05-01 00:00:00.0")), out.toSeq.toString)
+  }
+
+  test("group_by_dynamic label variants name windows by right edge or first datapoint") {
+    import graft.Polars._
+    val d = tsFrame(Seq(
+      ("2021-01-05 10:00:00", 1.0), ("2021-01-25 00:00:00", 2.0),
+      ("2021-02-10 00:00:00", 4.0)))
+    def run(label: String, every: String): Seq[String] =
+      d.groupByDynamic("ts", every = every, label = label)
+        .agg(col("v").sum.alias("sv"))
+        .toSpark.orderBy("ts").collect().map(_.getTimestamp(0).toString.take(16)).toSeq
+    // calendar path
+    assert(run("right", "1mo") == Seq("2021-02-01 00:00", "2021-03-01 00:00"))
+    assert(run("datapoint", "1mo") == Seq("2021-01-05 10:00", "2021-02-10 00:00"))
+    // fixed path (daily buckets)
+    assert(run("right", "1d") == Seq("2021-01-06 00:00", "2021-01-26 00:00", "2021-02-11 00:00"))
+    assert(run("datapoint", "1d") == Seq("2021-01-05 10:00", "2021-01-25 00:00", "2021-02-10 00:00"))
+    // default output schema has no boundary columns (polars include_boundaries=false)
+    val cols = d.groupByDynamic("ts", every = "1d")
+      .agg(col("v").sum.alias("sv")).toSpark.columns.toSeq
+    assert(!cols.contains("_lower_boundary") && !cols.contains("_upper_boundary"), cols.toString)
   }
 
   test("group_by_dynamic sliding calendar windows (every=1mo, period=2mo)") {
