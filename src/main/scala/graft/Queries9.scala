@@ -102,6 +102,22 @@ object Queries9 {
       .collect().toSpark
   }
 
+  /** rolling_*_by (reference expr.rb:3964-4970): per-user trailing 30-minute
+    * sum/mean via the keyed range-frame form, plus a KEYLESS trailing max
+    * exercising the time-bucket phantom-carry kernel
+    * ([[graft.kernel.Scan.rollingByApply]]) — polars default closed="right",
+    * window (t-30m, t]. */
+  private def qRollingBy(s: SparkSession, dir: String): SDF =
+    LazyFrame(t(s, dir, "events").transform(TestTables.normalizeEventsTs))
+      .withColumns(
+        "rb_sum" -> col("value").rollingSumBy(col("ts"), "30m").over(col("user_id")),
+        "rb_mean" -> col("value").rollingMeanBy(col("ts"), "30m").over(col("user_id")),
+        "rb_max" -> col("value").rollingMaxBy(col("ts"), "30m"))
+      .select(col("event_id"), col("user_id"), col("rb_sum"), col("rb_mean"),
+        col("rb_max"))
+      .sortBy(Seq(col("event_id")))
+      .collect().toSpark
+
   /** transpose — rows become column_i string columns (executor-side stack). */
   private def qTranspose(s: SparkSession, dir: String): SDF =
     graft.api.DataFrame(
@@ -118,7 +134,8 @@ object Queries9 {
     "q_vstack" -> (qVstack _),
     "q_with_context" -> (qWithContext _),
     "q_partition_by" -> (qPartitionBy _),
-    "q_transpose" -> (qTranspose _))
+    "q_transpose" -> (qTranspose _),
+    "q_rolling_by" -> (qRollingBy _))
 
   def oracleSql: Map[String, String] = Map(
     "q_gbd_monthly" ->
@@ -166,6 +183,17 @@ object Queries9 {
     "q_partition_by" ->
       """SELECT l_linestatus, count(*) AS n, sum(l_quantity) AS sq
         |FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rolling_by" ->
+      """SELECT event_id, user_id,
+        |sum(value) OVER wu AS rb_sum,
+        |avg(value) OVER wu AS rb_mean,
+        |max(value) OVER wg AS rb_max
+        |FROM events
+        |WINDOW wu AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 1799999999 PRECEDING AND CURRENT ROW),
+        |  wg AS (ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 1799999999 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q_transpose" ->
       """SELECT * FROM (
         |SELECT 'r_regionkey' AS colname,

@@ -673,6 +673,90 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
         Expr.quantileOfSorted(sorted, q, interpolation))
     })
   }
+  // ---- rolling_*_by: temporal windows keyed by another column
+  //      (reference: expr.rb:3964-4970) ----
+  /** Shared builder: for each row the window holds the rows whose `by` value
+    * lies in `(t - window_size, t]` (endpoint inclusivity per `closed`,
+    * default "right"), where t is the row's own `by` value. Fixed durations
+    * only — calendar windows (mo/q/y) need per-row month arithmetic; use
+    * frame-level `rolling(index_column:, period:)`, which supports them.
+    * Plain form: time-bucket phantom-carry kernel
+    * ([[graft.kernel.Scan.rollingByApply]]) — one balanced shuffle, never a
+    * global single-partition sort. Keyed form (`.over(keys)`): a range-frame
+    * window partitioned by the keys. Epoch µs is integral, so shifting an
+    * open polars endpoint into Spark's inclusive range bound by 1 µs is
+    * exact. */
+  private def rollingByScanned(by: Expr, windowSize: String, closed: String)
+      (build: (Column, WindowSpec) => Column): Expr = {
+    require(Set("left", "right", "both", "none")(closed),
+      s"rolling_*_by: closed must be left|right|both|none, got '$closed'")
+    val dur = graft.kernel.DurationDsl.parse(windowSize)
+    require(!dur.isCalendar,
+      "rolling_*_by: calendar window sizes (mo/q/y) are not supported at the " +
+        "expression level; frame-level rolling(index_column:, period:) handles them")
+    val p = dur.totalMicros
+    require(p > 0, s"rolling_*_by: window_size must be positive, got '$windowSize'")
+    val loIncl = if (closed == "left" || closed == "both") -p else -p + 1
+    val hiIncl = if (closed == "right" || closed == "both") 0L else -1L
+    val epoch = F.unix_micros(by.col.cast("timestamp"))
+    val out = Scan.fresh("x")
+    val basePreps = mergedWith(by)
+    Expr(F.col(out), requiresIndex = requiresIndex || by.requiresIndex,
+      basePreps :+ Prep(out,
+        d => Scan.rollingByApply(d, col, epoch, loIncl, hiIncl, out, build),
+        Seq(out)),
+      keyed = Some(KeyedForm { keys =>
+        requireNoScanInput("rolling_by")
+        val w = Window.partitionBy(keys: _*).orderBy(epoch)
+          .rangeBetween(loIncl, hiIncl)
+        Expr(build(col, w), requiresIndex || by.requiresIndex, basePreps)
+      }))
+  }
+  private def rollingAggBy(by: Expr, windowSize: String, minPeriods: Int,
+                           closed: String)(agg: Column => Column): Expr =
+    rollingByScanned(by, windowSize, closed)((v, w) =>
+      F.when(F.count(v).over(w) >= math.max(minPeriods, 1), agg(v).over(w)))
+  def rollingSumBy(by: Expr, windowSize: String, minPeriods: Int = 1,
+                   closed: String = "right"): Expr =
+    rollingAggBy(by, windowSize, minPeriods, closed)(F.sum)
+  def rollingMeanBy(by: Expr, windowSize: String, minPeriods: Int = 1,
+                    closed: String = "right"): Expr =
+    rollingAggBy(by, windowSize, minPeriods, closed)(F.avg)
+  def rollingMinBy(by: Expr, windowSize: String, minPeriods: Int = 1,
+                   closed: String = "right"): Expr =
+    rollingAggBy(by, windowSize, minPeriods, closed)(F.min)
+  def rollingMaxBy(by: Expr, windowSize: String, minPeriods: Int = 1,
+                   closed: String = "right"): Expr =
+    rollingAggBy(by, windowSize, minPeriods, closed)(F.max)
+  def rollingStdBy(by: Expr, windowSize: String, minPeriods: Int = 1,
+                   closed: String = "right", ddof: Int = 1): Expr =
+    rollingByScanned(by, windowSize, closed)((v, w) => {
+      val cnt = F.count(v).over(w)
+      F.when(cnt >= math.max(minPeriods, 1),
+        Expr.ddofScale(F.stddev_samp(v).over(w), cnt, ddof, isStd = true))
+    })
+  def rollingVarBy(by: Expr, windowSize: String, minPeriods: Int = 1,
+                   closed: String = "right", ddof: Int = 1): Expr =
+    rollingByScanned(by, windowSize, closed)((v, w) => {
+      val cnt = F.count(v).over(w)
+      F.when(cnt >= math.max(minPeriods, 1),
+        Expr.ddofScale(F.var_samp(v).over(w), cnt, ddof, isStd = false))
+    })
+  /** rolling_quantile_by (reference expr.rb:4848); median_by = q 0.5 linear
+    * (the reference's rolling_median_by delegates the same way). The per-row
+    * sorted collect is bounded by the rows inside one temporal window. */
+  def rollingQuantileBy(by: Expr, quantile: Double, windowSize: String,
+                        interpolation: String = "nearest", minPeriods: Int = 1,
+                        closed: String = "right"): Expr =
+    rollingByScanned(by, windowSize, closed)((v, w) => {
+      val sorted = F.sort_array(F.collect_list(v).over(w))
+      F.when(F.count(v).over(w) >= math.max(minPeriods, 1),
+        Expr.quantileOfSorted(sorted, quantile, interpolation))
+    })
+  def rollingMedianBy(by: Expr, windowSize: String, minPeriods: Int = 1,
+                      closed: String = "right"): Expr =
+    rollingQuantileBy(by, 0.5, windowSize, "linear", minPeriods, closed)
+
   /** rolling_quantile_by (reference expr.rb:4848): quantile over a caller-
     * supplied WindowSpec — the range-frame formulation used for temporal
     * `_by` windows (`Window.partitionBy(keys).orderBy(unix_micros(ts))

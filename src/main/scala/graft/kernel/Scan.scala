@@ -217,6 +217,42 @@ object Scan {
       .drop(v, ph)
   }
 
+  /** `out` := `build(value, w)` over the temporal range frame
+    * `[epoch+loIncl, epoch+hiIncl]` (µs, both bounds inclusive — open polars
+    * endpoints are pre-shifted by 1 µs by the caller) WITHOUT a global
+    * single-partition sort: rows bucket by `floor(epoch / bw)` with bucket
+    * width >= the window's farthest reach, so a probe row's window can only
+    * touch adjacent buckets; each bucket's rows ride into the neighbor
+    * bucket as flagged phantom rows and the range window runs per bucket.
+    * One balanced hash shuffle, <= 3x row volume. Same phantom-carry shape
+    * as [[rollingApply]], bucketed by time instead of rows.
+    *
+    * Null-epoch rows get NO phantom copy (null+1 stays null — the phantom
+    * would land back in the null bucket and double-count itself); they keep
+    * their null peer-group window, matching the keyed range-frame path. */
+  def rollingByApply(d0: DataFrame, value: Column, epoch: Column,
+                     loIncl: Long, hiIncl: Long, out: String,
+                     build: (Column, WindowSpec) => Column): DataFrame = {
+    val v = fresh("v"); val ph = fresh("ph"); val tb = fresh("tb"); val ep = fresh("ep")
+    val backReach = math.max(0L, -loIncl)
+    val fwdReach = math.max(0L, hiIncl)
+    val bw = Seq(backReach, fwdReach, 1L).max
+    val d = d0.withColumn(v, value).withColumn(ep, epoch)
+      .withColumn(tb, F.floor(F.col(ep) / bw))
+    var aug = d.withColumn(ph, F.lit(false))
+    if (backReach > 0)
+      aug = aug.unionByName(d.filter(F.col(tb).isNotNull)
+        .withColumn(tb, F.col(tb) + 1).withColumn(ph, F.lit(true)))
+    if (fwdReach > 0)
+      aug = aug.unionByName(d.filter(F.col(tb).isNotNull)
+        .withColumn(tb, F.col(tb) - 1).withColumn(ph, F.lit(true)))
+    val w = Window.partitionBy(F.col(tb)).orderBy(F.col(ep))
+      .rangeBetween(loIncl, hiIncl)
+    aug.withColumn(out, build(F.col(v), w))
+      .filter(!F.col(ph))
+      .drop(v, ph, tb, ep)
+  }
+
   /** `out` := global rank of `value` (min/max/dense/ordinal/average; nulls
     * rank null, the reference's null behavior). Distributed shape: per-value
     * counts, exclusive prefix sum over the range-sorted distinct-value frame

@@ -1,0 +1,130 @@
+package graft
+
+import graft.Polars._
+import graft.api.DataFrame
+import org.apache.spark.sql.{functions => F}
+
+/** rolling_*_by parity (reference expr.rb:3964-4970): each row aggregates the
+  * rows whose `by` timestamp falls in its own trailing temporal window, for
+  * all four `closed` modes, plain and `.over(keys)`, against a brute-force
+  * local reference on seeded random data with duplicate timestamps and null
+  * values. */
+class RollingBySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(20260814)
+  private val n = 300
+  // (id, key, epoch µs, nullable value); duplicate timestamps on purpose
+  private val rows: IndexedSeq[(Long, String, Long, Option[Double])] =
+    (0 until n).map { i =>
+      val base = 1700000000000000L + rng.nextInt(2000).toLong * 500000L
+      (i.toLong, s"k${rng.nextInt(4)}", base,
+        if (rng.nextInt(6) == 0) None else Some((rng.nextInt(200) - 100) / 4.0))
+    }
+  private lazy val df = DataFrame(rows
+    .map { case (i, k, t, v) => (i, k, t, v.map(Double.box).orNull) }
+    .toDF("id", "k", "tus", "v")
+    .withColumn("ts", F.timestamp_micros(F.col("tus")))
+    .repartition(7))
+
+  private val wsMicros = 60L * 1000000 // "1m"
+
+  private def inWindow(tj: Long, ti: Long, closed: String): Boolean = closed match {
+    case "right" => tj > ti - wsMicros && tj <= ti
+    case "both"  => tj >= ti - wsMicros && tj <= ti
+    case "left"  => tj >= ti - wsMicros && tj < ti
+    case "none"  => tj > ti - wsMicros && tj < ti
+  }
+
+  /** Brute-force: per row, aggregate non-null values in its window (within
+    * the same group when keyed). */
+  private def expected(closed: String, keyed: Boolean, minPeriods: Int = 1)
+      (agg: Seq[Double] => Double): Map[Long, Option[Double]] =
+    rows.map { case (i, k, ti, _) =>
+      val vs = rows.filter { case (_, kj, tj, vj) =>
+        (!keyed || kj == k) && vj.isDefined && inWindow(tj, ti, closed)
+      }.flatMap(_._4)
+      i -> (if (vs.size >= math.max(minPeriods, 1)) Some(agg(vs)) else None)
+    }.toMap
+
+  private def engine(e: graft.expr.Expr): Map[Long, Option[Double]] =
+    df.withColumn("r", e).toSpark
+      .select(F.col("id"), F.col("r").cast("double")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+
+  private def assertClose(got: Map[Long, Option[Double]],
+                          exp: Map[Long, Option[Double]]): Unit = {
+    assert(got.keySet == exp.keySet)
+    for ((id, e) <- exp) (got(id), e) match {
+      case (Some(g), Some(x)) => assert(math.abs(g - x) < 1e-9, s"row $id: $g vs $x")
+      case (g, x)             => assert(g == x, s"row $id: $g vs $x")
+    }
+  }
+
+  for (closed <- Seq("right", "both", "left", "none")) {
+    test(s"rolling_sum_by plain closed=$closed matches brute force") {
+      assertClose(engine(col("v").rollingSumBy(col("ts"), "1m", closed = closed)),
+        expected(closed, keyed = false)(_.sum))
+    }
+    test(s"rolling_mean_by over(k) closed=$closed matches brute force") {
+      assertClose(
+        engine(col("v").rollingMeanBy(col("ts"), "1m", closed = closed).over(col("k"))),
+        expected(closed, keyed = true)(vs => vs.sum / vs.size))
+    }
+  }
+
+  test("rolling_min/max_by keyed match brute force") {
+    assertClose(engine(col("v").rollingMinBy(col("ts"), "1m").over(col("k"))),
+      expected("right", keyed = true)(_.min))
+    assertClose(engine(col("v").rollingMaxBy(col("ts"), "1m").over(col("k"))),
+      expected("right", keyed = true)(_.max))
+  }
+
+  test("rolling_std/var_by respect ddof and min_periods") {
+    def sampVar(vs: Seq[Double], ddof: Int): Double = {
+      val m = vs.sum / vs.size
+      vs.map(x => (x - m) * (x - m)).sum / (vs.size - ddof)
+    }
+    assertClose(engine(col("v").rollingVarBy(col("ts"), "1m", minPeriods = 2)),
+      expected("right", keyed = false, minPeriods = 2)(sampVar(_, 1)))
+    assertClose(engine(col("v").rollingStdBy(col("ts"), "1m", minPeriods = 2, ddof = 0)),
+      expected("right", keyed = false, minPeriods = 2)(vs => math.sqrt(sampVar(vs, 0))))
+  }
+
+  test("rolling_median_by = linear-interpolated window median") {
+    def median(vs: Seq[Double]): Double = {
+      val s = vs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    assertClose(engine(col("v").rollingMedianBy(col("ts"), "1m").over(col("k"))),
+      expected("right", keyed = true)(median))
+  }
+
+  test("rolling_quantile_by nearest on the window") {
+    // q=0.25 nearest over the sorted window, h = (n-1)q
+    def qNearest(vs: Seq[Double]): Double = {
+      val s = vs.sorted
+      val h = (s.size - 1) * 0.25
+      val lo = s(h.toInt); val hi = s(math.ceil(h).toInt)
+      if (h - math.floor(h) > 0.5) hi else lo
+    }
+    assertClose(engine(col("v").rollingQuantileBy(col("ts"), 0.25, "1m")),
+      expected("right", keyed = false)(qNearest))
+  }
+
+  test("calendar window sizes are rejected with a directed message") {
+    val e = intercept[IllegalArgumentException] {
+      col("v").rollingSumBy(col("ts"), "1mo")
+    }
+    assert(e.getMessage.contains("rolling(index_column:, period:)"))
+  }
+
+  test("elementwise composition carries through: (2*rolling_sum_by) over keys") {
+    val exp = expected("right", keyed = true)(_.sum).map {
+      case (k, v) => k -> v.map(_ * 2)
+    }
+    assertClose(
+      engine((col("v").rollingSumBy(col("ts"), "1m") * 2).over(col("k"))), exp)
+  }
+}
