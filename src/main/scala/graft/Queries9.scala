@@ -118,6 +118,44 @@ object Queries9 {
       .sortBy(Seq(col("event_id")))
       .collect().toSpark
 
+  /** Series#reshape (reference series.rb): the first 1000 event values
+    * reshape to (-1, 4) lists, emitted as scalar (grp, pos, value) rows so
+    * the gate can hash them (list cells crash the driver's pandas sorter). */
+  private def qReshape(s: SparkSession, dir: String): SDF = {
+    val ev = t(s, dir, "events").transform(TestTables.normalizeEventsTs)
+      .orderBy("event_id").limit(1000).select(F.col("value"))
+    val rs = graft.api.Series("value", ev).reshape(Seq(-1L, 4L))
+    org.apache.spark.sql.GraftInternalOps.zipWithDenseIndex(rs.df, "grp")
+      .select(F.col("grp"), F.posexplode(F.col("value")).as(Seq("pos", "value")))
+      .select(F.col("grp"), F.col("pos").cast("long").as("pos"), F.col("value"))
+      .orderBy("grp", "pos")
+  }
+
+  /** group_by_dynamic closed="right": 6-hour tumbling windows whose upper
+    * endpoint is inclusive — an on-boundary event rolls back into the
+    * previous window ((s, s+6h] membership). Oracle: bucket t-1µs (epoch µs
+    * is integral, so the shift exactly converts (s,e] to [s,e)). */
+  private def qGbdClosed(s: SparkSession, dir: String): SDF =
+    LazyFrame(t(s, dir, "events").transform(TestTables.normalizeEventsTs))
+      .groupByDynamic("ts", every = "6h", by = Seq("event_type"), closed = "right")
+      .agg(Expr(F.count(F.lit(1))).alias("n"),
+        col("value").sum.alias("sv"))
+      .select(col("event_type"), col("ts"), col("n"), col("sv"))
+      .sortBy(Seq(col("event_type"), col("ts")))
+      .collect().toSpark
+
+  /** Expr any/all boolean aggregates per group (Kleene-complete forms are
+    * spec-pinned; the oracle exercises the default drop_nulls=true). */
+  private def qAnyAll(s: SparkSession, dir: String): SDF =
+    lf(s, dir, "customer")
+      .groupBy("c_mktsegment")
+      .agg(
+        (col("c_acctbal") < 0.0).any().alias("any_neg"),
+        (col("c_acctbal") > -999.0).all().alias("all_above"),
+        Expr(F.count(F.lit(1))).alias("n"))
+      .sortBy(Seq(col("c_mktsegment")))
+      .collect().toSpark
+
   /** transpose — rows become column_i string columns (executor-side stack). */
   private def qTranspose(s: SparkSession, dir: String): SDF =
     graft.api.DataFrame(
@@ -135,7 +173,10 @@ object Queries9 {
     "q_with_context" -> (qWithContext _),
     "q_partition_by" -> (qPartitionBy _),
     "q_transpose" -> (qTranspose _),
-    "q_rolling_by" -> (qRollingBy _))
+    "q_rolling_by" -> (qRollingBy _),
+    "q_reshape" -> (qReshape _),
+    "q_gbd_closed" -> (qGbdClosed _),
+    "q_any_all" -> (qAnyAll _))
 
   def oracleSql: Map[String, String] = Map(
     "q_gbd_monthly" ->
@@ -183,6 +224,23 @@ object Queries9 {
     "q_partition_by" ->
       """SELECT l_linestatus, count(*) AS n, sum(l_quantity) AS sq
         |FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_gbd_closed" ->
+      """SELECT event_type,
+        |CAST(time_bucket(INTERVAL '6 hours', ts - INTERVAL 1 MICROSECOND,
+        |  TIMESTAMP '1970-01-01') AS TIMESTAMP) AS ts,
+        |count(*) AS n, sum(value) AS sv
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_any_all" ->
+      """SELECT c_mktsegment,
+        |bool_or(c_acctbal < 0.0) AS any_neg,
+        |bool_and(c_acctbal > -999.0) AS all_above,
+        |count(*) AS n
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_reshape" ->
+      """SELECT (i - 1) // 4 AS grp, (i - 1) % 4 AS pos, value FROM (
+        |SELECT value, row_number() OVER (ORDER BY event_id) AS i
+        |FROM events ORDER BY event_id LIMIT 1000)
+        |ORDER BY 1, 2""".stripMargin,
     "q_rolling_by" ->
       """SELECT event_id, user_id,
         |sum(value) OVER wu AS rb_sum,

@@ -294,9 +294,10 @@ trait FrameOps[Self] {
   def groupByDynamic(indexColumn: String, every: String, period: Option[String] = None,
                      offset: Option[String] = None, by: Seq[String] = Nil,
                      includeBoundaries: Boolean = false,
-                     label: String = "left"): DynamicGroupBy[Self] =
+                     label: String = "left", closed: String = "left",
+                     startBy: String = "window"): DynamicGroupBy[Self] =
     new DynamicGroupBy[Self](sdf, indexColumn, every, period, offset, by, make,
-      includeBoundaries, label)
+      includeBoundaries, label, closed, startBy)
 
   // ---- explode / reshape (reference: §2.7) ----
   /** polars explode — multiple columns explode in LOCKSTEP (reference
@@ -597,30 +598,50 @@ final case class DataFrame(private val df: SDF) extends FrameOps[DataFrame] {
     // Exact quartiles WITHOUT the Percentile aggregate: Percentile merges
     // per-partition value->count maps on one reducer — a driver-sized
     // bottleneck (and OOM hazard) when the column is high-cardinality at
-    // scale. Instead: distributed range-sort per numeric column + dense
-    // index, pick the two bracketing rows per quantile, interpolate
+    // scale. Instead: stack every numeric column into (column-ordinal,
+    // value) rows, ONE distributed range-sort on (ordinal, value) + dense
+    // index, pick the two bracketing rows per (column, quantile) by global
+    // index (per-column index = global index - cumulative non-null counts
+    // of earlier columns, known from the aggregation pass), interpolate
     // linearly (the same definition Percentile/quantile_cont computes).
-    // One sort job per numeric column, scalar-only driver traffic.
+    // One sort job for ALL columns, scalar-only driver traffic.
     val quartiles = Seq(0.25, 0.5, 0.75)
-    val pctByCol: Map[String, Seq[Option[Double]]] = numCols.toSeq.map { c =>
-      val nn = one.getLong(one.fieldIndex(s"count__$c")) -
-        one.getLong(one.fieldIndex(s"null_count__$c"))
-      if (nn == 0) c -> quartiles.map(_ => Option.empty[Double])
+    val nnByCol: Map[String, Long] = numCols.toSeq.map { c =>
+      c -> (one.getLong(one.fieldIndex(s"count__$c")) -
+        one.getLong(one.fieldIndex(s"null_count__$c")))
+    }.toMap
+    // offset of column i = sum of non-null counts of all earlier columns
+    val offsets: Map[String, Long] = numCols.toSeq
+      .zip(numCols.toSeq.scanLeft(0L)(_ + nnByCol(_)))
+      .toMap
+    val hsByCol: Map[String, Seq[Double]] = numCols.toSeq.map { c =>
+      c -> quartiles.map(q => (nnByCol(c) - 1) * q)
+    }.toMap
+    val needGlobal: Seq[Long] = numCols.toSeq.filter(nnByCol(_) > 0).flatMap { c =>
+      hsByCol(c).flatMap(h =>
+        Seq(offsets(c) + math.floor(h).toLong, offsets(c) + math.ceil(h).toLong))
+    }.distinct
+    val pctByCol: Map[String, Seq[Option[Double]]] =
+      if (needGlobal.isEmpty) numCols.toSeq.map(c => c -> quartiles.map(_ => Option.empty[Double])).toMap
       else {
+        val stacked = df
+          .select(F.posexplode(F.array(numCols.map(c => F.col(c).cast("double")): _*))
+            .as(Seq("__ci__", "__v__")))
+          .filter(F.col("__v__").isNotNull)
         val sorted = org.apache.spark.sql.GraftInternalOps.zipWithDenseIndex(
-          df.select(F.col(c).cast("double").as("__v__"))
-            .filter(F.col("__v__").isNotNull).orderBy("__v__"), "__i__")
-        val hs = quartiles.map(q => (nn - 1) * q)
-        val need = hs.flatMap(h => Seq(math.floor(h).toLong, math.ceil(h).toLong)).distinct
-        val got = sorted.filter(F.col("__i__").isInCollection(need))
+          stacked.orderBy("__ci__", "__v__"), "__i__")
+        val got = sorted.filter(F.col("__i__").isInCollection(needGlobal))
           .collect().map(r => r.getLong(r.fieldIndex("__i__")) ->
             r.getDouble(r.fieldIndex("__v__"))).toMap
-        c -> hs.map { h =>
-          val lo = got(math.floor(h).toLong); val hi = got(math.ceil(h).toLong)
-          Some(lo + (hi - lo) * (h - math.floor(h)))
-        }
+        numCols.toSeq.map { c =>
+          if (nnByCol(c) == 0) c -> quartiles.map(_ => Option.empty[Double])
+          else c -> hsByCol(c).map { h =>
+            val lo = got(offsets(c) + math.floor(h).toLong)
+            val hi = got(offsets(c) + math.ceil(h).toLong)
+            Some(lo + (hi - lo) * (h - math.floor(h)))
+          }
+        }.toMap
       }
-    }.toMap
     val pctRows = Seq("25%", "50%", "75%").zipWithIndex.map { case (s, i) =>
       s +: allCols.map { c =>
         pctByCol.get(c).flatMap(_(i)).map(_.toString).orNull

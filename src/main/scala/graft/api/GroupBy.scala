@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{Column, functions => F, DataFrame => SDF}
 import org.apache.spark.sql.expressions.Window
 import graft.expr.Expr
-import graft.kernel.{DurationDsl, RowIndex}
+import graft.kernel.{DurationDsl, RowIndex, Scan}
 
 /** group_by surface (reference: lib/polars/group_by.rb, lazy_group_by.rb).
   * Thin declarative layer over `RelationalGroupedDataset` — Catalyst supplies
@@ -294,7 +294,14 @@ final class DynamicGroupBy[Self](sdf: SDF, indexColumn: String, every: String,
                                  period: Option[String], offset: Option[String],
                                  by: Seq[String], mk: SDF => Self,
                                  includeBoundaries: Boolean = false,
-                                 label: String = "left") {
+                                 label: String = "left",
+                                 closed: String = "left",
+                                 startBy: String = "window") {
+  private val weekdayShiftDays = Map(
+    // 1970-01-01 is a Thursday; shift the epoch origin to the named weekday
+    "monday" -> 4L, "tuesday" -> 5L, "wednesday" -> 6L, "thursday" -> 0L,
+    "friday" -> 1L, "saturday" -> 2L, "sunday" -> 3L)
+
   def agg(exprs: Expr*): Self = {
     val everyD = DurationDsl.parse(every)
     val periodD = period.map(DurationDsl.parse).getOrElse(everyD)
@@ -304,29 +311,70 @@ final class DynamicGroupBy[Self](sdf: SDF, indexColumn: String, every: String,
       "group_by_dynamic: every/period must be positive")
     require(Set("left", "right", "datapoint")(label),
       s"group_by_dynamic: label must be left|right|datapoint, got '$label'")
-    if (everyD.isCalendar || periodD.isCalendar) return aggCalendar(everyD, periodD, exprs)
-    def dur(d: graft.kernel.Duration) = s"${d.totalMicros} microseconds"
-    val win = offset match {
-      case Some(o) =>
-        F.window(F.col(indexColumn), dur(periodD), dur(everyD),
-          s"${DurationDsl.parse(o).totalMicros} microseconds")
-      case None => F.window(F.col(indexColumn), dur(periodD), dur(everyD))
+    require(Set("left", "right", "both", "none")(closed),
+      s"group_by_dynamic: closed must be left|right|both|none, got '$closed'")
+    require(startBy == "window" || startBy == "datapoint" ||
+        weekdayShiftDays.contains(startBy),
+      s"group_by_dynamic: start_by must be window|datapoint|<weekday>, got '$startBy'")
+    if (everyD.isCalendar || periodD.isCalendar) {
+      require(startBy == "window",
+        "group_by_dynamic: calendar every/period supports only start_by: \"window\"; " +
+          "for datapoint/weekday origins use fixed durations or truncate-based bucketing")
+      return aggCalendar(everyD, periodD, exprs)
     }
-    val groupCols = win.as("__window__") +: by.map(F.col)
+    // Explicit candidate-start explode (the same multi-membership shape
+    // F.window compiles to) so `closed` endpoint inclusivity and `start_by`
+    // origins are first-class: each row's latest aligned start is
+    // t - pmod(t - origin, every) (integer-exact, negative-safe); its
+    // nWin+1 trailing candidates filter on the closed-mode predicate (the
+    // +1 covers right/both-closed rows sitting exactly on a window end).
+    val everyU = everyD.totalMicros
+    val periodU = periodD.totalMicros
+    val offU = offset.map(DurationDsl.parse(_).totalMicros).getOrElse(0L)
+    def tOf(d: SDF): Column = F.unix_micros(F.col(indexColumn).cast("timestamp"))
+    val og = Scan.fresh("og")
+    val base = startBy match {
+      case "datapoint" =>
+        // origin = first datapoint: a broadcast one-row scalar, no collect
+        sdf.crossJoin(F.broadcast(sdf.agg(F.min(tOf(sdf)).as(og))))
+      case _ => sdf
+    }
+    val origin: Column = (startBy match {
+      case "window"    => F.lit(0L)
+      case "datapoint" => F.col(og)
+      case wd          => F.lit(weekdayShiftDays(wd) * 86400000000L)
+    }) + F.lit(offU)
+    val t = tOf(base)
+    val nWin = ((periodU + everyU - 1) / everyU).toInt
+    val ws = Scan.fresh("ws")
+    val s0 = t - F.pmod(t - origin, F.lit(everyU))
+    val s = F.col(ws); val e = F.col(ws) + periodU
+    val member = closed match {
+      case "left"  => t >= s && t < e
+      case "right" => t > s && t <= e
+      case "both"  => t >= s && t <= e
+      case "none"  => t > s && t < e
+    }
+    val exploded = base
+      .withColumn(ws, F.explode(F.sequence(
+        s0 - nWin.toLong * everyU, s0, F.lit(everyU))))
+      .filter(member)
+    val groupCols = F.col(ws) +: by.map(F.col)
     // label="datapoint" names each group by its first data point (min of
     // the index values that actually fell in the window)
     val aggsAll = exprs.map(_.col) ++
       (if (label == "datapoint") Seq(F.min(F.col(indexColumn)).as("__dp__")) else Nil)
-    val out0 = sdf.groupBy(groupCols: _*).agg(aggsAll.head, aggsAll.tail: _*)
+    val out0 = exploded.groupBy(groupCols: _*).agg(aggsAll.head, aggsAll.tail: _*)
+    def ts(c: Column) = F.timestamp_micros(c)
     val labeled = label match {
-      case "left"      => out0.withColumn(indexColumn, F.col("__window__.start"))
-      case "right"     => out0.withColumn(indexColumn, F.col("__window__.end"))
+      case "left"      => out0.withColumn(indexColumn, ts(F.col(ws)))
+      case "right"     => out0.withColumn(indexColumn, ts(F.col(ws) + periodU))
       case "datapoint" => out0.withColumn(indexColumn, F.col("__dp__"))
     }
     val out = (if (includeBoundaries)
-        labeled.withColumn("_lower_boundary", F.col("__window__.start"))
-          .withColumn("_upper_boundary", F.col("__window__.end"))
-      else labeled).drop("__window__", "__dp__")
+        labeled.withColumn("_lower_boundary", ts(F.col(ws)))
+          .withColumn("_upper_boundary", ts(F.col(ws) + periodU))
+      else labeled).drop(ws, "__dp__", og)
     val lead = (by :+ indexColumn).map(F.col)
     mk(out.select((lead ++ out.columns.filterNot((by :+ indexColumn).contains).map(F.col)).toIndexedSeq: _*))
   }

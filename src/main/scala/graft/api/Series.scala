@@ -40,6 +40,11 @@ final case class Series(name: String, df: SDF) {
   def std: Any = scalar(Expr(F.stddev_samp(F.col(name))))
   def variance: Any = scalar(Expr(F.var_samp(F.col(name))))
   def nUnique: Long = df.select(F.countDistinct(F.col(name))).collect()(0).getLong(0)
+  /** any?/all?/none? (reference series.rb:534-560): boolean aggregates;
+    * ignore_nulls=false applies Kleene logic (may return null). */
+  def any(ignoreNulls: Boolean = true): Any = scalar(Expr(F.col(name)).any(ignoreNulls))
+  def all(ignoreNulls: Boolean = true): Any = scalar(Expr(F.col(name)).all(ignoreNulls))
+  def none: Boolean = any() == false
 
   // dtype predicates (reference series.rb is_numeric/is_float/is_boolean/
   // is_utf8/is_datelike)

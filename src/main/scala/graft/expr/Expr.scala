@@ -290,6 +290,24 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   def last: Expr = aggMap(c => F.last(c))
   def product: Expr = aggMap(F.product) // exact partial+final agg; handles zeros/negatives
   def nUnique: Expr = aggMap(c => F.countDistinct(c))
+  /** any / all — boolean-column aggregates (reference: expr.rb:198,223).
+    * drop_nulls=true (default) ignores nulls; empty/all-null → false / true.
+    * drop_nulls=false applies Kleene logic: any = null when no true but a
+    * null is present; all = null when no false but a null is present. */
+  def any(dropNulls: Boolean = true): Expr = aggMap { c =>
+    val anyTrue = F.coalesce(F.bool_or(c), F.lit(false))
+    if (dropNulls) anyTrue
+    else F.when(anyTrue, F.lit(true))
+      .when(F.count(F.lit(1)) > F.count(c), F.lit(null).cast("boolean"))
+      .otherwise(F.lit(false))
+  }
+  def all(dropNulls: Boolean = true): Expr = aggMap { c =>
+    val allTrue = F.coalesce(F.bool_and(c), F.lit(true))
+    if (dropNulls) allTrue
+    else F.when(!allTrue, F.lit(false))
+      .when(F.count(F.lit(1)) > F.count(c), F.lit(null).cast("boolean"))
+      .otherwise(F.lit(true))
+  }
   def approxNUnique: Expr = aggMap(c => F.approx_count_distinct(c))
   /** NaN-propagating extrema (reference expr.rb:2263 nan_max/nan_min): any
     * NaN in the group makes the result NaN. Spark already orders NaN above
@@ -389,10 +407,15 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
         "over: this expression composes order-dependent ops in a form that has no " +
           "per-key window spelling; apply .over(keys) to the shift/cum/fill/rank/rolling " +
           "op directly (e.g. col(\"x\").shift(1).over(k) - col(\"x\").over-free terms)")
-      // distinct aggregates (n_unique) have no window form — re-spell
-      val (winAgg, wrap) = org.apache.spark.sql.GraftInternalOps
-        .distinctWindowSpelling(col)
-      Expr(wrap(winAgg.over(Window.partitionBy(partitionBy.map(_.col): _*))),
+      // window every embedded aggregate (composite aggregates like
+      // std(ddof:0) / Kleene any-all have no single bare window form;
+      // distinct counts re-spell via collect_set); aggregate-free columns
+      // (rank family) window whole, as before
+      val keyCols = partitionBy.map(_.col)
+      val windowed = org.apache.spark.sql.GraftInternalOps
+        .windowCompositeAggregates(col, keyCols)
+        .getOrElse(col.over(Window.partitionBy(keyCols: _*)))
+      Expr(windowed,
         requiresIndex || partitionBy.exists(_.requiresIndex), mergedWith(partitionBy: _*))
   }
   def over(w: WindowSpec): Expr = {

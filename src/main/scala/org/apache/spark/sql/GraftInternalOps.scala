@@ -92,6 +92,33 @@ object GraftInternalOps {
     * collect_set spelling); an aggregate buried inside larger structure has
     * no bare-window form and raises the directed error instead of dying in
     * Spark's analyzer; anything aggregate-free returns None (elementwise). */
+  /** Window EVERY embedded aggregate over the keys. Polars broadcasts a
+    * composite aggregate expression per key (`std(ddof: 0).over(k)` is
+    * rescaled var_samp * count arithmetic; the Kleene any/all spellings mix
+    * bool_or with counts), but Spark's WindowExpression child must be ONE
+    * bare aggregate — so each aggregate node in the tree gets its own
+    * identical window (Catalyst dedupes the repeated window spec into one
+    * Window operator). Returns None when no aggregate appears (elementwise
+    * or rank-family columns keep their existing whole-column spelling). */
+  def windowCompositeAggregates(c: Column, keys: Seq[Column]): Option[Column] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
+    val expr = catalystExpression(c)
+    val hasAgg = expr.exists {
+      case f: UnresolvedFunction => resolvesToAggregate(f)
+      case _ => false
+    }
+    if (!hasAgg) None
+    // transformUp: post-order, so the rule never revisits the WindowExpression
+    // it just built around an aggregate (top-down transform would recurse into
+    // the new node's child — the same aggregate — forever)
+    else Some(column(expr.transformUp {
+      case f: UnresolvedFunction if resolvesToAggregate(f) =>
+        val (winnable, wrap) = distinctWindowSpelling(column(f))
+        catalystExpression(wrap(winnable.over(w)))
+    }))
+  }
+
   def perKeyBroadcastSpelling(c: Column, keys: Seq[Column]): Option[Column] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
     val stripped = stripAlias(c)

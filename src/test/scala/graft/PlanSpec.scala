@@ -164,6 +164,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("keyless rolling_by shuffles on the time bucket, never a single-partition sort") {
+    val ev = graft.api.LazyFrame(spark.read.parquet(s"$sf/events.parquet")
+      .transform(TestTables.normalizeEventsTs))
+    val p = plan(ev.withColumn("m",
+      Polars.col("value").rollingMaxBy(Polars.col("ts"), "30m")).toSpark)
+    // phantom-carry: window hash-partitioned on the derived time bucket
+    assert(p.contains("Exchange hashpartitioning(__graft_tb"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("calendar group_by_dynamic is one hash aggregate over exploded month starts") {
     val orders = graft.api.LazyFrame(spark.read.parquet(s"$sf/orders.parquet"))
     val p = plan(orders

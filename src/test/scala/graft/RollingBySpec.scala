@@ -120,6 +120,25 @@ class RollingBySpec extends SparkSpec {
     assert(e.getMessage.contains("rolling(index_column:, period:)"))
   }
 
+  test("reference docstring example: hourly index rolling_sum_by 2h (right/both)") {
+    // expr.rb rolling_sum_by @example: 25 hourly timestamps, index 0..24
+    val base = java.time.LocalDateTime.of(2001, 1, 1, 0, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    val d = DataFrame((0 until 25).map(i => (i.toLong, base + i * 3600000000L))
+      .toDF("index", "tus")
+      .withColumn("date", F.timestamp_micros(F.col("tus"))))
+    def run(closed: String): Seq[Long] =
+      d.withColumn("s", col("index").rollingSumBy(col("date"), "2h", closed = closed))
+        .toSpark.orderBy("index").select("s").collect().map(_.getLong(0)).toSeq
+    // docstring: right-closed tail ... 39 41 43 45 47; both-closed 57 60 63 66 69
+    val right = run("right")
+    assert(right.take(5) == Seq(0L, 1L, 3L, 5L, 7L), right)
+    assert(right.takeRight(5) == Seq(39L, 41L, 43L, 45L, 47L), right)
+    val both = run("both")
+    assert(both.take(5) == Seq(0L, 1L, 3L, 6L, 9L), both)
+    assert(both.takeRight(5) == Seq(57L, 60L, 63L, 66L, 69L), both)
+  }
+
   test("elementwise composition carries through: (2*rolling_sum_by) over keys") {
     val exp = expected("right", keyed = true)(_.sum).map {
       case (k, v) => k -> v.map(_ * 2)
