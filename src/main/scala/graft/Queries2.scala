@@ -229,8 +229,8 @@ object Queries2 {
   private def qSkewKurt(s: SparkSession, dir: String): SDF =
     lf(s, dir, "lineitem")
       .select(
-        col("l_quantity").skew.alias("skew_qty"),
-        col("l_quantity").kurtosis.alias("kurt_qty"))
+        col("l_quantity").skew().alias("skew_qty"),
+        col("l_quantity").kurtosis().alias("kurt_qty"))
       .collect().toSpark
 
   private def qProduct(s: SparkSession, dir: String): SDF =

@@ -156,6 +156,18 @@ object Queries9 {
       .sortBy(Seq(col("c_mktsegment")))
       .collect().toSpark
 
+  /** group_by_dynamic over an INTEGER index column with index-count ('Ni')
+    * durations (reference lazy_frame.rb:1390-1414): tumbling 500-id buckets
+    * of events, labels and boundaries stay integers. */
+  private def qGbdInt(s: SparkSession, dir: String): SDF =
+    lf(s, dir, "events")
+      .groupByDynamic("event_id", every = "500i")
+      .agg(Expr(F.count(F.lit(1))).alias("n"),
+        col("value").sum.alias("sv"))
+      .select(col("event_id"), col("n"), col("sv"))
+      .sortBy(Seq(col("event_id")))
+      .collect().toSpark
+
   /** transpose — rows become column_i string columns (executor-side stack). */
   private def qTranspose(s: SparkSession, dir: String): SDF =
     graft.api.DataFrame(
@@ -176,7 +188,8 @@ object Queries9 {
     "q_rolling_by" -> (qRollingBy _),
     "q_reshape" -> (qReshape _),
     "q_gbd_closed" -> (qGbdClosed _),
-    "q_any_all" -> (qAnyAll _))
+    "q_any_all" -> (qAnyAll _),
+    "q_gbd_int" -> (qGbdInt _))
 
   def oracleSql: Map[String, String] = Map(
     "q_gbd_monthly" ->
@@ -230,6 +243,10 @@ object Queries9 {
         |  TIMESTAMP '1970-01-01') AS TIMESTAMP) AS ts,
         |count(*) AS n, sum(value) AS sv
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_gbd_int" ->
+      """SELECT (event_id // 500) * 500 AS event_id,
+        |count(*) AS n, sum(value) AS sv
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_any_all" ->
       """SELECT c_mktsegment,
         |bool_or(c_acctbal < 0.0) AS any_neg,

@@ -169,22 +169,37 @@ final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
                                  closed: String = "right") {
   def agg(exprs: (String, Expr)*): Self = {
     val d = DurationDsl.parse(period)
-    require(d.months > 0 || (d.months == 0 && d.totalNanos > 0),
+    require(d.months > 0 || (d.months == 0 && (d.totalNanos > 0 || d.indexCount > 0)),
       s"rolling: period must be positive, got '$period'")
     require(Set("left", "right", "both", "none")(closed),
       s"rolling: closed must be left|right|both|none, got '$closed'")
     if (d.isCalendar) return aggCalendar(d, exprs)
-    val p = d.totalMicros
+    // "Ni" periods roll over an INTEGER index column (reference
+    // lazy_frame.rb:1103-1106): window units are the index values themselves
+    val isIndex = d.indexCount != 0
+    if (isIndex) require(d.weeks == 0 && d.days == 0 && d.nanos == 0,
+      "rolling: a period mixing index counts ('Ni') with time units is not valid")
+    val p = if (isIndex) d.indexCount else d.totalMicros
     val off = offset.map { o =>
       val od = DurationDsl.parse(o)
       require(!od.isCalendar, "rolling: calendar offset requires a calendar period")
-      od.totalMicros
+      if (isIndex) {
+        require(od.totalNanos == 0,
+          "rolling: offset must use index counts ('Ni') with an index period")
+        od.indexCount
+      } else {
+        require(od.indexCount == 0,
+          "rolling: offset must use time units with a temporal period")
+        od.totalMicros
+      }
     }.getOrElse(-p)
     // window = (t+off, t+off+p] adjusted per `closed`; Spark range frames
     // are inclusive on both bounds
     val loIncl = if (closed == "left" || closed == "both") off else off + 1
     val hiIncl = if (closed == "right" || closed == "both") off + p else off + p - 1
-    val epoch = F.unix_micros(F.col(indexColumn).cast("timestamp"))
+    val epoch =
+      if (isIndex) F.col(indexColumn).cast("long")
+      else F.unix_micros(F.col(indexColumn).cast("timestamp"))
     if (by.nonEmpty) {
       val w = Window.partitionBy(by.map(F.col): _*).orderBy(epoch)
         .rangeBetween(loIncl, hiIncl)
@@ -306,7 +321,7 @@ final class DynamicGroupBy[Self](sdf: SDF, indexColumn: String, every: String,
     val everyD = DurationDsl.parse(every)
     val periodD = period.map(DurationDsl.parse).getOrElse(everyD)
     def positive(d: graft.kernel.Duration) =
-      d.months > 0 || (d.months == 0 && d.totalNanos > 0)
+      d.months > 0 || (d.months == 0 && (d.totalNanos > 0 || d.indexCount > 0))
     require(positive(everyD) && positive(periodD),
       "group_by_dynamic: every/period must be positive")
     require(Set("left", "right", "datapoint")(label),
@@ -322,29 +337,55 @@ final class DynamicGroupBy[Self](sdf: SDF, indexColumn: String, every: String,
           "for datapoint/weekday origins use fixed durations or truncate-based bucketing")
       return aggCalendar(everyD, periodD, exprs)
     }
-    // Explicit candidate-start explode (the same multi-membership shape
-    // F.window compiles to) so `closed` endpoint inclusivity and `start_by`
-    // origins are first-class: each row's latest aligned start is
-    // t - pmod(t - origin, every) (integer-exact, negative-safe); its
-    // nWin+1 trailing candidates filter on the closed-mode predicate (the
-    // +1 covers right/both-closed rows sitting exactly on a window end).
-    val everyU = everyD.totalMicros
-    val periodU = periodD.totalMicros
-    val offU = offset.map(DurationDsl.parse(_).totalMicros).getOrElse(0L)
-    def tOf(d: SDF): Column = F.unix_micros(F.col(indexColumn).cast("timestamp"))
+    if (everyD.indexCount != 0 || periodD.indexCount != 0) {
+      // integer index column, "Ni" windows (reference lazy_frame.rb:1390-1414
+      // example: idx 0..5, every "2i", period "3i") — the index values ARE
+      // the window units; labels/boundaries stay integers
+      def idx(d: graft.kernel.Duration, what: String): Long = {
+        require(d.indexCount > 0 && d.months == 0 && d.weeks == 0 &&
+            d.days == 0 && d.nanos == 0,
+          s"group_by_dynamic: $what must be a pure positive index count " +
+            "('Ni') when any duration uses index notation")
+        d.indexCount
+      }
+      require(startBy == "window" || startBy == "datapoint",
+        "group_by_dynamic: weekday start_by has no meaning for an integer index column")
+      return aggFixed(exprs, idx(everyD, "every"), idx(periodD, "period"),
+        offset.map(o => DurationDsl.parse(o).indexCount).getOrElse(0L),
+        weekdayOriginUnit = 0L, t0 = F.col(indexColumn).cast("long"),
+        emit = identity)
+    }
+    aggFixed(exprs, everyD.totalMicros, periodD.totalMicros,
+      offset.map(DurationDsl.parse(_).totalMicros).getOrElse(0L),
+      weekdayOriginUnit = 86400000000L,
+      t0 = F.unix_micros(F.col(indexColumn).cast("timestamp")),
+      emit = F.timestamp_micros)
+  }
+
+  /** Explicit candidate-start explode (the same multi-membership shape
+    * F.window compiles to) so `closed` endpoint inclusivity and `start_by`
+    * origins are first-class: each row's latest aligned start is
+    * t - pmod(t - origin, every) (integer-exact, negative-safe); its
+    * nWin+1 trailing candidates filter on the closed-mode predicate (the
+    * +1 covers right/both-closed rows sitting exactly on a window end).
+    * Unit-generic: µs for temporal index columns (emit = timestamp_micros),
+    * raw longs for integer index columns (emit = identity). */
+  private def aggFixed(exprs: Seq[Expr], everyU: Long, periodU: Long, offU: Long,
+                       weekdayOriginUnit: Long, t0: Column,
+                       emit: Column => Column): Self = {
     val og = Scan.fresh("og")
     val base = startBy match {
       case "datapoint" =>
         // origin = first datapoint: a broadcast one-row scalar, no collect
-        sdf.crossJoin(F.broadcast(sdf.agg(F.min(tOf(sdf)).as(og))))
+        sdf.crossJoin(F.broadcast(sdf.agg(F.min(t0).as(og))))
       case _ => sdf
     }
     val origin: Column = (startBy match {
       case "window"    => F.lit(0L)
       case "datapoint" => F.col(og)
-      case wd          => F.lit(weekdayShiftDays(wd) * 86400000000L)
+      case wd          => F.lit(weekdayShiftDays(wd) * weekdayOriginUnit)
     }) + F.lit(offU)
-    val t = tOf(base)
+    val t = t0
     val nWin = ((periodU + everyU - 1) / everyU).toInt
     val ws = Scan.fresh("ws")
     val s0 = t - F.pmod(t - origin, F.lit(everyU))
@@ -365,15 +406,14 @@ final class DynamicGroupBy[Self](sdf: SDF, indexColumn: String, every: String,
     val aggsAll = exprs.map(_.col) ++
       (if (label == "datapoint") Seq(F.min(F.col(indexColumn)).as("__dp__")) else Nil)
     val out0 = exploded.groupBy(groupCols: _*).agg(aggsAll.head, aggsAll.tail: _*)
-    def ts(c: Column) = F.timestamp_micros(c)
     val labeled = label match {
-      case "left"      => out0.withColumn(indexColumn, ts(F.col(ws)))
-      case "right"     => out0.withColumn(indexColumn, ts(F.col(ws) + periodU))
+      case "left"      => out0.withColumn(indexColumn, emit(F.col(ws)))
+      case "right"     => out0.withColumn(indexColumn, emit(F.col(ws) + periodU))
       case "datapoint" => out0.withColumn(indexColumn, F.col("__dp__"))
     }
     val out = (if (includeBoundaries)
-        labeled.withColumn("_lower_boundary", ts(F.col(ws)))
-          .withColumn("_upper_boundary", ts(F.col(ws) + periodU))
+        labeled.withColumn("_lower_boundary", emit(F.col(ws)))
+          .withColumn("_upper_boundary", emit(F.col(ws) + periodU))
       else labeled).drop(ws, "__dp__", og)
     val lead = (by :+ indexColumn).map(F.col)
     mk(out.select((lead ++ out.columns.filterNot((by :+ indexColumn).contains).map(F.col)).toIndexedSeq: _*))

@@ -389,6 +389,125 @@ final case class Series(name: String, df: SDF) {
       case _ => this
     }
   }
+
+  // ---- eager op twins (reference series.rb) ----
+  // Every Expr op is reachable through `map(_.op)`; the high-traffic ones
+  // get first-class names here. Namespaces go through the same bridge:
+  // `s.map(_.str.toUppercase)`, `s.map(_.dt.year)`, `s.map(_.list.sum)`.
+  def abs: Series = map(_.abs)
+  def ceil: Series = map(_.ceil)
+  def floor: Series = map(_.floor)
+  def round(decimals: Int = 0): Series = map(_.round(decimals))
+  def sign: Series = map(_.sign)
+  def sqrt: Series = map(_.sqrt)
+  def cbrt: Series = map(_.cbrt)
+  def exp: Series = map(_.exp)
+  def log(base: Double = math.E): Series = map(_.log(base))
+  def log10: Series = map(_.log10)
+  def log1p: Series = map(_.log1p)
+  def sin: Series = map(_.sin); def cos: Series = map(_.cos)
+  def tan: Series = map(_.tan); def sinh: Series = map(_.sinh)
+  def cosh: Series = map(_.cosh); def tanh: Series = map(_.tanh)
+  def arcsin: Series = map(_.arcsin); def arccos: Series = map(_.arccos)
+  def arctan: Series = map(_.arctan); def arcsinh: Series = map(_.arcsinh)
+  def arccosh: Series = map(_.arccosh); def arctanh: Series = map(_.arctanh)
+  def clip(lo: Any, hi: Any): Series = map(_.clip(lo, hi))
+  def clipMin(lo: Any): Series = map(_.clipMin(lo))
+  def clipMax(hi: Any): Series = map(_.clipMax(hi))
+  def cumSum(reverse: Boolean = false): Series = map(_.cumSum(reverse))
+  def cumMax(reverse: Boolean = false): Series = map(_.cumMax(reverse))
+  def cumMin(reverse: Boolean = false): Series = map(_.cumMin(reverse))
+  def cumProd(reverse: Boolean = false): Series = map(_.cumProd(reverse))
+  def cumCount(reverse: Boolean = false): Series = map(_.cumCount(reverse))
+  def shift(n: Int = 1): Series = map(_.shift(n))
+  def shiftAndFill(n: Int, fill: Any): Series = map(_.shiftAndFill(n, fill))
+  def pctChange(n: Int = 1): Series = map(_.pctChange(n))
+  def rank(method: String = "average", descending: Boolean = false): Series =
+    map(_.rank(method, descending))
+  def interpolate(method: String = "linear"): Series = map(_.interpolate(method))
+  def forwardFill: Series = map(_.forwardFill)
+  def backwardFill: Series = map(_.backwardFill)
+  def fillNull(v: Any): Series = map(_.fillNull(v))
+  def fillNan(v: Any): Series = map(_.fillNan(v))
+  def isNull: Series = map(_.isNull)
+  def isNotNull: Series = map(_.isNotNull)
+  def isNan: Series = map(_.isNan)
+  def isNotNan: Series = map(_.isNotNan)
+  def isFinite: Series = map(_.isFinite)
+  def isInfinite: Series = map(_.isInfinite)
+  def isIn(values: Seq[Any]): Series = map(_.isIn(values))
+  def hash(seed: Long = 0): Series = map(_.hash(seed))
+  def rleId: Series = map(_.rleId)
+  def peakMax: Series = map(_.peakMax)
+  def peakMin: Series = map(_.peakMin)
+  def explode: Series = map(_.explode)
+  def rollingMin(n: Int, minPeriods: Int = 0): Series = map(_.rollingMin(n, minPeriods))
+  def rollingMax(n: Int, minPeriods: Int = 0): Series = map(_.rollingMax(n, minPeriods))
+  def rollingMean(n: Int, minPeriods: Int = 0): Series = map(_.rollingMean(n, minPeriods))
+  def rollingSum(n: Int, minPeriods: Int = 0): Series = map(_.rollingSum(n, minPeriods))
+  def rollingStd(n: Int, minPeriods: Int = 0): Series = map(_.rollingStd(n, minPeriods))
+  def rollingVar(n: Int, minPeriods: Int = 0): Series = map(_.rollingVar(n, minPeriods))
+  def rollingMedian(n: Int, minPeriods: Int = 0): Series = map(_.rollingMedian(n, minPeriods))
+  def rollingQuantile(q: Double, n: Int, interpolation: String = "nearest",
+                      minPeriods: Int = 0): Series =
+    map(_.rollingQuantile(q, n, interpolation, minPeriods))
+  def rollingSkew(n: Int, bias: Boolean = true): Series = map(_.rollingSkew(n, bias))
+  def head(n: Int = 10): Series = Series(name, DataFrame(df).head(n).toSpark)
+  def tail(n: Int = 10): Series = Series(name, DataFrame(df).tail(n).toSpark)
+  def limit(n: Int = 10): Series = head(n)
+  def slice(offset: Long, length: Long): Series =
+    Series(name, DataFrame(df).slice(offset, length).toSpark)
+  def unique: Series = Series(name, df.distinct())
+  def nullCount: Long =
+    df.select(F.count(F.when(F.col(name).isNull, 1)).as("n")).collect()(0).getLong(0)
+  def product: Any = scalar(Expr(F.col(name)).product)
+  def entropy(base: Double = math.E, normalize: Boolean = true): Any =
+    scalar(Expr(F.col(name)).entropy(base, normalize))
+  def quantile(q: Double, interpolation: String = "nearest"): Any =
+    scalar(Expr(F.col(name)).quantile(q, interpolation))
+  def skew(bias: Boolean = true): Any = scalar(Expr(F.col(name)).skew(bias))
+  def kurtosis(fisher: Boolean = true, bias: Boolean = true): Any =
+    scalar(Expr(F.col(name)).kurtosis(fisher, bias))
+  def nanMax: Any = scalar(Expr(F.col(name)).nanMax)
+  def nanMin: Any = scalar(Expr(F.col(name)).nanMin)
+  /** Row-aligned boolean mask filter (reference series.rb filter). */
+  def filter(mask: Series): Series = {
+    val IDX = graft.kernel.RowIndex.name
+    val a = graft.kernel.RowIndex.attachDense(df)
+    val b = graft.kernel.RowIndex.attachDense(mask.rename("__mask__").df)
+    Series(name, a.join(b, IDX).filter(F.col("__mask__")).orderBy(IDX)
+      .select(F.col(name)))
+  }
+  /** describe (reference series.rb:651): dtype-specific stat rows. */
+  def describe(): DataFrame = {
+    require(len > 0, "Series must contain at least one value")
+    def frame(rows: Seq[(String, Any)], valueType: org.apache.spark.sql.types.DataType): DataFrame = {
+      val schema = StructType(Seq(
+        StructField("statistic", StringType), StructField("value", valueType)))
+      import scala.jdk.CollectionConverters._
+      DataFrame(df.sparkSession.createDataFrame(
+        rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava, schema))
+    }
+    if (isNumeric) {
+      def d(a: Any): Any = a match {
+        case null => null
+        case n: Number => n.doubleValue()
+      }
+      frame(Seq("min" -> d(min), "max" -> d(max),
+        "null_count" -> nullCount.toDouble, "mean" -> d(mean), "std" -> d(std),
+        "count" -> len.toDouble), DoubleType)
+    } else if (isBoolean)
+      frame(Seq(
+        "sum" -> df.select(F.sum(F.col(name).cast("long"))).collect()(0).get(0),
+        "null_count" -> nullCount, "count" -> len), LongType)
+    else if (isUtf8)
+      frame(Seq("unique" -> df.select(F.countDistinct(F.col(name))).collect()(0).getLong(0),
+        "null_count" -> nullCount, "count" -> len), LongType)
+    else if (isDatelike)
+      frame(Seq("min" -> String.valueOf(min), "max" -> String.valueOf(max),
+        "null_count" -> nullCount.toString, "count" -> len.toString), StringType)
+    else throw new IllegalArgumentException(s"describe: unsupported dtype $dtype")
+  }
 }
 
 object Series {

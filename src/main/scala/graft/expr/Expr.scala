@@ -355,12 +355,35 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   def mode: Expr = aggMap(c => F.mode(c))
   def implode: Expr = aggMap(F.collect_list)
   def uniqueAgg: Expr = aggMap(F.collect_set)
-  def skew: Expr = aggMap(F.skewness)
-  def kurtosis: Expr = aggMap(F.kurtosis)
-  def entropy(base: Double = math.E): Expr = aggMap { c =>
-    // -sum(p ln p)/ln(base) over value distribution is frame-level; here treat
-    // col as probabilities like polars' expr.entropy on a prob column
-    -F.sum(c * F.log(c)) / math.log(base)
+  /** skew/kurtosis (reference expr.rb:5788,5820): Spark's skewness/kurtosis
+    * aggregates are the biased g1/g2 (kurtosis already excess); bias: false
+    * applies the k-statistics corrections, fisher: false adds back 3. */
+  def skew(bias: Boolean = true): Expr = aggMap { c =>
+    val g1 = F.skewness(c)
+    if (bias) g1
+    else {
+      val n = F.count(c).cast("double")
+      F.when(n > 2, g1 * F.sqrt(n * (n - 1)) / (n - 2))
+    }
+  }
+  def kurtosis(fisher: Boolean = true, bias: Boolean = true): Expr = aggMap { c =>
+    val g2 = F.kurtosis(c)
+    val base =
+      if (bias) g2
+      else {
+        val n = F.count(c).cast("double")
+        F.when(n > 3, ((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) * g2 + 6))
+      }
+    if (fisher) base else base + 3
+  }
+  /** entropy (reference expr.rb:6637; defaults base: 2, normalize: true).
+    * With normalize the column is scaled to a probability vector first:
+    * -Σ (c/S) ln (c/S) = -(Σ c ln c)/S + ln S, two plain aggregates. */
+  def entropy(base: Double = 2, normalize: Boolean = true): Expr = aggMap { c =>
+    val raw = -F.sum(c * F.log(c))
+    val s = F.sum(c)
+    val ent = if (normalize) raw / s + F.log(s) else raw
+    ent / math.log(base)
   }
 
   // ---- conditional agg helper (reference: expr.rb:2713 Expr#filter) ----

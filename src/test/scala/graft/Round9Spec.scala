@@ -77,6 +77,109 @@ class Round9Spec extends SparkSpec {
     assert(got(0).getLong(1) == 7L)
   }
 
+  test("group_by_dynamic on an integer index column matches the reference example") {
+    // lazy_frame.rb:1390-1414: idx 0..5, A=[A,A,B,B,B,C], every 2i, period 3i,
+    // closed right, include_boundaries → (-2,1,[A,A]) (0,3,[A,B,B])
+    // (2,5,[B,B,C]) (4,7,[C]) with integer boundaries
+    val d = LazyFrame(Seq((0L, "A"), (1L, "A"), (2L, "B"), (3L, "B"), (4L, "B"), (5L, "C"))
+      .toDF("idx", "A"))
+    val got = d.groupByDynamic("idx", every = "2i", period = Some("3i"),
+        closed = "right", includeBoundaries = true)
+      .agg(Expr(F.sort_array(F.collect_list(F.col("A")))).alias("a_list"))
+      .toSpark.select("idx", "_lower_boundary", "_upper_boundary", "a_list")
+      .orderBy("idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getSeq[String](3)))
+    assert(got.toSeq == Seq(
+      (-2L, -2L, 1L, Seq("A", "A")),
+      (0L, 0L, 3L, Seq("A", "B", "B")),
+      (2L, 2L, 5L, Seq("B", "B", "C")),
+      (4L, 4L, 7L, Seq("C"))), got.toSeq)
+  }
+
+  test("frame rolling over an integer index column ('10i' trailing window)") {
+    val d = LazyFrame((1L to 20L).map(i => (i, i * 2.0)).toDF("i", "v"))
+    val got = d.rolling("i", "10i")
+      .agg("n" -> Expr(F.count(F.lit(1))), "sv" -> col("v").sum)
+      .toSpark.orderBy("i").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    // window (i-10, i]: at i=5 → rows 1..5; at i=15 → rows 6..15
+    assert(got(4) == ((5L, 5L, (1 to 5).map(_ * 2.0).sum)))
+    assert(got(14) == ((15L, 10L, (6 to 15).map(_ * 2.0).sum)))
+    // keyed variant shuffles per key
+    val keyed = LazyFrame((1L to 20L).map(i => (i, s"k${i % 2}", i * 1.0)).toDF("i", "k", "v"))
+      .rolling("i", "4i", by = Seq("k"))
+      .agg("n" -> Expr(F.count(F.lit(1))))
+      .toSpark.orderBy("i").collect().map(r => (r.getLong(0), r.getLong(3)))
+    // per key, index gaps are 2 apart: window (i-4, i] holds 2 rows once warm
+    assert(keyed(0) == ((1L, 1L)) && keyed(19) == ((20L, 2L)))
+  }
+
+  test("eager Series twins delegate through the expression bridge") {
+    import graft.api.Series
+    val s = Series("x", Seq(3.0, -1.0, 2.0, -4.0).toDF("x"))
+    assert(s.abs.toList == List(3.0, 1.0, 2.0, 4.0))
+    assert(s.cumSum().toList == List(3.0, 2.0, 4.0, 0.0))
+    assert(s.rank("min").toList.map(String.valueOf) == List("4", "2", "3", "1"))
+    assert(s.rollingSum(2).toList == List(null, 2.0, 1.0, -2.0))
+    assert(s.shift(1).toList == List(null, 3.0, -1.0, 2.0))
+    assert(s.clip(-2.0, 2.0).toList == List(2.0, -1.0, 2.0, -2.0))
+    assert(s.head(2).toList == List(3.0, -1.0))
+    assert(s.slice(1, 2).toList == List(-1.0, 2.0))
+    val mask = Series("m", Seq(true, false, true, false).toDF("m"))
+    assert(s.filter(mask).toList == List(3.0, 2.0))
+    assert(Series("u", Seq(1, 2, 2, 3).toDF("u")).unique.len == 3)
+    assert(Series("n", Seq(Some(1), None, Some(3)).toDF("n")).nullCount == 1L)
+    assert(s.quantile(0.5, "linear") == 0.5)
+  }
+
+  test("Series describe emits the reference's dtype-specific stat rows") {
+    import graft.api.Series
+    val num = Series("v", Seq(Some(1.0), Some(3.0), None).toDF("v")).describe()
+      .toSpark.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(num("count") == 3.0 && num("null_count") == 1.0 &&
+      num("mean") == 2.0 && num("min") == 1.0 && num("max") == 3.0)
+    val txt = Series("t", Seq("a", "a", "b").toDF("t")).describe()
+      .toSpark.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(txt == Map("unique" -> 2L, "null_count" -> 0L, "count" -> 3L))
+    val bool = Series("b", Seq(true, false, true).toDF("b")).describe()
+      .toSpark.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bool == Map("sum" -> 2L, "null_count" -> 0L, "count" -> 3L))
+  }
+
+  test("skew/kurtosis bias and fisher corrections match the k-statistics formulas") {
+    val xs = Seq(1.0, 2.0, 4.0, 8.0, 16.0)
+    val d = LazyFrame(xs.toDF("x"))
+    def get(e: graft.expr.Expr): Double =
+      d.select(e.alias("r")).toSpark.collect()(0).getDouble(0)
+    val n = xs.size.toDouble
+    val m = xs.sum / n
+    val m2 = xs.map(x => math.pow(x - m, 2)).sum / n
+    val m3 = xs.map(x => math.pow(x - m, 3)).sum / n
+    val m4 = xs.map(x => math.pow(x - m, 4)).sum / n
+    val g1 = m3 / math.pow(m2, 1.5)
+    val g2 = m4 / (m2 * m2) - 3
+    assert(math.abs(get(col("x").skew()) - g1) < 1e-9)
+    assert(math.abs(get(col("x").skew(bias = false)) -
+      g1 * math.sqrt(n * (n - 1)) / (n - 2)) < 1e-9)
+    assert(math.abs(get(col("x").kurtosis()) - g2) < 1e-9)
+    val G2 = ((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) * g2 + 6)
+    assert(math.abs(get(col("x").kurtosis(bias = false)) - G2) < 1e-9)
+    assert(math.abs(get(col("x").kurtosis(fisher = false, bias = false)) - (G2 + 3)) < 1e-9)
+  }
+
+  test("entropy defaults to base-2 with probability normalization") {
+    val d = LazyFrame(Seq(1.0, 1.0, 2.0).toDF("p"))
+    def get(e: graft.expr.Expr): Double =
+      d.select(e.alias("r")).toSpark.collect()(0).getDouble(0)
+    // normalized: p = [.25,.25,.5] → 1.5 bits
+    assert(math.abs(get(col("p").entropy()) - 1.5) < 1e-9)
+    // natural log, pre-normalized probabilities, normalize idempotent
+    val probs = LazyFrame(Seq(0.25, 0.25, 0.5).toDF("p"))
+    val e1 = probs.select(col("p").entropy(math.E, normalize = false).alias("r"))
+      .toSpark.collect()(0).getDouble(0)
+    assert(math.abs(e1 - 1.5 * math.log(2)) < 1e-9)
+  }
+
   test("group_by_dynamic invalid closed/start_by raise directed errors") {
     val e1 = intercept[IllegalArgumentException] { run(closed = "weird") }
     assert(e1.getMessage.contains("closed must be"))
