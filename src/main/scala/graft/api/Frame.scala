@@ -595,53 +595,38 @@ final case class DataFrame(private val df: SDF) extends FrameOps[DataFrame] {
       "max" -> (c => F.max(F.col(c))))
     val aggCols = for ((s, f) <- scalarStats; c <- allCols) yield f(c).as(s"${s}__$c")
     val one = df.agg(aggCols.head, aggCols.tail: _*).collect()(0)
-    // Exact quartiles WITHOUT the Percentile aggregate: Percentile merges
-    // per-partition value->count maps on one reducer — a driver-sized
-    // bottleneck (and OOM hazard) when the column is high-cardinality at
-    // scale. Instead: stack every numeric column into (column-ordinal,
-    // value) rows, ONE distributed range-sort on (ordinal, value) + dense
-    // index, pick the two bracketing rows per (column, quantile) by global
-    // index (per-column index = global index - cumulative non-null counts
-    // of earlier columns, known from the aggregation pass), interpolate
-    // linearly (the same definition Percentile/quantile_cont computes).
-    // One sort job for ALL columns, scalar-only driver traffic.
+    // Exact quartiles WITHOUT the Percentile aggregate (merges per-partition
+    // value->count maps on one reducer — a driver-sized bottleneck at high
+    // cardinality) and WITHOUT a global sort (range-shuffles the whole
+    // column): histogram-refinement selection — [[graft.kernel.Quantiles]] —
+    // finds the two bracketing order statistics per (column, quantile) in
+    // 2-3 narrow scans whose only shuffle is a #buckets-sized count table;
+    // linear interpolation matches quantile_cont.
     val quartiles = Seq(0.25, 0.5, 0.75)
     val nnByCol: Map[String, Long] = numCols.toSeq.map { c =>
       c -> (one.getLong(one.fieldIndex(s"count__$c")) -
         one.getLong(one.fieldIndex(s"null_count__$c")))
     }.toMap
-    // offset of column i = sum of non-null counts of all earlier columns
-    val offsets: Map[String, Long] = numCols.toSeq
-      .zip(numCols.toSeq.scanLeft(0L)(_ + nnByCol(_)))
-      .toMap
     val hsByCol: Map[String, Seq[Double]] = numCols.toSeq.map { c =>
       c -> quartiles.map(q => (nnByCol(c) - 1) * q)
     }.toMap
-    val needGlobal: Seq[Long] = numCols.toSeq.filter(nnByCol(_) > 0).flatMap { c =>
-      hsByCol(c).flatMap(h =>
-        Seq(offsets(c) + math.floor(h).toLong, offsets(c) + math.ceil(h).toLong))
-    }.distinct
-    val pctByCol: Map[String, Seq[Option[Double]]] =
-      if (needGlobal.isEmpty) numCols.toSeq.map(c => c -> quartiles.map(_ => Option.empty[Double])).toMap
-      else {
-        val stacked = df
-          .select(F.posexplode(F.array(numCols.map(c => F.col(c).cast("double")): _*))
-            .as(Seq("__ci__", "__v__")))
-          .filter(F.col("__v__").isNotNull)
-        val sorted = org.apache.spark.sql.GraftInternalOps.zipWithDenseIndex(
-          stacked.orderBy("__ci__", "__v__"), "__i__")
-        val got = sorted.filter(F.col("__i__").isInCollection(needGlobal))
-          .collect().map(r => r.getLong(r.fieldIndex("__i__")) ->
-            r.getDouble(r.fieldIndex("__v__"))).toMap
-        numCols.toSeq.map { c =>
-          if (nnByCol(c) == 0) c -> quartiles.map(_ => Option.empty[Double])
-          else c -> hsByCol(c).map { h =>
-            val lo = got(offsets(c) + math.floor(h).toLong)
-            val hi = got(offsets(c) + math.ceil(h).toLong)
-            Some(lo + (hi - lo) * (h - math.floor(h)))
-          }
-        }.toMap
+    val reqs = numCols.toSeq.filter(nnByCol(_) > 0).map { c =>
+      graft.kernel.Quantiles.Req.at(c,
+        hsByCol(c).flatMap(h => Seq(math.floor(h).toLong, math.ceil(h).toLong)).distinct)
+    }
+    val stats: Map[String, graft.kernel.Quantiles.ColStats] =
+      if (reqs.isEmpty) Map.empty
+      else graft.kernel.Quantiles.orderStats(df, reqs)
+    val pctByCol: Map[String, Seq[Option[Double]]] = numCols.toSeq.map { c =>
+      if (nnByCol(c) == 0) c -> quartiles.map(_ => Option.empty[Double])
+      else c -> hsByCol(c).map { h =>
+        val m = stats.get(c).map(_.at).getOrElse(Map.empty[Long, Double])
+        for {
+          lo <- m.get(math.floor(h).toLong)
+          hi <- m.get(math.ceil(h).toLong)
+        } yield lo + (hi - lo) * (h - math.floor(h))
       }
+    }.toMap
     val pctRows = Seq("25%", "50%", "75%").zipWithIndex.map { case (s, i) =>
       s +: allCols.map { c =>
         pctByCol.get(c).flatMap(_(i)).map(_.toString).orNull

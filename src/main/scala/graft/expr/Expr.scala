@@ -912,19 +912,67 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     mid.otherwise(lbls.last)
   }
 
-  /** qcut: quantile-based buckets via a distributed percent rank
-    * (reference expr.rb:2611). */
+  /** qcut: quantile-based buckets (reference expr.rb:2611). The min-rank
+    * bucket rule `percent_rank(v) <= q` is exactly `v <= value at 0-based
+    * rank floor(q*(n-1))` (percent rank of v is cntLt(v)/(n-1); the value at
+    * that rank is the largest v whose strict-below count fits), so the cut
+    * values resolve ONCE via histogram-refinement selection
+    * ([[graft.kernel.Quantiles]] — 2-3 narrow scans, kilobyte shuffles) and
+    * the labeling pass is a pure broadcast-literal projection — no
+    * data-sized rank join. Values whose double image would collapse
+    * (integers beyond 2^53) fall back to the exact percent-rank path. */
   def qcut(quantiles: Seq[Double], labels: Seq[String]): Expr = {
     require(labels.size == quantiles.size + 1)
     val pr = Scan.fresh("x")
-    val prep = Prep(pr, d => Scan.withPercentRank(d, col, pr), Seq(pr))
-    // null values have a null percent rank and must yield a null bucket —
-    // without the guard they would fall through to the last label
-    val first = F.when(F.col(pr).isNull, F.lit(null))
-      .when(F.col(pr) <= quantiles.head, labels.head)
-    val mid = quantiles.indices.drop(1).foldLeft(first)((acc, i) =>
-      acc.when(F.col(pr) <= quantiles(i), labels(i)))
-    Expr(mid.otherwise(labels.last), requiresIndex, preps :+ prep)
+    val prep = Prep(pr, { d =>
+      val vk = Scan.fresh("v")
+      val dd = d.withColumn(vk, col.cast("double"))
+      val stats = graft.kernel.Quantiles.orderStats(dd.select(F.col(vk)),
+        Seq(graft.kernel.Quantiles.Req(vk, n =>
+          quantiles.map(q => math.floor(q * (n - 1)).toLong))))(vk)
+      val n = stats.nonNull
+      // the double image is exact for float/double sources always, and for
+      // integer/decimal sources within +/-2^53 — outside that, two distinct
+      // source values can collapse onto one double and a cut literal could
+      // misassign the boundary
+      val safe = (1L << 53).toDouble
+      val lossy = (d.select(col).schema.head.dataType match {
+        case org.apache.spark.sql.types.LongType => true
+        case _: org.apache.spark.sql.types.DecimalType => true
+        case _ => false
+      }) && !(stats.finiteLo.forall(math.abs(_) <= safe) &&
+        stats.finiteHi.forall(math.abs(_) <= safe))
+      if (n == 0) dd.drop(vk).withColumn(pr, F.lit(null).cast("int"))
+      else if (lossy) {
+        // keep the rank-based spelling (exact at any dtype)
+        val prr = Scan.fresh("r")
+        val ranked = Scan.withPercentRank(dd.drop(vk), col, prr)
+        val first = F.when(F.col(prr).isNull, F.lit(null))
+          .when(F.col(prr) <= quantiles.head, 0)
+        val mid = quantiles.indices.drop(1).foldLeft(first)((acc, i) =>
+          acc.when(F.col(prr) <= quantiles(i), i))
+        ranked.withColumn(pr, mid.otherwise(quantiles.size)).drop(prr)
+      } else {
+        // NaN domains stay on this path: NaN ranks greatest (never a cut
+        // value unless a quantile lands in the NaN region, in which case
+        // v <= NaN is false for all and the chain falls to later buckets —
+        // matching NaN-last rank order)
+        val ranks = quantiles.map(q => math.floor(q * (n - 1)).toLong)
+        val cuts = ranks.map(stats.at)
+        val first = F.when(F.col(vk).isNull, F.lit(null))
+          .when(F.col(vk) <= cuts.head, 0)
+        val mid = quantiles.indices.drop(1).foldLeft(first)((acc, i) =>
+          acc.when(F.col(vk) <= cuts(i), i))
+        dd.withColumn(pr, mid.otherwise(quantiles.size)).drop(vk)
+      }
+    }, Seq(pr))
+    // bucket ordinal -> label; a null value has a null ordinal, no branch
+    // matches, and the otherwise-less chain keeps the null bucket
+    // (element_at over a literal array mis-declares nullability and NPEs the
+    // projection writer on the null case)
+    val chain = labels.indices.drop(1).foldLeft(F.when(F.col(pr) === 0, labels.head))(
+      (acc, i) => acc.when(F.col(pr) === i, labels(i)))
+    Expr(chain, requiresIndex, preps :+ prep)
   }
   /** Insertion index keeping sorted order = count of smaller elements
     * (reference expr.rb:1500 search_sorted; side "any" — the reference

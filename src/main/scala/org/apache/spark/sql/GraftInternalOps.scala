@@ -194,6 +194,12 @@ object GraftInternalOps {
     Some(classic.Dataset.ofRows(da.sparkSession, Project(la ++ lbRemapped, ba)))
   }
 
+  /** The plan's InternalRow RDD — Tungsten-format rows for per-partition
+    * imperative kernels (histogram selection). Rows are REUSED buffers: read
+    * scalars only, never store a reference across `next()`. */
+  def internalRows(df: DataFrame): org.apache.spark.rdd.RDD[InternalRow] =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
+
   /** `df` with a trailing dense 0-based long index column, same row order and
     * partitioning as `df`'s execution. */
   def zipWithDenseIndex(df: DataFrame, name: String): DataFrame = {

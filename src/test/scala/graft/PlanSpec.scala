@@ -144,9 +144,13 @@ class PlanSpec extends SparkSpec {
     val orders = graft.api.LazyFrame(spark.read.parquet(s"$sf/orders.parquet"))
     val p1 = plan(orders.select(Polars.col("o_totalprice").rank("min").alias("r")).toSpark)
     assertDistributedScan(p1)
+    // qcut resolves its cut values eagerly via histogram-refinement
+    // selection (Quantiles kernel), so the labeling plan is a PURE
+    // projection over the scan — broadcast literals, zero exchanges
     val p2 = plan(orders.withColumn("tier",
       Polars.col("o_totalprice").qcut(Seq(0.5), Seq("lo", "hi"))).toSpark)
-    assertDistributedScan(p2)
+    assert(!p2.contains("Exchange"), p2)
+    assert(p2.contains("CASE WHEN"), p2)
   }
 
   test("calendar rolling plans as a shuffled range join, never cartesian or single-partition") {

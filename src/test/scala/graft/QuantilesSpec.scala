@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.kernel.Quantiles
+
+/** Histogram-refinement selection kernel: exact parity with a local sort
+  * across adversarial value distributions. */
+class QuantilesSpec extends SparkSpec {
+
+  private def check(values: Seq[java.lang.Double], ranks: Seq[Long], clue: String): Unit = {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(values.map(org.apache.spark.sql.Row(_)), 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType))))
+    val got = Quantiles.orderStats(df, Seq(Quantiles.Req.at("v", ranks)))
+      .get("v").map(_.at).getOrElse(Map.empty)
+    // local reference: Spark double sort order (-Inf < finite < +Inf < NaN)
+    val sorted = values.filter(_ != null).map(_.doubleValue).sorted(new Ordering[Double] {
+      def compare(a: Double, b: Double): Int = java.lang.Double.compare(a, b)
+    })
+    for (r <- ranks) {
+      if (r >= 0 && r < sorted.size) {
+        val want = sorted(r.toInt)
+        val g = got.get(r)
+        assert(g.isDefined, s"$clue: rank $r unresolved (want $want)")
+        if (want.isNaN) assert(g.get.isNaN, s"$clue: rank $r: got ${g.get}, want NaN")
+        else assert(g.get == want, s"$clue: rank $r: got ${g.get}, want $want")
+      } else assert(!got.contains(r), s"$clue: out-of-range rank $r resolved to ${got.get(r)}")
+    }
+  }
+
+  test("uniform, duplicate-heavy, constant, and tiny domains match a local sort") {
+    val rnd = new scala.util.Random(42)
+    val uniform = Seq.fill(5000)(Double.box(rnd.nextDouble() * 1e6 - 5e5))
+    check(uniform, Seq(0L, 1L, 1249L, 2500L, 3750L, 4998L, 4999L), "uniform")
+
+    val dupes = Seq.fill(5000)(Double.box((rnd.nextInt(7) * 10).toDouble))
+    check(dupes, Seq(0L, 100L, 2500L, 4999L), "7-distinct-values")
+
+    val const = Seq.fill(1000)(Double.box(3.14))
+    check(const, Seq(0L, 500L, 999L), "constant")
+
+    val tiny = Seq(Double.box(2.0), Double.box(1.0), Double.box(3.0))
+    check(tiny, Seq(0L, 1L, 2L, 3L, -1L), "three values + out-of-range")
+  }
+
+  test("nulls, NaN, infinities, and ulp-narrow bands resolve exactly") {
+    val rnd = new scala.util.Random(7)
+    val mixed: Seq[java.lang.Double] =
+      Seq.fill(300)(Double.box(rnd.nextGaussian())) ++
+        Seq.fill(40)(Double.box(Double.NaN)) ++
+        Seq.fill(25)(Double.box(Double.PositiveInfinity)) ++
+        Seq.fill(15)(Double.box(Double.NegativeInfinity)) ++
+        Seq.fill(50)(null.asInstanceOf[java.lang.Double])
+    // non-null count 380: ranks probing every region
+    check(mixed, Seq(0L, 7L, 14L, 15L, 100L, 314L, 315L, 330L, 339L, 340L, 379L), "mixed")
+
+    // two adjacent representable doubles — histogram width underflows to 0,
+    // the value-count fallback must still split them exactly
+    val base = 1.0
+    val next = java.lang.Math.nextUp(base)
+    val narrow = Seq.fill(700)(Double.box(base)) ++ Seq.fill(300)(Double.box(next))
+    check(narrow, Seq(0L, 699L, 700L, 999L), "ulp-narrow")
+  }
+
+  test("multi-column request shares scans and resolves independently") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 4000).map { i =>
+      org.apache.spark.sql.Row(Double.box(rnd.nextDouble() * 100),
+        Double.box((i % 13).toDouble))
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.DoubleType))))
+    val got = Quantiles.orderStats(df,
+      Seq(Quantiles.Req.at("a", Seq(0L, 999L, 2000L, 3999L)), Quantiles.Req.at("b", Seq(0L, 2000L, 3999L))))
+    val la = df.select("a").collect().map(_.getDouble(0)).sorted
+    val lb = df.select("b").collect().map(_.getDouble(0)).sorted
+    assert(got("a").at(0L) == la(0) && got("a").at(999L) == la(999) &&
+      got("a").at(2000L) == la(2000) && got("a").at(3999L) == la(3999))
+    assert(got("b").at(0L) == lb(0) && got("b").at(2000L) == lb(2000) && got("b").at(3999L) == lb(3999))
+  }
+
+  test("interpolated quantiles match quantile_cont semantics") {
+    val vals = Seq(10.0, 20.0, 30.0, 40.0, 50.0).map(Double.box)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(vals.map(org.apache.spark.sql.Row(_)), 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType))))
+    val q = Quantiles.interpolated(df, Seq("v"), Seq(0.25, 0.5, 0.75))("v")
+    assert(q == Seq(Some(20.0), Some(30.0), Some(40.0)))
+  }
+
+  test("qcut min-rank parity: value-cut labeling equals the percent-rank rule on ties") {
+    import graft.Polars._
+    // duplicate-heavy so cut values land ON ties — the regime where the
+    // v <= value_at_rank(floor(q*(n-1))) equivalence must hold exactly
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 2000).map(_ => org.apache.spark.sql.Row(
+      if (rnd.nextInt(20) == 0) null else Double.box((rnd.nextInt(12) * 5).toDouble)))
+    val df = graft.api.DataFrame(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))))
+    val out = df.withColumn("b", col("v").qcut(Seq(0.3, 0.7), Seq("a", "b", "c")))
+      .toSpark.select("v", "b").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getDouble(0))) ->
+        (if (r.isNullAt(1)) None else Some(r.getString(1))))
+    // local min-rank percent-rank reference
+    val nn = out.flatMap(_._1)
+    val n = nn.length
+    def pr(v: Double): Double = if (n <= 1) 0.0 else nn.count(_ < v).toDouble / (n - 1)
+    out.foreach {
+      case (None, b) => assert(b.isEmpty, "null value must keep a null bucket")
+      case (Some(v), b) =>
+        val want = if (pr(v) <= 0.3) "a" else if (pr(v) <= 0.7) "b" else "c"
+        assert(b.contains(want), s"v=$v pr=${pr(v)}: got $b want $want")
+    }
+  }
+}
