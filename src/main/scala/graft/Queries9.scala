@@ -176,7 +176,26 @@ object Queries9 {
       .sortBy(Seq(col("colname")))
       .toSpark
 
+  /** Expr-level CALENDAR rolling_*_by (new this round): per-bucket trailing
+    * [t - 1mo, t] sum via the month-space bucket-join kernel
+    * ([[graft.kernel.Scan.rollingByCalendar]]). The summed column is cast to
+    * decimal so both engines produce the identical exact sum (one final
+    * rounding on the double cast); a ~200-way key keeps the O(n x window)
+    * join fan-out proportionate. closed="both" mirrors DuckDB's RANGE
+    * INTERVAL frame (both endpoints inclusive). */
+  private def qRollingByCal(s: SparkSession, dir: String): SDF =
+    LazyFrame(t(s, dir, "orders")
+        .withColumn("cb", F.col("o_custkey") % 200))
+      .withColumns(
+        "rs" -> Expr(F.col("o_totalprice").cast("decimal(18,2)"))
+          .rollingSumBy(col("o_orderdate"), "1mo", closed = "both")
+          .over(col("cb")))
+      .select(col("o_orderkey"), Expr(F.col("rs").cast("double")).alias("rs"))
+      .sortBy(Seq(col("o_orderkey")))
+      .collect().toSpark
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
+    "q_rolling_by_cal" -> (qRollingByCal _),
     "q_gbd_monthly" -> (qGbdMonthly _),
     "q_gbd_sliding" -> (qGbdSliding _),
     "q_rolling_month" -> (qRollingMonth _),
@@ -192,6 +211,12 @@ object Queries9 {
     "q_gbd_int" -> (qGbdInt _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_rolling_by_cal" ->
+      """SELECT o_orderkey,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rs
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey % 200 ORDER BY o_orderdate
+        |  RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_gbd_monthly" ->
       """SELECT o_orderpriority,
         |CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS o_orderdate,

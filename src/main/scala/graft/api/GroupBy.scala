@@ -257,46 +257,63 @@ final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
         DurationDsl.parse(o).isPureCalendar),
       "rolling: calendar periods support only the default offset (-period)")
     val m = d.months
-    val hadIdx = sdf.columns.contains(RowIndex.name)
-    val base = RowIndex.attach(sdf)
-    val ts = F.col(indexColumn).cast("timestamp")
-    val ep = F.unix_micros(ts)
-    val mse = ((F.year(ts) - 1970) * 12 + F.month(ts) - 1).cast("long")
-    val tb = F.floor(mse.cast("double") / m).cast("long")
-    val lo = F.unix_micros(ts - F.expr(s"INTERVAL '$m' MONTH"))
-    val jb = Scan.fresh("jb")
-    // probe side carries ONLY the join machinery (row id, epoch, bound,
-    // bucket, by-keys) — the ×2 explode and the |window|-sized join fan-out
-    // must not drag the full row width through the shuffle; original
-    // columns re-attach by row id after the aggregate
-    val left = base
-      .withColumn("__l_ep__", ep).withColumn("__l_lo__", lo).withColumn("__l_tb__", tb)
-      .select((Seq(F.col(RowIndex.name).as("__l_ri__"), F.col("__l_ep__"),
-        F.col("__l_lo__"), F.col("__l_tb__")) ++
-        by.map(b => F.col(b).as("__l_" + b))).toIndexedSeq: _*)
-      .withColumn(jb, F.explode(F.array(F.col("__l_tb__") - 1, F.col("__l_tb__"))))
-    val right = base.withColumn("__r_ep__", ep).withColumn("__r_tb__", tb)
+    // Join-back discipline (same as Scan.rollingByCalendar): per-probe
+    // results re-attach by a synthesized row id when the layout makes ids
+    // branch-stable (narrow scan-rooted plans — GraftInternalOps
+    // .idStableLayout), the cheap common path; otherwise the window being a
+    // pure function of (index value, by-keys) lets results compute per
+    // DISTINCT probe key and join back on DATA-DERIVED columns only — an
+    // id-keyed join-back over a shuffled/nondeterministic layout silently
+    // misaligns (round-robin scatter orders by the pruned binary row;
+    // reduce-fetch interleaving varies per execution).
+    val idStable = org.apache.spark.sql.GraftInternalOps.idStableLayout(sdf)
+    def monthCols(ep: Column): (Column, Column) = {
+      val t = F.timestamp_micros(ep)
+      val mse = ((F.year(t) - 1970) * 12 + F.month(t) - 1).cast("long")
+      (F.floor(mse.cast("double") / m).cast("long"),
+        F.unix_micros(t - F.expr(s"INTERVAL '$m' MONTH")))
+    }
+    val ep = F.unix_micros(F.col(indexColumn).cast("timestamp"))
+    val jb = Scan.fresh("jb"); val ri = Scan.fresh("ri")
+    val base = if (idStable) sdf.withColumn(ri, F.monotonically_increasing_id())
+      else sdf
+    val (ptb, plo) = monthCols(F.col("__p_ep__"))
+    val probeKeys: Seq[String] =
+      if (idStable) Seq("__p_ri__") else "__p_ep__" +: by.map("__p_" + _)
+    val probes0 = base.select(((if (idStable) Seq(F.col(ri).as("__p_ri__")) else Nil) ++
+      Seq(ep.as("__p_ep__")) ++ by.map(b => F.col(b).as("__p_" + b))).toIndexedSeq: _*)
+    val probes = (if (idStable) probes0 else probes0.distinct())
+      .withColumn("__p_lo__", plo)
+      .withColumn(jb, F.explode(F.array(ptb - 1, ptb)))
+    val (ctb, _) = monthCols(F.col("__c_ep__"))
+    val right = sdf.withColumn("__c_ep__", ep).withColumn("__c_tb__", ctb)
     // null-safe by-key equality: a null key is its own group (the fixed
     // path's Window.partitionBy groups nulls as a partition; a plain ===
     // would silently drop every null-key row from the output)
     // endpoint inclusivity per `closed`: window (t-period, t] by default
     val loCmp =
-      if (closed == "left" || closed == "both") F.col("__r_ep__") >= F.col("__l_lo__")
-      else F.col("__r_ep__") > F.col("__l_lo__")
+      if (closed == "left" || closed == "both") F.col("__c_ep__") >= F.col("__p_lo__")
+      else F.col("__c_ep__") > F.col("__p_lo__")
     val hiCmp =
-      if (closed == "right" || closed == "both") F.col("__r_ep__") <= F.col("__l_ep__")
-      else F.col("__r_ep__") < F.col("__l_ep__")
-    val cond = by.map(b => F.col("__l_" + b) <=> F.col(b))
-      .foldLeft(F.col(jb) === F.col("__r_tb__") && loCmp && hiCmp)(_ && _)
+      if (closed == "right" || closed == "both") F.col("__c_ep__") <= F.col("__p_ep__")
+      else F.col("__c_ep__") < F.col("__p_ep__")
+    val cond = by.map(b => F.col("__p_" + b) <=> F.col(b))
+      .foldLeft(F.col(jb) === F.col("__c_tb__") && loCmp && hiCmp)(_ && _)
     val aggs = exprs.map { case (n, e) => e.col.as(n) }
-    val perRow = left.join(right, cond)
-      .groupBy(F.col("__l_ri__"))
+    val perProbe = probes.join(right, cond)
+      .groupBy(probeKeys.map(F.col).toIndexedSeq: _*)
       .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
     // LEFT join: a closed mode that excludes t itself can make a probe's
-    // window empty — the row must survive (its aggregates are null)
-    val out = base.join(perRow, base(RowIndex.name) === perRow("__l_ri__"), "left")
-      .drop("__l_ri__")
-    mk(if (hadIdx) out else out.drop(RowIndex.name))
+    // window empty — the row must survive (its aggregates are null); <=> so
+    // null-index / null-key rows re-attach
+    val joinBase = if (idStable) base else base.withColumn("__b_ep__", ep)
+    val back =
+      if (idStable) joinBase(ri) === perProbe("__p_ri__")
+      else by.map(b => joinBase(b) <=> perProbe("__p_" + b))
+        .foldLeft(joinBase("__b_ep__") <=> perProbe("__p_ep__"))(_ && _)
+    val out = joinBase.join(perProbe, back, "left")
+      .drop(probeKeys: _*).drop("__b_ep__", ri)
+    mk(out)
   }
 }
 

@@ -723,30 +723,49 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   //      (reference: expr.rb:3964-4970) ----
   /** Shared builder: for each row the window holds the rows whose `by` value
     * lies in `(t - window_size, t]` (endpoint inclusivity per `closed`,
-    * default "right"), where t is the row's own `by` value. Fixed durations
-    * only — calendar windows (mo/q/y) need per-row month arithmetic; use
-    * frame-level `rolling(index_column:, period:)`, which supports them.
-    * Plain form: time-bucket phantom-carry kernel
+    * default "right"), where t is the row's own `by` value.
+    * Fixed durations — plain form: time-bucket phantom-carry kernel
     * ([[graft.kernel.Scan.rollingByApply]]) — one balanced shuffle, never a
-    * global single-partition sort. Keyed form (`.over(keys)`): a range-frame
-    * window partitioned by the keys. Epoch µs is integral, so shifting an
+    * global single-partition sort; keyed form (`.over(keys)`): a range-frame
+    * window partitioned by the keys (epoch µs is integral, so shifting an
     * open polars endpoint into Spark's inclusive range bound by 1 µs is
-    * exact. */
+    * exact). Calendar durations (mo/q/y — reference duration DSL
+    * lazy_frame.rb:1198-1219): per-row month arithmetic has no fixed-offset
+    * range frame, so both forms route the month-space bucket-join kernel
+    * ([[graft.kernel.Scan.rollingByCalendar]]) with `aggBuild` as the
+    * per-probe-row aggregate spelling of the op. */
   private def rollingByScanned(by: Expr, windowSize: String, closed: String)
-      (build: (Column, WindowSpec) => Column): Expr = {
+      (build: (Column, WindowSpec) => Column)
+      (aggBuild: Column => Column): Expr = {
     require(Set("left", "right", "both", "none")(closed),
       s"rolling_*_by: closed must be left|right|both|none, got '$closed'")
     val dur = graft.kernel.DurationDsl.parse(windowSize)
-    require(!dur.isCalendar,
-      "rolling_*_by: calendar window sizes (mo/q/y) are not supported at the " +
-        "expression level; frame-level rolling(index_column:, period:) handles them")
+    val out = Scan.fresh("x")
+    val basePreps = mergedWith(by)
+    if (dur.isCalendar) {
+      // calendar windows (reference duration DSL mo/q/y): per-row month
+      // arithmetic — the bucket-join kernel, keyless and keyed alike (the
+      // keyed form is a prep too: no fixed-offset range frame exists)
+      require(dur.isPureCalendar,
+        "rolling_*_by: calendar window sizes must be pure month multiples " +
+          "(mo/q/y); mixed calendar+fixed durations (e.g. 1mo2d) are not supported")
+      def calPrep(keys: Seq[Column]) = Prep(out,
+        d => Scan.rollingByCalendar(d, col, by.col, dur.months.toInt, closed, out,
+          aggBuild, keys),
+        Seq(out))
+      return Expr(F.col(out), requiresIndex = requiresIndex || by.requiresIndex,
+        basePreps :+ calPrep(Nil),
+        keyed = Some(KeyedForm { keys =>
+          requireNoScanInput("rolling_by")
+          Expr(F.col(out), requiresIndex || by.requiresIndex,
+            basePreps :+ calPrep(keys))
+        }))
+    }
     val p = dur.totalMicros
     require(p > 0, s"rolling_*_by: window_size must be positive, got '$windowSize'")
     val loIncl = if (closed == "left" || closed == "both") -p else -p + 1
     val hiIncl = if (closed == "right" || closed == "both") 0L else -1L
     val epoch = F.unix_micros(by.col.cast("timestamp"))
-    val out = Scan.fresh("x")
-    val basePreps = mergedWith(by)
     Expr(F.col(out), requiresIndex = requiresIndex || by.requiresIndex,
       basePreps :+ Prep(out,
         d => Scan.rollingByApply(d, col, epoch, loIncl, hiIncl, out, build),
@@ -761,7 +780,8 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   private def rollingAggBy(by: Expr, windowSize: String, minPeriods: Int,
                            closed: String)(agg: Column => Column): Expr =
     rollingByScanned(by, windowSize, closed)((v, w) =>
-      F.when(F.count(v).over(w) >= math.max(minPeriods, 1), agg(v).over(w)))
+      F.when(F.count(v).over(w) >= math.max(minPeriods, 1), agg(v).over(w)))(v =>
+      F.when(F.count(v) >= math.max(minPeriods, 1), agg(v)))
   def rollingSumBy(by: Expr, windowSize: String, minPeriods: Int = 1,
                    closed: String = "right"): Expr =
     rollingAggBy(by, windowSize, minPeriods, closed)(F.sum)
@@ -780,6 +800,10 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
       val cnt = F.count(v).over(w)
       F.when(cnt >= math.max(minPeriods, 1),
         Expr.ddofScale(F.stddev_samp(v).over(w), cnt, ddof, isStd = true))
+    })(v => {
+      val cnt = F.count(v)
+      F.when(cnt >= math.max(minPeriods, 1),
+        Expr.ddofScale(F.stddev_samp(v), cnt, ddof, isStd = true))
     })
   def rollingVarBy(by: Expr, windowSize: String, minPeriods: Int = 1,
                    closed: String = "right", ddof: Int = 1): Expr =
@@ -787,6 +811,10 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
       val cnt = F.count(v).over(w)
       F.when(cnt >= math.max(minPeriods, 1),
         Expr.ddofScale(F.var_samp(v).over(w), cnt, ddof, isStd = false))
+    })(v => {
+      val cnt = F.count(v)
+      F.when(cnt >= math.max(minPeriods, 1),
+        Expr.ddofScale(F.var_samp(v), cnt, ddof, isStd = false))
     })
   /** rolling_quantile_by (reference expr.rb:4848); median_by = q 0.5 linear
     * (the reference's rolling_median_by delegates the same way). The per-row
@@ -797,6 +825,10 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     rollingByScanned(by, windowSize, closed)((v, w) => {
       val sorted = F.sort_array(F.collect_list(v).over(w))
       F.when(F.count(v).over(w) >= math.max(minPeriods, 1),
+        Expr.quantileOfSorted(sorted, quantile, interpolation))
+    })(v => {
+      val sorted = F.sort_array(F.collect_list(v))
+      F.when(F.count(v) >= math.max(minPeriods, 1),
         Expr.quantileOfSorted(sorted, quantile, interpolation))
     })
   def rollingMedianBy(by: Expr, windowSize: String, minPeriods: Int = 1,

@@ -253,6 +253,84 @@ object Scan {
       .drop(v, ph, tb, ep)
   }
 
+  /** `out` := `aggBuild(value)` over the CALENDAR window `(t - months, t]`
+    * (endpoint inclusivity per `closed`), where t is the row's own `ts`
+    * value — the expr-level sibling of frame `rolling(period: "1mo")`.
+    * Month lengths vary, so no fixed-offset range frame can express the
+    * window; this is the distributed range-join shape instead: rows bucket
+    * by `floor(months_since_epoch / m)` (a window start `t - m months`
+    * keeps its month under day clamping, so it ALWAYS lands in bucket b-1),
+    * each probe row explodes into join buckets {b-1, b} and equi-joins
+    * candidate rows (plus `keys`, null-safe) with the µs range check as the
+    * join residual; `aggBuild` runs as a plain aggregate per probe row id.
+    * Two balanced shuffles, 2x probe-side row volume (join machinery
+    * columns only), no data-sized single partition. Null-ts rows survive
+    * with a null result (polars' rolling contract requires a non-null
+    * sorted index — out-of-contract rows must not vanish). */
+  def rollingByCalendar(d0: DataFrame, value: Column, ts: Column, months: Int,
+                        closed: String, out: String,
+                        aggBuild: Column => Column,
+                        keys: Seq[Column] = Nil): DataFrame = {
+    require(months > 0, s"rolling_*_by: calendar window must be positive, got $months months")
+    // Join-back discipline: per-probe results re-attach to input rows by a
+    // synthesized row id when the layout makes ids branch-stable (narrow
+    // scan-rooted plans — [[org.apache.spark.sql.GraftInternalOps
+    // .idStableLayout]]), the cheap common path. Otherwise (any shuffle /
+    // nondeterminism below: round-robin scatter orders by the pruned binary
+    // row, reduce-fetch interleaving varies per execution — an id-keyed
+    // join-back would silently misalign) the window being a pure function of
+    // (ts, keys) lets results compute per DISTINCT (ts, keys) probe and join
+    // back on DATA-DERIVED columns only.
+    val idStable = org.apache.spark.sql.GraftInternalOps.idStableLayout(d0)
+    val vk = fresh("v"); val jb = fresh("jb"); val epk = fresh("ep"); val ri = fresh("ri")
+    val kks = keys.indices.map(i => fresh(s"k$i")).toIndexedSeq
+    val tsc = ts.cast("timestamp")
+    val base0 = keys.zip(kks).foldLeft(
+      d0.withColumn(vk, value).withColumn(epk, F.unix_micros(tsc))) {
+      case (acc, (k, kk)) => acc.withColumn(kk, k)
+    }
+    val base = if (idStable) base0.withColumn(ri, F.monotonically_increasing_id()) else base0
+    def monthCols(ep: Column): (Column, Column) = {
+      val t = F.timestamp_micros(ep)
+      val mse = ((F.year(t) - 1970) * 12 + F.month(t) - 1).cast("long")
+      (F.floor(mse.cast("double") / months).cast("long"),
+        F.unix_micros(t - F.expr(s"INTERVAL '$months' MONTH")))
+    }
+    val (ptb, plo) = monthCols(F.col("__p_ep__"))
+    val probeKeys: Seq[String] =
+      if (idStable) Seq("__p_ri__") else "__p_ep__" +: kks.map(kk => s"__p_$kk")
+    val probes0 = base.select(((if (idStable) Seq(F.col(ri).as("__p_ri__")) else Nil) ++
+      Seq(F.col(epk).as("__p_ep__")) ++
+      kks.map(kk => F.col(kk).as(s"__p_$kk"))).toIndexedSeq: _*)
+    val probes = (if (idStable) probes0 else probes0.distinct())
+      .withColumn("__p_lo__", plo)
+      .withColumn(jb, F.explode(F.array(ptb - 1, ptb)))
+    val (ctb, _) = monthCols(F.col(epk))
+    val cand = base.select((Seq(F.col(vk), F.col(epk).as("__c_ep__"),
+      ctb.as("__c_tb__")) ++ kks.map(F.col)).toIndexedSeq: _*)
+    val loCmp =
+      if (closed == "left" || closed == "both") F.col("__c_ep__") >= F.col("__p_lo__")
+      else F.col("__c_ep__") > F.col("__p_lo__")
+    val hiCmp =
+      if (closed == "right" || closed == "both") F.col("__c_ep__") <= F.col("__p_ep__")
+      else F.col("__c_ep__") < F.col("__p_ep__")
+    val cond = kks.map(kk => F.col(s"__p_$kk") <=> F.col(kk))
+      .foldLeft(F.col(jb) === F.col("__c_tb__") && loCmp && hiCmp)(_ && _)
+    val perProbe = probes.join(cand, cond)
+      .groupBy(probeKeys.map(F.col).toIndexedSeq: _*)
+      .agg(aggBuild(F.col(vk)).as(out))
+    // LEFT join: an empty window (closed: "none"/"left" excluding t, or a
+    // null ts — no candidate passes a null range check) must keep the probe
+    // row with a null aggregate; <=> so null-ts / null-key rows re-attach
+    val back =
+      if (idStable) base(ri) === perProbe("__p_ri__")
+      else kks.map(kk => base(kk) <=> perProbe(s"__p_$kk"))
+        .foldLeft(base(epk) <=> perProbe("__p_ep__"))(_ && _)
+    base.join(perProbe, back, "left")
+      .drop(probeKeys: _*)
+      .drop(vk, epk, ri).drop(kks: _*)
+  }
+
   /** `out` := global rank of `value` (min/max/dense/ordinal/average; nulls
     * rank null, the reference's null behavior). Distributed shape: per-value
     * counts, exclusive prefix sum over the range-sorted distinct-value frame

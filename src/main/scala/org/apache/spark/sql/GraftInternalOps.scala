@@ -194,6 +194,26 @@ object GraftInternalOps {
     Some(classic.Dataset.ofRows(da.sparkSession, Project(la ++ lbRemapped, ba)))
   }
 
+  /** True when a projected `monotonically_increasing_id` over this plan is
+    * BRANCH-STABLE — i.e. two differently-pruned executions of the plan (the
+    * sides of a self-join) enumerate rows in the same (partition, offset)
+    * layout. Holds for narrow scan-rooted plans (leaf/project/filter with
+    * deterministic expressions): file scans fix row order regardless of
+    * pruning. Does NOT hold once a shuffle is involved — round-robin scatter
+    * orders by the pruned binary row and reduce-fetch interleaving varies
+    * per execution — or when any expression is nondeterministic. Kernels
+    * that join results back to their input by a synthesized id must check
+    * this and fall back to data-derived join keys. */
+  def idStableLayout(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, Project, SubqueryAlias}
+    !df.asInstanceOf[classic.Dataset[Row]].queryExecution.optimizedPlan.exists {
+      case p: Project => p.expressions.exists(!_.deterministic)
+      case f: Filter => f.expressions.exists(!_.deterministic)
+      case _: LeafNode | _: SubqueryAlias => false
+      case _ => true
+    }
+  }
+
   /** The plan's InternalRow RDD — Tungsten-format rows for per-partition
     * imperative kernels (histogram selection). Rows are REUSED buffers: read
     * scalars only, never store a reference across `next()`. */

@@ -164,7 +164,7 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     // the bucket+key equi-join shuffles both sides (or AQE broadcasts the
     // tiny sf side) — either way the range residual rides an equi-join
-    assert(p.contains("Join") && p.contains("__r_tb__"), p)
+    assert(p.contains("Join") && p.contains("__c_tb__"), p)
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 

@@ -113,11 +113,84 @@ class RollingBySpec extends SparkSpec {
       expected("right", keyed = false)(qNearest))
   }
 
-  test("calendar window sizes are rejected with a directed message") {
-    val e = intercept[IllegalArgumentException] {
-      col("v").rollingSumBy(col("ts"), "1mo")
+  // ---- calendar windows (mo/q/y): bucket-join kernel, keyless + keyed ----
+
+  // months-spanning dataset: random timestamps across ~14 months incl.
+  // month-end days (the day-clamping regime), duplicate timestamps, nulls
+  private val calRows: IndexedSeq[(Long, String, java.time.LocalDateTime, Option[Double])] = {
+    val r = new scala.util.Random(99)
+    val start = java.time.LocalDateTime.of(2023, 1, 15, 6, 30)
+    (0 until 220).map { i =>
+      val t = start.plusDays(r.nextInt(420).toLong).plusHours(r.nextInt(24).toLong)
+      (i.toLong, s"g${r.nextInt(3)}", t,
+        if (r.nextInt(7) == 0) None else Some((r.nextInt(100) - 50) / 2.0))
     }
-    assert(e.getMessage.contains("rolling(index_column:, period:)"))
+  }
+  private lazy val calDf = DataFrame(calRows
+    .map { case (i, k, t, v) =>
+      (i, k, t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L, v.map(Double.box).orNull)
+    }
+    .toDF("id", "k", "tus", "v")
+    .withColumn("ts", F.timestamp_micros(F.col("tus")))
+    .repartition(5))
+
+  /** Brute force: window (t - months, t] with java.time month arithmetic —
+    * minusMonths day-clamps exactly like Spark's `- INTERVAL n MONTH`. */
+  private def calExpected(months: Int, closed: String, keyed: Boolean)
+      (agg: Seq[Double] => Double): Map[Long, Option[Double]] =
+    calRows.map { case (i, k, ti, _) =>
+      val lo = ti.minusMonths(months.toLong)
+      val vs = calRows.filter { case (_, kj, tj, vj) =>
+        val loOk = if (closed == "left" || closed == "both") !tj.isBefore(lo) else tj.isAfter(lo)
+        val hiOk = if (closed == "right" || closed == "both") !tj.isAfter(ti) else tj.isBefore(ti)
+        (!keyed || kj == k) && vj.isDefined && loOk && hiOk
+      }.flatMap(_._4)
+      i -> (if (vs.nonEmpty) Some(agg(vs)) else None)
+    }.toMap
+
+  private def calEngine(e: graft.expr.Expr): Map[Long, Option[Double]] =
+    calDf.withColumn("r", e).toSpark
+      .select(F.col("id"), F.col("r").cast("double")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+
+  for (closed <- Seq("right", "both", "left", "none")) {
+    test(s"calendar rolling_sum_by 1mo keyless closed=$closed matches brute force") {
+      assertClose(calEngine(col("v").rollingSumBy(col("ts"), "1mo", closed = closed)),
+        calExpected(1, closed, keyed = false)(_.sum))
+    }
+  }
+
+  test("calendar rolling_mean/max_by over(k) — 1q and 1y windows") {
+    assertClose(calEngine(col("v").rollingMeanBy(col("ts"), "1q").over(col("k"))),
+      calExpected(3, "right", keyed = true)(vs => vs.sum / vs.size))
+    assertClose(calEngine(col("v").rollingMaxBy(col("ts"), "1y").over(col("k"))),
+      calExpected(12, "right", keyed = true)(_.max))
+  }
+
+  test("calendar rolling_std_by respects ddof and min_periods gating") {
+    def std(vs: Seq[Double]): Double = {
+      val m = vs.sum / vs.size
+      math.sqrt(vs.map(x => (x - m) * (x - m)).sum / (vs.size - 1))
+    }
+    val exp = calExpected(1, "right", keyed = false)(std)
+      .map { case (k, v) => k -> v.filter(_ => true) }
+    val expGated = calRows.map { case (i, _, ti, _) =>
+      val lo = ti.minusMonths(1L)
+      val vs = calRows.filter { case (_, _, tj, vj) =>
+        vj.isDefined && tj.isAfter(lo) && !tj.isAfter(ti)
+      }.flatMap(_._4)
+      i -> (if (vs.size >= 2) Some(std(vs)) else None)
+    }.toMap
+    assertClose(calEngine(col("v").rollingStdBy(col("ts"), "1mo", minPeriods = 2)), expGated)
+    exp.size: Unit // silence the helper (gating covers the parity)
+  }
+
+  test("calendar window sizes mixing fixed units are rejected") {
+    val e = intercept[IllegalArgumentException] {
+      calDf.withColumn("r", col("v").rollingSumBy(col("ts"), "1mo2d")).toSpark.collect()
+    }
+    assert(e.getMessage.contains("pure month multiples"))
   }
 
   test("reference docstring example: hourly index rolling_sum_by 2h (right/both)") {
