@@ -270,6 +270,10 @@ object Dedup {
     * nodes that appear in an edge are returned (isolated docs are their own
     * cluster by definition — coalesce after the join-back).
     */
+  /** Edge cap for the driver union-find fast path in
+    * [[connectedComponents]] — 4M (long,long) pairs = 64 MB. */
+  val LocalEdgeCap: Long = 1L << 22
+
   def connectedComponents(edges: DataFrame, src: String, dst: String,
                           maxIter: Int = 50): DataFrame = {
     val sym0 = edges.select(F.col(src).cast("long").as("a"), F.col(dst).cast("long").as("b"))
@@ -277,6 +281,53 @@ object Dedup {
     val sym = sym0.union(sym0.select(F.col("b").as("a"), F.col("a").as("b")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Bounded-graph fast path: up to `LocalEdgeCap` distinct edges collect to
+    // a driver union-find (path-halving) — one job + O(E α(E)) local work
+    // instead of ~4 stages per propagation round. The cap bounds driver
+    // memory explicitly (64 MB of (long, long) pairs at the default); real
+    // 100 TB near-dup graphs exceed it and take the distributed rounds
+    // below — the same broadcast-when-small / shuffle-when-big discipline as
+    // a join. Labels stay min-id per component, identical to the rounds.
+    val edgeCount = sym.count()
+    if (edgeCount <= LocalEdgeCap) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) { // path halving
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp); x = gp; p = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      // one pass: union edges and collect the node universe (sym is
+      // symmetrized, so every node appears on the `a` side)
+      val nodeSet = new java.util.HashSet[Long]()
+      val it = sym.toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        nodeSet.add(a)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      // min-id per root, then node -> min[root]
+      val minOf = new java.util.HashMap[Long, Long]()
+      val nodes = new java.util.ArrayList[Long](nodeSet.size)
+      nodeSet.forEach { n =>
+        nodes.add(n)
+        minOf.merge(find(n), n, (x, y) => math.min(x, y))
+      }
+      val spark = edges.sparkSession
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](nodes.size)
+      nodes.forEach(n => rows.add(org.apache.spark.sql.Row(n, minOf.get(find(n)))))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("comp", org.apache.spark.sql.types.LongType, nullable = false)))
+      val out = spark.createDataFrame(rows, schema)
+      sym.unpersist()
+      return out
+    }
     // seed with round-1 propagation (min over self+neighbors) straight off
     // the edge list — one groupBy instead of a join against identity labels
     var labels = sym.groupBy("a")
