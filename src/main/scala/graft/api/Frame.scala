@@ -603,30 +603,9 @@ final case class DataFrame(private val df: SDF) extends FrameOps[DataFrame] {
     // 2-3 narrow scans whose only shuffle is a #buckets-sized count table;
     // linear interpolation matches quantile_cont.
     val quartiles = Seq(0.25, 0.5, 0.75)
-    val nnByCol: Map[String, Long] = numCols.toSeq.map { c =>
-      c -> (one.getLong(one.fieldIndex(s"count__$c")) -
-        one.getLong(one.fieldIndex(s"null_count__$c")))
-    }.toMap
-    val hsByCol: Map[String, Seq[Double]] = numCols.toSeq.map { c =>
-      c -> quartiles.map(q => (nnByCol(c) - 1) * q)
-    }.toMap
-    val reqs = numCols.toSeq.filter(nnByCol(_) > 0).map { c =>
-      graft.kernel.Quantiles.Req.at(c,
-        hsByCol(c).flatMap(h => Seq(math.floor(h).toLong, math.ceil(h).toLong)).distinct)
-    }
-    val stats: Map[String, graft.kernel.Quantiles.ColStats] =
-      if (reqs.isEmpty) Map.empty
-      else graft.kernel.Quantiles.orderStats(df, reqs)
-    val pctByCol: Map[String, Seq[Option[Double]]] = numCols.toSeq.map { c =>
-      if (nnByCol(c) == 0) c -> quartiles.map(_ => Option.empty[Double])
-      else c -> hsByCol(c).map { h =>
-        val m = stats.get(c).map(_.at).getOrElse(Map.empty[Long, Double])
-        for {
-          lo <- m.get(math.floor(h).toLong)
-          hi <- m.get(math.ceil(h).toLong)
-        } yield lo + (hi - lo) * (h - math.floor(h))
-      }
-    }.toMap
+    val pctByCol: Map[String, Seq[Option[Double]]] =
+      if (numCols.isEmpty) Map.empty
+      else graft.kernel.Quantiles.interpolated(df, numCols.toSeq, quartiles)
     val pctRows = Seq("25%", "50%", "75%").zipWithIndex.map { case (s, i) =>
       s +: allCols.map { c =>
         pctByCol.get(c).flatMap(_(i)).map(_.toString).orNull

@@ -955,6 +955,8 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     * (integers beyond 2^53) fall back to the exact percent-rank path. */
   def qcut(quantiles: Seq[Double], labels: Seq[String]): Expr = {
     require(labels.size == quantiles.size + 1)
+    require(quantiles.forall(q => q >= 0.0 && q <= 1.0),
+      s"qcut: quantiles must lie in [0, 1], got ${quantiles.mkString(", ")}")
     val pr = Scan.fresh("x")
     val prep = Prep(pr, { d =>
       val vk = Scan.fresh("v")
@@ -963,17 +965,22 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
         Seq(graft.kernel.Quantiles.Req(vk, n =>
           quantiles.map(q => math.floor(q * (n - 1)).toLong))))(vk)
       val n = stats.nonNull
-      // the double image is exact for float/double sources always, and for
-      // integer/decimal sources within +/-2^53 — outside that, two distinct
-      // source values can collapse onto one double and a cut literal could
-      // misassign the boundary
+      // the double image must be COLLAPSE-FREE for cut literals to bucket
+      // exactly: float/double always are; int32-and-below always are;
+      // long/decimal(scale 0) are iff the domain sits strictly inside
+      // +/-2^53 (at the bound two neighbours already share a double);
+      // decimals up to 15 significant digits round-trip uniquely; wider
+      // decimals can collapse at ANY magnitude (e.g. decimal(38,18) ulps)
       val safe = (1L << 53).toDouble
-      val lossy = (d.select(col).schema.head.dataType match {
-        case org.apache.spark.sql.types.LongType => true
-        case _: org.apache.spark.sql.types.DecimalType => true
+      val boundsInsideSafe =
+        stats.finiteLo.forall(math.abs(_) < safe) &&
+          stats.finiteHi.forall(math.abs(_) < safe)
+      val lossy = d.select(col).schema.head.dataType match {
+        case org.apache.spark.sql.types.LongType => !boundsInsideSafe
+        case t: org.apache.spark.sql.types.DecimalType =>
+          if (t.scale == 0) !boundsInsideSafe else t.precision > 15
         case _ => false
-      }) && !(stats.finiteLo.forall(math.abs(_) <= safe) &&
-        stats.finiteHi.forall(math.abs(_) <= safe))
+      }
       if (n == 0) dd.drop(vk).withColumn(pr, F.lit(null).cast("int"))
       else if (lossy) {
         // keep the rank-based spelling (exact at any dtype)

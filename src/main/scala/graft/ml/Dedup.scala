@@ -257,6 +257,10 @@ object Dedup {
         "\n").as(textCol))
   }
 
+  /** Edge cap for the driver union-find fast path in
+    * [[connectedComponents]] — 4M (long,long) pairs = 64 MB. */
+  val LocalEdgeCap: Long = 1L << 22
+
   /** Connected components over an undirected edge list — the step that turns
     * near-dup candidate PAIRS (minhash/simhash/embedding buckets) into dedup
     * CLUSTERS so one canonical document per cluster survives.
@@ -270,10 +274,6 @@ object Dedup {
     * nodes that appear in an edge are returned (isolated docs are their own
     * cluster by definition — coalesce after the join-back).
     */
-  /** Edge cap for the driver union-find fast path in
-    * [[connectedComponents]] — 4M (long,long) pairs = 64 MB. */
-  val LocalEdgeCap: Long = 1L << 22
-
   def connectedComponents(edges: DataFrame, src: String, dst: String,
                           maxIter: Int = 50): DataFrame = {
     val sym0 = edges.select(F.col(src).cast("long").as("a"), F.col(dst).cast("long").as("b"))
@@ -311,16 +311,11 @@ object Dedup {
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
       }
-      // min-id per root, then node -> min[root]
-      val minOf = new java.util.HashMap[Long, Long]()
-      val nodes = new java.util.ArrayList[Long](nodeSet.size)
-      nodeSet.forEach { n =>
-        nodes.add(n)
-        minOf.merge(find(n), n, (x, y) => math.min(x, y))
-      }
+      // every union roots at the smaller id, so a node's root IS its
+      // component's min id
       val spark = edges.sparkSession
-      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](nodes.size)
-      nodes.forEach(n => rows.add(org.apache.spark.sql.Row(n, minOf.get(find(n)))))
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](nodeSet.size)
+      nodeSet.forEach(n => rows.add(org.apache.spark.sql.Row(n, find(n))))
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("node", org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("comp", org.apache.spark.sql.types.LongType, nullable = false)))

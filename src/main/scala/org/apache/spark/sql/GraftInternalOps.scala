@@ -205,11 +205,18 @@ object GraftInternalOps {
     * that join results back to their input by a synthesized id must check
     * this and fall back to data-derived join keys. */
   def idStableLayout(df: DataFrame): Boolean = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, Project, SubqueryAlias}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LocalRelation, Project, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     !df.asInstanceOf[classic.Dataset[Row]].queryExecution.optimizedPlan.exists {
       case p: Project => p.expressions.exists(!_.deterministic)
       case f: Filter => f.expressions.exists(!_.deterministic)
-      case _: LeafNode | _: SubqueryAlias => false
+      // only FILE-backed and local leaves fix row order across executions; a
+      // JDBC/datasource-v2 leaf without an ORDER BY may return rows in any
+      // order per query, so its leaf passes for unstable
+      case lr: LogicalRelation => !lr.relation.isInstanceOf[HadoopFsRelation]
+      case _: LocalRelation => false
+      case _: SubqueryAlias => false
+      case _: LeafNode => true
       case _ => true
     }
   }

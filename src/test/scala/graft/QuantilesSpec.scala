@@ -93,6 +93,30 @@ class QuantilesSpec extends SparkSpec {
     assert(q == Seq(Some(20.0), Some(30.0), Some(40.0)))
   }
 
+  test("qcut guards: out-of-range quantiles raise; wide decimals take the exact rank path") {
+    import graft.Polars._
+    val e = intercept[IllegalArgumentException] {
+      col("v").qcut(Seq(1.5), Seq("a", "b"))
+    }
+    assert(e.getMessage.contains("[0, 1]"))
+    // decimal(38,18): ulp-separated values collapse onto one double — the
+    // cut-literal path would label everything "lo"; the rank fallback splits
+    // them by the true order
+    val rows = (Seq.fill(7)("1.000000000000000001") ++ Seq.fill(3)("1.000000000000000002"))
+      .map(s => org.apache.spark.sql.Row(new java.math.BigDecimal(s)))
+    val df = graft.api.DataFrame(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("d",
+          org.apache.spark.sql.types.DecimalType(38, 18))))))
+    val out = df.withColumn("b", col("d").qcut(Seq(0.5), Seq("lo", "hi")))
+      .toSpark.select("d", "b").collect()
+      .map(r => r.getDecimal(0).toPlainString -> r.getString(1))
+    // pr(1.000...001) = 0 <= 0.5 -> lo; pr(1.000...002) = 7/9 > 0.5 -> hi
+    assert(out.filter(_._1.endsWith("1")).forall(_._2 == "lo"), out.toSeq)
+    assert(out.filter(_._1.endsWith("2")).forall(_._2 == "hi"), out.toSeq)
+  }
+
   test("qcut min-rank parity: value-cut labeling equals the percent-rank rule on ties") {
     import graft.Polars._
     // duplicate-heavy so cut values land ON ties — the regime where the
