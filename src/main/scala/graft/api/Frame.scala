@@ -316,7 +316,11 @@ trait FrameOps[Self] {
     val others = sdf.columns.filterNot(columns.contains).map(F.col)
     val zipped =
       if (columns.size == 1) F.col(columns.head)
-      else F.arrays_zip(columns.map(F.col).toIndexedSeq: _*)
+      // a NULL list must null-pad like an empty one (arrays_zip returns null
+      // when ANY argument is null, which would collapse the row and drop the
+      // other columns' elements)
+      else F.arrays_zip(columns.map(c =>
+        F.coalesce(F.col(c), F.array().cast(sdf.schema(c).dataType)).as(c)).toIndexedSeq: _*)
     val gen = pos match {
       case Some(p) => F.posexplode_outer(zipped).as(Seq(p, tmp))
       case None    => F.explode_outer(zipped).as(tmp)

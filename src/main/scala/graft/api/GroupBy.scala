@@ -163,6 +163,18 @@ final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk: SDF => Self) {
   * the time-bucket, <= 3x row volume, never a global single-partition
   * sort. Same phantom-carry shape as [[graft.kernel.Scan.rollingApply]],
   * bucketed by time instead of rows. */
+object RollingGroupBy {
+  /** True when the expression's root (alias-stripped) is a bare `count`
+    * aggregate — the one aggregate whose empty-window value is 0, not null. */
+  private[api] def rootIsCount(e: Expr): Boolean =
+    org.apache.spark.sql.GraftInternalOps.catalystExpression(
+      org.apache.spark.sql.GraftInternalOps.stripAlias(e.col)) match {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        f.nameParts.map(_.toLowerCase) == Seq("count")
+      case _ => false
+    }
+}
+
 final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
                                  by: Seq[String], mk: SDF => Self,
                                  offset: Option[String] = None,
@@ -205,28 +217,12 @@ final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
         .rangeBetween(loIncl, hiIncl)
       mk(exprs.foldLeft(sdf) { case (acc, (n, e)) => acc.withColumn(n, e.col.over(w)) })
     } else {
-      import graft.kernel.Scan
-      val backReach = math.max(0L, -loIncl)
-      val fwdReach = math.max(0L, hiIncl)
-      val bw = Seq(p, backReach, fwdReach, 1L).max
-      val tb = Scan.fresh("tb"); val ph = Scan.fresh("ph"); val ep = Scan.fresh("ep")
-      val base = sdf.withColumn(ep, epoch).withColumn(tb, F.floor(F.col(ep) / bw))
-      // null-epoch rows get NO phantom copy: null + 1 is null, so the phantom
-      // would land back in the tb=null partition where the range frame treats
-      // all null-order rows as peers — every null row would aggregate its own
-      // phantom twin and double-count. Real null rows stay (matching the
-      // keyed path: a null index row's frame is the null peer group).
-      var aug = base.withColumn(ph, F.lit(false))
-      if (backReach > 0)
-        aug = aug.unionByName(base.filter(F.col(tb).isNotNull)
-          .withColumn(tb, F.col(tb) + 1).withColumn(ph, F.lit(true)))
-      if (fwdReach > 0)
-        aug = aug.unionByName(base.filter(F.col(tb).isNotNull)
-          .withColumn(tb, F.col(tb) - 1).withColumn(ph, F.lit(true)))
-      val w = Window.partitionBy(F.col(tb)).orderBy(F.col(ep))
-        .rangeBetween(loIncl, hiIncl)
-      val out = exprs.foldLeft(aug) { case (acc, (n, e)) => acc.withColumn(n, e.col.over(w)) }
-      mk(out.filter(!F.col(ph)).drop(tb, ph, ep))
+      // keyless: the shared time-bucket phantom-carry kernel (null-epoch
+      // rows get no phantom copy and keep their null peer-group frame —
+      // documented at the kernel)
+      mk(graft.kernel.Scan.rollingByApplyMulti(sdf, epoch, loIncl, hiIncl,
+        exprs.map { case (n, e) =>
+          n -> ((w: org.apache.spark.sql.expressions.WindowSpec) => e.col.over(w)) }))
     }
   }
 
@@ -299,7 +295,12 @@ final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
       else F.col("__c_ep__") < F.col("__p_ep__")
     val cond = by.map(b => F.col("__p_" + b) <=> F.col(b))
       .foldLeft(F.col(jb) === F.col("__c_tb__") && loCmp && hiCmp)(_ && _)
-    val aggs = exprs.map { case (n, e) => e.col.as(n) }
+    // agg outputs carry FRESH names through the join, then overwrite their
+    // user-facing names in place — a user agg named after an existing column
+    // must replace it (the fixed path's withColumn semantics), not produce
+    // an ambiguous duplicate
+    val freshOut = exprs.map { case (n, e) => (n, e, Scan.fresh("o")) }
+    val aggs = freshOut.map { case (_, e, fn) => e.col.as(fn) }
     val perProbe = probes.join(right, cond)
       .groupBy(probeKeys.map(F.col).toIndexedSeq: _*)
       .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
@@ -311,8 +312,16 @@ final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
       if (idStable) joinBase(ri) === perProbe("__p_ri__")
       else by.map(b => joinBase(b) <=> perProbe("__p_" + b))
         .foldLeft(joinBase("__b_ep__") <=> perProbe("__p_ep__"))(_ && _)
-    val out = joinBase.join(perProbe, back, "left")
-      .drop(probeKeys: _*).drop("__b_ep__", ri)
+    val joined = joinBase.join(perProbe, back, "left")
+    val renamed = freshOut.foldLeft(joined) { case (acc, (n, e, fn)) =>
+      // an empty window's count is 0, not null — parity with the fixed
+      // path's count().over(range frame) (other aggregates stay null over
+      // an empty window in both paths)
+      val v = if (RollingGroupBy.rootIsCount(e)) F.coalesce(F.col(fn), F.lit(0L))
+        else F.col(fn)
+      acc.withColumn(n, v).drop(fn)
+    }
+    val out = renamed.drop(probeKeys: _*).drop("__b_ep__", ri)
     mk(out)
   }
 }
@@ -367,13 +376,25 @@ final class DynamicGroupBy[Self](sdf: SDF, indexColumn: String, every: String,
       }
       require(startBy == "window" || startBy == "datapoint",
         "group_by_dynamic: weekday start_by has no meaning for an integer index column")
-      return aggFixed(exprs, idx(everyD, "every"), idx(periodD, "period"),
-        offset.map(o => DurationDsl.parse(o).indexCount).getOrElse(0L),
+      val offI = offset.map { o =>
+        val d = DurationDsl.parse(o)
+        require(d.months == 0 && d.weeks == 0 && d.days == 0 && d.nanos == 0,
+          "group_by_dynamic: offset must be a pure index count ('Ni') when " +
+            "any duration uses index notation")
+        d.indexCount
+      }.getOrElse(0L)
+      return aggFixed(exprs, idx(everyD, "every"), idx(periodD, "period"), offI,
         weekdayOriginUnit = 0L, t0 = F.col(indexColumn).cast("long"),
         emit = identity)
     }
-    aggFixed(exprs, everyD.totalMicros, periodD.totalMicros,
-      offset.map(DurationDsl.parse(_).totalMicros).getOrElse(0L),
+    val offU = offset.map { o =>
+      val d = DurationDsl.parse(o)
+      require(d.indexCount == 0,
+        "group_by_dynamic: an index-count offset ('Ni') requires index-count " +
+          "every/period on an integer index column")
+      d.totalMicros
+    }.getOrElse(0L)
+    aggFixed(exprs, everyD.totalMicros, periodD.totalMicros, offU,
       weekdayOriginUnit = 86400000000L,
       t0 = F.unix_micros(F.col(indexColumn).cast("timestamp")),
       emit = F.timestamp_micros)
@@ -391,16 +412,30 @@ final class DynamicGroupBy[Self](sdf: SDF, indexColumn: String, every: String,
                        weekdayOriginUnit: Long, t0: Column,
                        emit: Column => Column): Self = {
     val og = Scan.fresh("og")
-    val base = startBy match {
-      case "datapoint" =>
-        // origin = first datapoint: a broadcast one-row scalar, no collect
-        sdf.crossJoin(F.broadcast(sdf.agg(F.min(t0).as(og))))
-      case _ => sdf
-    }
+    // datapoint/weekday origins anchor on the FIRST DATA POINT — per
+    // by-group when keys are given (polars computes dynamic windows per
+    // group): keyless = a broadcast one-row scalar; keyed = a per-group min
+    // joined back null-safely (a null by-key is its own group). The weekday
+    // origin then snaps that first point back to the named weekday
+    // (reference lazy_frame.rb start_by docs: "the Monday before the first
+    // data point") — for every = 1w this coincides with the epoch-anchored
+    // weekday grid, but longer strides need the datapoint anchor.
+    val needsAnchor = startBy == "datapoint" || weekdayShiftDays.contains(startBy)
+    val base =
+      if (!needsAnchor) sdf
+      else if (by.isEmpty) sdf.crossJoin(F.broadcast(sdf.agg(F.min(t0).as(og))))
+      else {
+        val mins = sdf.groupBy(by.map(F.col): _*).agg(F.min(t0).as(og))
+          .select((F.col(og) +: by.map(b => F.col(b).as(s"__og_$b"))).toIndexedSeq: _*)
+        val cond = by.map(b => sdf(b) <=> mins(s"__og_$b")).reduce(_ && _)
+        sdf.join(mins, cond).drop(by.map(b => s"__og_$b"): _*)
+      }
     val origin: Column = (startBy match {
       case "window"    => F.lit(0L)
       case "datapoint" => F.col(og)
-      case wd          => F.lit(weekdayShiftDays(wd) * weekdayOriginUnit)
+      case wd =>
+        val snap = F.lit(weekdayShiftDays(wd) * weekdayOriginUnit)
+        F.col(og) - F.pmod(F.col(og) - snap, F.lit(7L * weekdayOriginUnit))
     }) + F.lit(offU)
     val t = t0
     val nWin = ((periodU + everyU - 1) / everyU).toInt
@@ -470,12 +505,24 @@ final class DynamicGroupBy[Self](sdf: SDF, indexColumn: String, every: String,
         (F.lit(1970) + F.floor(mc.cast("double") / 12)).cast("int"),
         F.pmod(mc, F.lit(12L)).cast("int") + 1, F.lit(1)))
     val ws = Scan.fresh("ws")
-    // candidate starts ascend to start0; a row is in window s iff ts < end(s)
-    // (ts >= month_start(s) holds by construction: s <= mse)
+    // candidate starts ascend to start0, with ONE extra trailing candidate
+    // below (right/both-closed membership can pull a row sitting exactly on
+    // a window START back into the previous window — same +1 the fixed
+    // path's explode carries); endpoint inclusivity per `closed`, both
+    // bounds explicit (the by-construction `ts >= month_start(s)` only
+    // covers the left-closed case)
+    val sTs = monthTs(F.col(ws))
+    val eTs = monthTs(F.col(ws) + periodM)
+    val member = closed match {
+      case "left"  => c >= sTs && c < eTs
+      case "right" => c > sTs && c <= eTs
+      case "both"  => c >= sTs && c <= eTs
+      case "none"  => c > sTs && c < eTs
+    }
     val exploded = sdf
       .withColumn(ws, F.explode(F.sequence(
-        start0 - (nWin - 1).toLong * everyM, start0, F.lit(everyM))))
-      .filter(c < monthTs(F.col(ws) + periodM))
+        start0 - nWin.toLong * everyM, start0, F.lit(everyM))))
+      .filter(member)
     val groupCols = F.col(ws) +: by.map(F.col)
     val aggsAll = exprs.map(_.col) ++
       (if (label == "datapoint") Seq(F.min(F.col(indexColumn)).as("__dp__")) else Nil)

@@ -461,7 +461,9 @@ final case class Series(name: String, df: SDF) {
   def nullCount: Long =
     df.select(F.count(F.when(F.col(name).isNull, 1)).as("n")).collect()(0).getLong(0)
   def product: Any = scalar(Expr(F.col(name)).product)
-  def entropy(base: Double = math.E, normalize: Boolean = true): Any =
+  // reference series.rb:1144: Series#entropy defaults normalize: FALSE
+  // (the Expr surface defaults true per expr.rb:6637 — different defaults)
+  def entropy(base: Double = math.E, normalize: Boolean = false): Any =
     scalar(Expr(F.col(name)).entropy(base, normalize))
   def quantile(q: Double, interpolation: String = "nearest"): Any =
     scalar(Expr(F.col(name)).quantile(q, interpolation))
@@ -501,7 +503,10 @@ final case class Series(name: String, df: SDF) {
         "sum" -> df.select(F.sum(F.col(name).cast("long"))).collect()(0).get(0),
         "null_count" -> nullCount, "count" -> len), LongType)
     else if (isUtf8)
-      frame(Seq("unique" -> df.select(F.countDistinct(F.col(name))).collect()(0).getLong(0),
+      // unique counts null as a value (reference: unique.length)
+      frame(Seq("unique" -> df.select((F.countDistinct(F.col(name)) +
+          F.coalesce(F.max(F.when(F.col(name).isNull, 1L).otherwise(0L)), F.lit(0L))).as("u"))
+          .collect()(0).getLong(0),
         "null_count" -> nullCount, "count" -> len), LongType)
     else if (isDatelike)
       frame(Seq("min" -> String.valueOf(min), "max" -> String.valueOf(max),

@@ -233,11 +233,23 @@ object Scan {
   def rollingByApply(d0: DataFrame, value: Column, epoch: Column,
                      loIncl: Long, hiIncl: Long, out: String,
                      build: (Column, WindowSpec) => Column): DataFrame = {
-    val v = fresh("v"); val ph = fresh("ph"); val tb = fresh("tb"); val ep = fresh("ep")
+    val v = fresh("v")
+    rollingByApplyMulti(d0.withColumn(v, value), epoch, loIncl, hiIncl,
+      Seq(out -> ((w: WindowSpec) => build(F.col(v), w)))).drop(v)
+  }
+
+  /** Multi-output form of [[rollingByApply]]: one phantom-carry pass attaches
+    * every `outs` column over the same `[epoch+loIncl, epoch+hiIncl]` range
+    * frame — the frame-level `rolling().agg(...)` spelling, shared with the
+    * single-expression path so the bucket/phantom machinery exists once. */
+  def rollingByApplyMulti(d0: DataFrame, epoch: Column,
+                          loIncl: Long, hiIncl: Long,
+                          outs: Seq[(String, WindowSpec => Column)]): DataFrame = {
+    val ph = fresh("ph"); val tb = fresh("tb"); val ep = fresh("ep")
     val backReach = math.max(0L, -loIncl)
     val fwdReach = math.max(0L, hiIncl)
     val bw = Seq(backReach, fwdReach, 1L).max
-    val d = d0.withColumn(v, value).withColumn(ep, epoch)
+    val d = d0.withColumn(ep, epoch)
       .withColumn(tb, F.floor(F.col(ep) / bw))
     var aug = d.withColumn(ph, F.lit(false))
     if (backReach > 0)
@@ -248,9 +260,9 @@ object Scan {
         .withColumn(tb, F.col(tb) - 1).withColumn(ph, F.lit(true)))
     val w = Window.partitionBy(F.col(tb)).orderBy(F.col(ep))
       .rangeBetween(loIncl, hiIncl)
-    aug.withColumn(out, build(F.col(v), w))
+    outs.foldLeft(aug) { case (acc, (out, build)) => acc.withColumn(out, build(w)) }
       .filter(!F.col(ph))
-      .drop(v, ph, tb, ep)
+      .drop(ph, tb, ep)
   }
 
   /** `out` := `aggBuild(value)` over the CALENDAR window `(t - months, t]`
