@@ -37,7 +37,11 @@ object ArrowIpc {
         case StringType => new ArrowType.Utf8
         case BooleanType => new ArrowType.Bool
         case BinaryType => new ArrowType.Binary
-        case TimestampType | TimestampNTZType => new ArrowType.Timestamp(ATimeUnit.MICROSECOND, null)
+        // TimestampType is an INSTANT and must carry a timezone in arrow
+        // (else it reads back as NTZ wall-clock — wrong type and, in a
+        // non-UTC session, shifted values); NTZ maps to the null-tz type
+        case TimestampType => new ArrowType.Timestamp(ATimeUnit.MICROSECOND, "UTC")
+        case TimestampNTZType => new ArrowType.Timestamp(ATimeUnit.MICROSECOND, null)
         case DateType => new ArrowType.Date(org.apache.arrow.vector.types.DateUnit.DAY)
         case other => throw new UnsupportedOperationException(s"arrow ipc: $other")
       }
@@ -81,7 +85,7 @@ object ArrowIpc {
         case (StringType, v: VarCharVector) => v.setSafe(i, row.getString(c).getBytes("UTF-8"))
         case (BooleanType, v: BitVector) => v.setSafe(i, if (row.getBoolean(c)) 1 else 0)
         case (BinaryType, v: VarBinaryVector) => v.setSafe(i, row.getAs[Array[Byte]](c))
-        case (TimestampType, v: TimeStampMicroVector) =>
+        case (TimestampType, v: TimeStampMicroTZVector) =>
           // getTime is millis (floor-div for pre-epoch); getNanos carries the full sub-second
           val ts = row.getAs[java.sql.Timestamp](c)
           v.setSafe(i, Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000)
@@ -189,6 +193,7 @@ object ArrowIpc {
     case _: ArrowType.Utf8 => StringType
     case _: ArrowType.Bool => BooleanType
     case _: ArrowType.Binary => BinaryType
+    case t: ArrowType.Timestamp if t.getTimezone != null => TimestampType
     case _: ArrowType.Timestamp => TimestampNTZType
     case _: ArrowType.Date => DateType
     case t => throw new UnsupportedOperationException(s"arrow ipc read: $t")
@@ -206,7 +211,11 @@ object ArrowIpc {
       case v: VarCharVector => new String(v.get(i), "UTF-8")
       case v: BitVector => v.get(i) == 1
       case v: VarBinaryVector => v.get(i)
-      case v: TimeStampMicroVector =>
+      case v: TimeStampMicroTZVector => // instant (TimestampType)
+        java.time.Instant.ofEpochSecond(
+          Math.floorDiv(v.get(i), 1000000L),
+          Math.floorMod(v.get(i), 1000000L) * 1000)
+      case v: TimeStampMicroVector => // wall-clock (TimestampNTZType)
         java.time.LocalDateTime.ofEpochSecond(
           Math.floorDiv(v.get(i), 1000000L),
           (Math.floorMod(v.get(i), 1000000L) * 1000).toInt,
@@ -227,14 +236,16 @@ object ArrowIpc {
     val reader = new ArrowFileReader(in.getChannel, alloc)
     try {
       val fields = reader.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq
-      StructType(fields.map(f => StructField(f.getName, f.getType match {
-        case t: ArrowType.Int if t.getBitWidth == 64 => LongType
-        case t: ArrowType.Int => IntegerType
-        case t: ArrowType.FloatingPoint if t.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
-        case _: ArrowType.Utf8 => StringType
-        case _: ArrowType.Bool => BooleanType
-        case _ => StringType
-      }, f.isNullable)))
+      // the SAME type mapping read() uses — a schema peek that reports a
+      // different dtype than the read is a silently wrong answer
+      StructType(fields.map { f =>
+        val dt = f.getType match {
+          case _: ArrowType.List =>
+            ArrayType(arrowToSpark(f.getChildren.get(0).getType))
+          case t => arrowToSpark(t)
+        }
+        StructField(f.getName, dt, f.isNullable)
+      })
     } finally { reader.close(); in.close(); alloc.close() }
   }
 }

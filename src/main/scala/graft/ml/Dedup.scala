@@ -14,6 +14,8 @@ object Dedup {
   /** Exact dedup by content hash — one hash-shuffle on the digest. */
   def exact(df: DataFrame, textCol: String, keep: String = "first",
             idCol: String = "doc_id"): DataFrame = {
+    require(Set("first", "any")(keep),
+      s"Dedup.exact: keep must be first|any, got '$keep'")
     val h = F.md5(F.col(textCol))
     keep match {
       case "any" => df.withColumn("__h__", h).dropDuplicates("__h__").drop("__h__")
@@ -95,6 +97,10 @@ object Dedup {
     * them (e.g. for oracle verification of the bucket-join logic). */
   def bandedSignatures(df: DataFrame, textCol: String, idCol: String,
                        numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bandedSignatures: bands must divide numHashes (got bands=$bands, " +
+        s"numHashes=$numHashes) — rowsPerBand = 0 would hash every band to a " +
+        "constant and degenerate the LSH join to all-pairs")
     val rowsPerBand = numHashes / bands
     val sig = df.select(F.col(idCol),
       minhashSignature(F.col(textCol), numHashes, shingleK).as("__sig__"))
@@ -126,7 +132,10 @@ object Dedup {
                         numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5): DataFrame = {
     // persist: the self-join would otherwise recompute the whole
     // shingle→hash→min pipeline for BOTH sides; banded rows are tiny
-    // (id + 2 longs) so this is cheap at any corpus size
+    // (id + 2 longs) so this is cheap at any corpus size. Lifecycle: the
+    // cache stays until Spark's ContextCleaner collects it (storage is
+    // LRU-evictable); per-shard pipelines that loop these builders should
+    // checkpoint/unpersist between shards
     val banded = bandedSignatures(df, textCol, idCol, numHashes, bands, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     minhashCandidatesFromBands(banded, idCol)
@@ -182,12 +191,22 @@ object Dedup {
 
   /** Chunk-blocked pair search over materialized (id, sig) simhash rows —
     * the join stage of [[simhashCandidates]], exposed for restaging. */
+  /** SimHash LSH candidates via equal-bit-slice blocking. RECALL CONTRACT
+    * (pigeonhole): a pair within hamming h is GUARANTEED to share a block
+    * only when h <= chunks - 1; beyond that the join is a recall-bounded
+    * heuristic (differing bits may touch every slice) — raise `chunks` for
+    * a guarantee, at the cost of smaller (= more collision-prone) block
+    * keys. The final hamming filter keeps precision exact either way. */
   def simhashCandidatesFromSigs(withSig: DataFrame, idCol: String,
-                                maxHamming: Int): DataFrame = {
+                                maxHamming: Int, chunkCount: Int = 4): DataFrame = {
+    require(chunkCount >= 1 && chunkCount <= 64 && 64 % chunkCount == 0,
+      s"simhashCandidates: chunkCount must divide 64, got $chunkCount")
+    val bits = 64 / chunkCount
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
     val chunks = withSig.select(F.col(idCol), F.col("sig"),
-      F.explode(F.array((0 until 4).map { c =>
+      F.explode(F.array((0 until chunkCount).map { c =>
         F.struct(F.lit(c).as("chunk_idx"),
-          F.shiftright(F.col("sig"), c * 16).bitwiseAND(0xFFFFL).as("chunk_val"))
+          F.shiftright(F.col("sig"), c * bits).bitwiseAND(mask).as("chunk_val"))
       }: _*)).as("ch"))
       .select(F.col(idCol), F.col("sig"), F.col("ch.chunk_idx"), F.col("ch.chunk_val"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

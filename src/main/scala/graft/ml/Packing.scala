@@ -44,8 +44,14 @@ object Packing {
     val sorted = df.repartitionByRange(F.col(orderCol))
       .sortWithinPartitions(F.col(orderCol))
     val tIdx = df.schema.fieldIndex(tokenCountCol)
+    // ONE persisted RDD feeds both passes: two separate .rdd conversions
+    // would re-sample range boundaries and re-fetch shuffle blocks in a
+    // different interleaving, so pass-1 bin counts could mismatch pass-2
+    // bin assignment on orderCol ties — overlapping global bin ids. The
+    // cache lives until ContextCleaner collects it (LRU-evictable).
+    val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pass 1: bins used per partition (cheap: counts only)
-    val binsPerPartition = sorted.rdd.mapPartitions { it =>
+    val binsPerPartition = rdd.mapPartitions { it =>
       var bins = 0L; var fill = 0L
       it.foreach { r =>
         val t = r.get(tIdx).asInstanceOf[Number].longValue()
@@ -57,7 +63,7 @@ object Packing {
     val offsets = binsPerPartition.scanLeft(0L)(_ + _)
     val schema = StructType(df.schema.fields :+
       org.apache.spark.sql.types.StructField("bin", LongType, nullable = false))
-    val packed = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val packed = rdd.mapPartitionsWithIndex { (pid, it) =>
       var bin = offsets(pid) - 1; var fill = 0L; var opened = false
       it.map { r =>
         val t = r.get(tIdx).asInstanceOf[Number].longValue()

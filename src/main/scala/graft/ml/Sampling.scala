@@ -11,7 +11,13 @@ object Sampling {
   /** Exact stratified sample: for each stratum value, keep the first
     * `ceil(frac * stratum_count)` rows in `orderCol` order. Deterministic and
     * engine-reproducible (no RNG) — the shape used for fixed-seed ablations
-    * and for the DuckDB oracle. One window shuffle keyed by stratum. */
+    * and for the DuckDB oracle. One window shuffle keyed by stratum.
+    * The threshold is IEEE-double `ceil(frac * n)` on purpose — the same
+    * arithmetic SQL `ceil(n * frac)` computes — so a fraction whose product
+    * rounds up a hair (0.07 * 100 = 7.000000000000001 → 8) reproduces
+    * bit-for-bit against the oracle rather than against idealized decimal
+    * math. Pass an exact binary fraction (k / 2^m) when the mathematical
+    * count matters. */
   def stratifiedExact(df: DataFrame, stratumCol: String, frac: Double,
                       orderCol: String): DataFrame = {
     require(frac > 0 && frac <= 1, s"frac must be in (0, 1], got $frac")

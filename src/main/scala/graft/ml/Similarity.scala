@@ -95,8 +95,13 @@ object Similarity {
     * halves the per-pair cost of every downstream similarity join. */
   def l2Normalize(v: Column): Column = {
     val n = l2Norm(v)
+    // the row scalar must be computed ONCE per row — an aggregate captured
+    // inside a transform lambda re-evaluates per ELEMENT (O(d^2) per row;
+    // the measured pitfall documented at Dedup.shingles / QualityFilters);
+    // zip_with against array_repeat(scalar, d) evaluates it once
     F.when(n === 0.0, F.transform(v, _ => F.lit(0.0)))
-      .otherwise(F.transform(v, x => x.cast("double") / n))
+      .otherwise(F.zip_with(v, F.array_repeat(n, F.size(v)),
+        (x, nn) => x.cast("double") / nn))
   }
 
   /** Symmetric per-vector int8 scalar quantization: scale = 127 / max|x|,
@@ -109,7 +114,8 @@ object Similarity {
       (acc, x) => F.greatest(acc, F.abs(x.cast("double"))))
     val scale = F.when(maxAbs === 0.0, 1.0).otherwise(F.lit(127.0) / maxAbs)
     F.struct(
-      F.transform(v, x => F.floor(x.cast("double") * scale + 0.5).cast("int")).as("codes"),
+      F.zip_with(v, F.array_repeat(scale, F.size(v)),
+        (x, sc) => F.floor(x.cast("double") * sc + 0.5).cast("int")).as("codes"),
       scale.as("scale"))
   }
 

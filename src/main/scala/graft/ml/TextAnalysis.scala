@@ -74,7 +74,9 @@ object TextAnalysis {
                      textCol: String, keep: Seq[String] = Nil,
                      floor: Double = 0.05): org.apache.spark.sql.DataFrame = {
     val keys = (idCol +: keep).map(F.col)
-    val tok = df.select((keys :+ F.explode(tokens(F.col(textCol))).as("__tok__")): _*)
+    // explode_outer: a null/empty text must keep its row (scoring "und"),
+    // not vanish from the output — plain explode of a null array emits none
+    val tok = df.select((keys :+ F.explode_outer(tokens(F.col(textCol))).as("__tok__")): _*)
     val hits = stopwords.toSeq.map { case (lang, words) =>
       F.sum(F.when(F.col("__tok__").isin(words: _*), 1L).otherwise(0L)).as(s"__hit_$lang")
     }

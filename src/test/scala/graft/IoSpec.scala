@@ -75,8 +75,12 @@ class IoSpec extends SparkSpec {
     val r = back.collect()
     assert(r(1).isNullAt(1) && r(1).isNullAt(2))
     assert(r(0).getString(1) == "x" && r(2).getDouble(2) == 3.5)
-    assert(back.schema("ts").dataType.typeName.startsWith("timestamp"))
-    assert(r(0).getAs[java.time.LocalDateTime]("ts").getNano == 123456000)
+    // TimestampType round-trips as an INSTANT (arrow tz-bearing type), not
+    // as NTZ wall-clock — type preserved, sub-milli micros preserved
+    assert(back.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(r(0).getAs[java.sql.Timestamp]("ts").getNanos == 123456000)
+    assert(ArrowIpc.readSchema(p)("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(ArrowIpc.readSchema(p)("c").dataType == org.apache.spark.sql.types.DoubleType)
     assert(ArrowIpc.readSchema(p).fieldNames.toSeq == Seq("a", "b", "c", "ts"))
   }
 
