@@ -209,13 +209,28 @@ final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
     // are inclusive on both bounds
     val loIncl = if (closed == "left" || closed == "both") off else off + 1
     val hiIncl = if (closed == "right" || closed == "both") off + p else off + p - 1
+    // 'Ni' periods require a genuinely integral index — a silent cast would
+    // turn a timestamp into epoch seconds (plausible-looking nonsense) or a
+    // string into null (every row in the null peer group)
+    if (isIndex) require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(sdf.schema(indexColumn).dataType),
+      s"rolling: an index-count period ('Ni') requires an integer index column; " +
+        s"'$indexColumn' is ${sdf.schema(indexColumn).dataType.simpleString}")
     val epoch =
       if (isIndex) F.col(indexColumn).cast("long")
       else F.unix_micros(F.col(indexColumn).cast("timestamp"))
     if (by.nonEmpty) {
       val w = Window.partitionBy(by.map(F.col): _*).orderBy(epoch)
         .rangeBetween(loIncl, hiIncl)
-      mk(exprs.foldLeft(sdf) { case (acc, (n, e)) => acc.withColumn(n, e.col.over(w)) })
+      // fresh names first, rename at the end: every agg must see the
+      // ORIGINAL columns — a sequential withColumn would let an agg named
+      // after an existing column shadow it for the aggs that follow
+      val fresh = exprs.map { case (n, e) => (n, e, Scan.fresh("ro")) }
+      val built = fresh.foldLeft(sdf) { case (acc, (_, e, fn)) =>
+        acc.withColumn(fn, e.col.over(w)) }
+      mk(fresh.foldLeft(built) { case (acc, (n, _, fn)) =>
+        acc.withColumn(n, F.col(fn)).drop(fn) })
     } else {
       // keyless: the shared time-bucket phantom-carry kernel (null-epoch
       // rows get no phantom copy and keep their null peer-group frame —
@@ -316,8 +331,13 @@ final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
     val renamed = freshOut.foldLeft(joined) { case (acc, (n, e, fn)) =>
       // an empty window's count is 0, not null — parity with the fixed
       // path's count().over(range frame) (other aggregates stay null over
-      // an empty window in both paths)
-      val v = if (RollingGroupBy.rootIsCount(e)) F.coalesce(F.col(fn), F.lit(0L))
+      // an empty window in both paths). Null-INDEX rows stay null across
+      // all aggregates: the calendar kernel's documented out-of-contract
+      // behavior (polars requires a non-null sorted index; the fixed path
+      // instead groups null-epoch rows as peers — divergence documented)
+      val v = if (RollingGroupBy.rootIsCount(e))
+          F.when(F.col(indexColumn).isNotNull, F.coalesce(F.col(fn), F.lit(0L)))
+            .otherwise(F.col(fn))
         else F.col(fn)
       acc.withColumn(n, v).drop(fn)
     }
@@ -376,6 +396,11 @@ final class DynamicGroupBy[Self](sdf: SDF, indexColumn: String, every: String,
       }
       require(startBy == "window" || startBy == "datapoint",
         "group_by_dynamic: weekday start_by has no meaning for an integer index column")
+      require(Seq(org.apache.spark.sql.types.ByteType,
+          org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType).contains(sdf.schema(indexColumn).dataType),
+        s"group_by_dynamic: index-count windows ('Ni') require an integer index " +
+          s"column; '$indexColumn' is ${sdf.schema(indexColumn).dataType.simpleString}")
       val offI = offset.map { o =>
         val d = DurationDsl.parse(o)
         require(d.months == 0 && d.weeks == 0 && d.days == 0 && d.nanos == 0,

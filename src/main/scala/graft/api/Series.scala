@@ -474,6 +474,11 @@ final case class Series(name: String, df: SDF) {
   def nanMin: Any = scalar(Expr(F.col(name)).nanMin)
   /** Row-aligned boolean mask filter (reference series.rb filter). */
   def filter(mask: Series): Series = {
+    // polars raises ShapeError on a length mismatch; the positional join
+    // would otherwise silently truncate to the shorter side (eager series —
+    // the two counts are cheap relative to swallowing a caller bug)
+    require(mask.len == len,
+      s"Series.filter: mask length ${mask.len} != series length $len")
     val IDX = graft.kernel.RowIndex.name
     val a = graft.kernel.RowIndex.attachDense(df)
     val b = graft.kernel.RowIndex.attachDense(mask.rename("__mask__").df)
@@ -495,9 +500,15 @@ final case class Series(name: String, df: SDF) {
         case null => null
         case n: Number => n.doubleValue()
       }
-      frame(Seq("min" -> d(min), "max" -> d(max),
-        "null_count" -> nullCount.toDouble, "mean" -> d(mean), "std" -> d(std),
-        "count" -> len.toDouble), DoubleType)
+      // ONE aggregation pass (the repo's describe discipline) — separate
+      // min/max/nullCount/mean/std accessors would each run a full scan
+      val r = df.agg(F.min(F.col(name)).as("mn"), F.max(F.col(name)).as("mx"),
+        F.count(F.when(F.col(name).isNull, 1)).as("nc"),
+        F.avg(F.col(name)).as("av"), F.stddev_samp(F.col(name)).as("sd"),
+        F.count(F.lit(1)).as("n")).collect()(0)
+      frame(Seq("min" -> d(r.get(0)), "max" -> d(r.get(1)),
+        "null_count" -> r.getLong(2).toDouble, "mean" -> d(r.get(3)),
+        "std" -> d(r.get(4)), "count" -> r.getLong(5).toDouble), DoubleType)
     } else if (isBoolean)
       frame(Seq(
         "sum" -> df.select(F.sum(F.col(name).cast("long"))).collect()(0).get(0),

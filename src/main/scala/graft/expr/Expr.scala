@@ -761,6 +761,10 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
             basePreps :+ calPrep(keys))
         }))
     }
+    require(dur.indexCount == 0,
+      s"rolling_*_by: index-count windows ('Ni') are not supported at the " +
+        "expression level; use frame-level rolling(index_column:, period:) " +
+        "over the integer index column")
     val p = dur.totalMicros
     require(p > 0, s"rolling_*_by: window_size must be positive, got '$windowSize'")
     val loIncl = if (closed == "left" || closed == "both") -p else -p + 1
@@ -992,10 +996,14 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
           acc.when(F.col(prr) <= quantiles(i), i))
         ranked.withColumn(pr, mid.otherwise(quantiles.size)).drop(prr)
       } else {
-        // NaN domains stay on this path: NaN ranks greatest (never a cut
-        // value unless a quantile lands in the NaN region, in which case
-        // v <= NaN is false for all and the chain falls to later buckets —
-        // matching NaN-last rank order)
+        // NaN domains stay on this path. Spark comparison semantics treat
+        // NaN as GREATER than every value (and NaN == NaN): a finite v
+        // satisfies v <= NaN, so a NaN cut (quantile landing in the NaN
+        // region) sends every finite value to that bucket — exactly the
+        // percent-rank rule (all finite pr's sit below the NaN region);
+        // NaN values fail v <= finite-cut and fall through to the right
+        // later bucket. (Do NOT port this chain to IEEE semantics where
+        // v <= NaN is false — the buckets would invert.)
         val ranks = quantiles.map(q => math.floor(q * (n - 1)).toLong)
         val cuts = ranks.map(stats.at)
         val first = F.when(F.col(vk).isNull, F.lit(null))

@@ -144,15 +144,23 @@ object Quantiles {
       active.map { s =>
         BandSpec(colIdx(s.col),
           s.levels.map(l => (l.lo, l.width, l.bucket)).toArray,
-          s.lo, (s.hi - s.lo) / Buckets)
+          s.lo, s.hi / Buckets - s.lo / Buckets)
       }
 
     // refinement rounds: one mapPartitions histogram scan per round splits
     // EVERY oversize band Buckets ways; the only cross-node traffic is the
     // treeReduced long[#bands][Buckets]
+    // overflow-safe width: hi - lo can exceed Double.MaxValue (sentinels at
+    // +/-1e308) — computing each half scaled first keeps the split finite,
+    // and a stalled split (width 0 or non-finite) routes to the value-count
+    // resolve instead of burning rounds
+    def widthOf(lo: Double, hi: Double): Double = hi / Buckets - lo / Buckets
     var rounds = 0
     while (rounds < 64 &&
-        bands.exists(s => s.candidates > CollectCap && (s.hi - s.lo) / Buckets > 0)) {
+        bands.exists(s => s.candidates > CollectCap && {
+          val w = widthOf(s.lo, s.hi)
+          w > 0 && !w.isInfinity
+        })) {
       rounds += 1
       val active = bands.toArray
       val specs = specsOf(active)
@@ -184,7 +192,7 @@ object Quantiles {
       val next = List.newBuilder[Band]
       active.zipWithIndex.foreach { case (s, i) =>
         val counts = hist(i)
-        val w = (s.hi - s.lo) / Buckets
+        val w = widthOf(s.lo, s.hi)
         // localize each rank to its cell; ranks sharing a cell share the
         // child band. cumBefore(bkt) via one prefix walk.
         val children = scala.collection.mutable.LinkedHashMap

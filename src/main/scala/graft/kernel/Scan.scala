@@ -260,7 +260,14 @@ object Scan {
         .withColumn(tb, F.col(tb) - 1).withColumn(ph, F.lit(true)))
     val w = Window.partitionBy(F.col(tb)).orderBy(F.col(ep))
       .rangeBetween(loIncl, hiIncl)
-    outs.foldLeft(aug) { case (acc, (out, build)) => acc.withColumn(out, build(w)) }
+    // fresh names first, rename at the end: every build must see the
+    // ORIGINAL columns — sequential withColumn would let an out named after
+    // an existing column shadow it for the builds that follow
+    val freshOuts = outs.map { case (out, build) => (out, build, Scan.fresh("ro")) }
+    val built = freshOuts.foldLeft(aug) { case (acc, (_, build, fn)) =>
+      acc.withColumn(fn, build(w)) }
+    freshOuts.foldLeft(built) { case (acc, (out, _, fn)) =>
+        acc.withColumn(out, F.col(fn)).drop(fn) }
       .filter(!F.col(ph))
       .drop(ph, tb, ep)
   }

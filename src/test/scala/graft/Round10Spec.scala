@@ -129,6 +129,48 @@ class Round10Spec extends SparkSpec {
     assert(desc("unique") == 3L, desc)
   }
 
+  test("fixed-path rolling aggs see ORIGINAL columns even when an agg shadows one") {
+    // keyed and keyless fixed paths: an agg output named after an existing
+    // column must not shadow it for the aggs that follow
+    val df = DataFrame(Seq(
+      ("a", ts("2024-01-01 00:00:00"), 2.0),
+      ("a", ts("2024-01-01 00:10:00"), 4.0),
+      ("a", ts("2024-01-01 00:20:00"), 8.0)).toDF("k", "t", "v"))
+    def check(byKeys: Seq[String]): Unit = {
+      val out = df.rolling("t", "15m", by = byKeys)
+        .agg("v" -> col("v").sum, "m" -> col("v").mean)
+        .toSpark.orderBy("t").select("v", "m").collect()
+        .map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+      // windows (t-15m, t]: sums 2, 6, 12; means of the ORIGINAL v: 2, 3, 6
+      assert(out == Seq((2.0, 2.0), (6.0, 3.0), (12.0, 6.0)), s"$byKeys: $out")
+    }
+    check(Seq("k")) // keyed range frame
+    check(Nil)      // keyless phantom-carry kernel
+  }
+
+  test("index-count windows require integer index columns and reject expr-level use") {
+    val tdf = DataFrame(Seq((ts("2024-01-01 00:00:00"), 1.0)).toDF("t", "v"))
+    val e1 = intercept[IllegalArgumentException] {
+      tdf.rolling("t", "100i").agg("s" -> col("v").sum).toSpark.collect()
+    }
+    assert(e1.getMessage.contains("integer index column"))
+    val e2 = intercept[IllegalArgumentException] {
+      tdf.groupByDynamic("t", every = "10i").agg(col("v").sum.alias("s")).toSpark.collect()
+    }
+    assert(e2.getMessage.contains("integer index column"))
+    val e3 = intercept[IllegalArgumentException] {
+      col("v").rollingSumBy(col("t"), "2i")
+    }
+    assert(e3.getMessage.contains("expression level"))
+  }
+
+  test("Series.filter rejects a length-mismatched mask") {
+    val s = Series("x", Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+    val m = Series("m", Seq(true, false, true))
+    val e = intercept[IllegalArgumentException] { s.filter(m) }
+    assert(e.getMessage.contains("mask length"))
+  }
+
   test("index/temporal offset unit mismatches raise directed errors") {
     val df = DataFrame(Seq((1L, 1.0), (2L, 2.0)).toDF("i", "v"))
     val e1 = intercept[IllegalArgumentException] {
