@@ -159,10 +159,18 @@ object Polars {
     spearmanCorr(df, a, b, as)
 
   // ---- ranges (reference: functions/range/*.rb) ----
+  // empty ranges (start == end) are valid and empty in polars — sequence()
+  // rejects inverted bounds, so guard before building
   def intRange(start: Int, end: Int, step: Int = 1): Expr =
-    Expr(F.sequence(F.lit(start), F.lit(end - math.signum(step)), F.lit(step)))
+    if (step > 0 && start >= end || step < 0 && start <= end)
+      Expr(F.array().cast("array<int>"))
+    else Expr(F.sequence(F.lit(start), F.lit(end - math.signum(step)), F.lit(step)))
   def intRanges(start: Expr, end: Expr): Expr =
-    mkExpr(F.sequence(start.col, end.col - 1, F.lit(1)), Seq(start, end))
+    // always-valid sequence then a length slice — keeps the element type
+    // native (a when/otherwise empty-array branch would force a coercion)
+    mkExpr(F.slice(
+      F.sequence(start.col, F.greatest(end.col - 1, start.col), F.lit(1)),
+      F.lit(1), F.greatest(end.col - start.col, F.lit(0))), Seq(start, end))
   def dateRange(start: Expr, end: Expr, interval: String = "1d"): Expr = {
     val d = graft.kernel.DurationDsl.parse(interval)
     mkExpr(F.sequence(start.col, end.col, d.intervalCol), Seq(start, end))
@@ -428,7 +436,13 @@ object Polars {
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val fs = frames.map(f => Future { val d = f.collect(); d.toSpark.count(); d })
+    // persist + count: collect_all is EAGER in polars — a bare count would
+    // force the computation once and then recompute on first use
+    val fs = frames.map(f => Future {
+      val d = f.collect()
+      d.toSpark.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d.toSpark.count(); d
+    })
     Await.result(Future.sequence(fs), Duration.Inf)
   }
 
@@ -449,10 +463,15 @@ object Polars {
       case "vertical_relaxed" | "diagonal" | "diagonal_relaxed" =>
         frames.reduce((a, b) => DataFrame(a.toSpark.unionByName(b.toSpark, allowMissingColumns = true)))
       case "horizontal" =>
-        // positional zip by row index (reference data_frame.rb:2524 hstack)
+        // positional zip by row index; FULL join so unequal heights
+        // null-pad the shorter frames (reference eager.rb: "fills with
+        // nulls if the lengths don't match")
         frames.map(f => graft.kernel.RowIndex.attachDense(f.toSpark)).reduce { (a, b) =>
-          a.join(b, graft.kernel.RowIndex.name)
+          a.join(b, Seq(graft.kernel.RowIndex.name), "full")
         } match { case j => DataFrame(graft.kernel.RowIndex.drop(j)) }
+      case other => throw new IllegalArgumentException(
+        "concat: how must be one of vertical|vertical_relaxed|diagonal|" +
+          s"diagonal_relaxed|horizontal, got '$other'")
     }
   }
 }

@@ -3,6 +3,7 @@ package graft.expr
 import org.apache.spark.sql.{Column, functions => F}
 import org.apache.spark.sql.types.DataType
 import graft.kernel.{DurationDsl, Strftime}
+import scala.jdk.CollectionConverters._
 
 /** String namespace — reference: lib/polars/string_expr.rb (native
   * ext/polars/src/expr/string.rs:1-367). All ops stay inside
@@ -50,7 +51,10 @@ final class StrNS(e: Expr) {
   def endsWith(s: String): Expr = m(_.endsWith(s))
   def extract(pat: String, group: Int = 1): Expr =
     m(c => F.when(F.regexp_extract(c, pat, group) === "", F.lit(null)).otherwise(F.regexp_extract(c, pat, group)))
-  def extractAll(pat: String): Expr = m(c => F.regexp_extract_all(c, F.lit(pat), F.lit(1)))
+  // polars extract_all returns the FULL match per occurrence (group 0);
+  // group 1 would crash on group-less patterns and return a fragment on
+  // grouped ones
+  def extractAll(pat: String): Expr = m(c => F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
   /** All capture groups of the first match as a struct (reference
     * string_expr.rb:1032 extract_groups). */
   def extractGroups(pat: String, names: Seq[String]): Expr = m { c =>
@@ -61,10 +65,23 @@ final class StrNS(e: Expr) {
   }
   def countMatches(pat: String): Expr = m(c => F.regexp_count(c, F.lit(pat)))
   def countMatch(pat: String): Expr = countMatches(pat) // deprecated reference alias
-  def replace(pat: String, repl: String): Expr = // first occurrence only (polars default n=1)
-    // \A anchors the single possible match at the string start; lazy (?s).*? then
-    // spans up to the EARLIEST pat occurrence (DOTALL so newlines don't break the scan).
-    m(c => F.regexp_replace(c, "(?s)\\A(.*?)(?:" + pat + ")", "$1" + repl.replace("\\", "\\\\").replace("$", "\\$")))
+  def replace(pat: String, repl: String): Expr = { // first occurrence only (polars default n=1)
+    // \A anchors the single possible match at the string start; lazy (?s).*?
+    // spans up to the EARLIEST pat occurrence (DOTALL so newlines don't break
+    // the scan). The injected prefix group shifts every user group number by
+    // one, so numbered backreferences in the pattern and $N references in the
+    // replacement (polars supports both) are re-pointed at N+1.
+    val shiftedPat = "\\\\(\\d)".r.replaceAllIn(pat, mm =>
+      java.util.regex.Matcher.quoteReplacement("\\" + (mm.group(1).toInt + 1)))
+    // replacement: backslashes are literal, a lone $ is literal, $N is a
+    // capture reference (regex-crate semantics) re-pointed at N+1
+    val lit = repl.replace("\\", "\\\\")
+    val dollarSafe = "\\$(?!\\d)".r.replaceAllIn(lit, _ =>
+      java.util.regex.Matcher.quoteReplacement("\\$"))
+    val shiftedRepl = "\\$(\\d)".r.replaceAllIn(dollarSafe, mm =>
+      java.util.regex.Matcher.quoteReplacement("$" + (mm.group(1).toInt + 1)))
+    m(c => F.regexp_replace(c, "(?s)\\A(.*?)(?:" + shiftedPat + ")", "$1" + shiftedRepl))
+  }
   /** Replace first n occurrences via the native [[graft.ext.StrReplaceN]]
     * expression (requires `GraftExtensions.register(spark)` or the
     * `spark.sql.extensions` config). */
@@ -97,7 +114,15 @@ final class StrNS(e: Expr) {
     val parts = F.split(c, java.util.regex.Pattern.quote(by), n)
     F.struct((0 until n).map(i => F.element_at(parts, i + 1).as(s"field_$i")): _*)
   }
-  def join(sep: String = ""): Expr = m(c => F.array_join(F.collect_list(c), sep))
+  /** Concatenate the column's values in ROW order (reference str.join is
+    * order-preserving; bare collect_list order is shuffle-dependent): the
+    * hidden row index totalizes the sort. */
+  def join(sep: String = ""): Expr = Expr(
+    F.array_join(F.transform(
+      F.array_sort(F.collect_list(F.struct(
+        F.col(graft.kernel.RowIndex.name).as("i"), e.col.as("x")))),
+      s => s.getField("x")), sep),
+    requiresIndex = true, e.preps)
   def concat(sep: String = ""): Expr = join(sep)
   // deprecated reference aliases (string_name_space.rb lstrip/rstrip/
   // ljust/rjust/n_chars/parse_int): ljust pads on the RIGHT (left-justify)
@@ -184,9 +209,17 @@ final class DtNS(e: Expr) {
       truncCalendar(c, d.months)
     } else {
       val us = d.totalMicros
-      F.timestamp_micros((F.floor(F.unix_micros(c) / us.toDouble) * us).cast("long"))
+      val a = weekAnchor(d)
+      F.timestamp_micros(
+        (F.floor((F.unix_micros(c) - a) / us.toDouble) * us).cast("long") + a)
     }
   }
+  /** Pure-week durations anchor buckets on MONDAY (polars truncate("1w")
+    * starts weeks on Monday; the raw epoch is a Thursday) — the Monday
+    * before the epoch is 1969-12-29 = epoch - 3 days. Other fixed durations
+    * keep the epoch anchor. */
+  private def weekAnchor(d: graft.kernel.Duration): Long =
+    if (d.weeks > 0 && d.days == 0 && d.nanos == 0) -259200000000L else 0L
   /** Round to the nearest duration-DSL bucket boundary (reference
     * date_time_expr.rb:107-216 — accepts calendar units mo/q/y). Polars
     * semantics: the first half of each bucket maps to its start, the second
@@ -205,7 +238,12 @@ final class DtNS(e: Expr) {
       F.when(F.unix_micros(c.cast("timestamp")) >= mid, upper).otherwise(lower)
     } else {
       val us = d.totalMicros
-      F.timestamp_micros((F.round(F.unix_micros(c) / us.toDouble) * us).cast("long"))
+      val a = weekAnchor(d)
+      // floor((t + w/2) / w): the midpoint maps to the bucket END for
+      // negative epochs too (F.round is HALF_UP away from zero, which sent
+      // pre-1970 midpoints to the bucket start)
+      F.timestamp_micros(
+        (F.floor((F.unix_micros(c) - a + us / 2) / us.toDouble) * us).cast("long") + a)
     }
   }
   /** Calendar truncate to an n-month stride (shared by truncate/round). */
@@ -249,7 +287,17 @@ final class DtNS(e: Expr) {
     ((d.weeks * 7 + d.days) * 86400L * 1000000L) + d.nanos / 1000
   def monthStart: Expr = m(c => F.date_trunc("month", c))
   def monthEnd: Expr = m(c => F.to_timestamp(F.last_day(c)))
-  def combine(time: Column): Expr = m(c => F.to_timestamp(F.concat_ws(" ", F.date_format(c, "yyyy-MM-dd"), time)))
+  /** combine(date, time): accepts BOTH time carriers — the repo's Time
+    * physical type (long nanos-since-midnight, what dt.time/str.toTime
+    * produce; SURVEY §1.2) and a pre-formatted "HH:mm:ss" string. A string
+    * casts to null under cast(long), which routes it to the concat path. */
+  def combine(time: Column): Expr = m { c =>
+    val nanos = time.try_cast("long") // ANSI-safe: a "HH:mm:ss" string yields null, not an error
+    val dayStart = F.unix_micros(F.to_timestamp(F.date_format(c, "yyyy-MM-dd")))
+    F.when(nanos.isNotNull,
+        F.timestamp_micros(dayStart + (nanos / 1000L).cast("long")))
+      .otherwise(F.to_timestamp(F.concat_ws(" ", F.date_format(c, "yyyy-MM-dd"), time)))
+  }
   def convertTimeZone(tz: String): Expr = m(c => F.from_utc_timestamp(c, tz))
   def replaceTimeZone(tz: String): Expr = m(c => F.to_utc_timestamp(c, tz))
   def tzLocalize(tz: String): Expr = replaceTimeZone(tz) // deprecated alias
@@ -369,8 +417,13 @@ final class ListNS(e: Expr) {
   /** list.eval with Polars.element — Spark `transform` HOF (reference list_expr.rb:787). */
   def eval(f: Expr => Expr): Expr = m(c => F.transform(c, x => f(Expr(x)).col))
   def evalFilter(f: Expr => Expr): Expr = m(c => F.filter(c, x => f(Expr(x)).col))
+  /** Exact floor(fraction * len) elements without replacement (polars
+    * list.sample semantics — a per-element Bernoulli filter would return a
+    * binomially distributed count). F.shuffle has no seed parameter, so the
+    * permutation is engine-random; the COUNT is exact. */
   def sample(fraction: Double, seed: Long = 42): Expr =
-    m(c => F.filter(c, x => F.rand(seed) < fraction))
+    m(c => F.slice(F.shuffle(c), F.lit(1),
+      F.floor(F.size(c) * fraction).cast("int")))
   def explode: Expr = m(F.explode)
 }
 
@@ -431,7 +484,10 @@ final class StructNS(e: Expr) {
   /** Field names of the struct (reference struct_name_space.rb fields) —
     * schema metadata surfaced as an array expression; constant-folded when
     * the struct's type is known at plan time. */
-  def fields: Expr = m(c => F.json_object_keys(F.to_json(c)))
+  // ignoreNullFields=false: to_json otherwise OMITS null-valued fields,
+  // making the field list vary per row's null pattern
+  def fields: Expr = m(c =>
+    F.json_object_keys(F.to_json(c, Map("ignoreNullFields" -> "false").asJava)))
 }
 
 /** Name namespace — reference: lib/polars/name_expr.rb:51-194. Spark Columns
