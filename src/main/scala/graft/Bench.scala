@@ -60,15 +60,20 @@ object Bench {
     var canaryMid = -1.0
     val sortedQueries = selected.toSeq.sortBy(_._1)
     val half = sortedQueries.size / 2
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = sortedQueries.zipWithIndex.map { case ((name, fn), qi) =>
       if (qi == half) canaryMid = canary()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      var ok = true
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => ok = false }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.size / 2)
+      // a throwing query must NOT pass off its time-to-exception as a
+      // benchmark number — report -1 so breakage is machine-visible
+      if (!ok) { failed += name; System.err.println(s"bench: query $name FAILED") }
+      name -> (if (ok) times(times.size / 2) else -1.0)
     }.toMap
     val canaryLast = canary()
     // drift from the two fully-warm samples: mid-sweep vs end-of-sweep
@@ -79,7 +84,7 @@ object Bench {
     if (!stableWindow)
       System.err.println(f"bench: canary drifted ${canaryDrift}%.2fx across the sweep " +
         "(ambient load) — this total is NOT a final comparison sample; re-run in a quiet window")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     // Locale.ROOT: the f-interpolator uses the default locale, which under a
     // comma-decimal locale would emit "1,234" and break the JSON
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -104,8 +109,15 @@ object Bench {
         s""""canary_drift":${fmt(canaryDrift)},"stable_window":$stableWindow"""
     val detail = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
+    // escape interpolated PATHS for JSON (the same validity care fmt takes
+    // for numbers — a backslash or quote in a path must not break the parse)
+    def js(v: String): String =
+      v.replace("\\", "\\\\").replace("\"", "\\\"")
+    val failedField =
+      if (failed.isEmpty) ""
+      else failed.sorted.map(n => s"\"${js(n)}\"").mkString(""","failed":[""", ",", "]")
     val detailJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":$runs$duckField$canaryFields,"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":$runs$failedField$duckField$canaryFields,"queries":$detail,"sf":"${js(sfDir)}"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     val detailWritten =
       try {
@@ -115,7 +127,7 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"bench: failed to write $detailPath: $e"); false
       }
-    val detailField = if (detailWritten) s""""$detailPath"""" else "null"
+    val detailField = if (detailWritten) s""""${js(detailPath)}"""" else "null"
     val budget = 1500 // chars for the queries map; keeps the full line < ~1700
     val slowestFirst = results.toSeq.sortBy(-_._2)
     val sb = new StringBuilder
@@ -131,7 +143,7 @@ object Bench {
       }
       fits
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_reported":$taken,"detail":$detailField$duckField$canaryFields,"queries":{$sb},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_reported":$taken,"detail":$detailField$failedField$duckField$canaryFields,"queries":{$sb},"sf":"${js(sfDir)}"}""")
     spark.stop()
   }
 }

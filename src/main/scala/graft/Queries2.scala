@@ -457,8 +457,8 @@ object Queries2 {
         |FROM events ORDER BY event_id""".stripMargin,
     "q_str_extract" ->
       """SELECT p_partkey,
-        |coalesce(regexp_extract(p_name, '([a-z]+)', 1), '') AS first_word,
-        |coalesce(regexp_extract(p_brand, '([0-9]+)', 1), '') AS brand_num,
+        |nullif(regexp_extract(p_name, '([a-z]+)', 1), '') AS first_word,
+        |nullif(regexp_extract(p_brand, '([0-9]+)', 1), '') AS brand_num,
         |CAST(length(p_name) - length(replace(p_name, 'a', '')) AS INT) AS n_a
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q_concat_str" ->

@@ -171,10 +171,12 @@ object Queries7 {
     implicit val sp: SparkSession = s
     val schema = t(s, dir, "events").schema
     val tmp = java.nio.file.Files.createTempDirectory("graft-q-ssess").toFile
-    tmp.deleteOnExit()
     val inDir = java.nio.file.Files.createDirectory(tmp.toPath.resolve("in"))
-    java.nio.file.Files.createSymbolicLink(
+    val link = java.nio.file.Files.createSymbolicLink(
       inDir.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+    // deleteOnExit removes only EMPTY dirs — register leaf-to-root or the
+    // tree leaks on every run
+    tmp.deleteOnExit(); inDir.toFile.deleteOnExit(); link.toFile.deleteOnExit()
     val stream = graft.streaming.Streaming.scanParquetStream(inDir.toString, schema)
       .transform(TestTables.normalizeEventsTs)
     val sessions = graft.streaming.Streaming.sessionWindowAgg(
@@ -212,10 +214,12 @@ object Queries7 {
     implicit val sp: SparkSession = s
     val schema = t(s, dir, "events").schema
     val tmp = java.nio.file.Files.createTempDirectory("graft-q-sjoin").toFile
-    tmp.deleteOnExit()
     val inDir = java.nio.file.Files.createDirectory(tmp.toPath.resolve("in"))
-    java.nio.file.Files.createSymbolicLink(
+    val link = java.nio.file.Files.createSymbolicLink(
       inDir.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+    // deleteOnExit removes only EMPTY dirs — register leaf-to-root or the
+    // tree leaks on every run
+    tmp.deleteOnExit(); inDir.toFile.deleteOnExit(); link.toFile.deleteOnExit()
     def stream() = graft.streaming.Streaming.scanParquetStream(inDir.toString, schema)
       .transform(TestTables.normalizeEventsTs)
     val clicks = stream().filter(F.col("event_type") === "click")
@@ -262,7 +266,7 @@ object Queries7 {
     * the join. The correctness path (Verify) still writes and drops fresh
     * tables every call. */
   private def qBucketedJoin(s: SparkSession, dir: String): SDF = {
-    val db = s"graft_bjoin_${math.abs(dir.hashCode).toString}"
+    val db = s"graft_bjoin_${java.lang.Integer.toHexString(dir.hashCode)}"
     val reuse = QueryStage.reuseUnchanged
     try {
       if (reuse) {
@@ -274,6 +278,17 @@ object Queries7 {
         // and later calls in the same JVM short-circuit on the catalog.
         val sf = new java.io.File(dir).getName
         val loc = s"/tmp/graft_bucketed/${sf}_${QueryStage.inputFingerprint(dir).take(12)}"
+        // age-based GC: stale data states accumulate one dir per regenerated
+        // testdata; a week-old sibling cannot belong to a live concurrent
+        // run, so reclaim it (never touch same-age siblings — the layout's
+        // concurrency guarantee is that different states don't delete each
+        // other's files)
+        val weekMs = 7L * 24 * 3600 * 1000
+        Option(new java.io.File("/tmp/graft_bucketed").listFiles()).foreach(_.foreach { f =>
+          if (f.getName.startsWith(s"${sf}_") && f.getAbsolutePath != loc &&
+              f.lastModified < System.currentTimeMillis() - weekMs)
+            deleteRecursively(f)
+        })
         // reuse is only valid when the registered tables point at the
         // CURRENT fingerprint's location — regenerated sf data mid-JVM gets
         // a different fingerprint, so a catalog hit alone is not enough

@@ -61,12 +61,25 @@ object QueryStage {
     // underscore prefix: parquet readers ignore it, like _SUCCESS
     val fpPath = java.nio.file.Paths.get(path, "_graft_fingerprint")
     val fp = fingerprint(sfDir)
-    val fresh = reuseUnchanged && java.nio.file.Files.isRegularFile(fpPath) &&
-      new String(java.nio.file.Files.readAllBytes(fpPath), "UTF-8") == fp
-    if (!fresh) {
-      df.write.mode("overwrite").parquet(path)
-      java.nio.file.Files.write(fpPath, fp.getBytes("UTF-8"))
-    }
+    // cross-PROCESS exclusion for the check+overwrite: two same-SF JVMs
+    // (a local bench beside the driver's verify) would otherwise both see
+    // a stale fingerprint and interleave their overwrite of one directory
+    // — mode("overwrite") deletes first, so the loser reads a partial file
+    // set. The lock covers writers only; a concurrent DuckDB *read* during
+    // a legitimate re-stage remains the caller's scheduling concern.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"/tmp/graft_stage/$sf"))
+    val lockCh = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(s"/tmp/graft_stage/$sf/.${name}.lock"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    val lock = lockCh.lock()
+    try {
+      val fresh = reuseUnchanged && java.nio.file.Files.isRegularFile(fpPath) &&
+        new String(java.nio.file.Files.readAllBytes(fpPath), "UTF-8") == fp
+      if (!fresh) {
+        df.write.mode("overwrite").parquet(path)
+        java.nio.file.Files.write(fpPath, fp.getBytes("UTF-8"))
+      }
+    } finally { lock.release(); lockCh.close() }
     df.sparkSession.read.parquet(path)
   }
 
