@@ -395,6 +395,16 @@ object Polars {
     }
   def readParquetSchema(path: String)(implicit spark: SparkSession): org.apache.spark.sql.types.StructType =
     spark.read.parquet(path).schema
+  /** Arrow IPC facade (reference Polars.read_ipc / scan_ipc family —
+    * io/ipc.rb); implementation in [[io.ArrowIpc]]. */
+  def readIpc(path: String)(implicit spark: SparkSession): DataFrame =
+    DataFrame(io.ArrowIpc.read(path))
+  def scanIpc(path: String)(implicit spark: SparkSession): LazyFrame =
+    LazyFrame(io.ArrowIpc.read(path))
+  def readIpcStream(path: String)(implicit spark: SparkSession): DataFrame =
+    DataFrame(io.ArrowIpc.readStream(path))
+  def readIpcSchema(path: String)(implicit spark: SparkSession): org.apache.spark.sql.types.StructType =
+    io.ArrowIpc.readSchema(path)
   def readDatabase(url: String, table: String, props: java.util.Properties = new java.util.Properties)
                   (implicit spark: SparkSession): DataFrame =
     DataFrame(spark.read.jdbc(url, table, props))

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, DataFrame => SDF, functions => F}
+
+/** Wave-10 driver queries (round 9): oracle-checked IO ROUND TRIPS. The
+  * CSV/NDJSON writers and readers were spec-only; here a table is written
+  * through graft's own writer and re-read through graft's own reader, while
+  * the DuckDB oracle parses the SAME staged files with its independent
+  * CSV/JSON parser — both directions of the text-format surface are now
+  * value-checked end to end (header handling, date parsing, numeric
+  * inference, string escaping), not just round-tripped within one engine.
+  * Staging follows the fingerprinted [[QueryStage]] discipline: the oracle
+  * SQL hardcodes the sf0.01 stage path the driver's Verify writes. */
+object Queries10 {
+
+  private def t(s: SparkSession, dir: String, name: String): SDF =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** CSV round trip on `orders`: graft writeCsv → graft read_csv
+    * (try_parse_dates exercises date inference; totals exercise double
+    * inference) → aggregate. The oracle re-parses the staged part files
+    * with DuckDB's own CSV reader. */
+  private def qCsvRoundtrip(s: SparkSession, dir: String): SDF = {
+    implicit val sp: SparkSession = s
+    val path = QueryStage.stagePath(
+      t(s, dir, "orders").select("o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"),
+      dir, "orders_csv", "csv")
+    Polars.readCsv(path, tryParseDates = true).toSpark
+      .groupBy("o_orderpriority")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.min("o_orderdate").as("first_d"),
+        F.round(F.sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** NDJSON round trip on `documents` (multi-line text with quotes and
+    * newlines must survive JSON escaping): graft writeNdjson → graft
+    * read_ndjson → aggregate; oracle re-parses with DuckDB read_json. */
+  private def qNdjsonRoundtrip(s: SparkSession, dir: String): SDF = {
+    implicit val sp: SparkSession = s
+    val path = QueryStage.stagePath(
+      t(s, dir, "documents").select("doc_id", "lang", "text"),
+      dir, "documents_json", "json")
+    Polars.readNdjson(path).toSpark
+      .groupBy("lang")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.octet_length(F.col("text"))).as("bytes"),
+        F.min("doc_id").as("first_id"))
+      .orderBy("lang")
+  }
+
+  /** Overlapping token-window chunking ([[graft.ml.TextAnalysis.chunkDocuments]])
+    * — 32-token chunks, 8-token overlap (multi-chunk at the corpus's ~54-token
+    * median). The oracle rebuilds every chunk with DuckDB list slicing, so
+    * boundary arithmetic AND chunk text are value-checked exactly. */
+  private def qChunkDocs(s: SparkSession, dir: String): SDF =
+    graft.ml.TextAnalysis.chunkDocuments(
+      t(s, dir, "documents").select("doc_id", "text"),
+      "text", "doc_id", chunkTokens = 32, overlapTokens = 8)
+      .orderBy("doc_id", "chunk_idx")
+
+  def queries: Map[String, (SparkSession, String) => SDF] = Map(
+    "q_csv_roundtrip" -> (qCsvRoundtrip _),
+    "q_ndjson_roundtrip" -> (qNdjsonRoundtrip _),
+    "q_chunk_docs" -> (qChunkDocs _))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_csv_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n, min(o_orderdate) AS first_d,
+        |round(sum(o_totalprice), 2) AS total
+        |FROM read_csv('/tmp/graft_stage/sf0.01/orders_csv/*.csv', header=true)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ndjson_roundtrip" ->
+      """SELECT lang, count(*) AS n, sum(strlen(text))::BIGINT AS bytes,
+        |min(doc_id) AS first_id
+        |FROM read_json('/tmp/graft_stage/sf0.01/documents_json/*.json',
+        |  format='newline_delimited')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_chunk_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |sized AS (SELECT doc_id, tk, len(tk) AS n FROM toks),
+        |idx AS (
+        |  SELECT doc_id, tk, n,
+        |    unnest(range(CASE WHEN n <= 32 THEN 1
+        |      ELSE 1 + CAST(ceil((n - 32) / 24.0) AS BIGINT) END)) AS chunk_idx
+        |  FROM sized)
+        |SELECT doc_id, chunk_idx, chunk_idx * 24 AS start_token,
+        |  least(32, n - chunk_idx * 24)::BIGINT AS n_tokens,
+        |  array_to_string(tk[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ') AS chunk_text
+        |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin)
+}

@@ -97,9 +97,11 @@ object Queries6 {
         .select(F.col("vec_id"), F.col("cell_id"),
           F.col("embedding").cast("array<double>").as("embedding")),
       dir, "ivf_cells")
-    val query = staged.filter(F.col("vec_id") === 1)
-      .select("embedding").collect()(0).getSeq[Double](0)
-    val centroids = Similarity.sampleCentroids(emb, "embedding", 8)
+    val query = QueryStage.memo(dir, "ivf_query")(
+      staged.filter(F.col("vec_id") === 1)
+        .select("embedding").collect()(0).getSeq[Double](0))
+    val centroids = QueryStage.memo(dir, "ivf_centroids")(
+      Similarity.sampleCentroids(emb, "embedding", 8))
     val probeCells = centroids.zipWithIndex.map { case (c, i) =>
       (math.sqrt(c.zip(query).map { case (a, b) => val t = a.toDouble - b; t * t }.sum), i)
     }.sortBy(_._1).take(3).map(_._2).toSeq
@@ -138,11 +140,13 @@ object Queries6 {
   private def qPqTopK(s: SparkSession, dir: String): SDF = {
     import s.implicits._
     val emb = t(s, dir, "embeddings")
-    val codebooks = Similarity.pqTrain(emb, "embedding", m = 8, k = 16)
+    val codebooks = QueryStage.memo(dir, "pq_codebooks")(
+      Similarity.pqTrain(emb, "embedding", m = 8, k = 16))
     val codes = QueryStage.stage(
       Similarity.pqEncode(emb, "embedding", "vec_id", codebooks), dir, "pq_codes")
-    val query = emb.filter(F.col("vec_id") === 1)
-      .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toSeq
+    val query = QueryStage.memo(dir, "pq_query")(
+      emb.filter(F.col("vec_id") === 1)
+        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toSeq)
     val lut = Similarity.pqLut(query, codebooks)
     val lutRows = for (j <- lut.indices; c <- lut(j).indices) yield (j + 1, c, lut(j)(c))
     val lutDf = QueryStage.stage(lutRows.toDF("j", "code", "sq"), dir, "pq_lut")

@@ -56,6 +56,18 @@ object QueryStage {
   }
 
   def stage(df: SDF, sfDir: String, name: String): SDF = {
+    val path = stagePath(df, sfDir, name, "parquet")
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** Stage in a named format (parquet/csv/json) and return the PATH, not a
+    * read-back frame. The IO round-trip queries use this to write a table
+    * through graft's own writers and re-read it through graft's own readers,
+    * while the DuckDB oracle parses the SAME staged files with its own
+    * independent CSV/JSON parser — an end-to-end check of both directions
+    * that a parquet-only oracle can't give. Same fingerprint + cross-process
+    * lock discipline as [[stage]]. */
+  def stagePath(df: SDF, sfDir: String, name: String, format: String): String = {
     val sf = new java.io.File(sfDir).getName
     val path = s"/tmp/graft_stage/$sf/$name"
     // underscore prefix: parquet readers ignore it, like _SUCCESS
@@ -76,16 +88,38 @@ object QueryStage {
       val fresh = reuseUnchanged && java.nio.file.Files.isRegularFile(fpPath) &&
         new String(java.nio.file.Files.readAllBytes(fpPath), "UTF-8") == fp
       if (!fresh) {
-        df.write.mode("overwrite").parquet(path)
+        val w = df.write.mode("overwrite")
+        format match {
+          case "parquet" => w.parquet(path)
+          case "csv"     => w.option("header", "true").csv(path)
+          case "json"    => w.json(path)
+          case other     => throw new IllegalArgumentException(s"stagePath: unsupported format $other")
+        }
         java.nio.file.Files.write(fpPath, fp.getBytes("UTF-8"))
       }
     } finally { lock.release(); lockCh.close() }
-    df.sparkSession.read.parquet(path)
+    path
   }
 
   /** The input fingerprint for `sfDir` (data + compiled-code signature) —
     * shared with other write-once bench artifacts (bucketed tables). */
   private[graft] def inputFingerprint(sfDir: String): String = fingerprint(sfDir)
+
+  private val memoCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Any]()
+
+  /** Memoize a deterministic DRIVER-SIDE value (trained codebooks, sampled
+    * centroids, a collected query vector) under the same reuse discipline as
+    * staged frames: active only with [[reuseUnchanged]] (bench), keyed by
+    * the input+code fingerprint so any data regeneration or recompile
+    * recomputes. Model fitting is one-time state in a real pipeline — the
+    * bench should time the SEARCH path per run, not re-fit per run. Verify
+    * never reuses (exactness first on the correctness path). */
+  def memo[T](sfDir: String, name: String)(compute: => T): T = {
+    if (!reuseUnchanged) return compute
+    val key = (sfDir, name, fingerprint(sfDir))
+    memoCache.computeIfAbsent(key, _ => compute).asInstanceOf[T]
+  }
 
   private def fileSig(f: java.io.File): String =
     if (f.isDirectory)

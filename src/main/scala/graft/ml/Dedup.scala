@@ -295,19 +295,25 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
                           maxIter: Int = 50): DataFrame = {
-    val sym0 = edges.select(F.col(src).cast("long").as("a"), F.col(dst).cast("long").as("b"))
+    val raw0 = edges.select(F.col(src).cast("long").as("a"), F.col(dst).cast("long").as("b"))
       .where(F.col("a") =!= F.col("b") && F.col("a").isNotNull && F.col("b").isNotNull)
-    val sym = sym0.union(sym0.select(F.col("b").as("a"), F.col("a").as("b")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Bounded-graph fast path: up to `LocalEdgeCap` distinct edges collect to
-    // a driver union-find (path-halving) — one job + O(E α(E)) local work
-    // instead of ~4 stages per propagation round. The cap bounds driver
-    // memory explicitly (64 MB of (long, long) pairs at the default); real
-    // 100 TB near-dup graphs exceed it and take the distributed rounds
+    // The edge lineage (often an expensive LSH-verify join) feeds two
+    // actions below (count, then collect or symmetrize): cache it through
+    // PrepCache so the lineage executes once — and an identical edge plan
+    // re-entering (repeated pipeline invocations in one session) reuses the
+    // materialization instead of replaying the joins.
+    val raw = graft.kernel.PrepCache.persistBounded(raw0)
+    // Bounded-graph fast path: up to `LocalEdgeCap` RAW edges collect to a
+    // driver union-find (path-halving) — two cache-backed jobs + O(E α(E))
+    // local work instead of a symmetrize-distinct shuffle plus ~4 stages per
+    // propagation round. Union-find needs neither symmetrization nor dedup
+    // (union is direction-free and idempotent), so the raw list is enough;
+    // raw count >= distinct symmetrized count / 2, so the cap still bounds
+    // driver memory explicitly (64 MB of (long, long) pairs at the default).
+    // Real 100 TB near-dup graphs exceed it and take the distributed rounds
     // below — the same broadcast-when-small / shuffle-when-big discipline as
     // a join. Labels stay min-id per component, identical to the rounds.
-    val edgeCount = sym.count()
+    val edgeCount = raw.count()
     if (edgeCount <= LocalEdgeCap) {
       val parent = new java.util.HashMap[Long, Long]()
       def find(x0: Long): Long = {
@@ -319,14 +325,17 @@ object Dedup {
         }
         x
       }
-      // one pass: union edges and collect the node universe (sym is
-      // symmetrized, so every node appears on the `a` side)
+      // one pass: union edges and collect the node universe from BOTH
+      // endpoint columns (raw edges are unsymmetrized). collect(), not
+      // toLocalIterator(): the iterator schedules ONE JOB PER PARTITION
+      // (~32 jobs of pure scheduling overhead on a bounded graph), while the
+      // edge cap already bounds the collected array to <=64 MB
       val nodeSet = new java.util.HashSet[Long]()
-      val it = sym.toLocalIterator()
+      val it = raw.collect().iterator
       while (it.hasNext) {
         val r = it.next()
         val (a, b) = (r.getLong(0), r.getLong(1))
-        nodeSet.add(a)
+        nodeSet.add(a); nodeSet.add(b)
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
       }
@@ -338,10 +347,14 @@ object Dedup {
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("node", org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("comp", org.apache.spark.sql.types.LongType, nullable = false)))
-      val out = spark.createDataFrame(rows, schema)
-      sym.unpersist()
-      return out
+      return spark.createDataFrame(rows, schema)
     }
+    // Distributed path: symmetrize + dedup so min-propagation sees every
+    // neighbor from both sides; persisted because every round re-reads it.
+    val sym0 = raw
+    val sym = sym0.union(sym0.select(F.col("b").as("a"), F.col("a").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seed with round-1 propagation (min over self+neighbors) straight off
     // the edge list — one groupBy instead of a join against identity labels
     var labels = sym.groupBy("a")

@@ -252,4 +252,43 @@ object TextAnalysis {
     // the SQL aggregate adds strings as their UTF-8 bytes
     cms.estimateCount(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
+
+  /** Overlapping token-window document chunking — the RAG / context-window
+    * preprocessing shape: chunk c covers whitespace tokens
+    * [c·stride, c·stride + chunkTokens) with stride = chunkTokens −
+    * overlapTokens, so consecutive chunks share `overlapTokens` tokens and
+    * the last chunk may be short. A document of n tokens yields
+    * 1 + ⌈(n − chunkTokens)/stride⌉ chunks (1 when n ≤ chunkTokens); empty
+    * documents yield none.
+    *
+    * One row per (doc, chunk): the token array is materialized once per
+    * document and the chunk TEXTS are built inside a single `transform`
+    * before the posexplode, so the explode carries finished chunk strings
+    * (≈ overlap-factor duplication), never the token array per chunk — the
+    * same no-array-in-the-shuffle discipline as [[graft.ml.Dedup.spanChunks]].
+    * Pure codegen'd `functions._`; scales as one narrow map, no shuffle.
+    *
+    * Output: (idCol, chunk_idx, start_token, n_tokens, chunk_text). */
+  def chunkDocuments(df: org.apache.spark.sql.DataFrame, textCol: String,
+                     idCol: String, chunkTokens: Int = 256,
+                     overlapTokens: Int = 32): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"chunkDocuments: need 0 <= overlapTokens < chunkTokens, got " +
+        s"chunkTokens=$chunkTokens overlapTokens=$overlapTokens " +
+        "(stride would be <= 0 — infinite chunks)")
+    val stride = chunkTokens - overlapTokens
+    val toks = F.split(F.trim(F.col(textCol)), "\\s+")
+    val n = F.size(toks)
+    val nChunks = F.when(n <= chunkTokens, F.lit(1))
+      .otherwise(F.lit(1) + F.ceil((n - chunkTokens).cast("double") / stride).cast("int"))
+    val chunks = F.transform(F.sequence(F.lit(0), nChunks - 1), c =>
+      F.struct(
+        (c * stride).cast("long").as("start_token"),
+        F.least(F.lit(chunkTokens), n - c * stride).cast("long").as("n_tokens"),
+        F.array_join(F.slice(toks, c * stride + 1, F.lit(chunkTokens)), " ").as("chunk_text")))
+    df.where(F.length(F.trim(F.col(textCol))) > 0)
+      .select(F.col(idCol), F.posexplode(chunks).as(Seq("chunk_idx", "__ch__")))
+      .select(F.col(idCol), F.col("chunk_idx").cast("long").as("chunk_idx"),
+        F.col("__ch__.start_token"), F.col("__ch__.n_tokens"), F.col("__ch__.chunk_text"))
+  }
 }

@@ -107,6 +107,16 @@ class IoSpec extends SparkSpec {
     assert(back.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "x"), (2L, "y")))
   }
 
+  test("Polars facade: read_ipc / scan_ipc / read_ipc_stream / read_ipc_schema") {
+    val p = tmp(".arrow"); val ps = tmp(".arrows")
+    val df = Seq((1L, "x"), (2L, "y")).toDF("a", "b")
+    ArrowIpc.write(df, p); ArrowIpc.writeStream(df, ps)
+    assert(readIpc(p).toSpark.orderBy("a").collect().map(_.getString(1)).toSeq == Seq("x", "y"))
+    assert(scanIpc(p).collect().toSpark.count() == 2)
+    assert(readIpcStream(ps).toSpark.count() == 2)
+    assert(readIpcSchema(p).fieldNames.toSeq == Seq("a", "b"))
+  }
+
   test("read_csv options: skip_rows, null_values, dtypes, new_columns, n_rows") {
     val p = tmp(".csv")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(p),

@@ -296,4 +296,31 @@ class Ml2Spec extends SparkSpec {
       assert(math.abs(s.getDouble(2) - na) < 1e-12, s"na '$t'")
     }
   }
+
+  test("chunkDocuments: boundaries, overlap, short/empty docs") {
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
+    val df = Seq((1L, ten), (2L, "a b"), (3L, ""), (4L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(df, "text", "doc_id",
+        chunkTokens = 4, overlapTokens = 1) // stride 3
+      .orderBy("doc_id", "chunk_idx").collect()
+    // doc 1: n=10 -> 1 + ceil(6/3) = 3 chunks at starts 0,3,6
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSeq == Seq(
+      (0L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 3L, 4L, "t4 t5 t6 t7"),
+      (2L, 6L, 4L, "t7 t8 t9 t10")))
+    // doc 2: n=2 <= 4 -> single short chunk
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.map(r => (r.getLong(1), r.getLong(3), r.getString(4))).toSeq ==
+      Seq((0L, 2L, "a b")))
+    // empty / whitespace-only docs emit nothing
+    assert(!out.exists(r => r.getLong(0) == 3L || r.getLong(0) == 4L))
+    // exact-fit doc: n == chunkTokens -> one chunk, not two
+    val exact = TextAnalysis.chunkDocuments(
+      Seq((9L, "x1 x2 x3 x4")).toDF("doc_id", "text"), "text", "doc_id", 4, 1).collect()
+    assert(exact.length == 1 && exact(0).getLong(3) == 4L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(df, "text", "doc_id", 4, 4)
+    }
+  }
 }
