@@ -59,10 +59,48 @@ object Queries10 {
       "text", "doc_id", chunkTokens = 32, overlapTokens = 8)
       .orderBy("doc_id", "chunk_idx")
 
+  /** Streaming LSH near-dedup ([[graft.streaming.Streaming.nearDedupStream]])
+    * over two arrival waves in ascending-id order (wave mtimes pinned so the
+    * file source's batch order is deterministic). With arrival order = id
+    * order, first-wins streaming semantics equal the batch rule "dropped iff
+    * some smaller-id document shares an LSH band" — which the oracle
+    * re-derives exactly from the staged band table. */
+  private def qStreamingNearDedup(s: SparkSession, dir: String): SDF = {
+    implicit val sp: SparkSession = s
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+      .filter(F.col("doc_id") < 300)
+    val copies = docs.filter(F.col("doc_id") % 10 === 1)
+      .select((F.col("doc_id") + 100000).as("doc_id"),
+        F.regexp_replace(F.col("text"), "^\\S+", "changed").as("text"))
+    val corpus = docs.unionAll(copies)
+    QueryStage.stage(
+      graft.ml.Dedup.bandedSignatures(corpus, "text", "doc_id"), dir, "stream_bands")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q-sneardedup").toFile
+    tmp.deleteOnExit()
+    val in = tmp.toPath.resolve("in"); java.nio.file.Files.createDirectory(in)
+    def wave(n: Int, df: SDF): Unit = {
+      val stagePath = tmp.toPath.resolve(s"w$n").toString
+      df.coalesce(1).write.parquet(stagePath)
+      val part = new java.io.File(stagePath).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = in.resolve(f"wave$n%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(1700000000000L + n * 60000L)
+    }
+    wave(1, corpus.filter(F.col("doc_id") < 150))
+    wave(2, corpus.filter(F.col("doc_id") >= 150))
+    val out = tmp.getAbsolutePath + "/out"
+    graft.streaming.Streaming.nearDedupStream(
+      in.toString, corpus.schema, "text", "doc_id", out,
+      tmp.getAbsolutePath + "/reg", tmp.getAbsolutePath + "/cp")
+    s.read.parquet(out).select("doc_id").orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_ndjson_roundtrip" -> (qNdjsonRoundtrip _),
-    "q_chunk_docs" -> (qChunkDocs _))
+    "q_chunk_docs" -> (qChunkDocs _),
+    "q_streaming_neardedup" -> (qStreamingNearDedup _))
 
   def oracleSql: Map[String, String] = Map(
     "q_csv_roundtrip" ->
@@ -90,5 +128,13 @@ object Queries10 {
         |SELECT doc_id, chunk_idx, chunk_idx * 24 AS start_token,
         |  least(32, n - chunk_idx * 24)::BIGINT AS n_tokens,
         |  array_to_string(tk[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ') AS chunk_text
-        |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin)
+        |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_streaming_neardedup" ->
+      """WITH b AS (SELECT * FROM '/tmp/graft_stage/sf0.01/stream_bands/*.parquet')
+        |SELECT DISTINCT a.doc_id FROM b a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM b x JOIN b y
+        |    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+        |  WHERE x.doc_id = a.doc_id AND y.doc_id < a.doc_id)
+        |ORDER BY doc_id""".stripMargin)
 }

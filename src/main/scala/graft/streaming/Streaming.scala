@@ -140,6 +140,64 @@ object Streaming {
       curateTransform(scanParquetStream(path, schema), textCol, minWords),
       outPath, checkpoint)
 
+  /** Streaming MinHash near-dedup — LSH-on-ingest. Each arriving document's
+    * banded MinHash signature is checked against (a) the bands of documents
+    * already processed in earlier micro-batches and (b) the current batch's
+    * own buckets (smallest id wins a bucket); a document colliding on ANY
+    * band is dropped as a near-duplicate. ALL documents' bands — kept and
+    * dropped — are registered, so chains dedup transitively exactly like the
+    * batch pipeline's connected components (B≈A dropped, C≈B still drops
+    * even when C shares no band with A).
+    *
+    * The cross-batch state is a TABLE (an append-only parquet bucket
+    * registry), not an in-memory state store: per batch the collision check
+    * is one semi-join against the registry and the update is one append.
+    * That is the shape that survives 100 TB — registry size is bounded by
+    * corpus bands (16 longs/doc), it lives on storage not executor memory,
+    * the join shuffles on (band_idx, band_hash) like every other LSH step,
+    * and a Bloom filter over band hashes (see
+    * [[graft.ml.Contamination.bloomCandidates]]) slots in as a pre-filter
+    * when the registry outgrows comfortable join sizes. Precision matches
+    * batch LSH *without* the exact-Jaccard verify step (candidates are
+    * dropped, not verified) — run the batch verify sweep over the dropped
+    * set when false positives matter.
+    *
+    * foreachBatch side-effect writes are at-least-once on retry; the
+    * AvailableNow drains used in tests/backfills never retry, and a
+    * production deployment should land both appends in a transactional
+    * table format keyed by batch id. */
+  def nearDedupStream(inPath: String, schema: StructType, textCol: String,
+                      idCol: String, outPath: String, registryPath: String,
+                      checkpoint: String, numHashes: Int = 64, bands: Int = 16,
+                      shingleK: Int = 5, maxFilesPerTrigger: Int = 1)
+                     (implicit spark: SparkSession): Unit = {
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(inPath)
+    foreachBatch(stream, checkpoint) { (batch, _) =>
+      val banded = graft.ml.Dedup.bandedSignatures(
+          batch, textCol, idCol, numHashes, bands, shingleK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val regPath = new org.apache.hadoop.fs.Path(registryPath)
+        val fs = regPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val crossDup =
+          if (fs.exists(regPath))
+            banded.join(spark.read.parquet(registryPath),
+              Seq("band_idx", "band_hash"), "left_semi").select(idCol)
+          else batch.select(idCol).limit(0)
+        val owners = banded.groupBy("band_idx", "band_hash")
+          .agg(F.min(F.col(idCol)).as("__owner__"))
+        val intraDup = banded.join(owners, Seq("band_idx", "band_hash"))
+          .where(F.col(idCol) =!= F.col("__owner__")).select(idCol)
+        val dupIds = crossDup.unionAll(intraDup).distinct()
+        batch.join(dupIds, Seq(idCol), "left_anti")
+          .write.mode("append").parquet(outPath)
+        banded.select("band_idx", "band_hash")
+          .write.mode("append").parquet(registryPath)
+      } finally banded.unpersist()
+    }
+  }
+
   /** foreachBatch bridge: run an arbitrary batch function per micro-batch. */
   def foreachBatch(stream: DataFrame, checkpoint: String)
                   (f: (DataFrame, Long) => Unit): Unit = {

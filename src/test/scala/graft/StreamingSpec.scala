@@ -135,4 +135,39 @@ class StreamingSpec extends SparkSpec {
     val batches = Streaming.batchedIterator(df, batchSize = 4).toSeq
     assert(batches.map(_.size) == Seq(4, 4, 2))
   }
+
+  test("streaming near-dedup: cross-batch registry hit, intra-batch min-id wins, unique kept") {
+    val base = tmpDir()
+    val in = base + "/in"; val out = base + "/out"
+    val reg = base + "/reg"; val cp = base + "/cp"
+    new java.io.File(in).mkdirs()
+    val textA = (1 to 60).map(i => s"albatross${i}quiver").mkString(" ")
+    val textC = (1 to 60).map(i => s"gargoyle${i}plinth").mkString(" ")
+    val textB = "changed " + textA.split(" ", 2)(1) // near-dup of A
+    val textD = (1 to 60).map(i => s"dromedary${i}sprocket").mkString(" ")
+    def wave(n: Int, rows: Seq[(Long, String)]): Unit = {
+      val stagePath = base + s"/w$n"
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(stagePath)
+      val part = new java.io.File(stagePath).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = java.nio.file.Paths.get(in, f"wave$n%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      assert(dest.toFile.setLastModified(1700000000000L + n * 60000L))
+    }
+    wave(1, Seq((1L, textA), (2L, textC)))
+    // B is a near-dup of wave-1's A (registry hit); E dups in-batch copy of D
+    // with a LARGER id (intra-batch min-id owner keeps D)
+    wave(2, Seq((3L, textB), (4L, textD), (5L, "prefixed " + textD.split(" ", 2)(1))))
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    Streaming.nearDedupStream(in, schema, "text", "doc_id", out, reg, cp)
+    val kept = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L, 4L))
+    // every document's bands were registered — dropped ones included
+    val regBands = spark.read.parquet(reg)
+    assert(regBands.columns.toSeq.sorted == Seq("band_hash", "band_idx"))
+    // a third drain over the same checkpoint sees no new files and changes nothing
+    Streaming.nearDedupStream(in, schema, "text", "doc_id", out, reg, cp)
+    assert(spark.read.parquet(out).count() == 3)
+  }
 }
