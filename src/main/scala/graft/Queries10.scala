@@ -96,11 +96,37 @@ object Queries10 {
     s.read.parquet(out).select("doc_id").orderBy("doc_id")
   }
 
+  /** Corpus bigram LM scoring ([[graft.ml.TextAnalysis.bigramLogProb]]):
+    * the model tables (unigram/bigram counts, vocabulary size) come from
+    * the same corpus being scored; the oracle rebuilds the identical model
+    * in SQL. Rounded to 6 — log/avg ulp drift between engines. */
+  private def qLmScore(s: SparkSession, dir: String): SDF =
+    graft.ml.TextAnalysis.bigramLogProb(
+      t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id")
+      .select(F.col("doc_id"), F.round(F.col("lm_score"), 6).as("lm_score"))
+      .orderBy("doc_id")
+
+  /** Temperature-scaled data mixing ([[graft.ml.Sampling.temperatureSample]],
+    * alpha = 0.5): the per-doc hash ranks are staged so the oracle re-derives
+    * the sqrt-weighted targets AND the exact kept set (rank-based selection —
+    * counts exact, no threshold approximation). */
+  private def qTemperatureSample(s: SparkSession, dir: String): SDF = {
+    val staged = QueryStage.stage(
+      t(s, dir, "documents").select(F.col("doc_id"), F.col("lang"),
+        F.xxhash64(F.lit(42L), F.col("doc_id")).as("hv")),
+      dir, "temp_sample")
+    graft.ml.Sampling.temperatureSample(
+      staged.select("doc_id", "lang"), "lang", "doc_id", targetRows = 300)
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_ndjson_roundtrip" -> (qNdjsonRoundtrip _),
     "q_chunk_docs" -> (qChunkDocs _),
-    "q_streaming_neardedup" -> (qStreamingNearDedup _))
+    "q_streaming_neardedup" -> (qStreamingNearDedup _),
+    "q_lm_score" -> (qLmScore _),
+    "q_temperature_sample" -> (qTemperatureSample _))
 
   def oracleSql: Map[String, String] = Map(
     "q_csv_roundtrip" ->
@@ -136,5 +162,33 @@ object Queries10 {
         |  SELECT 1 FROM b x JOIN b y
         |    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
         |  WHERE x.doc_id = a.doc_id AND y.doc_id < a.doc_id)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    "q_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+        |  FROM documents),
+        |uni AS (SELECT w, count(*)::DOUBLE AS ca
+        |  FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
+        |voc AS (SELECT count(*)::DOUBLE AS v FROM uni),
+        |dbg AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bg, tk[i] AS w
+        |  FROM toks, unnest(range(1, len(tk))) AS t(i)),
+        |bic AS (SELECT bg, count(*)::DOUBLE AS cab FROM dbg GROUP BY 1),
+        |sc AS (SELECT doc_id, avg(ln((cab + 1.0) / (ca + v))) AS s
+        |  FROM dbg JOIN bic USING (bg) JOIN uni USING (w) CROSS JOIN voc
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, round(sc.s, 6) AS lm_score
+        |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_temperature_sample" ->
+      """WITH st AS (SELECT * FROM '/tmp/graft_stage/sf0.01/temp_sample/*.parquet'),
+        |cnt AS (SELECT lang, count(*) AS n, sqrt(count(*)::DOUBLE) AS wt
+        |  FROM st GROUP BY 1),
+        |tgt AS (SELECT lang, n,
+        |  least(n, CAST(round(300.0 * wt / (SELECT sum(wt) FROM cnt), 0) AS BIGINT)) AS t
+        |  FROM cnt),
+        |ranked AS (SELECT st.doc_id, st.lang,
+        |  row_number() OVER (PARTITION BY st.lang ORDER BY st.hv, st.doc_id) AS rn
+        |  FROM st)
+        |SELECT r.doc_id, r.lang FROM ranked r JOIN tgt USING (lang)
+        |WHERE r.rn <= tgt.t ORDER BY r.doc_id""".stripMargin)
 }

@@ -417,6 +417,46 @@ object Dedup {
     dedupByClusters(df, idCol, verified)
   }
 
+  /** Incremental near-dedup against a persistent bucket registry — the
+    * BATCH twin of [[graft.streaming.Streaming.nearDedupStream]] for
+    * scheduled corpus sweeps: `newDocs` whose banded MinHash signature
+    * collides with the registry (earlier sweeps) or with a smaller-id
+    * document in this batch are dropped; ALL new documents' bands are
+    * appended to the registry so later sweeps dedup transitively. Returns
+    * the kept rows. The registry is an append-only parquet table keyed by
+    * (band_idx, band_hash): state on storage, one semi-join + one append per
+    * sweep — the shape that holds at 100 TB (a Bloom filter over band hashes
+    * pre-filters when the registry outgrows comfortable join sizes). */
+  def incrementalNearDedup(newDocs: DataFrame, textCol: String, idCol: String,
+                           registryPath: String, numHashes: Int = 64,
+                           bands: Int = 16, shingleK: Int = 5): DataFrame = {
+    val spark = newDocs.sparkSession
+    val banded = graft.kernel.PrepCache.persistBounded(
+      bandedSignatures(newDocs, textCol, idCol, numHashes, bands, shingleK))
+    val regPath = new org.apache.hadoop.fs.Path(registryPath)
+    val fs = regPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // SNAPSHOT the registry listing: the append below must not leak into the
+    // returned frame's lineage (a plain path read re-lists on re-execution,
+    // sees this sweep's own bands, and drops everything)
+    val regFiles =
+      if (fs.exists(regPath))
+        fs.listStatus(regPath).map(_.getPath.toString).filter(_.endsWith(".parquet")).toSeq
+      else Seq.empty
+    val crossDup =
+      if (regFiles.nonEmpty)
+        banded.join(spark.read.parquet(regFiles: _*),
+          Seq("band_idx", "band_hash"), "left_semi").select(idCol)
+      else newDocs.select(idCol).limit(0)
+    val owners = banded.groupBy("band_idx", "band_hash")
+      .agg(F.min(F.col(idCol)).as("__owner__"))
+    val intraDup = banded.join(owners, Seq("band_idx", "band_hash"))
+      .where(F.col(idCol) =!= F.col("__owner__")).select(idCol)
+    val dupIds = crossDup.unionAll(intraDup).distinct()
+    val kept = newDocs.join(dupIds, Seq(idCol), "left_anti")
+    banded.select("band_idx", "band_hash").write.mode("append").parquet(registryPath)
+    kept
+  }
+
   /** Cluster-dedup: keep the min-id document of each near-dup component,
     * where components come from [[connectedComponents]] over candidate
     * `pairs` (id_a, id_b). Documents in no pair survive untouched. */

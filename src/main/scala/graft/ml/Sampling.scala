@@ -41,6 +41,41 @@ object Sampling {
     df.filter(u < frac)
   }
 
+  /** Temperature-scaled stratum sampling — the multilingual / multi-domain
+    * data-mixing shape: target shares ∝ n_stratum^alpha, so alpha = 1 keeps
+    * the natural mix and alpha → 0 flattens toward uniform (the mT5/XLM-R
+    * recipe; alpha = 0.5 = sqrt scaling, which Spark and SQL both compute
+    * IEEE-exactly). Per stratum the target count is
+    * round(targetRows · n^alpha / Σ n^alpha) capped at n (downsampling
+    * only — no replacement), and the kept rows are the target-count
+    * smallest by seeded hash of `idCol`: deterministic, engine-reproducible
+    * selection (rank over the hash, not a threshold — counts are EXACT, and
+    * the same hash column can be staged for an independent re-derivation).
+    *
+    * Scale shape: one aggregate for the stratum table (tiny — one row per
+    * stratum, broadcast back) + one window shuffle keyed by stratum for the
+    * rank. Skewed strata rank within their own partitions only. */
+  def temperatureSample(df: DataFrame, stratumCol: String, idCol: String,
+                        targetRows: Long, alpha: Double = 0.5,
+                        seed: Long = 42): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(targetRows > 0, s"targetRows must be > 0, got $targetRows")
+    val counts = df.groupBy(F.col(stratumCol))
+      .agg(F.count(F.lit(1)).as("__n__"))
+      .withColumn("__wt__", F.pow(F.col("__n__"), alpha))
+      .withColumn("__t__",
+        F.least(F.col("__n__"),
+          F.round(F.lit(targetRows.toDouble) * F.col("__wt__") /
+            F.sum("__wt__").over(Window.partitionBy()), 0).cast("long")))
+      .select(stratumCol, "__t__")
+    val hv = F.xxhash64(F.lit(seed), F.col(idCol))
+    val w = Window.partitionBy(F.col(stratumCol)).orderBy(hv, F.col(idCol))
+    df.join(F.broadcast(counts), Seq(stratumCol))
+      .withColumn("__rn__", F.row_number().over(w))
+      .filter(F.col("__rn__") <= F.col("__t__"))
+      .drop("__rn__", "__t__")
+  }
+
   /** Per-stratum target-count downsampling ("data mixing"): given a map of
     * stratum -> target row count, keep the first `target` rows per stratum in
     * `orderCol` order (strata absent from the map are kept whole). The

@@ -253,6 +253,49 @@ object TextAnalysis {
     cms.estimateCount(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
+  /** Corpus bigram language-model score — the CCNet/Gopher-shape perplexity
+    * proxy WITHOUT an external model: P(wᵢ | wᵢ₋₁) is estimated from the
+    * corpus itself with add-k smoothing, and a document's score is the mean
+    * log-probability over its bigrams (null for documents with fewer than
+    * two tokens). Low scores flag text that is incoherent relative to the
+    * corpus distribution — boilerplate, shuffled words, wrong-language
+    * fragments — the standard cheap LM-quality signal for training-data
+    * curation.
+    *
+    * score(d) = mean over bigrams (a,b) of ln((c(ab) + k) / (c(a) + k·V)),
+    * with c(·) corpus counts and V the unigram vocabulary size.
+    *
+    * Scale shape: two exploded aggregations build the model tables (shuffle
+    * on token / bigram — the TF-IDF shape); V rides along as a broadcast
+    * scalar; scoring explodes each document's bigrams once and joins the
+    * count tables on their keys (AQE broadcasts them when the vocabulary is
+    * small, shuffles otherwise). No driver-side model state. */
+  def bigramLogProb(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    idCol: String, k: Double = 1.0,
+                    scoreCol: String = "lm_score"): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"bigramLogProb: smoothing k must be > 0, got $k (k = 0 " +
+      "gives ln(0) = -Inf on any unseen bigram)")
+    val toks = tokens(F.col(textCol))
+    val uni = df.select(F.explode(toks).as("__w__"))
+      .groupBy("__w__").agg(F.count(F.lit(1)).as("__ca__"))
+    val vocab = uni.agg(F.count(F.lit(1)).as("__v__"))
+    val bi = df.select(F.explode(
+        QualityFilters.wordNgramsFromWords(toks, 2)).as("__bg__"))
+      .groupBy("__bg__").agg(F.count(F.lit(1)).as("__cab__"))
+    val docBigrams = df.select(F.col(idCol), F.explode(
+        QualityFilters.wordNgramsFromWords(toks, 2)).as("__bg__"))
+      .withColumn("__w__", F.split(F.col("__bg__"), " ", 2).getItem(0))
+    val scored = docBigrams
+      .join(bi, Seq("__bg__"))            // every doc bigram is in the corpus counts
+      .join(uni, Seq("__w__"))
+      .crossJoin(F.broadcast(vocab))
+      .groupBy(idCol)
+      .agg(F.avg(F.log(
+        (F.col("__cab__") + k) / (F.col("__ca__") + F.col("__v__") * k)))
+        .as(scoreCol))
+    df.join(scored, Seq(idCol), "left")
+  }
+
   /** Overlapping token-window document chunking — the RAG / context-window
     * preprocessing shape: chunk c covers whitespace tokens
     * [c·stride, c·stride + chunkTokens) with stride = chunkTokens −

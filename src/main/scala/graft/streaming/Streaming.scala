@@ -180,9 +180,16 @@ object Streaming {
       try {
         val regPath = new org.apache.hadoop.fs.Path(registryPath)
         val fs = regPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val crossDup =
+        // snapshot the registry listing so this batch's own append can never
+        // leak into a re-executed collision check (same discipline as
+        // [[graft.ml.Dedup.incrementalNearDedup]])
+        val regFiles =
           if (fs.exists(regPath))
-            banded.join(spark.read.parquet(registryPath),
+            fs.listStatus(regPath).map(_.getPath.toString).filter(_.endsWith(".parquet")).toSeq
+          else Seq.empty
+        val crossDup =
+          if (regFiles.nonEmpty)
+            banded.join(spark.read.parquet(regFiles: _*),
               Seq("band_idx", "band_hash"), "left_semi").select(idCol)
           else batch.select(idCol).limit(0)
         val owners = banded.groupBy("band_idx", "band_hash")

@@ -297,6 +297,60 @@ class Ml2Spec extends SparkSpec {
     }
   }
 
+  test("incrementalNearDedup: registry hit across sweeps, min-id owner within a sweep") {
+    val reg = java.nio.file.Files.createTempDirectory("graft-increg").toFile
+    reg.deleteOnExit()
+    val regPath = reg.getAbsolutePath + "/registry"
+    val textA = (1 to 60).map(i => s"albatross${i}quiver").mkString(" ")
+    val textC = (1 to 60).map(i => s"gargoyle${i}plinth").mkString(" ")
+    val textB = "changed " + textA.split(" ", 2)(1)
+    val textD = (1 to 60).map(i => s"dromedary${i}sprocket").mkString(" ")
+    val sweep1 = graft.ml.Dedup.incrementalNearDedup(
+      Seq((1L, textA), (2L, textC)).toDF("doc_id", "text"), "text", "doc_id", regPath)
+    assert(sweep1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // B near-dups sweep-1's A (registry hit); 5 near-dups 4 in-sweep (owner 4 wins)
+    val sweep2 = graft.ml.Dedup.incrementalNearDedup(
+      Seq((3L, textB), (4L, textD), (5L, "prefixed " + textD.split(" ", 2)(1)))
+        .toDF("doc_id", "text"), "text", "doc_id", regPath)
+    assert(sweep2.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
+  test("temperatureSample: sqrt-weighted targets, deterministic rank selection") {
+    // strata: x has 8 rows, y has 2; alpha=0.5 -> wt 2sqrt2 : sqrt2,
+    // targets for 5 rows: round(5*2/3)=3 and round(5*1/3)=2
+    val df = ((1 to 8).map(i => (i.toLong, "x")) ++ Seq((9L, "y"), (10L, "y")))
+      .toDF("id", "s")
+    val out = Sampling.temperatureSample(df, "s", "id", targetRows = 5)
+    val byStratum = out.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum == Map("x" -> 3L, "y" -> 2L))
+    // deterministic: identical selection on rerun
+    val again = Sampling.temperatureSample(df, "s", "id", targetRows = 5)
+    assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    // a stratum is never upsampled past its size
+    val tiny = Sampling.temperatureSample(df, "s", "id", targetRows = 100)
+    assert(tiny.count() == 10)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureSample(df, "s", "id", targetRows = 5, alpha = 0.0)
+    }
+  }
+
+  test("bigramLogProb: add-1 smoothed corpus bigram model, hand-computed") {
+    // corpus: a:3 b:2 c:1 (V=3); bigrams: "a b":2, "b a":1
+    val df = Seq((1L, "a b a"), (2L, "A b"), (3L, "c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(df, "text", "doc_id")
+      .select("doc_id", "lm_score").orderBy("doc_id").collect()
+    val pAB = math.log(3.0 / 6.0) // (2+1)/(3+3)
+    val pBA = math.log(2.0 / 5.0) // (1+1)/(2+3)
+    assert(math.abs(out(0).getDouble(1) - (pAB + pBA) / 2) < 1e-12)
+    assert(math.abs(out(1).getDouble(1) - pAB) < 1e-12) // case-folded
+    assert(out(2).isNullAt(1)) // single token: no bigram
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bigramLogProb(df, "text", "doc_id", k = 0.0)
+    }
+  }
+
   test("chunkDocuments: boundaries, overlap, short/empty docs") {
     val ten = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
     val df = Seq((1L, ten), (2L, "a b"), (3L, ""), (4L, "   ")).toDF("doc_id", "text")

@@ -179,6 +179,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("chunkDocuments is one narrow map: scan -> transform -> explode, no Exchange") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val p = plan(graft.ml.TextAnalysis.chunkDocuments(docs, "text", "doc_id", 32, 8))
+    assert(p.contains("Generate posexplode"), p)
+    assert(!p.contains("Exchange"), p) // per-doc work only — embarrassingly parallel at any scale
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("calendar group_by_dynamic is one hash aggregate over exploded month starts") {
     val orders = graft.api.LazyFrame(spark.read.parquet(s"$sf/orders.parquet"))
     val p = plan(orders
