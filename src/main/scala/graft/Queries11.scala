@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, DataFrame => SDF, functions => F}
+import graft.ml.{Clustering, Sampling, Similarity}
+
+/** Wave-11 driver queries (round 9): distributed clustering + semantic
+  * dedup + DSIR data selection — the curation shapes that partition a corpus
+  * by meaning rather than by bytes. Model state (k-means centroids) is
+  * bounded and memoized like the PQ codebooks; assignments are STAGED
+  * ([[QueryStage]]) so the DuckDB oracle re-derives the per-cluster stats /
+  * pair closure / importance weights from the identical rows, turning each
+  * into a full hash-checked row rather than rows-only. */
+object Queries11 {
+
+  private def t(s: SparkSession, dir: String, name: String): SDF =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Elementwise squared-L2 between two array<double> columns. */
+  private def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    F.aggregate(F.zip_with(a, b, (x, y) => { val d = x - y; d * d }),
+      F.lit(0.0), (acc, x) => acc + x)
+
+  /** Distributed k-means ([[Clustering.kmeansFit]], k=8) over the 64-dim
+    * embeddings. Both the assignment and the centroid table are staged; the
+    * OUTPUT is computed relationally from those staged rows (cluster sizes,
+    * mean within-cluster distance, and a misassignment audit: rows whose
+    * assigned-centroid distance exceeds the min over ALL centroids by more
+    * than 1e-9 — zero when the argmin assignment is correct), so the oracle
+    * recomputes every figure from identical inputs with its own list math. */
+  private def qKmeans(s: SparkSession, dir: String): SDF = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+      .select(F.col("vec_id"), F.col("embedding").cast("array<double>").as("embedding"))
+    val cents = QueryStage.memo(dir, "kmeans_model")(
+      Clustering.kmeansFit(emb, "embedding", k = 8))
+    val assigned = QueryStage.stage(
+      Clustering.kmeansAssign(emb, "embedding", cents), dir, "kmeans_assign")
+    val centsDf = QueryStage.stage(
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cid", "centroid"), dir, "kmeans_cents")
+    val dists = assigned.crossJoin(F.broadcast(centsDf))
+      .select(F.col("vec_id"), F.col("cluster_id"), F.col("cid"),
+        sqDist(F.col("embedding"), F.col("centroid")).as("d"))
+    val perVec = dists.groupBy("vec_id", "cluster_id")
+      .agg(F.min("d").as("mind"),
+        F.min(F.when(F.col("cid") === F.col("cluster_id"), F.col("d"))).as("adist"))
+    perVec.groupBy("cluster_id")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.round(F.avg("adist"), 6).as("avg_dist"),
+        F.sum(F.when(F.col("adist") > F.col("mind") + 1e-9, 1L).otherwise(0L))
+          .as("misassigned"))
+      .orderBy("cluster_id")
+  }
+
+  /** SemDeDup ([[Clustering.semanticDedup]] decomposed through the staging
+    * seam): corpus = embeddings ∪ jittered copies of every 10th vector
+    * (deterministic non-uniform scaling, cosine ≈ 0.9999975 to the original
+    * vs ≤ 0.51 between natural rows — threshold 0.95 splits them cleanly).
+    * L2-normalize → k-means(k=8) → stage (vec_id, cluster_id, nv) → within-
+    * cluster dot ≥ τ pairs → connected components → min-id survivors. The
+    * oracle rebuilds pairs + transitive closure from the staged assignment
+    * with a recursive CTE (the q_dedup_pipeline shape). */
+  private def qSemanticDedup(s: SparkSession, dir: String): SDF = {
+    val emb = t(s, dir, "embeddings")
+      .select(F.col("vec_id"), F.col("embedding").cast("array<double>").as("embedding"))
+    val jit = emb.where(F.col("vec_id") % 10 === 1)
+      .select((F.col("vec_id") + 100000L).as("vec_id"),
+        F.zip_with(F.col("embedding"),
+          F.sequence(F.lit(0), F.size(F.col("embedding")) - 1),
+          (x, i) => x * (F.lit(1.0) + F.lit(0.001) * (i % 2))).as("embedding"))
+    val corpus = emb.unionAll(jit)
+    val norm = corpus.select(F.col("vec_id"),
+      Similarity.l2Normalize(F.col("embedding")).as("nv"))
+    val cents = QueryStage.memo(dir, "semdedup_model")(
+      Clustering.kmeansFit(norm, "nv", k = 8))
+    val assigned = QueryStage.stage(
+      Clustering.kmeansAssign(norm, "nv", cents), dir, "semdedup_assign")
+    val pairs = Clustering.semanticPairs(assigned, "nv", "vec_id", threshold = 0.95)
+    graft.ml.Dedup.dedupByClusters(assigned.select("vec_id"), "vec_id", pairs)
+      .orderBy("vec_id")
+  }
+
+  /** DSIR importance log-weights ([[Sampling.dsirLogWeights]]): raw corpus =
+    * all documents' hashed-bigram buckets (staged); target = the English
+    * subset of the SAME staged buckets — so the oracle re-derives both
+    * smoothed distributions and every per-doc weight from identical rows.
+    * Rounded to 6 (sum-order ulp drift across engines). */
+  private def qDsirWeights(s: SparkSession, dir: String): SDF = {
+    val docs = t(s, dir, "documents")
+    val rawB = QueryStage.stage(
+      Sampling.hashedNgramBuckets(docs.select("doc_id", "text"), "text", "doc_id"),
+      dir, "dsir_buckets")
+    val tgtB = rawB.join(
+      docs.where(F.col("lang") === "en").select("doc_id"), Seq("doc_id"))
+    Sampling.dsirLogWeights(rawB, tgtB, "doc_id")
+      .select(F.col("doc_id"), F.round(F.col("dsir_logw"), 6).as("dsir_logw"))
+      .orderBy("doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => SDF] = Map(
+    "q_kmeans" -> (qKmeans _),
+    "q_semantic_dedup" -> (qSemanticDedup _),
+    "q_dsir_weights" -> (qDsirWeights _))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_kmeans" ->
+      """WITH a AS (SELECT * FROM '/tmp/graft_stage/sf0.01/kmeans_assign/*.parquet'),
+        |c AS (SELECT * FROM '/tmp/graft_stage/sf0.01/kmeans_cents/*.parquet'),
+        |d AS (SELECT a.vec_id, a.cluster_id, c.cid,
+        |  list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |    i -> (a.embedding[i] - c.centroid[i]) * (a.embedding[i] - c.centroid[i]))) AS dist
+        |  FROM a CROSS JOIN c),
+        |m AS (SELECT vec_id, cluster_id, min(dist) AS mind,
+        |  min(CASE WHEN cid = cluster_id THEN dist END) AS adist
+        |  FROM d GROUP BY 1, 2)
+        |SELECT cluster_id, count(*) AS n, round(avg(adist), 6) AS avg_dist,
+        |  CAST(sum(CASE WHEN adist > mind + 1e-9 THEN 1 ELSE 0 END) AS BIGINT) AS misassigned
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_semantic_dedup" ->
+      """WITH RECURSIVE a AS (
+        |  SELECT * FROM '/tmp/graft_stage/sf0.01/semdedup_assign/*.parquet'
+        |), e AS (
+        |  SELECT x.vec_id AS p, y.vec_id AS q
+        |  FROM a x JOIN a y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+        |  WHERE list_dot_product(x.nv, y.nv) >= 0.95
+        |), es AS (
+        |  SELECT p, q FROM e UNION SELECT q, p FROM e
+        |), r(src, dst) AS (
+        |  SELECT vec_id, vec_id FROM a
+        |  UNION
+        |  SELECT r.src, es.q FROM r JOIN es ON es.p = r.dst
+        |)
+        |SELECT src AS vec_id FROM r GROUP BY src HAVING min(dst) = src
+        |ORDER BY vec_id""".stripMargin,
+    "q_dsir_weights" ->
+      """WITH rb AS (SELECT * FROM '/tmp/graft_stage/sf0.01/dsir_buckets/*.parquet'),
+        |tb AS (SELECT rb.* FROM rb JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+        |r AS (SELECT bucket, sum(cnt) AS cr FROM rb GROUP BY 1),
+        |t AS (SELECT bucket, sum(cnt) AS ct FROM tb GROUP BY 1),
+        |j AS (SELECT coalesce(r.bucket, t.bucket) AS bucket,
+        |  coalesce(cr, 0) AS cr, coalesce(ct, 0) AS ct
+        |  FROM r FULL JOIN t ON r.bucket = t.bucket),
+        |tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM j),
+        |lr AS (SELECT bucket,
+        |  ln((ct + 1.0) / (tt + 4096.0)) - ln((cr + 1.0) / (tr + 4096.0)) AS lr
+        |  FROM j CROSS JOIN tot)
+        |SELECT doc_id, round(sum(cnt * lr), 6) AS dsir_logw
+        |FROM rb JOIN lr USING (bucket)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+}

@@ -76,6 +76,86 @@ object Sampling {
       .drop("__rn__", "__t__")
   }
 
+  /** Hashed word-n-gram feature buckets for one document: each n-gram hashes
+    * to one of `buckets` cells via seeded xxhash64 — the DSIR featurization
+    * (Xie et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling", arXiv:2302.03169). Returns (idCol, bucket, cnt) — one row
+    * per document × occupied bucket, built with one explode + one
+    * hash-aggregate (map-side combine keeps the shuffle at occupied-bucket
+    * granularity). */
+  def hashedNgramBuckets(df: DataFrame, textCol: String, idCol: String,
+                         n: Int = 2, buckets: Int = 4096,
+                         seed: Long = 42): DataFrame = {
+    require(n >= 1, s"hashedNgramBuckets: n must be >= 1, got $n")
+    require(buckets > 0, s"hashedNgramBuckets: buckets must be > 0, got $buckets")
+    val toks = TextAnalysis.tokens(F.col(textCol))
+    val grams = if (n == 1) toks else QualityFilters.wordNgramsFromWords(toks, n)
+    df.select(F.col(idCol), F.explode(grams).as("__g__"))
+      .select(F.col(idCol),
+        F.pmod(F.xxhash64(F.lit(seed), F.col("__g__")), F.lit(buckets.toLong))
+          .cast("int").as("bucket"))
+      .groupBy(idCol, "bucket").agg(F.count(F.lit(1)).as("cnt"))
+  }
+
+  /** DSIR importance log-weights: score each raw document by how much more
+    * likely its hashed-n-gram features are under the TARGET distribution
+    * than under the RAW distribution —
+    * logw(d) = Σ_b n_d(b) · (ln p̂_t(b) − ln p̂_r(b)), with add-1-smoothed
+    * bucket probabilities p̂(b) = (c(b)+1)/(total+B). High-weight documents
+    * look like the target domain; [[dsirResample]] then draws the corpus
+    * subset.
+    *
+    * `rawBuckets` / `targetBuckets` are (id, bucket, cnt) frames from
+    * [[hashedNgramBuckets]] (same n/buckets/seed — caller's contract).
+    * Returns (idCol, logwCol), one row per raw id present in `rawBuckets`.
+    *
+    * Scale shape: the two distribution tables aggregate to ≤ B rows each and
+    * broadcast into the per-doc join; the per-doc score is one
+    * hash-aggregate over the raw bucket rows. Totals ride along as scalars
+    * inside the broadcast table — no driver-side model state at all. */
+  def dsirLogWeights(rawBuckets: DataFrame, targetBuckets: DataFrame,
+                     idCol: String, buckets: Int = 4096,
+                     logwCol: String = "dsir_logw"): DataFrame = {
+    def dist(b: DataFrame) = b.groupBy("bucket").agg(F.sum("cnt").as("c"))
+    val raw = dist(rawBuckets); val tgt = dist(targetBuckets)
+    // full outer on bucket: a bucket empty on one side still contributes its
+    // smoothed probability
+    val ratio = raw.select(F.col("bucket"), F.col("c").as("cr"))
+      .join(tgt.select(F.col("bucket"), F.col("c").as("ct")), Seq("bucket"), "full")
+      .select(F.col("bucket"),
+        F.coalesce(F.col("cr"), F.lit(0L)).as("cr"),
+        F.coalesce(F.col("ct"), F.lit(0L)).as("ct"))
+    val totals = ratio.agg(F.sum("cr").as("tr"), F.sum("ct").as("tt"))
+    val b = F.lit(buckets.toDouble)
+    val withLr = ratio.crossJoin(F.broadcast(totals))
+      .select(F.col("bucket"),
+        (F.log((F.col("ct") + 1.0) / (F.col("tt") + b)) -
+         F.log((F.col("cr") + 1.0) / (F.col("tr") + b))).as("__lr__"))
+    rawBuckets.join(F.broadcast(withLr), Seq("bucket"))
+      .groupBy(idCol)
+      .agg(F.sum(F.col("cnt") * F.col("__lr__")).as(logwCol))
+  }
+
+  /** DSIR selection: importance resampling without replacement via the
+    * Gumbel-top-n trick — key(d) = logw(d) + Gumbel(0,1), take the n largest
+    * keys. The Gumbel draw is derived from a seeded hash of the id
+    * (u = (h + 2⁶³ + 0.5) / 2⁶⁴, g = −ln(−ln u)) so selection is
+    * deterministic and partition-layout-independent. One
+    * TakeOrderedAndProject at scale — no full sort. */
+  def dsirResample(weights: DataFrame, idCol: String, n: Int,
+                   logwCol: String = "dsir_logw",
+                   seed: Long = 42): DataFrame = {
+    require(n > 0, s"dsirResample: n must be > 0, got $n")
+    val u = (F.xxhash64(F.lit(seed), F.col(idCol)).cast("decimal(20,0)") +
+      F.lit(BigDecimal("9223372036854775808.5"))) /
+      F.lit(BigDecimal("18446744073709551616"))
+    val gumbel = -F.log(-F.log(u.cast("double")))
+    weights.withColumn("__key__", F.col(logwCol) + gumbel)
+      .orderBy(F.col("__key__").desc, F.col(idCol))
+      .limit(n)
+      .drop("__key__")
+  }
+
   /** Per-stratum target-count downsampling ("data mixing"): given a map of
     * stratum -> target row count, keep the first `target` rows per stratum in
     * `orderCol` order (strata absent from the map are kept whole). The

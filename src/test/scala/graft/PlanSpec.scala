@@ -187,6 +187,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("kmeansAssign is a narrow map over literal centroids: no Exchange, no collect") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = Array.tabulate(4)(c => Array.tabulate(64)(i => c * 1.0 + i * 0.01))
+    val p = plan(graft.ml.Clustering.kmeansAssign(emb, "embedding", cents))
+    assert(!p.contains("Exchange"), p) // assignment is embarrassingly parallel
+  }
+
+  test("semanticPairs shuffles both sides on the cluster key only — no CartesianProduct") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(F.col("vec_id"), F.col("embedding").cast("array<double>").as("nv"),
+        (F.col("vec_id") % 4).cast("int").as("cluster_id"))
+    val p = plan(graft.ml.Clustering.semanticPairs(emb, "nv", "vec_id", 0.9))
+    assert(!p.contains("CartesianProduct"), p)
+    // equi-join on the cluster key: broadcast at this tiny SF, shuffle-on-key
+    // at scale — either way the pair condition stays inside a hash join
+    assert(p.contains("BroadcastHashJoin [cluster_id") ||
+      p.contains("hashpartitioning(cluster_id"), p)
+  }
+
+  test("dsirLogWeights broadcasts the bounded ratio table into the per-doc join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val b = graft.ml.Sampling.hashedNgramBuckets(docs, "text", "doc_id")
+    val p = plan(graft.ml.Sampling.dsirLogWeights(b, b.limit(50), "doc_id"))
+    assert(p.contains("BroadcastHashJoin"), p) // ratio table ≤ buckets rows
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("calendar group_by_dynamic is one hash aggregate over exploded month starts") {
     val orders = graft.api.LazyFrame(spark.read.parquet(s"$sf/orders.parquet"))
     val p = plan(orders
