@@ -117,6 +117,7 @@ object Queries10 {
       dir, "temp_sample")
     graft.ml.Sampling.temperatureSample(
       staged.select("doc_id", "lang"), "lang", "doc_id", targetRows = 300)
+      .select("doc_id", "lang") // pin oracle column order (join reordered it)
       .orderBy("doc_id")
   }
 

@@ -15,10 +15,8 @@ object Queries11 {
   private def t(s: SparkSession, dir: String, name: String): SDF =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Elementwise squared-L2 between two array<double> columns. */
   private def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    F.aggregate(F.zip_with(a, b, (x, y) => { val d = x - y; d * d }),
-      F.lit(0.0), (acc, x) => acc + x)
+    Similarity.l2DistanceSq(a, b)
 
   /** Distributed k-means ([[Clustering.kmeansFit]], k=8) over the 64-dim
     * embeddings. Both the assignment and the centroid table are staged; the

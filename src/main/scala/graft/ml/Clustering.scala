@@ -24,15 +24,18 @@ object Clustering {
 
   /** Squared L2 distance of a vector column to a literal centroid. */
   private def sqDistLit(v: Column, c: Array[Double]): Column =
-    F.aggregate(
-      F.zip_with(v, centroidLit(c), (x, y) => { val d = x.cast("double") - y; d * d }),
-      F.lit(0.0), (acc, x) => acc + x)
+    Similarity.l2DistanceSq(v, centroidLit(c))
 
-  /** Deterministic init: the k hash-smallest vectors (the
+  /** Deterministic init: the k hash-smallest DISTINCT vectors (the
     * [[Similarity.sampleCentroids]] discipline — reproducible across runs
-    * and cluster layouts, no RNG state). */
+    * and cluster layouts, no RNG state). Distinct matters: duplicate seeds
+    * would start two identical centroids, one of which never attracts a
+    * point (first-index argmin tiebreak) and stays frozen by the
+    * empty-cluster rule — k effective clusters silently degrade to fewer.
+    * The distinct shuffle is fit-time only and capped by limit(k). */
   private def initCentroids(vecs: DataFrame, k: Int, seed: Long): Array[Array[Double]] =
-    vecs.orderBy(F.xxhash64(F.col("__v__").cast("string"), F.lit(seed)))
+    vecs.distinct()
+      .orderBy(F.xxhash64(F.col("__v__").cast("string"), F.lit(seed)))
       .limit(k).collect().map(_.getSeq[Double](0).toArray)
 
   /** Lloyd's k-means fit. Returns centroids(k)(dim) — bounded model state.

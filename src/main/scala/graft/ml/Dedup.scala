@@ -420,31 +420,52 @@ object Dedup {
   /** Incremental near-dedup against a persistent bucket registry — the
     * BATCH twin of [[graft.streaming.Streaming.nearDedupStream]] for
     * scheduled corpus sweeps: `newDocs` whose banded MinHash signature
-    * collides with the registry (earlier sweeps) or with a smaller-id
-    * document in this batch are dropped; ALL new documents' bands are
-    * appended to the registry so later sweeps dedup transitively. Returns
-    * the kept rows. The registry is an append-only parquet table keyed by
-    * (band_idx, band_hash): state on storage, one semi-join + one append per
-    * sweep — the shape that holds at 100 TB (a Bloom filter over band hashes
-    * pre-filters when the registry outgrows comfortable join sizes). */
+    * collides with an EARLIER sweep's registry bands or with a smaller-id
+    * document in this sweep are dropped; all new documents' bands are
+    * registered so later sweeps dedup transitively. Returns the kept rows.
+    *
+    * The registry is a parquet table of (band_idx, band_hash) partitioned
+    * by sweep: each sweep OVERWRITES its own `sweep=<sweepId>/` directory
+    * and the collision check reads only OTHER sweeps' directories (plus any
+    * flat files a [[graft.streaming.Streaming.nearDedupStream]] sharing the
+    * path has appended). That makes a sweep IDEMPOTENT: re-running after a
+    * failure replaces the partial registration instead of colliding with
+    * it, and the returned frame's lineage can never see this sweep's own
+    * bands on re-execution. `sweepId` must be stable across retries of the
+    * same logical sweep (a date, a batch id) and unique across sweeps.
+    *
+    * Scale shape: one semi-join (shuffled on (band_idx, band_hash) like
+    * every LSH step) + one partition-local write per sweep; a Bloom filter
+    * over band hashes pre-filters when the registry outgrows comfortable
+    * join sizes. */
   def incrementalNearDedup(newDocs: DataFrame, textCol: String, idCol: String,
-                           registryPath: String, numHashes: Int = 64,
-                           bands: Int = 16, shingleK: Int = 5): DataFrame = {
+                           registryPath: String, sweepId: String,
+                           numHashes: Int = 64, bands: Int = 16,
+                           shingleK: Int = 5): DataFrame = {
+    require(sweepId.nonEmpty && !sweepId.contains("/"),
+      s"incrementalNearDedup: sweepId must be a non-empty path segment, got '$sweepId'")
     val spark = newDocs.sparkSession
     val banded = graft.kernel.PrepCache.persistBounded(
       bandedSignatures(newDocs, textCol, idCol, numHashes, bands, shingleK))
     val regPath = new org.apache.hadoop.fs.Path(registryPath)
     val fs = regPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // SNAPSHOT the registry listing: the append below must not leak into the
-    // returned frame's lineage (a plain path read re-lists on re-execution,
-    // sees this sweep's own bands, and drops everything)
+    // SNAPSHOT the listing of other sweeps' registrations: directories from
+    // previous sweeps plus flat .parquet files (a streaming registry sharing
+    // the path). This sweep's own directory is excluded BY NAME, so neither
+    // the write below nor a rerun's partial leftovers can leak into the
+    // returned frame's lineage.
     val regFiles =
       if (fs.exists(regPath))
-        fs.listStatus(regPath).map(_.getPath.toString).filter(_.endsWith(".parquet")).toSeq
+        fs.listStatus(regPath).filter { st =>
+          val n = st.getPath.getName
+          (st.isDirectory && n.startsWith("sweep=") && n != s"sweep=$sweepId") ||
+            (st.isFile && n.endsWith(".parquet"))
+        }.map(_.getPath.toString).toSeq
       else Seq.empty
     val crossDup =
       if (regFiles.nonEmpty)
-        banded.join(spark.read.parquet(regFiles: _*),
+        banded.join(
+          spark.read.parquet(regFiles: _*).select("band_idx", "band_hash"),
           Seq("band_idx", "band_hash"), "left_semi").select(idCol)
       else newDocs.select(idCol).limit(0)
     val owners = banded.groupBy("band_idx", "band_hash")
@@ -453,7 +474,8 @@ object Dedup {
       .where(F.col(idCol) =!= F.col("__owner__")).select(idCol)
     val dupIds = crossDup.unionAll(intraDup).distinct()
     val kept = newDocs.join(dupIds, Seq(idCol), "left_anti")
-    banded.select("band_idx", "band_hash").write.mode("append").parquet(registryPath)
+    banded.select("band_idx", "band_hash").write.mode("overwrite")
+      .parquet(s"$registryPath/sweep=$sweepId")
     kept
   }
 

@@ -70,10 +70,14 @@ object Sampling {
       .select(stratumCol, "__t__")
     val hv = F.xxhash64(F.lit(seed), F.col(idCol))
     val w = Window.partitionBy(F.col(stratumCol)).orderBy(hv, F.col(idCol))
-    df.join(F.broadcast(counts), Seq(stratumCol))
+    // null-SAFE join: groupBy above counts a null stratum as a real group
+    // (its weight is in the denominator), so the join-back must match it
+    // too — a plain using-join would silently drop every null-stratum row
+    val countsR = counts.withColumnRenamed(stratumCol, "__s__")
+    df.join(F.broadcast(countsR), df(stratumCol) <=> countsR("__s__"))
       .withColumn("__rn__", F.row_number().over(w))
       .filter(F.col("__rn__") <= F.col("__t__"))
-      .drop("__rn__", "__t__")
+      .drop("__rn__", "__t__", "__s__")
   }
 
   /** Hashed word-n-gram feature buckets for one document: each n-gram hashes
@@ -106,7 +110,11 @@ object Sampling {
     * subset.
     *
     * `rawBuckets` / `targetBuckets` are (id, bucket, cnt) frames from
-    * [[hashedNgramBuckets]] (same n/buckets/seed — caller's contract).
+    * [[hashedNgramBuckets]] (same n/buckets/seed — caller's contract). A
+    * feature bucket at or beyond `buckets` fails fast (assert inside the
+    * ≤ B-row ratio table — features built with MORE buckets than B are a
+    * contract violation that would otherwise silently skew every weight;
+    * the fewer-buckets direction is undetectable and stays on the caller).
     * Returns (idCol, logwCol), one row per raw id present in `rawBuckets`.
     *
     * Scale shape: the two distribution tables aggregate to ≤ B rows each and
@@ -128,6 +136,9 @@ object Sampling {
     val totals = ratio.agg(F.sum("cr").as("tr"), F.sum("ct").as("tt"))
     val b = F.lit(buckets.toDouble)
     val withLr = ratio.crossJoin(F.broadcast(totals))
+      .where(F.assert_true(F.col("bucket") < buckets,
+        F.lit(s"dsirLogWeights: feature bucket >= buckets=$buckets — the " +
+          "input frames were built with a larger bucket count")).isNull)
       .select(F.col("bucket"),
         (F.log((F.col("ct") + 1.0) / (F.col("tt") + b)) -
          F.log((F.col("cr") + 1.0) / (F.col("tr") + b))).as("__lr__"))

@@ -18,10 +18,15 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  def l2Distance(a: Column, b: Column): Column =
-    F.sqrt(F.aggregate(F.zip_with(a, b, (x, y) => {
+  /** Elementwise squared L2 — the shared building block (kmeans assignment,
+    * centroid audits) where the sqrt would only cost monotonicity-free
+    * precision. */
+  def l2DistanceSq(a: Column, b: Column): Column =
+    F.aggregate(F.zip_with(a, b, (x, y) => {
       val d = x.cast("double") - y.cast("double"); d * d
-    }), F.lit(0.0), (acc, x) => acc + x))
+    }), F.lit(0.0), (acc, x) => acc + x)
+
+  def l2Distance(a: Column, b: Column): Column = F.sqrt(l2DistanceSq(a, b))
 
   /** Brute-force cosine top-k against one query vector (the exact baseline).
     * Narrow scan + TakeOrderedAndProject — no shuffle of the corpus. */

@@ -279,12 +279,13 @@ object TextAnalysis {
     val uni = df.select(F.explode(toks).as("__w__"))
       .groupBy("__w__").agg(F.count(F.lit(1)).as("__ca__"))
     val vocab = uni.agg(F.count(F.lit(1)).as("__v__"))
-    val bi = df.select(F.explode(
-        QualityFilters.wordNgramsFromWords(toks, 2)).as("__bg__"))
-      .groupBy("__bg__").agg(F.count(F.lit(1)).as("__cab__"))
-    val docBigrams = df.select(F.col(idCol), F.explode(
-        QualityFilters.wordNgramsFromWords(toks, 2)).as("__bg__"))
-      .withColumn("__w__", F.split(F.col("__bg__"), " ", 2).getItem(0))
+    // one tokenize+explode pass feeds BOTH the corpus bigram counts and the
+    // per-doc scoring rows (persisted — re-tokenizing 100 TB twice is real)
+    val docBigrams = graft.kernel.PrepCache.persistBounded(
+      df.select(F.col(idCol), F.explode(
+          QualityFilters.wordNgramsFromWords(toks, 2)).as("__bg__"))
+        .withColumn("__w__", F.split(F.col("__bg__"), " ", 2).getItem(0)))
+    val bi = docBigrams.groupBy("__bg__").agg(F.count(F.lit(1)).as("__cab__"))
     val scored = docBigrams
       .join(bi, Seq("__bg__"))            // every doc bigram is in the corpus counts
       .join(uni, Seq("__w__"))

@@ -182,14 +182,21 @@ object Streaming {
         val fs = regPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         // snapshot the registry listing so this batch's own append can never
         // leak into a re-executed collision check (same discipline as
-        // [[graft.ml.Dedup.incrementalNearDedup]])
+        // [[graft.ml.Dedup.incrementalNearDedup]]); `sweep=` directories are
+        // batch-sweep registrations sharing the path — included so the two
+        // registries dedup against each other
         val regFiles =
           if (fs.exists(regPath))
-            fs.listStatus(regPath).map(_.getPath.toString).filter(_.endsWith(".parquet")).toSeq
+            fs.listStatus(regPath).filter { st =>
+              val n = st.getPath.getName
+              (st.isFile && n.endsWith(".parquet")) ||
+                (st.isDirectory && n.startsWith("sweep="))
+            }.map(_.getPath.toString).toSeq
           else Seq.empty
         val crossDup =
           if (regFiles.nonEmpty)
-            banded.join(spark.read.parquet(regFiles: _*),
+            banded.join(
+              spark.read.parquet(regFiles: _*).select("band_idx", "band_hash"),
               Seq("band_idx", "band_hash"), "left_semi").select(idCol)
           else batch.select(idCol).limit(0)
         val owners = banded.groupBy("band_idx", "band_hash")

@@ -34,11 +34,15 @@ class ClusteringSpec extends SparkSpec {
     val c1 = Clustering.kmeansFit(df, "v", k = 3)
     val c2 = Clustering.kmeansFit(df, "v", k = 3)
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
-    // k greater than distinct points: fit still returns k centroids when
-    // enough rows exist; duplicate-heavy input keeps empty clusters at init
-    val dup = vecs((0L until 6L).map(i => (i, Seq(1.0, 2.0))): _*)
+    // init seeds are DISTINCT vectors: a duplicate-heavy corpus with fewer
+    // distinct points than k fails fast instead of silently freezing
+    // duplicate centroids into degenerate clusters
+    val dup = vecs(((0L until 6L).map(i => (i, Seq(1.0, 2.0))) :+ (9L, Seq(3.0, 4.0))): _*)
     val c3 = Clustering.kmeansFit(dup, "v", k = 2)
-    assert(c3.length == 2)
+    assert(c3.map(_.toSeq).toSet == Set(Seq(1.0, 2.0), Seq(3.0, 4.0)))
+    intercept[IllegalArgumentException] {
+      Clustering.kmeansFit(dup, "v", k = 3) // only 2 distinct vectors
+    }
     intercept[IllegalArgumentException] {
       Clustering.kmeansFit(vecs((1L, Seq(1.0, 1.0))), "v", k = 5)
     }

@@ -306,13 +306,38 @@ class Ml2Spec extends SparkSpec {
     val textB = "changed " + textA.split(" ", 2)(1)
     val textD = (1 to 60).map(i => s"dromedary${i}sprocket").mkString(" ")
     val sweep1 = graft.ml.Dedup.incrementalNearDedup(
-      Seq((1L, textA), (2L, textC)).toDF("doc_id", "text"), "text", "doc_id", regPath)
+      Seq((1L, textA), (2L, textC)).toDF("doc_id", "text"), "text", "doc_id",
+      regPath, sweepId = "s1")
     assert(sweep1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // RERUN of the same sweep id: idempotent — its own registration is
+    // excluded by name, so nothing is spuriously dropped
+    val rerun1 = graft.ml.Dedup.incrementalNearDedup(
+      Seq((1L, textA), (2L, textC)).toDF("doc_id", "text"), "text", "doc_id",
+      regPath, sweepId = "s1")
+    assert(rerun1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
     // B near-dups sweep-1's A (registry hit); 5 near-dups 4 in-sweep (owner 4 wins)
     val sweep2 = graft.ml.Dedup.incrementalNearDedup(
       Seq((3L, textB), (4L, textD), (5L, "prefixed " + textD.split(" ", 2)(1)))
-        .toDF("doc_id", "text"), "text", "doc_id", regPath)
+        .toDF("doc_id", "text"), "text", "doc_id", regPath, sweepId = "s2")
     assert(sweep2.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(4L))
+    intercept[IllegalArgumentException] {
+      graft.ml.Dedup.incrementalNearDedup(
+        Seq((6L, textA)).toDF("doc_id", "text"), "text", "doc_id", regPath, "a/b")
+    }
+  }
+
+  test("temperatureSample: null stratum is a real group, not silently dropped") {
+    val df = ((1 to 6).map(i => (i.toLong, Option("x"))) ++
+      Seq((7L, None: Option[String]), (8L, None: Option[String]))).toDF("id", "s")
+    // targetRows large enough that every stratum caps at its own size:
+    // all 8 rows survive — including the null stratum's two
+    val out = Sampling.temperatureSample(df, "s", "id", targetRows = 20)
+    assert(out.count() == 8)
+    assert(out.filter(F.col("s").isNull).count() == 2)
+    // under a budget the null stratum still gets its sqrt-weighted share
+    val tight = Sampling.temperatureSample(df, "s", "id", targetRows = 8)
+    assert(tight.filter(F.col("s").isNull).count() == 2) // round(8*√2/(√6+√2)) = 3 → cap 2
+    assert(tight.count() == 7) // 5 of x + 2 of null (targets round, not sum)
   }
 
   test("temperatureSample: sqrt-weighted targets, deterministic rank selection") {
