@@ -95,10 +95,44 @@ object Queries11 {
       .orderBy("doc_id")
   }
 
+  /** fastText-shape quality classifier ([[graft.ml.Classifier]]): train
+    * logistic weights over the SAME staged hashed-bigram features q_dsir
+    * uses, labels = "is English" (separable via language-specific bigrams),
+    * then score every document. Weights (+ bias at bucket = -1) are staged
+    * so the oracle recomputes every σ(w·x + b) from identical doubles; the
+    * TRAINING loop is validated by ClusteringSpec (deterministic zero-init
+    * descent) and by the scores themselves being useful (AUC-separable). */
+  private def qQualityClassifier(s: SparkSession, dir: String): SDF = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val feats = QueryStage.stage(
+      Sampling.hashedNgramBuckets(docs.select("doc_id", "text"), "text", "doc_id"),
+      dir, "dsir_buckets")
+    val labels = docs.select(F.col("doc_id"),
+      F.when(F.col("lang") === "en", 1).otherwise(0).as("label"))
+    val model = QueryStage.memo(dir, "qc_model")(
+      graft.ml.Classifier.logisticFit(feats, labels, "doc_id",
+        buckets = 4096, epochs = 30, lr = 2.0))
+    val wrows = model.weights.toIndexedSeq.zipWithIndex
+      .map { case (w, b) => (b, w) } :+ (-1, model.bias)
+    val wDf = QueryStage.stage(wrows.toDF("bucket", "w"), dir, "qc_weights")
+    val bias = wDf.where(F.col("bucket") === -1).select(F.col("w").as("b"))
+    val margins = feats.join(wDf, Seq("bucket"))
+      .groupBy("doc_id").agg(F.sum(F.col("cnt") * F.col("w")).as("mg"))
+    docs.select("doc_id").join(margins, Seq("doc_id"), "left")
+      .crossJoin(F.broadcast(bias))
+      .select(F.col("doc_id"),
+        F.round(F.lit(1.0) / (F.lit(1.0) +
+          F.exp(-(F.coalesce(F.col("mg"), F.lit(0.0)) + F.col("b")))), 6)
+          .as("quality_score"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
     "q_kmeans" -> (qKmeans _),
     "q_semantic_dedup" -> (qSemanticDedup _),
-    "q_dsir_weights" -> (qDsirWeights _))
+    "q_dsir_weights" -> (qDsirWeights _),
+    "q_quality_classifier" -> (qQualityClassifier _))
 
   def oracleSql: Map[String, String] = Map(
     "q_kmeans" ->
@@ -144,5 +178,15 @@ object Queries11 {
         |  FROM j CROSS JOIN tot)
         |SELECT doc_id, round(sum(cnt * lr), 6) AS dsir_logw
         |FROM rb JOIN lr USING (bucket)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_quality_classifier" ->
+      """WITH rb AS (SELECT * FROM '/tmp/graft_stage/sf0.01/dsir_buckets/*.parquet'),
+        |wt AS (SELECT * FROM '/tmp/graft_stage/sf0.01/qc_weights/*.parquet'),
+        |b AS (SELECT w AS bias FROM wt WHERE bucket = -1),
+        |m AS (SELECT rb.doc_id, sum(rb.cnt * wt.w) AS mg
+        |  FROM rb JOIN wt ON rb.bucket = wt.bucket GROUP BY 1)
+        |SELECT d.doc_id,
+        |  round(1.0 / (1.0 + exp(-(coalesce(m.mg, 0.0) + b.bias))), 6) AS quality_score
+        |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id CROSS JOIN b
+        |ORDER BY d.doc_id""".stripMargin)
 }

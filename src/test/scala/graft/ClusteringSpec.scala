@@ -94,6 +94,36 @@ class ClusteringSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Sampling.dsirResample(w, "doc_id", n = 0) }
   }
 
+  test("logistic classifier separates bigram-disjoint classes; deterministic") {
+    import graft.ml.Classifier
+    // class 1 shares bigrams among themselves, class 0 likewise — linearly
+    // separable in hashed-bigram space
+    val docs = Seq(
+      (1L, "good clean prose flows well", 1),
+      (2L, "clean prose flows well today", 1),
+      (3L, "good clean prose reads well", 1),
+      (4L, "zz xx qq ww vv kk", 0),
+      (5L, "xx qq ww vv kk zz", 0),
+      (6L, "qq ww vv kk zz xx", 0)).toDF("doc_id", "text", "label")
+    val feats = Sampling.hashedNgramBuckets(docs, "text", "doc_id", buckets = 256)
+    val model = Classifier.logisticFit(
+      feats, docs.select("doc_id", "label"), "doc_id", buckets = 256, epochs = 30)
+    val scored = Classifier.logisticScore(docs, feats, "doc_id", model)
+    assert(Classifier.accuracy(scored, docs.select("doc_id", "label"), "doc_id") == 1.0)
+    // deterministic refit
+    val again = Classifier.logisticFit(
+      feats, docs.select("doc_id", "label"), "doc_id", buckets = 256, epochs = 30)
+    assert(model.weights.toSeq == again.weights.toSeq && model.bias == again.bias)
+    // unseen doc with no features scores sigmoid(bias)
+    val cold = Classifier.logisticScore(
+      Seq((99L, "")).toDF("doc_id", "text"), feats.limit(0), "doc_id", model)
+      .collect()(0).getDouble(1)
+    assert(math.abs(cold - 1.0 / (1.0 + math.exp(-model.bias))) < 1e-12)
+    intercept[IllegalArgumentException] {
+      Classifier.logisticFit(feats, docs.select("doc_id", "label"), "doc_id", 256, epochs = 0)
+    }
+  }
+
   test("hashedNgramBuckets: counts sum to n-gram count, buckets bounded") {
     val df = Seq((1L, "a b c d")).toDF("doc_id", "text") // 3 bigrams
     val b = Sampling.hashedNgramBuckets(df, "text", "doc_id", n = 2, buckets = 16)
