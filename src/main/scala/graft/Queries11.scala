@@ -128,11 +128,39 @@ object Queries11 {
       .orderBy("doc_id")
   }
 
+  /** CHAINED order-dependent ops under `.over(keys)` (round-9 keyedInput
+    * machinery): the whole chain evaluates per key — shift→fill→cum_sum,
+    * forward_fill→diff, cum_sum→rank. Null inputs are synthesized
+    * (event_type = 'view' → null) so the structural-vs-value null paths hit
+    * the gate; the frame is pre-sorted so the implicit row order is
+    * (ts, event_id) and the oracle mirrors it with SQL windows. */
+  private def qOverChain(s: SparkSession, dir: String): SDF = {
+    import graft.Polars._
+    import graft.api.LazyFrame
+    val ev = t(s, dir, "events").transform(TestTables.normalizeEventsTs)
+    LazyFrame(ev)
+      .sortBy(Seq(col("ts"), col("event_id")))
+      .withColumns(
+        "nv" -> Polars.when(col("event_type") === "view").`then`(Polars.lit(null))
+          .otherwise(col("value")),
+        "sc" -> Polars.when(col("event_type") === "view").`then`(Polars.lit(null))
+          .otherwise(col("value"))
+          .shift(1).fillNull(0).cumSum().over(col("user_id")),
+        "fd" -> Polars.when(col("event_type") === "view").`then`(Polars.lit(null))
+          .otherwise(col("value"))
+          .forwardFill.diff(1).over(col("user_id")),
+        "cr" -> col("value").cumSum().rank("min").over(col("user_id")))
+      .select(col("event_id"), col("sc"), col("fd"), col("cr"))
+      .sortBy(Seq(col("event_id")))
+      .toSpark
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
     "q_kmeans" -> (qKmeans _),
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_dsir_weights" -> (qDsirWeights _),
-    "q_quality_classifier" -> (qQualityClassifier _))
+    "q_quality_classifier" -> (qQualityClassifier _),
+    "q_over_chain" -> (qOverChain _))
 
   def oracleSql: Map[String, String] = Map(
     "q_kmeans" ->
@@ -188,5 +216,26 @@ object Queries11 {
         |SELECT d.doc_id,
         |  round(1.0 / (1.0 + exp(-(coalesce(m.mg, 0.0) + b.bias))), 6) AS quality_score
         |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id CROSS JOIN b
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_over_chain" ->
+      """SELECT event_id,
+        |sum(coalesce(lnv, 0)) OVER wr AS sc,
+        |ffv - lag(ffv) OVER w AS fd,
+        |CAST(rank() OVER (PARTITION BY user_id ORDER BY cs) AS INTEGER) AS cr
+        |FROM (
+        |  SELECT event_id, user_id, ts,
+        |    lag(nv) OVER w0 AS lnv,
+        |    last_value(nv IGNORE NULLS) OVER wr0 AS ffv,
+        |    sum(value) OVER wr0 AS cs
+        |  FROM (SELECT event_id, user_id, value, ts,
+        |          CASE WHEN event_type = 'view' THEN NULL ELSE value END AS nv
+        |        FROM events)
+        |  WINDOW w0 AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |    wr0 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  wr AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)
 }

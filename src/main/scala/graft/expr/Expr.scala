@@ -102,17 +102,32 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     }
     Expr(f(col, o.col), requiresIndex || o.requiresIndex, mergePreps(preps, o.preps), kf, ga)
   }
-  /** Guard called at the top of every op's KeyedForm: if the op's INPUT
-    * already contains order-dependent machinery (scan preps), a per-key
-    * spelling of the outer op alone would evaluate the inner op globally —
-    * silently wrong. Polars evaluates the whole chain per group; we require
-    * the user to key the inner op explicitly. */
-  private def requireNoScanInput(op: String): Unit =
-    if (preps.nonEmpty) throw new UnsupportedOperationException(
-      s"$op.over(keys): the input expression itself contains order-dependent ops; " +
-        "a per-key spelling of only the outer op would evaluate the inner one " +
-        "globally. Materialize the inner op per key first " +
-        "(with_column(\"t\" -> inner.over(keys))) and chain on the new column")
+  /** Input spelling inside an op's KeyedForm. A scan-free input passes
+    * through. An input that is ITSELF order-dependent (scan preps) chains
+    * through its own keyed form: the inner per-key spelling is materialized
+    * as a helper column by a prep (windows cannot nest), and the outer op
+    * windows over the helper — so `shift(1).cum_sum().over(k)` evaluates
+    * the WHOLE chain per key, polars' semantics. Chains recurse naturally
+    * (a 3-deep chain materializes two helpers); every level partitions by
+    * the same keys and orders by the hidden index, so Spark plans ONE
+    * shuffle + sort reused across the stacked Window nodes. An
+    * order-dependent input with no per-key spelling still raises the
+    * directed error (keying only the outer op would evaluate the inner one
+    * globally — silently wrong). */
+  private def keyedInput(op: String, keys: Seq[Column]): Expr =
+    if (preps.isEmpty) Expr(col, requiresIndex)
+    else keyed match {
+      case Some(k) =>
+        val inner = k.mk(keys)
+        val helper = Scan.fresh("x")
+        Expr(F.col(helper), requiresIndex = true,
+          inner.preps :+ Prep(helper, d => d.withColumn(helper, inner.col), Seq(helper)))
+      case None => throw new UnsupportedOperationException(
+        s"$op.over(keys): the input expression itself contains order-dependent ops " +
+          "with no per-key spelling; a per-key form of only the outer op would " +
+          "evaluate the inner one globally. Materialize the inner op per key first " +
+          "(with_column(\"t\" -> inner.over(keys))) and chain on the new column")
+    }
   /** Union this expr's preps with each operand's (order-preserving, deduped) —
     * every combinator must thread preps so a scanned op (shift/cum/fill/rank)
     * composed through it still builds its helper column. */
@@ -479,10 +494,10 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     if (n == 0) this
     else scanned((d, out) => Scan.shifted(d, col, n, out, fill)).copy(keyed =
       Some(KeyedForm { keys =>
-        requireNoScanInput("shift")
+        val in = keyedInput("shift", keys)
         val dflt = fill.getOrElse(F.lit(null))
-        val c = if (n > 0) F.lag(col, n, dflt) else F.lead(col, -n, dflt)
-        Expr(c.over(keyedIdxW(keys)), requiresIndex = true, preps)
+        val c = if (n > 0) F.lag(in.col, n, dflt) else F.lead(in.col, -n, dflt)
+        Expr(c.over(keyedIdxW(keys)), requiresIndex = true, in.preps)
       }))
   def diff(n: Int = 1, nullBehavior: String = "ignore"): Expr = {
     // reference expr.rb:5722 diff(n:, null_behavior:): "drop" SHRINKS the
@@ -494,9 +509,9 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     require(nullBehavior == "ignore",
       s"diff: null_behavior must be ignore|drop, got '$nullBehavior'")
     (this - shift(n)).copy(keyed = Some(KeyedForm { keys =>
-      requireNoScanInput("diff")
-      val prev = (if (n > 0) F.lag(col, n) else F.lead(col, -n)).over(keyedIdxW(keys))
-      Expr(col - prev, requiresIndex = true, preps)
+      val in = keyedInput("diff", keys)
+      val prev = (if (n > 0) F.lag(in.col, n) else F.lead(in.col, -n)).over(keyedIdxW(keys))
+      Expr(in.col - prev, requiresIndex = true, in.preps)
     }))
   }
   def pctChange(n: Int = 1): Expr = {
@@ -511,16 +526,16 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     Expr((filled.col - prev.col) / F.nullif(prev.col, F.lit(0)), requiresIndex = true,
       mergePreps(filled.preps, prev.preps),
       keyed = Some(KeyedForm { keys =>
-        requireNoScanInput("pct_change")
+        val in = keyedInput("pct_change", keys)
         // windows cannot nest, but "forward-filled value n rows back" is
         // expressible directly: the last non-null value in rows
         // (-inf, current-n] — one frame, no nesting
         val w = keyedIdxW(keys)
-        val cur = F.last(col, ignoreNulls = true)
+        val cur = F.last(in.col, ignoreNulls = true)
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        val p = F.last(col, ignoreNulls = true)
+        val p = F.last(in.col, ignoreNulls = true)
           .over(w.rowsBetween(Window.unboundedPreceding, -n.toLong))
-        Expr((cur - p) / F.nullif(p, F.lit(0)), requiresIndex = true, preps)
+        Expr((cur - p) / F.nullif(p, F.lit(0)), requiresIndex = true, in.preps)
       }))
   }
   def cumSum(reverse: Boolean = false): Expr = cum(F.sum, "sum", reverse)
@@ -538,11 +553,12 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     val base = scanned((d, out) => Scan.running(d, col, out, f, kind, reverse))
     Expr(mask(base.col), base.requiresIndex, base.preps, keyed =
       Some(KeyedForm { keys =>
-        requireNoScanInput("cum_" + kind)
+        val in = keyedInput("cum_" + kind, keys)
+        def maskK(r: Column): Column = if (maskNulls) F.when(in.col.isNotNull, r) else r
         val w =
           if (reverse) keyedIdxW(keys).rowsBetween(Window.currentRow, Window.unboundedFollowing)
           else keyedIdxW(keys).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Expr(mask(f(col).over(w)), requiresIndex = true, preps)
+        Expr(maskK(f(in.col).over(w)), requiresIndex = true, in.preps)
       }))
   }
   /** rank over implicit row order of values (reference: expr.rb:5691;
@@ -556,14 +572,14 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
       requiresIndex = method == "ordinal" || method == "random" || requiresIndex,
       preps :+ Prep(out, d => Scan.withRank(d, col, out, method, descending, seed), Seq(out)),
       keyed = Some(KeyedForm { keys =>
-        requireNoScanInput("rank")
+        val in = keyedInput("rank", keys)
         // per-key rank of values: nulls_last ordering keeps non-null ranks
         // 1..m, then null inputs mask to null (polars' null behavior); dtype
         // parity with Scan.withRank: min/dense/ordinal/random int, max long,
         // average double
-        val ord = if (descending) col.desc_nulls_last else col.asc_nulls_last
+        val ord = if (descending) in.col.desc_nulls_last else in.col.asc_nulls_last
         val w = Window.partitionBy(keys: _*).orderBy(ord)
-        val tieCnt = F.count(col).over(Window.partitionBy((keys :+ col): _*))
+        val tieCnt = F.count(in.col).over(Window.partitionBy((keys :+ in.col): _*))
         val minRank = F.rank().over(w)
         // random tie order: the tiebreak must be a MATERIALIZED column
         // (nondeterministic exprs are rejected inside window ordering)
@@ -584,11 +600,11 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
           if (method == "random")
             // deterministic seeded tiebreak (see Scan.withRank): a pure
             // function of (seed, row-index), not a per-evaluation draw
-            preps :+ Prep(rnd, d => d.withColumn(rnd,
+            in.preps :+ Prep(rnd, d => d.withColumn(rnd,
               F.xxhash64(F.lit(seed), F.col(graft.kernel.RowIndex.name))), Seq(rnd))
-          else preps
-        Expr(F.when(col.isNotNull, c),
-          requiresIndex = method == "ordinal" || method == "random", kePreps)
+          else in.preps
+        Expr(F.when(in.col.isNotNull, c),
+          requiresIndex = method == "ordinal" || method == "random" || in.requiresIndex, kePreps)
       }))
   }
   def isDuplicated: Expr =
@@ -604,16 +620,16 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   def forwardFill: Expr =
     scanned((d, out) => Scan.filled(d, col, out, backward = false)).copy(keyed =
       Some(KeyedForm { keys =>
-        requireNoScanInput("forward_fill")
+        val in = keyedInput("forward_fill", keys)
         val w = keyedIdxW(keys).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Expr(F.last(col, ignoreNulls = true).over(w), requiresIndex = true, preps)
+        Expr(F.last(in.col, ignoreNulls = true).over(w), requiresIndex = true, in.preps)
       }))
   def backwardFill: Expr =
     scanned((d, out) => Scan.filled(d, col, out, backward = true)).copy(keyed =
       Some(KeyedForm { keys =>
-        requireNoScanInput("backward_fill")
+        val in = keyedInput("backward_fill", keys)
         val w = keyedIdxW(keys).rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        Expr(F.first(col, ignoreNulls = true).over(w), requiresIndex = true, preps)
+        Expr(F.first(in.col, ignoreNulls = true).over(w), requiresIndex = true, in.preps)
       }))
   /** interpolate nulls between neighboring non-nulls over row positions
     * (reference expr.rb:3871; frame/time-indexed form in
@@ -624,15 +640,16 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     require(Seq("linear", "nearest").contains(method),
       s"interpolate: method must be linear|nearest, got '$method'")
     val keyedForm = KeyedForm { keys =>
-      requireNoScanInput("interpolate")
+      val in = keyedInput("interpolate", keys)
+      val inCol = in.col
       // per-key blend: positions from a keyed row_number (materialized via a
       // prep — windows can't nest), neighbors from keyed ignore-null fills
       val w = keyedIdxW(keys)
       val pos = Scan.fresh("p")
       val posPrep = Prep(pos,
         d => d.withColumn(pos, F.row_number().over(w).cast("double")), Seq(pos))
-      val pair = F.when(col.isNotNull,
-        F.struct(F.col(pos).as("o"), col.cast("double").as("x")))
+      val pair = F.when(inCol.isNotNull,
+        F.struct(F.col(pos).as("o"), inCol.cast("double").as("x")))
       val prevC = F.last(pair, ignoreNulls = true)
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
       val nextC = F.first(pair, ignoreNulls = true)
@@ -645,13 +662,13 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
       val (nv, no) = (F.col(nxt).getField("x"), F.col(nxt).getField("o"))
       val blended = method match {
         case "linear" =>
-          F.when(col.isNotNull, col.cast("double"))
+          F.when(inCol.isNotNull, inCol.cast("double"))
             .when(pv.isNotNull && nv.isNotNull, pv + (nv - pv) * (o - po) / (no - po))
         case "nearest" =>
-          F.when(col.isNotNull, col.cast("double"))
+          F.when(inCol.isNotNull, inCol.cast("double"))
             .when(pv.isNotNull && nv.isNotNull, F.when(o - po <= no - o, pv).otherwise(nv))
       }
-      Expr(blended, requiresIndex = true, preps ++ Seq(posPrep, fillPrep))
+      Expr(blended, requiresIndex = true, in.preps ++ Seq(posPrep, fillPrep))
     }
     scanned { (d, out) =>
       val pos = Scan.fresh("p"); val prev = Scan.fresh("x"); val nxt = Scan.fresh("x")
@@ -694,9 +711,9 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   private def rollingScanned(n: Int)(build: (Column, WindowSpec) => Column): Expr =
     scanned((d, out) => Scan.rollingApply(d, col, n, out, build)).copy(keyed =
       Some(KeyedForm { keys =>
-        requireNoScanInput("rolling")
+        val in = keyedInput("rolling", keys)
         val w = keyedIdxW(keys).rowsBetween(-(n - 1).toLong, 0L)
-        Expr(build(col, w), requiresIndex = true, preps)
+        Expr(build(in.col, w), requiresIndex = true, in.preps)
       }))
   private def rolling(f: Column => Column, n: Int, minPeriods: Int): Expr = {
     val mp = if (minPeriods <= 0) n else minPeriods
@@ -756,7 +773,13 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
       return Expr(F.col(out), requiresIndex = requiresIndex || by.requiresIndex,
         basePreps :+ calPrep(Nil),
         keyed = Some(KeyedForm { keys =>
-          requireNoScanInput("rolling_by")
+          // chained input has no spelling here: the calendar kernel consumes
+          // the raw input column inside its bucket join
+          if (preps.nonEmpty) throw new UnsupportedOperationException(
+            "rolling_*_by(calendar).over(keys): the input expression itself " +
+              "contains order-dependent ops; materialize the inner op per key " +
+              "first (with_column(\"t\" -> inner.over(keys))) and chain on the " +
+              "new column")
           Expr(F.col(out), requiresIndex || by.requiresIndex,
             basePreps :+ calPrep(keys))
         }))
@@ -775,10 +798,11 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
         d => Scan.rollingByApply(d, col, epoch, loIncl, hiIncl, out, build),
         Seq(out)),
       keyed = Some(KeyedForm { keys =>
-        requireNoScanInput("rolling_by")
+        val in = keyedInput("rolling_by", keys)
         val w = Window.partitionBy(keys: _*).orderBy(epoch)
           .rangeBetween(loIncl, hiIncl)
-        Expr(build(col, w), requiresIndex || by.requiresIndex, basePreps)
+        Expr(build(in.col, w), in.requiresIndex || by.requiresIndex,
+          mergePreps(in.preps, by.preps))
       }))
   }
   private def rollingAggBy(by: Expr, windowSize: String, minPeriods: Int,
@@ -885,17 +909,17 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
       preps ++ Seq(prevPrep,
         Prep(out, d => Scan.running(d, changed, out, F.sum, "sum"), Seq(out, Scan.BUCKET))),
       keyed = Some(KeyedForm { keys =>
-        requireNoScanInput("rle_id")
+        val in = keyedInput("rle_id", keys)
         // windows can't nest, so the keyed lag materializes through a prep
         // and the running sum windows over the helper
         val w = keyedIdxW(keys)
         val kPrev = Scan.fresh("x")
         val kPrep = Prep(kPrev, d => d.withColumn(kPrev,
-          F.lag(F.struct(F.lit(1).as("m"), col.as("x")), 1).over(w)), Seq(kPrev))
+          F.lag(F.struct(F.lit(1).as("m"), in.col.as("x")), 1).over(w)), Seq(kPrev))
         val kChanged = F.when(F.col(kPrev).isNull, 0L)
-          .when(!(col <=> F.col(kPrev).getField("x")), 1L).otherwise(0L)
+          .when(!(in.col <=> F.col(kPrev).getField("x")), 1L).otherwise(0L)
         Expr(F.sum(kChanged).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-          requiresIndex = true, preps :+ kPrep)
+          requiresIndex = true, in.preps :+ kPrep)
       }))
   }
   /** Local maxima mask (reference: expr.rb:2376 `peak_max`). */
@@ -1047,9 +1071,9 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   def cumulativeEval(agg: Column => Column, kind: String): Expr =
     scanned((d, out) => Scan.running(d, col, out, agg, kind)).copy(keyed =
       Some(KeyedForm { keys =>
-        requireNoScanInput("cumulative_eval")
+        val in = keyedInput("cumulative_eval", keys)
         val w = keyedIdxW(keys).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Expr(agg(col).over(w), requiresIndex = true, preps)
+        Expr(agg(in.col).over(w), requiresIndex = true, in.preps)
       }))
   def cumulativeEval(agg: Column => Column): Expr = Expr(
     agg(col).over(idxWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)),

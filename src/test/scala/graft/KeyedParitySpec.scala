@@ -380,6 +380,76 @@ class KeyedParitySpec extends SparkSpec {
     }
   }
 
+  // ---- chained order-dependent ops under .over(keys): the whole chain
+  //      evaluates per key (keyedInput materializes each inner spelling) ----
+
+  private def lShift(n: Int)(vs: IndexedSeq[Option[Double]]): IndexedSeq[Option[Double]] =
+    if (n >= 0) IndexedSeq.fill(math.min(n, vs.size))(None) ++ vs.dropRight(n)
+    else vs.drop(-n) ++ IndexedSeq.fill(math.min(-n, vs.size))(None)
+  private def lCum(f: (Double, Double) => Double)(vs: IndexedSeq[Option[Double]]) = {
+    var acc = Option.empty[Double]
+    vs.map {
+      case None => None
+      case Some(v) => acc = Some(acc.fold(v)(f(_, v))); acc
+    }
+  }
+  private def lFwd(vs: IndexedSeq[Option[Double]]): IndexedSeq[Option[Double]] = {
+    var last = Option.empty[Double]
+    vs.map { v => if (v.isDefined) last = v; last }
+  }
+  private def lDiff(vs: IndexedSeq[Option[Double]]): IndexedSeq[Option[Double]] =
+    vs.zip(lShift(1)(vs)).map {
+      case (Some(a), Some(b)) => Some(a - b)
+      case _ => None
+    }
+
+  test("chained scanned ops over(keys): whole chain per key") {
+    assertAgree("shift.cum_sum",
+      engine(col("v").shift(1).cumSum()),
+      perKey(v => lCum(_ + _)(lShift(1)(v))))
+    assertAgree("cum_sum.shift",
+      engine(col("v").cumSum().shift(1)),
+      perKey(v => lShift(1)(lCum(_ + _)(v))))
+    assertAgree("shift.fill_null.cum_sum",
+      engine(col("v").shift(1).fillNull(0).cumSum()),
+      perKey(v => lCum(_ + _)(lShift(1)(v).map(x => Some(x.getOrElse(0.0))))))
+    assertAgree("diff.forward_fill",
+      engine(col("v").diff(1).forwardFill),
+      perKey(v => lFwd(lDiff(v))))
+    assertAgree("forward_fill.diff",
+      engine(col("v").forwardFill.diff(1)),
+      perKey(v => lDiff(lFwd(v))))
+    assertAgree("shift.cum_sum.shift (3-deep)",
+      engine(col("v").shift(1).cumSum().shift(1)),
+      perKey(v => lShift(1)(lCum(_ + _)(lShift(1)(v)))))
+    assertAgree("cum_max.diff",
+      engine(col("v").cumMax().diff(1)),
+      perKey(v => lDiff(lCum(math.max)(v))))
+    assertAgree("shift.rank_min",
+      engine(col("v").shift(1).rank("min")),
+      perKey { v =>
+        val sh = lShift(1)(v)
+        sh.map(_.map(x => (1 + sh.flatten.count(_ < x)).toDouble))
+      })
+    assertAgree("shift.rolling_mean(2)",
+      engine(col("v").shift(1).rollingMean(2)),
+      perKey { v =>
+        val sh = lShift(1)(v)
+        sh.indices.map { i =>
+          val w = sh.slice(math.max(0, i - 1), i + 1).flatten
+          if (w.size >= 2) Some(w.sum / w.size) else None
+        }
+      })
+    assertAgree("chain + plain arithmetic in one keyed zip",
+      engine(col("v").shift(1).cumSum() + col("v")),
+      perKey { v =>
+        lCum(_ + _)(lShift(1)(v)).zip(v).map {
+          case (Some(a), Some(b)) => Some(a + b)
+          case _ => None
+        }
+      })
+  }
+
   test("per-group LIST of a scanned op matches the local reference") {
     val got = df.groupBy("k").agg(col("v").shift(1).alias("xs")).toSpark
       .select("k", "xs").collect()

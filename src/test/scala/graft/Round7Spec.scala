@@ -110,13 +110,15 @@ class Round7Spec extends SparkSpec {
     assert(got.toSeq == Seq(true, true, false, false))
   }
 
-  // ---- GroupBy.agg rejects scanned exprs (ADVICE r6) ----
+  // ---- GroupBy.agg of chained order-dependent exprs (keyedInput chains) ----
 
-  test("group_by().agg rejects CHAINED order-dependent exprs with a clear message") {
-    val df = DataFrame(Seq((1, 1.0), (1, 2.0)).toDF("k", "v"))
-    val e = intercept[UnsupportedOperationException](
-      df.groupBy("k").agg(col("v").cumSum().shift(1).alias("cs")).toSpark.collect())
-    assert(e.getMessage.contains("order-dependent"), e.getMessage)
+  test("group_by().agg of a CHAINED order-dependent expr lists the per-group chain") {
+    val df = DataFrame(Seq((1, 1.0), (1, 2.0), (2, 5.0)).toDF("k", "v"))
+    // per group: cum_sum then shift(1) -> k=1: [null, 1.0]; k=2: [null]
+    val got = df.groupBy("k").agg(col("v").cumSum().shift(1).alias("cs")).toSpark
+      .orderBy("k").collect()
+      .map(r => r.getSeq[java.lang.Double](1).map(Option(_).map(_.toDouble)).toSeq)
+    assert(got.toSeq == Seq(Seq(None, Some(1.0)), Seq(None)))
   }
 
   test("group_by().agg: aggregate-of-scanned yields a scalar per group") {
@@ -494,11 +496,13 @@ class Round7Spec extends SparkSpec {
     assert(two.sorted.toSeq == Seq(("a", 1L), ("a", 4L), ("a", 8L),
       ("b", 10L), ("b", 40L), ("b", 80L)))
 
-    // chaining one order-dependent op INTO another has no per-key spelling:
-    // the inner op would silently evaluate globally — must be a clear error
-    val e = intercept[UnsupportedOperationException](
-      df.withColumn("r", col("v").cumSum().shift(1).over(col("k"))).toSpark.collect())
-    assert(e.getMessage.contains("order-dependent"), e.getMessage)
+    // chaining one order-dependent op INTO another evaluates the WHOLE
+    // chain per key (polars semantics): per-key cum_sum, then per-key shift
+    val ch = df.withColumn("r", col("v").cumSum().shift(1).over(col("k"))).toSpark
+      .select("k", "v", "r").collect()
+      .map(r => (r.getString(0), r.getInt(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(ch.sorted.toSeq == Seq(("a", 1, -1L), ("a", 2, 1L), ("a", 3, 3L),
+      ("b", 10, -1L), ("b", 20, 10L), ("b", 30, 30L)))
   }
 
   test("diff/pct_change/rle_id/interpolate keyed forms under .over(keys)") {
