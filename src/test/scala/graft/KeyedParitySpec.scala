@@ -448,6 +448,13 @@ class KeyedParitySpec extends SparkSpec {
           case _ => None
         }
       })
+    assertAgree("chain inside a when branch",
+      engine(Polars.when(col("v").isNotNull)
+        .`then`(col("v").shift(1).cumSum()).otherwise(Polars.lit(0.0))),
+      perKey { v =>
+        val ch = lCum(_ + _)(lShift(1)(v))
+        v.indices.map(i => if (v(i).isDefined) ch(i) else Some(0.0))
+      })
   }
 
   test("per-group LIST of a scanned op matches the local reference") {

@@ -214,6 +214,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("keyed chain (shift.cum_sum.over) reuses one shuffle across stacked windows") {
+    import graft.Polars._
+    val df = graft.api.DataFrame(spark.read.parquet(s"$sf/events.parquet")
+      .select(F.col("event_id"), F.col("user_id"), F.col("value")))
+    val p = plan(df.withColumn("r",
+      col("value").shift(1).cumSum().over(col("user_id"))).toSpark)
+    // the chain materializes a helper column, then windows over it — both
+    // levels partition on the same keys: exactly ONE hashpartitioning
+    // exchange on user_id, never a second shuffle or a SinglePartition sort
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(exchanges == 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("calendar group_by_dynamic is one hash aggregate over exploded month starts") {
     val orders = graft.api.LazyFrame(spark.read.parquet(s"$sf/orders.parquet"))
     val p = plan(orders
