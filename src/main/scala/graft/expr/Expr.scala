@@ -1075,6 +1075,52 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
         val w = keyedIdxW(keys).rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Expr(agg(in.col).over(w), requiresIndex = true, in.preps)
       }))
+  // ---- ewm_mean/std/var (reference expr.rb:6381-6444): the EWM kernel
+  //      (keyless: distributed affine-carry composition; keyed: streaming
+  //      per-group recursion) routed through the prep machinery so the Expr
+  //      spelling composes with select/with_columns and `.over(keys)` ----
+  def ewmMean(com: Option[Double] = None, span: Option[Double] = None,
+              halfLife: Option[Double] = None, alpha: Option[Double] = None,
+              adjust: Boolean = true, minPeriods: Int = 1,
+              ignoreNulls: Boolean = true): Expr =
+    ewmExpr("mean", com, span, halfLife, alpha, adjust, minPeriods, ignoreNulls)
+  def ewmStd(com: Option[Double] = None, span: Option[Double] = None,
+             halfLife: Option[Double] = None, alpha: Option[Double] = None,
+             adjust: Boolean = true, minPeriods: Int = 1,
+             ignoreNulls: Boolean = true): Expr =
+    ewmExpr("std", com, span, halfLife, alpha, adjust, minPeriods, ignoreNulls)
+  def ewmVar(com: Option[Double] = None, span: Option[Double] = None,
+             halfLife: Option[Double] = None, alpha: Option[Double] = None,
+             adjust: Boolean = true, minPeriods: Int = 1,
+             ignoreNulls: Boolean = true): Expr =
+    ewmExpr("var", com, span, halfLife, alpha, adjust, minPeriods, ignoreNulls)
+  private def ewmExpr(out: String, com: Option[Double], span: Option[Double],
+                      halfLife: Option[Double], alpha: Option[Double],
+                      adjust: Boolean, minPeriods: Int,
+                      ignoreNulls: Boolean): Expr = {
+    val a = graft.kernel.Ewm.alphaFrom(com, span, halfLife, alpha)
+    val res = Scan.fresh("x")
+    def kernelPrep(inputCol: Column, by: Seq[String]): Prep = {
+      val in = Scan.fresh("x")
+      Prep(res, d => graft.kernel.Ewm.ewm(
+          d.withColumn(in, inputCol), in, graft.kernel.RowIndex.name, by,
+          a, adjust, minPeriods, Seq(out), ignoreNulls)
+        .withColumnRenamed(s"${in}_ewm_$out", res).drop(in), Seq(res))
+    }
+    Expr(F.col(res), requiresIndex = true, preps :+ kernelPrep(col, Nil),
+      keyed = Some(KeyedForm { keys =>
+        val in = keyedInput("ewm_" + out, keys)
+        // the kernel takes by-COLUMN NAMES: materialize each key expression
+        // into a helper column first (keys may be arbitrary expressions)
+        val keyNames = keys.map(_ => Scan.fresh("k"))
+        val keyPrep = Prep(keyNames.head,
+          d => keys.zip(keyNames).foldLeft(d) { case (dd, (k, n)) =>
+            dd.withColumn(n, k)
+          }, keyNames)
+        Expr(F.col(res), requiresIndex = true,
+          in.preps ++ Seq(keyPrep, kernelPrep(in.col, keyNames)))
+      }))
+  }
   def cumulativeEval(agg: Column => Column): Expr = Expr(
     agg(col).over(idxWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     requiresIndex = true, preps)

@@ -443,4 +443,74 @@ class Round8Spec extends SparkSpec {
     assert(out == Map(1.0 -> 1.0, 2.0 -> 3.0, 4.0 -> 23.0, 16.0 -> 23.0, 8.0 -> 8.0),
       out.toString)
   }
+
+  // ---- Expr-level ewm_mean/std/var (round 9): the kernel routed through
+  //      the prep machinery; composes with .over(keys) and chains ----
+
+  test("Expr ewm_mean: global, keyed, and chained spellings match the kernel") {
+    import graft.Polars.col
+    val rnd = new Random(7)
+    val data = Seq("a", "b").flatMap { k =>
+      Seq.tabulate(40)(i => (k, i.toLong,
+        if (rnd.nextInt(6) == 0) None else Some(rnd.nextDouble() * 10 - 5)))
+    }
+    val sdf = data.map { case (k, i, v) => (k, i, v.map(Double.box).orNull) }
+      .toDF("k", "i", "v")
+    def seqAdj(xs: Seq[Option[Double]], alpha: Double): Seq[Option[Double]] = {
+      // adjusted ignore_nulls=true reference: y = sum w_j x_j / sum w_j over
+      // OBSERVATIONS; null positions stay null (polars, unlike pandas' carry)
+      var num = 0.0; var den = 0.0
+      xs.map {
+        case None => None
+        case Some(x) =>
+          num = (1 - alpha) * num + x; den = (1 - alpha) * den + 1
+          Some(num / den)
+      }
+    }
+    def collectE(df: org.apache.spark.sql.DataFrame): Map[(String, Long), Option[Double]] =
+      df.select("i", "k", "e").collect()
+        .map(r => ((r.getString(1), r.getLong(0)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    def check(name: String, got: Map[(String, Long), Option[Double]],
+              rows: Seq[(String, Long, Option[Double])],
+              exp: Seq[Option[Double]]): Unit =
+      rows.zipWithIndex.foreach { case ((k, i, _), pos) =>
+        (got((k, i)), exp(pos)) match {
+          case (None, None) =>
+          case (Some(a), Some(b)) =>
+            assert(math.abs(a - b) < 1e-9, s"$name $k/$pos: $a vs $b")
+          case (a, b) => fail(s"$name null mismatch $k/$pos: $a vs $b")
+        }
+      }
+    // GLOBAL: frame order = input order
+    val g = collectE(graft.api.DataFrame(sdf)
+      .withColumn("e", col("v").ewmMean(alpha = Some(0.3))).toSpark)
+    check("global", g, data, seqAdj(data.map(_._3), 0.3))
+    // KEYED: .over(k) = per-key recursion
+    val got = collectE(graft.api.DataFrame(sdf)
+      .withColumn("e", col("v").ewmMean(alpha = Some(0.3)).over(col("k"))).toSpark)
+    Seq("a", "b").foreach { k =>
+      val xs = data.filter(_._1 == k)
+      check("keyed", got, xs, seqAdj(xs.map(_._3), 0.3))
+    }
+    // CHAINED: shift(1) then per-key ewm — the ewm consumes the per-key
+    // shifted series
+    val ch = collectE(graft.api.DataFrame(sdf)
+      .withColumn("e",
+        col("v").shift(1).ewmMean(alpha = Some(0.3)).over(col("k"))).toSpark)
+    Seq("a", "b").foreach { k =>
+      val xs = data.filter(_._1 == k)
+      val shifted = Option.empty[Double] +: xs.map(_._3).dropRight(1)
+      check("chain", ch, xs, seqAdj(shifted, 0.3))
+    }
+    // parameterization: exactly one of com/span/half_life/alpha
+    intercept[IllegalArgumentException] {
+      col("v").ewmMean(com = Some(1.0), alpha = Some(0.5))
+    }
+    // std/var surfaces resolve too (values pinned by the kernel specs)
+    val sv = graft.api.DataFrame(sdf).withColumn("s",
+        col("v").ewmStd(span = Some(3.0)).over(col("k")))
+      .withColumn("vr", col("v").ewmVar(alpha = Some(0.4))).toSpark
+    assert(sv.count() == data.size)
+  }
 }
