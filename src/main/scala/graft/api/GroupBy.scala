@@ -11,8 +11,21 @@ import graft.kernel.{DurationDsl, RowIndex, Scan}
   */
 final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk: SDF => Self) {
 
-  def agg(exprs: Expr*): Self = {
-    require(exprs.nonEmpty)
+  def agg(exprs0: Expr*): Self = {
+    require(exprs0.nonEmpty)
+    // polars' implicit implode: an aggregate-free elementwise expression in
+    // agg (`agg(col("v"))`, `agg(col("v") * 2)`) evaluates per group in row
+    // order and returns a LIST per group. Spelled as an identity keyed form
+    // so the per-group branch's ordered null-preserving struct-collect
+    // applies (collect_list would drop nulls and shuffle order). Constants
+    // stay scalars (polars broadcasts a literal per group).
+    val exprs = exprs0.map { e =>
+      if (e.preps.isEmpty && e.keyed.isEmpty && e.groupAgg.isEmpty &&
+          !Expr.isConstant(e) &&
+          org.apache.spark.sql.GraftInternalOps.provablyAggregateFree(e.col))
+        e.copy(keyed = Some(graft.expr.KeyedForm(_ => Expr(e.col, e.requiresIndex))))
+      else e
+    }
     // Order-dependent exprs (shift/cum_*/fill/rank/rolling/... without
     // `over`) follow polars' agg semantics: evaluated PER GROUP in row
     // order, returning a LIST per group (reference group_by.rb agg docs) —
@@ -479,10 +492,17 @@ final class DynamicGroupBy[Self](sdf: SDF, indexColumn: String, every: String,
       .filter(member)
     val groupCols = F.col(ws) +: by.map(F.col)
     // label="datapoint" names each group by its first data point (min of
-    // the index values that actually fell in the window)
-    val aggsAll = exprs.map(_.col) ++
-      (if (label == "datapoint") Seq(F.min(F.col(indexColumn)).as("__dp__")) else Nil)
-    val out0 = exploded.groupBy(groupCols: _*).agg(aggsAll.head, aggsAll.tail: _*)
+    // the index values that actually fell in the window). Aggregation
+    // delegates to the full GroupBy machinery over the exploded frame, so
+    // order-dependent exprs (cum_sum -> per-window lists, shift(1).sum ->
+    // per-window scalars) and polars' implicit implode work inside dynamic
+    // windows exactly as in plain group_by — within-window row order is the
+    // frame's hidden order, which group_by_dynamic's sorted-index contract
+    // makes time order.
+    val dpAgg = if (label == "datapoint")
+      Seq(Expr(F.min(F.col(indexColumn)).as("__dp__"))) else Nil
+    val out0 = new GroupBy[SDF](exploded, groupCols, identity)
+      .agg(exprs ++ dpAgg: _*)
     val labeled = label match {
       case "left"      => out0.withColumn(indexColumn, emit(F.col(ws)))
       case "right"     => out0.withColumn(indexColumn, emit(F.col(ws) + periodU))
@@ -549,9 +569,12 @@ final class DynamicGroupBy[Self](sdf: SDF, indexColumn: String, every: String,
         start0 - nWin.toLong * everyM, start0, F.lit(everyM))))
       .filter(member)
     val groupCols = F.col(ws) +: by.map(F.col)
-    val aggsAll = exprs.map(_.col) ++
-      (if (label == "datapoint") Seq(F.min(F.col(indexColumn)).as("__dp__")) else Nil)
-    val out0 = exploded.groupBy(groupCols: _*).agg(aggsAll.head, aggsAll.tail: _*)
+    // same GroupBy delegation as the fixed path: order-dependent exprs and
+    // implicit implode compose inside calendar windows too
+    val dpAgg = if (label == "datapoint")
+      Seq(Expr(F.min(F.col(indexColumn)).as("__dp__"))) else Nil
+    val out0 = new GroupBy[SDF](exploded, groupCols, identity)
+      .agg(exprs ++ dpAgg: _*)
     val labeled = label match {
       case "left"      => out0.withColumn(indexColumn, monthTs(F.col(ws)))
       case "right"     => out0.withColumn(indexColumn, monthTs(F.col(ws) + periodM))

@@ -1218,7 +1218,7 @@ object Expr {
   /** A pure-literal expression (foldable catalyst tree, no preps). The
     * alias is stripped first: an aliased literal converts to an
     * UnresolvedAlias whose `foldable` throws pre-analysis. */
-  private[expr] def isConstant(e: Expr): Boolean =
+  private[graft] def isConstant(e: Expr): Boolean =
     e.preps.isEmpty && e.keyed.isEmpty && e.groupAgg.isEmpty &&
       (try org.apache.spark.sql.GraftInternalOps.catalystExpression(
          org.apache.spark.sql.GraftInternalOps.stripAlias(e.col)).foldable

@@ -85,6 +85,38 @@ object GraftInternalOps {
       case _ => false
     }
 
+  /** True when the (unresolved) tree PROVABLY contains no aggregate — the
+    * polars agg-surface test: an aggregate-free expression inside
+    * `group_by().agg` evaluates elementwise and IMPLODES to a per-group
+    * list. Conservative on purpose: a function the SQL registry cannot
+    * resolve (DSL-only aggregates like `product`/`mode` surface as
+    * unresolvable names) or any window expression makes this false, so
+    * unknowns keep their pre-existing aggregate treatment instead of being
+    * silently imploded. */
+  def provablyAggregateFree(c: Column): Boolean = {
+    var ok = true
+    catalystExpression(c).foreach {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        val resolved = scala.util.Try {
+          org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.lookupFunction(
+            org.apache.spark.sql.catalyst.FunctionIdentifier(f.nameParts.head.toLowerCase),
+            f.arguments)
+        }.toOption
+        val nonAgg = f.nameParts.size == 1 && resolved.exists {
+          case _: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction => false
+          case _: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression => false
+          case _ => true
+        }
+        if (!nonAgg) ok = false
+      case _: org.apache.spark.sql.catalyst.expressions.WindowExpression => ok = false
+      case e if e.getClass.getSimpleName == "UnresolvedWindowExpression" => ok = false
+      case _: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression => ok = false
+      case _: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction => ok = false
+      case _ =>
+    }
+    ok
+  }
+
   /** Per-key broadcast spelling for a PLAIN aggregate operand reached by a
     * keyed composition — polars' `(x.shift(1) + w.sum).over(k)` broadcasts
     * the per-key sum. A bare (possibly aliased) aggregate becomes
