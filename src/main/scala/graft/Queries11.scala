@@ -155,12 +155,38 @@ object Queries11 {
       .toSpark
   }
 
+  /** Order-dependent exprs INSIDE dynamic windows (the round-9 GroupBy
+    * delegation): per-6h-window running sums as lists (exploded to scalar
+    * rows with a 1-based position so the gate can hash them), an
+    * aggregate-of-scanned scalar, and polars' implicit implode of a bare
+    * column. Frame pre-sorted so within-window order is (ts, event_id). */
+  private def qGbdScan(s: SparkSession, dir: String): SDF = {
+    import graft.Polars._
+    import graft.api.LazyFrame
+    val ev = t(s, dir, "events").transform(TestTables.normalizeEventsTs)
+    LazyFrame(ev)
+      .sortBy(Seq(col("ts"), col("event_id")))
+      .groupByDynamic("ts", every = "6h")
+      .agg(
+        col("value").cumSum().alias("cs_list"),
+        col("value").shift(1).sum.alias("ss"),
+        col("event_id").alias("ids"))
+      .explodeWith("pos", "cs_list", "ids")
+      .withColumns(
+        "pos" -> graft.expr.Expr((F.col("pos") + F.lit(1)).cast("long")),
+        "cs" -> col("cs_list"), "eid" -> col("ids"))
+      .select(col("ts"), col("pos"), col("eid"), col("cs"), col("ss"))
+      .sortBy(Seq(col("ts"), col("pos")))
+      .toSpark
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
     "q_kmeans" -> (qKmeans _),
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_dsir_weights" -> (qDsirWeights _),
     "q_quality_classifier" -> (qQualityClassifier _),
-    "q_over_chain" -> (qOverChain _))
+    "q_over_chain" -> (qOverChain _),
+    "q_gbd_scan" -> (qGbdScan _))
 
   def oracleSql: Map[String, String] = Map(
     "q_kmeans" ->
@@ -237,5 +263,21 @@ object Queries11 {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
         |  wr AS (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    "q_gbd_scan" ->
+      """WITH e AS (
+        |  SELECT CAST(time_bucket(INTERVAL '6 hours', ts, TIMESTAMP '1970-01-01') AS TIMESTAMP) AS w,
+        |    event_id, value, ts
+        |  FROM events),
+        |b AS (SELECT w, event_id, value,
+        |  row_number() OVER (PARTITION BY w ORDER BY ts, event_id) AS pos,
+        |  sum(value) OVER (PARTITION BY w ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+        |  count(*) OVER (PARTITION BY w) AS n,
+        |  sum(value) OVER (PARTITION BY w) AS tot,
+        |  first_value(value) OVER (PARTITION BY w ORDER BY ts DESC, event_id DESC) AS lastv
+        |  FROM e)
+        |SELECT w AS ts, CAST(pos AS BIGINT) AS pos, event_id AS eid, cs,
+        |  CASE WHEN n = 1 THEN NULL ELSE tot - lastv END AS ss
+        |FROM b ORDER BY ts, pos""".stripMargin)
 }
