@@ -273,11 +273,9 @@ object Queries11 {
         |  row_number() OVER (PARTITION BY w ORDER BY ts, event_id) AS pos,
         |  sum(value) OVER (PARTITION BY w ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
-        |  count(*) OVER (PARTITION BY w) AS n,
-        |  sum(value) OVER (PARTITION BY w) AS tot,
-        |  first_value(value) OVER (PARTITION BY w ORDER BY ts DESC, event_id DESC) AS lastv
+        |  count(*) OVER (PARTITION BY w) AS n
         |  FROM e)
         |SELECT w AS ts, CAST(pos AS BIGINT) AS pos, event_id AS eid, cs,
-        |  CASE WHEN n = 1 THEN NULL ELSE tot - lastv END AS ss
+        |  max(CASE WHEN pos = n - 1 THEN cs END) OVER (PARTITION BY w) AS ss
         |FROM b ORDER BY ts, pos""".stripMargin)
 }

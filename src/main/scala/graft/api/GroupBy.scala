@@ -463,10 +463,16 @@ final class DynamicGroupBy[Self](sdf: SDF, indexColumn: String, every: String,
       if (!needsAnchor) sdf
       else if (by.isEmpty) sdf.crossJoin(F.broadcast(sdf.agg(F.min(t0).as(og))))
       else {
+        // attach the dense row index BEFORE the anchor join: a sort-merge
+        // plan for the join would otherwise reorder rows, and the
+        // order-dependent agg delegation downstream collects per-window
+        // lists in hidden-index order — the index must witness the
+        // pre-join (sorted-index contract) order, not the join's
+        val idxed = graft.kernel.RowIndex.attachDense(sdf)
         val mins = sdf.groupBy(by.map(F.col): _*).agg(F.min(t0).as(og))
           .select((F.col(og) +: by.map(b => F.col(b).as(s"__og_$b"))).toIndexedSeq: _*)
-        val cond = by.map(b => sdf(b) <=> mins(s"__og_$b")).reduce(_ && _)
-        sdf.join(mins, cond).drop(by.map(b => s"__og_$b"): _*)
+        val cond = by.map(b => idxed(b) <=> mins(s"__og_$b")).reduce(_ && _)
+        idxed.join(mins, cond).drop(by.map(b => s"__og_$b"): _*)
       }
     val origin: Column = (startBy match {
       case "window"    => F.lit(0L)

@@ -1099,27 +1099,36 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
                       adjust: Boolean, minPeriods: Int,
                       ignoreNulls: Boolean): Expr = {
     val a = graft.kernel.Ewm.alphaFrom(com, span, halfLife, alpha)
-    val res = Scan.fresh("x")
-    def kernelPrep(inputCol: Column, by: Seq[String]): Prep = {
+    // each spelling gets its OWN output/prep key: the global and every
+    // keyed invocation must not collide (preps dedupe by key, so a shared
+    // name would silently serve the first-built result to both)
+    def kernelPrep(res: String, inputCol: Column, by: Seq[String]): Prep = {
       val in = Scan.fresh("x")
       Prep(res, d => graft.kernel.Ewm.ewm(
           d.withColumn(in, inputCol), in, graft.kernel.RowIndex.name, by,
           a, adjust, minPeriods, Seq(out), ignoreNulls)
         .withColumnRenamed(s"${in}_ewm_$out", res).drop(in), Seq(res))
     }
-    Expr(F.col(res), requiresIndex = true, preps :+ kernelPrep(col, Nil),
-      keyed = Some(KeyedForm { keys =>
-        val in = keyedInput("ewm_" + out, keys)
+    def global(inputCol: Column, inPreps: Seq[Prep]): Expr = {
+      val res = Scan.fresh("x")
+      Expr(F.col(res), requiresIndex = true, inPreps :+ kernelPrep(res, inputCol, Nil))
+    }
+    global(col, preps).copy(keyed = Some(KeyedForm { keys =>
+      val in = keyedInput("ewm_" + out, keys)
+      if (keys.isEmpty) global(in.col, in.preps) // over() with no keys = keyless kernel
+      else {
         // the kernel takes by-COLUMN NAMES: materialize each key expression
         // into a helper column first (keys may be arbitrary expressions)
+        val res = Scan.fresh("x")
         val keyNames = keys.map(_ => Scan.fresh("k"))
         val keyPrep = Prep(keyNames.head,
           d => keys.zip(keyNames).foldLeft(d) { case (dd, (k, n)) =>
             dd.withColumn(n, k)
           }, keyNames)
         Expr(F.col(res), requiresIndex = true,
-          in.preps ++ Seq(keyPrep, kernelPrep(in.col, keyNames)))
-      }))
+          in.preps ++ Seq(keyPrep, kernelPrep(res, in.col, keyNames)))
+      }
+    }))
   }
   def cumulativeEval(agg: Column => Column): Expr = Expr(
     agg(col).over(idxWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)),

@@ -503,6 +503,38 @@ class Round8Spec extends SparkSpec {
       val shifted = Option.empty[Double] +: xs.map(_._3).dropRight(1)
       check("chain", ch, xs, seqAdj(shifted, 0.3))
     }
+    // ONE Expr instance reused globally AND keyed in one projection: the
+    // two spellings must not collide on a shared prep key (each gets its
+    // own fresh output column)
+    val e = col("v").ewmMean(alpha = Some(0.3))
+    val both = graft.api.DataFrame(sdf)
+      .withColumn("g", e).withColumn("ke", e.over(col("k"))).toSpark
+      .select("i", "k", "g", "ke").collect()
+      .map(r => ((r.getString(1), r.getLong(0)),
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+         if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    val globalRef = seqAdj(data.map(_._3), 0.3)
+    data.zipWithIndex.foreach { case ((k, i, _), pos) =>
+      val ok = (both((k, i))._1, globalRef(pos)) match {
+        case (Some(a), Some(b)) => math.abs(a - b) < 1e-9
+        case (x, y) => x == y
+      }
+      assert(ok, s"reused-global $k/$i")
+    }
+    Seq("a", "b").foreach { k =>
+      val xs = data.filter(_._1 == k)
+      val expK = seqAdj(xs.map(_._3), 0.3)
+      xs.zipWithIndex.foreach { case ((_, i, _), pos) =>
+        ((both((k, i))._2, expK(pos)): @unchecked) match {
+          case (None, None) =>
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9, s"reused-keyed $k/$i")
+        }
+      }
+    }
+    // over() with no keys degrades to the keyless kernel, not a crash
+    val emptyOver = graft.api.DataFrame(sdf)
+      .withColumn("e", col("v").ewmMean(alpha = Some(0.3)).over()).toSpark
+    assert(emptyOver.count() == data.size)
     // parameterization: exactly one of com/span/half_life/alpha
     intercept[IllegalArgumentException] {
       col("v").ewmMean(com = Some(1.0), alpha = Some(0.5))
