@@ -233,6 +233,20 @@ final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
     val epoch =
       if (isIndex) F.col(indexColumn).cast("long")
       else F.unix_micros(F.col(indexColumn).cast("timestamp"))
+    // polars' implicit implode inside rolling windows: an aggregate-free
+    // elementwise expr collects to a per-window LIST in index order —
+    // null-preserving struct-collect sorted by (epoch, value); rows tied on
+    // the index value order by value (polars' rolling contract wants a
+    // sorted, effectively unique index — exact ties are outside it)
+    def spelling(e: Expr): org.apache.spark.sql.expressions.WindowSpec => Column =
+      if (e.preps.isEmpty && e.keyed.isEmpty && e.groupAgg.isEmpty &&
+          !Expr.isConstant(e) &&
+          org.apache.spark.sql.GraftInternalOps.provablyAggregateFree(e.col))
+        w => F.transform(
+          F.array_sort(F.collect_list(
+            F.struct(epoch.as("o"), e.col.as("x"))).over(w)),
+          s => s.getField("x"))
+      else w => e.col.over(w)
     if (by.nonEmpty) {
       val w = Window.partitionBy(by.map(F.col): _*).orderBy(epoch)
         .rangeBetween(loIncl, hiIncl)
@@ -241,7 +255,7 @@ final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
       // after an existing column shadow it for the aggs that follow
       val fresh = exprs.map { case (n, e) => (n, e, Scan.fresh("ro")) }
       val built = fresh.foldLeft(sdf) { case (acc, (_, e, fn)) =>
-        acc.withColumn(fn, e.col.over(w)) }
+        acc.withColumn(fn, spelling(e)(w)) }
       mk(fresh.foldLeft(built) { case (acc, (n, _, fn)) =>
         acc.withColumn(n, F.col(fn)).drop(fn) })
     } else {
@@ -249,8 +263,7 @@ final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
       // rows get no phantom copy and keep their null peer-group frame —
       // documented at the kernel)
       mk(graft.kernel.Scan.rollingByApplyMulti(sdf, epoch, loIncl, hiIncl,
-        exprs.map { case (n, e) =>
-          n -> ((w: org.apache.spark.sql.expressions.WindowSpec) => e.col.over(w)) }))
+        exprs.map { case (n, e) => n -> spelling(e) }))
     }
   }
 

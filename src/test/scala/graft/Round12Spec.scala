@@ -75,6 +75,27 @@ class Round12Spec extends SparkSpec {
     assert(got(1) == (None, 1L) && got(2) == (None, 1L))
   }
 
+  test("rolling().agg bare-column implodes to trailing-window lists, keyed and keyless") {
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val df = LazyFrame(Seq(
+      ("a", at(0), 1.0), ("a", at(30), 2.0), ("a", at(90), 3.0),
+      ("b", at(10), 10.0)).toDF("k", "ts", "v"))
+    // keyed: trailing 1h window (t-1h, t]
+    val keyed = df.rolling("ts", "1h", by = Seq("k"))
+      .agg("vs" -> col("v"))
+      .toSpark.orderBy("k", "ts").select("vs").collect().map(_.getSeq[Double](0).toSeq)
+    assert(keyed.toSeq == Seq(Seq(1.0), Seq(1.0, 2.0), Seq(3.0), Seq(10.0)))
+    // keyless: same shape through the phantom-carry kernel
+    val keyless = df.rolling("ts", "1h")
+      .agg("vs" -> col("v"), "sv" -> col("v").sum)
+      .toSpark.orderBy("ts").select("vs", "sv").collect()
+      .map(r => (r.getSeq[Double](0).toSeq, r.getDouble(1)))
+    assert(keyless.map(_._1).toSeq ==
+      Seq(Seq(1.0), Seq(1.0, 10.0), Seq(1.0, 10.0, 2.0), Seq(3.0)))
+    assert(keyless.map(_._2).toSeq == Seq(1.0, 11.0, 13.0, 3.0))
+  }
+
   test("group_by_dynamic bare-column agg implodes per window; calendar path too") {
     val fixed = tsFrame.groupByDynamic("ts", every = "1h").agg(col("v").alias("vs"))
       .toSpark.orderBy("ts").collect().map(_.getSeq[Double](1).toSeq)
