@@ -293,6 +293,18 @@ final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
     require(offset.forall(o => DurationDsl.parse(o).months == -d.months &&
         DurationDsl.parse(o).isPureCalendar),
       "rolling: calendar periods support only the default offset (-period)")
+    // implicit implode is spelled on the fixed/index paths only; the
+    // calendar bucket-join aggregates per probe group with no window frame
+    // to collect over — raise the directed error instead of Spark's opaque
+    // "not an aggregate"
+    exprs.foreach { case (n, e) =>
+      require(!(e.preps.isEmpty && e.keyed.isEmpty && e.groupAgg.isEmpty &&
+          !Expr.isConstant(e) &&
+          org.apache.spark.sql.GraftInternalOps.provablyAggregateFree(e.col)),
+        s"rolling(calendar).agg: '$n' is an elementwise expression; per-window " +
+          "lists are not supported with calendar periods — aggregate it " +
+          "(e.g. .implode) or use a fixed-duration period")
+    }
     val m = d.months
     // Join-back discipline (same as Scan.rollingByCalendar): per-probe
     // results re-attach by a synthesized row id when the layout makes ids

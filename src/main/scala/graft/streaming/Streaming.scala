@@ -140,6 +140,43 @@ object Streaming {
       curateTransform(scanParquetStream(path, schema), textCol, minWords),
       outPath, checkpoint)
 
+  /** Model-scored streaming curation: score each arriving document with a
+    * batch-trained [[graft.ml.Classifier.LinearModel]] (train offline on the
+    * curated seed set, apply on ingest — the fastText-filter deployment
+    * shape) and keep those at or above `threshold`. Stateless: the model is
+    * a broadcast ≤ B+1-double table, featurization is one explode + local
+    * aggregate per micro-batch, no state store. Exposed as a transform so
+    * tests run it on bounded frames too. */
+  def classifierTransform(docs: DataFrame, textCol: String, idCol: String,
+                          model: graft.ml.Classifier.LinearModel,
+                          threshold: Double = 0.5,
+                          scoreCol: String = "quality_score",
+                          ngram: Int = 2, seed: Long = 42): DataFrame = {
+    // featurize in the MODEL's bucket space — a mismatched bucket count
+    // would hash most features past the weight table and silently score
+    // everything near sigmoid(bias)
+    val feats = graft.ml.Sampling.hashedNgramBuckets(
+      docs.select(F.col(idCol), F.col(textCol)), textCol, idCol,
+      n = ngram, buckets = model.buckets, seed = seed)
+    val scored = graft.ml.Classifier.logisticScore(docs, feats, idCol, model, scoreCol)
+    docs.join(scored, Seq(idCol)).filter(F.col(scoreCol) >= threshold)
+  }
+
+  def classifierStream(path: String, schema: StructType, textCol: String,
+                       idCol: String, model: graft.ml.Classifier.LinearModel,
+                       outPath: String, checkpoint: String,
+                       threshold: Double = 0.5)
+                      (implicit spark: SparkSession): Unit = {
+    val stream = scanParquetStream(path, schema)
+    // hashedNgramBuckets aggregates (unsupported directly on a streaming
+    // frame pre-watermark) — run per micro-batch: stateless, exactly-once
+    // per file via the checkpoint
+    foreachBatch(stream, checkpoint) { (batch, _) =>
+      classifierTransform(batch, textCol, idCol, model, threshold)
+        .write.mode("append").parquet(outPath)
+    }
+  }
+
   /** Streaming MinHash near-dedup — LSH-on-ingest. Each arriving document's
     * banded MinHash signature is checked against (a) the bands of documents
     * already processed in earlier micro-batches and (b) the current batch's

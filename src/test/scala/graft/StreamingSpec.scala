@@ -170,4 +170,35 @@ class StreamingSpec extends SparkSpec {
     Streaming.nearDedupStream(in, schema, "text", "doc_id", out, reg, cp)
     assert(spark.read.parquet(out).count() == 3)
   }
+
+  test("classifier stream: batch-trained model filters arriving documents") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-clfstream").toFile
+    tmp.deleteOnExit()
+    val (in, out, cp) = (tmp + "/in", tmp + "/out", tmp + "/cp")
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(in))
+    // train offline on a labeled seed set (bigram-disjoint classes)
+    val seed = Seq(
+      (1L, "good clean prose flows well", 1),
+      (2L, "clean prose flows well today", 1),
+      (3L, "zz xx qq ww vv kk", 0),
+      (4L, "xx qq ww vv kk zz", 0)).toDF("doc_id", "text", "label")
+    val feats = graft.ml.Sampling.hashedNgramBuckets(seed, "text", "doc_id", buckets = 256)
+    val model = graft.ml.Classifier.logisticFit(
+      feats, seed.select("doc_id", "label"), "doc_id", buckets = 256, epochs = 30)
+    // bounded-frame twin first
+    val arriving = Seq(
+      (10L, "good clean prose reads well"), (11L, "qq ww vv kk zz xx"))
+      .toDF("doc_id", "text")
+    val keptB = Streaming.classifierTransform(arriving, "text", "doc_id", model)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(keptB == Seq(10L))
+    // then the stream: same documents arriving as a file
+    arriving.coalesce(1).write.parquet(in + "/w1")
+    val part = new java.io.File(in + "/w1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(in, "wave1.parquet"))
+    Streaming.classifierStream(in, arriving.schema, "text", "doc_id", model, out, cp)
+    val kept = spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(10L))
+  }
 }
