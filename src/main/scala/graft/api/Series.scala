@@ -263,15 +263,28 @@ final case class Series(name: String, df: SDF) {
 
   /** ewm_mean/std/var over the series' own order (reference series.rb
     * ewm_*) — the mapPartitions kernel with the dense index as the order. */
-  def ewmMean(alpha: Double, adjust: Boolean = true, minPeriods: Int = 1,
+  def ewmMean(com: Option[Double] = None, span: Option[Double] = None,
+              halfLife: Option[Double] = None, alpha: Double = Double.NaN,
+              adjust: Boolean = true, minPeriods: Int = 1,
               ignoreNulls: Boolean = true): Series =
-    ewmOut("mean", alpha, adjust, minPeriods, ignoreNulls)
-  def ewmStd(alpha: Double, adjust: Boolean = true, minPeriods: Int = 1,
+    ewmOut("mean", resolveAlpha(com, span, halfLife, alpha), adjust, minPeriods, ignoreNulls)
+  def ewmStd(com: Option[Double] = None, span: Option[Double] = None,
+             halfLife: Option[Double] = None, alpha: Double = Double.NaN,
+             adjust: Boolean = true, minPeriods: Int = 1,
              ignoreNulls: Boolean = true): Series =
-    ewmOut("std", alpha, adjust, minPeriods, ignoreNulls)
-  def ewmVar(alpha: Double, adjust: Boolean = true, minPeriods: Int = 1,
+    ewmOut("std", resolveAlpha(com, span, halfLife, alpha), adjust, minPeriods, ignoreNulls)
+  def ewmVar(com: Option[Double] = None, span: Option[Double] = None,
+             halfLife: Option[Double] = None, alpha: Double = Double.NaN,
+             adjust: Boolean = true, minPeriods: Int = 1,
              ignoreNulls: Boolean = true): Series =
-    ewmOut("var", alpha, adjust, minPeriods, ignoreNulls)
+    ewmOut("var", resolveAlpha(com, span, halfLife, alpha), adjust, minPeriods, ignoreNulls)
+  /** Reference Series#ewm_* parameterization (series.rb:3875-3897): exactly
+    * one of com/span/half_life/alpha; `alpha` stays a plain Double for
+    * call-site compatibility (NaN = unset). */
+  private def resolveAlpha(com: Option[Double], span: Option[Double],
+                           halfLife: Option[Double], alpha: Double): Double =
+    graft.kernel.Ewm.alphaFrom(com, span, halfLife,
+      if (alpha.isNaN) None else Some(alpha))
   private def ewmOut(out: String, alpha: Double, adjust: Boolean, minPeriods: Int,
                      ignoreNulls: Boolean): Series = {
     val r = graft.kernel.Ewm.ewm(indexed, name, IDX,

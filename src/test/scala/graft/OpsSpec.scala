@@ -163,6 +163,11 @@ class OpsSpec extends SparkSpec {
     assert(s.chunkLengths.sum == 4L)
     // ewm_mean adjust=true over [1,2]: second value = (2 + 0.5*1)/(1.5) for alpha=0.5
     val em = Series("x", Seq(1.0, 2.0)).ewmMean(alpha = 0.5).toList
+    // com parameterization: com=1 <=> alpha=0.5 (reference _prepare_alpha)
+    assert(Series("x", Seq(1.0, 2.0)).ewmMean(com = Some(1.0)).toList == em)
+    intercept[IllegalArgumentException] {
+      Series("x", Seq(1.0)).ewmMean(com = Some(1.0), alpha = 0.5)
+    }
     assert(math.abs(em(1).asInstanceOf[Double] - (2.0 + 0.5) / 1.5) < 1e-12)
     // shuffle is a seeded permutation; sample is seeded-deterministic
     val big = Series("x", (1 to 50).map(_.toDouble))
