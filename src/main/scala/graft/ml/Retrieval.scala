@@ -1,0 +1,83 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** BM25 retrieval over a document corpus (beyond-reference; the classic
+  * sparse-retrieval half of a training-data / RAG pipeline).
+  *
+  * Scale shape: the query set is tiny and the corpus is huge, so retrieval
+  * is an INVERTED PROBE — broadcast the distinct query-term set, filter the
+  * exploded corpus token stream against it BEFORE any aggregation (the
+  * filter rides into the same stage as the scan + explode, so no
+  * vocabulary-sized tf table is ever built), then one hash aggregation on
+  * (doc, term), a broadcast join of the per-term document frequencies
+  * (≤ #query-terms rows) and the 1-row corpus stats, and a per-query top-k
+  * window. Two shuffles total ((doc,term) agg + final top-k), both keyed on
+  * data that survives a 100× corpus — nothing driver-sized, nothing
+  * vocabulary-sized.
+  */
+object Retrieval {
+
+  import TextAnalysis.tokens
+
+  /** Per-(query, doc) BM25 scores for every document that shares at least
+    * one term with the query. Okapi BM25 with the Lucene non-negative idf:
+    * idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); term weight
+    * idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)). Query term
+    * multiplicity is ignored (distinct query terms), the standard bag-of-
+    * words form. `matched` counts the query terms present in the doc.
+    *
+    * ln is the one transcendental in the pipeline — scores are reproducible
+    * across engines only to ~1 ulp; gate queries should round before
+    * hashing (the rank itself is stable under a 6-dp round with an id
+    * tiebreak).
+    */
+  def bm25Scores(docs: DataFrame, textCol: String, idCol: String,
+                 queries: DataFrame, queryIdCol: String, queryTextCol: String,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qterms = queries.select(F.col(queryIdCol),
+        F.explode(tokens(F.col(queryTextCol))).as("term"))
+      .filter(F.col("term") =!= "").distinct()
+    // inverted probe: corpus tokens filtered to query terms pre-aggregation
+    val tok = docs.select(F.col(idCol), F.explode(tokens(F.col(textCol))).as("term"))
+      .filter(F.col("term") =!= "")
+      .join(F.broadcast(qterms.select("term").distinct()), Seq("term"))
+    val tf = tok.groupBy(F.col(idCol), F.col("term"))
+      .agg(F.count(F.lit(1)).as("tf"))
+    // df over the full corpus is exact on the filtered stream: every doc
+    // containing a query term survives the probe join
+    val dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).as("doc_freq"))
+    val docLen = docs.select(F.col(idCol),
+      F.size(tokens(F.col(textCol))).cast("double").as("__dl__"))
+    val stats = docs.agg(
+      F.count(F.lit(1)).cast("double").as("__n__"),
+      F.avg(F.size(tokens(F.col(textCol)))).as("__avgdl__"))
+    val idf = F.log(F.lit(1.0) +
+      (F.col("__n__") - F.col("doc_freq") + F.lit(0.5)) / (F.col("doc_freq") + F.lit(0.5)))
+    val w = idf * (F.col("tf").cast("double") * F.lit(k1 + 1.0)) /
+      (F.col("tf").cast("double") +
+        F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl__") / F.col("__avgdl__")))
+    tf.join(docLen, Seq(idCol))
+      .join(F.broadcast(dfreq), Seq("term"))
+      .crossJoin(F.broadcast(stats))
+      .join(F.broadcast(qterms), Seq("term"))
+      .groupBy(F.col(queryIdCol), F.col(idCol))
+      .agg(F.sum(w).as("score"), F.count(F.lit(1)).as("matched"))
+  }
+
+  /** Top-k documents per query by BM25. Ranking rounds the score to
+    * `roundDp` decimals first (ties then broken by ascending doc id) so the
+    * selected set is reproducible across engines despite the ln ulp; pass
+    * roundDp < 0 to rank on the raw double. The returned `score` is raw. */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+               queries: DataFrame, queryIdCol: String, queryTextCol: String,
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+               roundDp: Int = 6): DataFrame = {
+    val scores = bm25Scores(docs, textCol, idCol, queries, queryIdCol, queryTextCol, k1, b)
+    val rankKey = if (roundDp >= 0) F.round(F.col("score"), roundDp) else F.col("score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col(queryIdCol)).orderBy(rankKey.desc, F.col(idCol))
+    scores.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+  }
+}
