@@ -31,8 +31,25 @@ object Queries12 {
       .orderBy("query_id", "rank")
   }
 
+  /** Damped PageRank ([[graft.ml.Graph.pageRank]], 3 iterations, d=0.85)
+    * over a deterministic directed graph derived from events (user_id →
+    * event_id % 150 — the destination space only partly overlaps the user
+    * space, so the dangling-mass path is exercised). The oracle unrolls the
+    * same three power iterations in chained CTEs; the damping constants are
+    * spelled `1.0 - CAST(0.85 AS DOUBLE)` on both sides so the literals are
+    * bit-identical, and the output rounds to 6 dp per the transcendental/
+    * sum-order discipline. */
+  private def qPagerank(s: SparkSession, dir: String): SDF = {
+    val e = t(s, dir, "events")
+      .select(F.col("user_id").as("src"), (F.col("event_id") % 150).as("dst"))
+    graft.ml.Graph.pageRank(e, "src", "dst", iterations = 3, damping = 0.85)
+      .select(F.col("node"), F.round(F.col("rank"), 6).as("rank"))
+      .orderBy("node")
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
     "q_bm25" -> (qBm25 _),
+    "q_pagerank" -> (qPagerank _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -77,5 +94,42 @@ object Queries12 {
         |  FROM s)
         |SELECT query_id, doc_id, round(score, 6) AS score, matched, rank
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id AS src, event_id % 150 AS dst
+        |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+        |nodes AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS deg
+        |        FROM e GROUP BY 1),
+        |b AS (SELECT n.node, d.deg FROM nodes n LEFT JOIN deg d USING (node)),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |r0 AS (SELECT node, deg, 1.0 / (SELECT n FROM nn) AS rank FROM b),
+        |c1 AS (SELECT e.dst AS node, sum(r.rank / r.deg) AS inm
+        |       FROM e JOIN r0 r ON e.src = r.node GROUP BY 1),
+        |d1 AS (SELECT coalesce(sum(CASE WHEN deg IS NULL THEN rank END), 0.0) AS dm FROM r0),
+        |r1 AS (SELECT b.node, b.deg,
+        |    ((1.0 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn))
+        |      + CAST(0.85 AS DOUBLE) * (coalesce(c1.inm, 0.0)
+        |        + (SELECT dm FROM d1) / (SELECT n FROM nn)) AS rank
+        |  FROM b LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT e.dst AS node, sum(r.rank / r.deg) AS inm
+        |       FROM e JOIN r1 r ON e.src = r.node GROUP BY 1),
+        |d2 AS (SELECT coalesce(sum(CASE WHEN deg IS NULL THEN rank END), 0.0) AS dm FROM r1),
+        |r2 AS (SELECT b.node, b.deg,
+        |    ((1.0 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn))
+        |      + CAST(0.85 AS DOUBLE) * (coalesce(c2.inm, 0.0)
+        |        + (SELECT dm FROM d2) / (SELECT n FROM nn)) AS rank
+        |  FROM b LEFT JOIN c2 USING (node)),
+        |c3 AS (SELECT e.dst AS node, sum(r.rank / r.deg) AS inm
+        |       FROM e JOIN r2 r ON e.src = r.node GROUP BY 1),
+        |d3 AS (SELECT coalesce(sum(CASE WHEN deg IS NULL THEN rank END), 0.0) AS dm FROM r2),
+        |r3 AS (SELECT b.node, b.deg,
+        |    ((1.0 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn))
+        |      + CAST(0.85 AS DOUBLE) * (coalesce(c3.inm, 0.0)
+        |        + (SELECT dm FROM d3) / (SELECT n FROM nn)) AS rank
+        |  FROM b LEFT JOIN c3 USING (node))
+        |SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin,
   )
 }

@@ -1,0 +1,77 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.storage.StorageLevel
+
+/** Link-graph operators for corpus quality weighting (beyond-reference).
+  *
+  * PageRank is the standard authority prior for web-scale training data
+  * (host- or page-level rank joined back as a quality feature). Scale
+  * shape: each power iteration is ONE shuffle join of the edge list with
+  * the current rank vector (both keyed on the source node) plus ONE hash
+  * aggregation on the destination — the same budget as a join+groupBy, run
+  * k times. The dangling-node mass and the rank-mass invariant are 1-row
+  * broadcast aggregates; driver state is the iteration counter only.
+  * Rank frames are persisted per iteration so lineage stays O(1) deep.
+  */
+object Graph {
+
+  /** Damped PageRank over a directed edge list. Nodes are the union of
+    * sources and destinations; duplicate edges are collapsed first (set
+    * semantics, the standard formulation) unless `dedupEdges = false`
+    * (multigraph: parallel edges weight the transition). Dangling nodes
+    * (no out-edges) redistribute their mass uniformly, so total rank mass
+    * stays 1 every iteration: r'(v) = (1-d)/N + d * (Σ_in r(u)/out(u) + D/N)
+    * with D = Σ rank over dangling nodes.
+    *
+    * Returns (node, rank) with one row per node.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int = 10, damping: Double = 0.85,
+               dedupEdges: Boolean = true): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    val e0 = edges.select(F.col(srcCol).as("__src__"), F.col(dstCol).as("__dst__"))
+      .filter(F.col("__src__").isNotNull && F.col("__dst__").isNotNull)
+    val e = (if (dedupEdges) e0.distinct() else e0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(F.col("__src__").as("node"))
+      .unionAll(e.select(F.col("__dst__").as("node")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val outDeg = e.groupBy(F.col("__src__").as("node"))
+      .agg(F.count(F.lit(1)).cast("double").as("__deg__"))
+    // left join: dangling nodes carry null degree
+    val base = nodes.join(outDeg, Seq("node"), "left")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.agg(F.count(F.lit(1)).cast("double").as("__n__"))
+
+    var ranks = base.crossJoin(F.broadcast(n))
+      .select(F.col("node"), F.col("__deg__"), (F.lit(1.0) / F.col("__n__")).as("rank"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var i = 0
+    while (i < iterations) {
+      // 1-row aggregate: mass parked on dangling nodes this iteration
+      val dangling = ranks.agg(
+        F.coalesce(F.sum(F.when(F.col("__deg__").isNull, F.col("rank"))), F.lit(0.0))
+          .as("__dm__"))
+      val contribs = e
+        .join(ranks.select(F.col("node").as("__src__"),
+          (F.col("rank") / F.col("__deg__")).as("__c__")), Seq("__src__"))
+        .groupBy(F.col("__dst__").as("node"))
+        .agg(F.sum(F.col("__c__")).as("__in__"))
+      val next = base
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(dangling))
+        .select(F.col("node"), F.col("__deg__"),
+          ((F.lit(1.0 - damping) / F.col("__n__")) +
+            F.lit(damping) * (F.coalesce(F.col("__in__"), F.lit(0.0)) +
+              F.col("__dm__") / F.col("__n__"))).as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before unpersisting the input generation
+      ranks.unpersist(blocking = false)
+      ranks = next
+      i += 1
+    }
+    ranks.select(F.col("node"), F.col("rank"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.ml.Graph
+import org.apache.spark.sql.{functions => F}
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Local reference: same formulation (dedup edges, dangling mass uniform). */
+  private def ref(edges: Seq[(Long, Long)], iters: Int, d: Double): Map[Long, Double] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val out = e.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 0 until iters) {
+      val dm = nodes.filterNot(out.contains).map(r).sum
+      val in = e.groupBy(_._2).view.mapValues(_.map { case (s, _) => r(s) / out(s) }.sum).toMap
+      r = nodes.map(v => v -> ((1.0 - d) / n + d * (in.getOrElse(v, 0.0) + dm / n))).toMap
+    }
+    r
+  }
+
+  test("pageRank matches the local power iteration on a cyclic graph") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+    val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst",
+        iterations = 5, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = ref(edges, 5, 0.85)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12, s"node $k") }
+  }
+
+  test("dangling nodes redistribute mass: total rank stays 1") {
+    val edges = Seq((1L, 2L), (3L, 2L)) // node 2 is dangling
+    val out = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst",
+        iterations = 4, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out.values.sum - 1.0) < 1e-12)
+    val want = ref(edges, 4, 0.85)
+    out.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12) }
+    // the sink accumulates the most rank
+    assert(out(2L) > out(1L) && out(2L) > out(3L))
+  }
+
+  test("multigraph mode weights parallel edges; set mode collapses them") {
+    val edges = Seq((1L, 2L), (1L, 2L), (1L, 3L)) // 1 links twice to 2
+    val multi = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst",
+        iterations = 3, dedupEdges = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val set = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(multi(2L) > multi(3L))       // 2/3 of 1's mass flows to node 2
+    assert(math.abs(set(2L) - set(3L)) < 1e-15) // set semantics: symmetric
+  }
+
+  test("iterations = 0 returns the uniform prior; null edges dropped") {
+    val edges = Seq((Some(1L), Some(2L)), (None, Some(3L)), (Some(2L), None))
+      .toDF("src", "dst")
+    val out = Graph.pageRank(edges, "src", "dst", iterations = 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(1L, 2L)) // only the non-null edge contributes nodes
+    out.values.foreach(v => assert(math.abs(v - 0.5) < 1e-15))
+  }
+}
