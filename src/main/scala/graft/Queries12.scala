@@ -47,9 +47,21 @@ object Queries12 {
       .orderBy("node")
   }
 
+  /** BPE vocabulary induction ([[graft.ml.Bpe.learnMerges]], 4 merges) over
+    * the documents corpus. All-integer counting with lexicographic pair
+    * tiebreak — the oracle unrolls the same four iterations (pair-count →
+    * argmax → greedy replace) and must reproduce every chosen merge AND its
+    * exact corpus pair count. */
+  private def qBpeMerges(s: SparkSession, dir: String): SDF = {
+    val docs = t(s, dir, "documents")
+    graft.ml.Bpe.learnMerges(docs, "text", numMerges = 4)._1
+      .orderBy("rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
     "q_bm25" -> (qBm25 _),
     "q_pagerank" -> (qPagerank _),
+    "q_bpe_merges" -> (qBpeMerges _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -131,5 +143,62 @@ object Queries12 {
         |        + (SELECT dm FROM d3) / (SELECT n FROM nn)) AS rank
         |  FROM b LEFT JOIN c3 USING (node))
         |SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin,
+    "q_bpe_merges" ->
+      """WITH wf AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE word <> '' GROUP BY 1),
+        |w0 AS (
+        |  SELECT array_to_string(
+        |    list_transform(range(1, length(word) + 1), j -> word[j]) || ['</w>'],
+        |    ' ') AS sym, freq
+        |  FROM wf),
+        |p1 AS (
+        |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(list_transform(range(1, len(l)), j -> l[j] || ' ' || l[j+1])) AS pair, freq
+        |    FROM (SELECT str_split(sym, ' ') AS l, freq FROM w0))
+        |  GROUP BY 1),
+        |m1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+        |w1 AS (SELECT trim(replace(
+        |    replace(' ' || replace(sym, ' ', '  ') || ' ',
+        |            ' ' || replace((SELECT pair FROM m1), ' ', '  ') || ' ',
+        |            ' ' || replace((SELECT pair FROM m1), ' ', '') || ' '),
+        |    '  ', ' ')) AS sym, freq FROM w0),
+        |p2 AS (
+        |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(list_transform(range(1, len(l)), j -> l[j] || ' ' || l[j+1])) AS pair, freq
+        |    FROM (SELECT str_split(sym, ' ') AS l, freq FROM w1))
+        |  GROUP BY 1),
+        |m2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+        |w2 AS (SELECT trim(replace(
+        |    replace(' ' || replace(sym, ' ', '  ') || ' ',
+        |            ' ' || replace((SELECT pair FROM m2), ' ', '  ') || ' ',
+        |            ' ' || replace((SELECT pair FROM m2), ' ', '') || ' '),
+        |    '  ', ' ')) AS sym, freq FROM w1),
+        |p3 AS (
+        |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(list_transform(range(1, len(l)), j -> l[j] || ' ' || l[j+1])) AS pair, freq
+        |    FROM (SELECT str_split(sym, ' ') AS l, freq FROM w2))
+        |  GROUP BY 1),
+        |m3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
+        |w3 AS (SELECT trim(replace(
+        |    replace(' ' || replace(sym, ' ', '  ') || ' ',
+        |            ' ' || replace((SELECT pair FROM m3), ' ', '  ') || ' ',
+        |            ' ' || replace((SELECT pair FROM m3), ' ', '') || ' '),
+        |    '  ', ' ')) AS sym, freq FROM w2),
+        |p4 AS (
+        |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(list_transform(range(1, len(l)), j -> l[j] || ' ' || l[j+1])) AS pair, freq
+        |    FROM (SELECT str_split(sym, ' ') AS l, freq FROM w3))
+        |  GROUP BY 1),
+        |m4 AS (SELECT pair, cnt FROM p4 ORDER BY cnt DESC, pair LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS rank, split_part(pair, ' ', 1) AS lhs,
+        |         split_part(pair, ' ', 2) AS rhs, cnt AS pair_count FROM m1
+        |  UNION ALL SELECT 2, split_part(pair, ' ', 1), split_part(pair, ' ', 2), cnt FROM m2
+        |  UNION ALL SELECT 3, split_part(pair, ' ', 1), split_part(pair, ' ', 2), cnt FROM m3
+        |  UNION ALL SELECT 4, split_part(pair, ' ', 1), split_part(pair, ' ', 2), cnt FROM m4)
+        |ORDER BY rank""".stripMargin,
   )
 }
