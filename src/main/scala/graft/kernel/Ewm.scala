@@ -73,18 +73,13 @@ object Ewm {
           ignoreNulls: Boolean = true): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
     if (by.isEmpty) {
-      // adjust=false renormalizes after EVERY observation (the old_wt reset
-      // below), so a null-gap's decay applies to a freshly normalized
-      // weight — not a linear register recurrence, and the keyless affine
-      // carry does not compose. The KEYED path streams each group
-      // sequentially and runs the renormalizing recursion exactly; only the
-      // keyless global form is rejected for this flag pair.
-      require(adjust || ignoreNulls,
-        "ewm: keyless ignore_nulls=false with adjust=false is not supported " +
-          "(the renormalizing recursion does not compose distributively " +
-          "across partitions); group the computation with by-keys, or use " +
-          "adjust=true or ignore_nulls=true")
-      return ewmKeyless(df, valueCol, orderCol, alpha, adjust, minPeriods, outputs, ignoreNulls)
+      // adjust=false + ignore_nulls=false renormalizes after EVERY
+      // observation (the old_wt reset), so the simple 4-register affine
+      // carry does not apply — it gets the dedicated quadratic-map
+      // composition below instead.
+      return if (!adjust && !ignoreNulls)
+        ewmKeylessRenorm(df, valueCol, orderCol, alpha, minPeriods, outputs)
+      else ewmKeyless(df, valueCol, orderCol, alpha, adjust, minPeriods, outputs, ignoreNulls)
     }
     val spark = df.sparkSession
     val partitioned = df.repartition(by.map(F.col): _*)
@@ -186,6 +181,137 @@ object Ewm {
     spark.createDataFrame(out, schema)
   }
 
+  /** Keyless EWM for the renormalizing flag pair (adjust=false,
+    * ignore_nulls=false — the pandas `old_wt` recursion). The state
+    * (mean, cov, Σw, Σw², old_wt) is not a linear register recurrence, but
+    * it still composes across partitions:
+    *
+    *   - old_wt depends only on the null mask: β^(nulls since last valid),
+    *     resetting to 1 after every observation — so a partition's incoming
+    *     old_wt is numerically known on the driver once each partition
+    *     reports its (leading-null, trailing-null, valid-count) structure;
+    *   - AFTER a partition's first valid observation old_wt is numeric
+    *     inside that partition, so mean/Σw/Σw² evolve as affine maps of the
+    *     post-first-observation state, and cov evolves as an affine map
+    *     plus a QUADRATIC in the post-first-observation mean (the
+    *     (oldMean − mean)² terms) — all with constant coefficients a single
+    *     pass-1 stream can accumulate;
+    *   - only the first valid observation mixes the symbolic incoming mean
+    *     nonlinearly with old_wt, and the driver evaluates that one step
+    *     exactly (same FP sequence as the sequential code) using the
+    *     composed gap.
+    *
+    * Pass 1 emits one summary row per partition (structure + first value +
+    * from-scratch final state + 10 map coefficients); the driver folds them
+    * left-to-right into per-partition seed states; pass 2 re-streams each
+    * partition through the ordinary sequential recursion from its seed.
+    * Values match the single-partition recursion up to FP re-association
+    * (~1 ulp per partition boundary), like the linear affine carry. */
+  private def ewmKeylessRenorm(df: DataFrame, valueCol: String, orderCol: String,
+                               alpha: Double, minPeriods: Int,
+                               outputs: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val schema = outSchema(df.schema, valueCol, outputs)
+    val vIdx = df.schema.fieldIndex(valueCol)
+    val beta = 1.0 - alpha
+    val a = alpha; val mp = minPeriods; val outs0 = outputs
+
+    val rdd0 = df.orderBy(F.col(orderCol)).rdd
+    persistBounded(rdd0)
+    val nParts = rdd0.getNumPartitions
+
+    val partials = rdd0.mapPartitionsWithIndex { (pid, it) =>
+      var rows = 0L; var m = 0L; var lead = 0L; var trail = 0L
+      var x1 = 0.0
+      val fresh = new EwmState(a, adjust = false, ignoreNulls = false)
+      // maps of the end-of-partition state as functions of the state right
+      // AFTER the partition's first valid observation (mean1, cov1, sw1, sw2_1)
+      var pm = 1.0; var qm = 0.0                     // mean_out = pm·mean1 + qm
+      var ac = 1.0; var r2, r1, r0 = 0.0             // cov_out = ac·cov1 + r2·mean1² + r1·mean1 + r0
+      var pw = 1.0; var qw = 0.0                     // sw_out = pw·sw1 + qw
+      var pw2 = 1.0; var qw2 = 0.0                   // sw2_out = pw2·sw2_1 + qw2
+      var oldWt = 1.0                                // numeric once m > 0
+      it.foreach { row =>
+        val x = numOf(row.get(vIdx))
+        fresh.step(x, 1, Nil)
+        if (x.isNaN) {
+          if (m == 0) lead += 1
+          else {
+            trail += 1
+            pw *= beta; qw *= beta; pw2 *= beta * beta; qw2 *= beta * beta
+            oldWt *= beta
+          }
+        } else {
+          if (m > 0) {
+            trail = 0
+            oldWt *= beta
+            val w = oldWt; val d1 = w + a
+            val pm2 = w * pm / d1; val qm2 = (w * qm + a * x) / d1
+            val dp = pm - pm2; val dq = qm - qm2      // oldMean − newMean
+            val ep = -pm2; val eq = x - qm2           // x − newMean
+            val s = w / d1; val t = a / d1
+            ac *= s
+            r2 = s * (r2 + dp * dp) + t * ep * ep
+            r1 = s * (r1 + 2 * dp * dq) + t * 2 * ep * eq
+            r0 = s * (r0 + dq * dq) + t * eq * eq
+            pm = pm2; qm = qm2
+            pw = beta * pw / d1; qw = (beta * qw + a) / d1
+            pw2 = beta * beta * pw2 / (d1 * d1); qw2 = (beta * beta * qw2 + a * a) / (d1 * d1)
+            oldWt = 1.0
+          } else x1 = x
+          m += 1
+        }
+        rows += 1
+      }
+      Iterator.single((pid, rows, m, lead, trail, x1, fresh.renormState,
+        Array(pm, qm, ac, r2, r1, r0, pw, qw, pw2, qw2)))
+    }.collect()
+
+    // driver fold: seed(pid) = (valid count before pid, renorm state before pid)
+    val seeds = new Array[(Long, Array[Double])](math.max(nParts, 1))
+    var n = 0L
+    var st: Array[Double] = null // mean, cov, sumWt, sumWt2, oldWt
+    partials.sortBy(_._1).foreach { case (pid, rows, m, lead, trail, x1, freshSt, cf) =>
+      seeds(pid) = (n, st)
+      if (n == 0) {
+        if (m > 0) { st = freshSt; n = m }
+      } else if (m == 0) {
+        val pb = math.pow(beta, rows.toDouble)
+        st = Array(st(0), st(1), st(2) * pb,
+          st(3) * math.pow(beta, 2.0 * rows), st(4) * pb)
+      } else {
+        // leading nulls decay, then the exact first-observation step
+        val pl = math.pow(beta, lead.toDouble)
+        var mean = st(0); var cov = st(1)
+        var sw = st(2) * pl; var sw2 = st(3) * math.pow(beta, 2.0 * lead)
+        var ow = st(4) * pl
+        sw *= beta; sw2 *= beta * beta; ow *= beta
+        val oldMean = mean
+        if (mean != x1) mean = (ow * mean + a * x1) / (ow + a)
+        cov = (ow * (cov + (oldMean - mean) * (oldMean - mean)) +
+          a * (x1 - mean) * (x1 - mean)) / (ow + a)
+        sw += a; sw2 += a * a; ow += a
+        sw /= ow; sw2 /= ow * ow
+        // rest of the partition via the accumulated maps
+        val Array(pm, qm, ac, r2, r1, r0, pw, qw, pw2, qw2) = cf
+        st = Array(pm * mean + qm,
+          ac * cov + r2 * mean * mean + r1 * mean + r0,
+          pw * sw + qw, pw2 * sw2 + qw2,
+          math.pow(beta, trail.toDouble))
+        n += m
+      }
+    }
+    val bc = spark.sparkContext.broadcast(seeds)
+
+    val out = rdd0.mapPartitionsWithIndex { (pid, it) =>
+      val (nPrior, seed) = bc.value(pid)
+      val st = new EwmState(a, adjust = false, ignoreNulls = false)
+      st.seedRenorm(nPrior, seed)
+      it.map(row => Row.fromSeq(row.toSeq ++ st.step(numOf(row.get(vIdx)), mp, outs0)))
+    }
+    spark.createDataFrame(out, schema)
+  }
+
   /** Bounded registry of the persisted sorted RDDs: many keyless-ewm calls
     * in one session must not pin unbounded executor storage. Evicting an
     * entry unpersists it; if its result is materialized later, the two
@@ -222,8 +348,9 @@ object Ewm {
     * weight back to 1 (so a later null-gap decays a unit weight, not the
     * full history), which is the pandas `old_wt` recursion
     * (ignore_na=False, adjust=False). It runs in the dedicated
-    * mean/cov/sum_wt register set below — sequential-only, used by the
-    * keyed mapPartitions path (reference flag surface: expr.rb:6381-6444). */
+    * mean/cov/sum_wt register set below — used sequentially by the keyed
+    * mapPartitions path, and keylessly via [[ewmKeylessRenorm]]'s
+    * quadratic-map composition (reference flag surface: expr.rb:6381-6444). */
   private final class EwmState(alpha: Double, adjust: Boolean,
                                ignoreNulls: Boolean = true) extends Serializable {
     private val beta = 1.0 - alpha
@@ -241,6 +368,17 @@ object Ewm {
     def seed(nPrior: Long, state: Array[Double]): Unit = {
       n = nPrior
       if (state != null) { wSum = state(0); wx = state(1); wx2 = state(2); w2Sum = state(3) }
+    }
+
+    /** Renorm-mode state vector (keyless composition). */
+    def renormState: Array[Double] = Array(mean, cov, sumWt, sumWt2, oldWt)
+
+    def seedRenorm(nPrior: Long, state: Array[Double]): Unit = {
+      n = nPrior
+      if (state != null) {
+        mean = state(0); cov = state(1); sumWt = state(2)
+        sumWt2 = state(3); oldWt = state(4)
+      }
     }
 
     def update(x: Double): Unit = {

@@ -55,10 +55,12 @@ class Kernel2Spec extends SparkSpec {
     val adjTignF = nonNull(adjust = true, ignore = false)
     assert(adjTignF.zip(Seq(1.0, 2.6, 4.6756756757, 2.9801980198))
       .forall { case (a, b) => math.abs(a - b) < 1e-9 }, adjTignF.toString)
-    // adjust=false renormalizes per observation (pandas old_wt reset) — the
-    // combination is refused with a directed error, never silently wrong
-    val e = intercept[IllegalArgumentException](nonNull(adjust = false, ignore = false))
-    assert(e.getMessage.contains("ignore_nulls"), e.getMessage)
+    // adjust=false renormalizes per observation (pandas old_wt reset) —
+    // runs keylessly via the quadratic-map composition; pandas
+    // ewm(alpha=.5, adjust=False, ignore_na=False) values
+    val adjFignF = nonNull(adjust = false, ignore = false)
+    assert(adjFignF.zip(Seq(1.0, 2.3333333333, 4.4666666667, 3.2333333333))
+      .forall { case (a, b) => math.abs(a - b) < 1e-9 }, adjFignF.toString)
     // the defaults are unchanged (ignore_nulls=true)
     val adjTignT = nonNull(adjust = true, ignore = true)
     assert(adjTignT.zip(Seq(1.0, 2.3333333333, 3.8571428571, 2.8666666667))

@@ -87,12 +87,68 @@ class Round8Spec extends SparkSpec {
     assert(ign.toSeq == Seq(1.0, null, 5.5), ign.toSeq.toString)
   }
 
-  test("keyless ewm adjust=false ignore_nulls=false raises the directed error") {
-    val df = Seq((0L, 1.0), (1L, 2.0)).toDF("i", "x")
-    val ex = intercept[IllegalArgumentException] {
-      Ewm.ewm(df, "x", "i", alpha = 0.5, adjust = false, ignoreNulls = false)
+  private def withConf[T](key: String, value: String)(body: => T): T = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
     }
-    assert(ex.getMessage.contains("keyless"))
+  }
+
+  /** The renorm flag pair, KEYLESS: distributed via the quadratic-map
+    * composition (Ewm.ewmKeylessRenorm) — must match the sequential
+    * definition across partition boundaries, including null runs that span
+    * them and leading nulls. */
+  private def renormStress(xs: Seq[Option[Double]], alpha: Double): Unit = {
+    val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("i", "x").repartition(7)
+    val out = withConf("spark.sql.adaptive.enabled", "false") {
+      Ewm.ewm(df, "x", "i", alpha = alpha, adjust = false,
+        ignoreNulls = false, outputs = Seq("mean", "var"))
+    }
+    assert(out.rdd.getNumPartitions > 1, "keyless renorm ewm collapsed to one partition")
+    val got = out.orderBy("i").collect().map { r =>
+      if (r.isNullAt(2)) None
+      else Some((r.getDouble(2), if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    }
+    val exp = seqEwmRenorm(xs, alpha)
+    assert(got.length == exp.length)
+    got.zip(exp).zipWithIndex.foreach { case ((g, e), i) =>
+      (g, e) match {
+        case (None, None) =>
+        case (Some((gm, gv)), Some((em, ev))) =>
+          assert(math.abs(gm - em) < 1e-9, s"mean mismatch at $i: $gm vs $em")
+          assert(gv.isNaN && ev.isNaN || math.abs(gv - ev) < 1e-9,
+            s"var mismatch at $i: $gv vs $ev")
+        case _ => fail(s"null mismatch at $i: $g vs $e")
+      }
+    }
+  }
+
+  test("keyless ewm adjust=false ignore_nulls=false distributes and matches the recursion") {
+    val rnd = new Random(99)
+    renormStress(Seq.fill(500)(
+      if (rnd.nextInt(5) == 0) None else Some(rnd.nextDouble() * 10 - 5)), 0.35)
+  }
+
+  test("keyless renorm ewm: leading nulls, long null runs, constant tail") {
+    // 90 leading nulls (spanning whole partitions), a 60-null interior run
+    // (old_wt decays across partition boundaries), and a constant tail (the
+    // mean==x fast path at composition points)
+    val xs = Seq.fill(90)(None) ++
+      Seq.tabulate(80)(i => Some(i.toDouble % 7 - 3)) ++
+      Seq.fill(60)(None) ++
+      Seq.tabulate(70)(i => Some(math.sin(i.toDouble))) ++
+      Seq.fill(50)(Some(2.5))
+    renormStress(xs, 0.2)
+  }
+
+  test("keyless renorm ewm single-element and all-null frames") {
+    renormStress(Seq(Some(3.0)), 0.5)
+    renormStress(Seq(None, None, None), 0.5)
+    // alpha = 1: zero decay, mean tracks the last value exactly
+    renormStress(Seq(Some(1.0), None, Some(4.0), Some(9.0)), 1.0)
   }
 
   // ---- dt.round calendar durations (reference date_time_expr.rb:107-216) ----
