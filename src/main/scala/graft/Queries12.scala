@@ -58,10 +58,29 @@ object Queries12 {
       .orderBy("rank")
   }
 
+  /** Unicode-canonical text normalization ([[graft.ml.TextAnalysis
+    * .normalizeText]] over the native codegen [[graft.ext.UnicodeNorm]]).
+    * The corpus is ASCII, so the query first INJECTS decomposed accents
+    * (every 'a' becomes 'a' + U+0301 combining acute) — NFC must compose
+    * them back to 'á' — then lowercases and collapses whitespace; the
+    * oracle re-runs the identical composition through DuckDB's own
+    * nfc_normalize and compares char counts + md5 digests byte-for-byte. */
+  private def qNormalizeText(s: SparkSession, dir: String): SDF = {
+    val docs = t(s, dir, "documents")
+    val accented = F.call_function("replace",
+      F.col("text"), F.lit("a"), F.lit("a\u0301"))
+    val norm = graft.ml.TextAnalysis.normalizeText(accented, form = "NFC")
+    docs.select(F.col("doc_id"),
+        F.length(norm).cast("long").as("n_chars_norm"),
+        F.md5(norm).as("digest"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
     "q_bm25" -> (qBm25 _),
     "q_pagerank" -> (qPagerank _),
     "q_bpe_merges" -> (qBpeMerges _),
+    "q_normalize_text" -> (qNormalizeText _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -200,5 +219,13 @@ object Queries12 {
         |  UNION ALL SELECT 3, split_part(pair, ' ', 1), split_part(pair, ' ', 2), cnt FROM m3
         |  UNION ALL SELECT 4, split_part(pair, ' ', 1), split_part(pair, ' ', 2), cnt FROM m4)
         |ORDER BY rank""".stripMargin,
+    "q_normalize_text" ->
+      """SELECT doc_id, length(n) AS n_chars_norm, md5(n) AS digest FROM (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      lower(nfc_normalize(replace(text, 'a', 'a' || chr(769)))),
+        |      '\s+', ' ', 'g')) AS n
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -68,6 +68,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.replaceNDescriptor)
     ext.injectFunction(GraftExtensions.minhashDescriptor)
+    ext.injectFunction(GraftExtensions.unicodeNormDescriptor)
   }
 }
 
@@ -88,6 +89,14 @@ object GraftExtensions {
       MinHashSig(children(0), children(1), children(2))
     })
 
+  private val unicodeNormDescriptor = (
+    new FunctionIdentifier("graft_unicode_norm"),
+    new ExpressionInfo(classOf[UnicodeNorm].getName, "graft_unicode_norm"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_unicode_norm(str, form)")
+      UnicodeNorm(children(0), children(1))
+    })
+
   /** Direct registration on an existing session (extensions only apply at
     * session construction). */
   def register(spark: SparkSession): Unit = {
@@ -95,5 +104,7 @@ object GraftExtensions {
       replaceNDescriptor._1, replaceNDescriptor._2, replaceNDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       minhashDescriptor._1, minhashDescriptor._2, minhashDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      unicodeNormDescriptor._1, unicodeNormDescriptor._2, unicodeNormDescriptor._3)
   }
 }

@@ -41,6 +41,29 @@ object TextAnalysis {
 
   def tokens(text: Column): Column = F.split(F.lower(F.trim(text)), "\\s+")
 
+  /** Canonical text normalization before any fingerprint/dedup: Unicode
+    * normal form (native codegen expression [[graft.ext.UnicodeNorm]] — two
+    * byte-different encodings of the same visible string must hash
+    * identically), optional accent folding (NFD + combining-mark strip,
+    * then renormalized), lowercase, whitespace collapse + trim. Pure
+    * column composition — codegen end to end, no UDF. */
+  def normalizeText(text: Column, form: String = "NFC",
+                    lowercase: Boolean = true, stripMarks: Boolean = false,
+                    collapseWhitespace: Boolean = true): Column = {
+    require(Set("NFC", "NFD", "NFKC", "NFKD")(form),
+      s"normalizeText: form must be one of NFC/NFD/NFKC/NFKD, got $form")
+    import org.apache.spark.sql.GraftInternalOps
+    def norm(c: Column, f: String): Column =
+      GraftInternalOps.column(graft.ext.UnicodeNorm(
+        GraftInternalOps.expression(c), GraftInternalOps.expression(F.lit(f))))
+    var c = if (stripMarks)
+      norm(F.regexp_replace(norm(text, "NFD"), "\\p{M}+", ""), form)
+    else norm(text, form)
+    if (lowercase) c = F.lower(c)
+    if (collapseWhitespace) c = F.trim(F.regexp_replace(c, "\\s+", " "))
+    c
+  }
+
   /** Stopword ratio against a language's stopword list. Prefer the
     * `FromTokens` variant over a materialized token column in bulk pipelines —
     * the split would otherwise re-evaluate per language per row. */
