@@ -76,11 +76,31 @@ object Queries12 {
       .orderBy("doc_id")
   }
 
+  /** Within-document paragraph dedup ([[graft.ml.Dedup.dedupParagraphsCol]]
+    * — zero-shuffle higher-order-function column). The corpus has no
+    * paragraph breaks, so the query synthesizes a duplicated layout
+    * (text ++ text ++ first-60-chars) per document; dedup must keep exactly
+    * the first occurrence of each paragraph, verified by paragraph counts
+    * and an md5 digest against DuckDB's list_filter/list_position mirror. */
+  private def qDedupParas(s: SparkSession, dir: String): SDF = {
+    val docs = t(s, dir, "documents")
+    val sep = "\n\n"
+    val synth = F.concat_ws(sep, F.col("text"), F.col("text"),
+      F.substring(F.col("text"), 1, 60), F.col("text"))
+    val deduped = graft.ml.Dedup.dedupParagraphsCol(synth, sep)
+    docs.select(F.col("doc_id"),
+        F.size(F.split(synth, "\n\n")).cast("long").as("paras_in"),
+        F.size(F.split(deduped, "\n\n")).cast("long").as("paras_out"),
+        F.md5(deduped).as("digest"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
     "q_bm25" -> (qBm25 _),
     "q_pagerank" -> (qPagerank _),
     "q_bpe_merges" -> (qBpeMerges _),
     "q_normalize_text" -> (qNormalizeText _),
+    "q_dedup_paras" -> (qDedupParas _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -227,5 +247,19 @@ object Queries12 {
         |      '\s+', ' ', 'g')) AS n
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "q_dedup_paras" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    str_split(text || chr(10) || chr(10) || text || chr(10) || chr(10)
+        |      || substr(text, 1, 60) || chr(10) || chr(10) || text,
+        |      chr(10) || chr(10)) AS l
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, len(l) AS paras_in,
+        |    list_filter(l, (x, i) -> list_position(l, x) = i) AS kept
+        |  FROM d)
+        |SELECT doc_id, paras_in, CAST(len(kept) AS BIGINT) AS paras_out,
+        |  md5(array_to_string(kept, chr(10) || chr(10))) AS digest
+        |FROM k ORDER BY doc_id""".stripMargin,
   )
 }

@@ -276,6 +276,24 @@ object Dedup {
         "\n").as(textCol))
   }
 
+  /** WITHIN-document paragraph dedup (drop repeated paragraphs, keep the
+    * first occurrence — the standard intra-page boilerplate cleanup). Pure
+    * higher-order-function column: split → keep index i iff the paragraph's
+    * FIRST position is i → rejoin. Zero shuffle, zero UDF — per-document
+    * cleaning is embarrassingly parallel and stays inside whole-stage
+    * codegen at any corpus size. */
+  def dedupParagraphsCol(text: Column, sep: String = "\n\n"): Column = {
+    val paras = F.split(text, java.util.regex.Pattern.quote(sep))
+    F.array_join(
+      F.filter(paras, (p, i) => F.array_position(paras, p) === (i + 1).cast("long")),
+      sep)
+  }
+
+  /** Frame form of [[dedupParagraphsCol]]. */
+  def dedupParagraphs(df: DataFrame, textCol: String,
+                      sep: String = "\n\n"): DataFrame =
+    df.withColumn(textCol, dedupParagraphsCol(F.col(textCol), sep))
+
   /** Edge cap for the driver union-find fast path in
     * [[connectedComponents]] — 4M (long,long) pairs = 64 MB. */
   val LocalEdgeCap: Long = 1L << 22

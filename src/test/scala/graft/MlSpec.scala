@@ -24,6 +24,17 @@ class MlSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("within-doc paragraph dedup keeps first occurrences, zero shuffle") {
+    val docs = Seq((1L, "a\n\nb\n\na\n\nc\n\nb"), (2L, "x"), (3L, "y\n\ny"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "text")
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(out.toSeq == Seq("a\n\nb\n\nc", "x", "y"))
+    // per-document cleanup must not shuffle: no Exchange in the plan
+    val plan = Dedup.dedupParagraphs(docs, "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("corpus line dedup keeps only the first occurrence of each line") {
     val docs = Seq((1L, "a\nb"), (2L, "b\nc"), (3L, "a\nd")).toDF("doc_id", "text")
     val out = Dedup.dedupLines(docs, "text", "doc_id")
