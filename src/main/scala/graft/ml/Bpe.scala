@@ -63,14 +63,19 @@ object Bpe {
       .select(F.col("word"), initSymbols(F.col("word")).as("sym"), F.col("freq"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var prev: DataFrame = null
     var r = 1
     var done = false
     while (r <= numMerges && !done) {
+      // this collect is the iteration's ONLY job: it fills the current
+      // generation's cache, so the grandparent is safely released here (its
+      // child is cached; no recompute) — no per-generation count() job
       val top = words
         .select(F.explode(pairsOf(F.col("sym"))).as("pair"), F.col("freq"))
         .groupBy("pair").agg(F.sum("freq").as("cnt"))
         .orderBy(F.col("cnt").desc, F.col("pair"))
         .limit(1).collect()
+      if (prev != null) { prev.unpersist(blocking = false); prev = null }
       if (top.isEmpty) done = true
       else {
         val pair = top(0).getString(0); val cnt = top(0).getLong(1)
@@ -79,8 +84,7 @@ object Bpe {
         val next = words
           .withColumn("sym", applyMerge(F.col("sym"), a, b))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        words.unpersist(blocking = false)
+        prev = words
         words = next
         r += 1
       }

@@ -44,6 +44,12 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.agg(F.count(F.lit(1)).cast("double").as("__n__"))
 
+    // For short iteration counts the per-generation materialize+unpersist
+    // cycle costs more than it saves (each count() is a full job): persist
+    // lazily and let the final action fill every generation's cache once
+    // (broadcast subqueries evaluate parents in dependency order). Long
+    // runs eagerly materialize so the previous generation can be released.
+    val eager = iterations > 8
     var ranks = base.crossJoin(F.broadcast(n))
       .select(F.col("node"), F.col("__deg__"), (F.lit(1.0) / F.col("__n__")).as("rank"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -67,8 +73,10 @@ object Graph {
             F.lit(damping) * (F.coalesce(F.col("__in__"), F.lit(0.0)) +
               F.col("__dm__") / F.col("__n__"))).as("rank"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before unpersisting the input generation
-      ranks.unpersist(blocking = false)
+      if (eager) {
+        next.count() // materialize before unpersisting the input generation
+        ranks.unpersist(blocking = false)
+      }
       ranks = next
       i += 1
     }
