@@ -191,4 +191,64 @@ class Round9Spec extends SparkSpec {
     }
     assert(e3.getMessage.contains("start_by"))
   }
+
+  // ---- round-9 tail composition sweep: ewm through when/then and agg ----
+
+  test("Expr ewm composes through when/then branches per key") {
+    val rnd = new scala.util.Random(21)
+    val data = Seq("a", "b").flatMap { k =>
+      Seq.tabulate(30)(i => (k, i.toLong,
+        if (rnd.nextInt(5) == 0) None else Some(rnd.nextDouble() * 4 - 2)))
+    }
+    val sdf = data.map { case (k, i, v) => (k, i, v.map(Double.box).orNull) }
+      .toDF("k", "i", "v")
+    def seqAdj(xs: Seq[Option[Double]]): Seq[Option[Double]] = {
+      var num = 0.0; var den = 0.0
+      xs.map { case None => None; case Some(x) =>
+        num = 0.7 * num + x; den = 0.7 * den + 1; Some(num / den) }
+    }
+    def seqShift(xs: Seq[Option[Double]]): Seq[Option[Double]] =
+      Option.empty[Double] +: xs.dropRight(1)
+    // polars: both branches evaluate over the FULL per-key series; the
+    // condition selects per row
+    val out = graft.api.DataFrame(sdf)
+      .withColumn("e",
+        when((col("i") % 2) === 0)
+          .then(col("v").ewmMean(alpha = Some(0.3)))
+          .otherwise(col("v").shift(1))
+          .over(col("k")))
+      .toSpark.select("k", "i", "e").collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    Seq("a", "b").foreach { k =>
+      val xs = data.filter(_._1 == k).map(_._3)
+      val ew = seqAdj(xs); val sh = seqShift(xs)
+      xs.indices.foreach { i =>
+        val exp = if (i % 2 == 0) ew(i) else sh(i)
+        (out((k, i.toLong)), exp) match {
+          case (None, None) =>
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9, s"$k/$i")
+          case (a, b) => fail(s"null mismatch $k/$i: $a vs $b")
+        }
+      }
+    }
+  }
+
+  test("group_by().agg of an ewm chain yields per-group scalars or a directed error") {
+    val sdf = Seq(("a", 0L, 1.0), ("a", 1L, 3.0), ("a", 2L, 5.0),
+      ("b", 0L, 2.0), ("b", 1L, 4.0)).toDF("k", "i", "v")
+    // aggregate-of-scanned: last ewm value per group
+    try {
+      val out = graft.api.DataFrame(sdf).groupBy("k")
+        .agg(col("v").ewmMean(alpha = Some(0.5)).last.alias("e"))
+        .toSpark.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // alpha=.5 adjust=true: a: [1, (0.5*1+3)/1.5=2.333.., (0.25+1.5+5)/1.75=3.857..]
+      assert(math.abs(out("a") - (0.25 * 1 + 0.5 * 3 + 5.0) / 1.75) < 1e-9)
+      assert(math.abs(out("b") - (0.5 * 2 + 4.0) / 1.5) < 1e-9)
+    } catch {
+      case e: UnsupportedOperationException =>
+        // acceptable only as a DIRECTED error, never an opaque one
+        assert(e.getMessage.contains("group"), e.getMessage)
+    }
+  }
 }
