@@ -62,4 +62,23 @@ class GraphSpec extends SparkSpec {
     assert(out.keySet == Set(1L, 2L)) // only the non-null edge contributes nodes
     out.values.foreach(v => assert(math.abs(v - 0.5) < 1e-15))
   }
+
+  test("pageRank matches the local reference on random graphs (property)") {
+    val rnd = new scala.util.Random(5)
+    (1 to 3).foreach { trial =>
+      val n = 20 + rnd.nextInt(30)
+      val edges = Seq.fill(60 + rnd.nextInt(120))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val iters = 1 + rnd.nextInt(4)
+      val got = Graph.pageRank(edges.toDF("src", "dst").repartition(5),
+          "src", "dst", iterations = iters, damping = 0.85)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val want = ref(edges, iters, 0.85)
+      assert(got.keySet == want.keySet, s"trial $trial node set")
+      got.foreach { case (k, v) =>
+        assert(math.abs(v - want(k)) < 1e-10, s"trial $trial node $k") }
+      assert(math.abs(got.values.sum - 1.0) < 1e-9, s"trial $trial mass")
+    }
+  }
 }

@@ -67,4 +67,36 @@ class RetrievalSpec extends SparkSpec {
     val out = Retrieval.bm25Scores(d, "text", "doc_id", q, "query_id", "qtext").collect()
     assert(out.map(_.getLong(1)).toSet == Set(1L))
   }
+
+  test("bm25Scores matches a local brute-force reference on random corpora (property)") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("ant", "bee", "cat", "dog", "eel", "fox", "gnu")
+    (1 to 2).foreach { trial =>
+      val corpus = Seq.tabulate(12 + rnd.nextInt(8)) { i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val qterms = Seq.fill(2)(vocab(rnd.nextInt(vocab.size))).distinct
+      val q = Seq((0, qterms.mkString(" "))).toDF("query_id", "qtext")
+      val got = Retrieval.bm25Scores(corpus.toDF("doc_id", "text"), "text", "doc_id",
+          q, "query_id", "qtext")
+        .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      // local reference
+      val toks = corpus.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+      val nDocs = corpus.size.toDouble
+      val avgdl = toks.values.map(_.size).sum / nDocs
+      val dfq = qterms.map(t => t -> toks.values.count(_.contains(t)).toDouble).toMap
+      val want = corpus.flatMap { case (id, _) =>
+        val ts = toks(id)
+        val score = qterms.filter(ts.contains).map { t =>
+          val tf = ts.count(_ == t).toDouble
+          val idf = math.log(1.0 + (nDocs - dfq(t) + 0.5) / (dfq(t) + 0.5))
+          idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * ts.size / avgdl))
+        }.sum
+        if (qterms.exists(ts.contains)) Some(id -> score) else None
+      }.toMap
+      assert(got.keySet == want.keySet, s"trial $trial doc set")
+      got.foreach { case (k, v) =>
+        assert(math.abs(v - want(k)) < 1e-9, s"trial $trial doc $k") }
+    }
+  }
 }
