@@ -85,8 +85,10 @@ object Queries12 {
   private def qDedupParas(s: SparkSession, dir: String): SDF = {
     val docs = t(s, dir, "documents")
     val sep = "\n\n"
-    val synth = F.concat_ws(sep, F.col("text"), F.col("text"),
-      F.substring(F.col("text"), 1, 60), F.col("text"))
+    // F.concat (not concat_ws): null text must propagate to a null synth
+    // row exactly like the oracle's `||`, never collapse to ""
+    val synth = F.concat(F.col("text"), F.lit(sep), F.col("text"), F.lit(sep),
+      F.substring(F.col("text"), 1, 60), F.lit(sep), F.col("text"))
     val deduped = graft.ml.Dedup.dedupParagraphsCol(synth, sep)
     docs.select(F.col("doc_id"),
         F.size(F.split(synth, "\n\n")).cast("long").as("paras_in"),
@@ -123,11 +125,13 @@ object Queries12 {
         |dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
         |dl AS (
         |  SELECT doc_id,
-        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS dl
+        |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS DOUBLE) AS dl
         |  FROM documents),
         |st AS (
         |  SELECT CAST(count(*) AS DOUBLE) AS n,
-        |    avg(len(regexp_split_to_array(lower(trim(text)), '\s+'))) AS avgdl
+        |    avg(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> x <> ''))) AS avgdl
         |  FROM documents),
         |s AS (
         |  SELECT qt.query_id, tf.doc_id,

@@ -1,7 +1,7 @@
 package graft.ml
 
 import org.apache.spark.sql.{Column, DataFrame, functions => F}
-import org.apache.spark.storage.StorageLevel
+import graft.kernel.BoundedCache
 
 /** Byte-pair-encoding vocabulary induction (beyond-reference) — the
   * tokenizer-training half of a data pipeline (Sennrich et al. 2016 shape).
@@ -59,9 +59,8 @@ object Bpe {
       : (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var words = wordFreqs(docs, textCol)
-      .select(F.col("word"), initSymbols(F.col("word")).as("sym"), F.col("freq"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var words = BoundedCache.persistBounded(wordFreqs(docs, textCol)
+      .select(F.col("word"), initSymbols(F.col("word")).as("sym"), F.col("freq")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var prev: DataFrame = null
     var r = 1
@@ -75,20 +74,20 @@ object Bpe {
         .groupBy("pair").agg(F.sum("freq").as("cnt"))
         .orderBy(F.col("cnt").desc, F.col("pair"))
         .limit(1).collect()
-      if (prev != null) { prev.unpersist(blocking = false); prev = null }
+      if (prev != null) { BoundedCache.release(prev); prev = null }
       if (top.isEmpty) done = true
       else {
         val pair = top(0).getString(0); val cnt = top(0).getLong(1)
         val Array(a, b) = pair.split(" ", 2)
         merges += ((r.toLong, a, b, cnt))
-        val next = words
-          .withColumn("sym", applyMerge(F.col("sym"), a, b))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        val next = BoundedCache.persistBounded(
+          words.withColumn("sym", applyMerge(F.col("sym"), a, b)))
         prev = words
         words = next
         r += 1
       }
     }
+    if (prev != null) BoundedCache.release(prev)
     (merges.toSeq.toDF("rank", "lhs", "rhs", "pair_count"), words)
   }
 

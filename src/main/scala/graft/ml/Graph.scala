@@ -1,7 +1,7 @@
 package graft.ml
 
 import org.apache.spark.sql.{DataFrame, functions => F}
-import org.apache.spark.storage.StorageLevel
+import graft.kernel.BoundedCache
 
 /** Link-graph operators for corpus quality weighting (beyond-reference).
   *
@@ -32,16 +32,17 @@ object Graph {
     require(iterations >= 0, "iterations must be >= 0")
     val e0 = edges.select(F.col(srcCol).as("__src__"), F.col(dstCol).as("__dst__"))
       .filter(F.col("__src__").isNotNull && F.col("__dst__").isNotNull)
-    val e = (if (dedupEdges) e0.distinct() else e0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(F.col("__src__").as("node"))
-      .unionAll(e.select(F.col("__dst__").as("node")))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val e = BoundedCache.persistBounded(
+      if (dedupEdges) e0.distinct() else e0)
+    val nodes = BoundedCache.persistBounded(
+      e.select(F.col("__src__").as("node"))
+        .unionAll(e.select(F.col("__dst__").as("node")))
+        .distinct())
     val outDeg = e.groupBy(F.col("__src__").as("node"))
       .agg(F.count(F.lit(1)).cast("double").as("__deg__"))
     // left join: dangling nodes carry null degree
-    val base = nodes.join(outDeg, Seq("node"), "left")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = BoundedCache.persistBounded(
+      nodes.join(outDeg, Seq("node"), "left"))
     val n = nodes.agg(F.count(F.lit(1)).cast("double").as("__n__"))
 
     // For short iteration counts the per-generation materialize+unpersist
@@ -50,9 +51,8 @@ object Graph {
     // (broadcast subqueries evaluate parents in dependency order). Long
     // runs eagerly materialize so the previous generation can be released.
     val eager = iterations > 8
-    var ranks = base.crossJoin(F.broadcast(n))
-      .select(F.col("node"), F.col("__deg__"), (F.lit(1.0) / F.col("__n__")).as("rank"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = BoundedCache.persistBounded(base.crossJoin(F.broadcast(n))
+      .select(F.col("node"), F.col("__deg__"), (F.lit(1.0) / F.col("__n__")).as("rank")))
     var i = 0
     while (i < iterations) {
       // 1-row aggregate: mass parked on dangling nodes this iteration
@@ -72,11 +72,11 @@ object Graph {
           ((F.lit(1.0 - damping) / F.col("__n__")) +
             F.lit(damping) * (F.coalesce(F.col("__in__"), F.lit(0.0)) +
               F.col("__dm__") / F.col("__n__"))).as("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
       if (eager) {
-        next.count() // materialize before unpersisting the input generation
-        ranks.unpersist(blocking = false)
-      }
+        BoundedCache.persistBounded(next)
+        next.count() // materialize before releasing the input generation
+        BoundedCache.release(ranks)
+      } else BoundedCache.persistBounded(next)
       ranks = next
       i += 1
     }

@@ -47,11 +47,13 @@ object Retrieval {
     // df over the full corpus is exact on the filtered stream: every doc
     // containing a query term survives the probe join
     val dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).as("doc_freq"))
-    val docLen = docs.select(F.col(idCol),
-      F.size(tokens(F.col(textCol))).cast("double").as("__dl__"))
+    // split("") yields [""] — filter phantom empty tokens so empty docs
+    // carry length 0 in dl and avgdl, not 1
+    val nTok = F.size(F.filter(tokens(F.col(textCol)), t => t =!= ""))
+    val docLen = docs.select(F.col(idCol), nTok.cast("double").as("__dl__"))
     val stats = docs.agg(
       F.count(F.lit(1)).cast("double").as("__n__"),
-      F.avg(F.size(tokens(F.col(textCol)))).as("__avgdl__"))
+      F.avg(nTok).as("__avgdl__"))
     val idf = F.log(F.lit(1.0) +
       (F.col("__n__") - F.col("doc_freq") + F.lit(0.5)) / (F.col("doc_freq") + F.lit(0.5)))
     val w = idf * (F.col("tf").cast("double") * F.lit(k1 + 1.0)) /

@@ -66,6 +66,12 @@ class RetrievalSpec extends SparkSpec {
     val q = Seq((0, "apple")).toDF("query_id", "qtext")
     val out = Retrieval.bm25Scores(d, "text", "doc_id", q, "query_id", "qtext").collect()
     assert(out.map(_.getLong(1)).toSet == Set(1L))
+    // empty docs carry length 0 (split("") phantom filtered): avgdl = 1/3,
+    // not (1+1+1)/3 — value-checked against the formula
+    val avgdl = 1.0 / 3.0
+    val idf = math.log(1.0 + (3.0 - 1 + 0.5) / (1 + 0.5))
+    val want = idf * 2.2 / (1.0 + 1.2 * (0.25 + 0.75 * 1.0 / avgdl))
+    assert(math.abs(out.head.getDouble(2) - want) < 1e-12)
   }
 
   test("bm25Scores matches a local brute-force reference on random corpora (property)") {
