@@ -97,12 +97,38 @@ object Queries12 {
       .orderBy("doc_id")
   }
 
+  /** BPE ENCODE at corpus scale: learn 4 merges, STAGE the merge table,
+    * re-encode the word-frequency table with [[graft.ml.Bpe.encode]] (the
+    * rank-ordered replace chain), and report the corpus compression — token
+    * counts per word and the corpus total. The oracle reads the staged
+    * merges and applies the identical four replace steps (scalar
+    * subqueries per rank), so the encode path itself is hash-checked, not
+    * just the learning loop. All-integer output. */
+  private def qBpeEncode(s: SparkSession, dir: String): SDF = {
+    val docs = t(s, dir, "documents")
+    val (mergesDf, _) = graft.ml.Bpe.learnMerges(docs, "text", numMerges = 4)
+    val staged = QueryStage.stage(mergesDf, dir, "bpe_merges")
+    val ms = staged.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val words = graft.ml.Bpe.wordFreqs(docs, "text")
+    val enc = graft.ml.Bpe.encode(words, "word", ms)
+      .select(F.col("word"), F.col("freq"),
+        F.size(F.split(F.col("sym"), " ")).cast("long").as("n_tokens"))
+    val top = enc.orderBy(F.col("freq").desc, F.col("word")).limit(15)
+    val total = enc.agg(
+      F.lit("__TOTAL__").as("word"),
+      F.sum(F.col("freq")).as("freq"),
+      F.sum(F.col("freq") * F.col("n_tokens")).as("n_tokens"))
+    top.unionAll(total).orderBy(F.col("word"))
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
     "q_bm25" -> (qBm25 _),
     "q_pagerank" -> (qPagerank _),
     "q_bpe_merges" -> (qBpeMerges _),
     "q_normalize_text" -> (qNormalizeText _),
     "q_dedup_paras" -> (qDedupParas _),
+    "q_bpe_encode" -> (qBpeEncode _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -265,5 +291,46 @@ object Queries12 {
         |SELECT doc_id, paras_in, CAST(len(kept) AS BIGINT) AS paras_out,
         |  md5(array_to_string(kept, chr(10) || chr(10))) AS digest
         |FROM k ORDER BY doc_id""".stripMargin,
+    "q_bpe_encode" ->
+      """WITH m AS (SELECT * FROM '/tmp/graft_stage/sf0.01/bpe_merges/*.parquet'),
+        |wf AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE word <> '' GROUP BY 1),
+        |w0 AS (
+        |  SELECT word, freq, array_to_string(
+        |    list_transform(range(1, length(word) + 1), j -> word[j]) || ['</w>'],
+        |    ' ') AS sym
+        |  FROM wf),
+        |enc AS (
+        |  SELECT word, freq, sym FROM w0),
+        |e1 AS (SELECT word, freq, trim(replace(
+        |  replace(' ' || replace(sym, ' ', '  ') || ' ',
+        |    ' ' || (SELECT lhs FROM m WHERE rank=1) || '  ' || (SELECT rhs FROM m WHERE rank=1) || ' ',
+        |    ' ' || (SELECT lhs FROM m WHERE rank=1) || (SELECT rhs FROM m WHERE rank=1) || ' '),
+        |  '  ', ' ')) AS sym FROM enc),
+        |e2 AS (SELECT word, freq, trim(replace(
+        |  replace(' ' || replace(sym, ' ', '  ') || ' ',
+        |    ' ' || (SELECT lhs FROM m WHERE rank=2) || '  ' || (SELECT rhs FROM m WHERE rank=2) || ' ',
+        |    ' ' || (SELECT lhs FROM m WHERE rank=2) || (SELECT rhs FROM m WHERE rank=2) || ' '),
+        |  '  ', ' ')) AS sym FROM e1),
+        |e3 AS (SELECT word, freq, trim(replace(
+        |  replace(' ' || replace(sym, ' ', '  ') || ' ',
+        |    ' ' || (SELECT lhs FROM m WHERE rank=3) || '  ' || (SELECT rhs FROM m WHERE rank=3) || ' ',
+        |    ' ' || (SELECT lhs FROM m WHERE rank=3) || (SELECT rhs FROM m WHERE rank=3) || ' '),
+        |  '  ', ' ')) AS sym FROM e2),
+        |e4 AS (SELECT word, freq, trim(replace(
+        |  replace(' ' || replace(sym, ' ', '  ') || ' ',
+        |    ' ' || (SELECT lhs FROM m WHERE rank=4) || '  ' || (SELECT rhs FROM m WHERE rank=4) || ' ',
+        |    ' ' || (SELECT lhs FROM m WHERE rank=4) || (SELECT rhs FROM m WHERE rank=4) || ' '),
+        |  '  ', ' ')) AS sym FROM e3),
+        |f AS (SELECT word, freq, CAST(len(str_split(sym, ' ')) AS BIGINT) AS n_tokens FROM e4),
+        |top AS (SELECT word, freq, n_tokens FROM f ORDER BY freq DESC, word LIMIT 15),
+        |tot AS (SELECT '__TOTAL__' AS word, sum(freq) AS freq,
+        |        CAST(sum(freq * n_tokens) AS BIGINT) AS n_tokens FROM f)
+        |SELECT word, CAST(freq AS BIGINT) AS freq, n_tokens
+        |FROM (SELECT * FROM top UNION ALL SELECT * FROM tot)
+        |ORDER BY word""".stripMargin,
   )
 }
