@@ -251,4 +251,30 @@ class Round9Spec extends SparkSpec {
         assert(e.getMessage.contains("group"), e.getMessage)
     }
   }
+
+  test("Expr-level ewm routes the renorm flag pair keylessly (no refusal left)") {
+    // [1, null, 10], alpha=.5, adjust=false, ignore_nulls=false:
+    // old_wt decays twice across the gap -> (0.25*1 + 0.5*10)/0.75 = 7.0
+    val sdf = Seq((0L, Some(1.0)), (1L, Option.empty[Double]), (2L, Some(10.0)))
+      .toDF("i", "v")
+    val out = graft.api.DataFrame(sdf)
+      .withColumn("e", col("v").ewmMean(alpha = Some(0.5),
+        adjust = false, ignoreNulls = false))
+      .toSpark.orderBy("i").collect()
+      .map(r => if (r.isNullAt(2)) null else r.getDouble(2))
+    assert(out.toSeq == Seq(1.0, null, 7.0), out.toSeq.toString)
+  }
+
+  test("BoundedCache evicts beyond the cap and release drops the entry") {
+    import graft.kernel.BoundedCache
+    val frames = (1 to 5).map(i => Seq(i).toDF("x"))
+    frames.foreach(f => BoundedCache.persistBounded(f, cap = 3))
+    // oldest two evicted (unpersisted), newest three still cached
+    assert(frames(0).storageLevel.useMemory == false)
+    assert(frames(1).storageLevel.useMemory == false)
+    assert(frames(4).storageLevel.useMemory == true)
+    BoundedCache.release(frames(4))
+    assert(frames(4).storageLevel.useMemory == false)
+    frames.foreach(BoundedCache.release)
+  }
 }
