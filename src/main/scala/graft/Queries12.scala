@@ -125,6 +125,29 @@ object Queries12 {
     top.unionAll(total).orderBy(F.col("word"))
   }
 
+  /** Hard-negative mining ([[graft.ml.Retrieval.hardNegatives]]): top-5
+    * BM25 candidates per query after removing a deterministic positive
+    * label set (doc_id ≡ 3·query_id mod 200). Same rounding/tiebreak
+    * discipline as q_bm25; the oracle adds the NOT EXISTS anti-join before
+    * re-ranking. */
+  private def qHardNegatives(s: SparkSession, dir: String): SDF = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val queries = Seq(
+      (0, "hash join table"), (1, "window agg spark"),
+      (2, "slow filter query"), (3, "merge sort fast"))
+      .toDF("query_id", "qtext")
+    val positives = docs.select(F.col("doc_id"))
+      .crossJoin(queries.select(F.col("query_id")))
+      .filter(F.col("doc_id") % 200 === F.col("query_id") * 3)
+    graft.ml.Retrieval.hardNegatives(docs, "text", "doc_id",
+        queries, "query_id", "qtext", positives, k = 5)
+      .select(F.col("query_id"), F.col("doc_id"),
+        F.round(F.col("score"), 6).as("score"), F.col("matched"),
+        F.col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
     "q_bm25" -> (qBm25 _),
     "q_pagerank" -> (qPagerank _),
@@ -132,6 +155,7 @@ object Queries12 {
     "q_normalize_text" -> (qNormalizeText _),
     "q_dedup_paras" -> (qDedupParas _),
     "q_bpe_encode" -> (qBpeEncode _),
+    "q_hard_negatives" -> (qHardNegatives _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -335,5 +359,50 @@ object Queries12 {
         |SELECT word, CAST(freq AS BIGINT) AS freq, n_tokens
         |FROM (SELECT * FROM top UNION ALL SELECT * FROM tot)
         |ORDER BY word""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |    (0, 'hash join table'), (1, 'window agg spark'),
+        |    (2, 'slow filter query'), (3, 'merge sort fast')),
+        |qt AS (
+        |  SELECT DISTINCT query_id,
+        |    unnest(regexp_split_to_array(lower(trim(qtext)), '\s+')) AS term
+        |  FROM q),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term <> '' AND term IN (SELECT term FROM qt)
+        |  GROUP BY ALL),
+        |dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+        |dl AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    avg(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> x <> ''))) AS avgdl
+        |  FROM documents),
+        |s AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    sum(ln(1 + (n - doc_freq + 0.5) / (doc_freq + 0.5))
+        |        * (CAST(tf AS DOUBLE) * 2.2)
+        |        / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score,
+        |    count(*) AS matched
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term)
+        |  CROSS JOIN st JOIN qt USING (term)
+        |  GROUP BY 1, 2),
+        |neg AS (
+        |  SELECT * FROM s WHERE NOT (doc_id % 200 = query_id * 3)),
+        |r AS (
+        |  SELECT query_id, doc_id, score, matched,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(score, 6) DESC, doc_id) AS rank
+        |  FROM neg)
+        |SELECT query_id, doc_id, round(score, 6) AS score, matched, rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   )
 }

@@ -67,6 +67,26 @@ object Retrieval {
       .agg(F.sum(w).as("score"), F.count(F.lit(1)).as("matched"))
   }
 
+  /** Hard-negative mining for retrieval/embedding training: the top-k
+    * highest-BM25 documents per query that are NOT labeled positives —
+    * lexically confusable non-answers, the standard contrastive-training
+    * negative set. Same scale shape as [[bm25Scores]] plus one anti-join
+    * on (query, doc) and the per-query top-k window. */
+  def hardNegatives(docs: DataFrame, textCol: String, idCol: String,
+                    queries: DataFrame, queryIdCol: String, queryTextCol: String,
+                    positives: DataFrame, k: Int = 10,
+                    k1: Double = 1.2, b: Double = 0.75,
+                    roundDp: Int = 6): DataFrame = {
+    val scores = bm25Scores(docs, textCol, idCol, queries, queryIdCol, queryTextCol, k1, b)
+      .join(positives.select(F.col(queryIdCol), F.col(idCol)),
+        Seq(queryIdCol, idCol), "left_anti")
+    val rankKey = if (roundDp >= 0) F.round(F.col("score"), roundDp) else F.col("score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col(queryIdCol)).orderBy(rankKey.desc, F.col(idCol))
+    scores.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+  }
+
   /** Top-k documents per query by BM25. Ranking rounds the score to
     * `roundDp` decimals first (ties then broken by ascending doc id) so the
     * selected set is reproducible across engines despite the ln ulp; pass

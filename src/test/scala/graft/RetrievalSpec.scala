@@ -105,4 +105,24 @@ class RetrievalSpec extends SparkSpec {
         assert(math.abs(v - want(k)) < 1e-9, s"trial $trial doc $k") }
     }
   }
+
+  test("hardNegatives excludes positives and re-ranks the remainder") {
+    val q = Seq((0, "apple banana")).toDF("query_id", "qtext")
+    val pos = Seq((0, 1L)).toDF("query_id", "doc_id") // doc 1 is the answer
+    val out = Retrieval.hardNegatives(docs, "text", "doc_id",
+        q, "query_id", "qtext", pos, k = 5)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(4)))
+    // doc 1 (the positive, highest-scoring) removed; remaining matches
+    // re-ranked from 1 with no gap
+    assert(!out.map(_._1).contains(1L))
+    assert(out.map(_._2).toSeq == (1 to out.length).toSeq)
+    assert(out.map(_._1).toSet == Set(2L, 3L))
+    // empty positives = identical to bm25TopK
+    val none = Seq.empty[(Int, Long)].toDF("query_id", "doc_id")
+    val a = Retrieval.hardNegatives(docs, "text", "doc_id", q, "query_id", "qtext", none, k = 5)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(4))).toSeq
+    val b = Retrieval.bm25TopK(docs, "text", "doc_id", q, "query_id", "qtext", k = 5)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(4))).toSeq
+    assert(a == b)
+  }
 }
