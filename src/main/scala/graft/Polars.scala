@@ -128,6 +128,38 @@ object Polars {
   }
   def cov(a: Expr, b: Expr, ddof: Int = 1): Expr =
     mkExpr(if (ddof == 1) F.covar_samp(a.col, b.col) else F.covar_pop(a.col, b.col), Seq(a, b))
+  /** Rolling covariance over a trailing `windowSize`-row window (reference
+    * ext/polars/src/lib.rs:576 → functions/lazy.rs:39-57). Composed exactly
+    * as upstream polars does — (E[xy] − E[x]E[y]) · n/(n − ddof) from
+    * independent rolling means plus a pair count — so null handling matches
+    * the reference bit for bit, and every term rides the existing
+    * distributed rolling kernel (the scans share one bucket exchange; the
+    * keyed `.over(keys)` spelling composes through the same machinery).
+    * n = ddof windows yield ±Inf/NaN exactly as polars' float math does. */
+  def rollingCov(a: Expr, b: Expr, windowSize: Int, minPeriods: Int = 1,
+                 ddof: Int = 1): Expr = {
+    val mxy = (a * b).rollingMean(windowSize, minPeriods)
+    val mx = a.rollingMean(windowSize, minPeriods)
+    val my = b.rollingMean(windowSize, minPeriods)
+    // pair count: rows where BOTH are non-null (a+b nulls if either does);
+    // min_periods=1 — the mean terms already carry the minPeriods gate
+    val cnt = (a + b).isNotNull
+      .cast(org.apache.spark.sql.types.DoubleType)
+      .rollingSum(windowSize, minPeriods = 1)
+    (mxy - mx * my) * (cnt / (cnt - lit(ddof.toDouble)))
+  }
+  /** Rolling Pearson correlation (reference ext/polars/src/lib.rs:575 →
+    * functions/lazy.rs:20-37): rolling_cov scaled by the rolling sample
+    * stds. `ddof` enters only the covariance numerator (the denominator
+    * vars are sample vars), mirroring upstream polars' composition — with
+    * the default ddof=1 this is classic Pearson over each window. */
+  def rollingCorr(a: Expr, b: Expr, windowSize: Int, minPeriods: Int = 1,
+                  ddof: Int = 1): Expr = {
+    val num = rollingCov(a, b, windowSize, minPeriods, ddof)
+    val den = (a.rollingVar(windowSize, minPeriods) *
+      b.rollingVar(windowSize, minPeriods)).sqrt
+    num / den
+  }
   def arctan2(y: Expr, x: Expr): Expr = mkExpr(F.atan2(y.col, x.col), Seq(y, x))
   /** arctan2 in degrees (reference functions/lazy.rb arctan2d). */
   def arctan2d(y: Expr, x: Expr): Expr = mkExpr(F.degrees(F.atan2(y.col, x.col)), Seq(y, x))

@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, DataFrame => SDF, functions => F}
+import graft.Polars.col
+import graft.api.LazyFrame
+import graft.ml.Similarity
+
+/** Wave-13 driver queries (round 10): the last SURVEY §2 reference-surface
+  * cell (rolling_corr / rolling_cov, reference ext/polars/src/lib.rs:575-576)
+  * plus round-10 beyond-reference additions. */
+object Queries13 {
+
+  private def lf(s: SparkSession, dir: String, name: String): LazyFrame =
+    LazyFrame(s.read.parquet(s"$dir/$name.parquet"))
+
+  /** rolling_corr + rolling_cov over a 10-row trailing window in
+    * (l_orderkey, l_linenumber) order. min_periods = window size, so the
+    * first 9 rows are null in both engines. Rounded — corr to 6, cov to 4
+    * (cov carries the price scale, ~1e4, and the E[xy]−E[x]E[y] spelling
+    * loses ~2 digits to cancellation vs DuckDB's co-moment update). */
+  private def qRollingCorr(s: SparkSession, dir: String): SDF =
+    lf(s, dir, "lineitem")
+      .sortBy(Seq(col("l_orderkey"), col("l_linenumber")))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Polars.rollingCorr(col("l_quantity"), col("l_extendedprice"),
+          windowSize = 10, minPeriods = 10).alias("rc"),
+        Polars.rollingCov(col("l_quantity"), col("l_extendedprice"),
+          windowSize = 10, minPeriods = 10).alias("rcov"))
+      .collect().toSpark
+      .select(F.col("l_orderkey"), F.col("l_linenumber"),
+        F.round(F.col("rc"), 6).as("rc"), F.round(F.col("rcov"), 4).as("rcov"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private def t(s: SparkSession, dir: String, name: String): SDF =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Cross-document LONGEST-MATCH spans ([[graft.ml.Dedup.crossDocSpans]]):
+    * maximal consecutive shared-window runs between document pairs — the
+    * suffix-array-style substring-dedup extension of q_dup_spans. Injected
+    * prefix-modified copies guarantee long runs; the stride-1 chunk table
+    * is staged so the oracle re-derives pairs, diagonals and islands from
+    * identical rows. */
+  private def qCrossSpans(s: SparkSession, dir: String): SDF = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+      .filter(F.col("doc_id") < 500)
+    val copies = docs.filter(F.col("doc_id") % 7 === 2)
+      .select((F.col("doc_id") + 200000).as("doc_id"),
+        F.regexp_replace(F.col("text"), "^\\S+", "prefixed").as("text"))
+    val chunks = QueryStage.stage(
+      graft.ml.Dedup.spanChunks(docs.unionAll(copies), "text", "doc_id",
+        windowTokens = 20, anchorStride = 1), dir, "span_chunks1")
+    graft.ml.Dedup.crossDocSpans(chunks, "doc_id", windowTokens = 20,
+        minMatchTokens = 25, maxDocsPerHash = 64)
+      .orderBy("id_a", "id_b", "start_a", "start_b")
+  }
+
+  /** Phrase-aware BM25 ([[graft.ml.Retrieval.bm25TopK]] with n = 2): the
+    * same inverted-probe shape over adjacent-token BIGRAMS — exact
+    * adjacency matches that unigram bag-of-words cannot express. Same
+    * 6-dp round + id tiebreak discipline as q_bm25. */
+  private def qBm25Bigram(s: SparkSession, dir: String): SDF = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val queries = Seq(
+      (0, "hash value table"), (1, "window table key"),
+      (2, "fast key scan"), (3, "query big table"))
+      .toDF("query_id", "qtext")
+    graft.ml.Retrieval.bm25TopK(docs, "text", "doc_id",
+        queries, "query_id", "qtext", k = 10, n = 2)
+      .select(F.col("query_id"), F.col("doc_id"),
+        F.round(F.col("score"), 6).as("score"), F.col("matched"),
+        F.col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Two-stage ANN ([[graft.ml.Similarity.ivfPqReRank]]): PQ-ADC coarse
+    * shortlist within the probed IVF cells, exact-cosine re-rank of the
+    * survivors — the production recall/precision split exercising the
+    * bucketed layout end to end. Model state and stage names are shared
+    * with q_ivf_topk / q_pq_topk (Queries6): the constructions are
+    * deterministic, so re-staging writes identical rows. */
+  private def qIvfRerank(s: SparkSession, dir: String): SDF = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val cells = QueryStage.stage(
+      Similarity.ivfAssign(emb, "embedding", nCells = 8)
+        .select(F.col("vec_id"), F.col("cell_id"),
+          F.col("embedding").cast("array<double>").as("embedding")),
+      dir, "ivf_cells")
+    val query = QueryStage.memo(dir, "ivf_query")(
+      cells.filter(F.col("vec_id") === 1)
+        .select("embedding").collect()(0).getSeq[Double](0))
+    val centroids = QueryStage.memo(dir, "ivf_centroids")(
+      Similarity.sampleCentroids(emb, "embedding", 8))
+    val probeCells = centroids.zipWithIndex.map { case (c, i) =>
+      (math.sqrt(c.zip(query).map { case (a, b) =>
+        val d = a.toDouble - b; d * d }.sum), i)
+    }.sortBy(_._1).take(3).map(_._2).toSeq
+    QueryStage.stage(probeCells.toDF("cell_id"), dir, "ivf_probes")
+    val codebooks = QueryStage.memo(dir, "pq_codebooks")(
+      Similarity.pqTrain(emb, "embedding", m = 8, k = 16))
+    val codes = QueryStage.stage(
+      Similarity.pqEncode(emb, "embedding", "vec_id", codebooks), dir, "pq_codes")
+    val qPq = QueryStage.memo(dir, "pq_query")(
+      emb.filter(F.col("vec_id") === 1)
+        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toSeq)
+    val lut = Similarity.pqLut(qPq, codebooks)
+    val lutRows = for (j <- lut.indices; c <- lut(j).indices) yield (j + 1, c, lut(j)(c))
+    QueryStage.stage(lutRows.toDF("j", "code", "sq"), dir, "pq_lut")
+    Similarity.ivfPqReRank(cells, codes, "vec_id", "embedding",
+        probeCells, query, lut, shortlist = 50, k = 10)
+      .select(F.col("vec_id"), F.round(F.col("cosine"), 6).as("cosine"),
+        F.round(F.col("adc"), 6).as("adc"))
+      .orderBy(F.col("cosine").desc, F.col("vec_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => SDF] = Map(
+    "q_rolling_corr" -> (qRollingCorr _),
+    "q_cross_spans" -> (qCrossSpans _),
+    "q_bm25_bigram" -> (qBm25Bigram _),
+    "q_ivf_rerank" -> (qIvfRerank _))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_rolling_corr" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CASE WHEN count(*) OVER w >= 10
+        |  THEN round(corr(l_quantity, l_extendedprice) OVER w, 6) END AS rc,
+        |CASE WHEN count(*) OVER w >= 10
+        |  THEN round(covar_samp(l_quantity, l_extendedprice) OVER w, 4) END AS rcov
+        |FROM lineitem WINDOW w AS (ORDER BY l_orderkey, l_linenumber
+        |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_cross_spans" ->
+      """WITH c AS (SELECT * FROM '/tmp/graft_stage/sf0.01/span_chunks1/*.parquet'),
+        |f AS (SELECT chunk_hash FROM c GROUP BY 1
+        |      HAVING count(DISTINCT doc_id) > 1 AND count(DISTINCT doc_id) <= 64),
+        |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |             a.start_token AS sa, b.start_token AS sb
+        |      FROM c a JOIN f USING (chunk_hash)
+        |      JOIN c b ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id),
+        |i AS (SELECT id_a, id_b, sa, sb, sa - sb AS diag,
+        |        sa - row_number() OVER (
+        |          PARTITION BY id_a, id_b, sa - sb ORDER BY sa) AS isl
+        |      FROM m)
+        |SELECT id_a, id_b, min(sa) AS start_a, min(sb) AS start_b,
+        |  count(*) AS n_windows,
+        |  count(*) - 1 + 20 AS match_tokens
+        |FROM i GROUP BY id_a, id_b, diag, isl
+        |HAVING count(*) - 1 + 20 >= 25
+        |ORDER BY id_a, id_b, start_a, start_b""".stripMargin,
+    "q_bm25_bigram" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |    (0, 'hash value table'), (1, 'window table key'),
+        |    (2, 'fast key scan'), (3, 'query big table')),
+        |qg AS (
+        |  SELECT query_id,
+        |    list_filter(regexp_split_to_array(lower(trim(qtext)), '\s+'),
+        |      x -> x <> '') AS ws
+        |  FROM q),
+        |qt AS (
+        |  SELECT DISTINCT query_id,
+        |    unnest(list_transform(range(0, greatest(len(ws) - 1, 0)),
+        |      i -> ws[i + 1] || ' ' || ws[i + 2])) AS term
+        |  FROM qg),
+        |dg AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS ws
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, greatest(len(ws) - 1, 0)),
+        |      i -> ws[i + 1] || ' ' || ws[i + 2])) AS term
+        |  FROM dg),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term IN (SELECT term FROM qt)
+        |  GROUP BY ALL),
+        |dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+        |dl AS (
+        |  SELECT doc_id, CAST(greatest(len(ws) - 1, 0) AS DOUBLE) AS dl FROM dg),
+        |st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    avg(greatest(len(ws) - 1, 0)) AS avgdl
+        |  FROM dg),
+        |s AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    sum(ln(1 + (n - doc_freq + 0.5) / (doc_freq + 0.5))
+        |        * (CAST(tf AS DOUBLE) * 2.2)
+        |        / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score,
+        |    count(*) AS matched
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term)
+        |  CROSS JOIN st JOIN qt USING (term)
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT query_id, doc_id, score, matched,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(score, 6) DESC, doc_id) AS rank
+        |  FROM s)
+        |SELECT query_id, doc_id, round(score, 6) AS score, matched, rank
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_ivf_rerank" ->
+      """WITH cells AS (SELECT * FROM '/tmp/graft_stage/sf0.01/ivf_cells/*.parquet'),
+        |probes AS (SELECT cell_id FROM '/tmp/graft_stage/sf0.01/ivf_probes/*.parquet'),
+        |c AS (SELECT * FROM '/tmp/graft_stage/sf0.01/pq_codes/*.parquet'),
+        |l AS (SELECT * FROM '/tmp/graft_stage/sf0.01/pq_lut/*.parquet'),
+        |q AS (SELECT embedding AS qe FROM cells WHERE vec_id = 1),
+        |adc AS (
+        |  SELECT c.vec_id, sqrt(sum(l.sq)) AS adc
+        |  FROM c JOIN cells s ON s.vec_id = c.vec_id
+        |  JOIN probes p ON p.cell_id = s.cell_id
+        |  CROSS JOIN range(1, 9) t(j)
+        |  JOIN l ON l.j = t.j AND l.code = c.codes[t.j]
+        |  GROUP BY 1),
+        |short AS (SELECT vec_id, adc FROM adc
+        |          ORDER BY round(adc, 6), vec_id LIMIT 50)
+        |SELECT s.vec_id,
+        |  round(list_dot_product(s.embedding, q.qe) /
+        |    (sqrt(list_dot_product(s.embedding, s.embedding)) *
+        |     sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine,
+        |  round(sh.adc, 6) AS adc
+        |FROM short sh JOIN cells s ON s.vec_id = sh.vec_id, q
+        |ORDER BY cosine DESC, s.vec_id LIMIT 10""".stripMargin)
+}

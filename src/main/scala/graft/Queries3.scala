@@ -118,9 +118,12 @@ object Queries3 {
       .sortBy(Seq(col("l_orderkey"), col("l_linenumber")))
       .collect().toSpark
 
+  // the test nation table names are NATION_0..24 — the round-9 TPC-H-style
+  // set ('FRANCE', …) matched nothing, so the gate passed on 0 rows. This
+  // set hits 3 of 25 plus one genuine miss.
   private def qIsIn(s: SparkSession, dir: String): SDF =
     lf(s, dir, "nation")
-      .filter(col("n_name").isIn(Seq("FRANCE", "GERMANY", "CHINA", "JAPAN")))
+      .filter(col("n_name").isIn(Seq("NATION_1", "NATION_5", "NATION_19", "NO_SUCH")))
       .select(col("n_nationkey"), col("n_name"))
       .sortBy(Seq(col("n_nationkey")))
       .collect().toSpark
@@ -305,7 +308,7 @@ object Queries3 {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_is_in" ->
       """SELECT n_nationkey, n_name FROM nation
-        |WHERE n_name IN ('FRANCE', 'GERMANY', 'CHINA', 'JAPAN')
+        |WHERE n_name IN ('NATION_1', 'NATION_5', 'NATION_19', 'NO_SUCH')
         |ORDER BY n_nationkey""".stripMargin,
     "q_merge_sorted" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey",

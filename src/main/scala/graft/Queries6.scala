@@ -210,14 +210,12 @@ object Queries6 {
       aggs = Seq(F.count(F.lit(1)).as("n"), F.sum("value").as("sv")))
     // state-store commits cost ~constant per partition per batch; the windowed
     // state here is tiny (types × windows), so run the stream narrow
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try
+    graft.streaming.Streaming.tunedDrain(4) {
       graft.streaming.Streaming.runToMemory(windowed, "graft_q_streaming_window")
         .select(F.col("event_type"), F.col("window.start").as("ts"),
           F.col("n"), F.col("sv"))
         .orderBy("event_type", "ts")
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** str.to_time round trip: format each event's time-of-day then parse it
@@ -256,12 +254,10 @@ object Queries6 {
       .transform(TestTables.normalizeEventsTs)
     val deduped = graft.streaming.Streaming.dedupWithinWatermark(
       stream, Seq("user_id"), "ts", watermark = "60 days")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try
+    graft.streaming.Streaming.tunedDrain(4) {
       graft.streaming.Streaming.runToMemory(deduped, "graft_q_streaming_dedup", mode = "append")
         .select(F.col("user_id")).orderBy("user_id")
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** Structured-Streaming round trip (out-of-core sink_* semantics, §2.9):

@@ -182,14 +182,12 @@ object Queries7 {
     val sessions = graft.streaming.Streaming.sessionWindowAgg(
       stream, "ts", "2 hours", by = Seq("user_id"),
       aggs = Seq(F.count(F.lit(1)).as("n"), F.sum("value").as("sv")))
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try
+    graft.streaming.Streaming.tunedDrain(4) {
       graft.streaming.Streaming.runToMemory(sessions, "graft_q_streaming_session")
         .select(F.col("user_id"), F.col("session_window.start").as("session_start"),
           F.col("n"), F.col("sv"))
         .orderBy("user_id", "session_start")
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** rolling_quantile (linear + lower modes) and rolling_skew over a
@@ -238,20 +236,10 @@ object Queries7 {
     // trailing no-data batch only advances the watermark for state EVICTION —
     // an inner join's emitted rows don't depend on it, so skip it and keep
     // the partition count (= state-store commit count) minimal
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val prevNoData = s.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
-    s.conf.set("spark.sql.shuffle.partitions", "2")
-    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    try
+    graft.streaming.Streaming.tunedDrain(2) {
       graft.streaming.Streaming.runToMemory(joined, "graft_q_streaming_join", mode = "append")
         .select(F.col("click_id"), F.col("purchase_id"), F.col("p_value"))
         .orderBy("click_id", "purchase_id")
-    finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevNoData match {
-        case Some(v) => s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
-        case None => s.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
-      }
     }
   }
 
@@ -270,14 +258,15 @@ object Queries7 {
     val reuse = QueryStage.reuseUnchanged
     try {
       if (reuse) {
-        // write-once layout at a location keyed by the (data, code)
-        // FINGERPRINT: a different code or data state gets its own
-        // directory, so concurrent benches of different checkouts never
-        // delete files the other is reading; repeat runs in the same state
+        // write-once layout at a location keyed by the DATA fingerprint plus
+        // a layout epoch (bump `_b1` when the bucketed schema/bucket count
+        // here changes): a different data state or layout gets its own
+        // directory, so concurrent benches of different states never delete
+        // files the other is reading; repeat runs in the same state
         // re-register the existing bucketed files by DDL (no setup write)
         // and later calls in the same JVM short-circuit on the catalog.
         val sf = new java.io.File(dir).getName
-        val loc = s"/tmp/graft_bucketed/${sf}_${QueryStage.inputFingerprint(dir).take(12)}"
+        val loc = s"/tmp/graft_bucketed/${sf}_${QueryStage.inputFingerprint(dir).take(12)}_b1"
         // age-based GC: stale data states accumulate one dir per regenerated
         // testdata; a week-old sibling cannot belong to a live concurrent
         // run, so reclaim it (never touch same-age siblings — the layout's

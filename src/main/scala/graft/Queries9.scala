@@ -80,11 +80,15 @@ object Queries9 {
   }
 
   /** with_context — broadcast a one-row aggregate of another frame into this
-    * frame's expression scope (reference lazy_frame.rb with_context). */
+    * frame's expression scope (reference lazy_frame.rb with_context). The
+    * threshold divides by 30 so the filter keeps ~37% of lineitem: a
+    * with_context that computed the wrong scalar changes the counts (the
+    * round-9 form compared against the raw order average, which exceeds
+    * every line price — a 0-row result that any wrong scalar also gave). */
   private def qWithContext(s: SparkSession, dir: String): SDF =
     lf(s, dir, "lineitem")
       .withContext(lf(s, dir, "orders"), "avg_price" -> col("o_totalprice").mean)
-      .filter(col("l_extendedprice") > col("avg_price"))
+      .filter(col("l_extendedprice") > col("avg_price") / 30)
       .groupBy("l_returnflag")
       .agg(Expr(F.count(F.lit(1))).alias("n"))
       .sortBy(Seq(col("l_returnflag")))
@@ -257,7 +261,7 @@ object Queries9 {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_with_context" ->
       """SELECT l_returnflag, count(*) AS n
-        |FROM lineitem, (SELECT avg(o_totalprice) AS ap FROM orders)
+        |FROM lineitem, (SELECT avg(o_totalprice) / 30 AS ap FROM orders)
         |WHERE l_extendedprice > ap GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_partition_by" ->
       """SELECT l_linestatus, count(*) AS n, sum(l_quantity) AS sq

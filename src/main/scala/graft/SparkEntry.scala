@@ -198,9 +198,14 @@ object SparkEntry {
       .sortBy(Seq(col("c_custkey")))
       .collect().toSpark
 
+  // anti join against the HIGH-VALUE orders only: every customer has some
+  // order in the test data, so the round-9 unfiltered form returned 0 rows —
+  // a gate a wrong anti-join also passed. Filtered, ~200 of 1500 customers
+  // survive (real misses AND real hits on both sides).
   private def qJoinAnti(s: SparkSession, dir: String): SDF =
     lf(s, dir, "customer")
-      .joinOn(lf(s, dir, "orders"), Seq("c_custkey"), Seq("o_custkey"), how = "anti")
+      .joinOn(lf(s, dir, "orders").filter(col("o_totalprice") > 400000),
+        Seq("c_custkey"), Seq("o_custkey"), how = "anti")
       .select(col("c_custkey"), col("c_mktsegment"))
       .sortBy(Seq(col("c_custkey")))
       .collect().toSpark
@@ -342,7 +347,7 @@ object SparkEntry {
   // ----------------------------------------------------------------------
   // queries map (driver contract)
   // ----------------------------------------------------------------------
-  def queries: Map[String, (SparkSession, String) => SDF] = coreQueries ++ Queries2.queries ++ Queries3.queries ++ Queries4.queries ++ Queries5.queries ++ Queries6.queries ++ Queries7.queries ++ Queries8.queries ++ Queries9.queries ++ Queries10.queries ++ Queries11.queries ++ Queries12.queries
+  def queries: Map[String, (SparkSession, String) => SDF] = coreQueries ++ Queries2.queries ++ Queries3.queries ++ Queries4.queries ++ Queries5.queries ++ Queries6.queries ++ Queries7.queries ++ Queries8.queries ++ Queries9.queries ++ Queries10.queries ++ Queries11.queries ++ Queries12.queries ++ Queries13.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => SDF] = Map(
     "q1_agg" -> (q1Agg _),
@@ -376,7 +381,7 @@ object SparkEntry {
     "q_explode" -> (qExplode _),
   )
 
-  def oracleSql: Map[String, String] = coreOracleSql ++ Queries2.oracleSql ++ Queries3.oracleSql ++ Queries4.oracleSql ++ Queries5.oracleSql ++ Queries6.oracleSql ++ Queries7.oracleSql ++ Queries8.oracleSql ++ Queries9.oracleSql ++ Queries10.oracleSql ++ Queries11.oracleSql ++ Queries12.oracleSql
+  def oracleSql: Map[String, String] = coreOracleSql ++ Queries2.oracleSql ++ Queries3.oracleSql ++ Queries4.oracleSql ++ Queries5.oracleSql ++ Queries6.oracleSql ++ Queries7.oracleSql ++ Queries8.oracleSql ++ Queries9.oracleSql ++ Queries10.oracleSql ++ Queries11.oracleSql ++ Queries12.oracleSql ++ Queries13.oracleSql
 
   private def coreOracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -456,7 +461,8 @@ object SparkEntry {
         |ORDER BY 1""".stripMargin,
     "q_join_anti" ->
       """SELECT c_custkey, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey=c_custkey AND o_totalprice > 400000)
         |ORDER BY 1""".stripMargin,
     "q_join_full" ->
       """SELECT c_mktsegment, n_cust, seg_total FROM

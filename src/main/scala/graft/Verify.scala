@@ -32,6 +32,13 @@ object Verify {
         val coerced = out.schema.fields.filter(_.dataType == TimestampType)
           .foldLeft(out)((d, f) => d.withColumn(f.name, col(f.name).cast(TimestampNTZType)))
         coerced.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // Zero-row guard: an empty result hash-matches an empty oracle no
+        // matter how wrong the operator is (round 9 shipped three such
+        // low-power gates). Warn loudly so a query drifting to empty is
+        // visible in the verify log even while the compare stays green.
+        if (spark.read.parquet(s"$outDir/$name").isEmpty)
+          System.err.println(s"[verify] WARNING: $name produced 0 rows — " +
+            "the oracle compare has no power; re-parameterize the query")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

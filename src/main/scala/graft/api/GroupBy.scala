@@ -20,9 +20,7 @@ final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk: SDF => Self) {
     // applies (collect_list would drop nulls and shuffle order). Constants
     // stay scalars (polars broadcasts a literal per group).
     val exprs = exprs0.map { e =>
-      if (e.preps.isEmpty && e.keyed.isEmpty && e.groupAgg.isEmpty &&
-          !Expr.isConstant(e) &&
-          org.apache.spark.sql.GraftInternalOps.provablyAggregateFree(e.col))
+      if (Expr.isImplicitImplode(e))
         e.copy(keyed = Some(graft.expr.KeyedForm(_ => Expr(e.col, e.requiresIndex))))
       else e
     }
@@ -199,6 +197,20 @@ final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
     require(Set("left", "right", "both", "none")(closed),
       s"rolling: closed must be left|right|both|none, got '$closed'")
     if (d.isCalendar) return aggCalendar(d, exprs)
+    // fixed/index windows evaluate aggs as range-frame window functions —
+    // overlapping frames have no per-window evaluation point for kernel ops
+    // (ewm, cum_*, shift, rank), so a composed chain raises a DIRECTED error
+    // rather than an unresolved-prep-column analysis exception. Calendar
+    // periods DO evaluate such chains (explicit window enumeration +
+    // GroupBy delegation).
+    exprs.foreach { case (n, e) =>
+      require(e.preps.isEmpty,
+        s"rolling().agg: '$n' composes a kernel op (ewm/cum/shift/rank) " +
+          "inside a fixed-duration window — range frames cannot evaluate it " +
+          "per window; materialize the op first with with_columns and " +
+          "aggregate the materialized column, or use a calendar period " +
+          "(per-window evaluation)")
+    }
     // "Ni" periods roll over an INTEGER index column (reference
     // lazy_frame.rb:1103-1106): window units are the index values themselves
     val isIndex = d.indexCount != 0
@@ -239,9 +251,7 @@ final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
     // the index value order by value (polars' rolling contract wants a
     // sorted, effectively unique index — exact ties are outside it)
     def spelling(e: Expr): org.apache.spark.sql.expressions.WindowSpec => Column =
-      if (e.preps.isEmpty && e.keyed.isEmpty && e.groupAgg.isEmpty &&
-          !Expr.isConstant(e) &&
-          org.apache.spark.sql.GraftInternalOps.provablyAggregateFree(e.col))
+      if (Expr.isImplicitImplode(e))
         w => F.transform(
           F.array_sort(F.collect_list(
             F.struct(epoch.as("o"), e.col.as("x"))).over(w)),
@@ -298,12 +308,19 @@ final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
     // to collect over — raise the directed error instead of Spark's opaque
     // "not an aggregate"
     exprs.foreach { case (n, e) =>
-      require(!(e.preps.isEmpty && e.keyed.isEmpty && e.groupAgg.isEmpty &&
-          !Expr.isConstant(e) &&
-          org.apache.spark.sql.GraftInternalOps.provablyAggregateFree(e.col)),
+      require(!Expr.isImplicitImplode(e),
         s"rolling(calendar).agg: '$n' is an elementwise expression; per-window " +
           "lists are not supported with calendar periods — aggregate it " +
           "(e.g. .implode) or use a fixed-duration period")
+      // order-dependent ops WITHOUT an aggregate on top (cum_sum, shift)
+      // would produce per-window lists — same refusal as implicit implode;
+      // aggregates OF such ops (shift(1).sum, ewm_mean().last) compute via
+      // the GroupBy delegation below
+      require(e.groupAgg.isDefined || e.preps.isEmpty,
+        s"rolling(calendar).agg: '$n' is an order-dependent op with no " +
+          "aggregate on top (a per-window list) — not supported with " +
+          "calendar periods; aggregate it (e.g. .last, .sum) or use a " +
+          "fixed-duration period")
     }
     val m = d.months
     // Join-back discipline (same as Scan.rollingByCalendar): per-probe
@@ -335,7 +352,13 @@ final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
       .withColumn("__p_lo__", plo)
       .withColumn(jb, F.explode(F.array(ptb - 1, ptb)))
     val (ctb, _) = monthCols(F.col("__c_ep__"))
-    val right = sdf.withColumn("__c_ep__", ep).withColumn("__c_tb__", ctb)
+    // the hidden index is attached to the CANDIDATE side before the join:
+    // frame order = index order under rolling's sorted-index contract, so
+    // the per-group sort inside the GroupBy delegation below restores the
+    // time order the join shuffle destroys (the probe side never carries it
+    // — probes0 selects only __p_* columns, so the join output is unambiguous)
+    val right = graft.kernel.RowIndex.attachDense(sdf)
+      .withColumn("__c_ep__", ep).withColumn("__c_tb__", ctb)
     // null-safe by-key equality: a null key is its own group (the fixed
     // path's Window.partitionBy groups nulls as a partition; a plain ===
     // would silently drop every null-key row from the output)
@@ -351,12 +374,17 @@ final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
     // agg outputs carry FRESH names through the join, then overwrite their
     // user-facing names in place — a user agg named after an existing column
     // must replace it (the fixed path's withColumn semantics), not produce
-    // an ambiguous duplicate
-    val freshOut = exprs.map { case (n, e) => (n, e, Scan.fresh("o")) }
-    val aggs = freshOut.map { case (_, e, fn) => e.col.as(fn) }
-    val perProbe = probes.join(right, cond)
-      .groupBy(probeKeys.map(F.col).toIndexedSeq: _*)
-      .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+    // an ambiguous duplicate. The fresh prefix must NOT be __graft_ — the
+    // GroupBy alias probe skips __graft_-prefixed aliases as internal.
+    val freshOut = exprs.zipWithIndex.map { case ((n, e), i) => (n, e, s"__cal_o${i}__") }
+    // aggregation delegates to the full GroupBy machinery over the joined
+    // candidate rows (the same delegation group_by_dynamic uses), so
+    // aggregates OF order-dependent/kernel ops (shift(1).sum, an ewm
+    // chain's .last) evaluate per window in index order — the candidate
+    // side's pre-join hidden index witnesses that order
+    val perProbe = new GroupBy[SDF](probes.join(right, cond),
+      probeKeys.map(F.col), identity)
+      .agg(freshOut.map { case (_, e, fn) => e.alias(fn) }: _*)
     // LEFT join: a closed mode that excludes t itself can make a probe's
     // window empty — the row must survive (its aggregates are null); <=> so
     // null-index / null-key rows re-attach

@@ -480,7 +480,6 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   // ---- order-dependent ops: resolved against the frame's hidden row index
   //      via the distributed prefix-scan kernel (graft.kernel.Scan) — never a
   //      single-partition Window.orderBy(idx) over data ----
-  private def idxWindow: WindowSpec = Window.orderBy(F.col(graft.kernel.RowIndex.name))
   /** Keyed window in hidden row order — what `.over(keys)` means for the
     * order-dependent ops. */
   private def keyedIdxW(keys: Seq[Column]): WindowSpec =
@@ -1062,12 +1061,14 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   def aggGroups: Expr = Expr(
     F.sort_array(F.collect_list(F.col(graft.kernel.RowIndex.name))), requiresIndex = true, preps)
   /** Expanding-window aggregate (reference expr.rb:6684 cumulative_eval).
-    * The `kind` overload names how per-bucket partials of `agg` merge across
-    * the distributed scan (sum|min|max|product; counts merge as sum) — any
-    * aggregate with a decomposable merge runs fully distributed. The
-    * single-arg form supports ARBITRARY aggregates for reference parity but
-    * cannot split them, so it plans a single-partition window — prefer the
-    * kind overload at scale. */
+    * `kind` names how per-bucket partials of `agg` merge across the
+    * distributed scan (sum|min|max|product; counts merge as sum) — any
+    * aggregate with a decomposable merge runs fully distributed; compose
+    * several scans for derived forms (expanding mean = scan(sum)/scan(count),
+    * see Queries4.qCumulativeEval). A non-decomposable kind has no
+    * distributed expanding spelling and is deliberately not offered: the
+    * round-9 arbitrary-aggregate overload planned Window.orderBy(idx) over
+    * the whole frame — all data through one task — and was removed. */
   def cumulativeEval(agg: Column => Column, kind: String): Expr =
     scanned((d, out) => Scan.running(d, col, out, agg, kind)).copy(keyed =
       Some(KeyedForm { keys =>
@@ -1130,9 +1131,6 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
       }
     }))
   }
-  def cumulativeEval(agg: Column => Column): Expr = Expr(
-    agg(col).over(idxWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    requiresIndex = true, preps)
   /** Weighted rolling sum: collect the frame window + HOF dot product with
     * literal weights (reference expr.rb rolling weights:). */
   def rollingSumWeighted(weights: Seq[Double], minPeriods: Int = 1): Expr = {
@@ -1232,6 +1230,16 @@ object Expr {
       (try org.apache.spark.sql.GraftInternalOps.catalystExpression(
          org.apache.spark.sql.GraftInternalOps.stripAlias(e.col)).foldable
        catch { case scala.util.control.NonFatal(_) => false })
+  /** polars' implicit-implode eligibility: an aggregate-free, non-constant
+    * elementwise expression in an agg position (`agg(col("v") * 2)`)
+    * evaluates per group in row order and returns a LIST per group, while
+    * constants broadcast as scalars. ONE shared predicate — GroupBy.agg,
+    * the rolling fixed/index spelling, and the calendar directed error all
+    * consult it, so a change to the rule cannot silently diverge per path. */
+  private[graft] def isImplicitImplode(e: Expr): Boolean =
+    e.preps.isEmpty && e.keyed.isEmpty && e.groupAgg.isEmpty &&
+      !isConstant(e) &&
+      org.apache.spark.sql.GraftInternalOps.provablyAggregateFree(e.col)
   /** Quantile of an already-sorted array column with polars' interpolation
     * modes (shared by the rolling-quantile family). */
   private[expr] def quantileOfSorted(sorted: Column, q: Double,

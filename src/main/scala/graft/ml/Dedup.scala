@@ -587,6 +587,54 @@ object Dedup {
         F.col("n_docs"), F.col("n_occurrences"))
   }
 
+  /** Cross-document LONGEST-MATCH duplicate spans: maximal runs of
+    * consecutive shared windows between document pairs — the chunk-hash
+    * approximation of suffix-array longest-common-substring extraction
+    * (Lee et al. 2022 §4 find the longest duplicated substrings; here each
+    * (id_a, id_b) pair reports every maximal shared run at anchor
+    * granularity).
+    *
+    * Scale shape: one shuffle of the chunk table on chunk_hash for the pair
+    * join — hot hashes capped by `maxDocsPerHash` first (boilerplate shared
+    * by thousands of documents would otherwise explode quadratically; the
+    * cap drops only pair EDGES of near-universal spans, which doc-level
+    * [[duplicateSpansFromChunks]] already reports) — then one window +
+    * aggregate keyed on (id_a, id_b, diagonal). Matches on the same
+    * diagonal (start_a − start_b) at consecutive anchor positions form one
+    * span: the gaps-and-islands trick — start_a minus its per-diagonal
+    * row_number is constant exactly on a consecutive run.
+    *
+    * `chunks` is a [[spanChunks]] table built with `anchorStride = 1`:
+    * spanChunks' anchors are HASH-SAMPLED (irregular) at stride > 1, and
+    * run detection needs every position. Returns one row per maximal run:
+    * (id_a, id_b, start_a, start_b, n_windows, match_tokens) with
+    * match_tokens = n_windows − 1 + windowTokens. */
+  def crossDocSpans(chunks: DataFrame, idCol: String, windowTokens: Int,
+                    minMatchTokens: Int = 0,
+                    maxDocsPerHash: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = chunks.groupBy("chunk_hash")
+      .agg(F.countDistinct(F.col(idCol)).as("__nd__"))
+      .filter(F.col("__nd__") > 1 && F.col("__nd__") <= maxDocsPerHash)
+    val dup = chunks.join(freq.select("chunk_hash"), Seq("chunk_hash"))
+    val a = dup.select(F.col("chunk_hash"), F.col(idCol).as("id_a"),
+      F.col("start_token").as("start_a"))
+    val b = dup.select(F.col("chunk_hash"), F.col(idCol).as("id_b"),
+      F.col("start_token").as("start_b"))
+    val matches = a.join(b, Seq("chunk_hash")).filter(F.col("id_a") < F.col("id_b"))
+    val diag = F.col("start_a") - F.col("start_b")
+    val w = Window.partitionBy(F.col("id_a"), F.col("id_b"), diag)
+      .orderBy(F.col("start_a"))
+    matches
+      .withColumn("__isl__", F.col("start_a") - F.row_number().over(w))
+      .groupBy(F.col("id_a"), F.col("id_b"), diag.as("__diag__"), F.col("__isl__"))
+      .agg(F.min("start_a").as("start_a"), F.min("start_b").as("start_b"),
+        F.count(F.lit(1)).as("n_windows"))
+      .withColumn("match_tokens", F.col("n_windows") - 1 + windowTokens)
+      .filter(F.col("match_tokens") >= minMatchTokens)
+      .select("id_a", "id_b", "start_a", "start_b", "n_windows", "match_tokens")
+  }
+
   /** Per-document duplicated-span ratio: the fraction of a document's chunk
     * windows that also occur in another document — the curation signal used
     * to drop boilerplate-heavy documents. Documents too short to chunk are

@@ -1,7 +1,7 @@
 package graft.ml
 
 import org.apache.spark.sql.{DataFrame, functions => F}
-import graft.kernel.BoundedCache
+import graft.kernel.BoundedRegistry
 
 /** Link-graph operators for corpus quality weighting (beyond-reference).
   *
@@ -30,18 +30,26 @@ object Graph {
                iterations: Int = 10, damping: Double = 0.85,
                dedupEdges: Boolean = true): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
+    // Per-call registry, sized so NO generation of the lazy chain is ever
+    // evicted before the caller's final action fills the caches: each
+    // generation references its parent twice (dangling aggregate + contribs
+    // join), so an eviction of k unmaterialized mid-chain links would
+    // recompute with ~2^k fan-out. The shared session registry (cap 16,
+    // also fed by Bpe.learnMerges) cannot give that guarantee when callers
+    // interleave between this return and the caller's first action.
+    val reg = new BoundedRegistry(iterations + 6)
     val e0 = edges.select(F.col(srcCol).as("__src__"), F.col(dstCol).as("__dst__"))
       .filter(F.col("__src__").isNotNull && F.col("__dst__").isNotNull)
-    val e = BoundedCache.persistBounded(
+    val e = reg.persistBounded(
       if (dedupEdges) e0.distinct() else e0)
-    val nodes = BoundedCache.persistBounded(
+    val nodes = reg.persistBounded(
       e.select(F.col("__src__").as("node"))
         .unionAll(e.select(F.col("__dst__").as("node")))
         .distinct())
     val outDeg = e.groupBy(F.col("__src__").as("node"))
       .agg(F.count(F.lit(1)).cast("double").as("__deg__"))
     // left join: dangling nodes carry null degree
-    val base = BoundedCache.persistBounded(
+    val base = reg.persistBounded(
       nodes.join(outDeg, Seq("node"), "left"))
     val n = nodes.agg(F.count(F.lit(1)).cast("double").as("__n__"))
 
@@ -51,7 +59,7 @@ object Graph {
     // (broadcast subqueries evaluate parents in dependency order). Long
     // runs eagerly materialize so the previous generation can be released.
     val eager = iterations > 8
-    var ranks = BoundedCache.persistBounded(base.crossJoin(F.broadcast(n))
+    var ranks = reg.persistBounded(base.crossJoin(F.broadcast(n))
       .select(F.col("node"), F.col("__deg__"), (F.lit(1.0) / F.col("__n__")).as("rank")))
     var i = 0
     while (i < iterations) {
@@ -73,10 +81,10 @@ object Graph {
             F.lit(damping) * (F.coalesce(F.col("__in__"), F.lit(0.0)) +
               F.col("__dm__") / F.col("__n__"))).as("rank"))
       if (eager) {
-        BoundedCache.persistBounded(next)
+        reg.persistBounded(next)
         next.count() // materialize before releasing the input generation
-        BoundedCache.release(ranks)
-      } else BoundedCache.persistBounded(next)
+        reg.release(ranks)
+      } else reg.persistBounded(next)
       ranks = next
       i += 1
     }

@@ -20,6 +20,20 @@ object Retrieval {
 
   import TextAnalysis.tokens
 
+  /** Adjacent-token n-grams as space-joined strings ("new york"), empty
+    * tokens dropped first; texts shorter than n yield an empty list. n = 1
+    * is the plain token stream. Used for phrase-aware BM25: bigram terms
+    * score exact adjacency matches, which unigram bag-of-words cannot. */
+  def ngramTerms(text: Column, n: Int): Column = {
+    require(n >= 1, s"ngramTerms: n must be >= 1, got $n")
+    val t = F.filter(tokens(text), x => x =!= "")
+    if (n == 1) t
+    else F.when(F.size(t) < n, F.array().cast("array<string>"))
+      .otherwise(F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        i => F.concat_ws(" ", F.slice(t, i, F.lit(n)))))
+  }
+
   /** Per-(query, doc) BM25 scores for every document that shares at least
     * one term with the query. Okapi BM25 with the Lucene non-negative idf:
     * idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); term weight
@@ -34,22 +48,23 @@ object Retrieval {
     */
   def bm25Scores(docs: DataFrame, textCol: String, idCol: String,
                  queries: DataFrame, queryIdCol: String, queryTextCol: String,
-                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                 k1: Double = 1.2, b: Double = 0.75, n: Int = 1): DataFrame = {
     val qterms = queries.select(F.col(queryIdCol),
-        F.explode(tokens(F.col(queryTextCol))).as("term"))
-      .filter(F.col("term") =!= "").distinct()
-    // inverted probe: corpus tokens filtered to query terms pre-aggregation
-    val tok = docs.select(F.col(idCol), F.explode(tokens(F.col(textCol))).as("term"))
-      .filter(F.col("term") =!= "")
+        F.explode(ngramTerms(F.col(queryTextCol), n)).as("term"))
+      .distinct()
+    // inverted probe: corpus terms filtered to query terms pre-aggregation
+    val tok = docs.select(F.col(idCol),
+        F.explode(ngramTerms(F.col(textCol), n)).as("term"))
       .join(F.broadcast(qterms.select("term").distinct()), Seq("term"))
     val tf = tok.groupBy(F.col(idCol), F.col("term"))
       .agg(F.count(F.lit(1)).as("tf"))
     // df over the full corpus is exact on the filtered stream: every doc
     // containing a query term survives the probe join
     val dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).as("doc_freq"))
-    // split("") yields [""] — filter phantom empty tokens so empty docs
-    // carry length 0 in dl and avgdl, not 1
-    val nTok = F.size(F.filter(tokens(F.col(textCol)), t => t =!= ""))
+    // empty tokens are dropped inside ngramTerms, so empty docs carry
+    // length 0 in dl and avgdl, not 1; for n > 1 the document length is the
+    // n-gram count — scoring stays in one term space
+    val nTok = F.size(ngramTerms(F.col(textCol), n))
     val docLen = docs.select(F.col(idCol), nTok.cast("double").as("__dl__"))
     val stats = docs.agg(
       F.count(F.lit(1)).cast("double").as("__n__"),
@@ -76,8 +91,8 @@ object Retrieval {
                     queries: DataFrame, queryIdCol: String, queryTextCol: String,
                     positives: DataFrame, k: Int = 10,
                     k1: Double = 1.2, b: Double = 0.75,
-                    roundDp: Int = 6): DataFrame = {
-    val scores = bm25Scores(docs, textCol, idCol, queries, queryIdCol, queryTextCol, k1, b)
+                    roundDp: Int = 6, n: Int = 1): DataFrame = {
+    val scores = bm25Scores(docs, textCol, idCol, queries, queryIdCol, queryTextCol, k1, b, n)
       .join(positives.select(F.col(queryIdCol), F.col(idCol)),
         Seq(queryIdCol, idCol), "left_anti")
     val rankKey = if (roundDp >= 0) F.round(F.col("score"), roundDp) else F.col("score")
@@ -94,8 +109,8 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
                queries: DataFrame, queryIdCol: String, queryTextCol: String,
                k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
-               roundDp: Int = 6): DataFrame = {
-    val scores = bm25Scores(docs, textCol, idCol, queries, queryIdCol, queryTextCol, k1, b)
+               roundDp: Int = 6, n: Int = 1): DataFrame = {
+    val scores = bm25Scores(docs, textCol, idCol, queries, queryIdCol, queryTextCol, k1, b, n)
     val rankKey = if (roundDp >= 0) F.round(F.col("score"), roundDp) else F.col("score")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(F.col(queryIdCol)).orderBy(rankKey.desc, F.col(idCol))

@@ -217,6 +217,36 @@ object Similarity {
       .orderBy(F.col("dist").asc, F.col(idCol))
       .limit(k)
 
+  /** Two-stage ANN search — the production recall/precision split: a COARSE
+    * shortlist by PQ ADC distance within the query's probed IVF cells
+    * (touches only codes, m ints/row, partition-pruned by cell at scale),
+    * then an EXACT cosine re-rank of the `shortlist` survivors against
+    * their full vectors. Both ranks order on the 6-dp-rounded score with an
+    * id tiebreak so the selected sets are reproducible across engines.
+    *
+    * `cells` is an [[ivfAssign]] output (id, vec, cell_id); `codes` a
+    * [[pqEncode]] output. At 100 TB the codes table is the small resident
+    * index (bucketed by cell_id), the vector table is cold storage touched
+    * `shortlist` rows at a time — exactly this plan's join order. */
+  def ivfPqReRank(cells: DataFrame, codes: DataFrame, idCol: String,
+                  vecCol: String, probeCells: Seq[Int], query: Seq[Double],
+                  lut: Array[Array[Double]], shortlist: Int = 50,
+                  k: Int = 10): DataFrame = {
+    val cand = cells.filter(F.col("cell_id").isin(probeCells: _*))
+      .join(codes, Seq(idCol))
+    val short = cand
+      .select(F.col(idCol), F.col(vecCol),
+        pqAdcDistance(F.col("codes"), lut).as("adc"))
+      .orderBy(F.round(F.col("adc"), 6).asc, F.col(idCol))
+      .limit(shortlist)
+    short
+      .select(F.col(idCol),
+        cosine(F.col(vecCol), F.array(query.map(F.lit): _*)).as("cosine"),
+        F.col("adc"))
+      .orderBy(F.round(F.col("cosine"), 6).desc, F.col(idCol))
+      .limit(k)
+  }
+
   /** Cosine between two int8-quantized vectors (structs from
     * [[quantizeInt8]]): integer dot product on the codes, norms likewise —
     * the scales cancel in cosine, so no dequantization multiply at all. */

@@ -94,6 +94,30 @@ object Streaming {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
+  /** Run `body` with the micro-batch drain tuned for SMALL state: `parts`
+    * shuffle partitions (= state-store instances committed per batch) and no
+    * trailing no-data batch — that batch only advances the watermark for
+    * state EVICTION, which complete-mode sinks and on-arrival append
+    * operators (dedup-within-watermark, inner stream-stream joins) don't
+    * need for their OUTPUT. Restores both confs after. At scale the
+    * partition count tracks state size; at bench scale the per-partition
+    * commit overhead dominates, so the drains run narrow. */
+  def tunedDrain[T](parts: Int)(body: => T)(implicit spark: SparkSession): T = {
+    val conf = spark.conf
+    val prevParts = conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    conf.set("spark.sql.shuffle.partitions", parts.toString)
+    conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try body
+    finally {
+      conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevNoData match {
+        case Some(v) => conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None    => conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+  }
+
   /** Drain a (bounded) stream into an in-memory table and return it.
     * `complete` mode keeps all windows including ones still above the
     * watermark — right for tests and bounded backfills; unbounded production
@@ -210,24 +234,32 @@ object Streaming {
                      (implicit spark: SparkSession): Unit = {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(inPath)
-    foreachBatch(stream, checkpoint) { (batch, _) =>
+    foreachBatch(stream, checkpoint) { (batch, batchId) =>
       val banded = graft.ml.Dedup.bandedSignatures(
           batch, textCol, idCol, numHashes, bands, shingleK)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val regPath = new org.apache.hadoop.fs.Path(registryPath)
         val fs = regPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // snapshot the registry listing so this batch's own append can never
-        // leak into a re-executed collision check (same discipline as
-        // [[graft.ml.Dedup.incrementalNearDedup]]); `sweep=` directories are
-        // batch-sweep registrations sharing the path — included so the two
-        // registries dedup against each other
+        // Each batch registers its bands under its own `batch=<id>/`
+        // directory, and the collision listing excludes the CURRENT batch's
+        // directory by name (same discipline as
+        // [[graft.ml.Dedup.incrementalNearDedup]]'s `sweep=` dirs, which are
+        // included here so the two registries dedup against each other).
+        // This holds on foreachBatch RETRY too: a re-executed batch whose
+        // first attempt already appended its bands would otherwise re-list
+        // its own registration and self-collide every document — name
+        // exclusion makes the collision set independent of attempt count,
+        // and mode("overwrite") below replaces a partial first attempt
+        // instead of double-appending it.
         val regFiles =
           if (fs.exists(regPath))
             fs.listStatus(regPath).filter { st =>
               val n = st.getPath.getName
               (st.isFile && n.endsWith(".parquet")) ||
-                (st.isDirectory && n.startsWith("sweep="))
+                (st.isDirectory &&
+                  (n.startsWith("sweep=") ||
+                    (n.startsWith("batch=") && n != s"batch=$batchId")))
             }.map(_.getPath.toString).toSeq
           else Seq.empty
         val crossDup =
@@ -244,7 +276,7 @@ object Streaming {
         batch.join(dupIds, Seq(idCol), "left_anti")
           .write.mode("append").parquet(outPath)
         banded.select("band_idx", "band_hash")
-          .write.mode("append").parquet(registryPath)
+          .write.mode("overwrite").parquet(s"$registryPath/batch=$batchId")
       } finally banded.unpersist()
     }
   }

@@ -71,8 +71,13 @@ class OpsSpec extends SparkSpec {
   }
 
   test("cumulativeEval expanding aggregate") {
+    // expanding mean = scan(sum)/scan(count): the decomposable-kind spelling
+    // (the arbitrary-aggregate overload was removed — it planned a
+    // single-partition window over the data)
     val df = DataFrame(Seq(1.0, 2.0, 3.0, 4.0).toDF("v"))
-    val out = df.select(col("v").cumulativeEval(F.avg).alias("m")).toSpark
+    val out = df.select(
+      (col("v").cumulativeEval(F.sum, "sum") /
+        col("v").cumulativeEval(F.count, "sum")).alias("m")).toSpark
       .collect().map(_.getDouble(0))
     assert(out.toSeq == Seq(1.0, 1.5, 2.0, 2.5))
   }

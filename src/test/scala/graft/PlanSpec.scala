@@ -131,6 +131,16 @@ class PlanSpec extends SparkSpec {
     assertDistributedScan(p3)
   }
 
+  test("cumulative_eval expanding aggregates run through the distributed scan kernel") {
+    // the removed arbitrary-aggregate overload planned Window.orderBy(idx)
+    // over the data; the kind spelling must keep the bucketed-scan shape
+    val ev = graft.api.LazyFrame(spark.read.parquet(s"$sf/events.parquet"))
+    val p = plan(ev.select(
+      (Polars.col("value").cumulativeEval(F.sum, "sum") /
+        Polars.col("value").cumulativeEval(F.count, "sum")).alias("m")).toSpark)
+    assertDistributedScan(p)
+  }
+
   test("un-keyed as-of join distributes the merge fill") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
     val left = ev.select(F.col("event_id"), F.col("value"))

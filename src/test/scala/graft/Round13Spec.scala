@@ -1,0 +1,163 @@
+package graft
+
+import graft.Polars._
+import graft.api.{DataFrame, LazyFrame}
+import graft.expr.Expr
+import org.apache.spark.sql.{functions => F}
+
+/** Round-10 pins: rolling_corr / rolling_cov (the last reference-surface
+  * cell, ext/polars/src/lib.rs:575-576) — null-bearing parity against the
+  * upstream composition hand-computed — plus the round's adversarial
+  * sweeps: BPE encode on multi-byte text and rank-ordered repeated pairs,
+  * and calendar rolling × ewm × agg composition. */
+class Round13Spec extends SparkSpec {
+  import spark.implicits._
+  implicit val s: org.apache.spark.sql.SparkSession = spark
+
+  test("rolling_cov matches the polars composition on null-bearing input") {
+    // x = [1, null, 3, 4, 5], y = [2, 1, null, 2, 8], window 3, mp 2, ddof 1.
+    // polars composes (E[xy] - E[x]E[y]) * n/(n-ddof) from INDEPENDENT
+    // rolling means (each skipping its own nulls) plus a pair count —
+    // hand-computed: rows 0-3 null (xy has <2 non-null pairs in window),
+    // row 4: E[xy]=24 over {8,40}, E[x]=4 over {3,4,5}, E[y]=5 over {2,8},
+    // pairs n=2 -> (24-20)*2/1 = 8.0
+    val df = DataFrame(Seq[(Option[Double], Option[Double])](
+      (Some(1.0), Some(2.0)), (None, Some(1.0)), (Some(3.0), None),
+      (Some(4.0), Some(2.0)), (Some(5.0), Some(8.0))).toDF("x", "y"))
+    val out = df.select(
+      Polars.rollingCov(col("x"), col("y"), windowSize = 3, minPeriods = 2)
+        .alias("c")).toSpark.collect().map(r => Option(r.get(0)))
+    assert(out.take(4).forall(_.isEmpty), out.toSeq.toString)
+    assert(math.abs(out(4).get.asInstanceOf[Double] - 8.0) < 1e-12)
+  }
+
+  test("rolling_corr equals per-window Pearson on null-free input, keyless and keyed") {
+    val xs = Seq(1.0, 4.0, 2.0, 8.0, 5.0, 7.0, 3.0, 6.0)
+    val ys = Seq(2.0, 3.0, 7.0, 1.0, 4.0, 9.0, 5.0, 8.0)
+    def pearson(px: Seq[Double], py: Seq[Double]): Double = {
+      val n = px.size.toDouble
+      val (mx, my) = (px.sum / n, py.sum / n)
+      val cov = px.zip(py).map { case (a, b) => (a - mx) * (b - my) }.sum / (n - 1)
+      val sx = math.sqrt(px.map(a => (a - mx) * (a - mx)).sum / (n - 1))
+      val sy = math.sqrt(py.map(b => (b - my) * (b - my)).sum / (n - 1))
+      cov / (sx / 1.0 * sy)
+    }
+    val expected = xs.indices.map { i =>
+      if (i < 3) None
+      else Some(pearson(xs.slice(i - 3, i + 1), ys.slice(i - 3, i + 1)))
+    }
+    val df = DataFrame(xs.zip(ys).toDF("x", "y"))
+    val out = df.select(
+      Polars.rollingCorr(col("x"), col("y"), windowSize = 4, minPeriods = 4)
+        .alias("c")).toSpark.collect().map(r => Option(r.get(0)))
+    expected.zip(out).foreach {
+      case (None, got)    => assert(got.isEmpty, got.toString)
+      case (Some(e), got) =>
+        assert(math.abs(got.get.asInstanceOf[Double] - e) < 1e-9, s"$e vs $got")
+    }
+    // keyed: .over(k) computes per group over each group's row order
+    val kdf = DataFrame(Seq(
+      (0, "a", 1.0, 2.0), (1, "b", 10.0, 1.0), (2, "a", 4.0, 3.0),
+      (3, "b", 20.0, 5.0), (4, "a", 2.0, 7.0), (5, "b", 30.0, 2.0))
+      .toDF("i", "k", "x", "y"))
+    val keyed = kdf.withColumn("c",
+      Polars.rollingCorr(col("x"), col("y"), windowSize = 3, minPeriods = 3)
+        .over(col("k")))
+      .toSpark.orderBy("i").collect()
+      .map(r => (r.getString(1), Option(r.get(4)))).toSeq
+    val aRows = Seq((1.0, 2.0), (4.0, 3.0), (2.0, 7.0))
+    val bRows = Seq((10.0, 1.0), (20.0, 5.0), (30.0, 2.0))
+    def third(rows: Seq[(Double, Double)]) =
+      pearson(rows.map(_._1), rows.map(_._2))
+    val aGot = keyed.filter(_._1 == "a").map(_._2)
+    val bGot = keyed.filter(_._1 == "b").map(_._2)
+    assert(aGot.take(2).forall(_.isEmpty) && bGot.take(2).forall(_.isEmpty))
+    assert(math.abs(aGot(2).get.asInstanceOf[Double] - third(aRows)) < 1e-9)
+    assert(math.abs(bGot(2).get.asInstanceOf[Double] - third(bRows)) < 1e-9)
+  }
+
+  test("BPE: multi-byte characters split per code point and merge cleanly") {
+    import graft.ml.Bpe
+    val words = Seq("héé", "中中文").toDF("word")
+    val init = words.select(Bpe.initSymbols(F.col("word")).as("sym"))
+      .collect().map(_.getString(0)).toSeq
+    assert(init == Seq(s"h é é ${Bpe.EndOfWord}", s"中 中 文 ${Bpe.EndOfWord}"), init)
+    val merged = Bpe.encode(words, "word", Seq(("é", "é"), ("中", "中")))
+      .select("sym").collect().map(_.getString(0)).toSeq
+    assert(merged == Seq(s"h éé ${Bpe.EndOfWord}", s"中中 文 ${Bpe.EndOfWord}"), merged)
+  }
+
+  test("BPE encode: repeated pairs merge leftmost non-overlapping, in rank order") {
+    import graft.ml.Bpe
+    // "aaaaa": (a,a) -> "aa aa a", then (aa,aa) -> "aaaa a"
+    val out = Bpe.encode(Seq("aaaaa").toDF("word"), "word",
+      Seq(("a", "a"), ("aa", "aa")))
+      .select("sym").collect()(0).getString(0)
+    assert(out == s"aaaa a ${Bpe.EndOfWord}", out)
+    // rank order is NOT re-greedy: (a,b) consumes the b, so (b,c) no-ops
+    val out2 = Bpe.encode(Seq("abc").toDF("word"), "word",
+      Seq(("a", "b"), ("b", "c")))
+      .select("sym").collect()(0).getString(0)
+    assert(out2 == s"ab c ${Bpe.EndOfWord}", out2)
+  }
+
+  test("BPE learn on a repeated-symbol corpus ranks overlapping pairs deterministically") {
+    import graft.ml.Bpe
+    val docs = Seq("aaaa aaaa", "aaaa").toDF("text")
+    val (merges, words) = Bpe.learnMerges(docs, "text", numMerges = 2)
+    val m = merges.orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    // round 2 ties at cnt 3: ("aa aa" vs "aa </w>") — the documented binary
+    // collation tiebreak picks "aa </w>" ('<' 0x3C sorts before 'a' 0x61)
+    assert(m == Seq((1L, "a", "a"), (2L, "aa", Bpe.EndOfWord)), m)
+    val sym = words.select("sym").collect().map(_.getString(0)).toSeq
+    assert(sym == Seq(s"aa aa${Bpe.EndOfWord}"), sym)
+  }
+
+  test("crossDocSpans finds maximal diagonal runs and respects the hot-hash cap") {
+    // docs 1/2 share hashes h10..h12 consecutively on diagonal 0 (one run of
+    // 3) and h20 at misaligned positions (its own 1-run); h99 is shared by
+    // 3 docs with cap 2 -> contributes nothing
+    val chunks = Seq(
+      (1L, 0, 10L), (1L, 1, 11L), (1L, 2, 12L), (1L, 5, 20L), (1L, 7, 99L),
+      (2L, 0, 10L), (2L, 1, 11L), (2L, 2, 12L), (2L, 6, 20L), (2L, 8, 99L),
+      (3L, 0, 99L)).toDF("doc_id", "start_token", "chunk_hash")
+    val out = graft.ml.Dedup.crossDocSpans(chunks, "doc_id", windowTokens = 5,
+        maxDocsPerHash = 2)
+      .orderBy("id_a", "id_b", "start_a").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(out == Seq(
+      (1L, 2L, 0, 0, 3L, 7L),   // run of 3 windows = 3-1+5 = 7 tokens
+      (1L, 2L, 5, 6, 1L, 5L)),  // isolated match, its own span
+      out.toString)
+  }
+
+  test("ngramTerms builds adjacent bigrams, short/empty texts yield empty lists") {
+    import graft.ml.Retrieval
+    val out = Seq("a b c d", "a", "", "  x  y ").toDF("t")
+      .select(Retrieval.ngramTerms(F.col("t"), 2).as("g"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(out == List(List("a b", "b c", "c d"), Nil, Nil, List("x y")), out)
+    val uni = Seq("a b").toDF("t")
+      .select(Retrieval.ngramTerms(F.col("t"), 1).as("g"))
+      .collect()(0).getSeq[String](0).toList
+    assert(uni == List("a", "b"))
+  }
+
+  test("calendar rolling frame aggregates an ewm chain per window") {
+    // dates 01-05, 01-20, 02-10; 1mo trailing windows: [1], [1,3], [3,5];
+    // ewm(alpha=.5, adjust=true).last per window: 1, (0.5+3)/1.5, (1.5+5)/1.5
+    val df = LazyFrame(Seq(
+      ("2024-01-05", 1.0), ("2024-01-20", 3.0), ("2024-02-10", 5.0))
+      .toDF("d", "v")
+      .select(F.to_date(F.col("d")).as("d"), F.col("v")))
+    val out = df.rolling("d", "1mo")
+      .agg("e" -> col("v").ewmMean(alpha = Some(0.5)).last)
+      .toSpark.orderBy("d").select("e").collect().map(_.getDouble(0)).toSeq
+    assert(out.size == 3, out.toString)
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(math.abs(out(1) - 3.5 / 1.5) < 1e-12)
+    assert(math.abs(out(2) - 6.5 / 1.5) < 1e-12)
+  }
+}

@@ -234,22 +234,18 @@ class Round9Spec extends SparkSpec {
     }
   }
 
-  test("group_by().agg of an ewm chain yields per-group scalars or a directed error") {
+  test("group_by().agg of an ewm chain yields per-group scalars") {
     val sdf = Seq(("a", 0L, 1.0), ("a", 1L, 3.0), ("a", 2L, 5.0),
       ("b", 0L, 2.0), ("b", 1L, 4.0)).toDF("k", "i", "v")
-    // aggregate-of-scanned: last ewm value per group
-    try {
-      val out = graft.api.DataFrame(sdf).groupBy("k")
-        .agg(col("v").ewmMean(alpha = Some(0.5)).last.alias("e"))
-        .toSpark.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-      // alpha=.5 adjust=true: a: [1, (0.5*1+3)/1.5=2.333.., (0.25+1.5+5)/1.75=3.857..]
-      assert(math.abs(out("a") - (0.25 * 1 + 0.5 * 3 + 5.0) / 1.75) < 1e-9)
-      assert(math.abs(out("b") - (0.5 * 2 + 4.0) / 1.5) < 1e-9)
-    } catch {
-      case e: UnsupportedOperationException =>
-        // acceptable only as a DIRECTED error, never an opaque one
-        assert(e.getMessage.contains("group"), e.getMessage)
-    }
+    // aggregate-of-scanned: last ewm value per group. This COMPUTES (the
+    // GroupAggForm threads the per-group ewm through the agg) — pinned as
+    // the one behavior; a regression to a directed error must fail here.
+    val out = graft.api.DataFrame(sdf).groupBy("k")
+      .agg(col("v").ewmMean(alpha = Some(0.5)).last.alias("e"))
+      .toSpark.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // alpha=.5 adjust=true: a: [1, (0.5*1+3)/1.5=2.333.., (0.25+1.5+5)/1.75=3.857..]
+    assert(math.abs(out("a") - (0.25 * 1 + 0.5 * 3 + 5.0) / 1.75) < 1e-9)
+    assert(math.abs(out("b") - (0.5 * 2 + 4.0) / 1.5) < 1e-9)
   }
 
   test("Expr-level ewm routes the renorm flag pair keylessly (no refusal left)") {

@@ -163,9 +163,14 @@ class StreamingSpec extends SparkSpec {
     val kept = spark.read.parquet(out).select("doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(1L, 2L, 4L))
-    // every document's bands were registered — dropped ones included
+    // every document's bands were registered — dropped ones included — and
+    // each batch landed under its own batch=<id>/ directory (the name
+    // exclusion that keeps a retried batch from self-colliding)
     val regBands = spark.read.parquet(reg)
-    assert(regBands.columns.toSeq.sorted == Seq("band_hash", "band_idx"))
+    assert(regBands.columns.toSeq.sorted == Seq("band_hash", "band_idx", "batch"))
+    val batchDirs = new java.io.File(reg).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch=")).sorted
+    assert(batchDirs.length == 2, batchDirs.mkString(","))
     // a third drain over the same checkpoint sees no new files and changes nothing
     Streaming.nearDedupStream(in, schema, "text", "doc_id", out, reg, cp)
     assert(spark.read.parquet(out).count() == 3)
