@@ -128,25 +128,39 @@ object Polars {
   }
   def cov(a: Expr, b: Expr, ddof: Int = 1): Expr =
     mkExpr(if (ddof == 1) F.covar_samp(a.col, b.col) else F.covar_pop(a.col, b.col), Seq(a, b))
+  /** One kernel pass for a two-column rolling formula: (a, b) pack into a
+    * struct so the distributed rolling machinery runs ONCE, and every
+    * window aggregate inside `build` shares the same frame — Spark plans
+    * them as a single Window operator. (The first spelling composed six
+    * independent rolling scans; at sf0.1 that cost ~40× the single pass.) */
+  private def pairRolling(a: Expr, b: Expr, n: Int)(
+      build: (Column, Column, org.apache.spark.sql.expressions.WindowSpec) => Column): Expr =
+    struct(a.alias("x"), b.alias("y")).rollingScanned(n)((v, w) =>
+      build(v.getField("x"), v.getField("y"), w))
+
+  private def covTerm(x: Column, y: Column, w: org.apache.spark.sql.expressions.WindowSpec,
+                      mp: Int, ddof: Int): Column = {
+    def gate(c: Column, agg: Column) = F.when(F.count(c).over(w) >= mp, agg)
+    val mxy = gate(x * y, F.avg(x * y).over(w))
+    val mx = gate(x, F.avg(x).over(w))
+    val my = gate(y, F.avg(y).over(w))
+    // pair count: rows where BOTH are non-null ((x+y) nulls if either does)
+    val cnt = F.sum((x + y).isNotNull.cast("double")).over(w)
+    (mxy - mx * my) * (cnt / (cnt - F.lit(ddof.toDouble)))
+  }
+
   /** Rolling covariance over a trailing `windowSize`-row window (reference
-    * ext/polars/src/lib.rs:576 → functions/lazy.rs:39-57). Composed exactly
-    * as upstream polars does — (E[xy] − E[x]E[y]) · n/(n − ddof) from
-    * independent rolling means plus a pair count — so null handling matches
-    * the reference bit for bit, and every term rides the existing
-    * distributed rolling kernel (the scans share one bucket exchange; the
-    * keyed `.over(keys)` spelling composes through the same machinery).
-    * n = ddof windows yield ±Inf/NaN exactly as polars' float math does. */
+    * ext/polars/src/lib.rs:576 → functions/lazy.rs:39-57). Same composition
+    * as upstream polars — (E[xy] − E[x]E[y]) · n/(n − ddof) from
+    * independent rolling means (each skipping its own nulls) plus a pair
+    * count — so null handling matches the reference; evaluated in one
+    * kernel pass (all terms share one window frame). `minPeriods <= 0`
+    * means window size, like the Expr rolling family. n = ddof windows
+    * yield ±Inf/NaN exactly as polars' float math does. */
   def rollingCov(a: Expr, b: Expr, windowSize: Int, minPeriods: Int = 1,
                  ddof: Int = 1): Expr = {
-    val mxy = (a * b).rollingMean(windowSize, minPeriods)
-    val mx = a.rollingMean(windowSize, minPeriods)
-    val my = b.rollingMean(windowSize, minPeriods)
-    // pair count: rows where BOTH are non-null (a+b nulls if either does);
-    // min_periods=1 — the mean terms already carry the minPeriods gate
-    val cnt = (a + b).isNotNull
-      .cast(org.apache.spark.sql.types.DoubleType)
-      .rollingSum(windowSize, minPeriods = 1)
-    (mxy - mx * my) * (cnt / (cnt - lit(ddof.toDouble)))
+    val mp = if (minPeriods <= 0) windowSize else minPeriods
+    pairRolling(a, b, windowSize)((x, y, w) => covTerm(x, y, w, mp, ddof))
   }
   /** Rolling Pearson correlation (reference ext/polars/src/lib.rs:575 →
     * functions/lazy.rs:20-37): rolling_cov scaled by the rolling sample
@@ -155,10 +169,14 @@ object Polars {
     * the default ddof=1 this is classic Pearson over each window. */
   def rollingCorr(a: Expr, b: Expr, windowSize: Int, minPeriods: Int = 1,
                   ddof: Int = 1): Expr = {
-    val num = rollingCov(a, b, windowSize, minPeriods, ddof)
-    val den = (a.rollingVar(windowSize, minPeriods) *
-      b.rollingVar(windowSize, minPeriods)).sqrt
-    num / den
+    val mp = if (minPeriods <= 0) windowSize else minPeriods
+    pairRolling(a, b, windowSize) { (x, y, w) =>
+      def gate(c: Column, agg: Column) = F.when(F.count(c).over(w) >= mp, agg)
+      val num = covTerm(x, y, w, mp, ddof)
+      val den = F.sqrt(gate(x, F.var_samp(x).over(w)) *
+        gate(y, F.var_samp(y).over(w)))
+      num / den
+    }
   }
   def arctan2(y: Expr, x: Expr): Expr = mkExpr(F.atan2(y.col, x.col), Seq(y, x))
   /** arctan2 in degrees (reference functions/lazy.rb arctan2d). */

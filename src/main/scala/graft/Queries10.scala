@@ -100,9 +100,14 @@ object Queries10 {
     val tmp = java.nio.file.Files.createTempDirectory("graft-q-sneardedup").toFile
     tmp.deleteOnExit()
     val out = tmp.getAbsolutePath + "/out"
-    graft.streaming.Streaming.nearDedupStream(
-      in, corpus.schema, "text", "doc_id", out,
-      tmp.getAbsolutePath + "/reg", tmp.getAbsolutePath + "/cp")
+    // narrow drain: each micro-batch is ~150 docs — per-batch band/collision
+    // plans at the session's 32 shuffle partitions are pure task-scheduling
+    // overhead (no state store here; the registry is a table)
+    graft.streaming.Streaming.tunedDrain(4) {
+      graft.streaming.Streaming.nearDedupStream(
+        in, corpus.schema, "text", "doc_id", out,
+        tmp.getAbsolutePath + "/reg", tmp.getAbsolutePath + "/cp")
+    }
     s.read.parquet(out).select("doc_id").orderBy("doc_id")
   }
 

@@ -149,10 +149,14 @@ object Queries6 {
         .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toSeq)
     val lut = Similarity.pqLut(query, codebooks)
     val lutRows = for (j <- lut.indices; c <- lut(j).indices) yield (j + 1, c, lut(j)(c))
-    val lutDf = QueryStage.stage(lutRows.toDF("j", "code", "sq"), dir, "pq_lut")
-    codes.select(F.col("vec_id"), F.posexplode(F.col("codes")).as(Seq("j0", "c0")))
-      .join(lutDf, F.col("j") === F.col("j0") + 1 && F.col("code") === F.col("c0"))
-      .groupBy("vec_id").agg(F.round(F.sqrt(F.sum("sq")), 6).as("dist"))
+    // the lut is staged for the ORACLE (which re-derives the gather-and-sum
+    // from the rows); the Spark side searches through the literal-LUT fold
+    // ([[Similarity.pqAdcDistance]]) — a narrow map + TakeOrderedAndProject,
+    // no explode/shuffle (the round-9 explode+join spelling cost ~3× and
+    // shuffled an 8× row blowup; both sides still rank on the 6-dp round)
+    QueryStage.stage(lutRows.toDF("j", "code", "sq"), dir, "pq_lut")
+    codes.select(F.col("vec_id"),
+        F.round(Similarity.pqAdcDistance(F.col("codes"), lut), 6).as("dist"))
       .orderBy(F.col("dist").asc, F.col("vec_id"))
       .limit(10)
   }

@@ -706,8 +706,12 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   def rollingMedian(n: Int, minPeriods: Int = 0): Expr =
     rollingQuantile(0.5, n, "linear", minPeriods)
   /** Trailing-n-row op with both spellings: global via the phantom-carry
-    * kernel, keyed (`.over(keys)`) as a plain rows-frame window. */
-  private def rollingScanned(n: Int)(build: (Column, WindowSpec) => Column): Expr =
+    * kernel, keyed (`.over(keys)`) as a plain rows-frame window. Exposed to
+    * the Polars module for PACKED multi-term formulas (rolling_corr/cov
+    * pack (x, y) into one struct and compute every window aggregate over
+    * the SAME frame in ONE kernel pass — six chained passes cost ~40× more,
+    * measured at sf0.1). */
+  private[graft] def rollingScanned(n: Int)(build: (Column, WindowSpec) => Column): Expr =
     scanned((d, out) => Scan.rollingApply(d, col, n, out, build)).copy(keyed =
       Some(KeyedForm { keys =>
         val in = keyedInput("rolling", keys)
