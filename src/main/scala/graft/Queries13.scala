@@ -114,11 +114,55 @@ object Queries13 {
       .orderBy(F.col("cosine").desc, F.col("vec_id"))
   }
 
+  /** Reciprocal-rank fusion ([[graft.ml.Retrieval.rrfFuse]]) of the unigram
+    * and bigram BM25 rankings (top-20 each) — the hybrid-retrieval combiner.
+    * Integer ranks make the fused score engine-exact: one division per
+    * list, one order-independent two-term addition — NO rounding anywhere
+    * in this query's output. */
+  private def qRrfFusion(s: SparkSession, dir: String): SDF = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val queries = Seq(
+      (0, "hash join table"), (1, "window agg spark"),
+      (2, "slow filter query"), (3, "merge sort fast"))
+      .toDF("query_id", "qtext")
+    val uni = graft.ml.Retrieval.bm25TopK(docs, "text", "doc_id",
+      queries, "query_id", "qtext", k = 20)
+    val bi = graft.ml.Retrieval.bm25TopK(docs, "text", "doc_id",
+      queries, "query_id", "qtext", k = 20, n = 2)
+    graft.ml.Retrieval.rrfFuse(Seq(uni, bi), "query_id", "doc_id", k = 10)
+      .select(F.col("query_id"), F.col("doc_id"), F.col("rrf_score"),
+        F.col("n_lists"), F.col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Quality-keyed cluster dedup ([[graft.ml.Dedup.dedupByClustersKeepBest]]):
+    * the q_dedup_cluster chain clusters, keeping the LONGEST document per
+    * cluster (token count, ties smallest id) instead of the smallest id —
+    * the keep-the-best-copy curation policy. All-integer oracle. */
+  private def qDedupBest(s: SparkSession, dir: String): SDF = {
+    val d = t(s, dir, "documents").select("doc_id", "lang", "text")
+    val e = d.alias("x").join(d.alias("y"),
+        F.col("x.doc_id") + 1 === F.col("y.doc_id") && F.col("x.lang") === F.col("y.lang"))
+      .select(F.col("x.doc_id").as("id_a"), F.col("y.doc_id").as("id_b"))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val kept =
+      try graft.ml.Dedup.dedupByClustersKeepBest(d, "doc_id", e,
+        graft.ml.TextAnalysis.tokenCount(F.col("text")))
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    kept.select(F.col("doc_id"), F.col("lang"),
+        graft.ml.TextAnalysis.tokenCount(F.col("text")).cast("long").as("ntok"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
     "q_rolling_corr" -> (qRollingCorr _),
     "q_cross_spans" -> (qCrossSpans _),
     "q_bm25_bigram" -> (qBm25Bigram _),
-    "q_ivf_rerank" -> (qIvfRerank _))
+    "q_ivf_rerank" -> (qIvfRerank _),
+    "q_rrf_fusion" -> (qRrfFusion _),
+    "q_dedup_best" -> (qDedupBest _))
 
   def oracleSql: Map[String, String] = Map(
     "q_rolling_corr" ->
@@ -220,5 +264,120 @@ object Queries13 {
         |     sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine,
         |  round(sh.adc, 6) AS adc
         |FROM short sh JOIN cells s ON s.vec_id = sh.vec_id, q
-        |ORDER BY cosine DESC, s.vec_id LIMIT 10""".stripMargin)
+        |ORDER BY cosine DESC, s.vec_id LIMIT 10""".stripMargin,
+    "q_rrf_fusion" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |    (0, 'hash join table'), (1, 'window agg spark'),
+        |    (2, 'slow filter query'), (3, 'merge sort fast')),
+        |qt1 AS (
+        |  SELECT DISTINCT query_id,
+        |    unnest(regexp_split_to_array(lower(trim(qtext)), '\s+')) AS term
+        |  FROM q),
+        |tok1 AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf1 AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok1
+        |  WHERE term <> '' AND term IN (SELECT term FROM qt1)
+        |  GROUP BY ALL),
+        |df1 AS (SELECT term, count(*) AS doc_freq FROM tf1 GROUP BY 1),
+        |dl AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    avg(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> x <> ''))) AS avgdl
+        |  FROM documents),
+        |s1 AS (
+        |  SELECT qt1.query_id, tf1.doc_id,
+        |    sum(ln(1 + (n - doc_freq + 0.5) / (doc_freq + 0.5))
+        |        * (CAST(tf AS DOUBLE) * 2.2)
+        |        / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+        |  FROM tf1 JOIN dl USING (doc_id) JOIN df1 USING (term)
+        |  CROSS JOIN st JOIN qt1 USING (term)
+        |  GROUP BY 1, 2),
+        |r1 AS (
+        |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(score, 6) DESC, doc_id) AS rank FROM s1),
+        |qg AS (
+        |  SELECT query_id,
+        |    list_filter(regexp_split_to_array(lower(trim(qtext)), '\s+'),
+        |      x -> x <> '') AS ws
+        |  FROM q),
+        |qt2 AS (
+        |  SELECT DISTINCT query_id,
+        |    unnest(list_transform(range(0, greatest(len(ws) - 1, 0)),
+        |      i -> ws[i + 1] || ' ' || ws[i + 2])) AS term
+        |  FROM qg),
+        |dg AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS ws
+        |  FROM documents),
+        |tok2 AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, greatest(len(ws) - 1, 0)),
+        |      i -> ws[i + 1] || ' ' || ws[i + 2])) AS term
+        |  FROM dg),
+        |tf2 AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok2
+        |  WHERE term IN (SELECT term FROM qt2)
+        |  GROUP BY ALL),
+        |df2 AS (SELECT term, count(*) AS doc_freq FROM tf2 GROUP BY 1),
+        |dl2 AS (
+        |  SELECT doc_id, CAST(greatest(len(ws) - 1, 0) AS DOUBLE) AS dl FROM dg),
+        |st2 AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    avg(greatest(len(ws) - 1, 0)) AS avgdl
+        |  FROM dg),
+        |s2 AS (
+        |  SELECT qt2.query_id, tf2.doc_id,
+        |    sum(ln(1 + (n - doc_freq + 0.5) / (doc_freq + 0.5))
+        |        * (CAST(tf AS DOUBLE) * 2.2)
+        |        / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+        |  FROM tf2 JOIN dl2 USING (doc_id) JOIN df2 USING (term)
+        |  CROSS JOIN st2 JOIN qt2 USING (term)
+        |  GROUP BY 1, 2),
+        |r2 AS (
+        |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(score, 6) DESC, doc_id) AS rank FROM s2),
+        |c AS (
+        |  SELECT query_id, doc_id, 1.0 / (60 + rank) AS c FROM r1 WHERE rank <= 20
+        |  UNION ALL
+        |  SELECT query_id, doc_id, 1.0 / (60 + rank) FROM r2 WHERE rank <= 20),
+        |f AS (
+        |  SELECT query_id, doc_id, sum(c) AS rrf_score, count(*) AS n_lists
+        |  FROM c GROUP BY 1, 2),
+        |r AS (
+        |  SELECT query_id, doc_id, rrf_score, n_lists,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_score DESC, doc_id) AS rank
+        |  FROM f)
+        |SELECT query_id, doc_id, rrf_score, n_lists, rank
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_dedup_best" ->
+      """WITH flagged AS (
+        |  SELECT doc_id, lang, text,
+        |    CASE WHEN lag(lang) OVER (ORDER BY doc_id) = lang
+        |          AND lag(doc_id) OVER (ORDER BY doc_id) = doc_id - 1
+        |         THEN 0 ELSE 1 END AS chg
+        |  FROM documents),
+        |runs AS (
+        |  SELECT doc_id, lang, text, sum(chg) OVER (ORDER BY doc_id) AS run_id
+        |  FROM flagged),
+        |nt AS (
+        |  SELECT doc_id, lang, run_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok
+        |  FROM runs),
+        |sel AS (
+        |  SELECT doc_id, lang, ntok, row_number() OVER (PARTITION BY run_id
+        |    ORDER BY ntok DESC, doc_id) AS rk
+        |  FROM nt)
+        |SELECT doc_id, lang, CAST(ntok AS BIGINT) AS ntok
+        |FROM sel WHERE rk = 1 ORDER BY doc_id""".stripMargin)
 }

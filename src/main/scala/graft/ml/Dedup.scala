@@ -516,6 +516,37 @@ object Dedup {
       .drop("comp")
   }
 
+  /** Cluster dedup keeping the BEST row per near-dup cluster instead of the
+    * smallest id: the curation policy that keeps the highest-quality copy
+    * (longest, best classifier score, most recent crawl) when duplicates
+    * differ in quality. `quality` is any numeric column expression on `df`;
+    * ties keep the smallest id, so the survivor set is deterministic.
+    * Same scale shape as [[dedupByClusters]] — bounded component state,
+    * plus one max_by aggregation keyed on the component. */
+  def dedupByClustersKeepBest(df: DataFrame, idCol: String, pairs: DataFrame,
+                              quality: Column,
+                              pairA: String = "id_a", pairB: String = "id_b"): DataFrame = {
+    require(Seq(org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(df.schema(idCol).dataType),
+      s"dedupByClustersKeepBest: $idCol must be an integral id column, " +
+        s"got ${df.schema(idCol).dataType.simpleString} (hash string ids to longs first)")
+    val comp = connectedComponents(pairs, pairA, pairB)
+      .select(F.col("node").as(idCol), F.col("comp"))
+    val withComp = df.withColumn("__q__", quality)
+      .join(comp, Seq(idCol), "left")
+      // singletons (no pair) are their own cluster
+      .withColumn("__comp__", F.coalesce(F.col("comp"), F.col(idCol)))
+    // best = max quality, ties -> smallest id: max_by on the orderable pair
+    // (quality, -id) needs no second pass and no window over the data
+    val best = withComp.groupBy(F.col("__comp__"))
+      .agg(F.max_by(F.col(idCol), F.struct(F.col("__q__"), -F.col(idCol)))
+        .as("__keep__"))
+    withComp.join(best, Seq("__comp__"))
+      .where(F.col(idCol) === F.col("__keep__"))
+      .drop("__comp__", "comp", "__q__", "__keep__")
+  }
+
   /** One row per (doc, window start): the xxhash64 of each `windowTokens`-
     * token window starting at a CONTENT-DEFINED anchor — a position whose
     * token hash is ≡ 0 (mod `anchorStride`) — the chunk table behind

@@ -117,6 +117,34 @@ object Retrieval {
       .filter(F.col("rank") <= k)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009): fuse N per-query
+    * rankings into one list by score = Σ 1/(kConst + rank). The standard
+    * hybrid-retrieval combiner (lexical + phrase, or sparse + dense) — rank
+    * positions only, so mismatched score scales never need calibration,
+    * and with integer ranks the arithmetic is engine-exact (no rounding:
+    * each contribution is one IEEE division, and for two lists the single
+    * addition is order-independent). `n_lists` counts the rankings that
+    * retrieved the doc. Scale shape: one union + hash aggregation on
+    * (query, doc) + the per-query top-k window — nothing rank-list-sized
+    * on the driver. */
+  def rrfFuse(rankings: Seq[DataFrame], queryIdCol: String, idCol: String,
+              rankCol: String = "rank", kConst: Int = 60,
+              k: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: need at least one ranking")
+    val contrib = rankings.map(_.select(F.col(queryIdCol), F.col(idCol),
+        (F.lit(1.0) / (F.lit(kConst.toDouble) + F.col(rankCol).cast("double")))
+          .as("__c__")))
+      .reduce(_ unionAll _)
+    val scores = contrib.groupBy(F.col(queryIdCol), F.col(idCol))
+      .agg(F.sum(F.col("__c__")).as("rrf_score"),
+        F.count(F.lit(1)).as("n_lists"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col(queryIdCol))
+      .orderBy(F.col("rrf_score").desc, F.col(idCol))
+    scores.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+  }
+
   /** Top-k documents per query by BM25. Ranking rounds the score to
     * `roundDp` decimals first (ties then broken by ascending doc id) so the
     * selected set is reproducible across engines despite the ln ulp; pass

@@ -145,6 +145,29 @@ class Round13Spec extends SparkSpec {
     assert(uni == List("a", "b"))
   }
 
+  test("rrfFuse sums reciprocal ranks across lists, missing docs contribute nothing") {
+    import graft.ml.Retrieval
+    val l1 = Seq((0, 10L, 1L), (0, 20L, 2L)).toDF("qid", "doc", "rank")
+    val l2 = Seq((0, 20L, 1L), (0, 30L, 2L)).toDF("qid", "doc", "rank")
+    val out = Retrieval.rrfFuse(Seq(l1, l2), "qid", "doc", kConst = 60, k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    // doc 20: 1/62 + 1/61 wins; doc 10: 1/61; doc 30: 1/62
+    assert(out == Seq(
+      (20L, 1.0 / 62 + 1.0 / 61, 2L),
+      (10L, 1.0 / 61, 1L),
+      (30L, 1.0 / 62, 1L)), out.toString)
+  }
+
+  test("dedupByClustersKeepBest keeps the highest-quality doc per cluster, ties min id") {
+    // cluster {1,2,3} qualities 5,9,9 -> keep 2; singleton 7 kept
+    val docs = Seq((1L, 5), (2L, 9), (3L, 9), (7L, 1)).toDF("id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = graft.ml.Dedup.dedupByClustersKeepBest(docs, "id", pairs, F.col("q"))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 7L), kept.toString)
+  }
+
   test("calendar rolling frame aggregates an ewm chain per window") {
     // dates 01-05, 01-20, 02-10; 1mo trailing windows: [1], [1,3], [3,5];
     // ewm(alpha=.5, adjust=true).last per window: 1, (0.5+3)/1.5, (1.5+5)/1.5
