@@ -156,13 +156,37 @@ object Queries13 {
       .orderBy("doc_id")
   }
 
+  /** Span REMOVAL ([[graft.ml.Dedup.removeCrossDocSpansFromChunks]]): the
+    * q_cross_spans corpus with every cross-document duplicated run erased
+    * from the higher-id copy — verified by md5 of the cleaned (normalized)
+    * text plus before/removed token counts. Shares the staged stride-1
+    * chunk table with q_cross_spans; the oracle re-derives spans, covered
+    * positions and the surviving token sequence from identical rows. */
+  private def qSpanRemoval(s: SparkSession, dir: String): SDF = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+      .filter(F.col("doc_id") < 500)
+    val copies = docs.filter(F.col("doc_id") % 7 === 2)
+      .select((F.col("doc_id") + 200000).as("doc_id"),
+        F.regexp_replace(F.col("text"), "^\\S+", "prefixed").as("text"))
+    val corpus = docs.unionAll(copies)
+    val chunks = QueryStage.stage(
+      graft.ml.Dedup.spanChunks(corpus, "text", "doc_id",
+        windowTokens = 20, anchorStride = 1), dir, "span_chunks1")
+    graft.ml.Dedup.removeCrossDocSpansFromChunks(corpus, chunks, "text", "doc_id",
+        windowTokens = 20, minMatchTokens = 25, maxDocsPerHash = 64)
+      .select(F.col("doc_id"), F.md5(F.col("text_clean")).as("digest"),
+        F.col("n_tokens"), F.col("n_removed"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
     "q_rolling_corr" -> (qRollingCorr _),
     "q_cross_spans" -> (qCrossSpans _),
     "q_bm25_bigram" -> (qBm25Bigram _),
     "q_ivf_rerank" -> (qIvfRerank _),
     "q_rrf_fusion" -> (qRrfFusion _),
-    "q_dedup_best" -> (qDedupBest _))
+    "q_dedup_best" -> (qDedupBest _),
+    "q_span_removal" -> (qSpanRemoval _))
 
   def oracleSql: Map[String, String] = Map(
     "q_rolling_corr" ->
@@ -379,5 +403,46 @@ object Queries13 {
         |    ORDER BY ntok DESC, doc_id) AS rk
         |  FROM nt)
         |SELECT doc_id, lang, CAST(ntok AS BIGINT) AS ntok
-        |FROM sel WHERE rk = 1 ORDER BY doc_id""".stripMargin)
+        |FROM sel WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "q_span_removal" ->
+      """WITH c AS (SELECT * FROM '/tmp/graft_stage/sf0.01/span_chunks1/*.parquet'),
+        |f AS (SELECT chunk_hash FROM c GROUP BY 1
+        |      HAVING count(DISTINCT doc_id) > 1 AND count(DISTINCT doc_id) <= 64),
+        |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |             a.start_token AS sa, b.start_token AS sb
+        |      FROM c a JOIN f USING (chunk_hash)
+        |      JOIN c b ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id),
+        |i AS (SELECT id_a, id_b, sa, sb, sa - sb AS diag,
+        |        sa - row_number() OVER (
+        |          PARTITION BY id_a, id_b, sa - sb ORDER BY sa) AS isl
+        |      FROM m),
+        |sp AS (SELECT id_b, min(sb) AS start_b, count(*) AS nw
+        |       FROM i GROUP BY id_a, id_b, diag, isl
+        |       HAVING count(*) - 1 + 20 >= 25),
+        |cov AS (SELECT DISTINCT id_b AS doc_id,
+        |          unnest(range(start_b, start_b + nw - 1 + 20)) AS pos
+        |        FROM sp),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 500
+        |  UNION ALL
+        |  SELECT doc_id + 200000, regexp_replace(text, '^\S+', 'prefixed')
+        |  FROM documents WHERE doc_id < 500 AND doc_id % 7 = 2),
+        |tk AS (SELECT doc_id,
+        |         string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+        |       FROM corpus),
+        |pos AS (SELECT doc_id, unnest(ws) AS tok,
+        |          unnest(range(0, len(ws))) AS pos
+        |        FROM tk),
+        |kept AS (SELECT p.doc_id, p.pos, p.tok FROM pos p
+        |         WHERE NOT EXISTS (SELECT 1 FROM cov
+        |           WHERE cov.doc_id = p.doc_id AND cov.pos = p.pos)),
+        |agg AS (SELECT doc_id,
+        |          coalesce(string_agg(tok, ' ' ORDER BY pos), '') AS clean,
+        |          count(*) AS n_kept
+        |        FROM kept GROUP BY 1)
+        |SELECT t.doc_id, md5(coalesce(a.clean, '')) AS digest,
+        |  CAST(len(t.ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.ws) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM tk t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin)
 }

@@ -666,6 +666,56 @@ object Dedup {
       .select("id_a", "id_b", "start_a", "start_b", "n_windows", "match_tokens")
   }
 
+  /** The REMOVAL step behind cross-document span dedup (Lee et al. 2022
+    * drop duplicated substrings, not whole documents): for every maximal
+    * shared run found by [[crossDocSpans]], the HIGHER-id copy loses the
+    * covered tokens — keep-first at span granularity, so boilerplate is
+    * erased from later crawls while the first occurrence survives intact.
+    * Operates in the normalized token space the chunk table was built from
+    * (lowercased, whitespace-collapsed — the returned text is normalized).
+    *
+    * Returns every input row with `<textCol>_clean`, `n_tokens` (before)
+    * and `n_removed`. Scale shape: [[crossDocSpans]]'s shuffles, plus one
+    * explode of covered positions (bounded by covered-token volume, never
+    * more than corpus tokens), one per-doc set aggregation, and a
+    * broadcast-or-shuffle join back to the corpus; the per-token membership
+    * probe is an array lookup against that doc's own covered set. */
+  def removeCrossDocSpansFromChunks(df: DataFrame, chunks: DataFrame,
+                                    textCol: String, idCol: String,
+                                    windowTokens: Int, minMatchTokens: Int = 0,
+                                    maxDocsPerHash: Int = 64): DataFrame = {
+    val spans = crossDocSpans(chunks, idCol, windowTokens, minMatchTokens, maxDocsPerHash)
+    val covered = spans.select(F.col("id_b").as(idCol),
+        F.explode(F.sequence(F.col("start_b"),
+          F.col("start_b") + F.col("match_tokens") - 1)).as("__pos__"))
+      .distinct()
+      .groupBy(F.col(idCol))
+      .agg(F.array_sort(F.collect_set(F.col("__pos__"))).as("__cov__"))
+    val toks = F.split(F.trim(normalizeText(F.col(textCol))), " ")
+    df.withColumn("__toks__", toks)
+      .join(covered, Seq(idCol), "left")
+      .withColumn("__kept__",
+        F.when(F.col("__cov__").isNull, F.col("__toks__"))
+          .otherwise(F.filter(F.col("__toks__"),
+            (t, i) => !F.array_contains(F.col("__cov__"), i))))
+      .withColumn(s"${textCol}_clean", F.array_join(F.col("__kept__"), " "))
+      .withColumn("n_tokens", F.size(F.col("__toks__")).cast("long"))
+      .withColumn("n_removed",
+        (F.size(F.col("__toks__")) - F.size(F.col("__kept__"))).cast("long"))
+      .drop("__toks__", "__cov__", "__kept__")
+  }
+
+  /** [[removeCrossDocSpansFromChunks]] building its own stride-1 chunk
+    * table (persisted — consumed by both the span detection and nothing
+    * else, but the detection reads it twice). */
+  def removeCrossDocSpans(df: DataFrame, textCol: String, idCol: String,
+                          windowTokens: Int = 50, minMatchTokens: Int = 0,
+                          maxDocsPerHash: Int = 64): DataFrame =
+    removeCrossDocSpansFromChunks(df,
+      graft.kernel.PrepCache.persistBounded(
+        spanChunks(df, textCol, idCol, windowTokens, anchorStride = 1)),
+      textCol, idCol, windowTokens, minMatchTokens, maxDocsPerHash)
+
   /** Per-document duplicated-span ratio: the fraction of a document's chunk
     * windows that also occur in another document — the curation signal used
     * to drop boilerplate-heavy documents. Documents too short to chunk are

@@ -168,6 +168,20 @@ class Round13Spec extends SparkSpec {
     assert(kept == Seq(2L, 7L), kept.toString)
   }
 
+  test("removeCrossDocSpans erases the shared run from the higher-id copy only") {
+    // docs share the 6-token run "one two three four five six"; windowTokens
+    // 3 at stride 1 -> spans cover it fully in doc 2; doc 1 keeps everything
+    val docs = Seq(
+      (1L, "one two three four five six alpha beta"),
+      (2L, "gamma one two three four five six delta")).toDF("doc_id", "text")
+    val out = graft.ml.Dedup.removeCrossDocSpans(docs, "text", "doc_id",
+        windowTokens = 3, minMatchTokens = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(out(0) == (1L, "one two three four five six alpha beta", 8L, 0L), out(0).toString)
+    assert(out(1) == (2L, "gamma delta", 8L, 6L), out(1).toString)
+  }
+
   test("calendar rolling frame aggregates an ewm chain per window") {
     // dates 01-05, 01-20, 02-10; 1mo trailing windows: [1], [1,3], [3,5];
     // ewm(alpha=.5, adjust=true).last per window: 1, (0.5+3)/1.5, (1.5+5)/1.5
