@@ -76,6 +76,31 @@ class Round13Spec extends SparkSpec {
     assert(math.abs(bGot(2).get.asInstanceOf[Double] - third(bRows)) < 1e-9)
   }
 
+  test("rolling_cov over(keys) handles nulls per group like the keyless kernel") {
+    // group a = the null-bearing keyless fixture; group b pads with
+    // constant-complete rows — per-group results must match the keyless
+    // hand computation (row 4 of a -> 8.0), independent of interleaving
+    val df = DataFrame(Seq[(Int, String, Option[Double], Option[Double])](
+      (0, "a", Some(1.0), Some(2.0)), (1, "b", Some(1.0), Some(1.0)),
+      (2, "a", None, Some(1.0)), (3, "b", Some(2.0), Some(2.0)),
+      (4, "a", Some(3.0), None), (5, "a", Some(4.0), Some(2.0)),
+      (6, "b", Some(3.0), Some(3.0)), (7, "a", Some(5.0), Some(8.0)))
+      .toDF("i", "k", "x", "y"))
+    val out = df.withColumn("c",
+        Polars.rollingCov(col("x"), col("y"), windowSize = 3, minPeriods = 2)
+          .over(col("k")))
+      .toSpark.orderBy("i").collect()
+      .map(r => (r.getString(1), Option(r.get(4)))).toSeq
+    val a = out.filter(_._1 == "a").map(_._2)
+    val b = out.filter(_._1 == "b").map(_._2)
+    assert(a.take(4).forall(_.isEmpty), a.toString)
+    assert(math.abs(a(4).get.asInstanceOf[Double] - 8.0) < 1e-12, a.toString)
+    // b rows: perfectly correlated pairs -> cov of trailing windows
+    assert(b(0).isEmpty) // single pair, below minPeriods
+    assert(math.abs(b(1).get.asInstanceOf[Double] - 0.5) < 1e-12, b.toString)
+    assert(math.abs(b(2).get.asInstanceOf[Double] - 1.0) < 1e-12, b.toString)
+  }
+
   test("BPE: multi-byte characters split per code point and merge cleanly") {
     import graft.ml.Bpe
     val words = Seq("héé", "中中文").toDF("word")
