@@ -202,12 +202,9 @@ object Queries6 {
   private def qStreamingWindow(s: SparkSession, dir: String): SDF = {
     implicit val sp: SparkSession = s
     val schema = t(s, dir, "events").schema
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q-swin").toFile
-    tmp.deleteOnExit()
-    val inDir = java.nio.file.Files.createDirectory(tmp.toPath.resolve("in"))
-    java.nio.file.Files.createSymbolicLink(
-      inDir.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val stream = graft.streaming.Streaming.scanParquetStream(inDir.toString, schema)
+    val root = QueryStage.streamRoot(dir, "swin", "v1")
+    val in = graft.streaming.Streaming.linkedInput(root, dir, "events")
+    val stream = graft.streaming.Streaming.scanParquetStream(in, schema)
       .transform(TestTables.normalizeEventsTs)
     val windowed = graft.streaming.Streaming.windowedAgg(
       stream, "ts", "6 hours", by = Seq("event_type"),
@@ -215,7 +212,7 @@ object Queries6 {
     // state-store commits cost ~constant per partition per batch; the windowed
     // state here is tiny (types × windows), so run the stream narrow
     graft.streaming.Streaming.tunedDrain(4) {
-      graft.streaming.Streaming.runToMemory(windowed, "graft_q_streaming_window")
+      graft.streaming.Streaming.drainToParquet(windowed, root)
         .select(F.col("event_type"), F.col("window.start").as("ts"),
           F.col("n"), F.col("sv"))
         .orderBy("event_type", "ts")
@@ -249,17 +246,14 @@ object Queries6 {
   private def qStreamingDedup(s: SparkSession, dir: String): SDF = {
     implicit val sp: SparkSession = s
     val schema = t(s, dir, "events").schema
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q-sdedup").toFile
-    tmp.deleteOnExit()
-    val inDir = java.nio.file.Files.createDirectory(tmp.toPath.resolve("in"))
-    java.nio.file.Files.createSymbolicLink(
-      inDir.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val stream = graft.streaming.Streaming.scanParquetStream(inDir.toString, schema)
+    val root = QueryStage.streamRoot(dir, "sdedup", "v1")
+    val in = graft.streaming.Streaming.linkedInput(root, dir, "events")
+    val stream = graft.streaming.Streaming.scanParquetStream(in, schema)
       .transform(TestTables.normalizeEventsTs)
     val deduped = graft.streaming.Streaming.dedupWithinWatermark(
       stream, Seq("user_id"), "ts", watermark = "60 days")
     graft.streaming.Streaming.tunedDrain(4) {
-      graft.streaming.Streaming.runToMemory(deduped, "graft_q_streaming_dedup", mode = "append")
+      graft.streaming.Streaming.drainToParquet(deduped, root, mode = "append")
         .select(F.col("user_id")).orderBy("user_id")
     }
   }
@@ -268,16 +262,17 @@ object Queries6 {
     * stream the events parquet → AvailableNow sink → read back → aggregate.
     * Oracle-checked: the streamed copy must be byte-equivalent. */
   private def qStreamingSink(s: SparkSession, dir: String): SDF = {
+    implicit val sp: SparkSession = s
     val schema = t(s, dir, "events").schema
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q-stream").toFile
-    tmp.deleteOnExit()
-    val out = tmp.getAbsolutePath + "/out"
+    val root = QueryStage.streamRoot(dir, "ssink", "v1")
     // file stream sources take directories: link the single parquet into one
-    val inDir = java.nio.file.Files.createDirectory(tmp.toPath.resolve("in"))
-    java.nio.file.Files.createSymbolicLink(
-      inDir.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val stream = graft.streaming.Streaming.scanParquetStream(inDir.toString, schema)(s)
-    graft.streaming.Streaming.sinkParquet(stream, out, tmp.getAbsolutePath + "/cp")
+    val in = graft.streaming.Streaming.linkedInput(root, dir, "events")
+    val out = new java.io.File(root, "out").getAbsolutePath
+    val stream = graft.streaming.Streaming.scanParquetStream(in, schema)(s)
+    graft.streaming.Streaming.tunedDrain(4) {
+      graft.streaming.Streaming.sinkParquet(
+        stream, out, new java.io.File(root, "cp").getAbsolutePath)
+    }
     s.read.parquet(out)
       .groupBy("event_type")
       .agg(F.count(F.lit(1)).as("n"), F.sum("value").as("sv"))

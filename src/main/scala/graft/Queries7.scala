@@ -170,20 +170,15 @@ object Queries7 {
   private def qStreamingSession(s: SparkSession, dir: String): SDF = {
     implicit val sp: SparkSession = s
     val schema = t(s, dir, "events").schema
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q-ssess").toFile
-    val inDir = java.nio.file.Files.createDirectory(tmp.toPath.resolve("in"))
-    val link = java.nio.file.Files.createSymbolicLink(
-      inDir.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
-    // deleteOnExit removes only EMPTY dirs — register leaf-to-root or the
-    // tree leaks on every run
-    tmp.deleteOnExit(); inDir.toFile.deleteOnExit(); link.toFile.deleteOnExit()
-    val stream = graft.streaming.Streaming.scanParquetStream(inDir.toString, schema)
+    val root = QueryStage.streamRoot(dir, "ssess", "v1")
+    val in = graft.streaming.Streaming.linkedInput(root, dir, "events")
+    val stream = graft.streaming.Streaming.scanParquetStream(in, schema)
       .transform(TestTables.normalizeEventsTs)
     val sessions = graft.streaming.Streaming.sessionWindowAgg(
       stream, "ts", "2 hours", by = Seq("user_id"),
       aggs = Seq(F.count(F.lit(1)).as("n"), F.sum("value").as("sv")))
     graft.streaming.Streaming.tunedDrain(4) {
-      graft.streaming.Streaming.runToMemory(sessions, "graft_q_streaming_session")
+      graft.streaming.Streaming.drainToParquet(sessions, root)
         .select(F.col("user_id"), F.col("session_window.start").as("session_start"),
           F.col("n"), F.col("sv"))
         .orderBy("user_id", "session_start")
@@ -211,14 +206,9 @@ object Queries7 {
   private def qStreamingJoin(s: SparkSession, dir: String): SDF = {
     implicit val sp: SparkSession = s
     val schema = t(s, dir, "events").schema
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q-sjoin").toFile
-    val inDir = java.nio.file.Files.createDirectory(tmp.toPath.resolve("in"))
-    val link = java.nio.file.Files.createSymbolicLink(
-      inDir.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
-    // deleteOnExit removes only EMPTY dirs — register leaf-to-root or the
-    // tree leaks on every run
-    tmp.deleteOnExit(); inDir.toFile.deleteOnExit(); link.toFile.deleteOnExit()
-    def stream() = graft.streaming.Streaming.scanParquetStream(inDir.toString, schema)
+    val root = QueryStage.streamRoot(dir, "sjoin", "v1")
+    val in = graft.streaming.Streaming.linkedInput(root, dir, "events")
+    def stream() = graft.streaming.Streaming.scanParquetStream(in, schema)
       .transform(TestTables.normalizeEventsTs)
     val clicks = stream().filter(F.col("event_type") === "click")
       .select(F.col("event_id").as("click_id"), F.col("user_id").as("c_user"),
@@ -237,7 +227,7 @@ object Queries7 {
     // an inner join's emitted rows don't depend on it, so skip it and keep
     // the partition count (= state-store commit count) minimal
     graft.streaming.Streaming.tunedDrain(2) {
-      graft.streaming.Streaming.runToMemory(joined, "graft_q_streaming_join", mode = "append")
+      graft.streaming.Streaming.drainToParquet(joined, root, mode = "append")
         .select(F.col("click_id"), F.col("purchase_id"), F.col("p_value"))
         .orderBy("click_id", "purchase_id")
     }

@@ -206,4 +206,47 @@ class StreamingSpec extends SparkSpec {
     val kept = spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(kept == Seq(10L))
   }
+
+  test("drainToParquet resumes from a retained checkpoint: no-op on unchanged input, incremental on new files") {
+    // complete mode (stateful windowed agg)
+    val root = Files.createTempDirectory("graft-drain-root").toFile
+    root.deleteOnExit()
+    val in = tmpDir()
+    val src = Seq(("2024-01-01 01:00:00", "a", 1.0), ("2024-01-01 02:00:00", "b", 2.0))
+      .toDF("ts", "k", "v")
+      .select(F.to_timestamp(F.col("ts")).as("ts"), F.col("k"), F.col("v"))
+    src.coalesce(1).write.mode("append").parquet(in)
+    def agg() = Streaming.windowedAgg(
+      Streaming.scanParquetStream(in, src.schema), "ts", "6 hours",
+      by = Seq("k"), aggs = Seq(F.count(F.lit(1)).as("n")))
+    def rows() = Streaming.drainToParquet(agg(), root)
+      .select(F.col("k"), F.col("n")).orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows() == Seq(("a", 1L), ("b", 1L)))
+    // resumed drain over unchanged input: zero new batches, retained output
+    assert(rows() == Seq(("a", 1L), ("b", 1L)))
+    // a new arriving file IS processed — the resume is incremental, not frozen
+    Seq(("2024-01-01 03:00:00", "a", 3.0)).toDF("ts", "k", "v")
+      .select(F.to_timestamp(F.col("ts")).as("ts"), F.col("k"), F.col("v"))
+      .coalesce(1).write.mode("append").parquet(in)
+    assert(rows() == Seq(("a", 2L), ("b", 1L)))
+
+    // append mode (dedup-within-watermark): resume keeps the file-sink log
+    val root2 = Files.createTempDirectory("graft-drain-root2").toFile
+    root2.deleteOnExit()
+    val in2 = tmpDir()
+    src.coalesce(1).write.mode("append").parquet(in2)
+    def dedup() = Streaming.dedupWithinWatermark(
+      Streaming.scanParquetStream(in2, src.schema), Seq("k"), "ts", watermark = "10 days")
+    def keys() = Streaming.drainToParquet(dedup(), root2, mode = "append")
+      .select("k").orderBy("k").collect().map(_.getString(0)).toSeq
+    assert(keys() == Seq("a", "b"))
+    assert(keys() == Seq("a", "b")) // resumed: no re-emit, no loss
+    // new file: duplicate key dropped against retained state, new key appended
+    Seq(("2024-01-01 02:30:00", "a", 9.0), ("2024-01-01 02:40:00", "c", 9.0))
+      .toDF("ts", "k", "v")
+      .select(F.to_timestamp(F.col("ts")).as("ts"), F.col("k"), F.col("v"))
+      .coalesce(1).write.mode("append").parquet(in2)
+    assert(keys() == Seq("a", "b", "c"))
+  }
 }
