@@ -179,7 +179,17 @@ object Queries13 {
       .orderBy("doc_id")
   }
 
+  /** Exact corpus heavy-hitters ([[graft.ml.TextAnalysis.topTerms]]):
+    * top-100 terms by frequency, ties broken by term. One explode + hash
+    * aggregate + TakeOrderedAndProject — the baseline the count-min
+    * [[graft.ml.TextAnalysis.termSketch]] approximates at 100 TB. */
+  private def qTopTerms(s: SparkSession, dir: String): SDF =
+    graft.ml.TextAnalysis.topTerms(
+      t(s, dir, "documents").select("text"), "text", k = 100)
+      .orderBy(F.col("n").desc, F.col("term"))
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
+    "q_top_terms" -> (qTopTerms _),
     "q_rolling_corr" -> (qRollingCorr _),
     "q_cross_spans" -> (qCrossSpans _),
     "q_bm25_bigram" -> (qBm25Bigram _),
@@ -189,6 +199,13 @@ object Queries13 {
     "q_span_removal" -> (qSpanRemoval _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_top_terms" ->
+      """SELECT term, count(*) AS n FROM (
+        |  SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    x -> x <> '')) AS term
+        |  FROM documents)
+        |GROUP BY term ORDER BY n DESC, term LIMIT 100""".stripMargin,
     "q_rolling_corr" ->
       """SELECT l_orderkey, l_linenumber,
         |CASE WHEN count(*) OVER w >= 10

@@ -249,6 +249,9 @@ object TextAnalysis {
   def topTerms(df: org.apache.spark.sql.DataFrame, textCol: String,
                k: Int = 100): org.apache.spark.sql.DataFrame =
     df.select(F.explode(tokens(F.col(textCol))).as("term"))
+      // an empty/whitespace-only document splits to [""] — an artifact
+      // token, not a term
+      .filter(F.col("term") =!= "")
       .groupBy("term").agg(F.count(F.lit(1)).as("n"))
       .orderBy(F.col("n").desc, F.col("term"))
       .limit(k)
