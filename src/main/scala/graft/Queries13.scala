@@ -199,7 +199,36 @@ object Queries13 {
       t(s, dir, "documents").select("text"), "text", k = 100)
       .orderBy(F.col("n").desc, F.col("term"))
 
+  /** Deterministic 80/10/10 split ([[graft.ml.Sampling.hashSplit]]): the
+    * per-document assignment is a pure md5-prefix compare, so the oracle
+    * recomputes every row's split with no staged state and no
+    * engine-specific hash. */
+  private def qHashSplit(s: SparkSession, dir: String): SDF =
+    graft.ml.Sampling.hashSplit(
+      t(s, dir, "documents").select("doc_id"), "doc_id")
+      .orderBy("doc_id")
+
+  /** Positional inverted index ([[graft.ml.Retrieval.invertedIndex]]) over
+    * the first 300 documents: every posting row (term, doc, tf, positions)
+    * value-checked exactly — the oracle rebuilds the postings from the same
+    * tokenization with list arithmetic. */
+  private def qInvertedIndex(s: SparkSession, dir: String): SDF =
+    graft.ml.Retrieval.invertedIndex(
+      t(s, dir, "documents").filter(F.col("doc_id") < 300)
+        .select("doc_id", "text"),
+      "text", "doc_id")
+      // gate discipline: explode the position list (q_agg_lists precedent) —
+      // each (term, doc, tf, ordinal, position) row hashes exactly, with no
+      // engine-divergent list-element arrow annotation in the compare
+      .select(F.col("term"), F.col("doc_id"), F.col("tf"),
+        F.posexplode(F.col("positions")).as(Seq("i", "p")))
+      .select(F.col("term"), F.col("doc_id"), F.col("tf"),
+        (F.col("i") + 1).cast("long").as("i"), F.col("p"))
+      .orderBy("term", "doc_id", "i")
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
+    "q_hash_split" -> (qHashSplit _),
+    "q_inverted_index" -> (qInvertedIndex _),
     "q_top_terms" -> (qTopTerms _),
     "q_rolling_corr" -> (qRollingCorr _),
     "q_cross_spans" -> (qCrossSpans _),
@@ -210,6 +239,31 @@ object Queries13 {
     "q_span_removal" -> (qSpanRemoval _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+        |         THEN 'train'
+        |       WHEN substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_inverted_index" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS ws
+        |  FROM documents WHERE doc_id < 300),
+        |p AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws) + 1),
+        |      i -> {'pos': CAST(i - 1 AS INTEGER), 'term': ws[i]})) AS s
+        |  FROM d)
+        |SELECT s.term AS term, doc_id,
+        |  count(*) OVER (PARTITION BY s.term, doc_id) AS tf,
+        |  CAST(row_number() OVER (PARTITION BY s.term, doc_id
+        |    ORDER BY s.pos) AS BIGINT) AS i,
+        |  s.pos AS p
+        |FROM p ORDER BY term, doc_id, i""".stripMargin,
     "q_top_terms" ->
       """SELECT term, count(*) AS n FROM (
         |  SELECT unnest(list_filter(

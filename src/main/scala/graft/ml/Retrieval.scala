@@ -45,6 +45,22 @@ object Retrieval {
     }
   }
 
+  /** Materialized positional inverted index: one posting row per (term,
+    * doc) with term frequency and the sorted 0-based token positions — the
+    * write-once index artifact that complements the query-time inverted
+    * PROBE ([[bm25Scores]] filters the token stream by query terms instead
+    * of materializing this). Scale shape: one posexplode + hash aggregation
+    * shuffled on (term, doc); persist partitioned/bucketed BY TERM so a
+    * query's postings are one partition-pruned read. Phrase queries verify
+    * adjacency against `positions` without re-tokenizing documents. */
+  def invertedIndex(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(F.col(idCol),
+        F.posexplode(F.filter(tokens(F.col(textCol)), x => x =!= ""))
+          .as(Seq("pos", "term")))
+      .groupBy(F.col("term"), F.col(idCol))
+      .agg(F.count(F.lit(1)).as("tf"),
+        F.sort_array(F.collect_list(F.col("pos"))).as("positions"))
+
   /** Per-(query, doc) BM25 scores for every document that shares at least
     * one term with the query. Okapi BM25 with the Lucene non-negative idf:
     * idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); term weight

@@ -28,6 +28,35 @@ object Sampling {
       .drop("__rn__", "__n__")
   }
 
+  /** Deterministic train/val/test split: each row's bucket is the first two
+    * hex digits of md5(seed:id), compared against cumulative weight
+    * boundaries quantized to 1/256ths. Zero shuffle and zero coordination —
+    * any executor assigns any row identically, so the split is stable under
+    * reruns, repartitioning and incremental appends (a new document joins
+    * the same split forever), which is what leak-free held-out sets at
+    * 100 TB require. The hex-string compare makes the assignment exactly
+    * reproducible in any engine with md5 (no engine-specific hash). Weights
+    * are normalized; each split's expected share is its quantized weight. */
+  def hashSplit(df: DataFrame, idCol: String,
+                weights: Seq[Double] = Seq(0.8, 0.1, 0.1),
+                names: Seq[String] = Seq("train", "val", "test"),
+                seed: String = "graft", splitCol: String = "split"): DataFrame = {
+    require(weights.size == names.size && weights.nonEmpty, "weights/names must align")
+    require(weights.forall(_ > 0), "weights must be positive")
+    val total = weights.sum
+    val cum = weights.scanLeft(0.0)(_ + _).tail
+      .map(w => math.round(w / total * 256).toInt)
+    require(cum.dropRight(1).forall(c => c > 0 && c < 256),
+      s"weights quantize to empty/full buckets at 1/256 granularity: $cum")
+    val bucket = F.substring(
+      F.md5(F.concat_ws(":", F.lit(seed), F.col(idCol).cast("string"))), 1, 2)
+    val assigned = names.dropRight(1).zip(cum).foldRight(F.lit(names.last)) {
+      case ((name, bound), rest) =>
+        F.when(bucket < F.lit(f"$bound%02x"), F.lit(name)).otherwise(rest)
+    }
+    df.withColumn(splitCol, assigned)
+  }
+
   /** Hash-threshold sample: keep rows where the seeded xxhash64 of the key
     * lands below `frac` of the hash space. Stateless, no shuffle, stable
     * under reruns and across partitionings — the 100 TB-scale default (each

@@ -222,4 +222,45 @@ class Round13Spec extends SparkSpec {
     assert(math.abs(out(1) - 3.5 / 1.5) < 1e-12)
     assert(math.abs(out(2) - 6.5 / 1.5) < 1e-12)
   }
+
+  test("hashSplit: deterministic, exhaustive, md5-boundary semantics, shuffle-free") {
+    val df = spark.range(0, 2000).toDF("id")
+    val out = graft.ml.Sampling.hashSplit(df, "id")
+    // assignment matches the documented md5-prefix rule row by row
+    val check = out.withColumn("b",
+        F.substring(F.md5(F.concat_ws(":", F.lit("graft"), F.col("id").cast("string"))), 1, 2))
+      .withColumn("expect",
+        F.when(F.col("b") < "cd", "train").when(F.col("b") < "e6", "val").otherwise("test"))
+    assert(check.filter(F.col("split") =!= F.col("expect")).count() == 0)
+    // every row assigned, shares near the quantized 205/25/26 of 256
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000)
+    assert(counts("train") > 1500 && counts("train") < 1700, counts.toString)
+    // stable under repartitioning (pure function of the id)
+    val re = graft.ml.Sampling.hashSplit(df.repartition(7), "id")
+    assert(out.join(re.withColumnRenamed("split", "s2"), "id")
+      .filter(F.col("split") =!= F.col("s2")).count() == 0)
+    // no exchange in the plan: the split is narrow
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // custom weights/names + quantization guard
+    val two = graft.ml.Sampling.hashSplit(df, "id", Seq(0.5, 0.5), Seq("a", "b"))
+    assert(two.select("split").distinct().count() == 2)
+    intercept[IllegalArgumentException] {
+      graft.ml.Sampling.hashSplit(df, "id", Seq(1.0, 0.0001), Seq("a", "b"))
+    }
+  }
+
+  test("invertedIndex: postings carry tf and sorted 0-based positions") {
+    val docs = Seq(
+      (1L, "b a b  c b"), (2L, "a a"), (3L, "   "), (4L, "c")).toDF("doc_id", "text")
+    val rows = graft.ml.Retrieval.invertedIndex(docs, "text", "doc_id")
+      .orderBy("term", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getSeq[Int](3).toList))
+    assert(rows.toList == List(
+      ("a", 1L, 1L, List(1)), ("a", 2L, 2L, List(0, 1)),
+      ("b", 1L, 3L, List(0, 2, 4)),
+      ("c", 1L, 1L, List(3)), ("c", 4L, 1L, List(0))), rows.mkString(";"))
+  }
 }
