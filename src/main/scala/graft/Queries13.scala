@@ -226,7 +226,33 @@ object Queries13 {
         (F.col("i") + 1).cast("long").as("i"), F.col("p"))
       .orderBy("term", "doc_id", "i")
 
+  /** Exact phrase search ([[graft.ml.Retrieval.phraseSearch]]): every
+    * (doc, start) occurrence of the corpus's most frequent bigram, walked
+    * over a STAGED positional index (the write-once artifact q_inverted_index
+    * gates the construction of) — so the timed cost is the posting probe,
+    * not a rebuild. The phrase itself is derived from the corpus (top
+    * bigram, count-desc/bigram-asc tiebreak) so the gate is non-empty at
+    * any SF, and the oracle re-derives phrase AND occurrences from the
+    * same tokenization. */
+  private def qPhraseSearch(s: SparkSession, dir: String): SDF = {
+    val docs = t(s, dir, "documents").filter(F.col("doc_id") < 300)
+      .select("doc_id", "text")
+    val top = QueryStage.memo(dir, "phrase_top")(
+      docs.select(F.explode(
+          graft.ml.Retrieval.ngramTerms(F.col("text"), 2)).as("bg"))
+        .groupBy("bg").agg(F.count(F.lit(1)).as("n"))
+        .orderBy(F.col("n").desc, F.col("bg")).limit(1)
+        .collect()(0).getString(0))
+    val idx = QueryStage.stage(
+      graft.ml.Retrieval.invertedIndex(docs, "text", "doc_id"),
+      dir, "inv_index")
+    graft.ml.Retrieval.phraseSearch(idx, "doc_id", top)
+      .withColumn("phrase", F.lit(top))
+      .orderBy("doc_id", "start")
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
+    "q_phrase_search" -> (qPhraseSearch _),
     "q_hash_split" -> (qHashSplit _),
     "q_inverted_index" -> (qInvertedIndex _),
     "q_top_terms" -> (qTopTerms _),
@@ -239,6 +265,31 @@ object Queries13 {
     "q_span_removal" -> (qSpanRemoval _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_phrase_search" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS ws
+        |  FROM documents WHERE doc_id < 300),
+        |bgs AS (
+        |  SELECT unnest(list_transform(range(0, greatest(len(ws) - 1, 0)),
+        |    i -> ws[i + 1] || ' ' || ws[i + 2])) AS bg
+        |  FROM d),
+        |top1 AS (SELECT bg, count(*) AS n FROM bgs
+        |         GROUP BY 1 ORDER BY n DESC, bg LIMIT 1),
+        |w AS (SELECT string_split(bg, ' ')[1] AS w1,
+        |             string_split(bg, ' ')[2] AS w2, bg FROM top1),
+        |p0 AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws) + 1),
+        |      i -> {'pos': CAST(i - 1 AS INTEGER), 'term': ws[i]})) AS s
+        |  FROM d),
+        |p AS (SELECT doc_id, s.pos AS pos, s.term AS term FROM p0)
+        |SELECT p1.doc_id, p1.pos AS start, w.bg AS phrase
+        |FROM p p1 JOIN p p2 ON p1.doc_id = p2.doc_id
+        |  AND p2.pos = p1.pos + 1, w
+        |WHERE p1.term = w.w1 AND p2.term = w.w2
+        |ORDER BY p1.doc_id, start""".stripMargin,
     "q_hash_split" ->
       """SELECT doc_id,
         |  CASE WHEN substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'

@@ -61,6 +61,28 @@ object Retrieval {
       .agg(F.count(F.lit(1)).as("tf"),
         F.sort_array(F.collect_list(F.col("pos"))).as("positions"))
 
+  /** Exact phrase search over a positional [[invertedIndex]]: returns one
+    * row per (doc, start) where the phrase's tokens occupy consecutive
+    * positions. The standard positional-postings adjacency walk — each
+    * phrase term's postings are offset-shifted by its phrase position and a
+    * start position surviving ALL terms is a match — touching only the
+    * phrase's posting rows (index partitioned by term → partition-pruned
+    * reads), never re-tokenizing documents. Duplicate phrase terms are
+    * handled by counting DISTINCT phrase offsets per candidate start. */
+  def phraseSearch(index: DataFrame, idCol: String, phrase: String): DataFrame = {
+    val terms = phrase.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    require(terms.nonEmpty, "phraseSearch: empty phrase")
+    val shifted = terms.zipWithIndex.map { case (t, i) =>
+      index.filter(F.col("term") === t)
+        .select(F.col(idCol), F.explode(F.col("positions")).as("p"))
+        .select(F.col(idCol), (F.col("p") - i).as("start"), F.lit(i).as("__off__"))
+    }.reduce(_ unionAll _)
+    shifted.groupBy(F.col(idCol), F.col("start"))
+      .agg(F.countDistinct(F.col("__off__")).as("__hits__"))
+      .filter(F.col("__hits__") === terms.length && F.col("start") >= 0)
+      .select(F.col(idCol), F.col("start"))
+  }
+
   /** Per-(query, doc) BM25 scores for every document that shares at least
     * one term with the query. Okapi BM25 with the Lucene non-negative idf:
     * idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); term weight

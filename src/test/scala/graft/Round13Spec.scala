@@ -252,6 +252,28 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("phraseSearch walks positional postings: adjacency, duplicates, repeats") {
+    val docs = Seq(
+      (1L, "to be or not to be"),    // "to be" at 0 and 4
+      (2L, "be to"),                 // reversed — no match
+      (3L, "to to be"),              // match at 1 only
+      (4L, "be be be")).toDF("doc_id", "text")
+    val idx = graft.ml.Retrieval.invertedIndex(docs, "text", "doc_id")
+    val hits = graft.ml.Retrieval.phraseSearch(idx, "doc_id", "to be")
+      .orderBy("doc_id", "start").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toList
+    assert(hits == List((1L, 0), (1L, 4), (3L, 1)), hits.toString)
+    // duplicate-term phrase: "be be" must need BOTH offsets, not one term twice
+    val dup = graft.ml.Retrieval.phraseSearch(idx, "doc_id", "be be")
+      .orderBy("doc_id", "start").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toList
+    assert(dup == List((4L, 0), (4L, 1)), dup.toString)
+    // trigram spanning the repeat
+    val tri = graft.ml.Retrieval.phraseSearch(idx, "doc_id", "not to be")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toList
+    assert(tri == List((1L, 3)), tri.toString)
+  }
+
   test("invertedIndex: postings carry tf and sorted 0-based positions") {
     val docs = Seq(
       (1L, "b a b  c b"), (2L, "a a"), (3L, "   "), (4L, "c")).toDF("doc_id", "text")
