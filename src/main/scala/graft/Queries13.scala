@@ -251,7 +251,30 @@ object Queries13 {
       .orderBy("doc_id", "start")
   }
 
+  /** Streaming per-key quota ([[graft.streaming.Streaming.capPerKeyStream]]):
+    * at most 5 events per user in event_id order, custom
+    * flatMapGroupsWithState state (one long per key). Single input file →
+    * one deterministic batch, so the kept set is exactly the first 5 per
+    * user by event_id — which is the oracle's row_number predicate. Same
+    * resumable stream-root discipline as the other streaming gates. */
+  private def qStreamingCap(s: SparkSession, dir: String): SDF = {
+    implicit val sp: SparkSession = s
+    val schema = t(s, dir, "events").schema
+    val root = QueryStage.streamRoot(dir, "scap", "v1")
+    val in = graft.streaming.Streaming.linkedInput(root, dir, "events")
+    val stream = graft.streaming.Streaming.scanParquetStream(in, schema)
+      .transform(TestTables.normalizeEventsTs)
+      .select("user_id", "event_id")
+    val capped = graft.streaming.Streaming.capPerKeyStream(
+      stream, "user_id", "event_id", cap = 5)
+    graft.streaming.Streaming.tunedDrain(4) {
+      graft.streaming.Streaming.drainToParquet(capped, root, mode = "append")
+        .orderBy("user_id", "event_id")
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
+    "q_streaming_cap" -> (qStreamingCap _),
     "q_phrase_search" -> (qPhraseSearch _),
     "q_hash_split" -> (qHashSplit _),
     "q_inverted_index" -> (qInvertedIndex _),
@@ -265,6 +288,12 @@ object Queries13 {
     "q_span_removal" -> (qSpanRemoval _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_streaming_cap" ->
+      """SELECT user_id, event_id FROM (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 5 ORDER BY user_id, event_id""".stripMargin,
     "q_phrase_search" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -86,6 +86,38 @@ object Streaming {
     stream.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(cols.head, cols.tail: _*)
 
+  /** Streaming per-key quota: keep at most `cap` rows per key across the
+    * stream's lifetime — the ingest-time twin of
+    * [[graft.ml.Sampling.capPerStratum]] ("first N documents per domain"),
+    * expressed with `flatMapGroupsWithState` because no built-in stateful
+    * operator can count-and-cut with custom logic. State is ONE long per
+    * key (rows kept so far) — bounded by key cardinality, not row volume,
+    * which is what lets the quota run forever on an unbounded stream. Each
+    * group's micro-batch slice is sorted by `orderCol` before cutting, so
+    * with a deterministic batch order (file source) the kept set is exactly
+    * "first `cap` per key in (batch, orderCol) order" — reproducible and
+    * oracle-checkable. The slice is buffered per (key, batch) to sort:
+    * bounded by a key's per-batch volume, not the stream. */
+  def capPerKeyStream(stream: DataFrame, keyCol: String, orderCol: String,
+                      cap: Int): DataFrame = {
+    require(cap > 0, "capPerKeyStream: cap must be positive")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val rowEnc = Encoders.row(stream.schema)
+    stream.groupByKey(r => String.valueOf(r.getAs[Any](keyCol)))(Encoders.STRING)
+      .flatMapGroupsWithState[Long, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Long]) =>
+          val seen = state.getOption.getOrElse(0L)
+          val room = math.max(cap - seen, 0L).toInt
+          // numeric order key: a string sort would rank 10 before 2
+          val kept = rows.toSeq.sortBy(r => r.getAs[Number](orderCol).longValue())
+            .take(room)
+          if (kept.nonEmpty) state.update(seen + kept.size)
+          kept.iterator
+      }(Encoders.scalaLong, rowEnc)
+  }
+
   /** Switch streaming state to RocksDB (bundled rocksdbjni): state lives off
     * the JVM heap with incremental snapshots — the provider that holds up
     * when keyed state is millions of windows/keys per partition. Set BEFORE

@@ -207,6 +207,40 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Seq(10L))
   }
 
+  test("capPerKeyStream enforces the per-key quota ACROSS micro-batches") {
+    val in = tmpDir(); val root = Files.createTempDirectory("graft-cap-root").toFile
+    root.deleteOnExit()
+    def wave(n: Int, rows: Seq[(String, Long)]): Unit = {
+      val stage = tmpDir()
+      rows.toDF("k", "id").coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = java.nio.file.Paths.get(in, f"wave$n%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(1700000000000L + n * 60000L)
+    }
+    val schema = Seq(("x", 1L)).toDF("k", "id").schema
+    // one file per micro-batch so the quota state must SURVIVE batches
+    def drain() = Streaming.drainToParquet(
+      Streaming.capPerKeyStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
+        "k", "id", cap = 3),
+      root, mode = "append")
+      .orderBy("k", "id").collect().map(r => (r.getString(0), r.getLong(1))).toList
+    // wave 1: a has 2 of 3, intra-batch sort keeps ids 2,10 in order
+    wave(1, Seq(("a", 10L), ("a", 2L), ("b", 1L)))
+    assert(drain() == List(("a", 2L), ("a", 10L), ("b", 1L)))
+    // wave 2: a gets ONE more (quota 3, 2 already kept), b two more
+    wave(2, Seq(("a", 20L), ("a", 21L), ("b", 22L), ("b", 23L)))
+    assert(drain() == List(
+      ("a", 2L), ("a", 10L), ("a", 20L), ("b", 1L), ("b", 22L), ("b", 23L)))
+    // wave 3: a is full — nothing more emitted for it
+    wave(3, Seq(("a", 30L), ("c", 31L)))
+    assert(drain() == List(
+      ("a", 2L), ("a", 10L), ("a", 20L),
+      ("b", 1L), ("b", 22L), ("b", 23L), ("c", 31L)))
+  }
+
   test("drainToParquet resumes from a retained checkpoint: no-op on unchanged input, incremental on new files") {
     // complete mode (stateful windowed agg)
     val root = Files.createTempDirectory("graft-drain-root").toFile
