@@ -273,7 +273,27 @@ object Queries13 {
     }
   }
 
+  /** Hive-partitioned layout + partition-pruned scan: documents written
+    * once partitioned by lang (key=value directories), then a
+    * lang-filtered aggregate whose scan carries the filter as a
+    * PartitionFilter — only the matching directory is listed or read
+    * (PlanSpec pins the plan shape; this gate pins the VALUES, including
+    * the partition value's directory round-trip). The write-once layout
+    * that makes per-language sweeps at 100 TB touch 1/Nth of the corpus. */
+  private def qPartitionPrune(s: SparkSession, dir: String): SDF = {
+    val path = QueryStage.stagePath(
+      t(s, dir, "documents").select("doc_id", "lang", "text"),
+      dir, "docs_by_lang", "parquet", partitionCols = Seq("lang"))
+    s.read.parquet(path)
+      .filter(F.col("lang") === "de")
+      .groupBy("lang")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.length(F.col("text")).cast("long")).as("chars"))
+      .orderBy("lang")
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
+    "q_partition_prune" -> (qPartitionPrune _),
     "q_streaming_cap" -> (qStreamingCap _),
     "q_phrase_search" -> (qPhraseSearch _),
     "q_hash_split" -> (qHashSplit _),
@@ -288,6 +308,10 @@ object Queries13 {
     "q_span_removal" -> (qSpanRemoval _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_partition_prune" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS chars
+        |FROM documents WHERE lang = 'de' GROUP BY lang ORDER BY lang""".stripMargin,
     "q_streaming_cap" ->
       """SELECT user_id, event_id FROM (
         |  SELECT user_id, event_id,

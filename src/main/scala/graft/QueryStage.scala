@@ -73,12 +73,14 @@ object QueryStage {
     * independent CSV/JSON parser — an end-to-end check of both directions
     * that a parquet-only oracle can't give. Same fingerprint + cross-process
     * lock discipline as [[stage]]. */
-  def stagePath(df: SDF, sfDir: String, name: String, format: String): String = {
+  def stagePath(df: SDF, sfDir: String, name: String, format: String,
+                partitionCols: Seq[String] = Nil): String = {
     val sf = new java.io.File(sfDir).getName
     val path = s"/tmp/graft_stage/$sf/$name"
     // underscore prefix: parquet readers ignore it, like _SUCCESS
     val fpPath = java.nio.file.Paths.get(path, "_graft_fingerprint")
-    val fp = dataSig(sfDir) + ":" + planSig(df) + ":" + format
+    val fp = dataSig(sfDir) + ":" + planSig(df) + ":" + format +
+      (if (partitionCols.nonEmpty) ":" + partitionCols.mkString(",") else "")
     // cross-PROCESS exclusion for the check+overwrite: two same-SF JVMs
     // (a local bench beside the driver's verify) would otherwise both see
     // a stale fingerprint and interleave their overwrite of one directory
@@ -94,7 +96,8 @@ object QueryStage {
       val fresh = reuseUnchanged && java.nio.file.Files.isRegularFile(fpPath) &&
         new String(java.nio.file.Files.readAllBytes(fpPath), "UTF-8") == fp
       if (!fresh) {
-        val w = df.write.mode("overwrite")
+        val w0 = df.write.mode("overwrite")
+        val w = if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*) else w0
         format match {
           case "parquet" => w.parquet(path)
           case "csv"     => w.option("header", "true").csv(path)
