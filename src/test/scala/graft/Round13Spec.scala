@@ -274,6 +274,26 @@ class Round13Spec extends SparkSpec {
     assert(tri == List((1L, 3)), tri.toString)
   }
 
+  test("new-operator edges: null text, absent phrase terms, negative split ids") {
+    // null/whitespace text contributes no postings (and no crash)
+    val docs = Seq((1L, null: String), (2L, " \t "), (3L, "x y")).toDF("doc_id", "text")
+    val idx = graft.ml.Retrieval.invertedIndex(docs, "text", "doc_id")
+    assert(idx.count() == 2)
+    // phrase with a term absent from the index: empty, not an error
+    assert(graft.ml.Retrieval.phraseSearch(idx, "doc_id", "x z").count() == 0)
+    // multi-byte text: positions index the token sequence, not bytes
+    val uni = Seq((1L, "héllo wörld héllo")).toDF("doc_id", "text")
+    val hit = graft.ml.Retrieval.phraseSearch(
+      graft.ml.Retrieval.invertedIndex(uni, "text", "doc_id"), "doc_id", "wörld héllo")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toList
+    assert(hit == List((1L, 1)), hit.toString)
+    // hashSplit: negative ids assign deterministically too
+    val neg = graft.ml.Sampling.hashSplit(
+      spark.range(-100, 0).toDF("id"), "id")
+    assert(neg.count() == 100)
+    assert(neg.select("split").distinct().count() >= 2)
+  }
+
   test("invertedIndex: postings carry tf and sorted 0-based positions") {
     val docs = Seq(
       (1L, "b a b  c b"), (2L, "a a"), (3L, "   "), (4L, "c")).toDF("doc_id", "text")
