@@ -347,7 +347,13 @@ object Queries7 {
     * the rows of the plain join. */
   private def qSaltedJoin(s: SparkSession, dir: String): SDF = {
     val li = t(s, dir, "lineitem").select(F.col("l_orderkey"), F.col("l_extendedprice"))
-    val o = t(s, dir, "orders").select(F.col("o_orderkey").as("l_orderkey"), F.col("o_orderpriority"))
+    // shuffle_hash pins the join strategy salting exists FOR: a skewed key's
+    // rows spread over `salts` shuffle partitions. Left to AQE at toy scale
+    // the exploded dim broadcasts, which both defeats the demo (a broadcast
+    // join has no shuffle to salt) and costs 2x (600k-row broadcast build).
+    val o = t(s, dir, "orders")
+      .select(F.col("o_orderkey").as("l_orderkey"), F.col("o_orderpriority"))
+      .hint("shuffle_hash")
     graft.kernel.Skew.saltedJoin(li, o, "l_orderkey", salts = 4)
       .groupBy("o_orderpriority")
       .agg(F.count(F.lit(1)).as("n"), F.sum("l_extendedprice").as("total"))
