@@ -274,6 +274,36 @@ class Round13Spec extends SparkSpec {
     assert(tri == List((1L, 3)), tri.toString)
   }
 
+  test("randomized differential: invertedIndex + phraseSearch vs a local reference") {
+    val rnd = new scala.util.Random(1234)
+    val vocab = Vector("a", "b", "c", "d")
+    val docs = (1L to 40L).map(i => (i,
+      (0 until (1 + rnd.nextInt(12))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val idx = graft.ml.Retrieval.invertedIndex(df, "text", "doc_id")
+    val refPostings = docs.flatMap { case (id, t) =>
+      t.split("\\s+").filter(_.nonEmpty).zipWithIndex.map { case (w, p) => ((w, id), p) }
+    }.groupBy(_._1).map { case ((w, id), xs) =>
+      (w, id, xs.size.toLong, xs.map(_._2).sorted.toList)
+    }.toSet
+    val got = idx.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getSeq[Int](3).toList)).toSet
+    assert(got == refPostings)
+    for (_ <- 1 to 8) {
+      val n = 1 + rnd.nextInt(3)
+      val ph = (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val hits = graft.ml.Retrieval.phraseSearch(idx, "doc_id", ph)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val refHits = docs.flatMap { case (id, t) =>
+        val toks = t.split("\\s+").filter(_.nonEmpty)
+        val p = ph.split(" ")
+        (0 to toks.length - p.length)
+          .filter(s => p.indices.forall(k => toks(s + k) == p(k))).map(s => (id, s))
+      }.toSet
+      assert(hits == refHits, s"phrase '$ph'")
+    }
+  }
+
   test("new-operator edges: null text, absent phrase terms, negative split ids") {
     // null/whitespace text contributes no postings (and no crash)
     val docs = Seq((1L, null: String), (2L, " \t "), (3L, "x y")).toDF("doc_id", "text")
