@@ -166,6 +166,44 @@ object Streaming {
                     (implicit spark: SparkSession): DataFrame = {
     val out = new java.io.File(root, "out").getAbsolutePath
     val cp = new java.io.File(root, "cp").getAbsolutePath
+    // Self-guarding resume: a CHANGED query over a retained checkpoint
+    // would otherwise return the OLD query's retained output (the source
+    // sees no new files, zero batches run). Record a canonicalized-plan
+    // hash in the root; a mismatch wipes checkpoint+output (inputs stay)
+    // so the changed query re-drains from scratch.
+    val planHash = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      // canonicalization normalizes expr ids but EventTimeWatermark (and
+      // some source nodes) carry a per-INSTANCE UUID — identity noise that
+      // would make every rebuild of the same query hash differently
+      // typed nodes (FlatMapGroupsWithState, AppendColumns) print their
+      // closure as Class$$Lambda$<n>/0x<addr>@<hash> — JVM/instance noise;
+      // keep the class name (shape), drop the identity. A changed lambda
+      // BODY is invisible to any plan hash — same documented blind spot as
+      // QueryStage.stageEpoch.
+      val canon = stream.queryExecution.analyzed.canonicalized.toString
+        .replaceAll("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}", "<uuid>")
+        .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$\\$Lambda")
+        .replaceAll("@[0-9a-f]{6,}", "@id")
+      md.update(canon.getBytes("UTF-8"))
+      md.update(stream.schema.catalogString.getBytes("UTF-8"))
+      md.update(mode.getBytes("UTF-8"))
+      md.digest().map("%02x".format(_)).mkString
+    }
+    val phPath = root.toPath.resolve("_graft_plan")
+    val recorded =
+      if (java.nio.file.Files.isRegularFile(phPath))
+        Some(new String(java.nio.file.Files.readAllBytes(phPath), "UTF-8"))
+      else None
+    if (!recorded.contains(planHash)) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      if (recorded.isDefined) { rm(new java.io.File(cp)); rm(new java.io.File(out)) }
+      java.nio.file.Files.createDirectories(root.toPath)
+      java.nio.file.Files.write(phPath, planHash.getBytes("UTF-8"))
+    }
     val q =
       if (mode == "append")
         stream.writeStream.format("parquet")

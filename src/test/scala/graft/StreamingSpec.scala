@@ -259,11 +259,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows() == Seq(("a", 1L), ("b", 1L)))
     // resumed drain over unchanged input: zero new batches, retained output
     assert(rows() == Seq(("a", 1L), ("b", 1L)))
+    // the resume must really RESUME — the identical plan hashes identically,
+    // so the checkpoint's first offset file is untouched (no wipe+redrain)
+    val off0 = new java.io.File(root, "cp/offsets/0")
+    assert(off0.isFile)
+    val stamp = off0.lastModified()
+    assert(rows() == Seq(("a", 1L), ("b", 1L)))
+    assert(off0.lastModified() == stamp, "resume wiped an unchanged query's checkpoint")
     // a new arriving file IS processed — the resume is incremental, not frozen
     Seq(("2024-01-01 03:00:00", "a", 3.0)).toDF("ts", "k", "v")
       .select(F.to_timestamp(F.col("ts")).as("ts"), F.col("k"), F.col("v"))
       .coalesce(1).write.mode("append").parquet(in)
     assert(rows() == Seq(("a", 2L), ("b", 1L)))
+    // a CHANGED query over the same root must NOT serve the old query's
+    // retained output: the plan-hash guard wipes checkpoint+output and the
+    // new shape drains the full input fresh
+    val changed = Streaming.drainToParquet(
+      Streaming.windowedAgg(
+        Streaming.scanParquetStream(in, src.schema), "ts", "6 hours",
+        by = Seq("k"), aggs = Seq(F.sum("v").as("sv"))), root)
+      .select(F.col("k"), F.col("sv")).orderBy("k").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(changed == Seq(("a", 4.0), ("b", 2.0)), changed.toString)
 
     // append mode (dedup-within-watermark): resume keeps the file-sink log
     val root2 = Files.createTempDirectory("graft-drain-root2").toFile
