@@ -94,7 +94,11 @@ object Queries10 {
         val part = new java.io.File(stagePath).listFiles()
           .filter(_.getName.endsWith(".parquet")).head
         val dest = inDir.resolve(f"wave$n%04d.parquet")
-        java.nio.file.Files.move(part.toPath, dest)
+        // REPLACE_EXISTING: a crash between wave moves leaves wave0001
+        // behind with the gate (wave0002) missing — the rebuild must
+        // overwrite it, not throw FileAlreadyExistsException forever
+        java.nio.file.Files.move(part.toPath, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         dest.toFile.setLastModified(1700000000000L + n * 60000L)
       }
       wave(1, corpus.filter(F.col("doc_id") < 150))

@@ -92,10 +92,7 @@ object Queries13 {
         .select("embedding").collect()(0).getSeq[Double](0))
     val centroids = QueryStage.memo(dir, "ivf_centroids")(
       Similarity.sampleCentroids(emb, "embedding", 8))
-    val probeCells = centroids.zipWithIndex.map { case (c, i) =>
-      (math.sqrt(c.zip(query).map { case (a, b) =>
-        val d = a.toDouble - b; d * d }.sum), i)
-    }.sortBy(_._1).take(3).map(_._2).toSeq
+    val probeCells = Similarity.nearestCells(centroids.toSeq, query, 3)
     QueryStage.stage(probeCells.toDF("cell_id"), dir, "ivf_probes")
     val codebooks = QueryStage.memo(dir, "pq_codebooks")(
       Similarity.pqTrain(emb, "embedding", m = 8, k = 16))

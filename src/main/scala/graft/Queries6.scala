@@ -102,9 +102,7 @@ object Queries6 {
         .select("embedding").collect()(0).getSeq[Double](0))
     val centroids = QueryStage.memo(dir, "ivf_centroids")(
       Similarity.sampleCentroids(emb, "embedding", 8))
-    val probeCells = centroids.zipWithIndex.map { case (c, i) =>
-      (math.sqrt(c.zip(query).map { case (a, b) => val t = a.toDouble - b; t * t }.sum), i)
-    }.sortBy(_._1).take(3).map(_._2).toSeq
+    val probeCells = Similarity.nearestCells(centroids.toSeq, query, 3)
     val probes = QueryStage.stage(probeCells.toDF("cell_id"), dir, "ivf_probes")
     staged.join(probes, Seq("cell_id"))
       .select(F.col("vec_id"),

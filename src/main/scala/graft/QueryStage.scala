@@ -145,7 +145,17 @@ object QueryStage {
   def streamRoot(sfDir: String, name: String, token: String): java.io.File = {
     if (!reuseUnchanged) {
       val tmp = java.nio.file.Files.createTempDirectory(s"graft-q-$name").toFile
-      tmp.deleteOnExit()
+      // the drain fills this root with in/out/cp trees AFTER this returns —
+      // deleteOnExit silently no-ops on non-empty dirs, so clean the whole
+      // tree with a shutdown hook instead (one per root; Verify runs each
+      // streaming query once)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(tmp)
+      }))
       return tmp
     }
     val sf = new java.io.File(sfDir).getName

@@ -688,7 +688,9 @@ object Dedup {
     val covered = spans.select(F.col("id_b").as(idCol),
         F.explode(F.sequence(F.col("start_b"),
           F.col("start_b") + F.col("match_tokens") - 1)).as("__pos__"))
-      .distinct()
+      // no distinct() here: collect_set already deduplicates, and a
+      // pre-distinct would add a second full shuffle of the exploded
+      // positions — the largest intermediate of this operator
       .groupBy(F.col(idCol))
       .agg(F.array_sort(F.collect_set(F.col("__pos__"))).as("__cov__"))
     val toks = F.split(F.trim(normalizeText(F.col(textCol))), " ")

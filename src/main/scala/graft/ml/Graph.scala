@@ -88,6 +88,14 @@ object Graph {
       ranks = next
       i += 1
     }
-    ranks.select(F.col("node"), F.col("rank"))
+    // Materialize the final generation once with a lineage cut, then
+    // release every frame this call persisted: the registry's pins must
+    // not outlive the call (repeated pageRank calls would otherwise grow
+    // executor storage without bound — the invariant BoundedCache exists
+    // for). The localCheckpoint blocks are ContextCleaner-managed: freed
+    // when the caller drops the returned frame, not pinned forever.
+    val out = ranks.select(F.col("node"), F.col("rank")).localCheckpoint(true)
+    reg.releaseAll()
+    out
   }
 }

@@ -46,7 +46,8 @@ object Sampling {
     val total = weights.sum
     val cum = weights.scanLeft(0.0)(_ + _).tail
       .map(w => math.round(w / total * 256).toInt)
-    require(cum.dropRight(1).forall(c => c > 0 && c < 256),
+    require(cum.dropRight(1).forall(c => c > 0 && c < 256) &&
+      cum.zip(0 +: cum).forall { case (hi, lo) => hi > lo },
       s"weights quantize to empty/full buckets at 1/256 granularity: $cum")
     val bucket = F.substring(
       F.md5(F.concat_ws(":", F.lit(seed), F.col(idCol).cast("string"))), 1, 2)

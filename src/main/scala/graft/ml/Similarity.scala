@@ -80,14 +80,21 @@ object Similarity {
   /** IVF search: rank cells for the query against the SAME deterministic
     * centroids (computed driver-side — nCells×dim floats), then brute-force
     * only the nProbe nearest cells. */
+  /** Indices of the `nProbe` L2-nearest centroids to `query` — the coarse
+    * probe selection every IVF search variant shares (distance ties keep
+    * centroid-index order: stable sort). */
+  def nearestCells(centroids: Seq[Seq[Float]], query: Seq[Double],
+                   nProbe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      (math.sqrt(c.zip(query).map { case (a, b) =>
+        val t = a.toDouble - b; t * t }.sum), i)
+    }.sortBy(_._1).take(nProbe).map(_._2)
+
   def ivfTopK(assigned: DataFrame, vecCol: String, idCol: String,
               query: Seq[Float], nProbe: Int = 4, k: Int = 10,
               nCells: Int = 16, seed: Long = 42): DataFrame = {
     val centroids = sampleCentroids(assigned, vecCol, nCells, seed)
-    val probeCells = centroids.zipWithIndex.map { case (c, i) =>
-      val d = c.zip(query).map { case (a, b) => val t = a.toDouble - b; t * t }.sum
-      (math.sqrt(d), i)
-    }.sortBy(_._1).take(nProbe).map(_._2).toSeq
+    val probeCells = nearestCells(centroids.toSeq, query.map(_.toDouble), nProbe)
     val q = F.array(query.map(x => F.lit(x)): _*)
     assigned.filter(F.col("cell_id").isin(probeCells: _*))
       .select(F.col(idCol), cosine(F.col(vecCol), q).as("cosine"))

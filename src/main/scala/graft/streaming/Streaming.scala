@@ -103,16 +103,31 @@ object Streaming {
     require(cap > 0, "capPerKeyStream: cap must be positive")
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val odt = stream.schema(orderCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(odt),
+      s"capPerKeyStream: orderCol '$orderCol' must be an integral column, " +
+        s"got ${odt.simpleString}")
     val rowEnc = Encoders.row(stream.schema)
-    stream.groupByKey(r => String.valueOf(r.getAs[Any](keyCol)))(Encoders.STRING)
+    // "v"-prefixed values, NUL for a null key: a bare String.valueOf would
+    // merge a null key with the literal string "null" into one quota slot
+    stream.groupByKey { r =>
+      val k = r.getAs[Any](keyCol)
+      if (k == null) "\u0000" else "v" + k
+    }(Encoders.STRING)
       .flatMapGroupsWithState[Long, Row](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[Row], state: GroupState[Long]) =>
           val seen = state.getOption.getOrElse(0L)
           val room = math.max(cap - seen, 0L).toInt
           // numeric order key: a string sort would rank 10 before 2
-          val kept = rows.toSeq.sortBy(r => r.getAs[Number](orderCol).longValue())
-            .take(room)
+          val kept = rows.toSeq.sortBy { r =>
+            val v = r.getAs[Number](orderCol)
+            if (v == null) throw new IllegalArgumentException(
+              s"capPerKeyStream: null $orderCol — the order column must be " +
+                "non-null (the kept set would depend on arrival order)")
+            v.longValue()
+          }.take(room)
           if (kept.nonEmpty) state.update(seen + kept.size)
           kept.iterator
       }(Encoders.scalaLong, rowEnc)
@@ -166,6 +181,27 @@ object Streaming {
                     (implicit spark: SparkSession): DataFrame = {
     val out = new java.io.File(root, "out").getAbsolutePath
     val cp = new java.io.File(root, "cp").getAbsolutePath
+    // Cross-PROCESS exclusion over the whole check+wipe+drain: two JVMs
+    // sharing a retained root (a local bench beside the driver's) must not
+    // wipe a checkpoint the other is mid-drain on, nor run two streaming
+    // queries over ONE checkpoint directory (the HDFS metadata log does not
+    // arbitrate across JVMs). Same file-lock discipline as
+    // QueryStage.stagePath; the post-drain READ of out/ remains the
+    // caller's scheduling concern, as there.
+    java.nio.file.Files.createDirectories(root.toPath)
+    val lockCh = java.nio.channels.FileChannel.open(
+      root.toPath.resolve(".drain.lock"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    val lock = lockCh.lock()
+    try {
+      drainLocked(stream, root, mode, out, cp)
+    } finally { lock.release(); lockCh.close() }
+    spark.read.parquet(out)
+  }
+
+  private def drainLocked(stream: DataFrame, root: java.io.File, mode: String,
+                          out: String, cp: String)
+                         (implicit spark: SparkSession): Unit = {
     // Self-guarding resume: a CHANGED query over a retained checkpoint
     // would otherwise return the OLD query's retained output (the source
     // sees no new files, zero batches run). Record a canonicalized-plan
@@ -216,7 +252,6 @@ object Streaming {
           .outputMode(mode).option("checkpointLocation", cp)
           .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.read.parquet(out)
   }
 
   /** Input directory for a file-stream over one parquet table: a stable

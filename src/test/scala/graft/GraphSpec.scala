@@ -81,4 +81,18 @@ class GraphSpec extends SparkSpec {
       assert(math.abs(got.values.sum - 1.0) < 1e-9, s"trial $trial mass")
     }
   }
+
+  test("per-call persisted frames are released: storage bounded across repeated calls") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    def persistedCount = spark.sparkContext.getPersistentRDDs.size
+    val base = persistedCount
+    val pr1 = Graph.pageRank(edges, "src", "dst", iterations = 3)
+    val pr2 = Graph.pageRank(edges, "src", "dst", iterations = 3)
+    assert(pr1.count() == 3 && pr2.count() == 3)
+    // only the two checkpointed RESULTS may stay pinned (freed when the
+    // caller drops them); the per-call registry frames must all be gone
+    assert(persistedCount - base <= 2,
+      s"pageRank leaked persisted frames: $base -> $persistedCount")
+  }
 }
