@@ -289,7 +289,39 @@ object Queries13 {
       .orderBy("lang")
   }
 
+  /** Per-node triangle counts ([[graft.ml.Graph.triangleCount]]) over a
+    * deterministic triangle-rich graph derived from customer keys (chain,
+    * skip and doubling edges; the doubling edges arrive REVERSED so the
+    * symmetrize/orient path is exercised). All-integer oracle: the same
+    * orient → wedge → close derivation in SQL. */
+  private def qTriangles(s: SparkSession, dir: String): SDF = {
+    val c = t(s, dir, "customer").select(F.col("c_custkey").as("n"))
+      .filter(F.col("n") <= 300)
+    val edges = c.filter(F.col("n") < 300)
+      .select(F.col("n").as("src"), (F.col("n") + 1).as("dst"))
+      .unionAll(c.filter(F.col("n") < 299)
+        .select(F.col("n").as("src"), (F.col("n") + 2).as("dst")))
+      .unionAll(c.filter(F.col("n") * 2 <= 300)
+        .select((F.col("n") * 2).as("src"), F.col("n").as("dst")))
+    graft.ml.Graph.triangleCount(edges, "src", "dst").orderBy("node")
+  }
+
+  /** Windowed co-occurrence PMI ([[graft.ml.TextAnalysis.cooccurrencePmi]],
+    * window 2, min pair count 5) over the first 400 documents — the
+    * collocation-mining statistic. The oracle rebuilds pairs with list
+    * slicing and mirrors the ln ratio operation for operation (6-dp round
+    * before hashing, the transcendental discipline). */
+  private def qPmi(s: SparkSession, dir: String): SDF =
+    graft.ml.TextAnalysis.cooccurrencePmi(
+      t(s, dir, "documents").filter(F.col("doc_id") < 400).select("text"),
+      "text", window = 2, minCount = 5)
+      .select(F.col("w1"), F.col("w2"), F.col("n_pair"),
+        F.round(F.col("pmi"), 6).as("pmi"))
+      .orderBy("w1", "w2")
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
+    "q_triangles" -> (qTriangles _),
+    "q_pmi" -> (qPmi _),
     "q_partition_prune" -> (qPartitionPrune _),
     "q_streaming_cap" -> (qStreamingCap _),
     "q_phrase_search" -> (qPhraseSearch _),
@@ -305,6 +337,41 @@ object Queries13 {
     "q_span_removal" -> (qSpanRemoval _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_triangles" ->
+      """WITH c AS (SELECT c_custkey AS n FROM customer WHERE c_custkey <= 300),
+        |e0 AS (
+        |  SELECT n AS src, n + 1 AS dst FROM c WHERE n < 300
+        |  UNION ALL SELECT n, n + 2 FROM c WHERE n < 299
+        |  UNION ALL SELECT 2 * n, n FROM c WHERE 2 * n <= 300),
+        |o AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |      FROM e0 WHERE src <> dst),
+        |w AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        |      FROM o e1 JOIN o e2 ON e1.b = e2.a),
+        |t AS (SELECT w.a, w.b, w.c FROM w
+        |      WHERE EXISTS (SELECT 1 FROM o WHERE o.a = w.a AND o.b = w.c))
+        |SELECT node, count(*) AS triangles FROM (
+        |  SELECT unnest([a, b, c]) AS node FROM t)
+        |GROUP BY node ORDER BY node""".stripMargin,
+    "q_pmi" ->
+      """WITH d AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    x -> x <> '') AS ws
+        |  FROM documents WHERE doc_id < 400),
+        |pr0 AS (
+        |  SELECT unnest(flatten(list_transform(range(1, len(ws) + 1), i ->
+        |    list_transform(list_slice(ws, i + 1, i + 2), w2 ->
+        |      {'w1': least(ws[i], w2), 'w2': greatest(ws[i], w2)})))) AS p
+        |  FROM d),
+        |pr AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM pr0),
+        |pc AS (SELECT w1, w2, count(*) AS n_pair FROM pr GROUP BY 1, 2),
+        |tok AS (SELECT unnest(ws) AS w FROM d),
+        |uc AS (SELECT w, count(*) AS cw FROM tok GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM tok) AS t,
+        |               (SELECT CAST(count(*) AS DOUBLE) FROM pr) AS p)
+        |SELECT w1, w2, n_pair,
+        |  round(ln((n_pair / p) / ((ua.cw / t) * (ub.cw / t))), 6) AS pmi
+        |FROM pc JOIN uc ua ON ua.w = pc.w1 JOIN uc ub ON ub.w = pc.w2, tot
+        |WHERE n_pair >= 5 ORDER BY w1, w2""".stripMargin,
     "q_partition_prune" ->
       """SELECT lang, count(*) AS n,
         |  CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS chars

@@ -16,6 +16,34 @@ import graft.kernel.BoundedRegistry
   */
 object Graph {
 
+  /** Exact triangle count per node over an undirected edge list (directed
+    * input is symmetrized; self-loops and duplicate edges dropped). The
+    * standard two-join spelling on canonically ORIENTED edges (a < b): a
+    * wedge join on the middle vertex then a closing-edge semi-join, so each
+    * triangle {a<b<c} is found exactly once — never the 6x blowup of joining
+    * unoriented edges. Scale shape: two shuffle joins keyed on node ids;
+    * orientation bounds the wedge fan-out by high-degree nodes' FORWARD
+    * degree (the classic skew mitigation). Returns (node, triangles). The
+    * graph-health signal for link-quality features: nodes in dense local
+    * clusters (high triangle count) vs link-farm stars (high degree, zero
+    * closure). */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val raw = edges.select(F.col(srcCol).as("a"), F.col(dstCol).as("b"))
+      .filter(F.col("a").isNotNull && F.col("b").isNotNull && F.col("a") =!= F.col("b"))
+    val oriented = raw.select(
+        F.least(F.col("a"), F.col("b")).as("a"),
+        F.greatest(F.col("a"), F.col("b")).as("b"))
+      .distinct()
+    // wedges a<b<c from oriented edges (a,b) and (b,c); close with (a,c)
+    val wedges = oriented.alias("e1")
+      .join(oriented.alias("e2"), F.col("e1.b") === F.col("e2.a"))
+      .select(F.col("e1.a").as("a"), F.col("e1.b").as("b"), F.col("e2.b").as("c"))
+    val triangles = wedges.alias("w").join(oriented.alias("e3"),
+      F.col("w.a") === F.col("e3.a") && F.col("w.c") === F.col("e3.b"), "left_semi")
+    triangles.select(F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).as("node"))
+      .groupBy("node").agg(F.count(F.lit(1)).as("triangles"))
+  }
+
   /** Damped PageRank over a directed edge list. Nodes are the union of
     * sources and destinations; duplicate edges are collapsed first (set
     * semantics, the standard formulation) unless `dedupEdges = false`

@@ -279,6 +279,45 @@ object TextAnalysis {
     cms.estimateCount(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
+  /** Pointwise mutual information over within-window token co-occurrence —
+    * the word2vec/GloVe-shape association statistic used to mine
+    * collocations and build embedding-training pair tables. Pairs are
+    * UNORDERED (lexicographically canonicalized) from each token's `window`
+    * following tokens; pmi(a,b) = ln((c(ab)/P) / ((c(a)/T)·(c(b)/T))) with
+    * P total pairs and T total tokens.
+    *
+    * Scale shape: pair construction is one flatten-of-transforms column
+    * (O(len·window) per document, no self-join) over a words array BOUND TO
+    * AN ATTRIBUTE FIRST — capturing the tokenization inside the pair lambda
+    * would re-run it per element (the documented O(len²) HOF trap). Then
+    * one hash aggregation on (w1,w2), one on tokens, two key joins and a
+    * 1-row totals broadcast — the TF-IDF budget. */
+  def cooccurrencePmi(df: org.apache.spark.sql.DataFrame, textCol: String,
+                      window: Int = 2, minCount: Long = 1): org.apache.spark.sql.DataFrame = {
+    require(window >= 1, s"cooccurrencePmi: window must be >= 1, got $window")
+    val words = df.select(
+      F.filter(tokens(F.col(textCol)), x => x =!= "").as("__ws__"))
+    val pairs = words.select(F.explode(F.flatten(
+        F.transform(F.col("__ws__"), (w, i) =>
+          F.transform(F.slice(F.col("__ws__"), i + F.lit(2), F.lit(window)),
+            w2 => F.struct(F.least(w, w2).as("w1"), F.greatest(w, w2).as("w2")))))).as("p"))
+      .select(F.col("p.w1").as("w1"), F.col("p.w2").as("w2"))
+    val pairCounts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).as("n_pair"))
+    val toks = words.select(F.explode(F.col("__ws__")).as("w"))
+    val uni = toks.groupBy("w").agg(F.count(F.lit(1)).as("__cw__"))
+    val totals = toks.agg(F.count(F.lit(1)).cast("double").as("__t__"))
+      .crossJoin(pairs.agg(F.count(F.lit(1)).cast("double").as("__p__")))
+    pairCounts
+      .join(uni.select(F.col("w").as("w1"), F.col("__cw__").as("__cwa__")), Seq("w1"))
+      .join(uni.select(F.col("w").as("w2"), F.col("__cw__").as("__cwb__")), Seq("w2"))
+      .crossJoin(F.broadcast(totals))
+      .filter(F.col("n_pair") >= minCount)
+      .select(F.col("w1"), F.col("w2"), F.col("n_pair"),
+        F.log((F.col("n_pair") / F.col("__p__")) /
+          ((F.col("__cwa__") / F.col("__t__")) *
+            (F.col("__cwb__") / F.col("__t__")))).as("pmi"))
+  }
+
   /** Corpus bigram language-model score — the CCNet/Gopher-shape perplexity
     * proxy WITHOUT an external model: P(wᵢ | wᵢ₋₁) is estimated from the
     * corpus itself with add-k smoothing, and a document's score is the mean

@@ -274,6 +274,37 @@ class Round13Spec extends SparkSpec {
     assert(tri == List((1L, 3)), tri.toString)
   }
 
+  test("triangleCount: orientation, symmetrization, duplicates, self-loops") {
+    // K4 on {1,2,3,4}: every node is in C(3,2)=3 triangles; edges arrive in
+    // mixed directions, with duplicates and a self-loop to be dropped
+    val k4 = Seq((1L,2L),(2L,1L),(3L,1L),(1L,4L),(2L,3L),(4L,2L),(3L,4L),(4L,4L),(1L,2L))
+      .toDF("src","dst")
+    val got = graft.ml.Graph.triangleCount(k4, "src", "dst")
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got == List((1L,3L),(2L,3L),(3L,3L),(4L,3L)), got.toString)
+    // a star has degree but ZERO closure: no output rows (count > 0 only)
+    val star = Seq((0L,1L),(0L,2L),(0L,3L),(0L,4L)).toDF("src","dst")
+    assert(graft.ml.Graph.triangleCount(star, "src", "dst").count() == 0)
+  }
+
+  test("cooccurrencePmi matches a local reference on a hand corpus") {
+    val docs = Seq("a b c a", "b a").toDF("text")
+    // window 2, doc1 pairs: (a,b),(a,c),(b,c),(a,b),(a,c),(a,a)? positions:
+    // [a,b,c,a]: i=0:(a,b),(a,c); i=1:(b,c),(a,b); i=2:(a,c); doc2 [b,a]: (a,b)
+    // P=6, T=6; c(a)=3, c(b)=2, c(c)=1
+    val got = graft.ml.TextAnalysis.cooccurrencePmi(docs, "text", window = 2)
+      .orderBy("w1", "w2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toList
+    def pmi(np: Long, ca: Long, cb: Long) =
+      math.log((np / 6.0) / ((ca / 6.0) * (cb / 6.0)))
+    val want = List(
+      ("a", "b", 3L, pmi(3, 3, 2)),
+      ("a", "c", 2L, pmi(2, 3, 1)),
+      ("b", "c", 1L, pmi(1, 2, 1)))
+    assert(got.map(t => (t._1, t._2, t._3)) == want.map(t => (t._1, t._2, t._3)), got.toString)
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g._4 - w._4) < 1e-12) }
+  }
+
   test("randomized differential: invertedIndex + phraseSearch vs a local reference") {
     val rnd = new scala.util.Random(1234)
     val vocab = Vector("a", "b", "c", "d")
