@@ -319,7 +319,33 @@ object Queries13 {
         F.round(F.col("pmi"), 6).as("pmi"))
       .orderBy("w1", "w2")
 
+  /** One-call batch curation ([[graft.ml.Pipeline.curateCorpus]]): the full
+    * quality → exact-dedup → near-dedup → decontaminate chain over the
+    * q_dedup_pipeline corpus (doc_id < 300 + injected near-copies, whose
+    * measured Jaccard margin makes LSH recall deterministic-complete), with
+    * an injected benchmark (docs ≡ 3 mod 97) for the contamination stage.
+    * The gate hashes the per-stage audit counts; the oracle re-derives all
+    * four stages in SQL — Gopher predicate, md5 keep-first, all-pairs
+    * Jaccard + recursive closure, distinct-3-gram overlap ratio. */
+  private def qCurateAudit(s: SparkSession, dir: String): SDF = {
+    val docs0 = t(s, dir, "documents").select("doc_id", "text")
+      .filter(F.col("doc_id") < 300)
+    val copies = docs0.filter(F.col("doc_id") % 10 === 1)
+      .select((F.col("doc_id") + 100000).as("doc_id"),
+        F.regexp_replace(F.col("text"), "^\\S+", "changed").as("text"))
+    // verbatim copies give the exact-dedup stage real drops (the %10
+    // near-copies only exercise the LSH stage)
+    val exactCopies = docs0.filter(F.col("doc_id") % 13 === 5)
+      .select((F.col("doc_id") + 500000).as("doc_id"), F.col("text"))
+    val corpus = docs0.unionAll(copies).unionAll(exactCopies)
+    val bench = docs0.filter(F.col("doc_id") % 97 === 3)
+    val res = graft.ml.Pipeline.curateCorpus(corpus, "text", "doc_id",
+      benchmark = Some(bench), minWords = 20, nearDupThreshold = 0.6)
+    graft.ml.Pipeline.auditFrame(s, res.audit).orderBy("stage_idx")
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
+    "q_curate_audit" -> (qCurateAudit _),
     "q_triangles" -> (qTriangles _),
     "q_pmi" -> (qPmi _),
     "q_partition_prune" -> (qPartitionPrune _),
@@ -337,6 +363,101 @@ object Queries13 {
     "q_span_removal" -> (qSpanRemoval _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_curate_audit" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 100000, regexp_replace(text, '^\S+', 'changed')
+        |  FROM documents WHERE doc_id < 300 AND doc_id % 10 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 500000, text
+        |  FROM documents WHERE doc_id < 300 AND doc_id % 13 = 5
+        |), feat AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nw,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+        |  FROM corpus
+        |), q AS (
+        |  SELECT doc_id, text FROM feat
+        |  WHERE nw BETWEEN 20 AND 100000
+        |    AND (CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |         / greatest(nw, 1)) BETWEEN 3 AND 10
+        |    AND (CAST(len(regexp_extract_all(text, '[#\.]{3,}|…')) AS DOUBLE)
+        |         / greatest(nw, 1)) <= 0.1
+        |    AND (CASE WHEN nw = 0 THEN 0.0
+        |              ELSE 1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / nw
+        |         END) <= 0.63
+        |), e AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM q)
+        |  WHERE rn = 1
+        |), nn AS (
+        |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM e
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(length(t) - 5, 0) + 1),
+        |    i -> substr(t, CAST(i + 1 AS INT), 5))) AS s
+        |  FROM nn
+        |), pe AS (
+        |  SELECT a.doc_id AS x, b.doc_id AS y
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))
+        |        >= 0.6 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        |), es AS (SELECT x, y FROM pe UNION SELECT y, x FROM pe
+        |), r(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM e
+        |  UNION
+        |  SELECT r.src, es.y FROM r JOIN es ON es.x = r.dst
+        |), nd AS (
+        |  SELECT src AS doc_id FROM r GROUP BY src HAVING min(dst) = src
+        |), ndd AS (SELECT e.doc_id, e.text FROM e JOIN nd USING (doc_id)
+        |), bench AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 300 AND doc_id % 97 = 3
+        |), tw AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS ws FROM ndd
+        |), tg AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(0, greatest(len(ws) - 2, 0)),
+        |      i -> ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3])) AS gram
+        |  FROM tw
+        |), bw AS (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS ws FROM bench
+        |), bg AS (
+        |  SELECT DISTINCT unnest(list_transform(range(0, greatest(len(ws) - 2, 0)),
+        |    i -> ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3])) AS gram
+        |  FROM bw
+        |), ov AS (
+        |  SELECT tg.doc_id,
+        |    count(*) AS n_grams,
+        |    count(CASE WHEN bg.gram IS NOT NULL THEN 1 END) AS n_overlap
+        |  FROM tg LEFT JOIN bg ON bg.gram = tg.gram
+        |  GROUP BY 1
+        |), flagged AS (
+        |  SELECT doc_id FROM ov
+        |  WHERE CAST(n_overlap AS DOUBLE) / CAST(n_grams AS DOUBLE) >= 0.5
+        |), fin AS (
+        |  SELECT ndd.doc_id FROM ndd LEFT JOIN flagged
+        |    ON flagged.doc_id = ndd.doc_id
+        |  WHERE flagged.doc_id IS NULL
+        |)
+        |SELECT stage_idx, stage, rows_in, rows_out FROM (
+        |  SELECT 1 AS stage_idx, 'quality' AS stage,
+        |    (SELECT count(*) FROM corpus) AS rows_in,
+        |    (SELECT count(*) FROM q) AS rows_out
+        |  UNION ALL SELECT 2, 'exact_dedup',
+        |    (SELECT count(*) FROM q), (SELECT count(*) FROM e)
+        |  UNION ALL SELECT 3, 'near_dedup',
+        |    (SELECT count(*) FROM e), (SELECT count(*) FROM ndd)
+        |  UNION ALL SELECT 4, 'decontaminate',
+        |    (SELECT count(*) FROM ndd), (SELECT count(*) FROM fin)
+        |) ORDER BY stage_idx""".stripMargin,
     "q_triangles" ->
       """WITH c AS (SELECT c_custkey AS n FROM customer WHERE c_custkey <= 300),
         |e0 AS (

@@ -274,6 +274,39 @@ class Round13Spec extends SparkSpec {
     assert(tri == List((1L, 3)), tri.toString)
   }
 
+  test("curateCorpus: each stage drops what it should, audit records the lineage") {
+    val good = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+    val docs = Seq(
+      (1L, good),                                     // kept end to end
+      (2L, good),                                     // exact dup of 1 -> exact_dedup
+      (3L, good.replace("quick", "rapid")),           // near dup of 1 -> near_dedup
+      (4L, "too short"),                              // -> quality (min words)
+      (5L, good.replace("fox", "cat").replace("dog", "bird")
+        .replace("quick", "slow").replace("lazy", "busy")
+        .replace("brown", "grey").replace("jumps", "hops")
+        .replace("runs", "walks").replace("far", "near")
+        .replace("home", "out").replace("tonight", "today")), // distinct enough: kept
+      (6L, "a completely different benchmark sentence about training data leaks" +
+        " that would be contaminated if present in evaluation sets somewhere"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L,
+      "a completely different benchmark sentence about training data leaks" +
+        " that would be contaminated if present in evaluation sets somewhere"))
+      .toDF("doc_id", "text")
+    val res = graft.ml.Pipeline.curateCorpus(docs, "text", "doc_id",
+      benchmark = Some(bench), minWords = 10, nearDupThreshold = 0.5)
+    val audit = res.audit.map(s => (s.stage, s.rowsIn, s.rowsOut))
+    assert(audit == Seq(
+      ("quality", 6L, 5L),        // drops 4
+      ("exact_dedup", 5L, 4L),    // drops 2
+      ("near_dedup", 4L, 3L),     // drops 3
+      ("decontaminate", 3L, 2L)), // drops 6
+      audit.toString)
+    val kept = res.kept.select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)).toList
+    assert(kept == List(1L, 5L), kept.toString)
+  }
+
   test("triangleCount: orientation, symmetrization, duplicates, self-loops") {
     // K4 on {1,2,3,4}: every node is in C(3,2)=3 triangles; edges arrive in
     // mixed directions, with duplicates and a self-loop to be dropped
