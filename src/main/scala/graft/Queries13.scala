@@ -344,7 +344,28 @@ object Queries13 {
     graft.ml.Pipeline.auditFrame(s, res.audit).orderBy("stage_idx")
   }
 
+  /** Edit-distance verification ([[graft.ml.Dedup.editSimilarity]]): raw
+    * Levenshtein + normalized similarity between each injected near-copy
+    * and its original (the candidate-pair shape — never all-pairs). Both
+    * engines implement classic unit-cost Levenshtein, so `lev` is exact;
+    * the similarity mirrors the division and rounds to 6. */
+  private def qEditVerify(s: SparkSession, dir: String): SDF = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+      .filter(F.col("doc_id") < 300)
+    val norm = docs.select(F.col("doc_id"),
+      graft.ml.Dedup.normalizeText(F.col("text")).as("t"))
+    val pairs = norm.filter(F.col("doc_id") % 10 === 1).alias("a")
+      .join(norm.alias("b"), F.col("b.doc_id") === F.col("a.doc_id") + 1)
+      .select(F.col("a.doc_id").as("doc_id"),
+        F.col("a.t").as("ta"), F.col("b.t").as("tb"))
+    pairs.select(F.col("doc_id"),
+        F.levenshtein(F.col("ta"), F.col("tb")).as("lev"),
+        F.round(graft.ml.Dedup.editSimilarity(F.col("ta"), F.col("tb")), 6).as("sim"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
+    "q_edit_verify" -> (qEditVerify _),
     "q_curate_audit" -> (qCurateAudit _),
     "q_triangles" -> (qTriangles _),
     "q_pmi" -> (qPmi _),
@@ -363,6 +384,17 @@ object Queries13 {
     "q_span_removal" -> (qSpanRemoval _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_edit_verify" ->
+      """WITH n AS (
+        |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT a.doc_id AS doc_id,
+        |  CAST(levenshtein(a.t, b.t) AS INTEGER) AS lev,
+        |  round(1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
+        |    / greatest(greatest(length(a.t), length(b.t)), 1), 6) AS sim
+        |FROM n a JOIN n b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 10 = 1
+        |ORDER BY a.doc_id""".stripMargin,
     "q_curate_audit" ->
       """WITH RECURSIVE corpus AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id < 300

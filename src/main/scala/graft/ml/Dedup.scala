@@ -56,6 +56,15 @@ object Dedup {
   def shingles(text: Column, k: Int = 5): Column =
     shinglesFromNormalized(normalizeText(text), k)
 
+  /** Normalized edit similarity 1 − lev(a,b)/max(|a|,|b|) — the character-
+    * level second-stage verifier for near-dup candidates (shingle Jaccard is
+    * order-insensitive; edit distance catches reorderings Jaccard forgives).
+    * O(|a|·|b|) per pair: run it on CANDIDATE pairs only, never all-pairs.
+    * Identical-empty pairs score 1.0 (guarded denominator). */
+  def editSimilarity(a: Column, b: Column): Column =
+    F.lit(1.0) - F.levenshtein(a, b).cast("double") /
+      F.greatest(F.greatest(F.length(a), F.length(b)), F.lit(1)).cast("double")
+
   /** One row per (id, shingle) — normalization computed once per document,
     * shingle substrings once per position, everything codegen'd (no HOFs).
     * Duplicate shingles are NOT deduped: min() over a multiset equals min()
