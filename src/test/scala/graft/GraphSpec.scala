@@ -82,6 +82,28 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("randomized differential: triangleCount vs local brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 5) {
+      val n = 8 + rnd.nextInt(8)
+      val edges = Seq.fill(20 + rnd.nextInt(40))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val got = Graph.triangleCount(edges.toDF("s", "d"), "s", "d")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val und = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val ref = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for {
+        Seq(a, b, c) <- nodes.combinations(3)
+        if und((a, b)) && und((b, c)) && und((a, c))
+        v <- Seq(a, b, c)
+      } ref(v) += 1
+      assert(got == ref.toMap, s"trial $trial: $got vs $ref")
+    }
+  }
+
   test("per-call persisted frames are released: storage bounded across repeated calls") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
