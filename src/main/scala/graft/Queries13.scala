@@ -364,7 +364,29 @@ object Queries13 {
       .orderBy("doc_id")
   }
 
+  /** KWIC snippets ([[graft.ml.Retrieval.phraseSnippets]]) for the corpus's
+    * top bigram over the staged index — every occurrence's ±5-token window
+    * string-checked exactly (the slice arithmetic and the hit offsets both
+    * verified in one value). */
+  private def qPhraseSnippets(s: SparkSession, dir: String): SDF = {
+    val docs = t(s, dir, "documents").filter(F.col("doc_id") < 300)
+      .select("doc_id", "text")
+    val top = QueryStage.memo(dir, "phrase_top")(
+      docs.select(F.explode(
+          graft.ml.Retrieval.ngramTerms(F.col("text"), 2)).as("bg"))
+        .groupBy("bg").agg(F.count(F.lit(1)).as("n"))
+        .orderBy(F.col("n").desc, F.col("bg")).limit(1)
+        .collect()(0).getString(0))
+    val idx = QueryStage.stage(
+      graft.ml.Retrieval.invertedIndex(docs, "text", "doc_id"),
+      dir, "inv_index")
+    graft.ml.Retrieval.phraseSnippets(docs, "text", "doc_id", top,
+        context = 5, index = Some(idx))
+      .orderBy("doc_id", "start")
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
+    "q_phrase_snippets" -> (qPhraseSnippets _),
     "q_edit_verify" -> (qEditVerify _),
     "q_curate_audit" -> (qCurateAudit _),
     "q_triangles" -> (qTriangles _),
@@ -384,6 +406,36 @@ object Queries13 {
     "q_span_removal" -> (qSpanRemoval _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_phrase_snippets" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS ws
+        |  FROM documents WHERE doc_id < 300),
+        |bgs AS (
+        |  SELECT unnest(list_transform(range(0, greatest(len(ws) - 1, 0)),
+        |    i -> ws[i + 1] || ' ' || ws[i + 2])) AS bg
+        |  FROM d),
+        |top1 AS (SELECT bg, count(*) AS n FROM bgs
+        |         GROUP BY 1 ORDER BY n DESC, bg LIMIT 1),
+        |w AS (SELECT string_split(bg, ' ')[1] AS w1,
+        |             string_split(bg, ' ')[2] AS w2 FROM top1),
+        |p0 AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws) + 1),
+        |      i -> {'pos': CAST(i - 1 AS INTEGER), 'term': ws[i]})) AS s
+        |  FROM d),
+        |p AS (SELECT doc_id, s.pos AS pos, s.term AS term FROM p0),
+        |hits AS (
+        |  SELECT p1.doc_id, p1.pos AS start
+        |  FROM p p1 JOIN p p2 ON p1.doc_id = p2.doc_id
+        |    AND p2.pos = p1.pos + 1, w
+        |  WHERE p1.term = w.w1 AND p2.term = w.w2)
+        |SELECT hits.doc_id, start,
+        |  array_to_string(list_slice(ws,
+        |    greatest(start + 1 - 5, 1), start + 7), ' ') AS snippet
+        |FROM hits JOIN d ON d.doc_id = hits.doc_id
+        |ORDER BY hits.doc_id, start""".stripMargin,
     "q_edit_verify" ->
       """WITH n AS (
         |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t

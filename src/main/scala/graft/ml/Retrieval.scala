@@ -83,6 +83,30 @@ object Retrieval {
       .select(F.col(idCol), F.col("start"))
   }
 
+  /** Keyword-in-context snippets: each phrase occurrence from
+    * [[phraseSearch]] re-joined with `context` tokens either side — the
+    * human-inspection view for retrieval debugging and span-level audits.
+    * One probe over the (staged) index + one join back to the documents;
+    * the snippet slice is array arithmetic over the same tokenization the
+    * index was built from, so offsets can never drift from the text. */
+  def phraseSnippets(docs: DataFrame, textCol: String, idCol: String,
+                     phrase: String, context: Int = 5,
+                     index: Option[DataFrame] = None): DataFrame = {
+    require(context >= 0, "phraseSnippets: context must be >= 0")
+    val idx = index.getOrElse(invertedIndex(docs, textCol, idCol))
+    val hits = phraseSearch(idx, idCol, phrase)
+    val tl = phrase.toLowerCase.trim.split("\\s+").count(_.nonEmpty)
+    val toks = docs.select(F.col(idCol),
+      F.filter(tokens(F.col(textCol)), x => x =!= "").as("__ws__"))
+    // 1-based slice: window begins max(start+1-context, 1) and runs to
+    // start+tl+context (slice clamps at the array end)
+    val sb = F.greatest(F.col("start") + 1 - context, F.lit(1))
+    hits.join(toks, Seq(idCol))
+      .select(F.col(idCol), F.col("start"),
+        F.array_join(F.slice(F.col("__ws__"), sb,
+          F.col("start") + (tl + context) + 1 - sb), " ").as("snippet"))
+  }
+
   /** Per-(query, doc) BM25 scores for every document that shares at least
     * one term with the query. Okapi BM25 with the Lucene non-negative idf:
     * idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); term weight

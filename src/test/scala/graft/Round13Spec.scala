@@ -368,6 +368,16 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("phraseSnippets: windows clamp at both document edges") {
+    val docs = Seq((1L, "to be or not to be that is the question")).toDF("doc_id", "text")
+    val out = graft.ml.Retrieval.phraseSnippets(docs, "text", "doc_id", "to be", context = 3)
+      .orderBy("start").collect()
+      .map(r => (r.getInt(1), r.getString(2))).toList
+    assert(out == List(
+      (0, "to be or not to"),                 // clamped at the left edge
+      (4, "be or not to be that is the")), out.toString)
+  }
+
   test("new-operator edges: null text, absent phrase terms, negative split ids") {
     // null/whitespace text contributes no postings (and no crash)
     val docs = Seq((1L, null: String), (2L, " \t "), (3L, "x y")).toDF("doc_id", "text")
