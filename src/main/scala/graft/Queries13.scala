@@ -385,7 +385,26 @@ object Queries13 {
       .orderBy("doc_id", "start")
   }
 
+  /** LSH tuning report ([[graft.ml.Dedup.lshQuality]]): band-candidate
+    * precision and recall vs all-pairs exact Jaccard at 0.6 on a bounded
+    * sample with injected near-copies. Bands are staged (deterministic
+    * construction — restaging writes identical rows) so the oracle derives
+    * the identical candidate set, and truth/hit counts and both ratios are
+    * re-computed exactly in SQL. */
+  private def qLshQuality(s: SparkSession, dir: String): SDF = {
+    val docs0 = t(s, dir, "documents").select("doc_id", "text")
+      .filter(F.col("doc_id") < 200)
+    val copies = docs0.filter(F.col("doc_id") % 10 === 1)
+      .select((F.col("doc_id") + 100000).as("doc_id"),
+        F.regexp_replace(F.col("text"), "^\\S+", "changed").as("text"))
+    val corpus = docs0.unionAll(copies)
+    QueryStage.stage(
+      graft.ml.Dedup.bandedSignatures(corpus, "text", "doc_id"), dir, "lshq_bands")
+    graft.ml.Dedup.lshQuality(corpus, "text", "doc_id", threshold = 0.6)
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
+    "q_lsh_quality" -> (qLshQuality _),
     "q_phrase_snippets" -> (qPhraseSnippets _),
     "q_edit_verify" -> (qEditVerify _),
     "q_curate_audit" -> (qCurateAudit _),
@@ -406,6 +425,47 @@ object Queries13 {
     "q_span_removal" -> (qSpanRemoval _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_lsh_quality" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id + 100000, regexp_replace(text, '^\S+', 'changed')
+        |  FROM documents WHERE doc_id < 200 AND doc_id % 10 = 1
+        |), n AS (
+        |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+        |  FROM corpus
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(length(t) - 5, 0) + 1),
+        |    i -> substr(t, CAST(i + 1 AS INT), 5))) AS s
+        |  FROM n
+        |), truth AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / (len(a.s) + len(b.s)
+        |           - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) >= 0.6
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM '/tmp/graft_stage/sf0.01/lshq_bands/*.parquet' a
+        |  JOIN '/tmp/graft_stage/sf0.01/lshq_bands/*.parquet' b
+        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+        |   AND a.doc_id < b.doc_id
+        |), hit AS (
+        |  SELECT * FROM truth t
+        |  WHERE EXISTS (SELECT 1 FROM cand c
+        |                WHERE c.id_a = t.id_a AND c.id_b = t.id_b)
+        |)
+        |SELECT
+        |  (SELECT count(*) FROM truth) AS n_true,
+        |  (SELECT count(*) FROM cand) AS n_candidates,
+        |  (SELECT count(*) FROM hit) AS n_hit,
+        |  CASE WHEN (SELECT count(*) FROM cand) > 0 THEN
+        |    CAST((SELECT count(*) FROM hit) AS DOUBLE)
+        |      / CAST((SELECT count(*) FROM cand) AS DOUBLE) END AS precision,
+        |  CASE WHEN (SELECT count(*) FROM truth) > 0 THEN
+        |    CAST((SELECT count(*) FROM hit) AS DOUBLE)
+        |      / CAST((SELECT count(*) FROM truth) AS DOUBLE) END AS recall""".stripMargin,
     "q_phrase_snippets" ->
       """WITH d AS (
         |  SELECT doc_id,

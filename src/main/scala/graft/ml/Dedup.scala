@@ -150,6 +150,47 @@ object Dedup {
     minhashCandidatesFromBands(banded, idCol)
   }
 
+  /** LSH candidate quality against exact-Jaccard ground truth on the SAME
+    * corpus — the tuning tool for (numHashes, bands) before a production
+    * sweep. Ground truth is the all-pairs exact shingle Jaccard at
+    * `threshold`: O(n²) by definition, so run this on a bounded SAMPLE —
+    * the sampling is the point, not a limitation. Returns one summary row
+    * (n_true, n_candidates, n_hit, precision, recall): precision = fraction
+    * of candidates that verify at the threshold (what the exact-verify
+    * stage will discard), recall = fraction of true pairs the bands
+    * surfaced (what the pipeline silently loses — the number that must stay
+    * ≈1.0). Ratios are null when their denominator is zero. */
+  def lshQuality(df: DataFrame, textCol: String, idCol: String,
+                 threshold: Double, numHashes: Int = 64, bands: Int = 16,
+                 shingleK: Int = 5): DataFrame = {
+    val cand = minhashCandidates(df, textCol, idCol, numHashes, bands, shingleK)
+      .select(F.col("id_a"), F.col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norm = df.select(F.col(idCol), normalizeText(F.col(textCol)).as("__t__"))
+    val sim = {
+      val sa = shinglesFromNormalized(F.col("a.__t__"), shingleK)
+      val sb = shinglesFromNormalized(F.col("b.__t__"), shingleK)
+      val inter = F.size(F.array_intersect(sa, sb)).cast("double")
+      inter / (F.size(sa) + F.size(sb) - inter)
+    }
+    val truth = norm.as("a")
+      .join(norm.as("b"), F.col(s"a.$idCol") < F.col(s"b.$idCol"))
+      .filter(sim >= threshold)
+      .select(F.col(s"a.$idCol").as("id_a"), F.col(s"b.$idCol").as("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hit = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+    truth.agg(F.count(F.lit(1)).as("n_true"))
+      .crossJoin(cand.agg(F.count(F.lit(1)).as("n_candidates")))
+      .crossJoin(hit.agg(F.count(F.lit(1)).as("n_hit")))
+      .select(F.col("n_true"), F.col("n_candidates"), F.col("n_hit"),
+        F.when(F.col("n_candidates") > 0,
+          F.col("n_hit").cast("double") / F.col("n_candidates").cast("double"))
+          .as("precision"),
+        F.when(F.col("n_true") > 0,
+          F.col("n_hit").cast("double") / F.col("n_true").cast("double"))
+          .as("recall"))
+  }
+
   /** Exact n-gram Jaccard similarity for candidate verification. */
   def jaccard(textA: Column, textB: Column, k: Int): Column = {
     val sa = shingles(textA, k); val sb = shingles(textB, k)
