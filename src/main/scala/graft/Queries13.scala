@@ -231,7 +231,13 @@ object Queries13 {
     * bigram, count-desc/bigram-asc tiebreak) so the gate is non-empty at
     * any SF, and the oracle re-derives phrase AND occurrences from the
     * same tokenization. */
-  private def qPhraseSearch(s: SparkSession, dir: String): SDF = {
+  /** Shared by q_phrase_search / q_phrase_snippets: the doc_id < 300 slice,
+    * its most frequent bigram (memoized under the bench discipline), and
+    * the staged positional index. ONE definition: memo("phrase_top") is
+    * keyed by name alone and stage("inv_index") by plan fingerprint, so two
+    * drifting copies would serve each other's phrase and ping-pong the
+    * staged index. */
+  private def phraseFixture(s: SparkSession, dir: String): (SDF, String, SDF) = {
     val docs = t(s, dir, "documents").filter(F.col("doc_id") < 300)
       .select("doc_id", "text")
     val top = QueryStage.memo(dir, "phrase_top")(
@@ -243,6 +249,11 @@ object Queries13 {
     val idx = QueryStage.stage(
       graft.ml.Retrieval.invertedIndex(docs, "text", "doc_id"),
       dir, "inv_index")
+    (docs, top, idx)
+  }
+
+  private def qPhraseSearch(s: SparkSession, dir: String): SDF = {
+    val (_, top, idx) = phraseFixture(s, dir)
     graft.ml.Retrieval.phraseSearch(idx, "doc_id", top)
       .withColumn("phrase", F.lit(top))
       .orderBy("doc_id", "start")
@@ -345,10 +356,11 @@ object Queries13 {
   }
 
   /** Edit-distance verification ([[graft.ml.Dedup.editSimilarity]]): raw
-    * Levenshtein + normalized similarity between each injected near-copy
-    * and its original (the candidate-pair shape — never all-pairs). Both
-    * engines implement classic unit-cost Levenshtein, so `lev` is exact;
-    * the similarity mirrors the division and rounds to 6. */
+    * Levenshtein + normalized similarity between each doc ≡ 1 mod 10 and
+    * its id-successor — a deterministic candidate-pair shape (never
+    * all-pairs) spanning the similarity range. Both engines implement
+    * classic unit-cost Levenshtein, so `lev` is exact; the similarity
+    * mirrors the division and rounds to 6. */
   private def qEditVerify(s: SparkSession, dir: String): SDF = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
       .filter(F.col("doc_id") < 300)
@@ -369,17 +381,7 @@ object Queries13 {
     * string-checked exactly (the slice arithmetic and the hit offsets both
     * verified in one value). */
   private def qPhraseSnippets(s: SparkSession, dir: String): SDF = {
-    val docs = t(s, dir, "documents").filter(F.col("doc_id") < 300)
-      .select("doc_id", "text")
-    val top = QueryStage.memo(dir, "phrase_top")(
-      docs.select(F.explode(
-          graft.ml.Retrieval.ngramTerms(F.col("text"), 2)).as("bg"))
-        .groupBy("bg").agg(F.count(F.lit(1)).as("n"))
-        .orderBy(F.col("n").desc, F.col("bg")).limit(1)
-        .collect()(0).getString(0))
-    val idx = QueryStage.stage(
-      graft.ml.Retrieval.invertedIndex(docs, "text", "doc_id"),
-      dir, "inv_index")
+    val (docs, top, idx) = phraseFixture(s, dir)
     graft.ml.Retrieval.phraseSnippets(docs, "text", "doc_id", top,
         context = 5, index = Some(idx))
       .orderBy("doc_id", "start")
@@ -398,9 +400,12 @@ object Queries13 {
       .select((F.col("doc_id") + 100000).as("doc_id"),
         F.regexp_replace(F.col("text"), "^\\S+", "changed").as("text"))
     val corpus = docs0.unionAll(copies)
-    QueryStage.stage(
+    // the STAGED bands feed both the operator and the oracle: one
+    // signature computation, and candidate parity by construction
+    val staged = QueryStage.stage(
       graft.ml.Dedup.bandedSignatures(corpus, "text", "doc_id"), dir, "lshq_bands")
-    graft.ml.Dedup.lshQuality(corpus, "text", "doc_id", threshold = 0.6)
+    graft.ml.Dedup.lshQuality(corpus, "text", "doc_id", threshold = 0.6,
+      bandRows = Some(staged))
   }
 
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
@@ -549,8 +554,9 @@ object Queries13 {
         |), pe AS (
         |  SELECT a.doc_id AS x, b.doc_id AS y
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.s, b.s))
-        |        >= 0.6 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / (len(a.s) + len(b.s)
+        |           - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) >= 0.6
         |), es AS (SELECT x, y FROM pe UNION SELECT y, x FROM pe
         |), r(src, dst) AS (
         |  SELECT doc_id, doc_id FROM e

@@ -162,10 +162,17 @@ object Dedup {
     * ≈1.0). Ratios are null when their denominator is zero. */
   def lshQuality(df: DataFrame, textCol: String, idCol: String,
                  threshold: Double, numHashes: Int = 64, bands: Int = 16,
-                 shingleK: Int = 5): DataFrame = {
-    val cand = minhashCandidates(df, textCol, idCol, numHashes, bands, shingleK)
-      .select(F.col("id_a"), F.col("id_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                 shingleK: Int = 5,
+                 bandRows: Option[DataFrame] = None): DataFrame = {
+    // per-call registry, released before returning: a tuning SWEEP calls
+    // this once per (numHashes, bands) config and must not accumulate
+    // session-lifetime caches (the pageRank discipline). The 1-row summary
+    // is checkpointed so the release cannot trigger recompute.
+    val reg = new graft.kernel.BoundedRegistry(4)
+    val banded = reg.persistBounded(bandRows.getOrElse(
+      bandedSignatures(df, textCol, idCol, numHashes, bands, shingleK)))
+    val cand = reg.persistBounded(
+      minhashCandidatesFromBands(banded, idCol).select("id_a", "id_b"))
     val norm = df.select(F.col(idCol), normalizeText(F.col(textCol)).as("__t__"))
     val sim = {
       val sa = shinglesFromNormalized(F.col("a.__t__"), shingleK)
@@ -173,13 +180,12 @@ object Dedup {
       val inter = F.size(F.array_intersect(sa, sb)).cast("double")
       inter / (F.size(sa) + F.size(sb) - inter)
     }
-    val truth = norm.as("a")
+    val truth = reg.persistBounded(norm.as("a")
       .join(norm.as("b"), F.col(s"a.$idCol") < F.col(s"b.$idCol"))
       .filter(sim >= threshold)
-      .select(F.col(s"a.$idCol").as("id_a"), F.col(s"b.$idCol").as("id_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(F.col(s"a.$idCol").as("id_a"), F.col(s"b.$idCol").as("id_b")))
     val hit = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
-    truth.agg(F.count(F.lit(1)).as("n_true"))
+    val summary = truth.agg(F.count(F.lit(1)).as("n_true"))
       .crossJoin(cand.agg(F.count(F.lit(1)).as("n_candidates")))
       .crossJoin(hit.agg(F.count(F.lit(1)).as("n_hit")))
       .select(F.col("n_true"), F.col("n_candidates"), F.col("n_hit"),
@@ -189,6 +195,9 @@ object Dedup {
         F.when(F.col("n_true") > 0,
           F.col("n_hit").cast("double") / F.col("n_true").cast("double"))
           .as("recall"))
+      .localCheckpoint(true)
+    reg.releaseAll()
+    summary
   }
 
   /** Exact n-gram Jaccard similarity for candidate verification. */

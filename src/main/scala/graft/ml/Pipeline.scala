@@ -31,8 +31,10 @@ object Pipeline {
                    contaminationN: Int = 3,
                    maxOverlapRatio: Double = 0.5): Curated = {
     val audit = Seq.newBuilder[StageCount]
-    var cur = docs
-    var n = docs.count()
+    // cache the input too: the rows_in count and the first stage's filter
+    // would otherwise each scan the raw corpus — the chain's largest frame
+    var cur = graft.kernel.PrepCache.persistBounded(docs)
+    var n = cur.count()
     def step(name: String, out0: DataFrame): Unit = {
       val out = graft.kernel.PrepCache.persistBounded(out0)
       val m = out.count()

@@ -305,8 +305,11 @@ object TextAnalysis {
     val pairCounts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).as("n_pair"))
     val toks = words.select(F.explode(F.col("__ws__")).as("w"))
     val uni = toks.groupBy("w").agg(F.count(F.lit(1)).as("__cw__"))
-    val totals = toks.agg(F.count(F.lit(1)).cast("double").as("__t__"))
-      .crossJoin(pairs.agg(F.count(F.lit(1)).cast("double").as("__p__")))
+    // totals come from the ALREADY-AGGREGATED tiny frames — summing the
+    // count tables costs vocabulary-sized work, while counting the raw
+    // pair/token streams would re-run the explode scans a second time
+    val totals = uni.agg(F.sum(F.col("__cw__")).cast("double").as("__t__"))
+      .crossJoin(pairCounts.agg(F.sum(F.col("n_pair")).cast("double").as("__p__")))
     pairCounts
       .join(uni.select(F.col("w").as("w1"), F.col("__cw__").as("__cwa__")), Seq("w1"))
       .join(uni.select(F.col("w").as("w2"), F.col("__cw__").as("__cwb__")), Seq("w2"))
