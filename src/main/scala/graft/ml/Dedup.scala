@@ -173,15 +173,21 @@ object Dedup {
       bandedSignatures(df, textCol, idCol, numHashes, bands, shingleK)))
     val cand = reg.persistBounded(
       minhashCandidatesFromBands(banded, idCol).select("id_a", "id_b"))
-    val norm = df.select(F.col(idCol), normalizeText(F.col(textCol)).as("__t__"))
+    // shingle ONCE per document (the interpreted HOF transform must never
+    // run per PAIR), and spread the sample so the non-equi pair join isn't
+    // one task grinding |sample|²/2 intersects single-threaded
+    val sh = reg.persistBounded(
+      df.select(F.col(idCol), normalizeText(F.col(textCol)).as("__t__"))
+        .select(F.col(idCol),
+          shinglesFromNormalized(F.col("__t__"), shingleK).as("__s__"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism))
     val sim = {
-      val sa = shinglesFromNormalized(F.col("a.__t__"), shingleK)
-      val sb = shinglesFromNormalized(F.col("b.__t__"), shingleK)
-      val inter = F.size(F.array_intersect(sa, sb)).cast("double")
-      inter / (F.size(sa) + F.size(sb) - inter)
+      val inter = F.size(F.array_intersect(F.col("a.__s__"), F.col("b.__s__")))
+        .cast("double")
+      inter / (F.size(F.col("a.__s__")) + F.size(F.col("b.__s__")) - inter)
     }
-    val truth = reg.persistBounded(norm.as("a")
-      .join(norm.as("b"), F.col(s"a.$idCol") < F.col(s"b.$idCol"))
+    val truth = reg.persistBounded(sh.as("a")
+      .join(sh.as("b"), F.col(s"a.$idCol") < F.col(s"b.$idCol"))
       .filter(sim >= threshold)
       .select(F.col(s"a.$idCol").as("id_a"), F.col(s"b.$idCol").as("id_b")))
     val hit = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
