@@ -356,7 +356,10 @@ object Queries7 {
       .hint("shuffle_hash")
     graft.kernel.Skew.saltedJoin(li, o, "l_orderkey", salts = 4)
       .groupBy("o_orderpriority")
-      .agg(F.count(F.lit(1)).as("n"), F.sum("l_extendedprice").as("total"))
+      .agg(F.count(F.lit(1)).as("n"),
+        // Decimal accumulation: shuffle_hash changes double add order vs the
+        // oracle plan; exact-sum in DECIMAL(18,2) makes the hash order-free.
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("total"))
       .orderBy("o_orderpriority")
   }
 
@@ -570,7 +573,8 @@ object Queries7 {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_salted_join" ->
-      """SELECT o_orderpriority, count(*) AS n, sum(l_extendedprice) AS total
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_align_frames" ->

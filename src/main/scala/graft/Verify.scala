@@ -43,6 +43,15 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Float-aggregate lint (round 11): a non-window sum/avg over a raw
+    // DOUBLE column survives the driver's exact hash only while both plans
+    // stay byte-stable — q_salted_join broke this way in round 10. New
+    // hazards fail OracleLintSpec; warn here too so the verify log shows it.
+    OracleLint.unreviewed(SparkEntry.oracleSql).toSeq.sorted.foreach { n =>
+      System.err.println(s"[verify] WARNING: $n aggregates a raw DOUBLE " +
+        "column without decimal cast/round — exact-hash hazard; use the " +
+        "q_bucketed_join decimal discipline on both engine and oracle sides")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
