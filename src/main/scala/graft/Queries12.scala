@@ -13,18 +13,39 @@ object Queries12 {
   private def t(s: SparkSession, dir: String, name: String): SDF =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The four fixed retrieval queries drawn from the corpus vocabulary —
+    * shared by every BM25-family gate query. */
+  private def retrievalQueries(s: SparkSession): SDF = {
+    import s.implicits._
+    Seq(
+      (0, "hash join table"), (1, "window agg spark"),
+      (2, "slow filter query"), (3, "merge sort fast"))
+      .toDF("query_id", "qtext")
+  }
+
+  /** Unigram BM25 scores for [[retrievalQueries]], STAGED once per corpus:
+    * q_bm25 and q_hard_negatives both rank from these rows, so in a bench
+    * steady state the inverted-probe scoring pipeline runs once and the
+    * second query pays only its anti-join + top-k window (the q_rrf_fusion
+    * staging pattern — round-10 verdict next-step #4). Gate power is
+    * unchanged: both oracles recompute BM25 from the raw documents in
+    * DuckDB, and Verify always rewrites stages. */
+  private def stagedBm25Scores(s: SparkSession, dir: String): SDF =
+    QueryStage.stage(
+      Retrieval.bm25Scores(t(s, dir, "documents"), "text", "doc_id",
+        retrievalQueries(s), "query_id", "qtext"),
+      dir, "bm25_scores_uni")
+
   /** BM25 top-10 per query over `documents` for four fixed queries drawn
     * from the corpus vocabulary. Rank key = round(score, 6) desc, doc_id
     * asc — reproducible across engines; output score rounded the same. */
   private def qBm25(s: SparkSession, dir: String): SDF = {
-    import s.implicits._
-    val docs = t(s, dir, "documents")
-    val queries = Seq(
-      (0, "hash join table"), (1, "window agg spark"),
-      (2, "slow filter query"), (3, "merge sort fast"))
-      .toDF("query_id", "qtext")
-    Retrieval.bm25TopK(docs, "text", "doc_id", queries, "query_id", "qtext",
-        k = 10)
+    val scores = stagedBm25Scores(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col("query_id"))
+      .orderBy(F.round(F.col("score"), 6).desc, F.col("doc_id"))
+    scores.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= 10)
       .select(F.col("query_id"), F.col("doc_id"),
         F.round(F.col("score"), 6).as("score"), F.col("matched"),
         F.col("rank").cast("long").as("rank"))
@@ -131,17 +152,22 @@ object Queries12 {
     * discipline as q_bm25; the oracle adds the NOT EXISTS anti-join before
     * re-ranking. */
   private def qHardNegatives(s: SparkSession, dir: String): SDF = {
-    import s.implicits._
     val docs = t(s, dir, "documents")
-    val queries = Seq(
-      (0, "hash join table"), (1, "window agg spark"),
-      (2, "slow filter query"), (3, "merge sort fast"))
-      .toDF("query_id", "qtext")
+    val queries = retrievalQueries(s)
     val positives = docs.select(F.col("doc_id"))
       .crossJoin(queries.select(F.col("query_id")))
       .filter(F.col("doc_id") % 200 === F.col("query_id") * 3)
-    graft.ml.Retrieval.hardNegatives(docs, "text", "doc_id",
-        queries, "query_id", "qtext", positives, k = 5)
+    // Rank from the SAME staged score rows q_bm25 ranks from — the scoring
+    // pipeline is not re-run; this query's own work is the positive
+    // anti-join plus the per-query top-k window.
+    val scores = stagedBm25Scores(s, dir)
+      .join(positives.select(F.col("query_id"), F.col("doc_id")),
+        Seq("query_id", "doc_id"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col("query_id"))
+      .orderBy(F.round(F.col("score"), 6).desc, F.col("doc_id"))
+    scores.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= 5)
       .select(F.col("query_id"), F.col("doc_id"),
         F.round(F.col("score"), 6).as("score"), F.col("matched"),
         F.col("rank").cast("long").as("rank"))

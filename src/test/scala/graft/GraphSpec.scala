@@ -104,6 +104,30 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("degree orientation bounds wedges on a small-id hub (star + clique)") {
+    import spark.implicits._
+    // Worst case for ID-ordered orientation: hub id 0 with 200 leaves keeps
+    // its whole degree forward → C(200,2) = 19900 wedges. Degree ordering
+    // orients every star edge leaf→hub (leaf deg 1 < hub deg), so the star
+    // contributes ZERO wedges; only the attached K5 clique (ids 1..5, nodes
+    // of equal degree) pairs out-edges: sum over K5 of C(outdeg,2) with
+    // outdegs 4,3,2,1,0 = 6+3+1+0+0 = 10.
+    val star = (6L to 205L).map(leaf => (0L, leaf))
+    val k5 = for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)
+    val edges = (star ++ k5).toDF("src", "dst")
+    val oriented = Graph.orientByDegree(edges, "src", "dst")
+    // hub 0 has degree 200: every incident edge must point AT it
+    assert(oriented.filter($"src" === 0L).count() == 0)
+    val wedgeCount = oriented.groupBy("src").count()
+      .select(F.sum(F.col("count") * (F.col("count") - 1) / 2).cast("long")).as[Long].head()
+    assert(wedgeCount == 10, s"expected 10 wedges (K5 only), got $wedgeCount")
+    // and the counts themselves stay correct: K5 nodes in C(4,2)=6 triangles
+    val tri = Graph.triangleCount(edges, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (1L to 5L).foreach(n => assert(tri(n) == 6L, s"node $n"))
+    assert(!tri.contains(0L) || tri(0L) == 0L)
+  }
+
   test("per-call persisted frames are released: storage bounded across repeated calls") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
