@@ -70,6 +70,35 @@ object Queries7 {
       .orderBy("doc_id")
   }
 
+  /** REAL codec round trip ([[graft.ml.Multimodal.encodeGrayPng]] →
+    * [[graft.ml.Multimodal.decodeImages]]): per doc a small gray image whose
+    * pixel FORMULA is declarative — pixel(i) = (doc_id·31 + (i mod w)·7 +
+    * (i div w)·13) mod 256 — is encoded to actual PNG bytes and decoded back
+    * with `javax.imageio`, and the luma sums must land on what the DuckDB
+    * oracle computes arithmetically from the same formula (the q_image_meta
+    * pattern, extended from headers to pixels). mean_luma is one exact
+    * integer-over-integer division in double on both sides. */
+  private def qImageDecode(s: SparkSession, dir: String): SDF = {
+    val d = t(s, dir, "documents").select(F.col("doc_id"))
+      .filter(F.col("doc_id") < 300)
+      .withColumn("w", (F.col("doc_id") % 7 + 2).cast("int"))
+      .withColumn("h", (F.col("doc_id") % 5 + 2).cast("int"))
+    val withPx = d.withColumn("px", F.transform(
+      F.sequence(F.lit(0), F.col("w") * F.col("h") - 1),
+      i => (F.col("doc_id") * 31 + (i % F.col("w")) * 7 +
+        F.floor(i / F.col("w")) * 13) % 256)) // Column./ is double division; floor recovers i div w exactly (i < 2^53)
+    val enc = graft.ml.Multimodal.encodeGrayPng(withPx, "px", "w", "h")
+    graft.ml.Multimodal.decodeImages(enc, "payload")
+      .select(F.col("doc_id"),
+        F.col("decoded.width").as("width"),
+        F.col("decoded.height").as("height"),
+        F.col("decoded.channels").as("channels"),
+        F.col("decoded.luma_sum").as("luma_sum"),
+        F.col("decoded.mean_luma").as("mean_luma"),
+        F.col("decoded.weighted_sum").as("weighted_sum"))
+      .orderBy("doc_id")
+  }
+
   /** WAV header parse round trip: build a canonical 44-byte PCM header per
     * doc (channels/rate/size from doc_id, little-endian), recover the fields
     * through [[graft.ml.Multimodal.withAudioMeta]] — including the duration
@@ -415,6 +444,7 @@ object Queries7 {
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
     "q_tz_offset" -> (qTzOffset _),
     "q_image_meta" -> (qImageMeta _),
+    "q_image_decode" -> (qImageDecode _),
     "q_audio_meta" -> (qAudioMeta _),
     "q_dedup_cluster" -> (qDedupCluster _),
     "q_pii_redact" -> (qPiiRedact _),
@@ -469,6 +499,22 @@ object Queries7 {
         |  CAST(doc_id % 1080 + 1 AS INTEGER) AS height,
         |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INTEGER) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_image_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 7 + 2 AS INTEGER) AS w,
+        |    CAST(doc_id % 5 + 2 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id < 300
+        |)
+        |SELECT doc_id, w AS width, h AS height,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(list_sum(list_transform(range(0, w*h),
+        |    i -> (doc_id*31 + (i % w)*7 + (i // w)*13) % 256)) AS BIGINT) AS luma_sum,
+        |  CAST(list_sum(list_transform(range(0, w*h),
+        |    i -> (doc_id*31 + (i % w)*7 + (i // w)*13) % 256)) AS DOUBLE) / (w*h) AS mean_luma,
+        |  CAST(list_sum(list_transform(range(0, w*h),
+        |    i -> ((doc_id*31 + (i % w)*7 + (i // w)*13) % 256) * (i+1))) AS BIGINT) AS weighted_sum
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q_audio_meta" ->
       """SELECT doc_id, 'wav' AS format,
         |  CAST(doc_id % 2 + 1 AS INTEGER) AS channels,

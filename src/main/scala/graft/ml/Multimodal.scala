@@ -5,11 +5,13 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing for training-data pipelines (beyond-reference).
   *
-  * Media is carried as opaque `binary` columns + typed metadata structs; the
-  * Spark-side schema / partitioning / batch shape is real, while the actual
-  * codec step is STUBBED with a deterministic fake (image/audio libraries are
-  * not available in this container — swap `fakeDecode*` for a real codec bound
-  * in `mapPartitions`/`mapInPandas` in production).
+  * Media is carried as opaque `binary` columns + typed metadata structs.
+  * Header metadata (PNG IHDR / JPEG SOF / WAV fmt) is parsed with native
+  * declarative expressions; pixel encode/decode/feature/resize use the JDK's
+  * `javax.imageio` (PNG/JPEG/GIF/BMP) inside `mapPartitions` — codec
+  * initialized once per partition, rows streamed, nothing image-sized on the
+  * driver. Only video frame sampling remains a byte-chunk fake (no container
+  * demuxer in the JDK); its explode/metadata plumbing is real.
   */
 object Multimodal {
 
@@ -91,45 +93,160 @@ object Multimodal {
         .cast("double")).as("duration_s")))
   }
 
-  /** STUB decode: deterministic fake features from the payload bytes. In
-    * production this is the only line that changes — bind a real codec here.
-    * Runs as mapPartitions so a heavyweight decoder initializes once per
-    * partition, the shape a real implementation needs. */
+  /** Decoded-pixel luma grid, or None when the payload is not a decodable
+    * image. Gray (1-band) rasters read raw samples — `getRGB` would push
+    * them through the linear-gray→sRGB colorspace transform and destroy
+    * exactness — so a gray PNG round-trips its 8-bit values untouched;
+    * multi-band images take integer Rec.601 luma (299r+587g+114b)/1000,
+    * which reduces to the sample itself when r=g=b. */
+  private def decodeLuma(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    val bands = img.getRaster.getNumBands
+    val luma = new Array[Int](w * h)
+    var y = 0
+    var i = 0
+    if (bands == 1) {
+      val shift = if (img.getRaster.getSampleModel.getSampleSize(0) > 8) 8 else 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { luma(i) = img.getRaster.getSample(x, y, 0) >> shift; x += 1; i += 1 }
+        y += 1
+      }
+    } else {
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          luma(i) = (299 * r + 587 * g + 114 * b) / 1000
+          x += 1; i += 1
+        }
+        y += 1
+      }
+    }
+    Some((w, h, bands, luma))
+  }
+
+  /** REAL pixel decode via the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP):
+    * adds a `decoded` struct of (width, height, channels, luma_sum,
+    * mean_luma, weighted_sum) — luma_sum = Σ luma, weighted_sum =
+    * Σ luma·(rowMajorIndex+1), mean_luma = luma_sum / (w·h) as one exact
+    * integer division in double. Undecodable or empty payloads get a null
+    * struct. mapPartitions shape: `ImageIO` file-cache disabled once per
+    * partition, rows streamed — nothing image-sized on the driver. */
+  def decodeImages(df: DataFrame, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = df.schema.add("decoded", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("luma_sum", LongType),
+      StructField("mean_luma", DoubleType),
+      StructField("weighted_sum", LongType))))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // decoder init, once per partition
+      it.map { row =>
+        val decoded = decodeLuma(row.get(idx) match {
+          case b: Array[Byte] => b
+          case _              => null
+        }).map { case (w, h, bands, luma) =>
+          var sum = 0L
+          var wsum = 0L
+          var i = 0
+          while (i < luma.length) { sum += luma(i); wsum += luma(i).toLong * (i + 1); i += 1 }
+          Row(w, h, bands, sum, sum.toDouble / (w.toLong * h), wsum)
+        }.orNull
+        Row.fromSeq(row.toSeq :+ decoded)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Grayscale PNG encoder for declaratively-built pixel grids: `pixelsCol`
+    * is an array<int> of row-major 8-bit values, `widthCol`/`heightCol` its
+    * shape. Adds binary `payload` (a real PNG via `ImageIO.write` on a
+    * TYPE_BYTE_GRAY raster — lossless, so decode recovers every sample).
+    * This is the gate harness for [[decodeImages]]: the pixel FORMULA stays
+    * declarative where a SQL oracle can recompute it, while the bytes in
+    * between go through the real codec both ways. */
+  def encodeGrayPng(df: DataFrame, pixelsCol: String, widthCol: String,
+                    heightCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = df.schema.add("payload", BinaryType)
+    val pIdx = df.schema.fieldIndex(pixelsCol)
+    val wIdx = df.schema.fieldIndex(widthCol)
+    val hIdx = df.schema.fieldIndex(heightCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { row =>
+        val payload =
+          if (row.isNullAt(pIdx) || row.isNullAt(wIdx) || row.isNullAt(hIdx)) null
+          else {
+            val w = row.getInt(wIdx)
+            val h = row.getInt(hIdx)
+            val px = row.getSeq[Any](pIdx)
+            require(px.length == w * h,
+              s"encodeGrayPng: ${px.length} pixels for ${w}x$h")
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            var i = 0
+            while (i < px.length) {
+              val v = px(i) match {
+                case n: Int  => n
+                case n: Long => n.toInt
+              }
+              img.getRaster.setSample(i % w, i / w, 0, v & 0xff)
+              i += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            bos.toByteArray
+          }
+        Row.fromSeq(row.toSeq :+ payload)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Image features from REAL decoded pixels: a `dim`-bin normalized luma
+    * histogram (bin = luma·dim/256, mass sums to 1). Undecodable payloads
+    * get null features. Same mapPartitions shape as [[decodeImages]]. */
   def decodeImageFeatures(df: DataFrame, payloadCol: String, dim: Int = 16): DataFrame = {
+    require(dim > 0 && dim <= 256, "histogram dim must be in 1..256")
     val spark = df.sparkSession
     val outSchema = df.schema.add("features", ArrayType(FloatType))
     val idx = df.schema.fieldIndex(payloadCol)
     val rdd = df.rdd.mapPartitions { it =>
-      // ??? real implementation: initialize codec once here, decode per row
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { row =>
-        val bytes = row.get(idx) match {
+        val feats = decodeLuma(row.get(idx) match {
           case b: Array[Byte] => b
-          case null           => Array.empty[Byte]
-        }
-        val feats = fakeDecode(bytes, dim)
+          case _              => null
+        }).map { case (_, _, _, luma) =>
+          val counts = new Array[Long](dim)
+          luma.foreach(v => counts(math.min(v * dim / 256, dim - 1)) += 1)
+          counts.map(c => (c.toDouble / luma.length).toFloat).toSeq
+        }.orNull
         Row.fromSeq(row.toSeq :+ feats)
       }
     }
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** Deterministic fake "decode": hash-derived pseudo-features, stable across
-    * runs/partitionings so tests are reproducible. */
-  private[graft] def fakeDecode(bytes: Array[Byte], dim: Int): Seq[Float] = {
-    var h = 1125899906842597L
-    bytes.foreach { b => h = 31 * h + b }
-    (0 until dim).map { i =>
-      val x = h ^ (i.toLong * 0x9E3779B97F4A7C15L)
-      val m = (x ^ (x >>> 33)) * 0xFF51AFD7ED558CCDL
-      ((m >>> 11).toDouble / (1L << 53).toDouble).toFloat
-    }
-  }
-
-  /** Resize stub: emits a width×height grayscale grid derived
-    * deterministically from the payload bytes (real decoder+scaler binds at
-    * the marked line). Same mapPartitions shape as [[decodeImageFeatures]]:
-    * per-partition codec init, binary out column plus dimension metadata —
-    * the schema/batching a real implementation keeps. */
+  /** REAL resize: decode with `ImageIO`, nearest-neighbor sample the luma
+    * grid to width×height (srcX = x·srcW/outW — deterministic integer
+    * arithmetic, no AWT rendering pipeline, so results are identical across
+    * JVMs/platforms). Emits grayscale bytes + dimension metadata;
+    * undecodable payloads get a null grid. */
   def resizeImages(df: DataFrame, payloadCol: String,
                    width: Int = 32, height: Int = 32): DataFrame = {
     require(width > 0 && height > 0, "resize dims must be positive")
@@ -140,15 +257,26 @@ object Multimodal {
       .add("resized_height", IntegerType, nullable = false)
     val idx = df.schema.fieldIndex(payloadCol)
     val rdd = df.rdd.mapPartitions { it =>
-      // ??? real implementation: initialize codec/scaler once here
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { row =>
-        val bytes = row.get(idx) match {
+        val out = decodeLuma(row.get(idx) match {
           case b: Array[Byte] => b
-          case _              => Array.empty[Byte]
-        }
-        val out =
-          if (bytes.isEmpty) null
-          else Array.tabulate(width * height)(i => bytes(i % bytes.length))
+          case _              => null
+        }).map { case (srcW, srcH, _, luma) =>
+          val bytes = new Array[Byte](width * height)
+          var y = 0
+          var i = 0
+          while (y < height) {
+            val sy = y * srcH / height
+            var x = 0
+            while (x < width) {
+              bytes(i) = luma(sy * srcW + x * srcW / width).toByte
+              x += 1; i += 1
+            }
+            y += 1
+          }
+          bytes
+        }.orNull
         Row.fromSeq(row.toSeq ++ Seq(out, width, height))
       }
     }

@@ -84,15 +84,66 @@ class MlSpec extends SparkSpec {
     assert(hosts.toSeq == Seq(null, null, null, "sub.example.org"))
   }
 
-  test("resize stub keeps schema plumbing and determinism") {
-    val d = Seq((1L, Array[Byte](10, 20, 30)), (2L, Array.empty[Byte]))
+  /** Real PNG bytes for a w×h gray image with pixel(x,y) = f(x,y). */
+  private def grayPng(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, f(x, y) & 0xff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("resizeImages: real decode + nearest-neighbor, garbage -> null") {
+    // 4x2 source halved to 2x1: nearest-neighbor keeps (0,0) and (2,0)
+    val src = grayPng(4, 2)((x, y) => 10 * x + 100 * y)
+    val d = Seq((1L, src), (2L, Array[Byte](1, 2, 3)), (3L, Array.empty[Byte]))
       .toDF("media_id", "payload")
-    val out = Multimodal.resizeImages(d, "payload", width = 4, height = 2)
+    val out = Multimodal.resizeImages(d, "payload", width = 2, height = 1)
       .orderBy("media_id").collect()
-    assert(out(0).getAs[Array[Byte]]("resized").toSeq ==
-      Seq[Byte](10, 20, 30, 10, 20, 30, 10, 20))
-    assert(out(0).getAs[Int]("resized_width") == 4 && out(0).getAs[Int]("resized_height") == 2)
-    assert(out(1).isNullAt(out(1).fieldIndex("resized"))) // empty payload -> null, not garbage
+    assert(out(0).getAs[Array[Byte]]("resized").toSeq == Seq[Byte](0, 20))
+    assert(out(0).getAs[Int]("resized_width") == 2 && out(0).getAs[Int]("resized_height") == 1)
+    assert(out(1).isNullAt(out(1).fieldIndex("resized"))) // undecodable -> null
+    assert(out(2).isNullAt(out(2).fieldIndex("resized"))) // empty -> null
+  }
+
+  test("decodeImages round-trips gray PNG samples exactly (no sRGB drift)") {
+    // values straddling the gray->sRGB gamma hazard: exactness proves the
+    // raster path is used, not getRGB
+    val px = Seq(0, 1, 127, 128, 254, 255)
+    val d = Seq((1L, grayPng(3, 2)((x, y) => px(y * 3 + x)))).toDF("media_id", "payload")
+    val r = Multimodal.decodeImages(d, "payload").select("decoded.*").collect()(0)
+    assert(r.getInt(0) == 3 && r.getInt(1) == 2 && r.getInt(2) == 1)
+    assert(r.getLong(3) == px.sum)
+    assert(r.getDouble(4) == px.sum.toDouble / 6)
+    assert(r.getLong(5) == px.zipWithIndex.map { case (v, i) => v.toLong * (i + 1) }.sum)
+  }
+
+  test("encodeGrayPng -> decodeImages is the identity on pixel sums") {
+    val withPx = Seq((7L, 3, 4)).toDF("media_id", "w", "h")
+      .withColumn("px", F.transform(
+        F.sequence(F.lit(0), F.col("w") * F.col("h") - 1),
+        i => (F.col("media_id") * 31 + (i % F.col("w")) * 7 +
+          F.floor(i / F.col("w")) * 13) % 256))
+    val enc = Multimodal.encodeGrayPng(withPx, "px", "w", "h")
+    val r = Multimodal.decodeImages(enc, "payload").select("decoded.*").collect()(0)
+    val want = (0 until 12).map(i => (7 * 31 + (i % 3) * 7 + (i / 3) * 13) % 256)
+    assert(r.getInt(0) == 3 && r.getInt(1) == 4)
+    assert(r.getLong(3) == want.sum.toLong)
+  }
+
+  test("decodeImageFeatures: luma histogram sums to 1, garbage -> null") {
+    // half black, half white -> mass splits across first and last bins
+    val d = Seq((1L, grayPng(4, 2)((x, _) => if (x < 2) 0 else 255)),
+      (2L, Array[Byte](9, 9, 9))).toDF("media_id", "payload")
+    val out = Multimodal.decodeImageFeatures(d, "payload", dim = 8)
+      .orderBy("media_id").collect()
+    val feats = out(0).getSeq[Float](out(0).fieldIndex("features"))
+    assert(feats.length == 8)
+    assert(math.abs(feats.sum - 1.0f) < 1e-6)
+    assert(feats.head == 0.5f && feats.last == 0.5f)
+    assert(out(1).isNullAt(out(1).fieldIndex("features")))
   }
 
   test("jaccard of identical is 1") {
@@ -168,14 +219,10 @@ class MlSpec extends SparkSpec {
     assert(d.select(TextAnalysis.languageId(F.col("t"))).collect()(0).getString(0) == "en")
   }
 
-  test("multimodal: fake decode is deterministic, frame sampling explodes") {
-    val payload = Array[Byte](1, 2, 3, 4, 5)
-    assert(Multimodal.fakeDecode(payload, 4) == Multimodal.fakeDecode(payload, 4))
+  test("multimodal: frame sampling explodes payload chunks") {
     val d = Seq((1L, Array.fill[Byte](4096)(7))).toDF("media_id", "payload")
     val frames = Multimodal.sampleFrames(d, "payload", everyNth = 2, frameBytes = 1024).collect()
     assert(frames.length == 2) // frames 0 and 2 of 4
-    val feats = Multimodal.decodeImageFeatures(d, "payload", dim = 8).collect()(0)
-    assert(feats.getSeq[Float](feats.fieldIndex("features")).length == 8)
   }
 
   test("image meta sniffs format and parses PNG IHDR dimensions") {
