@@ -24,6 +24,14 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // WindowExec warns "No Partition Defined" on every global window; every
+    // library global window runs over a BOUNDED partials/stratum frame (the
+    // invariant GlobalWindowLintSpec pins per-site), so in the test logs the
+    // warning is pure noise that buries real warnings. Demoted HERE only —
+    // production sessions keep it as a canary.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     s
   }
 }
