@@ -276,7 +276,10 @@ object Queries13 {
     val capped = graft.streaming.Streaming.capPerKeyStream(
       stream, "user_id", "event_id", cap = 5)
     graft.streaming.Streaming.tunedDrain(4) {
-      graft.streaming.Streaming.drainToParquet(capped, root, mode = "append")
+      // cap is closure-captured inside flatMapGroupsWithState — invisible to
+      // the plan hash, so it rides in the salt: changing it re-drains
+      graft.streaming.Streaming.drainToParquet(capped, root, mode = "append",
+          salt = "cap=5")
         .orderBy("user_id", "event_id")
     }
   }

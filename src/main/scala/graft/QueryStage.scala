@@ -142,20 +142,36 @@ object QueryStage {
     * a mismatch wipes the root so the next drain starts clean. Verify never
     * sets [[reuseUnchanged]], so the correctness path always gets a fresh
     * temp dir and a full drain. */
+  /** The per-root lock FILE serializing every destructive stream-root
+    * operation across JVMs — both [[streamRoot]]'s fingerprint-mismatch wipe
+    * and [[graft.streaming.Streaming.drainToParquet]]'s drain take THIS lock,
+    * so a JVM with a different dataSig/stageEpoch can never rm a root another
+    * JVM is mid-drain on. Lives in the root's PARENT (a wipe of the root must
+    * not delete the lock being held). */
+  def streamRootLock(root: java.io.File): java.nio.file.Path =
+    root.getParentFile.toPath.resolve(s".${root.getName}.lock")
+
+  // Temp (non-reuse) stream roots: ONE static shutdown hook draining a
+  // registry, not one hook per call — a long-lived session invoking
+  // streaming queries repeatedly would otherwise accumulate hooks and temp
+  // trees until exit. Keyed by query name so a re-run of the same query
+  // eagerly deletes its previous root.
+  private val tempStreamRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+  private lazy val tempRootHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      tempStreamRoots.values.forEach(rmTree(_))
+    }))
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(); ()
+  }
+
   def streamRoot(sfDir: String, name: String, token: String): java.io.File = {
     if (!reuseUnchanged) {
       val tmp = java.nio.file.Files.createTempDirectory(s"graft-q-$name").toFile
-      // the drain fills this root with in/out/cp trees AFTER this returns —
-      // deleteOnExit silently no-ops on non-empty dirs, so clean the whole
-      // tree with a shutdown hook instead (one per root; Verify runs each
-      // streaming query once)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(tmp)
-      }))
+      tempRootHook
+      Option(tempStreamRoots.put(name, tmp)).foreach(rmTree)
       return tmp
     }
     val sf = new java.io.File(sfDir).getName
@@ -164,7 +180,7 @@ object QueryStage {
     val fpPath = root.toPath.resolve("_graft_fingerprint")
     val fp = dataSig(sfDir) + ":" + token + ":" + stageEpoch
     val lockCh = java.nio.channels.FileChannel.open(
-      java.nio.file.Paths.get(s"/tmp/graft_stage/$sf/.stream_$name.lock"),
+      streamRootLock(root),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
     val lock = lockCh.lock()
     try {

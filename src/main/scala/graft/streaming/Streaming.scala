@@ -177,30 +177,41 @@ object Streaming {
     * (idempotent on retry); `append` uses the native exactly-once file sink
     * (`_spark_metadata`-tracked). Returns the output read back from disk. */
   def drainToParquet(stream: DataFrame, root: java.io.File,
-                     mode: String = "complete")
+                     mode: String = "complete", salt: String = "")
                     (implicit spark: SparkSession): DataFrame = {
+    require(mode == "append" || mode == "complete",
+      s"drainToParquet mode must be 'append' or 'complete', got '$mode'")
     val out = new java.io.File(root, "out").getAbsolutePath
     val cp = new java.io.File(root, "cp").getAbsolutePath
     // Cross-PROCESS exclusion over the whole check+wipe+drain: two JVMs
     // sharing a retained root (a local bench beside the driver's) must not
     // wipe a checkpoint the other is mid-drain on, nor run two streaming
     // queries over ONE checkpoint directory (the HDFS metadata log does not
-    // arbitrate across JVMs). Same file-lock discipline as
-    // QueryStage.stagePath; the post-drain READ of out/ remains the
-    // caller's scheduling concern, as there.
+    // arbitrate across JVMs). The lock is [[graft.QueryStage.streamRootLock]]
+    // — the SAME file streamRoot holds for its fingerprint-mismatch wipe, and
+    // it lives OUTSIDE the root: a lock inside the root would be deleted by
+    // the very wipe it is supposed to serialize, letting another JVM rm a
+    // root this one is mid-drain on (round-10 ADVICE). The post-drain READ
+    // of out/ remains the caller's scheduling concern.
     java.nio.file.Files.createDirectories(root.toPath)
     val lockCh = java.nio.channels.FileChannel.open(
-      root.toPath.resolve(".drain.lock"),
+      graft.QueryStage.streamRootLock(root),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
     val lock = lockCh.lock()
     try {
-      drainLocked(stream, root, mode, out, cp)
+      drainLocked(stream, root, mode, out, cp, salt)
     } finally { lock.release(); lockCh.close() }
+    // A first drain over an input dir with zero files runs no batch in
+    // complete mode, so out/ never materializes; surface that as a clear
+    // empty frame of the stream's schema instead of a path-not-found.
+    if (!new java.io.File(out).exists())
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        stream.schema).write.parquet(out)
     spark.read.parquet(out)
   }
 
   private def drainLocked(stream: DataFrame, root: java.io.File, mode: String,
-                          out: String, cp: String)
+                          out: String, cp: String, salt: String)
                          (implicit spark: SparkSession): Unit = {
     // Self-guarding resume: a CHANGED query over a retained checkpoint
     // would otherwise return the OLD query's retained output (the source
@@ -224,6 +235,10 @@ object Streaming {
       md.update(canon.getBytes("UTF-8"))
       md.update(stream.schema.catalogString.getBytes("UTF-8"))
       md.update(mode.getBytes("UTF-8"))
+      // closure-captured parameters (a quota cap, a foreachBatch body knob)
+      // are invisible to the canonicalized plan — callers mix them in here
+      // so a parameter change invalidates the retained output automatically
+      md.update(salt.getBytes("UTF-8"))
       md.digest().map("%02x".format(_)).mkString
     }
     val phPath = root.toPath.resolve("_graft_plan")
