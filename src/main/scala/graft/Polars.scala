@@ -47,7 +47,7 @@ object Polars {
     * whole conditional re-spells per key when a branch is a scanned op. */
   private def buildWhen(pairs: Seq[(Expr, Expr)], otherwise: Option[Expr]): Expr = {
     val es = pairs.flatMap(p => Seq(p._1, p._2)) ++ otherwise.toSeq
-    mkExprK(es) { cols =>
+    val built = mkExprK(es) { cols =>
       val it = cols.iterator
       val chain = pairs.map(_ => (it.next(), it.next()))
       val base = chain.tail.foldLeft(F.when(chain.head._1, chain.head._2)) {
@@ -55,6 +55,9 @@ object Polars {
       }
       otherwise.fold(base)(_ => base.otherwise(it.next()))
     }
+    // polars output naming (expr.rb when/then docs): the first then-branch's
+    // name, or "literal" when it is a literal — a later .alias still wins
+    built.alias(pairs.head._2.meta.outputName.getOrElse("literal"))
   }
   final class When(cond: Expr) {
     def then(v: Expr): WhenThen = new WhenThen(Seq(cond -> v))

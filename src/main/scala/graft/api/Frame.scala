@@ -55,12 +55,26 @@ trait FrameOps[Self] {
   }
 
   // ---- projections (reference: data_frame.rb:3559,3671; lazy_frame.rb:1028,1784) ----
-  def select(exprs: Expr*): Self = make(withIdx(exprs) { d =>
-    d.select(exprs.map(_.col): _*)
-  })
+  def select(exprs0: Expr*): Self = {
+    val exprs = exprs0.map(_.defaultNamed) // polars naming: leaf name / "literal"
+    make(withIdx(exprs) { d =>
+      // polars frame-order guarantee: a windowed/scanned projection comes
+      // back partition-grouped from the shuffle; restore row order via the
+      // hidden index (Catalyst's EliminateSorts removes this sort when a
+      // caller orders the result itself)
+      val bareAgg = exprs.exists(e =>
+        org.apache.spark.sql.GraftInternalOps.hasBareAggregate(e.col))
+      if (d.columns.contains(RowIndex.name) && !bareAgg)
+        d.select((F.col(RowIndex.name) +: exprs.map(_.col)): _*)
+          .orderBy(F.col(RowIndex.name))
+      else d.select(exprs.map(_.col): _*)
+    })
+  }
   def selectNames(names: String*): Self = make(sdf.select(names.map(F.col): _*))
   def withColumns(exprs: (String, Expr)*): Self = make(withIdx(exprs.map(_._2)) { d =>
-    exprs.foldLeft(d) { case (acc, (n, e)) => acc.withColumn(n, e.col) }
+    val out = exprs.foldLeft(d) { case (acc, (n, e)) => acc.withColumn(n, e.col) }
+    // polars frame-order guarantee (see select)
+    if (out.columns.contains(RowIndex.name)) out.orderBy(F.col(RowIndex.name)) else out
   })
   def withColumn(name: String, e: Expr): Self = withColumns(name -> e)
   def withColumnsRenamed(mapping: Map[String, String]): Self =
@@ -95,7 +109,12 @@ trait FrameOps[Self] {
     make(sdf.select(columns.filterNot(names.contains).map(F.col): _*))
 
   // ---- filter (reference: data_frame.rb:1161, lazy_frame.rb:932) ----
-  def filter(pred: Expr): Self = make(withIdx(Seq(pred))(_.filter(pred.col)))
+  def filter(pred: Expr): Self = make(withIdx(Seq(pred)) { d =>
+    val out = d.filter(pred.col)
+    // polars frame-order guarantee (see select) — a windowed predicate
+    // (count.over(k) > 1) otherwise returns shuffle order
+    if (out.columns.contains(RowIndex.name)) out.orderBy(F.col(RowIndex.name)) else out
+  })
   def where(pred: Expr): Self = filter(pred)
 
   // ---- sort / limit (reference: data_frame.rb:1340; §2.6) ----
@@ -187,7 +206,18 @@ trait FrameOps[Self] {
       val j = sdf.join(right, cond, sparkHow)
       make(if (Set("inner", "left", "semi", "anti").contains(how))
         on.foldLeft(j)((d, c) => d.drop(right(c))) else j)
-    } else make(sdf.join(right, on, sparkHow))
+    } else {
+      val j = sdf.join(right, on, sparkHow)
+      // polars column order: left frame's columns in place (keys where they
+      // were), right's non-key columns appended — Spark's using-join hoists
+      // the keys to the front instead
+      make(if (Set("inner", "left", "right", "semi", "anti").contains(how)) {
+        val rightRest =
+          if (how == "semi" || how == "anti") Nil
+          else right1.columns.filterNot(on.contains).toSeq
+        j.select((sdf.columns ++ rightRest).map(F.col): _*)
+      } else j)
+    }
   }
   def joinOn(other: FrameOps[_], leftOn: Seq[String], rightOn: Seq[String],
              how: String = "inner", suffix: String = "_right"): Self = {
@@ -551,10 +581,13 @@ final case class DataFrame(private val df: SDF) extends FrameOps[DataFrame] {
     * (only the row COUNT does, to name the output columns). A transpose is
     * only usable when the row count is modest (it becomes the column count),
     * but the column count — the output row count — can be arbitrarily wide. */
-  def transpose(includeHeader: Boolean = true, headerName: String = "column"): DataFrame = {
+  def transpose(includeHeader: Boolean = true, headerName: String = "column",
+                columnNames: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     val cols = df.columns
     val n = df.count()
+    require(columnNames.isEmpty || columnNames.length == n,
+      s"transpose: ${columnNames.length} column_names for $n rows")
     if (n == 0) {
       // no data rows: one header-only row per column (matches the collect-
       // based shape; nothing to distribute)
@@ -575,8 +608,17 @@ final case class DataFrame(private val df: SDF) extends FrameOps[DataFrame] {
       if (includeHeader)
         Seq(F.element_at(F.array(cols.map(F.lit): _*), F.col("__ci__").cast("int") + 1).as(headerName))
       else Nil
+    // a homogeneous input keeps its dtype through the transpose (polars
+    // semantics — the string cast exists only for the mixed-dtype stack)
+    val uniformDt = df.schema.fields.map(_.dataType).distinct match {
+      case Array(dt) => Some(dt)
+      case _         => None
+    }
     val out = wide.orderBy("__ci__").select(
-      (header ++ (0L until n).map(i => F.col(s"$i").as(s"column_$i"))): _*)
+      (header ++ (0L until n).map { i =>
+        val c = uniformDt.fold(F.col(s"$i"))(dt => F.col(s"$i").cast(dt))
+        c.as(if (columnNames.nonEmpty) columnNames(i.toInt) else s"column_$i")
+      }): _*)
     DataFrame(out)
   }
   /** describe — summary table in the reference's exact shape (reference:

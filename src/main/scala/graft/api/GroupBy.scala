@@ -19,8 +19,11 @@ final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk: SDF => Self) {
     // so the per-group branch's ordered null-preserving struct-collect
     // applies (collect_list would drop nulls and shuffle order). Constants
     // stay scalars (polars broadcasts a literal per group).
-    val exprs = exprs0.map { e =>
-      if (Expr.isImplicitImplode(e))
+    val exprs = exprs0.map { e0 =>
+      // classify on the raw expr (an Alias would mask Literal-constant
+      // detection), materialize under the polars default name
+      val e = e0.defaultNamed
+      if (Expr.isImplicitImplode(e0))
         e.copy(keyed = Some(graft.expr.KeyedForm(_ => Expr(e.col, e.requiresIndex))))
       else e
     }

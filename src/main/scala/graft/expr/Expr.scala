@@ -149,7 +149,11 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     * [[graft.kernel.Scan]] stage over the hidden row index. */
   private def scanned(build: (SDF, String) => SDF): Expr = {
     val out = Scan.fresh("x")
-    Expr(F.col(out), requiresIndex = true,
+    // carry the SOURCE column's polars output name: the scan result column
+    // is a reserved helper, and without the alias a bare select(col.shift(1))
+    // would materialize (and then have withIdx drop) the helper name
+    val named = meta.outputName.fold(F.col(out))(n => F.col(out).as(n))
+    Expr(named, requiresIndex = true,
       preps :+ Prep(out, d => build(d, out), Seq(out, Scan.BUCKET)))
   }
 
@@ -453,8 +457,11 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
       val windowed = org.apache.spark.sql.GraftInternalOps
         .windowCompositeAggregates(col, keyCols)
         .getOrElse(col.over(Window.partitionBy(keyCols: _*)))
-      Expr(windowed,
-        requiresIndex || partitionBy.exists(_.requiresIndex), mergedWith(partitionBy: _*))
+      // requiresIndex: the window shuffle scrambles row order; the hidden
+      // index lets the projection restore polars' frame-order guarantee
+      // (select/withColumns/filter re-sort; a caller's own orderBy replaces
+      // that sort via EliminateSorts)
+      Expr(windowed, requiresIndex = true, mergedWith(partitionBy: _*))
   }
   def over(w: WindowSpec): Expr = {
     if (keyed.isDefined || groupAgg.isDefined || preps.nonEmpty)
@@ -567,7 +574,9 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   def rank(method: String = "average", descending: Boolean = false,
            seed: Long = 0L): Expr = {
     val out = Scan.fresh("x")
-    Expr(F.col(out),
+    // alias to the source's polars name — the helper is a reserved column a
+    // bare select would otherwise drop (see `scanned`)
+    Expr(meta.outputName.fold(F.col(out))(n => F.col(out).as(n)),
       requiresIndex = method == "ordinal" || method == "random" || requiresIndex,
       preps :+ Prep(out, d => Scan.withRank(d, col, out, method, descending, seed), Seq(out)),
       keyed = Some(KeyedForm { keys =>
@@ -1215,6 +1224,15 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   def struct: StructNS = new StructNS(this)
   def name: NameNS = new NameNS(this)
   def meta: MetaNS = new MetaNS(this)
+  /** polars default output naming (select/agg without an explicit alias):
+    * the left-most referenced column's name; "literal" for pure literals.
+    * Star/regex selectors pass through untouched — aliasing them would
+    * collapse the expansion. A caller's .alias re-applies on top. */
+  private[graft] def defaultNamed: Expr = meta.outputName match {
+    case Some(n) if n != "*" && !n.startsWith("^") => alias(n)
+    case None => alias("literal")
+    case _ => this
+  }
 }
 
 object Expr {

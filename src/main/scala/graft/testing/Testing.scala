@@ -72,8 +72,10 @@ object Testing {
     case (x, y) => x == y
   }
 
-  /** Render the polars-style table: shape line + box-drawing frame with a
-    * dtype row, matching the reference's docstring golden format. */
+  /** Render the polars-style table: shape line + box-drawing frame with the
+    * `---` separator and dtype rows, matching the reference's docstring
+    * golden format exactly (`test/docs_test.rb:190-209` string-compares
+    * these renderings; DocExamplesSpec ports a slice of that corpus). */
   def render(df: DataFrame, maxRows: Int = 10): String = {
     val total = df.count()
     val rows = df.limit(maxRows).collect()
@@ -81,7 +83,8 @@ object Testing {
     val dtypes = df.schema.fields.map(f => dtypeName(f.dataType)).toSeq
     val cells = rows.map(_.toSeq.map(fmt))
     val widths = names.indices.map { c =>
-      (Seq(names(c).length, dtypes(c).length) ++ cells.map(_(c).length)).max
+      // 3 = the `---` separator row's width floor
+      (Seq(3, names(c).length, dtypes(c).length) ++ cells.map(_(c).length)).max
     }
     def line(l: String, m: String, r: String, fill: String = "─") =
       widths.map(w => fill * (w + 2)).mkString(l, m, r)
@@ -91,6 +94,7 @@ object Testing {
     sb.append(s"shape: ($total, ${names.size})\n")
     sb.append(line("┌", "┬", "┐")).append('\n')
     sb.append(row(names)).append('\n')
+    sb.append(row(names.map(_ => "---"))).append('\n')
     sb.append(row(dtypes)).append('\n')
     sb.append(line("╞", "╪", "╡", "═")).append('\n')
     cells.zipWithIndex.foreach { case (cs, i) =>
@@ -103,8 +107,10 @@ object Testing {
 
   private def fmt(v: Any): String = v match {
     case null => "null"
-    case s: String => s""""$s""""
+    case s: String => s
     case d: Double => if (d == d.floor && math.abs(d) < 1e15) s"${d.toLong}.0" else d.toString
+    case f: Float => fmt(f.toDouble)
+    case s: Seq[_] => s.map(fmt).mkString("[", ", ", "]")
     case x => x.toString
   }
 

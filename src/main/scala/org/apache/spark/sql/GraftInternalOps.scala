@@ -93,6 +93,39 @@ object GraftInternalOps {
     * unresolvable names) or any window expression makes this false, so
     * unknowns keep their pre-existing aggregate treatment instead of being
     * silently imploded. */
+  /** True when the column contains an aggregate function NOT wrapped in a
+    * window — a projection of such an expr collapses the frame to one row
+    * (`select(col.str.join(","))`), so selecting the hidden row index
+    * alongside it would be MISSING_GROUP_BY. Windowed aggregates are row-
+    * parallel and return false. Unresolvable function names count as
+    * aggregates (conservative: the caller skips an order-restoring sort,
+    * which is only ever a no-op for one-row results). */
+  def hasBareAggregate(c: Column): Boolean = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions.WindowExpression
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction}
+    def isAggName(f: UnresolvedFunction): Boolean = {
+      val resolved = scala.util.Try {
+        org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.lookupFunction(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(f.nameParts.head.toLowerCase),
+          f.arguments)
+      }.toOption
+      resolved.forall {
+        case _: AggregateFunction   => true
+        case _: AggregateExpression => true
+        case _                      => false
+      }
+    }
+    def scan(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = e match {
+      case _: WindowExpression                                        => false
+      case w if w.getClass.getSimpleName == "UnresolvedWindowExpression" => false
+      case f: UnresolvedFunction                                      => isAggName(f) || f.children.exists(scan)
+      case _: AggregateExpression | _: AggregateFunction              => true
+      case other                                                      => other.children.exists(scan)
+    }
+    scan(catalystExpression(c))
+  }
+
   def provablyAggregateFree(c: Column): Boolean = {
     var ok = true
     catalystExpression(c).foreach {

@@ -1,0 +1,471 @@
+package graft
+
+import graft.Polars
+import graft.api.DataFrame
+import graft.testing.Testing
+import org.apache.spark.sql.{functions => F}
+
+/** Golden corpus ported from the reference's `@example` docstrings
+  * (round-10 verdict #8). The reference's main correctness net string-
+  * compares every rendered example table (`test/docs_test.rb:190-209`);
+  * this spec ports a high-traffic slice VERBATIM — same inputs, same call
+  * chain, same expected rendering — through graft's API and
+  * `Testing.render`. Expected strings are copied character-for-character
+  * from the reference docstrings (data_frame.rb / expr.rb /
+  * string_expr.rb); only u32-typed examples are excluded (Spark has no
+  * unsigned ints — documented in COVERAGE.md §dtypes), plus
+  * order-nondeterministic ops (unique/pivot), which are value-gated
+  * elsewhere. */
+class DocExamplesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(df: DataFrame, expected: String): Unit = {
+    val got = Testing.render(df.toSpark)
+    assert(got == expected.stripMargin.trim,
+      s"\n--- rendered ---\n$got\n--- expected ---\n${expected.stripMargin.trim}")
+  }
+
+  // data_frame.rb sort: df.sort("foo", reverse: true)
+  private def fooBarHam = DataFrame(Seq(
+    (1L, 6.0, "a"), (2L, 7.0, "b"), (3L, 8.0, "c")).toDF("foo", "bar", "ham"))
+
+  test("data_frame.rb sort descending") {
+    check(fooBarHam.sort("foo", descending = true),
+      """shape: (3, 3)
+        |┌─────┬─────┬─────┐
+        |│ foo ┆ bar ┆ ham │
+        |│ --- ┆ --- ┆ --- │
+        |│ i64 ┆ f64 ┆ str │
+        |╞═════╪═════╪═════╡
+        |│ 3   ┆ 8.0 ┆ c   │
+        |│ 2   ┆ 7.0 ┆ b   │
+        |│ 1   ┆ 6.0 ┆ a   │
+        |└─────┴─────┴─────┘""")
+  }
+
+  test("data_frame.rb filter: single and multiple conditions") {
+    val df = DataFrame(Seq(
+      (1L, 6L, "a"), (2L, 7L, "b"), (3L, 8L, "c")).toDF("foo", "bar", "ham"))
+    check(df.filter(Polars.col("foo") < 3),
+      """shape: (2, 3)
+        |┌─────┬─────┬─────┐
+        |│ foo ┆ bar ┆ ham │
+        |│ --- ┆ --- ┆ --- │
+        |│ i64 ┆ i64 ┆ str │
+        |╞═════╪═════╪═════╡
+        |│ 1   ┆ 6   ┆ a   │
+        |│ 2   ┆ 7   ┆ b   │
+        |└─────┴─────┴─────┘""")
+    check(df.filter((Polars.col("foo") < 3) && (Polars.col("ham") === "a")),
+      """shape: (1, 3)
+        |┌─────┬─────┬─────┐
+        |│ foo ┆ bar ┆ ham │
+        |│ --- ┆ --- ┆ --- │
+        |│ i64 ┆ i64 ┆ str │
+        |╞═════╪═════╪═════╡
+        |│ 1   ┆ 6   ┆ a   │
+        |└─────┴─────┴─────┘""")
+  }
+
+  test("data_frame.rb select: names, arithmetic, when/then literal naming") {
+    val df = DataFrame(Seq(
+      (1L, 6L, "a"), (2L, 7L, "b"), (3L, 8L, "c")).toDF("foo", "bar", "ham"))
+    check(df.selectNames("foo", "bar"),
+      """shape: (3, 2)
+        |┌─────┬─────┐
+        |│ foo ┆ bar │
+        |│ --- ┆ --- │
+        |│ i64 ┆ i64 │
+        |╞═════╪═════╡
+        |│ 1   ┆ 6   │
+        |│ 2   ┆ 7   │
+        |│ 3   ┆ 8   │
+        |└─────┴─────┘""")
+    check(df.select(Polars.col("foo") + 1),
+      """shape: (3, 1)
+        |┌─────┐
+        |│ foo │
+        |│ --- │
+        |│ i64 │
+        |╞═════╡
+        |│ 2   │
+        |│ 3   │
+        |│ 4   │
+        |└─────┘""")
+    check(df.select(Polars.when(Polars.col("foo") > 2).then(10).otherwise(0)),
+      """shape: (3, 1)
+        |┌─────────┐
+        |│ literal │
+        |│ ---     │
+        |│ i32     │
+        |╞═════════╡
+        |│ 0       │
+        |│ 0       │
+        |│ 10      │
+        |└─────────┘""")
+  }
+
+  test("data_frame.rb join: left, semi, anti keep polars column order") {
+    val other = DataFrame(Seq(
+      ("x", "a"), ("y", "b"), ("z", "d")).toDF("apple", "ham"))
+    check(fooBarHam.join(other, on = Seq("ham"), how = "left"),
+      """shape: (3, 4)
+        |┌─────┬─────┬─────┬───────┐
+        |│ foo ┆ bar ┆ ham ┆ apple │
+        |│ --- ┆ --- ┆ --- ┆ ---   │
+        |│ i64 ┆ f64 ┆ str ┆ str   │
+        |╞═════╪═════╪═════╪═══════╡
+        |│ 1   ┆ 6.0 ┆ a   ┆ x     │
+        |│ 2   ┆ 7.0 ┆ b   ┆ y     │
+        |│ 3   ┆ 8.0 ┆ c   ┆ null  │
+        |└─────┴─────┴─────┴───────┘""")
+    check(fooBarHam.join(other, on = Seq("ham"), how = "semi"),
+      """shape: (2, 3)
+        |┌─────┬─────┬─────┐
+        |│ foo ┆ bar ┆ ham │
+        |│ --- ┆ --- ┆ --- │
+        |│ i64 ┆ f64 ┆ str │
+        |╞═════╪═════╪═════╡
+        |│ 1   ┆ 6.0 ┆ a   │
+        |│ 2   ┆ 7.0 ┆ b   │
+        |└─────┴─────┴─────┘""")
+    check(fooBarHam.join(other, on = Seq("ham"), how = "anti"),
+      """shape: (1, 3)
+        |┌─────┬─────┬─────┐
+        |│ foo ┆ bar ┆ ham │
+        |│ --- ┆ --- ┆ --- │
+        |│ i64 ┆ f64 ┆ str │
+        |╞═════╪═════╪═════╡
+        |│ 3   ┆ 8.0 ┆ c   │
+        |└─────┴─────┴─────┘""")
+  }
+
+  test("data_frame.rb head(3)") {
+    val df = DataFrame(Seq(
+      (1L, 6L, "a"), (2L, 7L, "b"), (3L, 8L, "c"), (4L, 9L, "d"), (5L, 10L, "e"))
+      .toDF("foo", "bar", "ham"))
+    check(df.head(3),
+      """shape: (3, 3)
+        |┌─────┬─────┬─────┐
+        |│ foo ┆ bar ┆ ham │
+        |│ --- ┆ --- ┆ --- │
+        |│ i64 ┆ i64 ┆ str │
+        |╞═════╪═════╪═════╡
+        |│ 1   ┆ 6   ┆ a   │
+        |│ 2   ┆ 7   ┆ b   │
+        |│ 3   ┆ 8   ┆ c   │
+        |└─────┴─────┴─────┘""")
+  }
+
+  test("data_frame.rb explode on a list column") {
+    val df = DataFrame(Seq(
+      ("a", Seq(1L)), ("a", Seq(2L, 3L)), ("b", Seq(4L, 5L)), ("c", Seq(6L, 7L, 8L)))
+      .toDF("letters", "numbers"))
+    check(df.explode("numbers"),
+      """shape: (8, 2)
+        |┌─────────┬─────────┐
+        |│ letters ┆ numbers │
+        |│ ---     ┆ ---     │
+        |│ str     ┆ i64     │
+        |╞═════════╪═════════╡
+        |│ a       ┆ 1       │
+        |│ a       ┆ 2       │
+        |│ a       ┆ 3       │
+        |│ b       ┆ 4       │
+        |│ b       ┆ 5       │
+        |│ c       ┆ 6       │
+        |│ c       ┆ 7       │
+        |│ c       ┆ 8       │
+        |└─────────┴─────────┘""")
+  }
+
+  test("data_frame.rb rename") {
+    val df = DataFrame(Seq(
+      (1L, 6L, "a"), (2L, 7L, "b"), (3L, 8L, "c")).toDF("foo", "bar", "ham"))
+    check(df.rename(Map("foo" -> "apple")),
+      """shape: (3, 3)
+        |┌───────┬─────┬─────┐
+        |│ apple ┆ bar ┆ ham │
+        |│ ---   ┆ --- ┆ --- │
+        |│ i64   ┆ i64 ┆ str │
+        |╞═══════╪═════╪═════╡
+        |│ 1     ┆ 6   ┆ a   │
+        |│ 2     ┆ 7   ┆ b   │
+        |│ 3     ┆ 8   ┆ c   │
+        |└───────┴─────┴─────┘""")
+  }
+
+  test("data_frame.rb fill_null with a value") {
+    val df = DataFrame(Seq[(Option[Long], Option[Double])](
+      (Some(1L), Some(0.5)), (Some(2L), Some(4.0)), (None, None), (Some(4L), Some(13.0)))
+      .toDF("a", "b"))
+    check(df.fillNull(99),
+      """shape: (4, 2)
+        |┌─────┬──────┐
+        |│ a   ┆ b    │
+        |│ --- ┆ ---  │
+        |│ i64 ┆ f64  │
+        |╞═════╪══════╡
+        |│ 1   ┆ 0.5  │
+        |│ 2   ┆ 4.0  │
+        |│ 99  ┆ 99.0 │
+        |│ 4   ┆ 13.0 │
+        |└─────┴──────┘""")
+  }
+
+  test("data_frame.rb vstack") {
+    val df1 = DataFrame(Seq((1L, 6L, "a"), (2L, 7L, "b")).toDF("foo", "bar", "ham"))
+    val df2 = DataFrame(Seq((3L, 8L, "c"), (4L, 9L, "d")).toDF("foo", "bar", "ham"))
+    check(df1.vstack(df2),
+      """shape: (4, 3)
+        |┌─────┬─────┬─────┐
+        |│ foo ┆ bar ┆ ham │
+        |│ --- ┆ --- ┆ --- │
+        |│ i64 ┆ i64 ┆ str │
+        |╞═════╪═════╪═════╡
+        |│ 1   ┆ 6   ┆ a   │
+        |│ 2   ┆ 7   ┆ b   │
+        |│ 3   ┆ 8   ┆ c   │
+        |│ 4   ┆ 9   ┆ d   │
+        |└─────┴─────┴─────┘""")
+  }
+
+  test("data_frame.rb transpose with column_names keeps the i64 dtype") {
+    val df = DataFrame(Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("a", "b"))
+    check(df.transpose(includeHeader = false, columnNames = Seq("a", "b", "c")),
+      """shape: (2, 3)
+        |┌─────┬─────┬─────┐
+        |│ a   ┆ b   ┆ c   │
+        |│ --- ┆ --- ┆ --- │
+        |│ i64 ┆ i64 ┆ i64 │
+        |╞═════╪═════╪═════╡
+        |│ 1   ┆ 2   ┆ 3   │
+        |│ 1   ┆ 2   ┆ 3   │
+        |└─────┴─────┴─────┘""")
+    check(df.transpose(includeHeader = true, headerName = "foo",
+        columnNames = Seq("a", "b", "c")),
+      """shape: (2, 4)
+        |┌─────┬─────┬─────┬─────┐
+        |│ foo ┆ a   ┆ b   ┆ c   │
+        |│ --- ┆ --- ┆ --- ┆ --- │
+        |│ str ┆ i64 ┆ i64 ┆ i64 │
+        |╞═════╪═════╪═════╪═════╡
+        |│ a   ┆ 1   ┆ 2   ┆ 3   │
+        |│ b   ┆ 1   ┆ 2   ┆ 3   │
+        |└─────┴─────┴─────┴─────┘""")
+  }
+
+  test("data_frame.rb group_by agg sum") {
+    val df = DataFrame(Seq(
+      ("a", 1L, 6L), ("b", 2L, 5L), ("a", 3L, 4L), ("b", 4L, 3L), ("b", 5L, 2L), ("c", 6L, 1L))
+      .toDF("a", "b", "c"))
+    check(df.groupBy("a").agg(Polars.col("b").sum).sort("a"),
+      """shape: (3, 2)
+        |┌─────┬─────┐
+        |│ a   ┆ b   │
+        |│ --- ┆ --- │
+        |│ str ┆ i64 │
+        |╞═════╪═════╡
+        |│ a   ┆ 4   │
+        |│ b   ┆ 11  │
+        |│ c   ┆ 6   │
+        |└─────┴─────┘""")
+  }
+
+  test("expr.rb cum_sum forward and reverse") {
+    val df = DataFrame(Seq(1L, 2L, 3L, 4L).toDF("a"))
+    check(df.select(
+        Polars.col("a").cumSum(),
+        Polars.col("a").cumSum(reverse = true).alias("a_reverse")),
+      """shape: (4, 2)
+        |┌─────┬───────────┐
+        |│ a   ┆ a_reverse │
+        |│ --- ┆ ---       │
+        |│ i64 ┆ i64       │
+        |╞═════╪═══════════╡
+        |│ 1   ┆ 10        │
+        |│ 3   ┆ 9         │
+        |│ 6   ┆ 7         │
+        |│ 10  ┆ 4         │
+        |└─────┴───────────┘""")
+  }
+
+  test("expr.rb shift(1)") {
+    val df = DataFrame(Seq(1L, 2L, 3L, 4L).toDF("foo"))
+    check(df.select(Polars.col("foo").shift(1)),
+      """shape: (4, 1)
+        |┌──────┐
+        |│ foo  │
+        |│ ---  │
+        |│ i64  │
+        |╞══════╡
+        |│ null │
+        |│ 1    │
+        |│ 2    │
+        |│ 3    │
+        |└──────┘""")
+  }
+
+  test("expr.rb rank: the 'average' method") {
+    val df = DataFrame(Seq(3L, 6L, 1L, 1L, 6L).toDF("a"))
+    check(df.select(Polars.col("a").rank()),
+      """shape: (5, 1)
+        |┌─────┐
+        |│ a   │
+        |│ --- │
+        |│ f64 │
+        |╞═════╡
+        |│ 3.0 │
+        |│ 4.5 │
+        |│ 1.5 │
+        |│ 1.5 │
+        |│ 4.5 │
+        |└─────┘""")
+  }
+
+  test("expr.rb over: windowed max and keyed sum") {
+    val df = DataFrame(Seq(
+      ("g1", 1L), ("g1", 2L), ("g2", 3L)).toDF("groups", "values"))
+    check(df.withColumns(
+        "max_by_group" -> Polars.col("values").max.over(Polars.col("groups"))),
+      """shape: (3, 3)
+        |┌────────┬────────┬──────────────┐
+        |│ groups ┆ values ┆ max_by_group │
+        |│ ---    ┆ ---    ┆ ---          │
+        |│ str    ┆ i64    ┆ i64          │
+        |╞════════╪════════╪══════════════╡
+        |│ g1     ┆ 1      ┆ 2            │
+        |│ g1     ┆ 2      ┆ 2            │
+        |│ g2     ┆ 3      ┆ 3            │
+        |└────────┴────────┴──────────────┘""")
+    val df2 = DataFrame(Seq(
+      (1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L), (1L, 5L), (2L, 6L), (3L, 7L), (3L, 8L), (1L, 8L))
+      .toDF("groups", "values"))
+    check(df2.select(Polars.col("groups").sum.over(Polars.col("groups"))),
+      """shape: (9, 1)
+        |┌────────┐
+        |│ groups │
+        |│ ---    │
+        |│ i64    │
+        |╞════════╡
+        |│ 4      │
+        |│ 4      │
+        |│ 6      │
+        |│ 6      │
+        |│ 4      │
+        |│ 6      │
+        |│ 6      │
+        |│ 6      │
+        |│ 4      │
+        |└────────┘""")
+  }
+
+  test("expr.rb is_in against a list column") {
+    val df = DataFrame(Seq(
+      (Seq(1L, 2L, 3L), 1L), (Seq(1L, 2L), 2L), (Seq(9L, 10L), 3L))
+      .toDF("sets", "optional_members"))
+    check(df.select(
+        Polars.col("optional_members").isIn(Polars.col("sets")).alias("contains")),
+      """shape: (3, 1)
+        |┌──────────┐
+        |│ contains │
+        |│ ---      │
+        |│ bool     │
+        |╞══════════╡
+        |│ true     │
+        |│ true     │
+        |│ false    │
+        |└──────────┘""")
+  }
+
+  test("expr.rb diff") {
+    val df = DataFrame(Seq(20L, 10L, 30L).toDF("a"))
+    check(df.select(Polars.col("a").diff()),
+      """shape: (3, 1)
+        |┌──────┐
+        |│ a    │
+        |│ ---  │
+        |│ i64  │
+        |╞══════╡
+        |│ null │
+        |│ -10  │
+        |│ 20   │
+        |└──────┘""")
+  }
+
+  test("string_expr.rb to_uppercase") {
+    val df = DataFrame(Seq("cat", "dog").toDF("foo"))
+    check(df.select(Polars.col("foo").str.toUppercase),
+      """shape: (2, 1)
+        |┌─────┐
+        |│ foo │
+        |│ --- │
+        |│ str │
+        |╞═════╡
+        |│ CAT │
+        |│ DOG │
+        |└─────┘""")
+  }
+
+  test("string_expr.rb contains: regex and literal") {
+    val df = DataFrame(Seq(
+      Option("Crab"), Option("cat and dog"), Option("rab$bit"), None).toDF("a"))
+    check(df.select(
+        Polars.col("a"),
+        Polars.col("a").str.contains("cat|bit").alias("regex"),
+        Polars.col("a").str.contains("rab$", literal = true).alias("literal")),
+      """shape: (4, 3)
+        |┌─────────────┬───────┬─────────┐
+        |│ a           ┆ regex ┆ literal │
+        |│ ---         ┆ ---   ┆ ---     │
+        |│ str         ┆ bool  ┆ bool    │
+        |╞═════════════╪═══════╪═════════╡
+        |│ Crab        ┆ false ┆ false   │
+        |│ cat and dog ┆ true  ┆ false   │
+        |│ rab$bit     ┆ true  ┆ true    │
+        |│ null        ┆ null  ┆ null    │
+        |└─────────────┴───────┴─────────┘""")
+  }
+
+  test("string_expr.rb starts_with: column and filter") {
+    val df = DataFrame(Seq(Option("apple"), Option("mango"), None).toDF("fruits"))
+    check(df.withColumns(
+        "has_prefix" -> Polars.col("fruits").str.startsWith("app")),
+      """shape: (3, 2)
+        |┌────────┬────────────┐
+        |│ fruits ┆ has_prefix │
+        |│ ---    ┆ ---        │
+        |│ str    ┆ bool       │
+        |╞════════╪════════════╡
+        |│ apple  ┆ true       │
+        |│ mango  ┆ false      │
+        |│ null   ┆ null       │
+        |└────────┴────────────┘""")
+    check(df.filter(Polars.col("fruits").str.startsWith("app")),
+      """shape: (1, 1)
+        |┌────────┐
+        |│ fruits │
+        |│ ---    │
+        |│ str    │
+        |╞════════╡
+        |│ apple  │
+        |└────────┘""")
+  }
+
+  test("string_expr.rb slice(-3)") {
+    val df = DataFrame(Seq(
+      Option("pear"), None, Option("papaya"), Option("dragonfruit")).toDF("s"))
+    check(df.withColumns("s_sliced" -> Polars.col("s").str.slice(-3)),
+      """shape: (4, 2)
+        |┌─────────────┬──────────┐
+        |│ s           ┆ s_sliced │
+        |│ ---         ┆ ---      │
+        |│ str         ┆ str      │
+        |╞═════════════╪══════════╡
+        |│ pear        ┆ ear      │
+        |│ null        ┆ null     │
+        |│ papaya      ┆ aya      │
+        |│ dragonfruit ┆ uit      │
+        |└─────────────┴──────────┘""")
+  }
+}

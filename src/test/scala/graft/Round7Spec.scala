@@ -135,9 +135,16 @@ class Round7Spec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       df.groupBy("k").agg(col("v").cumSum(), col("v").shift(1)))
     assert(e.getMessage.contains("duplicate"), e.getMessage)
-    // ...but plain aggregates under Spark's own names never false-positive
+    // polars default naming (round 11): unaliased sum("v")/avg("v") BOTH
+    // materialize as "v", so the pair raises DuplicateError like polars;
+    // distinct aliases pass
+    val e2 = intercept[IllegalArgumentException](
+      df.groupBy("k").agg(col("v").cumSum().alias("cs"),
+        graft.expr.Expr(F.sum(F.col("v"))), graft.expr.Expr(F.avg(F.col("v")))))
+    assert(e2.getMessage.contains("duplicate"), e2.getMessage)
     val ok = df.groupBy("k").agg(col("v").cumSum().alias("cs"),
-      graft.expr.Expr(F.sum(F.col("v"))), graft.expr.Expr(F.avg(F.col("v")))).toSpark
+      graft.expr.Expr(F.sum(F.col("v"))).alias("s"),
+      graft.expr.Expr(F.avg(F.col("v"))).alias("a")).toSpark
     assert(ok.columns.length == 4)
 
     // order-sensitive aggregate of a scanned op: row-order discipline holds

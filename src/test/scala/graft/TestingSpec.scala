@@ -30,7 +30,8 @@ class TestingSpec extends SparkSpec {
     assert(out.startsWith("shape: (2, 3)"))
     assert(out.contains("┌") && out.contains("╞") && out.contains("┆"))
     assert(out.contains("i64") && out.contains("str") && out.contains("f64"))
-    assert(out.contains("\"one\"") && out.contains("1.5"))
+    assert(out.contains("---")) // the polars separator row
+    assert(out.contains("one") && out.contains("1.5"))
   }
 
   test("series construction, accessors and equality") {
