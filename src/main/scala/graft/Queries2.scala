@@ -467,10 +467,10 @@ object Queries2 {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_dt_parts" ->
       """SELECT o_orderkey,
-        |CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
-        |CAST(quarter(o_orderdate) AS INT) AS q, CAST(day(o_orderdate) AS INT) AS d,
-        |CAST(isodow(o_orderdate) AS INT) AS iso_dow,
-        |CAST(dayofyear(o_orderdate) AS INT) AS doy
+        |CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS TINYINT) AS m,
+        |CAST(quarter(o_orderdate) AS TINYINT) AS q, CAST(day(o_orderdate) AS TINYINT) AS d,
+        |CAST(isodow(o_orderdate) AS TINYINT) AS iso_dow,
+        |CAST(dayofyear(o_orderdate) AS SMALLINT) AS doy
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_dt_strftime" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS n,

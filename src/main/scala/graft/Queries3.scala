@@ -84,7 +84,11 @@ object Queries3 {
       .select(
         col("vec_id"),
         col("embedding").list.get(0).cast(org.apache.spark.sql.types.DoubleType).alias("e0"),
-        col("embedding").list.slice(0, 3).list.sum.alias("head3_sum"),
+        // cast to f64 BEFORE the sum: element-typed sum (f32) accumulates in
+        // float, which the double-summing DuckDB oracle cannot reproduce
+        col("embedding").list.slice(0, 3)
+          .cast(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+          .list.sum.alias("head3_sum"),
         col("embedding").list.max.cast(org.apache.spark.sql.types.DoubleType).alias("emax"),
         (col("embedding").list.argMax + 1).alias("argmax_1based"),
         col("embedding").list.contains(0.5f).alias("has_half"))

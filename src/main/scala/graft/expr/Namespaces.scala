@@ -177,18 +177,22 @@ final class StrNS(e: Expr) {
 final class DtNS(e: Expr) {
   private def m(f: Column => Column): Expr = e.mapElementwise(f)
 
+  // polars dtype parity for calendar parts (reference date_time_expr.rb
+  // docstrings): year/iso_year i32; quarter/month/week/weekday/day/hour/
+  // minute/second i8; ordinal_day i16 — Spark's part functions all return
+  // i32, so the narrow casts are applied here once
   def year: Expr = m(F.year)
   def isoYear: Expr = m(Strftime.isoYear) // Thursday-of-week trick; 'YYYY' pattern throws on Spark 4
-  def quarter: Expr = m(F.quarter)
-  def month: Expr = m(F.month)
-  def week: Expr = m(F.weekofyear)
+  def quarter: Expr = m(c => F.quarter(c).cast("tinyint"))
+  def month: Expr = m(c => F.month(c).cast("tinyint"))
+  def week: Expr = m(c => F.weekofyear(c).cast("tinyint"))
   /** ISO weekday 1=Mon..7=Sun (Spark dayofweek is 1=Sun..7=Sat). */
-  def weekday: Expr = m(c => ((F.dayofweek(c) + 5) % 7) + 1)
-  def day: Expr = m(F.dayofmonth)
-  def ordinalDay: Expr = m(F.dayofyear)
-  def hour: Expr = m(F.hour)
-  def minute: Expr = m(F.minute)
-  def second: Expr = m(F.second)
+  def weekday: Expr = m(c => (((F.dayofweek(c) + 5) % 7) + 1).cast("tinyint"))
+  def day: Expr = m(c => F.dayofmonth(c).cast("tinyint"))
+  def ordinalDay: Expr = m(c => F.dayofyear(c).cast("smallint"))
+  def hour: Expr = m(c => F.hour(c).cast("tinyint"))
+  def minute: Expr = m(c => F.minute(c).cast("tinyint"))
+  def second: Expr = m(c => F.second(c).cast("tinyint"))
   def millisecond: Expr = m(c => (F.date_format(c, "SSS")).cast("int"))
   def microsecond: Expr = m(c => (F.date_format(c, "SSSSSS")).cast("int"))
   def nanosecond: Expr = m(c => (F.date_format(c, "SSSSSS")).cast("int") * 1000)
@@ -360,7 +364,12 @@ final class ListNS(e: Expr) {
   def len: Expr = m(F.size)
   def lengths: Expr = len
   def dropNulls: Expr = m(c => F.filter(c, _.isNotNull))
-  def sum: Expr = m(c => F.aggregate(F.filter(c, _.isNotNull), F.lit(0.0), (acc, x) => acc + x))
+  /** Element-type-preserving sum (polars: sum of list[i64] is i64). The
+    * zero literal is conjured IN the element's type by appending int 0 to
+    * the array (coerced) and taking the last element — a lit(0.0) init
+    * would silently promote every integer list to f64. */
+  def sum: Expr = m(c => F.aggregate(F.filter(c, _.isNotNull),
+    F.element_at(F.array_append(c, F.lit(0)), -1), (acc, x) => acc + x))
   def max: Expr = m(F.array_max)
   def min: Expr = m(F.array_min)
   def mean: Expr = m { c =>
@@ -374,7 +383,9 @@ final class ListNS(e: Expr) {
   def nUnique: Expr = m(c => F.size(F.array_distinct(c)))
   def concat(o: Expr): Expr = Expr(F.concat(e.col, o.col),
     e.requiresIndex || o.requiresIndex, Expr.mergePreps(e.preps, o.preps))
-  def get(i: Int): Expr = m(c => F.element_at(c, if (i >= 0) i + 1 else i))
+  // try_element_at: out-of-bounds is null (polars null_on_oob semantics) —
+  // plain element_at THROWS under Spark 4's ANSI default
+  def get(i: Int): Expr = m(c => F.try_element_at(c, F.lit(if (i >= 0) i + 1 else i)))
   def first: Expr = get(0)
   def last: Expr = get(-1)
   def gather(indices: Seq[Int]): Expr =

@@ -105,12 +105,34 @@ object Testing {
     sb.toString
   }
 
+  /** Render a Series in the polars format the reference docstrings golden:
+    * shape line, `Series: 'name' [dtype]`, tab-indented values in brackets
+    * (docs_test expands the tab to 8 spaces when comparing). Strings are
+    * quoted here — unlike table CELLS, polars quotes strings in Series
+    * display. */
+  def renderSeries(s: graft.api.Series, maxRows: Int = 10): String = {
+    val total = s.df.count()
+    val rows = s.df.limit(maxRows).collect().map(_.get(0))
+    val sb = new StringBuilder
+    sb.append(s"shape: ($total,)\n")
+    sb.append(s"Series: '${s.name}' [${dtypeName(s.dtype)}]\n[\n")
+    rows.foreach(v => sb.append('\t').append(fmtSeries(v)).append('\n'))
+    if (total > maxRows) sb.append("\t…\n")
+    sb.append("]")
+    sb.toString
+  }
+
+  private def fmtSeries(v: Any): String = v match {
+    case s: String => s""""$s""""
+    case other     => fmt(other)
+  }
+
   private def fmt(v: Any): String = v match {
     case null => "null"
     case s: String => s
     case d: Double => if (d == d.floor && math.abs(d) < 1e15) s"${d.toLong}.0" else d.toString
     case f: Float => fmt(f.toDouble)
-    case s: Seq[_] => s.map(fmt).mkString("[", ", ", "]")
+    case s: scala.collection.Seq[_] => s.map(fmt).mkString("[", ", ", "]") // Spark rows carry mutable.ArraySeq
     case x => x.toString
   }
 

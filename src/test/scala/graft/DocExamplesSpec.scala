@@ -452,6 +452,134 @@ class DocExamplesSpec extends SparkSpec {
         |└────────┘""")
   }
 
+  test("date_time_expr.rb year/iso_year") {
+    val df = DataFrame(Seq("1977-01-01", "1978-01-01", "1979-01-01").toDF("s")
+      .select(F.to_date(F.col("s")).as("date")))
+    check(df.withColumns(
+        "calendar_year" -> Polars.col("date").dt.year,
+        "iso_year" -> Polars.col("date").dt.isoYear),
+      """shape: (3, 3)
+        |┌────────────┬───────────────┬──────────┐
+        |│ date       ┆ calendar_year ┆ iso_year │
+        |│ ---        ┆ ---           ┆ ---      │
+        |│ date       ┆ i32           ┆ i32      │
+        |╞════════════╪═══════════════╪══════════╡
+        |│ 1977-01-01 ┆ 1977          ┆ 1976     │
+        |│ 1978-01-01 ┆ 1978          ┆ 1977     │
+        |│ 1979-01-01 ┆ 1979          ┆ 1979     │
+        |└────────────┴───────────────┴──────────┘""")
+  }
+
+  test("date_time_expr.rb month is i8") {
+    val df = DataFrame(Seq("2001-01-01", "2001-06-30", "2001-12-27").toDF("s")
+      .select(F.to_date(F.col("s")).as("date")))
+    check(df.withColumns("month" -> Polars.col("date").dt.month),
+      """shape: (3, 2)
+        |┌────────────┬───────┐
+        |│ date       ┆ month │
+        |│ ---        ┆ ---   │
+        |│ date       ┆ i8    │
+        |╞════════════╪═══════╡
+        |│ 2001-01-01 ┆ 1     │
+        |│ 2001-06-30 ┆ 6     │
+        |│ 2001-12-27 ┆ 12    │
+        |└────────────┴───────┘""")
+  }
+
+  test("date_time_expr.rb weekday/day/ordinal_day dtypes") {
+    val df = DataFrame(Seq("2001-12-22", "2001-12-23", "2001-12-24", "2001-12-25")
+      .toDF("s").select(F.to_date(F.col("s")).as("date")))
+    check(df.withColumns(
+        "weekday" -> Polars.col("date").dt.weekday,
+        "day_of_month" -> Polars.col("date").dt.day,
+        "day_of_year" -> Polars.col("date").dt.ordinalDay),
+      """shape: (4, 4)
+        |┌────────────┬─────────┬──────────────┬─────────────┐
+        |│ date       ┆ weekday ┆ day_of_month ┆ day_of_year │
+        |│ ---        ┆ ---     ┆ ---          ┆ ---         │
+        |│ date       ┆ i8      ┆ i8           ┆ i16         │
+        |╞════════════╪═════════╪══════════════╪═════════════╡
+        |│ 2001-12-22 ┆ 6       ┆ 22           ┆ 356         │
+        |│ 2001-12-23 ┆ 7       ┆ 23           ┆ 357         │
+        |│ 2001-12-24 ┆ 1       ┆ 24           ┆ 358         │
+        |│ 2001-12-25 ┆ 2       ┆ 25           ┆ 359         │
+        |└────────────┴─────────┴──────────────┴─────────────┘""")
+  }
+
+  test("list_expr.rb sum keeps the element dtype; max") {
+    val df = DataFrame(Seq(Seq(1L), Seq(2L, 3L)).toDF("values"))
+    check(df.select(Polars.col("values").list.sum),
+      """shape: (2, 1)
+        |┌────────┐
+        |│ values │
+        |│ ---    │
+        |│ i64    │
+        |╞════════╡
+        |│ 1      │
+        |│ 5      │
+        |└────────┘""")
+    check(df.select(Polars.col("values").list.max),
+      """shape: (2, 1)
+        |┌────────┐
+        |│ values │
+        |│ ---    │
+        |│ i64    │
+        |╞════════╡
+        |│ 1      │
+        |│ 3      │
+        |└────────┘""")
+  }
+
+  test("list_expr.rb reverse and sort") {
+    val df = DataFrame(Seq(Seq(3L, 2L, 1L), Seq(9L, 1L, 2L)).toDF("a"))
+    check(df.select(Polars.col("a").list.reverse),
+      """shape: (2, 1)
+        |┌───────────┐
+        |│ a         │
+        |│ ---       │
+        |│ list[i64] │
+        |╞═══════════╡
+        |│ [1, 2, 3] │
+        |│ [2, 1, 9] │
+        |└───────────┘""")
+    check(df.select(Polars.col("a").list.sort()),
+      """shape: (2, 1)
+        |┌───────────┐
+        |│ a         │
+        |│ ---       │
+        |│ list[i64] │
+        |╞═══════════╡
+        |│ [1, 2, 3] │
+        |│ [1, 2, 9] │
+        |└───────────┘""")
+  }
+
+  test("list_expr.rb get(0) with an empty list; join") {
+    val df = DataFrame(Seq(Seq(3L, 2L, 1L), Seq.empty[Long], Seq(1L, 2L)).toDF("foo"))
+    check(df.select(Polars.col("foo").list.get(0)),
+      """shape: (3, 1)
+        |┌──────┐
+        |│ foo  │
+        |│ ---  │
+        |│ i64  │
+        |╞══════╡
+        |│ 3    │
+        |│ null │
+        |│ 1    │
+        |└──────┘""")
+    val s = DataFrame(Seq(Seq("a", "b", "c"), Seq("x", "y")).toDF("s"))
+    check(s.select(Polars.col("s").list.join(" ")),
+      """shape: (2, 1)
+        |┌───────┐
+        |│ s     │
+        |│ ---   │
+        |│ str   │
+        |╞═══════╡
+        |│ a b c │
+        |│ x y   │
+        |└───────┘""")
+  }
+
   test("string_expr.rb slice(-3)") {
     val df = DataFrame(Seq(
       Option("pear"), None, Option("papaya"), Option("dragonfruit")).toDF("s"))
