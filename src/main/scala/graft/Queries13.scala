@@ -411,6 +411,31 @@ object Queries13 {
       bandRows = Some(staged))
   }
 
+  /** PCA projection ([[graft.ml.Pca]]): fit 4 components on the embeddings
+    * corpus (one-pass partition-local covariance, driver Jacobi eigen), STAGE
+    * the model (component weights + mean), and project every vector. The
+    * oracle recomputes each projection from the staged matrix — dim-join,
+    * (x - mean)·weight, 6-dp round per the sum-order discipline — so the
+    * transform math is hash-checked end to end while the fit itself is
+    * property-pinned in PcaSpec (orthonormality, variance ordering,
+    * reconstruction). Model fitting is memoized like the k-means/PQ models:
+    * the bench times the PROJECTION path per run; Verify refits. */
+  private def qPcaProject(s: SparkSession, dir: String): SDF = {
+    val emb = t(s, dir, "embeddings")
+    val model = QueryStage.memo(dir, "pca_model") {
+      graft.ml.Pca.fit(emb, "embedding", k = 4)
+    }
+    val (comps, means, vars) = graft.ml.Pca.modelFrames(s, model)
+    QueryStage.stage(comps, dir, "pca_comps")
+    QueryStage.stage(means, dir, "pca_mean")
+    QueryStage.stage(vars, dir, "pca_var")
+    graft.ml.Pca.transform(emb, "embedding", model, "pca")
+      .select(F.col("vec_id"), F.posexplode(F.col("pca")).as(Seq("component", "proj")))
+      .select(F.col("vec_id"), F.col("component").cast("int").as("component"),
+        F.round(F.col("proj"), 6).as("proj"))
+      .orderBy("vec_id", "component")
+  }
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
     "q_lsh_quality" -> (qLshQuality _),
     "q_phrase_snippets" -> (qPhraseSnippets _),
@@ -428,11 +453,28 @@ object Queries13 {
     "q_cross_spans" -> (qCrossSpans _),
     "q_bm25_bigram" -> (qBm25Bigram _),
     "q_ivf_rerank" -> (qIvfRerank _),
+    "q_pca_project" -> (qPcaProject _),
     "q_rrf_fusion" -> (qRrfFusion _),
     "q_dedup_best" -> (qDedupBest _),
     "q_span_removal" -> (qSpanRemoval _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_pca_project" ->
+      """WITH comp AS (
+        |  SELECT component, dim, weight
+        |  FROM read_parquet('/tmp/graft_stage/sf0.01/pca_comps/*.parquet')
+        |), mu AS (
+        |  SELECT dim, mean FROM read_parquet('/tmp/graft_stage/sf0.01/pca_mean/*.parquet')
+        |), e AS (
+        |  SELECT vec_id,
+        |    unnest(range(0, len(embedding))) AS dim,
+        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        |  FROM embeddings
+        |)
+        |SELECT e.vec_id, CAST(comp.component AS INT) AS component,
+        |  round(sum((e.x - mu.mean) * comp.weight), 6) AS proj
+        |FROM e JOIN mu USING (dim) JOIN comp USING (dim)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_lsh_quality" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id < 200
