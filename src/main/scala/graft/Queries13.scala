@@ -259,6 +259,31 @@ object Queries13 {
       .orderBy("doc_id", "start")
   }
 
+  /** drop_nulls vs drop_nans over a column carrying BOTH (value with nulls
+    * injected every 7th id and NaNs every 11th): polars treats NaN as a
+    * float VALUE — drop_nulls keeps NaN rows, drop_nans keeps null rows
+    * (SURVEY §1.2; Spark's na.drop would conflate them, which is why
+    * FrameOps spells both as explicit filters). One summary row per op
+    * hashes the row count and the surviving null/NaN tallies. */
+  private def qDropNullNan(s: SparkSession, dir: String): SDF = {
+    val base = graft.api.DataFrame(
+      t(s, dir, "events").select(F.col("event_id"), F.col("value")))
+      .withColumns("v" -> Polars.when(Polars.col("event_id") % 7 === 0)
+        .`then`(Polars.lit(null))
+        .when(Polars.col("event_id") % 11 === 0)
+        .`then`(Polars.lit(Double.NaN))
+        .otherwise(Polars.col("value")))
+    def summarize(tag: String, d: graft.api.DataFrame): SDF =
+      d.toSpark.agg(
+        F.lit(tag).as("op"),
+        F.count(F.lit(1)).as("n"),
+        F.count(F.col("v")).as("n_set"),
+        F.sum(F.when(F.isnan(F.col("v")), 1L).otherwise(0L)).as("n_nan"))
+    summarize("drop_nans", base.dropNans(Seq("v")))
+      .unionAll(summarize("drop_nulls", base.dropNulls(Seq("v"))))
+      .orderBy("op")
+  }
+
   /** Streaming per-key quota ([[graft.streaming.Streaming.capPerKeyStream]]):
     * at most 5 events per user in event_id order, custom
     * flatMapGroupsWithState state (one long per key). Single input file →
@@ -454,11 +479,29 @@ object Queries13 {
     "q_bm25_bigram" -> (qBm25Bigram _),
     "q_ivf_rerank" -> (qIvfRerank _),
     "q_pca_project" -> (qPcaProject _),
+    "q_drop_null_nan" -> (qDropNullNan _),
     "q_rrf_fusion" -> (qRrfFusion _),
     "q_dedup_best" -> (qDedupBest _),
     "q_span_removal" -> (qSpanRemoval _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_drop_null_nan" ->
+      """WITH b AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL
+        |         WHEN event_id % 11 = 0 THEN CAST('NaN' AS DOUBLE)
+        |         ELSE value END AS v
+        |  FROM events
+        |)
+        |SELECT * FROM (
+        |  SELECT 'drop_nans' AS op, count(*) AS n, count(v) AS n_set,
+        |    CAST(coalesce(sum(CASE WHEN isnan(v) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nan
+        |  FROM b WHERE v IS NULL OR NOT isnan(v)
+        |  UNION ALL
+        |  SELECT 'drop_nulls' AS op, count(*) AS n, count(v) AS n_set,
+        |    CAST(coalesce(sum(CASE WHEN isnan(v) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nan
+        |  FROM b WHERE v IS NOT NULL
+        |) ORDER BY op""".stripMargin,
     "q_pca_project" ->
       """WITH comp AS (
         |  SELECT component, dim, weight

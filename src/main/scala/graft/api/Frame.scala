@@ -291,8 +291,12 @@ trait FrameOps[Self] {
   // ---- group by (reference: data_frame.rb:1684, group_by.rb:203) ----
   def groupBy(keys: String*): GroupBy[Self] =
     new GroupBy[Self](sdf, keys.map(F.col), make)
+  def groupBy(keys: Seq[String], maintainOrder: Boolean): GroupBy[Self] =
+    new GroupBy[Self](sdf, keys.map(F.col), make, maintainOrder)
   def groupByExprs(keys: Expr*): GroupBy[Self] =
     new GroupBy[Self](sdf, keys.map(_.col), make)
+  def groupByExprs(keys: Seq[Expr], maintainOrder: Boolean): GroupBy[Self] =
+    new GroupBy[Self](sdf, keys.map(_.col), make, maintainOrder)
 
   /** upsample (reference data_frame.rb:3955): fill the time axis at `every`
     * intervals between each group's own min and max; non-key columns are

@@ -9,7 +9,34 @@ import graft.kernel.{DurationDsl, RowIndex, Scan}
   * Thin declarative layer over `RelationalGroupedDataset` — Catalyst supplies
   * partial (map-side) aggregation automatically, so nothing imperative here.
   */
-final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk: SDF => Self) {
+final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk0: SDF => Self,
+                          maintainOrder: Boolean = false) {
+
+  /** polars group_by(maintain_order: true): groups come out in first-
+    * appearance row order. Implemented as a generic post-step so every agg
+    * path (shortcuts, plain aggs, keyed forms) gets it: one extra
+    * (keys -> min row-idx) aggregate null-safe-joined back, sort, drop —
+    * the "more expensive than a default group by" cost the reference
+    * documents. */
+  private def ordered(out: SDF): SDF = {
+    if (!maintainOrder) return out
+    val keyNames = keys.map(k =>
+      org.apache.spark.sql.GraftInternalOps.rootAliasName(k).getOrElse(k.toString))
+    val ord = "__graft_grp_ord__"
+    val d = RowIndex.attach(sdf)
+    // rename the order-frame's keys BEFORE joining: both sides descend from
+    // the same source relation, so a drop-by-column-reference after the join
+    // resolves ambiguously (it removed the LEFT key in testing)
+    val firstIdx0 = d.groupBy(keys: _*)
+      .agg(F.min(F.col(RowIndex.name)).as(ord))
+    val firstIdx = keyNames.foldLeft(firstIdx0)((f, n) =>
+      f.withColumnRenamed(n, s"__graft_k_$n"))
+    val cond = keyNames.map(n => out(n) <=> firstIdx(s"__graft_k_$n")).reduce(_ && _)
+    out.join(firstIdx, cond, "left")
+      .drop(keyNames.map(n => s"__graft_k_$n"): _*)
+      .orderBy(F.col(ord)).drop(ord)
+  }
+  private val mk: SDF => Self = d => mk0(ordered(d))
 
   def agg(exprs0: Expr*): Self = {
     require(exprs0.nonEmpty)
@@ -127,19 +154,38 @@ final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk: SDF => Self) {
     }
   }
 
-  private def aggAll(f: Column => Column, suffix: String = ""): Self = {
+  private def aggAll(f: Column => Column, suffix: String = "",
+                     boolAsInt: Boolean = false, base: SDF = sdf): Self = {
     val keyNames = keys.map(_.toString).toSet
     val others = sdf.columns.filterNot(c => keyNames.contains(c) || c == RowIndex.name)
-    val aggs = others.map(c => f(F.col(c)).as(c + suffix))
-    mk(sdf.groupBy(keys: _*).agg(aggs.head, aggs.tail.toIndexedSeq: _*))
+    val aggs = others.map { c =>
+      val col0 = F.col(c)
+      // polars numericizes booleans under sum/mean/median (fraction true);
+      // Spark's avg/sum reject BooleanType outright
+      val col =
+        if (boolAsInt && sdf.schema(c).dataType ==
+          org.apache.spark.sql.types.BooleanType) col0.cast("int")
+        else col0
+      f(col).as(c + suffix)
+    }
+    mk(base.groupBy(keys: _*).agg(aggs.head, aggs.tail.toIndexedSeq: _*))
   }
-  def first(): Self = aggAll(F.first(_))
-  def last(): Self = aggAll(F.last(_))
-  def sum(): Self = aggAll(F.sum)
+  /** first/last pick the ROW-ORDER first/last value per group (min_by /
+    * max_by on the hidden row index) — a bare F.first over a hash aggregate
+    * is whatever partition order the shuffle produced, which only looks
+    * right single-partition. */
+  private def pickByIndex(firstRow: Boolean): Self = {
+    val d = RowIndex.attach(sdf)
+    aggAll(c => if (firstRow) F.min_by(c, F.col(RowIndex.name))
+                else F.max_by(c, F.col(RowIndex.name)), base = d)
+  }
+  def first(): Self = pickByIndex(firstRow = true)
+  def last(): Self = pickByIndex(firstRow = false)
+  def sum(): Self = aggAll(F.sum, boolAsInt = true)
   def min(): Self = aggAll(F.min)
   def max(): Self = aggAll(F.max)
-  def mean(): Self = aggAll(F.avg)
-  def median(): Self = aggAll(c => F.median(c))
+  def mean(): Self = aggAll(F.avg, boolAsInt = true)
+  def median(): Self = aggAll(c => F.median(c), boolAsInt = true)
   def nUnique(): Self = aggAll(c => F.countDistinct(c))
   def quantile(q: Double): Self = aggAll(c => F.percentile(c, F.lit(q)))
   def count(): Self = mk(sdf.groupBy(keys: _*).agg(F.count(F.lit(1)).as("count")))

@@ -130,7 +130,16 @@ object Testing {
   private def fmt(v: Any): String = v match {
     case null => "null"
     case s: String => s
-    case d: Double => if (d == d.floor && math.abs(d) < 1e15) s"${d.toLong}.0" else d.toString
+    case d: Double =>
+      if (d.isNaN) "NaN"
+      else if (d == d.floor && math.abs(d) < 1e15) s"${d.toLong}.0"
+      else { // polars float display: 6 decimal places, trailing zeros trimmed
+        val s6 = String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
+        s6.reverse.dropWhile(_ == '0').reverse match {
+          case t if t.endsWith(".") => t + "0"
+          case t => t
+        }
+      }
     case f: Float => fmt(f.toDouble)
     case s: scala.collection.Seq[_] => s.map(fmt).mkString("[", ", ", "]") // Spark rows carry mutable.ArraySeq
     case x => x.toString

@@ -272,6 +272,57 @@ class DocExamplesSpec extends SparkSpec {
         |└─────┴─────┘""")
   }
 
+  test("group_by.rb maintain_order shortcuts: first/last/max/mean") {
+    val df = DataFrame(Seq(
+      (1L, 0.5, true, "Apple"), (2L, 0.5, true, "Orange"), (2L, 4.0, true, "Apple"),
+      (3L, 10.0, false, "Apple"), (4L, 13.0, false, "Banana"), (5L, 14.0, true, "Banana"))
+      .toDF("a", "b", "c", "d"))
+    check(df.groupBy(Seq("d"), maintainOrder = true).first(),
+      """shape: (3, 4)
+        |┌────────┬─────┬──────┬───────┐
+        |│ d      ┆ a   ┆ b    ┆ c     │
+        |│ ---    ┆ --- ┆ ---  ┆ ---   │
+        |│ str    ┆ i64 ┆ f64  ┆ bool  │
+        |╞════════╪═════╪══════╪═══════╡
+        |│ Apple  ┆ 1   ┆ 0.5  ┆ true  │
+        |│ Orange ┆ 2   ┆ 0.5  ┆ true  │
+        |│ Banana ┆ 4   ┆ 13.0 ┆ false │
+        |└────────┴─────┴──────┴───────┘""")
+    check(df.groupBy(Seq("d"), maintainOrder = true).last(),
+      """shape: (3, 4)
+        |┌────────┬─────┬──────┬───────┐
+        |│ d      ┆ a   ┆ b    ┆ c     │
+        |│ ---    ┆ --- ┆ ---  ┆ ---   │
+        |│ str    ┆ i64 ┆ f64  ┆ bool  │
+        |╞════════╪═════╪══════╪═══════╡
+        |│ Apple  ┆ 3   ┆ 10.0 ┆ false │
+        |│ Orange ┆ 2   ┆ 0.5  ┆ true  │
+        |│ Banana ┆ 5   ┆ 14.0 ┆ true  │
+        |└────────┴─────┴──────┴───────┘""")
+    check(df.groupBy(Seq("d"), maintainOrder = true).max(),
+      """shape: (3, 4)
+        |┌────────┬─────┬──────┬──────┐
+        |│ d      ┆ a   ┆ b    ┆ c    │
+        |│ ---    ┆ --- ┆ ---  ┆ ---  │
+        |│ str    ┆ i64 ┆ f64  ┆ bool │
+        |╞════════╪═════╪══════╪══════╡
+        |│ Apple  ┆ 3   ┆ 10.0 ┆ true │
+        |│ Orange ┆ 2   ┆ 0.5  ┆ true │
+        |│ Banana ┆ 5   ┆ 14.0 ┆ true │
+        |└────────┴─────┴──────┴──────┘""")
+    check(df.groupBy(Seq("d"), maintainOrder = true).mean(),
+      """shape: (3, 4)
+        |┌────────┬─────┬──────────┬──────────┐
+        |│ d      ┆ a   ┆ b        ┆ c        │
+        |│ ---    ┆ --- ┆ ---      ┆ ---      │
+        |│ str    ┆ f64 ┆ f64      ┆ f64      │
+        |╞════════╪═════╪══════════╪══════════╡
+        |│ Apple  ┆ 2.0 ┆ 4.833333 ┆ 0.666667 │
+        |│ Orange ┆ 2.0 ┆ 0.5      ┆ 1.0      │
+        |│ Banana ┆ 4.5 ┆ 13.5     ┆ 0.5      │
+        |└────────┴─────┴──────────┴──────────┘""")
+  }
+
   test("expr.rb cum_sum forward and reverse") {
     val df = DataFrame(Seq(1L, 2L, 3L, 4L).toDF("a"))
     check(df.select(
