@@ -168,20 +168,29 @@ trait FrameOps[Self] {
   def shuffle(seed: Long = 42): Self = make(sdf.orderBy(F.rand(seed)))
 
   // ---- unique (reference: data_frame.rb:4093; §2.6) ----
-  def unique(subset: Seq[String] = Nil, keep: String = "any"): Self = {
+  def unique(subset: Seq[String] = Nil, keep: String = "any",
+             maintainOrder: Boolean = false): Self = {
     val cols = if (subset.isEmpty) columns else subset
+    // maintain_order (reference data_frame.rb unique signature): surviving
+    // rows come back in their original row order. The dedup windows shuffle
+    // by the subset key, so an explicit re-sort on the retained row index is
+    // required — the documented extra cost, charged only when asked for.
+    def ordered(d: SDF): SDF =
+      if (maintainOrder) d.orderBy(F.col(RowIndex.name)).drop(RowIndex.name)
+      else d.drop(RowIndex.name)
     keep match {
-      case "any" => make(sdf.dropDuplicates(cols))
-      case "first" | "last" =>
+      case "any" if !maintainOrder => make(sdf.dropDuplicates(cols))
+      case "any" | "first" | "last" =>
         val d = RowIndex.attach(sdf)
-        val ord = if (keep == "first") F.col(RowIndex.name).asc else F.col(RowIndex.name).desc
+        val ord = if (keep == "last") F.col(RowIndex.name).desc else F.col(RowIndex.name).asc
         val w = Window.partitionBy(cols.map(F.col): _*).orderBy(ord)
-        make(d.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") === 1)
-          .drop("__rn__", RowIndex.name))
+        make(ordered(d.withColumn("__rn__", F.row_number().over(w))
+          .filter(F.col("__rn__") === 1).drop("__rn__")))
       case "none" =>
+        val d = RowIndex.attach(sdf)
         val w = Window.partitionBy(cols.map(F.col): _*)
-        make(sdf.withColumn("__cnt__", F.count(F.lit(1)).over(w)).filter(F.col("__cnt__") === 1)
-          .drop("__cnt__"))
+        make(ordered(d.withColumn("__cnt__", F.count(F.lit(1)).over(w))
+          .filter(F.col("__cnt__") === 1).drop("__cnt__")))
     }
   }
 

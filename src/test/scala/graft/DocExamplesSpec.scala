@@ -179,6 +179,28 @@ class DocExamplesSpec extends SparkSpec {
         |└─────────┴─────────┘""")
   }
 
+  test("data_frame.rb unique (maintain_order pins the rendered row order)") {
+    // the reference docstring calls plain `df.unique` and happens to print
+    // first-appearance order; that order is only GUARANTEED by
+    // maintain_order, which graft must spell explicitly on a shuffled engine
+    val df = DataFrame(Seq(
+      (1L, 0.5, true), (1L, 0.5, true), (2L, 1.0, true),
+      (3L, 2.0, false), (4L, 3.0, true), (5L, 3.0, true)).toDF("a", "b", "c"))
+    check(df.unique(maintainOrder = true),
+      """shape: (5, 3)
+        |┌─────┬─────┬───────┐
+        |│ a   ┆ b   ┆ c     │
+        |│ --- ┆ --- ┆ ---   │
+        |│ i64 ┆ f64 ┆ bool  │
+        |╞═════╪═════╪═══════╡
+        |│ 1   ┆ 0.5 ┆ true  │
+        |│ 2   ┆ 1.0 ┆ true  │
+        |│ 3   ┆ 2.0 ┆ false │
+        |│ 4   ┆ 3.0 ┆ true  │
+        |│ 5   ┆ 3.0 ┆ true  │
+        |└─────┴─────┴───────┘""")
+  }
+
   test("data_frame.rb rename") {
     val df = DataFrame(Seq(
       (1L, 6L, "a"), (2L, 7L, "b"), (3L, 8L, "c")).toDF("foo", "bar", "ham"))
