@@ -168,8 +168,12 @@ trait FrameOps[Self] {
   def shuffle(seed: Long = 42): Self = make(sdf.orderBy(F.rand(seed)))
 
   // ---- unique (reference: data_frame.rb:4093; §2.6) ----
-  def unique(subset: Seq[String] = Nil, keep: String = "any",
-             maintainOrder: Boolean = false): Self = {
+  // defaults MATCH the reference (data_frame.rb:4093): maintain_order: true,
+  // keep: "first" — the drop-in user gets polars semantics; scale-conscious
+  // callers pass keep = "any", maintainOrder = false for the cheap
+  // hash-aggregate spelling
+  def unique(subset: Seq[String] = Nil, keep: String = "first",
+             maintainOrder: Boolean = true): Self = {
     val cols = if (subset.isEmpty) columns else subset
     // maintain_order (reference data_frame.rb unique signature): surviving
     // rows come back in their original row order. The dedup windows shuffle
