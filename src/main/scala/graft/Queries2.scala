@@ -152,7 +152,9 @@ object Queries2 {
   /** upsample: full user x day grid over the events month, zero-filled. */
   private def qUpsample(s: SparkSession, dir: String): SDF = {
     val ev = events(s, dir)
-    val users = ev.select(col("user_id")).unique()
+    // set semantics only (feeds a grid join): the cheap hash-agg spelling,
+    // not the new polars default (keep=first + maintain-order sort)
+    val users = ev.select(col("user_id")).unique(keep = "any", maintainOrder = false)
     val days = LazyFrame(s.range(1).toDF().select(
       F.explode(F.sequence(
         F.to_timestamp(F.lit("2024-01-01")), F.to_timestamp(F.lit("2024-01-30")),

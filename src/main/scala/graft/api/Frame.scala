@@ -57,6 +57,13 @@ trait FrameOps[Self] {
   // ---- projections (reference: data_frame.rb:3559,3671; lazy_frame.rb:1028,1784) ----
   def select(exprs0: Expr*): Self = {
     val exprs = exprs0.map(_.defaultNamed) // polars naming: leaf name / "literal"
+    // polars DuplicateError: two exprs default-naming to the same column
+    // (select(col("a"), col("a") + 1)) must fail HERE, not as a downstream
+    // AMBIGUOUS_REFERENCE — Spark happily builds the duplicate projection
+    val outNames = exprs.flatMap(_.meta.outputName)
+    val dup = outNames.diff(outNames.distinct).distinct
+    require(dup.isEmpty,
+      s"select: duplicate output column names ${dup.mkString(", ")} — alias the expressions distinctly")
     make(withIdx(exprs) { d =>
       // polars frame-order guarantee: a windowed/scanned projection comes
       // back partition-grouped from the shuffle; restore row order via the

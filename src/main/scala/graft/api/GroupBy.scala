@@ -20,8 +20,14 @@ final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk0: SDF => Self,
     * documents. */
   private def ordered(out: SDF): SDF = {
     if (!maintainOrder) return out
+    // alias name, else the column-leaf name for plain cols (rootAliasName is
+    // None for those); genuinely unnamed expression keys are rejected —
+    // Column.toString is not a reliable output-column name to join back on
     val keyNames = keys.map(k =>
-      org.apache.spark.sql.GraftInternalOps.rootAliasName(k).getOrElse(k.toString))
+      org.apache.spark.sql.GraftInternalOps.rootAliasName(k)
+        .orElse(Option(graft.expr.Expr(k)).filter(_.meta.isColumn).flatMap(_.meta.outputName))
+        .getOrElse(throw new IllegalArgumentException(
+          "group_by(maintain_order): keys must be named columns or aliased expressions")))
     val ord = "__graft_grp_ord__"
     val d = RowIndex.attach(sdf)
     // rename the order-frame's keys BEFORE joining: both sides descend from
@@ -193,17 +199,20 @@ final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk0: SDF => Self,
 
   /** head/tail per group (reference: group_by.rb:254,305) —
     * `row_number over (partition by keys order by row-idx) <= n`. */
-  def head(n: Int): Self = {
+  def head(n: Int): Self = slicePerGroup(n, fromStart = true)
+  def tail(n: Int): Self = slicePerGroup(n, fromStart = false)
+  /** head/tail emit MULTIPLE rows per group, so maintain_order must sort by
+    * the per-ROW index directly — the generic ordered() post-step keys on
+    * the group's single first-appearance index, which ties within a group
+    * and would return its rows in arbitrary relative order. */
+  private def slicePerGroup(n: Int, fromStart: Boolean): Self = {
     val d = RowIndex.attach(sdf)
-    val w = Window.partitionBy(keys: _*).orderBy(F.col(RowIndex.name))
-    mk(d.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") <= n)
-      .drop("__rn__", RowIndex.name))
-  }
-  def tail(n: Int): Self = {
-    val d = RowIndex.attach(sdf)
-    val w = Window.partitionBy(keys: _*).orderBy(F.col(RowIndex.name).desc)
-    mk(d.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") <= n)
-      .drop("__rn__", RowIndex.name))
+    val ord = if (fromStart) F.col(RowIndex.name).asc else F.col(RowIndex.name).desc
+    val w = Window.partitionBy(keys: _*).orderBy(ord)
+    val kept = d.withColumn("__rn__", F.row_number().over(w))
+      .filter(F.col("__rn__") <= n).drop("__rn__")
+    mk0(if (maintainOrder) kept.orderBy(F.col(RowIndex.name)).drop(RowIndex.name)
+        else kept.drop(RowIndex.name))
   }
 }
 

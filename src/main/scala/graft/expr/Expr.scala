@@ -1228,10 +1228,17 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     * the left-most referenced column's name; "literal" for pure literals.
     * Star/regex selectors pass through untouched — aliasing them would
     * collapse the expansion. A caller's .alias re-applies on top. */
-  private[graft] def defaultNamed: Expr = meta.outputName match {
-    case Some(n) if n != "*" && !n.startsWith("^") => alias(n)
-    case None => alias("literal")
-    case _ => this
+  private[graft] def defaultNamed: Expr = {
+    val m = meta
+    // star / regex selectors expand to MANY columns — aliasing would
+    // collapse the expansion (and F.col("*") is an UnresolvedStar node, so
+    // outputName is None: it must be checked before the literal fallback)
+    if (m.hasMultipleOutputs || m.isRegexProjection) this
+    else m.outputName match {
+      case Some(n) if n != "*" && !n.startsWith("^") => alias(n)
+      case None => alias("literal")
+      case _ => this
+    }
   }
 }
 

@@ -102,8 +102,12 @@ object Multimodal {
   private def decodeLuma(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
     if (bytes == null || bytes.isEmpty) return None
     val img =
+      // NonFatal, not just IOException: the JDK image readers throw
+      // RuntimeExceptions (NegativeArraySize/IndexOutOfBounds) on crafted or
+      // truncated payloads with valid magic bytes — one bad row must yield
+      // null, not kill the task
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return None
     val w = img.getWidth
     val h = img.getHeight

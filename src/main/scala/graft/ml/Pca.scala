@@ -29,7 +29,6 @@ object Pca {
   }
 
   def fit(df: DataFrame, vecCol: String, k: Int): Model = {
-    val idx = df.schema.fieldIndex(vecCol)
     val partials = df.select(vecCol).rdd.mapPartitions { it =>
       var n = 0L
       var sum: Array[Double] = null
@@ -92,8 +91,13 @@ object Pca {
     val a = a0.map(_.clone())
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
     var sweep = 0
-    var off = offDiag(a)
-    while (off > 1e-11 && sweep < 100) {
+    val off0 = offDiag(a)
+    // RELATIVE tolerance: an absolute 1e-11 never converges for large-scale
+    // covariances (double precision floors at ~1e-16 * ||A||), which would
+    // burn all 100 O(d^3) sweeps on the driver for unnormalized embeddings
+    val tol = 1e-12 * math.max(1.0, off0)
+    var off = off0
+    while (off > tol && sweep < 100) {
       var p = 0
       while (p < d - 1) {
         var q = p + 1

@@ -200,13 +200,16 @@ object Streaming {
     val lock = lockCh.lock()
     try {
       drainLocked(stream, root, mode, out, cp, salt)
+      // A first drain over an input dir with zero files runs no batch in
+      // complete mode, so out/ never materializes; surface that as a clear
+      // empty frame of the stream's schema instead of a path-not-found.
+      // INSIDE the lock: done after release, the exists-check would race a
+      // concurrent JVM's wipe+drain on a shared root — the exact cross-JVM
+      // class the shared streamRootLock closes.
+      if (!new java.io.File(out).exists())
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          stream.schema).write.parquet(out)
     } finally { lock.release(); lockCh.close() }
-    // A first drain over an input dir with zero files runs no batch in
-    // complete mode, so out/ never materializes; surface that as a clear
-    // empty frame of the stream's schema instead of a path-not-found.
-    if (!new java.io.File(out).exists())
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        stream.schema).write.parquet(out)
     spark.read.parquet(out)
   }
 

@@ -85,21 +85,11 @@ object GraftInternalOps {
       case _ => false
     }
 
-  /** True when the (unresolved) tree PROVABLY contains no aggregate — the
-    * polars agg-surface test: an aggregate-free expression inside
-    * `group_by().agg` evaluates elementwise and IMPLODES to a per-group
-    * list. Conservative on purpose: a function the SQL registry cannot
-    * resolve (DSL-only aggregates like `product`/`mode` surface as
-    * unresolvable names) or any window expression makes this false, so
-    * unknowns keep their pre-existing aggregate treatment instead of being
-    * silently imploded. */
   /** True when the column contains an aggregate function NOT wrapped in a
     * window — a projection of such an expr collapses the frame to one row
     * (`select(col.str.join(","))`), so selecting the hidden row index
     * alongside it would be MISSING_GROUP_BY. Windowed aggregates are row-
-    * parallel and return false. Unresolvable function names count as
-    * aggregates (conservative: the caller skips an order-restoring sort,
-    * which is only ever a no-op for one-row results). */
+    * parallel and return false. */
   def hasBareAggregate(c: Column): Boolean = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
     import org.apache.spark.sql.catalyst.expressions.WindowExpression
@@ -110,7 +100,11 @@ object GraftInternalOps {
           org.apache.spark.sql.catalyst.FunctionIdentifier(f.nameParts.head.toLowerCase),
           f.arguments)
       }.toOption
-      resolved.forall {
+      // unknown names are NOT aggregates: misclassifying a session UDF as
+      // one would silently skip the frame-order restore for a mixed
+      // UDF+scanned select; a true aggregate that slips through fails
+      // loudly (MISSING_GROUP_BY) instead of reordering rows quietly
+      resolved.exists {
         case _: AggregateFunction   => true
         case _: AggregateExpression => true
         case _                      => false
@@ -126,6 +120,14 @@ object GraftInternalOps {
     scan(catalystExpression(c))
   }
 
+  /** True when the (unresolved) tree PROVABLY contains no aggregate — the
+    * polars agg-surface test: an aggregate-free expression inside
+    * `group_by().agg` evaluates elementwise and IMPLODES to a per-group
+    * list. Conservative on purpose: a function the SQL registry cannot
+    * resolve (DSL-only aggregates like `product`/`mode` surface as
+    * unresolvable names) or any window expression makes this false, so
+    * unknowns keep their pre-existing aggregate treatment instead of being
+    * silently imploded. */
   def provablyAggregateFree(c: Column): Boolean = {
     var ok = true
     catalystExpression(c).foreach {
