@@ -106,8 +106,15 @@ object Polars {
     exprs.scanLeft(acc)(f).tail
 
   // ---- string/struct constructors (reference: functions/as_datatype.rb) ----
-  def concatStr(exprs: Seq[Expr], separator: String = ""): Expr =
-    mkExprK(exprs)(cs => F.concat_ws(separator, cs: _*))
+  def concatStr(exprs: Seq[Expr], separator: String = "",
+                ignoreNulls: Boolean = false): Expr =
+    mkExprK(exprs) { cs =>
+      // polars propagates null by default (ignore_nulls: false) — a null in
+      // ANY part nulls the row; concat_ws alone would silently skip it
+      if (ignoreNulls) F.concat_ws(separator, cs: _*)
+      else F.when(cs.map(_.isNull).reduce(_ || _), F.lit(null))
+        .otherwise(F.concat_ws(separator, cs: _*))
+    }
   def format(fmt: String, exprs: Expr*): Expr = {
     val parts = fmt.split("\\{\\}", -1)
     mkExprK(exprs) { cs =>

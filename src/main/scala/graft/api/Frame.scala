@@ -84,6 +84,13 @@ trait FrameOps[Self] {
     if (out.columns.contains(RowIndex.name)) out.orderBy(F.col(RowIndex.name)) else out
   })
   def withColumn(name: String, e: Expr): Self = withColumns(name -> e)
+  /** polars spelling: with_columns(exprs) names each column by its alias /
+    * leaf name (replacing an existing column of that name in place). */
+  def withColumns(exprs0: Seq[Expr])(implicit d: DummyImplicit): Self =
+    withColumns(exprs0.map { e0 =>
+      val e = e0.defaultNamed
+      e.meta.outputName.getOrElse("literal") -> e
+    }: _*)
   def withColumnsRenamed(mapping: Map[String, String]): Self =
     make(mapping.foldLeft(sdf) { case (d, (from, to)) => d.withColumnRenamed(from, to) })
   def rename(mapping: Map[String, String]): Self = withColumnsRenamed(mapping)

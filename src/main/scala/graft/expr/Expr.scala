@@ -253,8 +253,9 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   def log(base: Double): Expr = map(c => F.log(base, c))
   def log10: Expr = map(F.log10)
   def log1p: Expr = map(F.log1p)
-  def floor: Expr = map(F.floor)
-  def ceil: Expr = map(F.ceil)
+  def floor: Expr = map(c => F.floor(c).cast("double"))
+  // polars floor/ceil preserve the float dtype; Spark's return LONG
+  def ceil: Expr = map(c => F.ceil(c).cast("double"))
   def round(decimals: Int = 0): Expr = map(c => F.round(c, decimals))
   def sign: Expr = map(F.signum)
   def sin: Expr = map(F.sin)

@@ -466,6 +466,149 @@ class DocExamplesSpec extends SparkSpec {
         |└──────┘""")
   }
 
+  test("data_frame.rb with_columns: expr alias adds; same-name cast replaces in place") {
+    val df = DataFrame(Seq(
+      (1L, 0.5, true), (2L, 4.0, true), (3L, 10.0, false), (4L, 13.0, true))
+      .toDF("a", "b", "c"))
+    check(df.withColumns(Seq((Polars.col("a") pow 2).cast(
+        org.apache.spark.sql.types.LongType).alias("a^2"))),
+      """shape: (4, 4)
+        |┌─────┬──────┬───────┬─────┐
+        |│ a   ┆ b    ┆ c     ┆ a^2 │
+        |│ --- ┆ ---  ┆ ---   ┆ --- │
+        |│ i64 ┆ f64  ┆ bool  ┆ i64 │
+        |╞═════╪══════╪═══════╪═════╡
+        |│ 1   ┆ 0.5  ┆ true  ┆ 1   │
+        |│ 2   ┆ 4.0  ┆ true  ┆ 4   │
+        |│ 3   ┆ 10.0 ┆ false ┆ 9   │
+        |│ 4   ┆ 13.0 ┆ true  ┆ 16  │
+        |└─────┴──────┴───────┴─────┘""")
+    check(df.withColumns(Seq(
+        Polars.col("a").cast(org.apache.spark.sql.types.DoubleType))),
+      """shape: (4, 3)
+        |┌─────┬──────┬───────┐
+        |│ a   ┆ b    ┆ c     │
+        |│ --- ┆ ---  ┆ ---   │
+        |│ f64 ┆ f64  ┆ bool  │
+        |╞═════╪══════╪═══════╡
+        |│ 1.0 ┆ 0.5  ┆ true  │
+        |│ 2.0 ┆ 4.0  ┆ true  │
+        |│ 3.0 ┆ 10.0 ┆ false │
+        |│ 4.0 ┆ 13.0 ┆ true  │
+        |└─────┴──────┴───────┘""")
+  }
+
+  test("expr.rb is_between: both (default) and closed left") {
+    val df = DataFrame(Seq(1L, 2L, 3L, 4L, 5L).toDF("num"))
+    check(df.withColumns(Seq(
+        Polars.col("num").isBetween(2, 4).alias("is_between"))),
+      """shape: (5, 2)
+        |┌─────┬────────────┐
+        |│ num ┆ is_between │
+        |│ --- ┆ ---        │
+        |│ i64 ┆ bool       │
+        |╞═════╪════════════╡
+        |│ 1   ┆ false      │
+        |│ 2   ┆ true       │
+        |│ 3   ┆ true       │
+        |│ 4   ┆ true       │
+        |│ 5   ┆ false      │
+        |└─────┴────────────┘""")
+    check(df.withColumns(Seq(
+        Polars.col("num").isBetween(2, 4, closed = "left").alias("is_between"))),
+      """shape: (5, 2)
+        |┌─────┬────────────┐
+        |│ num ┆ is_between │
+        |│ --- ┆ ---        │
+        |│ i64 ┆ bool       │
+        |╞═════╪════════════╡
+        |│ 1   ┆ false      │
+        |│ 2   ┆ true       │
+        |│ 3   ┆ true       │
+        |│ 4   ┆ false      │
+        |│ 5   ┆ false      │
+        |└─────┴────────────┘""")
+  }
+
+  test("expr.rb abs / floor / round(1)") {
+    check(DataFrame(Seq(-1.0, 0.0, 1.0, 2.0).toDF("A"))
+        .select(Polars.col("A").abs),
+      """shape: (4, 1)
+        |┌─────┐
+        |│ A   │
+        |│ --- │
+        |│ f64 │
+        |╞═════╡
+        |│ 1.0 │
+        |│ 0.0 │
+        |│ 1.0 │
+        |│ 2.0 │
+        |└─────┘""")
+    check(DataFrame(Seq(0.3, 0.5, 1.0, 1.1).toDF("a"))
+        .select(Polars.col("a").floor),
+      """shape: (4, 1)
+        |┌─────┐
+        |│ a   │
+        |│ --- │
+        |│ f64 │
+        |╞═════╡
+        |│ 0.0 │
+        |│ 0.0 │
+        |│ 1.0 │
+        |│ 1.0 │
+        |└─────┘""")
+    check(DataFrame(Seq(0.33, 0.52, 1.02, 1.17).toDF("a"))
+        .select(Polars.col("a").round(1)),
+      """shape: (4, 1)
+        |┌─────┐
+        |│ a   │
+        |│ --- │
+        |│ f64 │
+        |╞═════╡
+        |│ 0.3 │
+        |│ 0.5 │
+        |│ 1.0 │
+        |│ 1.2 │
+        |└─────┘""")
+  }
+
+  test("expr.rb clip keeps nulls") {
+    val df = DataFrame(Seq[(java.lang.Long, Long)](
+      (-50L, 0L), (5L, 1L), (null, 2L), (50L, 3L)).toDF("foo", "i")
+      .select(F.col("foo")))
+    check(df.withColumns(Seq(Polars.col("foo").clip(1, 10).alias("foo_clipped"))),
+      """shape: (4, 2)
+        |┌──────┬─────────────┐
+        |│ foo  ┆ foo_clipped │
+        |│ ---  ┆ ---         │
+        |│ i64  ┆ i64         │
+        |╞══════╪═════════════╡
+        |│ -50  ┆ 1           │
+        |│ 5    ┆ 5           │
+        |│ null ┆ null        │
+        |│ 50   ┆ 10          │
+        |└──────┴─────────────┘""")
+  }
+
+  test("as_datatype.rb concat_str propagates nulls with sep") {
+    val df = DataFrame(Seq[(Long, String, String)](
+      (1L, "dogs", "play"), (2L, "cats", "swim"), (3L, null, "walk"))
+      .toDF("a", "b", "c"))
+    check(df.withColumns(Seq(
+        Polars.concatStr(Seq(Polars.col("a") * 2, Polars.col("b"), Polars.col("c")),
+          separator = " ").alias("full_sentence"))),
+      """shape: (3, 4)
+        |┌─────┬──────┬──────┬───────────────┐
+        |│ a   ┆ b    ┆ c    ┆ full_sentence │
+        |│ --- ┆ ---  ┆ ---  ┆ ---           │
+        |│ i64 ┆ str  ┆ str  ┆ str           │
+        |╞═════╪══════╪══════╪═══════════════╡
+        |│ 1   ┆ dogs ┆ play ┆ 2 dogs play   │
+        |│ 2   ┆ cats ┆ swim ┆ 4 cats swim   │
+        |│ 3   ┆ null ┆ walk ┆ null          │
+        |└─────┴──────┴──────┴───────────────┘""")
+  }
+
   test("string_expr.rb to_uppercase") {
     val df = DataFrame(Seq("cat", "dog").toDF("foo"))
     check(df.select(Polars.col("foo").str.toUppercase),
