@@ -42,9 +42,12 @@ class SelectNamingSpec extends SparkSpec {
     val df = DataFrame(Seq.tabulate(40)(i => (i.toLong, (40 - i).toLong))
       .toDF("i", "v").repartitionByRange(5, F.col("i"))
       .sortWithinPartitions("i"))
+    // a SESSION-registered UDF is unresolvable in FunctionRegistry.builtin —
+    // exactly the shape the old classifier misread as an aggregate
+    spark.udf.register("graft_snspec_id", (l: Long) => l)
     val out = df.select(
         Polars.col("i"),
-        graft.expr.Expr(F.call_function("lower", F.concat(F.lit("K"), F.col("i")))).alias("k"),
+        graft.expr.Expr(F.call_function("graft_snspec_id", F.col("i"))).alias("k"),
         Polars.col("v").cumSum().alias("cs"))
       .toSpark.collect()
     assert(out.map(_.getLong(0)).toSeq == (0L until 40L), "row order lost")
