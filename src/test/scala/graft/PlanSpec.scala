@@ -249,4 +249,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("pca transform is a pure narrow projection: no shuffle, no UDF, pushdown kept") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val model = graft.ml.Pca.Model(
+      mean = Array.fill(64)(0.0),
+      components = Array.tabulate(2, 64)((j, i) => if (i == j) 1.0 else 0.0),
+      variance = Array(1.0, 0.5))
+    val p = plan(graft.ml.Pca.transform(emb, "embedding", model)
+      .select("vec_id", "pca"))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("SQLUDF"), p)
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), p)
+  }
+
+  test("degree-ordered triangle counting plans hash joins, never a cartesian product") {
+    val edges = spark.read.parquet(s"$sf/events.parquet")
+      .select(F.col("user_id").as("src"), (F.col("event_id") % 50).as("dst"))
+    val p = plan(graft.ml.Graph.triangleCount(edges, "src", "dst"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
 }
