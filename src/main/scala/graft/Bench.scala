@@ -18,6 +18,15 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", sys.env.getOrElse("SPARK_GRAFT_MPB", "134217728"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // WindowExec's "No Partition Defined" warning fires on every global
+    // window; every library global window runs over a BOUNDED
+    // partials/stratum frame (invariant pinned per-site by
+    // GlobalWindowLintSpec), so in bench/driver logs it is pure noise that
+    // reads as a scale bug which isn't there. Demoted here the same as in
+    // the test session (SparkSpec); production sessions keep it as a canary.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // Steady-state timing: first run per query warms whole-stage-codegen JIT
     // + parquet footers (untimed); the median of `SPARK_GRAFT_RUNS` (default 3)
     // measured runs is reported, which keeps one scheduling hiccup from
@@ -77,7 +86,7 @@ object Bench {
         }
       } catch { case _: Throwable => Map.empty }
     var retriesLeft = 25
-    var nRetried = 0
+    val retried = scala.collection.mutable.ListBuffer.empty[String]
     var canaryMid = -1.0
     val sortedQueries = selected.toSeq.sortBy(_._1)
     val half = sortedQueries.size / 2
@@ -98,16 +107,27 @@ object Bench {
       refTimes.get(name).foreach { ref =>
         if (ok && ref > 0 && med > ref * 1.7 + 0.2 && retriesLeft > 0) {
           retriesLeft -= 1
-          val t0 = System.nanoTime()
-          val t2 =
-            try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-            catch { case _: Throwable => Double.MaxValue }
-          if (t2 < med) {
-            System.err.println(f"bench: $name inflated (${med}%.2fs vs committed ${ref}%.2fs) — retried, kept ${t2}%.2fs")
-            nRetried += 1
-            med = t2
+          // full re-measure, SAME sample discipline as the first pass: the
+          // retry keeps its own median of `runs` samples, never a single
+          // sample (a lone lucky sample is exactly the noise the median
+          // discipline exists to exclude — advisor round 11). min(med,
+          // retryMed) compares two medians symmetrically: if the window got
+          // MORE loaded during the retry, the original stands.
+          val retryMed =
+            try {
+              val ts = (1 to runs).map { _ =>
+                val t0 = System.nanoTime()
+                fn(spark, sfDir).count()
+                (System.nanoTime() - t0) / 1e9
+              }.sorted
+              ts(ts.size / 2)
+            } catch { case _: Throwable => Double.MaxValue }
+          if (retryMed < med) {
+            System.err.println(f"bench: $name inflated (${med}%.2fs vs committed ${ref}%.2fs) — re-measured, kept retry median ${retryMed}%.2fs")
+            retried += name
+            med = retryMed
           } else
-            System.err.println(f"bench: $name slow (${med}%.2fs vs committed ${ref}%.2fs) and retry no faster — keeping the measurement")
+            System.err.println(f"bench: $name slow (${med}%.2fs vs committed ${ref}%.2fs) and retry median no faster — keeping the measurement")
         }
       }
       name -> med
@@ -140,17 +160,17 @@ object Bench {
         val m = (s""""${java.util.regex.Pattern.quote(sfName)}":\\s*\\{\\s*"total_sec":\\s*([0-9.]+)""").r
         m.findFirstMatchIn(txt).map(g => s""","duckdb_total":${g.group(1)}""").getOrElse("")
       } catch { case _: Throwable => "" }
+    // escape interpolated PATHS/names for JSON (the same validity care fmt
+    // takes for numbers — a backslash or quote must not break the parse)
+    def js(v: String): String =
+      v.replace("\\", "\\\\").replace("\"", "\\\"")
     val canaryFields =
       s""","canary_first_sec":${fmt(canaryFirst)},"canary_mid_sec":${fmt(canaryMid)},""" +
         s""""canary_last_sec":${fmt(canaryLast)},""" +
         s""""canary_drift":${fmt(canaryDrift)},"stable_window":$stableWindow,""" +
-        s""""n_retried":$nRetried"""
+        s""""n_retried":${retried.size},"retried":${retried.sorted.map(n => s""""${js(n)}"""").mkString("[", ",", "]")}"""
     val detail = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
-    // escape interpolated PATHS for JSON (the same validity care fmt takes
-    // for numbers — a backslash or quote in a path must not break the parse)
-    def js(v: String): String =
-      v.replace("\\", "\\\\").replace("\"", "\\\"")
     val failedField =
       if (failed.isEmpty) ""
       else failed.sorted.map(n => s"\"${js(n)}\"").mkString(""","failed":[""", ",", "]")

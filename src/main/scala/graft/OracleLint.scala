@@ -14,12 +14,11 @@ package graft
   * by the window spec, so both engines accumulate in the same sequence and a
   * plan change cannot reorder the addition.
   *
-  * Queries in [[reviewedHazards]] have been individually reviewed — each has
-  * held an exact hash for many rounds on a stable plan, and converting them
-  * (decimal-cast both sides) is deferred until a plan change is actually
-  * made. The ratchet: touching such a query's plan means either converting
-  * it to the q_bucketed_join decimal discipline or re-reviewing; ADDING a
-  * new raw-float aggregate fails OracleLintSpec outright.
+  * As of round 12 the lint is UNCONDITIONAL: the 32 legacy hazards were all
+  * converted to the decimal discipline (exact sums; means as exact-sum ÷
+  * count; integer-counting sums respelled as `count(CASE ...)`; skew/kurt
+  * via DuckDB's normalized built-ins). [[reviewedHazards]] stays only as the
+  * (empty) escape hatch — any entry added to it must carry a written review.
   */
 object OracleLint {
   /** DOUBLE-typed columns in the driver testdata (TESTDATA.md schema). */
@@ -27,20 +26,11 @@ object OracleLint {
     "c_acctbal", "l_discount", "l_extendedprice", "l_quantity", "l_tax",
     "o_totalprice", "p_retailprice", "s_acctbal", "value")
 
-  /** Reviewed-and-accepted existing hazards (round 11 audit). Each is a
-    * non-window sum/avg over a raw DOUBLE whose Spark and DuckDB plans have
-    * produced identical hashes since the query landed. Do not add to this
-    * list — new queries must use the decimal discipline
-    * (`CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE)` on both sides). */
-  val reviewedHazards: Set[String] = Set(
-    "q1_agg", "q6_filter", "q_agg_filter", "q_concat", "q_csv_roundtrip",
-    "q_cut", "q_describe", "q_dt_strftime", "q_dt_trunc", "q_gbd_closed",
-    "q_gbd_int", "q_gbd_monthly", "q_gbd_sliding", "q_group_by_dynamic",
-    "q_group_expr_key", "q_join_agg", "q_join_full", "q_join_left",
-    "q_null_count", "q_partition_by", "q_pivot", "q_search_sorted",
-    "q_selectors", "q_skew_kurt", "q_sql", "q_streaming_session",
-    "q_streaming_sink", "q_streaming_window", "q_unpivot", "q_upsample",
-    "q_when_then", "q_with_context")
+  /** Escape hatch for individually-reviewed hazards. EMPTY since round 12
+    * (the 32 legacy entries were converted to the decimal discipline). Any
+    * future entry must carry a written review of why the raw-double
+    * aggregate's hash is plan-order-safe. */
+  val reviewedHazards: Set[String] = Set.empty
 
   private val aggStart = "(?i)\\b(sum|avg)\\s*\\(".r
 

@@ -29,7 +29,7 @@ object Queries10 {
       .groupBy("o_orderpriority")
       .agg(F.count(F.lit(1)).as("n"),
         F.min("o_orderdate").as("first_d"),
-        F.round(F.sum("o_totalprice"), 2).as("total"))
+        graft.DecimalDiscipline.decSumCol(F.col("o_totalprice"), 2).as("total"))
       .orderBy("o_orderpriority")
   }
 
@@ -153,7 +153,7 @@ object Queries10 {
   def oracleSql: Map[String, String] = Map(
     "q_csv_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n, min(o_orderdate) AS first_d,
-        |round(sum(o_totalprice), 2) AS total
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM read_csv('/tmp/graft_stage/sf0.01/orders_csv/*.csv', header=true)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ndjson_roundtrip" ->

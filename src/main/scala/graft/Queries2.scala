@@ -7,6 +7,7 @@ import graft.expr.Expr
 import graft.Polars._
 import graft.kernel.AsofJoin
 import graft.ml.{Dedup, Similarity, TextAnalysis}
+import graft.DecimalDiscipline.{decSum, decMean}
 
 /** Wave-2 driver queries: string/temporal namespaces, window extras,
   * time-series ops (asof/upsample/dynamic), and the LLM-pipeline operators. */
@@ -100,7 +101,7 @@ object Queries2 {
     lf(s, dir, "orders")
       .withColumn("ym", col("o_orderdate").dt.strftime("%Y-%m"))
       .groupBy("ym")
-      .agg(Expr(F.count(F.lit(1))).alias("n"), col("o_totalprice").sum.alias("total"))
+      .agg(Expr(F.count(F.lit(1))).alias("n"), decSum(col("o_totalprice"), 2).alias("total"))
       .sortBy(Seq(col("ym")))
       .collect().toSpark
 
@@ -108,7 +109,7 @@ object Queries2 {
     events(s, dir)
       .withColumn("day", col("ts").dt.truncate("1d"))
       .groupBy("day")
-      .agg(Expr(F.count(F.lit(1))).alias("n"), col("value").sum.alias("sv"))
+      .agg(Expr(F.count(F.lit(1))).alias("n"), decSum(col("value"), 2).alias("sv"))
       .sortBy(Seq(col("day")))
       .collect().toSpark
 
@@ -116,7 +117,7 @@ object Queries2 {
   private def qGroupByDynamic(s: SparkSession, dir: String): SDF =
     events(s, dir)
       .groupByDynamic("ts", every = "6h", by = Seq("event_type"))
-      .agg(Expr(F.count(F.lit(1))).alias("n"), col("value").sum.alias("sv"))
+      .agg(Expr(F.count(F.lit(1))).alias("n"), decSum(col("value"), 2).alias("sv"))
       .drop("_lower_boundary", "_upper_boundary")
       .sortBy(Seq(col("event_type"), col("ts")))
       .collect().toSpark
@@ -161,7 +162,7 @@ object Queries2 {
         F.expr("INTERVAL '1' DAY"))).as("day")))
     val daily = ev.withColumn("day", col("ts").dt.truncate("1d"))
       .groupBy("user_id", "day")
-      .agg(col("value").sum.alias("sv_raw"))
+      .agg(decSum(col("value"), 2).alias("sv_raw"))
     users.crossJoin(days)
       .join(daily, Seq("user_id", "day"), how = "left")
       .select(col("user_id"), col("day"),
@@ -315,7 +316,8 @@ object Queries2 {
     ctx.register("lineitem", lf(s, dir, "lineitem"))
     ctx.register("orders", lf(s, dir, "orders"))
     ctx.execute(
-      """SELECT l_returnflag, count(*) AS n, sum(l_extendedprice) AS total
+      """SELECT l_returnflag, count(*) AS n,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 200000 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
       .collect().toSpark
@@ -476,14 +478,15 @@ object Queries2 {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_dt_strftime" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS n,
-        |sum(o_totalprice) AS total
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dt_trunc" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n,
-        |sum(value) AS sv FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_group_by_dynamic" ->
       """SELECT event_type, CAST(time_bucket(INTERVAL '6 hours', ts, TIMESTAMP '1970-01-01') AS TIMESTAMP) AS ts,
-        |count(*) AS n, sum(value) AS sv
+        |count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_rolling_time" ->
       """SELECT event_id, user_id,
@@ -504,7 +507,8 @@ object Queries2 {
         |FROM (SELECT DISTINCT user_id FROM events) u
         |CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
         |  TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS d) g
-        |LEFT JOIN (SELECT user_id, date_trunc('day', ts) AS d2, sum(value) AS sv
+        |LEFT JOIN (SELECT user_id, date_trunc('day', ts) AS d2,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
         |  FROM events GROUP BY 1, 2) s
         |ON s.user_id = u.user_id AND CAST(s.d2 AS TIMESTAMP) = CAST(g.d AS TIMESTAMP)
         |ORDER BY 1, 2""".stripMargin,
@@ -538,11 +542,15 @@ object Queries2 {
       """SELECT l_returnflag, mode(l_linenumber) AS mode_ln
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_skew_kurt" ->
-      """WITH m AS (SELECT avg(l_quantity) AS mu, count(*) AS n FROM lineitem)
-        |SELECT
-        |(sum(pow(l_quantity - mu, 3)) / n) / pow(sum(pow(l_quantity - mu, 2)) / n, 1.5) AS skew_qty,
-        |(sum(pow(l_quantity - mu, 4)) / n) / pow(sum(pow(l_quantity - mu, 2)) / n, 2) - 3 AS kurt_qty
-        |FROM lineitem CROSS JOIN m GROUP BY mu, n""".stripMargin,
+      // DuckDB's built-in skewness/kurtosis are the bias-CORRECTED sample
+      // statistics; invert the correction to the population (bias=true)
+      // values polars reports. Normalized statistics carry no accumulation-
+      // order hazard (reorder drift is ~1e-13 relative), unlike raw sums.
+      """SELECT
+        |skewness(l_quantity) * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0)) AS skew_qty,
+        |(kurtosis(l_quantity) * (count(*) - 2.0) * (count(*) - 3.0) / (count(*) - 1.0) - 6.0)
+        |  / (count(*) + 1.0) AS kurt_qty
+        |FROM lineitem""".stripMargin,
     "q_product" ->
       """SELECT l_orderkey, product(1.0 + l_tax) AS tax_product
         |FROM lineitem WHERE l_orderkey <= 1000 GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -555,9 +563,12 @@ object Queries2 {
         |count(DISTINCT o_orderpriority) AS n_prio,
         |count(DISTINCT o_orderstatus) AS n_status FROM orders""".stripMargin,
     "q_null_count" ->
-      """SELECT CAST(sum(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      // count(CASE...) spelling: integer-exact either way, but count() keeps
+      // the raw-double-sum lint clean (sum over a CASE containing l_discount
+      // textually trips it even though the summand is an integer literal)
+      """SELECT count(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 END) AS n_null,
         |count(nullif(l_discount, 0.0)) AS n_notnull,
-        |CAST(sum(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null2
+        |count(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 END) AS n_null2
         |FROM lineitem""".stripMargin,
     "q_slice" ->
       """SELECT o_orderkey, o_totalprice FROM orders
@@ -575,7 +586,8 @@ object Queries2 {
       """SELECT o_orderkey, o_totalprice * 2 AS double_price
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_sql" ->
-      """SELECT l_returnflag, count(*) AS n, sum(l_extendedprice) AS total
+      """SELECT l_returnflag, count(*) AS n,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 200000 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_dedup_exact" ->

@@ -109,7 +109,8 @@ object Queries3 {
       .withColumn("bucket",
         col("o_totalprice").cut(Seq(100000.0, 300000.0), Some(Seq("small", "medium", "large"))))
       .groupBy("bucket")
-      .agg(Expr(F.count(F.lit(1))).alias("n"), col("o_totalprice").mean.alias("avg_price"))
+      .agg(Expr(F.count(F.lit(1))).alias("n"),
+        graft.DecimalDiscipline.decMean(col("o_totalprice"), 2).alias("avg_price"))
       .sortBy(Seq(col("bucket")))
       .collect().toSpark
 
@@ -304,7 +305,8 @@ object Queries3 {
     "q_cut" ->
       """SELECT CASE WHEN o_totalprice <= 100000 THEN 'small'
         |WHEN o_totalprice <= 300000 THEN 'medium' ELSE 'large' END AS bucket,
-        |count(*) AS n, avg(o_totalprice) AS avg_price
+        |count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(o_totalprice) AS avg_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_fold" ->
       """SELECT l_orderkey, l_linenumber,

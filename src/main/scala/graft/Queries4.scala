@@ -60,10 +60,10 @@ object Queries4 {
     lf(s, dir, "lineitem")
       .selectByDtype(DoubleType)
       .select(
-        col("l_quantity").sum.alias("s_qty"),
-        col("l_extendedprice").sum.alias("s_price"),
-        col("l_discount").sum.alias("s_disc"),
-        col("l_tax").sum.alias("s_tax"))
+        graft.DecimalDiscipline.decSum(col("l_quantity"), 2).alias("s_qty"),
+        graft.DecimalDiscipline.decSum(col("l_extendedprice"), 2).alias("s_price"),
+        graft.DecimalDiscipline.decSum(col("l_discount"), 2).alias("s_disc"),
+        graft.DecimalDiscipline.decSum(col("l_tax"), 2).alias("s_tax"))
       .collect().toSpark
 
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
@@ -94,12 +94,16 @@ object Queries4 {
         |END AS wsum
         |FROM events WINDOW w AS (ORDER BY event_id) ORDER BY event_id""".stripMargin,
     "q_search_sorted" ->
+      // count(CASE...) not sum(CASE...): integer-exact either way, but count
+      // keeps the raw-double-sum lint clean (l_quantity appears textually)
       """SELECT l_returnflag,
-        |CAST(coalesce(sum(CASE WHEN l_quantity < 25.0 THEN 1 END), 0) AS BIGINT) AS ins_left,
-        |CAST(coalesce(sum(CASE WHEN l_quantity <= 25.0 THEN 1 END), 0) AS BIGINT) AS ins_right
+        |count(CASE WHEN l_quantity < 25.0 THEN 1 END) AS ins_left,
+        |count(CASE WHEN l_quantity <= 25.0 THEN 1 END) AS ins_right
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_selectors" ->
-      """SELECT sum(l_quantity) AS s_qty, sum(l_extendedprice) AS s_price,
-        |sum(l_discount) AS s_disc, sum(l_tax) AS s_tax FROM lineitem""".stripMargin,
+      """SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_price,
+        |CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_disc,
+        |CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS s_tax FROM lineitem""".stripMargin,
   )
 }

@@ -177,7 +177,8 @@ object Queries6 {
       .groupByExprs(
         col("o_orderpriority").str.slice(0, Some(1)).alias("prio_code"),
         (col("o_totalprice") > 200000).alias("is_big"))
-      .agg(Expr(F.count(F.lit(1))).alias("n"), col("o_totalprice").sum.alias("total"))
+      .agg(Expr(F.count(F.lit(1))).alias("n"),
+        graft.DecimalDiscipline.decSum(col("o_totalprice"), 2).alias("total"))
       .sortBy(Seq(col("prio_code"), col("is_big")))
       .collect().toSpark
 
@@ -206,7 +207,8 @@ object Queries6 {
       .transform(TestTables.normalizeEventsTs)
     val windowed = graft.streaming.Streaming.windowedAgg(
       stream, "ts", "6 hours", by = Seq("event_type"),
-      aggs = Seq(F.count(F.lit(1)).as("n"), F.sum("value").as("sv")))
+      aggs = Seq(F.count(F.lit(1)).as("n"),
+        graft.DecimalDiscipline.decSumCol(F.col("value"), 2).as("sv")))
     // state-store commits cost ~constant per partition per batch; the windowed
     // state here is tiny (types × windows), so run the stream narrow
     graft.streaming.Streaming.tunedDrain(4) {
@@ -273,7 +275,8 @@ object Queries6 {
     }
     s.read.parquet(out)
       .groupBy("event_type")
-      .agg(F.count(F.lit(1)).as("n"), F.sum("value").as("sv"))
+      .agg(F.count(F.lit(1)).as("n"),
+        graft.DecimalDiscipline.decSumCol(F.col("value"), 2).as("sv"))
       .orderBy("event_type")
   }
 
@@ -301,7 +304,7 @@ object Queries6 {
   def oracleSql: Map[String, String] = Map(
     "q_streaming_window" ->
       """SELECT event_type, CAST(time_bucket(INTERVAL '6 hours', ts, TIMESTAMP '1970-01-01') AS TIMESTAMP) AS ts,
-        |count(*) AS n, sum(value) AS sv
+        |count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_streaming_dedup" ->
       "SELECT DISTINCT user_id FROM events ORDER BY user_id",
@@ -318,14 +321,16 @@ object Queries6 {
         |     ELSE NULL END AS rest
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_streaming_sink" ->
-      """SELECT event_type, count(*) AS n, sum(value) AS sv
+      """SELECT event_type, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_json_decode" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_decoded
         |FROM events ORDER BY event_id""".stripMargin,
     "q_group_expr_key" ->
       """SELECT substr(o_orderpriority, 1, 1) AS prio_code,
-        |o_totalprice > 200000 AS is_big, count(*) AS n, sum(o_totalprice) AS total
+        |o_totalprice > 200000 AS is_big, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_multimodal_frames" ->
       """SELECT doc_id,

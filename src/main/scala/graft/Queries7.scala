@@ -205,7 +205,8 @@ object Queries7 {
       .transform(TestTables.normalizeEventsTs)
     val sessions = graft.streaming.Streaming.sessionWindowAgg(
       stream, "ts", "2 hours", by = Seq("user_id"),
-      aggs = Seq(F.count(F.lit(1)).as("n"), F.sum("value").as("sv")))
+      aggs = Seq(F.count(F.lit(1)).as("n"),
+        graft.DecimalDiscipline.decSumCol(F.col("value"), 2).as("sv")))
     graft.streaming.Streaming.tunedDrain(4) {
       graft.streaming.Streaming.drainToParquet(sessions, root)
         .select(F.col("user_id"), F.col("session_window.start").as("session_start"),
@@ -585,7 +586,8 @@ object Queries7 {
         |    sum(chg) OVER (PARTITION BY user_id ORDER BY tsu) AS sess
         |  FROM flagged
         |)
-        |SELECT user_id, min(tsu) AS session_start, count(*) AS n, sum(value) AS sv
+        |SELECT user_id, min(tsu) AS session_start, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
         |FROM runs GROUP BY user_id, sess
         |ORDER BY user_id, session_start""".stripMargin,
     "q_rolling_quantile" ->

@@ -24,7 +24,7 @@ object Queries9 {
     lf(s, dir, "orders")
       .groupByDynamic("o_orderdate", every = "1mo", by = Seq("o_orderpriority"), includeBoundaries = true)
       .agg(Expr(F.count(F.lit(1))).alias("n"),
-        col("o_totalprice").sum.alias("sv"))
+        graft.DecimalDiscipline.decSum(col("o_totalprice"), 2).alias("sv"))
       .select(col("o_orderpriority"), col("o_orderdate"),
         col("_upper_boundary").alias("ub"), col("n"), col("sv"))
       .sortBy(Seq(col("o_orderpriority"), col("o_orderdate")))
@@ -36,7 +36,7 @@ object Queries9 {
     lf(s, dir, "orders")
       .groupByDynamic("o_orderdate", every = "1mo", period = Some("3mo"))
       .agg(Expr(F.count(F.lit(1))).alias("n"),
-        col("o_totalprice").sum.alias("sv"))
+        graft.DecimalDiscipline.decSum(col("o_totalprice"), 2).alias("sv"))
       .select(col("o_orderdate"), col("n"), col("sv"))
       .sortBy(Seq(col("o_orderdate")))
       .collect().toSpark
@@ -87,7 +87,8 @@ object Queries9 {
     * every line price — a 0-row result that any wrong scalar also gave). */
   private def qWithContext(s: SparkSession, dir: String): SDF =
     lf(s, dir, "lineitem")
-      .withContext(lf(s, dir, "orders"), "avg_price" -> col("o_totalprice").mean)
+      .withContext(lf(s, dir, "orders"),
+        "avg_price" -> graft.DecimalDiscipline.decMean(col("o_totalprice"), 2))
       .filter(col("l_extendedprice") > col("avg_price") / 30)
       .groupBy("l_returnflag")
       .agg(Expr(F.count(F.lit(1))).alias("n"))
@@ -101,7 +102,7 @@ object Queries9 {
     LazyFrame(r.toSpark)
       .groupBy("l_linestatus")
       .agg(Expr(F.count(F.lit(1))).alias("n"),
-        col("l_quantity").sum.alias("sq"))
+        graft.DecimalDiscipline.decSum(col("l_quantity"), 2).alias("sq"))
       .sortBy(Seq(col("l_linestatus")))
       .collect().toSpark
   }
@@ -143,7 +144,7 @@ object Queries9 {
     LazyFrame(t(s, dir, "events").transform(TestTables.normalizeEventsTs))
       .groupByDynamic("ts", every = "6h", by = Seq("event_type"), closed = "right")
       .agg(Expr(F.count(F.lit(1))).alias("n"),
-        col("value").sum.alias("sv"))
+        graft.DecimalDiscipline.decSum(col("value"), 2).alias("sv"))
       .select(col("event_type"), col("ts"), col("n"), col("sv"))
       .sortBy(Seq(col("event_type"), col("ts")))
       .collect().toSpark
@@ -167,7 +168,7 @@ object Queries9 {
     lf(s, dir, "events")
       .groupByDynamic("event_id", every = "500i")
       .agg(Expr(F.count(F.lit(1))).alias("n"),
-        col("value").sum.alias("sv"))
+        graft.DecimalDiscipline.decSum(col("value"), 2).alias("sv"))
       .select(col("event_id"), col("n"), col("sv"))
       .sortBy(Seq(col("event_id")))
       .collect().toSpark
@@ -225,10 +226,11 @@ object Queries9 {
       """SELECT o_orderpriority,
         |CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS o_orderdate,
         |CAST(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH AS TIMESTAMP) AS ub,
-        |count(*) AS n, sum(o_totalprice) AS sv
+        |count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sv
         |FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
     "q_gbd_sliding" ->
-      """SELECT CAST(ws AS TIMESTAMP) AS o_orderdate, count(*) AS n, sum(o_totalprice) AS sv
+      """SELECT CAST(ws AS TIMESTAMP) AS o_orderdate, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sv
         |FROM (SELECT o_totalprice, unnest([
         |    date_trunc('month', o_orderdate),
         |    date_trunc('month', o_orderdate) - INTERVAL 1 MONTH,
@@ -247,7 +249,9 @@ object Queries9 {
         |  round(CAST(count(*) AS DOUBLE), 2) AS l_extendedprice FROM lineitem
         |UNION ALL SELECT 'null_count', round(CAST(count(*) - count(l_quantity) AS DOUBLE), 2),
         |  round(CAST(count(*) - count(l_extendedprice) AS DOUBLE), 2) FROM lineitem
-        |UNION ALL SELECT 'mean', round(avg(l_quantity), 2), round(avg(l_extendedprice), 2) FROM lineitem
+        |UNION ALL SELECT 'mean',
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 2),
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 2) FROM lineitem
         |UNION ALL SELECT 'std', round(stddev_samp(l_quantity), 2), round(stddev_samp(l_extendedprice), 2) FROM lineitem
         |UNION ALL SELECT 'min', round(CAST(min(l_quantity) AS DOUBLE), 2), round(CAST(min(l_extendedprice) AS DOUBLE), 2) FROM lineitem
         |UNION ALL SELECT '25%', round(quantile_cont(l_quantity, 0.25), 2), round(quantile_cont(l_extendedprice, 0.25), 2) FROM lineitem
@@ -261,20 +265,22 @@ object Queries9 {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_with_context" ->
       """SELECT l_returnflag, count(*) AS n
-        |FROM lineitem, (SELECT avg(o_totalprice) / 30 AS ap FROM orders)
+        |FROM lineitem, (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  / count(o_totalprice) / 30 AS ap FROM orders)
         |WHERE l_extendedprice > ap GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_partition_by" ->
-      """SELECT l_linestatus, count(*) AS n, sum(l_quantity) AS sq
+      """SELECT l_linestatus, count(*) AS n,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq
         |FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_gbd_closed" ->
       """SELECT event_type,
         |CAST(time_bucket(INTERVAL '6 hours', ts - INTERVAL 1 MICROSECOND,
         |  TIMESTAMP '1970-01-01') AS TIMESTAMP) AS ts,
-        |count(*) AS n, sum(value) AS sv
+        |count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_gbd_int" ->
       """SELECT (event_id // 500) * 500 AS event_id,
-        |count(*) AS n, sum(value) AS sv
+        |count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_any_all" ->
       """SELECT c_mktsegment,

@@ -154,13 +154,20 @@ object QueryStage {
   // Temp (non-reuse) stream roots: ONE static shutdown hook draining a
   // registry, not one hook per call — a long-lived session invoking
   // streaming queries repeatedly would otherwise accumulate hooks and temp
-  // trees until exit. Keyed by query name so a re-run of the same query
-  // eagerly deletes its previous root.
+  // trees until exit. A re-run of the same query DISPLACES its previous
+  // root into the retired list rather than deleting it eagerly: a DataFrame
+  // returned by the earlier drain still lazily reads parquet from that root,
+  // and deleting it at re-run time would break that frame's next action
+  // (advisor round 11). All roots — live and retired — are reclaimed by the
+  // shutdown hook, same lifetime the pre-registry per-call hooks gave them.
   private val tempStreamRoots =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+  private val retiredStreamRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
   private lazy val tempRootHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       tempStreamRoots.values.forEach(rmTree(_))
+      retiredStreamRoots.forEach(rmTree(_))
     }))
   private def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
@@ -171,7 +178,7 @@ object QueryStage {
     if (!reuseUnchanged) {
       val tmp = java.nio.file.Files.createTempDirectory(s"graft-q-$name").toFile
       tempRootHook
-      Option(tempStreamRoots.put(name, tmp)).foreach(rmTree)
+      Option(tempStreamRoots.put(name, tmp)).foreach(retiredStreamRoots.add)
       return tmp
     }
     val sf = new java.io.File(sfDir).getName

@@ -22,6 +22,8 @@ object SparkEntry {
     LazyFrame(t(s, dir, "events")
       .transform(TestTables.normalizeEventsTs))
 
+  import DecimalDiscipline.{decSum, decMean}
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape through the lazy API: scan → filter → group → agg → sort. */
   def entry(spark: SparkSession): SDF = {
@@ -46,13 +48,13 @@ object SparkEntry {
     lf(s, dir, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        col("l_quantity").sum.alias("sum_qty"),
-        col("l_extendedprice").sum.alias("sum_base_price"),
-        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).sum.alias("sum_disc_price"),
-        (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).sum.alias("sum_charge"),
-        col("l_quantity").mean.alias("avg_qty"),
-        col("l_extendedprice").mean.alias("avg_price"),
-        col("l_discount").mean.alias("avg_disc"),
+        decSum(col("l_quantity"), 2).alias("sum_qty"),
+        decSum(col("l_extendedprice"), 2).alias("sum_base_price"),
+        decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).alias("sum_disc_price"),
+        decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6).alias("sum_charge"),
+        decMean(col("l_quantity"), 2).alias("avg_qty"),
+        decMean(col("l_extendedprice"), 2).alias("avg_price"),
+        decMean(col("l_discount"), 2).alias("avg_disc"),
         Expr(F.count(F.lit(1))).alias("count_order"))
       .sortBy(Seq(col("l_returnflag"), col("l_linestatus")))
       .collect().toSpark
@@ -62,7 +64,7 @@ object SparkEntry {
       .filter(col("l_shipdate") >= Expr(F.to_timestamp(F.lit("1995-01-01")))
         && col("l_discount").isBetween(0.05, 0.07)
         && col("l_quantity") < 24)
-      .select((col("l_extendedprice") * col("l_discount")).sum.alias("revenue"))
+      .select(decSum(col("l_extendedprice") * col("l_discount"), 4).alias("revenue"))
       .collect().toSpark
 
   private def qStats(s: SparkSession, dir: String): SDF =
@@ -97,9 +99,9 @@ object SparkEntry {
     lf(s, dir, "lineitem")
       .groupBy("l_linestatus")
       .agg(
-        col("l_quantity").filter(col("l_returnflag") === "A").sum.alias("qty_a"),
-        col("l_quantity").filter(col("l_returnflag") === "R").sum.alias("qty_r"),
-        col("l_extendedprice").filter(col("l_discount") > 0.05).mean.alias("avg_price_disc"))
+        decSum(col("l_quantity").filter(col("l_returnflag") === "A"), 2).alias("qty_a"),
+        decSum(col("l_quantity").filter(col("l_returnflag") === "R"), 2).alias("qty_r"),
+        decMean(col("l_extendedprice").filter(col("l_discount") > 0.05), 2).alias("avg_price_disc"))
       .sortBy(Seq(col("l_linestatus")))
       .collect().toSpark
 
@@ -133,7 +135,7 @@ object SparkEntry {
           .when(col("o_totalprice") < 300000).then("mid")
           .otherwise("high"))
       .groupBy("bucket")
-      .agg(Expr(F.count(F.lit(1))).alias("n"), col("o_totalprice").sum.alias("total"))
+      .agg(Expr(F.count(F.lit(1))).alias("n"), decSum(col("o_totalprice"), 2).alias("total"))
       .sortBy(Seq(col("bucket")))
       .collect().toSpark
 
@@ -175,7 +177,7 @@ object SparkEntry {
       .joinOn(customer, Seq("o_custkey"), Seq("c_custkey"))
       .joinOn(nation, Seq("c_nationkey"), Seq("n_nationkey"))
       .groupBy("n_name")
-      .agg(Expr(F.count(F.lit(1))).alias("n_orders"), col("o_totalprice").sum.alias("total"))
+      .agg(Expr(F.count(F.lit(1))).alias("n_orders"), decSum(col("o_totalprice"), 2).alias("total"))
       .sortBy(Seq(col("n_name")))
       .collect().toSpark
   }
@@ -186,7 +188,7 @@ object SparkEntry {
       .groupBy("c_custkey")
       .agg(
         Expr(F.count(F.col("o_orderkey"))).alias("n_orders"),
-        col("o_totalprice").sum.fillNull(Expr(F.lit(0.0))).alias("total"))
+        decSum(col("o_totalprice"), 2).fillNull(Expr(F.lit(0.0))).alias("total"))
       .sortBy(Seq(col("c_custkey")))
       .collect().toSpark
 
@@ -215,7 +217,7 @@ object SparkEntry {
       .agg(Expr(F.count(F.lit(1))).alias("n_cust"))
     val byStatus = lf(s, dir, "orders")
       .joinOn(lf(s, dir, "customer"), Seq("o_custkey"), Seq("c_custkey"))
-      .groupBy("c_mktsegment").agg(col("o_totalprice").sum.alias("seg_total"))
+      .groupBy("c_mktsegment").agg(decSum(col("o_totalprice"), 2).alias("seg_total"))
     bySeg.join(byStatus, Seq("c_mktsegment"), how = "full")
       .sortBy(Seq(col("c_mktsegment")))
       .collect().toSpark
@@ -313,23 +315,30 @@ object SparkEntry {
     val hi = lf(s, dir, "lineitem").filter(col("l_quantity") >= 40).collect()
     Polars.concat(Seq(lo, hi))
       .groupBy("l_returnflag")
-      .agg(Expr(F.count(F.lit(1))).alias("n"), col("l_quantity").sum.alias("qty"))
+      .agg(Expr(F.count(F.lit(1))).alias("n"), decSum(col("l_quantity"), 2).alias("qty"))
       .sortBy(Seq(col("l_returnflag")))
       .toSpark
   }
 
   private def qPivot(s: SparkSession, dir: String): SDF =
-    DataFrame(t(s, dir, "lineitem"))
+    // decimal discipline: pivot-sum over the DECIMAL-cast value column, then
+    // present the pivoted sums as DOUBLE (see decSum)
+    DataFrame(t(s, dir, "lineitem")
+        .withColumn("l_quantity", F.col("l_quantity").cast("decimal(18,2)")))
       .pivotValues("l_returnflag", Seq("A", "N", "R"), Seq("l_linestatus"), "l_quantity", "sum")
       .sortBy(Seq(col("l_linestatus")))
       .toSpark
+      .select(F.col("l_linestatus"),
+        F.col("A").cast("double").as("A"),
+        F.col("N").cast("double").as("N"),
+        F.col("R").cast("double").as("R"))
 
   private def qUnpivot(s: SparkSession, dir: String): SDF =
     lf(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"), col("l_tax"))
       .unpivot(Seq("l_quantity", "l_discount", "l_tax"), Seq("l_orderkey", "l_linenumber"))
       .groupBy("variable")
-      .agg(col("value").sum.alias("total"), Expr(F.count(F.lit(1))).alias("n"))
+      .agg(decSum(col("value"), 2).alias("total"), Expr(F.count(F.lit(1))).alias("n"))
       .sortBy(Seq(col("variable")))
       .collect().toSpark
 
@@ -385,15 +394,19 @@ object SparkEntry {
 
   private def coreOracleSql: Map[String, String] = Map(
     "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-        |sum(l_extendedprice) AS sum_base_price,
-        |sum(l_extendedprice*(1-l_discount)) AS sum_disc_price,
-        |sum(l_extendedprice*(1-l_discount)*(1+l_tax)) AS sum_charge,
-        |avg(l_quantity) AS avg_qty, avg(l_extendedprice) AS avg_price,
-        |avg(l_discount) AS avg_disc, count(*) AS count_order
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+        |CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount) AS avg_disc,
+        |count(*) AS count_order
         |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q6_filter" ->
-      """SELECT sum(l_extendedprice*l_discount) AS revenue FROM lineitem
+      """SELECT CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
         |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q_stats" ->
@@ -410,9 +423,10 @@ object SparkEntry {
       "SELECT o_orderpriority, count(*) AS count FROM orders GROUP BY 1 ORDER BY 1",
     "q_agg_filter" ->
       """SELECT l_linestatus,
-        |sum(CASE WHEN l_returnflag='A' THEN l_quantity END) AS qty_a,
-        |sum(CASE WHEN l_returnflag='R' THEN l_quantity END) AS qty_r,
-        |avg(CASE WHEN l_discount>0.05 THEN l_extendedprice END) AS avg_price_disc
+        |CAST(sum(CAST(CASE WHEN l_returnflag='A' THEN l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS qty_a,
+        |CAST(sum(CAST(CASE WHEN l_returnflag='R' THEN l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS qty_r,
+        |CAST(sum(CAST(CASE WHEN l_discount>0.05 THEN l_extendedprice END AS DECIMAL(18,2))) AS DOUBLE)
+        |  / count(CASE WHEN l_discount>0.05 THEN l_extendedprice END) AS avg_price_disc
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_horizontal" ->
       """SELECT l_orderkey, l_linenumber,
@@ -429,7 +443,8 @@ object SparkEntry {
     "q_when_then" ->
       """SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
         |WHEN o_totalprice < 300000 THEN 'mid' ELSE 'high' END AS bucket,
-        |count(*) AS n, sum(o_totalprice) AS total
+        |count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_cast" ->
       """SELECT l_orderkey, l_linenumber,
@@ -446,13 +461,14 @@ object SparkEntry {
         |round(l_extendedprice, 1) AS price_r1
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_join_agg" ->
-      """SELECT n_name, count(*) AS n_orders, sum(o_totalprice) AS total
+      """SELECT n_name, count(*) AS n_orders,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey=c_custkey
         |JOIN nation ON c_nationkey=n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_join_left" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
-        |coalesce(sum(o_totalprice), 0.0) AS total
+        |coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total
         |FROM customer LEFT JOIN orders ON c_custkey=o_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_join_semi" ->
@@ -468,7 +484,7 @@ object SparkEntry {
       """SELECT c_mktsegment, n_cust, seg_total FROM
         |(SELECT c_mktsegment, count(*) AS n_cust FROM customer GROUP BY 1) a
         |FULL OUTER JOIN
-        |(SELECT c_mktsegment, sum(o_totalprice) AS seg_total
+        |(SELECT c_mktsegment, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS seg_total
         | FROM orders JOIN customer ON o_custkey=c_custkey GROUP BY 1) b
         |USING (c_mktsegment) ORDER BY 1""".stripMargin,
     "q_cross_join" ->
@@ -506,18 +522,20 @@ object SparkEntry {
     "q_unique" ->
       "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer ORDER BY 1, 2",
     "q_concat" ->
-      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS qty FROM (
+      """SELECT l_returnflag, count(*) AS n,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty FROM (
         |SELECT * FROM lineitem WHERE l_quantity < 10
         |UNION ALL SELECT * FROM lineitem WHERE l_quantity >= 40)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pivot" ->
       """SELECT l_linestatus,
-        |sum(CASE WHEN l_returnflag='A' THEN l_quantity END) AS "A",
-        |sum(CASE WHEN l_returnflag='N' THEN l_quantity END) AS "N",
-        |sum(CASE WHEN l_returnflag='R' THEN l_quantity END) AS "R"
+        |CAST(sum(CAST(CASE WHEN l_returnflag='A' THEN l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS "A",
+        |CAST(sum(CAST(CASE WHEN l_returnflag='N' THEN l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS "N",
+        |CAST(sum(CAST(CASE WHEN l_returnflag='R' THEN l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS "R"
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_unpivot" ->
-      """SELECT variable, sum(value) AS total, count(*) AS n FROM (
+      """SELECT variable,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total, count(*) AS n FROM (
         |SELECT 'l_quantity' AS variable, l_quantity AS value FROM lineitem
         |UNION ALL SELECT 'l_discount', l_discount FROM lineitem
         |UNION ALL SELECT 'l_tax', l_tax FROM lineitem)

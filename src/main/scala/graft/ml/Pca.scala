@@ -1,16 +1,20 @@
 package graft.ml
 
-import org.apache.spark.sql.{DataFrame, Row, functions => F}
+import org.apache.spark.sql.{DataFrame, functions => F}
 
 /** PCA / whitening over an embedding column (beyond-reference; the standard
   * dimensionality-reduction / decorrelation step before clustering,
   * SemDeDup, or ANN indexing of a corpus's embeddings).
   *
   * Scale shape: `fit` is ONE pass — each partition accumulates the d-vector
-  * sum and the d×d outer-product sum locally in primitive arrays and emits a
-  * single row, so the shuffle is #partitions × (d² + d) doubles and driver
-  * state is the d×d covariance (d = a few hundred at most for embedding
-  * columns; 64-dim → 32 KB). The eigendecomposition runs on the driver
+  * sum and the d×d outer-product sum locally in primitive arrays, and the
+  * partials merge pairwise through `treeReduce` so the DRIVER receives one
+  * (d² + d)-double accumulator regardless of partition count (at 100 TB /
+  * 128 MB splits that's ~800k partitions; a flat collect of per-partition
+  * rows would ship tens of GB to the driver — the tree keeps it O(d²)).
+  * Driver state is the d×d covariance (d = a few hundred at most for
+  * embedding columns; 64-dim → 32 KB). The eigendecomposition runs on the
+  * driver
   * (cyclic Jacobi on the symmetric covariance — exact for this size, no
   * library dependency). `transform` is pure column arithmetic: per component
   * one zip_with + aggregate dot product over the centered vector, all
@@ -28,8 +32,31 @@ object Pca {
     def k: Int = components.length
   }
 
+  /** One-pass moment accumulator: count, d-vector sum, row-major d×d
+    * outer-product sum. `sum == null` marks "saw no vectors yet". */
+  private final case class Moments(n: Long, sum: Array[Double], outer: Array[Double])
+
+  /** Pairwise merge; ragged dimensions across partitions (each partition
+    * checks only against its own first row) must fail loudly, not
+    * mis-accumulate. Mutates and returns the non-null side. */
+  private def mergeMoments(a: Moments, b: Moments): Moments = {
+    if (a.sum == null) b
+    else if (b.sum == null) a
+    else {
+      require(a.sum.length == b.sum.length,
+        s"pca: ragged embedding across partitions (${b.sum.length} vs ${a.sum.length})")
+      var i = 0
+      while (i < a.sum.length) { a.sum(i) += b.sum(i); i += 1 }
+      i = 0
+      while (i < a.outer.length) { a.outer(i) += b.outer(i); i += 1 }
+      Moments(a.n + b.n, a.sum, a.outer)
+    }
+  }
+
   def fit(df: DataFrame, vecCol: String, k: Int): Model = {
-    val partials = df.select(vecCol).rdd.mapPartitions { it =>
+    // partition-local accumulation into primitive arrays, then treeReduce so
+    // the driver sees ONE (d²+d)-double accumulator at any partition count
+    val total = df.select(vecCol).rdd.mapPartitions { it =>
       var n = 0L
       var sum: Array[Double] = null
       var outer: Array[Double] = null // row-major d*d
@@ -50,25 +77,13 @@ object Pca {
           }
         }
       }
-      if (n == 0) Iterator.empty
-      else Iterator(Row(n, sum.toSeq, outer.toSeq))
-    }.collect()
-    require(partials.nonEmpty, "pca: no non-null vectors")
-    val d = partials.head.getSeq[Double](1).length
-    var n = 0L
-    val sum = new Array[Double](d)
-    val outer = new Array[Double](d * d)
-    partials.foreach { r =>
-      n += r.getLong(0)
-      val s = r.getSeq[Double](1); val o = r.getSeq[Double](2)
-      // ragged dimensions across partitions (each partition checks only
-      // against its own first row) must fail loudly, not mis-accumulate
-      require(s.length == d, s"pca: ragged embedding across partitions (${s.length} vs $d)")
-      var i = 0
-      while (i < d) { sum(i) += s(i); i += 1 }
-      i = 0
-      while (i < d * d) { outer(i) += o(i); i += 1 }
-    }
+      Iterator.single(Moments(n, sum, outer))
+    }.treeReduce(mergeMoments _, depth = 2)
+    require(total.sum != null, "pca: no non-null vectors")
+    val d = total.sum.length
+    val n = total.n
+    val sum = total.sum
+    val outer = total.outer
     require(n > 1, "pca: need at least 2 vectors")
     val mean = sum.map(_ / n)
     // population covariance: E[xxT] - mean meanT
