@@ -113,38 +113,59 @@ object Graph {
       nodes.join(outDeg, Seq("node"), "left"))
     val n = nodes.agg(F.count(F.lit(1)).cast("double").as("__n__"))
 
-    // For short iteration counts the per-generation materialize+unpersist
-    // cycle costs more than it saves (each count() is a full job): persist
-    // lazily and let the final action fill every generation's cache once
-    // (broadcast subqueries evaluate parents in dependency order). Long
-    // runs eagerly materialize so the previous generation can be released.
+    // Short runs stay FULLY LAZY — one action at the end evaluates the
+    // whole chain, with N and each dangling mass as broadcast scalar
+    // subqueries that pipeline inside that single job graph (every
+    // generation is persisted, so each evaluates once, in dependency
+    // order). At toy scale this query is scheduling-bound (~0.6 s of
+    // stages per iteration when each one becomes its own action — measured
+    // round 12), so fewer barriers is the whole game. Long runs switch to
+    // ONE action per iteration: the dangling-mass aggregate collected as a
+    // driver scalar (bounded: one double) whose full scan fills the
+    // current generation's cache — the materialization the old extra
+    // `count()` job existed for — after which the parent generation is
+    // released deterministically.
     val eager = iterations > 8
+    // eager path: N once as a driver double (one count job total)
+    lazy val nVal: Double = nodes.count().toDouble
     var ranks = reg.persistBounded(base.crossJoin(F.broadcast(n))
       .select(F.col("node"), F.col("__deg__"), (F.lit(1.0) / F.col("__n__")).as("rank")))
+    var prev: DataFrame = null
     var i = 0
     while (i < iterations) {
-      // 1-row aggregate: mass parked on dangling nodes this iteration
-      val dangling = ranks.agg(
+      // mass parked on dangling nodes this iteration: a broadcast scalar
+      // in the lazy path, a driver double (one collect job that doubles as
+      // the cache materialization of `ranks`) in the eager path
+      val danglingAgg = ranks.agg(
         F.coalesce(F.sum(F.when(F.col("__deg__").isNull, F.col("rank"))), F.lit(0.0))
           .as("__dm__"))
+      val dmLit: Option[Double] =
+        if (eager) {
+          val v = danglingAgg.collect()(0).getDouble(0)
+          if (prev != null) reg.release(prev)
+          Some(v)
+        } else None
       val contribs = e
         .join(ranks.select(F.col("node").as("__src__"),
           (F.col("rank") / F.col("__deg__")).as("__c__")), Seq("__src__"))
         .groupBy(F.col("__dst__").as("node"))
         .agg(F.sum(F.col("__c__")).as("__in__"))
-      val next = base
-        .join(contribs, Seq("node"), "left")
-        .crossJoin(F.broadcast(n))
-        .crossJoin(F.broadcast(dangling))
+      val joined = base.join(contribs, Seq("node"), "left")
+      val withScalars = dmLit match {
+        case Some(_) => joined
+        case None    => joined.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(danglingAgg))
+      }
+      // identical arithmetic either way: scala and Spark double division
+      // are the same IEEE op, so literal-vs-subquery spelling cannot move
+      // a value by even an ulp
+      val nCol = dmLit.fold(F.col("__n__"))(_ => F.lit(nVal))
+      val dmCol = dmLit.map(F.lit(_)).getOrElse(F.col("__dm__"))
+      val next = reg.persistBounded(withScalars
         .select(F.col("node"), F.col("__deg__"),
-          ((F.lit(1.0 - damping) / F.col("__n__")) +
+          ((F.lit(1.0 - damping) / nCol) +
             F.lit(damping) * (F.coalesce(F.col("__in__"), F.lit(0.0)) +
-              F.col("__dm__") / F.col("__n__"))).as("rank"))
-      if (eager) {
-        reg.persistBounded(next)
-        next.count() // materialize before releasing the input generation
-        reg.release(ranks)
-      } else reg.persistBounded(next)
+              dmCol / nCol)).as("rank")))
+      prev = ranks
       ranks = next
       i += 1
     }
