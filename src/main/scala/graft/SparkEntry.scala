@@ -457,7 +457,7 @@ object SparkEntry {
         |sqrt(l_extendedprice) AS sqrt_price, ln(l_extendedprice) AS ln_price,
         |log10(l_extendedprice) AS log10_price,
         |least(greatest(l_quantity, 5.0), 40.0) AS clipped,
-        |CAST(sign(l_discount - 0.04) AS DOUBLE) AS disc_sign,
+        |CAST(sign(l_discount - 0.04) AS BIGINT) AS disc_sign,
         |round(l_extendedprice, 1) AS price_r1
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_join_agg" ->

@@ -119,8 +119,13 @@ trait FrameOps[Self] {
     val re = pattern.r
     make(sdf.select(columns.filter(c => re.findFirstIn(c).isDefined).map(F.col): _*))
   }
-  def exclude(names: String*): Self =
-    make(sdf.select(columns.filterNot(names.contains).map(F.col): _*))
+  def exclude(names: String*): Self = {
+    // polars rule: a name anchored ^...$ is a regex (functions/lazy.rb:928)
+    val (regexes, plain) = names.partition(n => n.startsWith("^") && n.endsWith("$"))
+    val res = regexes.map(_.r)
+    make(sdf.select(columns.filterNot(c =>
+      plain.contains(c) || res.exists(_.findFirstIn(c).isDefined)).map(F.col): _*))
+  }
 
   // ---- filter (reference: data_frame.rb:1161, lazy_frame.rb:932) ----
   def filter(pred: Expr): Self = make(withIdx(Seq(pred)) { d =>
@@ -314,6 +319,46 @@ trait FrameOps[Self] {
   def varFrame(ddof: Int = 1): Self =
     aggAll(c => Expr.ddofScale(F.var_samp(c), F.count(c), ddof, isStd = false), numericOnly = true)
   def nullCount: Self = aggAll(c => F.count(F.when(c.isNull, 1)), numericOnly = false)
+  /** Frame-level quantile (reference lazy_frame.rb:2368): every numeric
+    * column to its q-quantile, f64 like polars (default interpolation
+    * "nearest", same as the reference). */
+  def quantileFrame(q: Double, interpolation: String = "nearest"): Self =
+    aggAll(c => Expr(c).quantile(q, interpolation).col
+      .cast(org.apache.spark.sql.types.DoubleType), numericOnly = true)
+
+  /** Frame-level fill_nan (reference lazy_frame.rb:2168): replace NaN in
+    * every FLOAT column; nulls are NOT NaN and pass through untouched. */
+  def fillNan(v: Expr): Self = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val cols = sdf.schema.fields.map { f =>
+      f.dataType match {
+        case DoubleType | FloatType =>
+          F.when(F.isnan(F.col(f.name)), v.col).otherwise(F.col(f.name)).as(f.name)
+        case _ => F.col(f.name)
+      }
+    }
+    make(sdf.select(cols.toIndexedSeq: _*))
+  }
+  def fillNan(v: Any): Self = fillNan(Expr.lit(v))
+
+  /** Frame-level shift (reference lazy_frame.rb:1913): every column shifted
+    * by `n` in frame row order (the expr-level scan kernel per column). */
+  def shiftFrame(n: Int): Self =
+    select(columns.map(c => Expr(F.col(c)).shift(n)): _*)
+  /** Frame-level shift_and_fill (reference lazy_frame.rb:1963). */
+  def shiftAndFillFrame(n: Int, fillValue: Any): Self =
+    select(columns.map(c => Expr(F.col(c)).shiftAndFill(n, fillValue)): _*)
+
+  /** Frame-level interpolate (reference lazy_frame.rb:2543): linear
+    * interpolation of every numeric column in frame order (ints go f64,
+    * like polars); non-numeric columns pass through. */
+  def interpolateFrame(): Self =
+    select(columns.map { c =>
+      val e = Expr(F.col(c))
+      if (sdf.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+        e.cast(org.apache.spark.sql.types.DoubleType).interpolate("linear").alias(c)
+      else e
+    }: _*)
 
   // ---- group by (reference: data_frame.rb:1684, group_by.rb:203) ----
   def groupBy(keys: String*): GroupBy[Self] =
@@ -396,8 +441,13 @@ trait FrameOps[Self] {
   }
   def unnest(structCol: String): Self = {
     val fields = sdf.schema(structCol).dataType.asInstanceOf[StructType].fieldNames
-    val others = sdf.columns.filterNot(_ == structCol).map(F.col)
-    make(sdf.select((others ++ fields.map(f => F.col(s"$structCol.$f").as(f))).toIndexedSeq: _*))
+    // polars splices the fields IN PLACE of the struct column (reference
+    // lazy_frame.rb:2607 golden: before, t_a..t_d, after), not at the end
+    val cols = sdf.columns.toIndexedSeq.flatMap { c =>
+      if (c == structCol) fields.toSeq.map(f => F.col(s"$structCol.$f").as(f))
+      else Seq(F.col(c))
+    }
+    make(sdf.select(cols: _*))
   }
   def toStruct(name: String): Self =
     make(sdf.select(F.struct(sdf.columns.map(F.col).toIndexedSeq: _*).as(name)))
@@ -415,8 +465,20 @@ trait FrameOps[Self] {
 
   /** unpivot/melt (reference: data_frame.rb:3101). Spark 4 has Dataset.unpivot. */
   def unpivot(on: Seq[String], index: Seq[String],
-              variableName: String = "variable", valueName: String = "value"): Self =
-    make(sdf.unpivot(index.map(F.col).toArray, on.map(F.col).toArray, variableName, valueName))
+              variableName: String = "variable", valueName: String = "value"): Self = {
+    // polars unpivots COLUMN-major — every row of on(0) in frame order, then
+    // every row of on(1), ... (reference lazy_frame.rb:2497 golden). Spark's
+    // own unpivot is row-major (per-row explode), so spell it as a union of
+    // one pruned projection per value column; the value dtype is coerced to
+    // Spark's own unpivot supertype (schema-only probe, no extra scan).
+    val target = sdf.unpivot(index.map(F.col).toArray, on.map(F.col).toArray,
+      variableName, valueName).schema(valueName).dataType
+    val parts = on.map { c =>
+      sdf.select(index.map(F.col) ++ Seq(
+        F.lit(c).as(variableName), F.col(c).cast(target).as(valueName)): _*)
+    }
+    make(parts.reduce(_ unionAll _))
+  }
 
   def isEmpty: Boolean = sdf.isEmpty
 
@@ -762,7 +824,11 @@ final case class LazyFrame(private val df: SDF) extends FrameOps[LazyFrame] {
   protected def sdf: SDF = df
   protected def make(d: SDF): LazyFrame = LazyFrame(d)
   def collect(): DataFrame = DataFrame(df)
-  def fetch(n: Int): DataFrame = DataFrame(df.limit(n))
+  /** polars fetch: run the query over the first n rows OF EACH SOURCE
+    * (debug semantics; reference lazy_frame.rb:769 — group_by.agg after
+    * fetch(2) aggregates only the first 2 input rows), not limit-the-result. */
+  def fetch(n: Int): DataFrame =
+    DataFrame(org.apache.spark.sql.GraftInternalOps.limitSources(df, n))
   def cachePlan(): LazyFrame = LazyFrame(df.cache())
   def describePlan(): String = df.queryExecution.logical.toString
   def describeOptimizedPlan(): String = df.queryExecution.optimizedPlan.toString

@@ -167,8 +167,11 @@ final case class Series(name: String, df: SDF) {
     * (SURVEY §1.2 long-µs-ticks mapping; reference series.rb time_unit). */
   def timeUnit: String = "us"
   /** Row-level uniqueness masks (reference is_unique/is_first/is_last). */
-  def isUnique: Series = maskOp(F.count(F.lit(1)), _ === 1, "is_unique")
-  def isDuplicated: Series = maskOp(F.count(F.lit(1)), _ > 1, "is_duplicated")
+  // polars keeps the SERIES NAME on these masks (series.rb:2002/2029
+  // goldens render "Series: 'a' [bool]"), unlike the frame-level
+  // is_unique()/is_duplicated() methods which name their output
+  def isUnique: Series = maskOp(F.count(F.lit(1)), _ === 1, name)
+  def isDuplicated: Series = maskOp(F.count(F.lit(1)), _ > 1, name)
   def isFirstDistinct: Series = Series("is_first_distinct",
     indexed.withColumn("__rn__", F.row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(F.col(name)).orderBy(F.col(IDX))))
@@ -430,7 +433,16 @@ final case class Series(name: String, df: SDF) {
   def cumSum(reverse: Boolean = false): Series = map(_.cumSum(reverse))
   def cumMax(reverse: Boolean = false): Series = map(_.cumMax(reverse))
   def cumMin(reverse: Boolean = false): Series = map(_.cumMin(reverse))
-  def cumProd(reverse: Boolean = false): Series = map(_.cumProd(reverse))
+  def cumProd(reverse: Boolean = false): Series = {
+    // polars cum_prod keeps integer dtype (small ints promote to i64 per the
+    // reference docstring note; series.rb:1345 golden renders [i64]) —
+    // Spark's product aggregate is double, so cast integral inputs back
+    val raw = map(_.cumProd(reverse))
+    dtype match {
+      case ByteType | ShortType | IntegerType | LongType => raw.cast(LongType)
+      case _ => raw
+    }
+  }
   def cumCount(reverse: Boolean = false): Series = map(_.cumCount(reverse))
   def shift(n: Int = 1): Series = map(_.shift(n))
   def shiftAndFill(n: Int, fill: Any): Series = map(_.shiftAndFill(n, fill))
@@ -543,15 +555,20 @@ object Series {
   /** Construct from a Scala seq (reference series.rb ctor from array). */
   def apply(name: String, values: Seq[Any])(implicit spark: SparkSession): Series = {
     import scala.jdk.CollectionConverters._
-    val dt: DataType = values.collectFirst {
+    def infer(vs: Seq[Any]): DataType = vs.collectFirst {
       case _: Int => IntegerType
       case _: Long => LongType
       case _: Double => DoubleType
+      case _: Float => FloatType
+      case _: Short => ShortType
+      case _: Byte => ByteType
       case _: String => StringType
       case _: Boolean => BooleanType
       case _: java.sql.Date => DateType
       case _: java.sql.Timestamp => TimestampType
+      case s: Seq[_] => ArrayType(infer(s))
     }.getOrElse(StringType)
+    val dt: DataType = infer(values)
     val rows = values.map(v => org.apache.spark.sql.Row(v)).asJava
     Series(name, spark.createDataFrame(rows, StructType(Seq(StructField(name, dt)))))
   }

@@ -184,6 +184,16 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   def /(v: Any): Expr = this / Expr.lit(v)
   def %(v: Any): Expr = this % Expr.lit(v)
   def pow(v: Double): Expr = pow(Expr.lit(v))
+  /** Integer exponent keeps the input dtype (polars: i64 ** 2 → i64,
+    * f64 ** 2 → f64; Spark's `power` always widens to double). Spelled as
+    * repeated multiplication — dtype-preserving, null-propagating, and
+    * codegen-friendly for the small literal exponents this is used with.
+    * Negative exponents fall back to double `pow` (polars raises there for
+    * ints; callers on floats get the usual IEEE result). */
+  def pow(v: Int): Expr =
+    if (v == 0) map(c => c * F.lit(0) + F.lit(1))
+    else if (v > 0) map(c => Seq.fill(v)(c).reduce(_ * _))
+    else pow(v.toDouble)
   // aggregate zip: the elementwise keyed propagation does not apply (the
   // per-key form of an aggregate needs a window, which zip does not add)
   def dot(o: Expr): Expr = zip(o)((a, b) => F.sum(a * b)).copy(keyed = None)
@@ -257,7 +267,9 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   // polars floor/ceil preserve the float dtype; Spark's return LONG
   def ceil: Expr = map(c => F.ceil(c).cast("double"))
   def round(decimals: Int = 0): Expr = map(c => F.round(c, decimals))
-  def sign: Expr = map(F.signum)
+  // polars sign returns Int64 for every numeric input (series.rb:2602
+  // golden: f64 input renders [i64]); Spark's signum is double
+  def sign: Expr = map(c => F.signum(c).cast("long"))
   def sin: Expr = map(F.sin)
   def cos: Expr = map(F.cos)
   def tan: Expr = map(F.tan)

@@ -359,8 +359,11 @@ final class DtNS(e: Expr) {
 final class ListNS(e: Expr) {
   private def m(f: Column => Column): Expr = e.mapElementwise(f)
 
-  def all: Expr = m(c => F.forall(c, x => x))
-  def any: Expr = m(c => F.exists(c, x => x))
+  // polars list.all/any IGNORE null elements ([null] is all=true, any=false
+  // — reference list_expr.rb:16/43 goldens), unlike Spark's Kleene
+  // forall/exists which return null for [null]
+  def all: Expr = m(c => F.forall(F.filter(c, _.isNotNull), x => x))
+  def any: Expr = m(c => F.exists(F.filter(c, _.isNotNull), x => x))
   def len: Expr = m(F.size)
   def lengths: Expr = len
   def dropNulls: Expr = m(c => F.filter(c, _.isNotNull))
@@ -424,7 +427,9 @@ final class ListNS(e: Expr) {
     }
   def countMatches(v: Any): Expr = m(c => F.size(F.filter(c, x => x === F.lit(v))))
   def toStruct(fields: Int): Expr =
-    m(c => F.struct((0 until fields).map(i => F.element_at(c, i + 1).as(s"field_$i")): _*))
+    // try_element_at: a list shorter than `fields` pads with null (polars
+    // list.to_struct golden); element_at THROWS out-of-bounds in Spark 4
+    m(c => F.struct((0 until fields).map(i => F.try_element_at(c, F.lit(i + 1)).as(s"field_$i")): _*))
   /** list.eval with Polars.element — Spark `transform` HOF (reference list_expr.rb:787). */
   def eval(f: Expr => Expr): Expr = m(c => F.transform(c, x => f(Expr(x)).col))
   def evalFilter(f: Expr => Expr): Expr = m(c => F.filter(c, x => f(Expr(x)).col))
@@ -485,7 +490,9 @@ object EnumShim {
 /** Struct namespace — reference: lib/polars/struct_expr.rb:15-94. */
 final class StructNS(e: Expr) {
   private def m(f: Column => Column): Expr = e.mapElementwise(f)
-  def field(name: String): Expr = m(_.getField(name))
+  // polars names the output after the FIELD (struct_expr.rb:32 golden:
+  // select(col("my_struct").struct.field("str")) → column "str")
+  def field(name: String): Expr = m(_.getField(name)).alias(name)
   def apply(name: String): Expr = field(name)
   def jsonEncode: Expr = m(F.to_json)
   def withField(name: String, value: Expr): Expr =

@@ -141,8 +141,32 @@ object Testing {
         }
       }
     case f: Float => fmt(f.toDouble)
-    case s: scala.collection.Seq[_] => s.map(fmt).mkString("[", ", ", "]") // Spark rows carry mutable.ArraySeq
+    // Spark rows carry mutable.ArraySeq. Polars truncates list cells longer
+    // than 3 elements to `[e0, e1, … eLast]` (fmt_table_cell_list_len
+    // default); the golden docstrings render that form verbatim.
+    // nested strings are QUOTED (polars: ["a", "b"] in a list cell, bare a
+    // at top level), hence fmtSeries for elements
+    case s: scala.collection.Seq[_] if s.length > 3 =>
+      s"[${fmtSeries(s(0))}, ${fmtSeries(s(1))}, … ${fmtSeries(s.last)}]"
+    case s: scala.collection.Seq[_] => s.map(fmtSeries).mkString("[", ", ", "]")
+    // polars struct cell: fields joined with bare commas, strings quoted —
+    // {1,"a",true,[1, 2]}
+    case r: org.apache.spark.sql.Row =>
+      r.toSeq.map(fmtSeries).mkString("{", ",", "}")
+    // polars datetime[μs]: no fraction when the micros are zero, else
+    // exactly six fractional digits
+    case t: java.sql.Timestamp => fmtDateTime(t.toLocalDateTime)
+    case t: java.time.LocalDateTime => fmtDateTime(t)
     case x => x.toString
+  }
+
+  private def fmtDateTime(t: java.time.LocalDateTime): String = {
+    val base = String.format(java.util.Locale.ROOT, "%04d-%02d-%02d %02d:%02d:%02d",
+      Int.box(t.getYear), Int.box(t.getMonthValue), Int.box(t.getDayOfMonth),
+      Int.box(t.getHour), Int.box(t.getMinute), Int.box(t.getSecond))
+    val micros = t.getNano / 1000
+    if (micros == 0) base
+    else base + String.format(java.util.Locale.ROOT, ".%06d", Int.box(micros))
   }
 
   /** Polars dtype tag for the rendered header (SURVEY §1.2 mapping table). */

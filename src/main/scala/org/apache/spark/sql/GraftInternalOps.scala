@@ -261,6 +261,21 @@ object GraftInternalOps {
     Some(classic.Dataset.ofRows(da.sparkSession, Project(la ++ lbRemapped, ba)))
   }
 
+  /** polars `fetch(n)` semantics: limit every LEAF relation of the plan to
+    * its first n rows, so the QUERY runs over truncated sources (debug
+    * semantics — reference lazy_frame.rb:769 runs group_by.agg over only the
+    * first n input rows), unlike `limit(n)` which truncates the result.
+    * transformUp so each leaf is wrapped exactly once. */
+  def limitSources(df: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, Limit, LogicalPlan}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val limited = df.queryExecution.logical.transformUp {
+      case l: LeafNode => Limit(Literal(n), l): LogicalPlan
+    }
+    classic.Dataset.ofRows(
+      df.sparkSession.asInstanceOf[classic.SparkSession], limited)
+  }
+
   /** True when a projected `monotonically_increasing_id` over this plan is
     * BRANCH-STABLE — i.e. two differently-pruned executions of the plan (the
     * sides of a self-join) enumerate rows in the same (partition, offset)
