@@ -1171,22 +1171,25 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     })
   }
   /** Dtype min/max literals (reference expr.rb:5942 lower_bound/upper_bound). */
-  def lowerBound(dt: DataType): Expr = Expr(F.lit(dt match {
+  // polars lower/upper_bound are UNIT series (expr.rb:5930 golden renders
+  // shape (1,1)) — spelled as an aggregate over the literal so a bare
+  // select returns one row, not a per-row broadcast
+  def lowerBound(dt: DataType): Expr = Expr(F.first(F.lit(dt match {
     case org.apache.spark.sql.types.LongType => Long.MinValue
     case org.apache.spark.sql.types.IntegerType => Int.MinValue
     case org.apache.spark.sql.types.ShortType => Short.MinValue
     case org.apache.spark.sql.types.ByteType => Byte.MinValue
     case org.apache.spark.sql.types.DoubleType => Double.NegativeInfinity
     case org.apache.spark.sql.types.FloatType => Float.NegativeInfinity
-  }))
-  def upperBound(dt: DataType): Expr = Expr(F.lit(dt match {
+  })))
+  def upperBound(dt: DataType): Expr = Expr(F.first(F.lit(dt match {
     case org.apache.spark.sql.types.LongType => Long.MaxValue
     case org.apache.spark.sql.types.IntegerType => Int.MaxValue
     case org.apache.spark.sql.types.ShortType => Short.MaxValue
     case org.apache.spark.sql.types.ByteType => Byte.MaxValue
     case org.apache.spark.sql.types.DoubleType => Double.PositiveInfinity
     case org.apache.spark.sql.types.FloatType => Float.PositiveInfinity
-  }))
+  })))
 
   // ---- reference-name spellings (expr.rb named operators & arc-trig) ----
   // polars exposes both operator and named forms; named forms matter for

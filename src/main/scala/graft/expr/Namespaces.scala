@@ -167,8 +167,25 @@ final class StrNS(e: Expr) {
     * composed as an OR chain; Catalyst folds to codegen'd contains calls. */
   def containsAny(patterns: Seq[String]): Expr =
     m(c => patterns.map(p => c.contains(p)).reduce(_ || _))
-  def replaceMany(mapping: Map[String, String]): Expr =
-    m(c => mapping.foldLeft(c) { case (acc, (k, v)) => F.replace(acc, F.lit(k), F.lit(v)) })
+  /** Simultaneous multi-needle replace (reference string_expr.rb:1457
+    * golden: swapping "me"/"you" must not chain — a replacement's output is
+    * never rescanned). Two-phase spelling: needles → private-use
+    * placeholders first, then placeholders → replacements; equivalent to
+    * the aho-corasick single pass for non-overlapping needles. */
+  def replaceMany(mapping: Map[String, String]): Expr = m { c =>
+    val items = mapping.toSeq
+    val tagged = items.zipWithIndex.foldLeft(c) { case (acc, ((k, _), i)) =>
+      F.replace(acc, F.lit(k), F.lit("\u0000" + i + "\u0001"))
+    }
+    items.zipWithIndex.foldLeft(tagged) { case (acc, ((_, v), i)) =>
+      F.replace(acc, F.lit("\u0000" + i + "\u0001"), F.lit(v))
+    }
+  }
+  def replaceMany(patterns: Seq[String], replacements: Seq[String]): Expr = {
+    require(patterns.length == replacements.length,
+      "replace_many: patterns and replacements must have equal length")
+    replaceMany(patterns.zip(replacements).toMap)
+  }
   def normalize(): Expr = m(c => F.lower(F.trim(c)))
 }
 

@@ -129,6 +129,9 @@ object Testing {
 
   private def fmt(v: Any): String = v match {
     case null => "null"
+    // polars fmt_str_lengths default 30: longer strings truncate to the
+    // first 30 chars + ellipsis (string_expr.rb:1457 golden)
+    case s: String if s.length > 30 => s.take(30) + "…"
     case s: String => s
     case d: Double =>
       if (d.isNaN) "NaN"

@@ -1,0 +1,391 @@
+package graft
+
+import graft.Polars
+import graft.Polars.{col, lit}
+import graft.api.DataFrame
+import graft.testing.Testing
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types.LongType
+
+/** Round-12 tranche 2 of the reference `@example` golden corpus: string_expr
+  * namespace depth, date_time_expr parts, and expr.rb arithmetic/bounds.
+  * Verbatim expected renders, same rules as DocExamplesSpec. */
+class DocExamples3Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(df: DataFrame, expected: String): Unit = {
+    val got = Testing.render(df.toSpark)
+    assert(got == expected.stripMargin.trim,
+      s"\n--- rendered ---\n$got\n--- expected ---\n${expected.stripMargin.trim}")
+  }
+
+  // ---- string_expr.rb ----
+  test("string_expr.rb strip / lstrip / rstrip") {
+    val df = DataFrame(Seq(" lead", "trail ", " both ").toDF("foo"))
+    check(df.select(col("foo").str.stripChars),
+      """shape: (3, 1)
+        |┌───────┐
+        |│ foo   │
+        |│ ---   │
+        |│ str   │
+        |╞═══════╡
+        |│ lead  │
+        |│ trail │
+        |│ both  │
+        |└───────┘""")
+    check(df.select(col("foo").str.stripCharsStart),
+      """shape: (3, 1)
+        |┌────────┐
+        |│ foo    │
+        |│ ---    │
+        |│ str    │
+        |╞════════╡
+        |│ lead   │
+        |│ trail  │
+        |│ both   │
+        |└────────┘""")
+    check(df.select(col("foo").str.stripCharsEnd),
+      """shape: (3, 1)
+        |┌───────┐
+        |│ foo   │
+        |│ ---   │
+        |│ str   │
+        |╞═══════╡
+        |│  lead │
+        |│ trail │
+        |│  both │
+        |└───────┘""")
+  }
+
+  test("string_expr.rb strip_prefix / strip_suffix") {
+    val dfp = DataFrame(Seq("foobar", "foofoobar", "foo", "bar").toDF("a"))
+    check(dfp.withColumns(Seq(col("a").str.stripPrefix("foo").alias("stripped"))),
+      """shape: (4, 2)
+        |┌───────────┬──────────┐
+        |│ a         ┆ stripped │
+        |│ ---       ┆ ---      │
+        |│ str       ┆ str      │
+        |╞═══════════╪══════════╡
+        |│ foobar    ┆ bar      │
+        |│ foofoobar ┆ foobar   │
+        |│ foo       ┆          │
+        |│ bar       ┆ bar      │
+        |└───────────┴──────────┘""")
+    val dfs = DataFrame(Seq("foobar", "foobarbar", "foo", "bar").toDF("a"))
+    check(dfs.withColumns(Seq(col("a").str.stripSuffix("bar").alias("stripped"))),
+      """shape: (4, 2)
+        |┌───────────┬──────────┐
+        |│ a         ┆ stripped │
+        |│ ---       ┆ ---      │
+        |│ str       ┆ str      │
+        |╞═══════════╪══════════╡
+        |│ foobar    ┆ foo      │
+        |│ foobarbar ┆ foobar   │
+        |│ foo       ┆ foo      │
+        |│ bar       ┆          │
+        |└───────────┴──────────┘""")
+  }
+
+  test("string_expr.rb pad_start / pad_end never truncate") {
+    val df = DataFrame(Seq(Option("cow"), Option("monkey"), Option("hippopotamus"),
+      Option.empty[String]).toDF("a"))
+    check(df.withColumns(Seq(col("a").str.padStart(8, "*").alias("padded"))),
+      """shape: (4, 2)
+        |┌──────────────┬──────────────┐
+        |│ a            ┆ padded       │
+        |│ ---          ┆ ---          │
+        |│ str          ┆ str          │
+        |╞══════════════╪══════════════╡
+        |│ cow          ┆ *****cow     │
+        |│ monkey       ┆ **monkey     │
+        |│ hippopotamus ┆ hippopotamus │
+        |│ null         ┆ null         │
+        |└──────────────┴──────────────┘""")
+    check(df.withColumns(Seq(col("a").str.padEnd(8, "*").alias("padded"))),
+      """shape: (4, 2)
+        |┌──────────────┬──────────────┐
+        |│ a            ┆ padded       │
+        |│ ---          ┆ ---          │
+        |│ str          ┆ str          │
+        |╞══════════════╪══════════════╡
+        |│ cow          ┆ cow*****     │
+        |│ monkey       ┆ monkey**     │
+        |│ hippopotamus ┆ hippopotamus │
+        |│ null         ┆ null         │
+        |└──────────────┴──────────────┘""")
+  }
+
+  test("string_expr.rb zfill is sign-aware") {
+    val df = DataFrame(Seq(Option(-1L), Option(123L), Option(999999L), Option.empty[Long])
+      .toDF("a"))
+    check(df.withColumns(Seq(
+      col("a").cast(org.apache.spark.sql.types.StringType).str.zfill(4).alias("zfill"))),
+      """shape: (4, 2)
+        |┌────────┬────────┐
+        |│ a      ┆ zfill  │
+        |│ ---    ┆ ---    │
+        |│ i64    ┆ str    │
+        |╞════════╪════════╡
+        |│ -1     ┆ -001   │
+        |│ 123    ┆ 0123   │
+        |│ 999999 ┆ 999999 │
+        |│ null   ┆ null   │
+        |└────────┴────────┘""")
+  }
+
+  test("string_expr.rb json_path_match") {
+    val df = DataFrame(Seq(Option("""{"a":"1"}"""), Option.empty[String],
+      Option("""{"a":2}"""), Option("""{"a":2.1}"""), Option("""{"a":true}"""))
+      .toDF("json_val"))
+    check(df.select(col("json_val").str.jsonPathMatch("$.a")),
+      """shape: (5, 1)
+        |┌──────────┐
+        |│ json_val │
+        |│ ---      │
+        |│ str      │
+        |╞══════════╡
+        |│ 1        │
+        |│ null     │
+        |│ 2        │
+        |│ 2.1      │
+        |│ true     │
+        |└──────────┘""")
+  }
+
+  test("string_expr.rb replace (first match) and replace_all") {
+    val df = DataFrame(Seq((1L, "123abc"), (2L, "abc456")).toDF("id", "text"))
+    check(df.withColumns(Seq(col("text").str.replace("abc\\b", "ABC"))),
+      """shape: (2, 2)
+        |┌─────┬────────┐
+        |│ id  ┆ text   │
+        |│ --- ┆ ---    │
+        |│ i64 ┆ str    │
+        |╞═════╪════════╡
+        |│ 1   ┆ 123ABC │
+        |│ 2   ┆ abc456 │
+        |└─────┴────────┘""")
+    val df2 = DataFrame(Seq((1L, "abcabc"), (2L, "123a123")).toDF("id", "text"))
+    check(df2.withColumns(Seq(col("text").str.replaceAll("a", "-"))),
+      """shape: (2, 2)
+        |┌─────┬─────────┐
+        |│ id  ┆ text    │
+        |│ --- ┆ ---     │
+        |│ i64 ┆ str     │
+        |╞═════╪═════════╡
+        |│ 1   ┆ -bc-bc  │
+        |│ 2   ┆ 123-123 │
+        |└─────┴─────────┘""")
+  }
+
+  test("string_expr.rb to_integer(base: 16)") {
+    val df = DataFrame(Seq(Option("fa1e"), Option("ff00"), Option("cafe"),
+      Option.empty[String]).toDF("hex"))
+    check(df.withColumns(Seq(col("hex").str.toInteger(16).alias("parsed"))),
+      """shape: (4, 2)
+        |┌──────┬────────┐
+        |│ hex  ┆ parsed │
+        |│ ---  ┆ ---    │
+        |│ str  ┆ i64    │
+        |╞══════╪════════╡
+        |│ fa1e ┆ 64030  │
+        |│ ff00 ┆ 65280  │
+        |│ cafe ┆ 51966  │
+        |│ null ┆ null   │
+        |└──────┴────────┘""")
+  }
+
+  test("string_expr.rb replace_many is simultaneous; long cells truncate at 30") {
+    val df = DataFrame(Seq(
+      "Everybody wants to rule the world",
+      "Tell me what you want, what you really really want",
+      "Can you feel the love tonight").toDF("lyrics"))
+    check(df.withColumns(Seq(
+      col("lyrics").str.replaceMany(Seq("me", "you"), Seq("you", "me")).alias("confusing"))),
+      """shape: (3, 2)
+        |┌─────────────────────────────────┬─────────────────────────────────┐
+        |│ lyrics                          ┆ confusing                       │
+        |│ ---                             ┆ ---                             │
+        |│ str                             ┆ str                             │
+        |╞═════════════════════════════════╪═════════════════════════════════╡
+        |│ Everybody wants to rule the wo… ┆ Everybody wants to rule the wo… │
+        |│ Tell me what you want, what yo… ┆ Tell you what me want, what me… │
+        |│ Can you feel the love tonight   ┆ Can me feel the love tonight    │
+        |└─────────────────────────────────┴─────────────────────────────────┘""")
+  }
+
+  // ---- date_time_expr.rb ----
+  test("date_time_expr.rb is_leap_year") {
+    val df = DataFrame(Seq(
+      java.sql.Date.valueOf("2000-01-01"), java.sql.Date.valueOf("2001-01-01"),
+      java.sql.Date.valueOf("2002-01-01")).toDF("date"))
+    check(df.withColumns(Seq(col("date").dt.isLeapYear.alias("leap_year"))),
+      """shape: (3, 2)
+        |┌────────────┬───────────┐
+        |│ date       ┆ leap_year │
+        |│ ---        ┆ ---       │
+        |│ date       ┆ bool      │
+        |╞════════════╪═══════════╡
+        |│ 2000-01-01 ┆ true      │
+        |│ 2001-01-01 ┆ false     │
+        |│ 2002-01-01 ┆ false     │
+        |└────────────┴───────────┘""")
+  }
+
+  test("date_time_expr.rb quarter is i8") {
+    val df = DataFrame(Seq(
+      java.sql.Date.valueOf("2001-01-01"), java.sql.Date.valueOf("2001-06-30"),
+      java.sql.Date.valueOf("2001-12-27")).toDF("date"))
+    check(df.withColumns(Seq(col("date").dt.quarter.alias("quarter"))),
+      """shape: (3, 2)
+        |┌────────────┬─────────┐
+        |│ date       ┆ quarter │
+        |│ ---        ┆ ---     │
+        |│ date       ┆ i8      │
+        |╞════════════╪═════════╡
+        |│ 2001-01-01 ┆ 1       │
+        |│ 2001-06-30 ┆ 2       │
+        |│ 2001-12-27 ┆ 4       │
+        |└────────────┴─────────┘""")
+  }
+
+  test("date_time_expr.rb epoch: default µs and seconds") {
+    val df = DataFrame(Seq(
+      java.sql.Date.valueOf("2001-01-01"), java.sql.Date.valueOf("2001-01-02"),
+      java.sql.Date.valueOf("2001-01-03")).toDF("date"))
+    check(df.withColumns(Seq(
+      col("date").dt.epoch().alias("epoch_ns"),
+      col("date").dt.epoch("s").alias("epoch_s"))),
+      """shape: (3, 3)
+        |┌────────────┬─────────────────┬───────────┐
+        |│ date       ┆ epoch_ns        ┆ epoch_s   │
+        |│ ---        ┆ ---             ┆ ---       │
+        |│ date       ┆ i64             ┆ i64       │
+        |╞════════════╪═════════════════╪═══════════╡
+        |│ 2001-01-01 ┆ 978307200000000 ┆ 978307200 │
+        |│ 2001-01-02 ┆ 978393600000000 ┆ 978393600 │
+        |│ 2001-01-03 ┆ 978480000000000 ┆ 978480000 │
+        |└────────────┴─────────────────┴───────────┘""")
+  }
+
+  // ---- expr.rb arithmetic / bounds ----
+  test("expr.rb truediv and floordiv") {
+    val df = DataFrame(Seq(1L, 2L, 3L, 4L, 5L).toDF("x"))
+    check(df.withColumns(Seq(
+      (col("x") / 2).alias("x/2"),
+      col("x").floorDiv(lit(2)).alias("x//2"))),
+      """shape: (5, 3)
+        |┌─────┬─────┬──────┐
+        |│ x   ┆ x/2 ┆ x//2 │
+        |│ --- ┆ --- ┆ ---  │
+        |│ i64 ┆ f64 ┆ i64  │
+        |╞═════╪═════╪══════╡
+        |│ 1   ┆ 0.5 ┆ 0    │
+        |│ 2   ┆ 1.0 ┆ 1    │
+        |│ 3   ┆ 1.5 ┆ 1    │
+        |│ 4   ┆ 2.0 ┆ 2    │
+        |│ 5   ┆ 2.5 ┆ 2    │
+        |└─────┴─────┴──────┘""")
+  }
+
+  test("expr.rb mod") {
+    val df = DataFrame(Seq(0L, 1L, 2L, 3L, 4L).toDF("x"))
+    check(df.withColumns(Seq((col("x") % 2).alias("x%2"))),
+      """shape: (5, 2)
+        |┌─────┬─────┐
+        |│ x   ┆ x%2 │
+        |│ --- ┆ --- │
+        |│ i64 ┆ i64 │
+        |╞═════╪═════╡
+        |│ 0   ┆ 0   │
+        |│ 1   ┆ 1   │
+        |│ 2   ┆ 0   │
+        |│ 3   ┆ 1   │
+        |│ 4   ┆ 0   │
+        |└─────┴─────┘""")
+  }
+
+  test("expr.rb neg keeps the name and nulls") {
+    val df = DataFrame(Seq(Option(-1L), Option(0L), Option(2L), Option.empty[Long]).toDF("a"))
+    check(df.withColumns(Seq(col("a").neg)),
+      """shape: (4, 1)
+        |┌──────┐
+        |│ a    │
+        |│ ---  │
+        |│ i64  │
+        |╞══════╡
+        |│ 1    │
+        |│ 0    │
+        |│ -2   │
+        |│ null │
+        |└──────┘""")
+  }
+
+  test("expr.rb xor") {
+    val df = DataFrame(Seq((true, true), (false, true), (true, false), (false, false))
+      .toDF("x", "y"))
+    check(df.withColumns(Seq(col("x").xor(col("y")).alias("x ^ y"))),
+      """shape: (4, 3)
+        |┌───────┬───────┬───────┐
+        |│ x     ┆ y     ┆ x ^ y │
+        |│ ---   ┆ ---   ┆ ---   │
+        |│ bool  ┆ bool  ┆ bool  │
+        |╞═══════╪═══════╪═══════╡
+        |│ true  ┆ true  ┆ false │
+        |│ false ┆ true  ┆ true  │
+        |│ true  ┆ false ┆ true  │
+        |│ false ┆ false ┆ false │
+        |└───────┴───────┴───────┘""")
+  }
+
+  test("expr.rb dot keeps the integer dtype") {
+    val df = DataFrame(Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a", "b"))
+    check(df.select(col("a").dot(col("b"))),
+      """shape: (1, 1)
+        |┌─────┐
+        |│ a   │
+        |│ --- │
+        |│ i64 │
+        |╞═════╡
+        |│ 44  │
+        |└─────┘""")
+  }
+
+  test("expr.rb lower_bound / upper_bound") {
+    val df = DataFrame(Seq(1L, 2L, 3L, 2L, 1L).toDF("a"))
+    check(df.select(col("a").lowerBound(LongType).alias("a")),
+      """shape: (1, 1)
+        |┌──────────────────────┐
+        |│ a                    │
+        |│ ---                  │
+        |│ i64                  │
+        |╞══════════════════════╡
+        |│ -9223372036854775808 │
+        |└──────────────────────┘""")
+    check(df.select(col("a").upperBound(LongType).alias("a")),
+      """shape: (1, 1)
+        |┌─────────────────────┐
+        |│ a                   │
+        |│ ---                 │
+        |│ i64                 │
+        |╞═════════════════════╡
+        |│ 9223372036854775807 │
+        |└─────────────────────┘""")
+  }
+
+  test("expr.rb extend_constant") {
+    val df = DataFrame(Seq(1L, 2L, 3L).toDF("values"))
+    check(DataFrame(graft.api.Series("values", df.toSpark).extendConstant(99, 2).df),
+      """shape: (5, 1)
+        |┌────────┐
+        |│ values │
+        |│ ---    │
+        |│ i64    │
+        |╞════════╡
+        |│ 1      │
+        |│ 2      │
+        |│ 3      │
+        |│ 99     │
+        |│ 99     │
+        |└────────┘""")
+  }
+}
