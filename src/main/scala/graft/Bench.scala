@@ -174,8 +174,13 @@ object Bench {
     val failedField =
       if (failed.isEmpty) ""
       else failed.sorted.map(n => s"\"${js(n)}\"").mkString(""","failed":[""", ",", "]")
+    // No duckdb_total in the DETAIL file: the graft↔DuckDB pairing lives in
+    // ONE place (DUCKDB_BASELINE.json, written by tools/headtohead.py in the
+    // same window) — a copy here went stale against it in round 11
+    // (advisor). The stdout line keeps the field for the driver's one-glance
+    // comparison.
     val detailJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":$runs$failedField$duckField$canaryFields,"queries":$detail,"sf":"${js(sfDir)}"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":$runs$failedField$canaryFields,"queries":$detail,"sf":"${js(sfDir)}"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     val detailWritten =
       try {
