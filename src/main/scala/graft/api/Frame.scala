@@ -305,7 +305,10 @@ trait FrameOps[Self] {
                      numericOnly: Boolean): Self = {
     val cols = sdf.schema.fields.map { fld =>
       val ok = !numericOnly || fld.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
-      (if (ok) f(F.col(fld.name)) else F.lit(null)).as(fld.name)
+      // polars keeps a non-aggregable column's ORIGINAL dtype with a null
+      // value (data_frame.rb:4340 quantile golden: ham stays `str`), so the
+      // null is typed, not a void literal
+      (if (ok) f(F.col(fld.name)) else F.lit(null).cast(fld.dataType)).as(fld.name)
     }
     make(sdf.agg(cols.head, cols.tail: _*))
   }
@@ -319,6 +322,23 @@ trait FrameOps[Self] {
   def varFrame(ddof: Int = 1): Self =
     aggAll(c => Expr.ddofScale(F.var_samp(c), F.count(c), ddof, isStd = false), numericOnly = true)
   def nullCount: Self = aggAll(c => F.count(F.when(c.isNull, 1)), numericOnly = false)
+  /** Frame-level product (reference data_frame.rb:3968 golden): integers
+    * stay i64, floats stay f64, booleans numericize to i64 (product of
+    * 0/1) — Spark's product aggregate is double, so cast back per dtype. */
+  def productFrame: Self = {
+    import org.apache.spark.sql.types._
+    val cols = sdf.schema.fields.map { fld =>
+      (fld.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          F.product(F.col(fld.name)).cast(LongType)
+        case BooleanType =>
+          F.product(F.col(fld.name).cast(IntegerType)).cast(LongType)
+        case _: NumericType => F.product(F.col(fld.name))
+        case dt => F.lit(null).cast(dt)
+      }).as(fld.name)
+    }
+    make(sdf.agg(cols.head, cols.tail.toIndexedSeq: _*))
+  }
   /** Frame-level quantile (reference lazy_frame.rb:2368): every numeric
     * column to its q-quantile, f64 like polars (default interpolation
     * "nearest", same as the reference). */
@@ -340,6 +360,50 @@ trait FrameOps[Self] {
     make(sdf.select(cols.toIndexedSeq: _*))
   }
   def fillNan(v: Any): Self = fillNan(Expr.lit(v))
+
+  /** Frame-level fill_null(strategy:) (reference lazy_frame.rb fill_null =
+    * select(all.fill_null(strategy))) — every column through the expr-level
+    * strategy kernel in frame order. */
+  def fillNullStrategy(strategy: String): Self =
+    select(columns.map(c => Expr(F.col(c)).fillNullStrategy(strategy).alias(c)): _*)
+
+  /** shrink_dtype over every column (reference expr.rb:6751 golden):
+    * integers narrow to the smallest type holding their extrema; f64
+    * narrows to f32 when the extrema fit f32's range; other dtypes pass
+    * through. ONE aggregate job computes every column's extrema. */
+  def shrinkDtype: Self = {
+    import org.apache.spark.sql.types._
+    val numeric = sdf.schema.fields.filter(f =>
+      f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == ShortType || f.dataType == DoubleType)
+    if (numeric.isEmpty) return make(sdf)
+    val aggs = numeric.flatMap(f =>
+      Seq(F.min(F.col(f.name)).as(s"__lo_${f.name}__"),
+        F.max(F.col(f.name)).as(s"__hi_${f.name}__")))
+    val r = sdf.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
+    val targets: Map[String, DataType] = numeric.flatMap { f =>
+      val lo = r.get(r.fieldIndex(s"__lo_${f.name}__"))
+      val hi = r.get(r.fieldIndex(s"__hi_${f.name}__"))
+      if (lo == null) None
+      else f.dataType match {
+        case LongType | IntegerType | ShortType =>
+          val (l, h) = (lo.asInstanceOf[Number].longValue, hi.asInstanceOf[Number].longValue)
+          Some(f.name -> (
+            if (l >= Byte.MinValue && h <= Byte.MaxValue) ByteType
+            else if (l >= Short.MinValue && h <= Short.MaxValue) ShortType
+            else if (l >= Int.MinValue && h <= Int.MaxValue) IntegerType
+            else LongType))
+        case DoubleType =>
+          val (l, h) = (lo.asInstanceOf[Double], hi.asInstanceOf[Double])
+          if (l >= Float.MinValue.toDouble && h <= Float.MaxValue.toDouble)
+            Some(f.name -> FloatType)
+          else None
+        case _ => None
+      }
+    }.toMap
+    make(sdf.select(columns.map(c =>
+      targets.get(c).fold(F.col(c))(t => F.col(c).cast(t).as(c))): _*))
+  }
 
   /** Frame-level shift (reference lazy_frame.rb:1913): every column shifted
     * by `n` in frame row order (the expr-level scan kernel per column). */

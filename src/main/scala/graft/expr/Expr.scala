@@ -385,7 +385,24 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   def approxQuantile(q: Double, accuracy: Int = 10000): Expr =
     aggMap(c => F.percentile_approx(c, F.lit(q), F.lit(accuracy)))
   def mode: Expr = aggMap(c => F.mode(c))
-  def implode: Expr = aggMap(F.collect_list)
+  /** Global implode is ROW-ORDERED and NULL-PRESERVING (polars: select
+    * (implode("a")) on [1,2,3] is [[1,2,3]] in frame order) — bare
+    * collect_list returns partition order and drops nulls, so collect
+    * (idx, x) structs and strip the index after the total sort (the same
+    * spelling as str.join). The per-group form stays collect_list: GroupBy
+    * .agg's keyed branch already feeds it rows sorted per group. */
+  def implode: Expr = {
+    val base = Expr(
+      F.transform(
+        F.array_sort(F.collect_list(F.struct(
+          F.col(graft.kernel.RowIndex.name).as("i"), col.as("x")))),
+        s => s.getField("x")),
+      requiresIndex = true, preps, None,
+      keyed.map(k => GroupAggForm(k, F.collect_list)))
+    // default naming must stay the SOURCE's leaf name — the struct spelling
+    // would otherwise leak the row-index helper as the output name
+    meta.outputName.fold(base)(base.alias)
+  }
   def uniqueAgg: Expr = aggMap(F.collect_set)
   /** skew/kurtosis (reference expr.rb:5788,5820): Spark's skewness/kurtosis
     * aggregates are the biased g1/g2 (kurtosis already excess); bias: false

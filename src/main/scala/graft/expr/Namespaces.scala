@@ -529,8 +529,11 @@ final class StructNS(e: Expr) {
   * don't expose their resolved name pre-analysis, so prefix/suffix are applied
   * frame-side where the schema is known; here we cover the explicit cases. */
 final class NameNS(e: Expr) {
-  def keep: Expr = e
-  def map(f: String => String): Expr = e // frame-side
+  /** polars name.keep RESTORES the root column name, discarding any alias
+    * (expr.rb:389 golden: (col("a")*9).alias("c").keep_name overwrites
+    * column "a") — a no-op would keep the alias. */
+  def keep: Expr = e.meta.rootNames.headOption.fold(e)(e.alias)
+  def map(f: String => String): Expr = e.mapAlias(f)
 }
 
 /** Expression introspection (reference meta_expr.rb:66-212) — implemented

@@ -388,4 +388,269 @@ class DocExamples3Spec extends SparkSpec {
         |│ 99     │
         |└────────┘""")
   }
+
+  // ---- tranche 3: expr.rb naming / fills / aggregates ----
+  test("expr.rb alias pair") {
+    val df = DataFrame(Seq((1L, Option("a")), (2L, Option("b")), (3L, Option.empty[String]))
+      .toDF("a", "b"))
+    check(df.select(col("a").alias("bar"), col("b").alias("foo")),
+      """shape: (3, 2)
+        |┌─────┬──────┐
+        |│ bar ┆ foo  │
+        |│ --- ┆ ---  │
+        |│ i64 ┆ str  │
+        |╞═════╪══════╡
+        |│ 1   ┆ a    │
+        |│ 2   ┆ b    │
+        |│ 3   ┆ null │
+        |└─────┴──────┘""")
+  }
+
+  test("expr.rb keep_name after alias") {
+    val df = DataFrame(Seq((1L, 3L), (2L, 4L)).toDF("a", "b"))
+    check(df.withColumns(Seq((col("a") * 9).alias("c").keepName)),
+      """shape: (2, 2)
+        |┌─────┬─────┐
+        |│ a   ┆ b   │
+        |│ --- ┆ --- │
+        |│ i64 ┆ i64 │
+        |╞═════╪═════╡
+        |│ 9   ┆ 3   │
+        |│ 18  ┆ 4   │
+        |└─────┴─────┘""")
+  }
+
+  test("expr.rb map_alias over all.reverse") {
+    val df = DataFrame(Seq((1L, 3L), (2L, 4L)).toDF("A", "B"))
+    check(df.reverse.select(
+      col("A").mapAlias(_ + "_reverse"),
+      col("B").mapAlias(_ + "_reverse")),
+      """shape: (2, 2)
+        |┌───────────┬───────────┐
+        |│ A_reverse ┆ B_reverse │
+        |│ ---       ┆ ---       │
+        |│ i64       ┆ i64       │
+        |╞═══════════╪═══════════╡
+        |│ 2         ┆ 4         │
+        |│ 1         ┆ 3         │
+        |└───────────┴───────────┘""")
+  }
+
+  test("expr.rb any / all boolean aggregates") {
+    val df = DataFrame(Seq((true, false), (false, false)).toDF("TF", "FF"))
+    check(df.select(col("TF").any(), col("FF").any()),
+      """shape: (1, 2)
+        |┌──────┬───────┐
+        |│ TF   ┆ FF    │
+        |│ ---  ┆ ---   │
+        |│ bool ┆ bool  │
+        |╞══════╪═══════╡
+        |│ true ┆ false │
+        |└──────┴───────┘""")
+    val df3 = DataFrame(Seq((true, true, false), (true, false, false)).toDF("TT", "TF", "FF"))
+    check(df3.select(col("TT").all(), col("TF").all(), col("FF").all()),
+      """shape: (1, 3)
+        |┌──────┬───────┬───────┐
+        |│ TT   ┆ TF    ┆ FF    │
+        |│ ---  ┆ ---   ┆ ---   │
+        |│ bool ┆ bool  ┆ bool  │
+        |╞══════╪═══════╪═══════╡
+        |│ true ┆ false ┆ false │
+        |└──────┴───────┴───────┘""")
+  }
+
+  private def fillDf = DataFrame(Seq(
+    (Option(1L), Option(4L)), (Option(2L), Option.empty[Long]),
+    (Option.empty[Long], Option(6L))).toDF("a", "b"))
+
+  test("expr.rb forward_fill / backward_fill; frame fill_null(strategy)") {
+    check(fillDf.select(col("a").forwardFill, col("b").forwardFill),
+      """shape: (3, 2)
+        |┌─────┬─────┐
+        |│ a   ┆ b   │
+        |│ --- ┆ --- │
+        |│ i64 ┆ i64 │
+        |╞═════╪═════╡
+        |│ 1   ┆ 4   │
+        |│ 2   ┆ 4   │
+        |│ 2   ┆ 6   │
+        |└─────┴─────┘""")
+    check(fillDf.select(col("a").backwardFill, col("b").backwardFill),
+      """shape: (3, 2)
+        |┌──────┬─────┐
+        |│ a    ┆ b   │
+        |│ ---  ┆ --- │
+        |│ i64  ┆ i64 │
+        |╞══════╪═════╡
+        |│ 1    ┆ 4   │
+        |│ 2    ┆ 6   │
+        |│ null ┆ 6   │
+        |└──────┴─────┘""")
+    check(fillDf.fillNullStrategy("forward"),
+      """shape: (3, 2)
+        |┌─────┬─────┐
+        |│ a   ┆ b   │
+        |│ --- ┆ --- │
+        |│ i64 ┆ i64 │
+        |╞═════╪═════╡
+        |│ 1   ┆ 4   │
+        |│ 2   ┆ 4   │
+        |│ 2   ┆ 6   │
+        |└─────┴─────┘""")
+  }
+
+  test("expr.rb nan_max / nan_min propagate NaN") {
+    val df = DataFrame(Seq(0.0, Double.NaN).toDF("a"))
+    check(df.select(col("a").nanMax),
+      """shape: (1, 1)
+        |┌─────┐
+        |│ a   │
+        |│ --- │
+        |│ f64 │
+        |╞═════╡
+        |│ NaN │
+        |└─────┘""")
+    check(df.select(col("a").nanMin),
+      """shape: (1, 1)
+        |┌─────┐
+        |│ a   │
+        |│ --- │
+        |│ f64 │
+        |╞═════╡
+        |│ NaN │
+        |└─────┘""")
+  }
+
+  test("expr.rb implode is row-ordered") {
+    val df = DataFrame(Seq((1L, 4L), (2L, 5L), (3L, 6L)).toDF("a", "b"))
+    check(df.select(col("a").implode, col("b").implode),
+      """shape: (1, 2)
+        |┌───────────┬───────────┐
+        |│ a         ┆ b         │
+        |│ ---       ┆ ---       │
+        |│ list[i64] ┆ list[i64] │
+        |╞═══════════╪═══════════╡
+        |│ [1, 2, 3] ┆ [4, 5, 6] │
+        |└───────────┴───────────┘""")
+  }
+
+  // ---- data_frame.rb ----
+  test("data_frame.rb rename and drop") {
+    val df = DataFrame(Seq((1L, 6L, "a"), (2L, 7L, "b"), (3L, 8L, "c"))
+      .toDF("foo", "bar", "ham"))
+    check(df.withColumnsRenamed(Map("foo" -> "apple")),
+      """shape: (3, 3)
+        |┌───────┬─────┬─────┐
+        |│ apple ┆ bar ┆ ham │
+        |│ ---   ┆ --- ┆ --- │
+        |│ i64   ┆ i64 ┆ str │
+        |╞═══════╪═════╪═════╡
+        |│ 1     ┆ 6   ┆ a   │
+        |│ 2     ┆ 7   ┆ b   │
+        |│ 3     ┆ 8   ┆ c   │
+        |└───────┴─────┴─────┘""")
+    val df2 = DataFrame(Seq((1L, 6.0, "a"), (2L, 7.0, "b"), (3L, 8.0, "c"))
+      .toDF("foo", "bar", "ham"))
+    check(df2.drop("foo", "ham"),
+      """shape: (3, 1)
+        |┌─────┐
+        |│ bar │
+        |│ --- │
+        |│ f64 │
+        |╞═════╡
+        |│ 6.0 │
+        |│ 7.0 │
+        |│ 8.0 │
+        |└─────┘""")
+  }
+
+  test("data_frame.rb get_column renders a Series") {
+    val df = DataFrame(Seq((1L, 4L), (2L, 5L), (3L, 6L)).toDF("foo", "bar"))
+    val got = Testing.renderSeries(df.getColumn("foo"))
+    assert(got == "shape: (3,)\nSeries: 'foo' [i64]\n[\n\t1\n\t2\n\t3\n]", got)
+  }
+
+  test("data_frame.rb fill_null(strategy: zero) keeps each column's dtype") {
+    val df = DataFrame(Seq(
+      (Option(1L), Option(0.5)), (Option(2L), Option(4.0)),
+      (Option.empty[Long], Option.empty[Double]), (Option(4L), Option(13.0)))
+      .toDF("a", "b"))
+    check(df.fillNullStrategy("zero"),
+      """shape: (4, 2)
+        |┌─────┬──────┐
+        |│ a   ┆ b    │
+        |│ --- ┆ ---  │
+        |│ i64 ┆ f64  │
+        |╞═════╪══════╡
+        |│ 1   ┆ 0.5  │
+        |│ 2   ┆ 4.0  │
+        |│ 0   ┆ 0.0  │
+        |│ 4   ┆ 13.0 │
+        |└─────┴──────┘""")
+  }
+
+  test("data_frame.rb product: ints stay i64, bools numericize") {
+    val df = DataFrame(Seq((1L, 0.5, true), (2L, 4.0, true), (3L, 10.0, false))
+      .toDF("a", "b", "c"))
+    check(df.productFrame,
+      """shape: (1, 3)
+        |┌─────┬──────┬─────┐
+        |│ a   ┆ b    ┆ c   │
+        |│ --- ┆ ---  ┆ --- │
+        |│ i64 ┆ f64  ┆ i64 │
+        |╞═════╪══════╪═════╡
+        |│ 6   ┆ 20.0 ┆ 0   │
+        |└─────┴──────┴─────┘""")
+  }
+
+  test("data_frame.rb quantile keeps non-numeric columns as typed nulls") {
+    val df = DataFrame(Seq((1L, 6L, "a"), (2L, 7L, "b"), (3L, 8L, "c"))
+      .toDF("foo", "bar", "ham"))
+    check(df.quantileFrame(0.5, "nearest"),
+      """shape: (1, 3)
+        |┌─────┬─────┬──────┐
+        |│ foo ┆ bar ┆ ham  │
+        |│ --- ┆ --- ┆ ---  │
+        |│ f64 ┆ f64 ┆ str  │
+        |╞═════╪═════╪══════╡
+        |│ 2.0 ┆ 7.0 ┆ null │
+        |└─────┴─────┴──────┘""")
+  }
+
+  test("data_frame.rb pipe") {
+    val df = DataFrame(Seq((1L, "10"), (2L, "20"), (3L, "30"), (4L, "40")).toDF("a", "b"))
+    val castStrToInt = (d: DataFrame) =>
+      d.withColumns(Seq(col("b").cast(LongType)))
+    check(df.pipe(castStrToInt),
+      """shape: (4, 2)
+        |┌─────┬─────┐
+        |│ a   ┆ b   │
+        |│ --- ┆ --- │
+        |│ i64 ┆ i64 │
+        |╞═════╪═════╡
+        |│ 1   ┆ 10  │
+        |│ 2   ┆ 20  │
+        |│ 3   ┆ 30  │
+        |│ 4   ┆ 40  │
+        |└─────┴─────┘""")
+  }
+
+  test("expr.rb shrink_dtype") {
+    val df = DataFrame(Seq(
+      (1L, 1L, -1L, -112L, -112L, "a", 0.1, Option(true)),
+      (2L, 2L, 2L, 2L, 2L, "b", 1.32, Option.empty[Boolean]),
+      (3L, 2L << 32, 1L << 30, 112L, 129L, "c", 0.12, Option(false)))
+      .toDF("a", "b", "c", "d", "e", "f", "g", "h"))
+    check(df.shrinkDtype,
+      """shape: (3, 8)
+        |┌─────┬────────────┬────────────┬──────┬──────┬─────┬──────┬───────┐
+        |│ a   ┆ b          ┆ c          ┆ d    ┆ e    ┆ f   ┆ g    ┆ h     │
+        |│ --- ┆ ---        ┆ ---        ┆ ---  ┆ ---  ┆ --- ┆ ---  ┆ ---   │
+        |│ i8  ┆ i64        ┆ i32        ┆ i8   ┆ i16  ┆ str ┆ f32  ┆ bool  │
+        |╞═════╪════════════╪════════════╪══════╪══════╪═════╪══════╪═══════╡
+        |│ 1   ┆ 1          ┆ -1         ┆ -112 ┆ -112 ┆ a   ┆ 0.1  ┆ true  │
+        |│ 2   ┆ 2          ┆ 2          ┆ 2    ┆ 2    ┆ b   ┆ 1.32 ┆ null  │
+        |│ 3   ┆ 8589934592 ┆ 1073741824 ┆ 112  ┆ 129  ┆ c   ┆ 0.12 ┆ false │
+        |└─────┴────────────┴────────────┴──────┴──────┴─────┴──────┴───────┘""")
+  }
 }
