@@ -31,6 +31,20 @@ class GraphSpec extends SparkSpec {
     got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12, s"node $k") }
   }
 
+  test("pageRank eager path (iterations > 8) matches the local power iteration") {
+    // the >8-iteration branch collects the dangling mass as a driver scalar
+    // per iteration and releases generations eagerly — must be value-
+    // identical to the lazy broadcast-subquery chain (same IEEE ops)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 1L)) // 4's in-degree 0 path + dangling-free core
+    val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst",
+        iterations = 10, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = ref(edges, 10, 0.85)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12, s"node $k") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+  }
+
   test("dangling nodes redistribute mass: total rank stays 1") {
     val edges = Seq((1L, 2L), (3L, 2L)) // node 2 is dangling
     val out = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst",

@@ -271,4 +271,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join"), p)
   }
 
+  test("column-major unpivot prunes each union branch's scan to index + one value column") {
+    // the round-12 polars-order unpivot is a union of per-column projections;
+    // at 100 TB that is only acceptable because each branch's parquet scan
+    // reads JUST its own value column (plus the index) — k narrow columnar
+    // passes, not k full-width scans
+    val df = graft.api.LazyFrame(spark.read.parquet(s"$sf/lineitem.parquet"))
+    val p = plan(df.unpivot(Seq("l_quantity", "l_discount"), Seq("l_orderkey")).toSpark)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_discount:double>"), p)
+    assert(!p.contains("l_extendedprice"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("polars fetch(n) pushes the limit into the SOURCE scan") {
+    val df = graft.api.LazyFrame(spark.read.parquet(s"$sf/lineitem.parquet"))
+    val fetched = df.groupBy("l_returnflag")
+      .agg(graft.Polars.col("l_quantity").sum.alias("s")).fetch(3).toSpark
+    val p = plan(fetched)
+    // the limit sits below the aggregate (GlobalLimit/LocalLimit over the
+    // scan), so the query runs over 3 source rows — polars debug semantics
+    assert(p.contains("Limit"), p)
+    assert(fetched.agg(F.sum("s")).collect()(0).getDouble(0) ==
+      spark.read.parquet(s"$sf/lineitem.parquet").limit(3)
+        .agg(F.sum("l_quantity")).collect()(0).getDouble(0))
+  }
+
 }
