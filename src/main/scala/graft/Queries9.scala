@@ -62,10 +62,10 @@ object Queries9 {
       .select(col("l_quantity"), col("l_extendedprice"))
       .collect()
       .describe()
-      .select(col("statistic"),
-        Expr(F.round(F.col("l_quantity").cast("double"), 2)).alias("l_quantity"),
-        Expr(F.round(F.col("l_extendedprice").cast("double"), 2)).alias("l_extendedprice"))
-      .sortBy(Seq(col("statistic")))
+      .select(col("describe"),
+        Expr(F.round(F.col("l_quantity"), 2)).alias("l_quantity"),
+        Expr(F.round(F.col("l_extendedprice"), 2)).alias("l_extendedprice"))
+      .sortBy(Seq(col("describe")))
       .toSpark
 
   /** vstack — duplicate-preserving vertical concat of region with itself. */
@@ -244,8 +244,10 @@ object Queries9 {
         |  RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
     "q_describe" ->
+      // the reference's 7-row describe (data_frame.rb:1169): count is the
+      // HEIGHT, median replaces the quartile rows, header column "describe"
       """SELECT * FROM (
-        |SELECT 'count' AS statistic, round(CAST(count(*) AS DOUBLE), 2) AS l_quantity,
+        |SELECT 'count' AS "describe", round(CAST(count(*) AS DOUBLE), 2) AS l_quantity,
         |  round(CAST(count(*) AS DOUBLE), 2) AS l_extendedprice FROM lineitem
         |UNION ALL SELECT 'null_count', round(CAST(count(*) - count(l_quantity) AS DOUBLE), 2),
         |  round(CAST(count(*) - count(l_extendedprice) AS DOUBLE), 2) FROM lineitem
@@ -254,11 +256,9 @@ object Queries9 {
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 2) FROM lineitem
         |UNION ALL SELECT 'std', round(stddev_samp(l_quantity), 2), round(stddev_samp(l_extendedprice), 2) FROM lineitem
         |UNION ALL SELECT 'min', round(CAST(min(l_quantity) AS DOUBLE), 2), round(CAST(min(l_extendedprice) AS DOUBLE), 2) FROM lineitem
-        |UNION ALL SELECT '25%', round(quantile_cont(l_quantity, 0.25), 2), round(quantile_cont(l_extendedprice, 0.25), 2) FROM lineitem
-        |UNION ALL SELECT '50%', round(quantile_cont(l_quantity, 0.5), 2), round(quantile_cont(l_extendedprice, 0.5), 2) FROM lineitem
-        |UNION ALL SELECT '75%', round(quantile_cont(l_quantity, 0.75), 2), round(quantile_cont(l_extendedprice, 0.75), 2) FROM lineitem
         |UNION ALL SELECT 'max', round(CAST(max(l_quantity) AS DOUBLE), 2), round(CAST(max(l_extendedprice) AS DOUBLE), 2) FROM lineitem
-        |) ORDER BY statistic""".stripMargin,
+        |UNION ALL SELECT 'median', round(quantile_cont(l_quantity, 0.5), 2), round(quantile_cont(l_extendedprice, 0.5), 2) FROM lineitem
+        |) ORDER BY "describe"""".stripMargin,
     "q_vstack" ->
       """SELECT r_regionkey, count(*) AS n, min(r_name) AS name
         |FROM (SELECT * FROM region UNION ALL SELECT * FROM region)

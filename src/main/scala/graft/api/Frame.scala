@@ -778,57 +778,62 @@ final case class DataFrame(private val df: SDF) extends FrameOps[DataFrame] {
       }): _*)
     DataFrame(out)
   }
-  /** describe — summary table in the reference's exact shape (reference:
-    * data_frame.rb:1195): one row per statistic, one column per input column
-    * (values stringified since dtypes mix). */
+  /** describe — the reference's exact shape (data_frame.rb:1169 golden):
+    * one "describe" column + one column per input column, SEVEN rows
+    * (count, null_count, mean, std, min, max, median). Numeric AND boolean
+    * columns come out f64 (bools numericized: mean of true/false); other
+    * dtypes come out str with mean/std/median null and min/max
+    * lexicographic. count is the HEIGHT (nulls included); null_count is the
+    * per-column null tally.
+    *
+    * Scale shape: ONE aggregation pass computes every (stat, column) cell
+    * as a named aggregate (not a job per stat row), and the median comes
+    * from the histogram-refinement selection kernel
+    * ([[graft.kernel.Quantiles]]) — 2-3 narrow scans whose only shuffle is
+    * a #buckets-sized count table, never a global sort or a
+    * merge-on-one-reducer Percentile. The collected driver state is a
+    * bounded #stats × #cols vector. */
   def describe(): DataFrame = {
-    val numCols = df.schema.fields.filter(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]).map(_.name)
+    import org.apache.spark.sql.types._
     val allCols = df.columns.toSeq
-    // ONE aggregation pass: every (stat, column) cell as a named aggregate in
-    // a single .agg — not a Spark job per stat row (9 full scans of the
-    // input); the collected row is a bounded #stats × #cols driver vector
-    def numOnly(f: Column => Column): String => Column = c =>
-      if (numCols.contains(c)) f(F.col(c)) else F.lit(null)
+    def dt(c: String): DataType = df.schema(c).dataType
+    def isNumish(c: String): Boolean =
+      dt(c).isInstanceOf[NumericType] || dt(c) == BooleanType
+    def numCol(c: String): Column = F.col(c).cast(DoubleType)
     val scalarStats: Seq[(String, String => Column)] = Seq(
-      "count" -> (_ => F.count(F.lit(1))),
-      "null_count" -> (c => F.count(F.lit(1)) - F.count(F.col(c))),
-      "mean" -> numOnly(F.avg),
-      "std" -> numOnly(F.stddev_samp),
-      "min" -> (c => F.min(F.col(c))),
-      "max" -> (c => F.max(F.col(c))))
-    val aggCols = for ((s, f) <- scalarStats; c <- allCols) yield f(c).as(s"${s}__$c")
+      "count" -> (_ => F.count(F.lit(1)).cast(DoubleType)),
+      "null_count" -> (c => (F.count(F.lit(1)) - F.count(F.col(c))).cast(DoubleType)),
+      "mean" -> (c => if (isNumish(c)) F.avg(numCol(c)) else F.lit(null).cast(DoubleType)),
+      "std" -> (c => if (isNumish(c)) F.stddev_samp(numCol(c)) else F.lit(null).cast(DoubleType)),
+      "min" -> (c => if (isNumish(c)) F.min(numCol(c)) else F.min(F.col(c)).cast(StringType)),
+      "max" -> (c => if (isNumish(c)) F.max(numCol(c)) else F.max(F.col(c)).cast(StringType)))
+    val aggCols = for ((st, f) <- scalarStats; c <- allCols) yield f(c).as(s"${st}__$c")
     val one = df.agg(aggCols.head, aggCols.tail: _*).collect()(0)
-    // Exact quartiles WITHOUT the Percentile aggregate (merges per-partition
-    // value->count maps on one reducer — a driver-sized bottleneck at high
-    // cardinality) and WITHOUT a global sort (range-shuffles the whole
-    // column): histogram-refinement selection — [[graft.kernel.Quantiles]] —
-    // finds the two bracketing order statistics per (column, quantile) in
-    // 2-3 narrow scans whose only shuffle is a #buckets-sized count table;
-    // linear interpolation matches quantile_cont.
-    val quartiles = Seq(0.25, 0.5, 0.75)
-    val pctByCol: Map[String, Seq[Option[Double]]] =
-      if (numCols.isEmpty) Map.empty
-      else graft.kernel.Quantiles.interpolated(df, numCols.toSeq, quartiles)
-    val pctRows = Seq("25%", "50%", "75%").zipWithIndex.map { case (s, i) =>
-      s +: allCols.map { c =>
-        pctByCol.get(c).flatMap(_(i)).map(_.toString).orNull
-      }
+    val numish = allCols.filter(isNumish)
+    val numed = numish.foldLeft(df)((d, c) => d.withColumn(c, numCol(c)))
+    val medByCol: Map[String, Option[Double]] =
+      if (numish.isEmpty) Map.empty
+      else graft.kernel.Quantiles.interpolated(numed, numish, Seq(0.5))
+        .map { case (c, vs) => c -> vs.head }
+    def cell(st: String, c: String): Any = st match {
+      case "median" =>
+        if (isNumish(c)) medByCol.get(c).flatten.map(Double.box).orNull else null
+      case _ =>
+        val v = one.get(one.fieldIndex(s"${st}__$c"))
+        if (isNumish(c)) v
+        else if (st == "count" || st == "null_count")
+          Option(v).map(x => x.asInstanceOf[Double].toLong.toString).orNull
+        else v
     }
-    val byName = (scalarStats.map { case (s, _) =>
-      s +: allCols.map { c =>
-        val v = one.get(one.fieldIndex(s"${s}__$c"))
-        Option(v).map(_.toString).orNull
-      }
-    } ++ pctRows).map(r => r.head -> r).toMap
-    // polars' describe row order (data_frame.rb describe)
-    val rows = Seq("count", "null_count", "mean", "std", "min",
-      "25%", "50%", "75%", "max").map(byName)
-    val schema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("statistic", org.apache.spark.sql.types.StringType) +:
-        allCols.map(c => org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
+    val statNames = Seq("count", "null_count", "mean", "std", "min", "max", "median")
+    val rows = statNames.map(st => org.apache.spark.sql.Row.fromSeq(
+      st +: allCols.map(c => cell(st, c))))
+    val schema = StructType(
+      StructField("describe", StringType) +:
+        allCols.map(c => StructField(c,
+          if (isNumish(c)) DoubleType else StringType)))
     DataFrame(df.sparkSession.createDataFrame(
-      df.sparkSession.sparkContext.parallelize(rows.map(r => org.apache.spark.sql.Row.fromSeq(r))),
-      schema))
+      df.sparkSession.sparkContext.parallelize(rows), schema))
   }
 
   /** pivot (reference: data_frame.rb:2999) → groupBy(index).pivot(on).agg. */

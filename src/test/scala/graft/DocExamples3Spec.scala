@@ -617,6 +617,29 @@ class DocExamples3Spec extends SparkSpec {
         |└─────┴─────┴──────┘""")
   }
 
+  test("data_frame.rb describe: 7 rows, bools numericized, strings stringified") {
+    val df = DataFrame(Seq(
+      (1.0, Option(4L), true, Option.empty[String], Option("usd")),
+      (2.8, Option(5L), false, Option("b"), Option("eur")),
+      (3.0, Option.empty[Long], true, Option("c"), Option.empty[String]))
+      .toDF("a", "b", "c", "d", "e"))
+    check(df.describe(),
+      """shape: (7, 6)
+        |┌────────────┬──────────┬──────────┬──────────┬──────┬──────┐
+        |│ describe   ┆ a        ┆ b        ┆ c        ┆ d    ┆ e    │
+        |│ ---        ┆ ---      ┆ ---      ┆ ---      ┆ ---  ┆ ---  │
+        |│ str        ┆ f64      ┆ f64      ┆ f64      ┆ str  ┆ str  │
+        |╞════════════╪══════════╪══════════╪══════════╪══════╪══════╡
+        |│ count      ┆ 3.0      ┆ 3.0      ┆ 3.0      ┆ 3    ┆ 3    │
+        |│ null_count ┆ 0.0      ┆ 1.0      ┆ 0.0      ┆ 1    ┆ 1    │
+        |│ mean       ┆ 2.266667 ┆ 4.5      ┆ 0.666667 ┆ null ┆ null │
+        |│ std        ┆ 1.101514 ┆ 0.707107 ┆ 0.57735  ┆ null ┆ null │
+        |│ min        ┆ 1.0      ┆ 4.0      ┆ 0.0      ┆ b    ┆ eur  │
+        |│ max        ┆ 3.0      ┆ 5.0      ┆ 1.0      ┆ c    ┆ usd  │
+        |│ median     ┆ 2.8      ┆ 4.5      ┆ 1.0      ┆ null ┆ null │
+        |└────────────┴──────────┴──────────┴──────────┴──────┴──────┘""")
+  }
+
   test("data_frame.rb pipe") {
     val df = DataFrame(Seq((1L, "10"), (2L, "20"), (3L, "30"), (4L, "40")).toDF("a", "b"))
     val castStrToInt = (d: DataFrame) =>

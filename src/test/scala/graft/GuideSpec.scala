@@ -66,12 +66,18 @@ class GuideSpec extends SparkSpec {
     val df = DataFrame(Seq((1.0, "x"), (2.0, "y"), (4.0, "z")).toDF("v", "s"))
     val d = df.describe().toSpark.collect()
     val stats = d.map(_.getString(0)).toSeq
-    assert(stats == Seq("count", "null_count", "mean", "std", "min", "25%", "50%", "75%", "max"))
+    // reference shape (data_frame.rb:1169): 7 rows, header "describe",
+    // numeric cols f64, str cols str (count stringified, stats null)
+    assert(stats == Seq("count", "null_count", "mean", "std", "min", "max", "median"))
     val meanRow = d.find(_.getString(0) == "mean").get
-    assert(math.abs(meanRow.getString(1).toDouble - 7.0 / 3) < 1e-9)
+    assert(math.abs(meanRow.getDouble(1) - 7.0 / 3) < 1e-9)
     assert(meanRow.isNullAt(2)) // non-numeric column
     val minRow = d.find(_.getString(0) == "min").get
     assert(minRow.getString(2) == "x")
+    val countRow = d.find(_.getString(0) == "count").get
+    assert(countRow.getDouble(1) == 3.0 && countRow.getString(2) == "3")
+    val medRow = d.find(_.getString(0) == "median").get
+    assert(medRow.getDouble(1) == 2.0)
   }
 
   test("renderer golden-style output for the README result shape") {
