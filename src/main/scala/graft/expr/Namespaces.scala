@@ -408,8 +408,14 @@ final class ListNS(e: Expr) {
   def get(i: Int): Expr = m(c => F.try_element_at(c, F.lit(if (i >= 0) i + 1 else i)))
   def first: Expr = get(0)
   def last: Expr = get(-1)
-  def gather(indices: Seq[Int]): Expr =
-    m(c => F.array(indices.map(i => F.element_at(c, if (i >= 0) i + 1 else i)): _*))
+  /** polars list.gather: out-of-bounds RAISES by default (element_at under
+    * Spark 4 ANSI matches), null_on_oob: true yields nulls instead
+    * (list_expr.rb:416 golden). */
+  def gather(indices: Seq[Int], nullOnOob: Boolean = false): Expr =
+    m(c => F.array(indices.map { i =>
+      val pos = F.lit(if (i >= 0) i + 1 else i)
+      if (nullOnOob) F.try_element_at(c, pos) else F.element_at(c, pos)
+    }: _*))
   def contains(v: Any): Expr = m(c => F.array_contains(c, v))
   def join(sep: String): Expr = m(c => F.array_join(c, sep))
   def argMin: Expr = m(c => F.array_position(c, F.array_min(c)).cast("long") - 1)

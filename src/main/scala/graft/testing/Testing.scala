@@ -78,10 +78,23 @@ object Testing {
     * these renderings; DocExamplesSpec ports a slice of that corpus). */
   def render(df: DataFrame, maxRows: Int = 10): String = {
     val total = df.count()
-    val rows = df.limit(maxRows).collect()
+    // polars shows HEAD 5 / ellipsis row / TAIL 5 for frames over maxRows
+    // (date_time_expr.rb:1267 golden renders 12 rows that way), not the
+    // first maxRows with a trailing ellipsis
+    val over = total > maxRows
+    val half = maxRows / 2
+    val rows =
+      if (!over) df.limit(maxRows).collect()
+      else {
+        val all = df.limit(Int.MaxValue - 1).collect() // render is a test aid; frames are small
+        all.take(half) ++ all.takeRight(half)
+      }
     val names = df.columns.toSeq
     val dtypes = df.schema.fields.map(f => dtypeName(f.dataType)).toSeq
-    val cells = rows.map(_.toSeq.map(fmt))
+    val cells0 = rows.map(_.toSeq.map(fmt))
+    val cells =
+      if (over) (cells0.take(half) :+ names.map(_ => "…")) ++ cells0.drop(half)
+      else cells0
     val widths = names.indices.map { c =>
       // 3 = the `---` separator row's width floor
       (Seq(3, names(c).length, dtypes(c).length) ++ cells.map(_(c).length)).max
@@ -97,10 +110,7 @@ object Testing {
     sb.append(row(names.map(_ => "---"))).append('\n')
     sb.append(row(dtypes)).append('\n')
     sb.append(line("╞", "╪", "╡", "═")).append('\n')
-    cells.zipWithIndex.foreach { case (cs, i) =>
-      sb.append(row(cs)).append('\n')
-    }
-    if (total > maxRows) sb.append(row(names.map(_ => "…"))).append('\n')
+    cells.foreach(cs => sb.append(row(cs)).append('\n'))
     sb.append(line("└", "┴", "┘"))
     sb.toString
   }
@@ -112,12 +122,18 @@ object Testing {
     * display. */
   def renderSeries(s: graft.api.Series, maxRows: Int = 10): String = {
     val total = s.df.count()
-    val rows = s.df.limit(maxRows).collect().map(_.get(0))
+    val over = total > maxRows
+    val half = maxRows / 2
+    val rows =
+      if (!over) s.df.limit(maxRows).collect().map(_.get(0)).map(fmtSeries)
+      else { // head 5 / … / tail 5, same as the table renderer
+        val all = s.df.limit(Int.MaxValue - 1).collect().map(_.get(0))
+        (all.take(half).map(fmtSeries) :+ "…") ++ all.takeRight(half).map(fmtSeries)
+      }
     val sb = new StringBuilder
     sb.append(s"shape: ($total,)\n")
     sb.append(s"Series: '${s.name}' [${dtypeName(s.dtype)}]\n[\n")
-    rows.foreach(v => sb.append('\t').append(fmtSeries(v)).append('\n'))
-    if (total > maxRows) sb.append("\t…\n")
+    rows.foreach(v => sb.append('\t').append(v).append('\n'))
     sb.append("]")
     sb.toString
   }

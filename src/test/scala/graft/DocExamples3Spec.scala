@@ -658,6 +658,22 @@ class DocExamples3Spec extends SparkSpec {
         |└─────┴─────┘""")
   }
 
+  test("list_expr.rb gather with null_on_oob") {
+    val df = DataFrame(Seq(Seq(3L, 2L, 1L), Seq.empty[Long], Seq(1L, 2L, 3L, 4L, 5L)).toDF("a"))
+    check(df.withColumns(Seq(
+      col("a").list.gather(Seq(0, 4), nullOnOob = true).alias("gather"))),
+      """shape: (3, 2)
+        |┌─────────────┬──────────────┐
+        |│ a           ┆ gather       │
+        |│ ---         ┆ ---          │
+        |│ list[i64]   ┆ list[i64]    │
+        |╞═════════════╪══════════════╡
+        |│ [3, 2, 1]   ┆ [3, null]    │
+        |│ []          ┆ [null, null] │
+        |│ [1, 2, … 5] ┆ [1, 5]       │
+        |└─────────────┴──────────────┘""")
+  }
+
   test("expr.rb shrink_dtype") {
     val df = DataFrame(Seq(
       (1L, 1L, -1L, -112L, -112L, "a", 0.1, Option(true)),

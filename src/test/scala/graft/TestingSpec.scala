@@ -34,6 +34,22 @@ class TestingSpec extends SparkSpec {
     assert(out.contains("one") && out.contains("1.5"))
   }
 
+  test("render over maxRows shows head 5 / ellipsis row / tail 5, like polars") {
+    val df = DataFrame((1L to 12L).map(i => (i, s"v$i")).toDF("i", "s"))
+    val got = Testing.render(df.toSpark)
+    val lines = got.split("\n").toSeq
+    assert(lines.head == "shape: (12, 2)", got)
+    // 5 head rows, one ellipsis row, 5 tail rows between the header rules
+    val body = lines.dropWhile(!_.startsWith("\u255e")).drop(1).takeWhile(_.startsWith("\u2502"))
+    assert(body.length == 11, got)
+    assert(body(0).contains(" 1 ") && body(4).contains(" 5 "), got)
+    assert(body(5).contains("\u2026"), got)
+    assert(body(6).contains(" 8 ") && body(10).contains(" 12 "), got)
+    val s12 = Series("n", (1L to 12L))
+    val sr = Testing.renderSeries(s12)
+    assert(sr.contains("\t5\n\t\u2026\n\t8\n"), sr)
+  }
+
   test("series construction, accessors and equality") {
     val s = Series("x", Seq(1.0, 2.0, 3.0))
     assert(s.len == 3)
