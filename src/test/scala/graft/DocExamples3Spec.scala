@@ -534,6 +534,40 @@ class DocExamples3Spec extends SparkSpec {
         |└───────────┴───────────┘""")
   }
 
+  // ---- group_by.rb agg forms ----
+  // (group_by without maintain_order is row-order-nondeterministic in the
+  // reference — these are its agg goldens run with maintain_order: true, so
+  // rows land in first-seen order; the VALUES are verbatim)
+  test("group_by.rb agg: implicit implode, suffix naming, agg-of-pow") {
+    val df = DataFrame(Seq(
+      ("a", 1L, 5L), ("b", 2L, 4L), ("a", 1L, 3L), ("b", 3L, 2L), ("c", 3L, 1L))
+      .toDF("a", "b", "c"))
+    check(df.groupBy(Seq("a"), maintainOrder = true).agg(col("b"), col("c")),
+      """shape: (3, 3)
+        |┌─────┬───────────┬───────────┐
+        |│ a   ┆ b         ┆ c         │
+        |│ --- ┆ ---       ┆ ---       │
+        |│ str ┆ list[i64] ┆ list[i64] │
+        |╞═════╪═══════════╪═══════════╡
+        |│ a   ┆ [1, 1]    ┆ [5, 3]    │
+        |│ b   ┆ [2, 3]    ┆ [4, 2]    │
+        |│ c   ┆ [3]       ┆ [1]       │
+        |└─────┴───────────┴───────────┘""")
+    check(df.groupBy(Seq("a"), maintainOrder = true).agg(
+      col("b").sum.mapAlias(_ + "_sum"),
+      col("c").pow(2).mean.mapAlias(_ + "_mean_squared")),
+      """shape: (3, 3)
+        |┌─────┬───────┬────────────────┐
+        |│ a   ┆ b_sum ┆ c_mean_squared │
+        |│ --- ┆ ---   ┆ ---            │
+        |│ str ┆ i64   ┆ f64            │
+        |╞═════╪═══════╪════════════════╡
+        |│ a   ┆ 2     ┆ 17.0           │
+        |│ b   ┆ 5     ┆ 10.0           │
+        |│ c   ┆ 3     ┆ 1.0            │
+        |└─────┴───────┴────────────────┘""")
+  }
+
   // ---- data_frame.rb ----
   test("data_frame.rb rename and drop") {
     val df = DataFrame(Seq((1L, 6L, "a"), (2L, 7L, "b"), (3L, 8L, "c"))
