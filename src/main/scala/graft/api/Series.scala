@@ -112,6 +112,21 @@ final case class Series(name: String, df: SDF) {
     }
   def cast(dt: DataType): Series = map(_.cast(dt))
 
+  /** drop_nulls / drop_nans (reference expr.rb:847/874 — length-changing,
+    * so they live on the eager Series surface): drop_nulls keeps NaN
+    * (a float VALUE); drop_nans keeps null (missing ≠ NaN, SURVEY §1.2). */
+  def dropNulls: Series = Series(name, df.filter(F.col(name).isNotNull))
+  def dropNans: Series =
+    Series(name, df.filter(F.col(name).isNull || !F.isnan(F.col(name))))
+
+  /** mode (reference series.rb:2585): the most frequent value(s) — can be
+    * multi-valued; one hash aggregate plus a broadcast max-count filter. */
+  def mode: Series = {
+    val counts = df.groupBy(F.col(name)).agg(F.count(F.lit(1)).as("__n__"))
+    val top = counts.agg(F.max(F.col("__n__"))).collect()(0).getLong(0)
+    Series(name, counts.filter(F.col("__n__") === top).select(F.col(name)))
+  }
+
   /** map_elements with an ARBITRARY per-element closure (reference
     * series.rb:2885; dispatcher ext/polars/src/map/series.rs:10-68). Runs as
     * a typed `Dataset.map` — distributed, one pass over the partitions, no

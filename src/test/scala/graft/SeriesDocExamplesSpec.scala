@@ -186,6 +186,20 @@ class SeriesDocExamplesSpec extends SparkSpec {
       "shape: (10,)\nSeries: '' [f64]\n[\n\tnull\n\tnull\n\t3.0\n\t3.0\n\t3.0\n\t3.0\n\t3.0\n\t3.0\n\t3.0\n\t3.0\n]")
   }
 
+  test("series.rb mode") {
+    val s = Series("a", Seq(1L, 2L, 2L, 3L))
+    check(s.mode,
+      "shape: (1,)\nSeries: 'a' [i64]\n[\n\t2\n]")
+  }
+
+  test("expr.rb drop_nulls keeps NaN; drop_nans keeps null (Series surface)") {
+    val s = Series("b", Seq[Any](null, 4.0, 4.0, Double.NaN))
+    check(s.dropNulls,
+      "shape: (3,)\nSeries: 'b' [f64]\n[\n\t4.0\n\t4.0\n\tNaN\n]")
+    check(s.dropNans,
+      "shape: (3,)\nSeries: 'b' [f64]\n[\n\tnull\n\t4.0\n\t4.0\n]")
+  }
+
   test("series.rb extend_constant(99, 2)") {
     val s = Series("a", Seq(1L, 2L, 3L))
     check(s.extendConstant(99, 2),
