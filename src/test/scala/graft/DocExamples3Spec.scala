@@ -674,6 +674,35 @@ class DocExamples3Spec extends SparkSpec {
         |└────────────┴──────────┴──────────┴──────────┴──────┴──────┘""")
   }
 
+  test("series.rb describe: numeric and string stat rows render verbatim") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    check(graft.api.Series("", Seq(1L, 2L, 3L, 4L, 5L)).describe(),
+      """shape: (6, 2)
+        |┌────────────┬──────────┐
+        |│ statistic  ┆ value    │
+        |│ ---        ┆ ---      │
+        |│ str        ┆ f64      │
+        |╞════════════╪══════════╡
+        |│ min        ┆ 1.0      │
+        |│ max        ┆ 5.0      │
+        |│ null_count ┆ 0.0      │
+        |│ mean       ┆ 3.0      │
+        |│ std        ┆ 1.581139 │
+        |│ count      ┆ 5.0      │
+        |└────────────┴──────────┘""")
+    check(graft.api.Series("", Seq[Any]("a", "a", null, "b", "c")).describe(),
+      """shape: (3, 2)
+        |┌────────────┬───────┐
+        |│ statistic  ┆ value │
+        |│ ---        ┆ ---   │
+        |│ str        ┆ i64   │
+        |╞════════════╪═══════╡
+        |│ unique     ┆ 4     │
+        |│ null_count ┆ 1     │
+        |│ count      ┆ 5     │
+        |└────────────┴───────┘""")
+  }
+
   test("data_frame.rb pipe") {
     val df = DataFrame(Seq((1L, "10"), (2L, "20"), (3L, "30"), (4L, "40")).toDF("a", "b"))
     val castStrToInt = (d: DataFrame) =>
