@@ -404,6 +404,24 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     meta.outputName.fold(base)(base.alias)
   }
   def uniqueAgg: Expr = aggMap(F.collect_set)
+  /** gather/take by index (reference expr.rb:1565 golden: per-group
+    * `agg(col.take([2,1]))` selects those row positions within each group
+    * in row order, returning a list). Same ordered-collect discipline as
+    * [[implode]]: the global form totalizes on the hidden row index; the
+    * per-group form rides GroupBy.agg's per-group sort. Negative indices
+    * count from the end; out-of-bounds yields null (try_element_at). */
+  def gather(indices: Seq[Int]): Expr = {
+    def sel(arr: Column): Column =
+      F.array(indices.map(i => F.try_element_at(arr, F.lit(if (i >= 0) i + 1 else i))): _*)
+    val ordered = F.transform(
+      F.array_sort(F.collect_list(F.struct(
+        F.col(graft.kernel.RowIndex.name).as("i"), col.as("x")))),
+      s => s.getField("x"))
+    val base = Expr(sel(ordered), requiresIndex = true, preps, None,
+      keyed.map(k => GroupAggForm(k, c => sel(F.collect_list(c)))))
+    meta.outputName.fold(base)(base.alias)
+  }
+  def take(indices: Seq[Int]): Expr = gather(indices)
   /** skew/kurtosis (reference expr.rb:5788,5820): Spark's skewness/kurtosis
     * aggregates are the biased g1/g2 (kurtosis already excess); bias: false
     * applies the k-statistics corrections, fisher: false adds back 3. */

@@ -568,6 +568,22 @@ class DocExamples3Spec extends SparkSpec {
         |└─────┴───────┴────────────────┘""")
   }
 
+  test("expr.rb gather/take by index inside group_by.agg") {
+    val df = DataFrame(Seq(
+      ("one", 1L), ("one", 98L), ("one", 2L), ("two", 3L), ("two", 99L), ("two", 4L))
+      .toDF("group", "value"))
+    check(df.groupBy(Seq("group"), maintainOrder = true).agg(col("value").take(Seq(2, 1))),
+      """shape: (2, 2)
+        |┌───────┬───────────┐
+        |│ group ┆ value     │
+        |│ ---   ┆ ---       │
+        |│ str   ┆ list[i64] │
+        |╞═══════╪═══════════╡
+        |│ one   ┆ [2, 98]   │
+        |│ two   ┆ [4, 99]   │
+        |└───────┴───────────┘""")
+  }
+
   // ---- data_frame.rb ----
   test("data_frame.rb rename and drop") {
     val df = DataFrame(Seq((1L, 6L, "a"), (2L, 7L, "b"), (3L, 8L, "c"))
