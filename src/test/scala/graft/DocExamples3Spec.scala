@@ -584,6 +584,51 @@ class DocExamples3Spec extends SparkSpec {
         |└───────┴───────────┘""")
   }
 
+  test("expr.rb repeat_by, log(2), entropy(2) both normalize modes") {
+    val rb = DataFrame(Seq(("x", 1L), ("y", 2L), ("z", 3L)).toDF("a", "n"))
+    check(rb.select(col("a").repeatBy(col("n"))),
+      """shape: (3, 1)
+        |┌─────────────────┐
+        |│ a               │
+        |│ ---             │
+        |│ list[str]       │
+        |╞═════════════════╡
+        |│ ["x"]           │
+        |│ ["y", "y"]      │
+        |│ ["z", "z", "z"] │
+        |└─────────────────┘""")
+    val df = DataFrame(Seq(1L, 2L, 3L).toDF("a"))
+    check(df.select(col("a").log(2)),
+      """shape: (3, 1)
+        |┌──────────┐
+        |│ a        │
+        |│ ---      │
+        |│ f64      │
+        |╞══════════╡
+        |│ 0.0      │
+        |│ 1.0      │
+        |│ 1.584963 │
+        |└──────────┘""")
+    check(df.select(col("a").entropy(2)),
+      """shape: (1, 1)
+        |┌──────────┐
+        |│ a        │
+        |│ ---      │
+        |│ f64      │
+        |╞══════════╡
+        |│ 1.459148 │
+        |└──────────┘""")
+    check(df.select(col("a").entropy(2, normalize = false)),
+      """shape: (1, 1)
+        |┌───────────┐
+        |│ a         │
+        |│ ---       │
+        |│ f64       │
+        |╞═══════════╡
+        |│ -6.754888 │
+        |└───────────┘""")
+  }
+
   // ---- data_frame.rb ----
   test("data_frame.rb rename and drop") {
     val df = DataFrame(Seq((1L, 6L, "a"), (2L, 7L, "b"), (3L, 8L, "c"))
