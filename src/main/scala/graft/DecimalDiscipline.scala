@@ -19,8 +19,13 @@ private[graft] object DecimalDiscipline {
     e.cast(DecimalType(18, scale)).sum.cast(DoubleType)
 
   /** Order-free mean: exact decimal sum ÷ non-null count — one double
-    * division on both engines instead of order-sensitive accumulation. */
-  def decMean(e: Expr, scale: Int): Expr = decSum(e, scale) / e.count
+    * division on both engines instead of order-sensitive accumulation.
+    * The zero divisor is NULLed: polars' mean of an empty slice is null,
+    * and the sum identity 0 over a 0 count would otherwise give NaN. */
+  def decMean(e: Expr, scale: Int): Expr = {
+    val n = e.count
+    decSum(e, scale) / Expr(F.nullif(n.col, F.lit(0L)), n.requiresIndex, n.preps)
+  }
 
   def decSumCol(c: Column, scale: Int): Column =
     F.sum(c.cast(DecimalType(18, scale))).cast(DoubleType)

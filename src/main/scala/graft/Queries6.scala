@@ -23,7 +23,7 @@ object Queries6 {
   private def qRollingFrame(s: SparkSession, dir: String): SDF =
     events(s, dir)
       .rolling("ts", "2h", by = Seq("user_id"), closed = "both")
-      .agg(
+      .aggKeep(
         "roll_sum" -> col("value").sum,
         "roll_n" -> Expr(F.count(F.lit(1))))
       .select(col("event_id"), col("roll_sum"), col("roll_n"))

@@ -48,7 +48,7 @@ object Queries9 {
     LazyFrame(t(s, dir, "orders")
         .withColumn("cust_bucket", F.col("o_custkey") % 50))
       .rolling("o_orderdate", "1mo", by = Seq("cust_bucket"), closed = "both")
-      .agg("roll_n" -> Expr(F.count(F.lit(1))),
+      .aggKeep("roll_n" -> Expr(F.count(F.lit(1))),
         "roll_sv" -> col("o_totalprice").sum)
       .select(col("o_orderkey"), col("roll_n"),
         Expr(F.round(F.col("roll_sv"), 2)).alias("roll_sv"))

@@ -7,6 +7,17 @@ object Config {
   @volatile var maxRows: Int = 10
   @volatile var maxCols: Int = 100
   @volatile var floatPrecision: Option[Int] = None
+  /** ASCII table outlines instead of UTF8 box drawing (config.rb
+    * set_ascii_tables / POLARS_FMT_TABLE_FORMATTING=ASCII_FULL_CONDENSED). */
+  @volatile var asciiTables: Boolean = false
+  /** String cell display limit before `…` truncation (config.rb
+    * set_fmt_str_lengths; polars default 30). */
+  @volatile var fmtStrLengths: Int = 30
+  /** Cell alignment: LEFT (default) or RIGHT (config.rb set_tbl_cell_alignment). */
+  @volatile var tblCellAlignment: String = "LEFT"
+  /** Move the dtype inline with the column name — `name (dtype)` header, no
+    * `---`/dtype rows (config.rb set_tbl_column_data_type_inline). */
+  @volatile var tblColumnDataTypeInline: Boolean = false
 
   def withConfig[T](rows: Int = maxRows, cols: Int = maxCols)(f: => T): T = {
     val (pr, pc) = (maxRows, maxCols)
@@ -14,5 +25,25 @@ object Config {
     try f finally { maxRows = pr; maxCols = pc }
   }
 
-  def restoreDefaults(): Unit = { maxRows = 10; maxCols = 100; floatPrecision = None }
+  /** Scoped override of any display option (reference Config.new(...) block
+    * form): saves every option, runs `f`, restores. */
+  def scoped[T](rows: Int = maxRows, cols: Int = maxCols,
+                ascii: Boolean = asciiTables, strLengths: Int = fmtStrLengths,
+                cellAlignment: String = tblCellAlignment,
+                dataTypeInline: Boolean = tblColumnDataTypeInline)(f: => T): T = {
+    val saved = (maxRows, maxCols, asciiTables, fmtStrLengths,
+      tblCellAlignment, tblColumnDataTypeInline)
+    maxRows = rows; maxCols = cols; asciiTables = ascii; fmtStrLengths = strLengths
+    tblCellAlignment = cellAlignment; tblColumnDataTypeInline = dataTypeInline
+    try f finally {
+      maxRows = saved._1; maxCols = saved._2; asciiTables = saved._3
+      fmtStrLengths = saved._4; tblCellAlignment = saved._5
+      tblColumnDataTypeInline = saved._6
+    }
+  }
+
+  def restoreDefaults(): Unit = {
+    maxRows = 10; maxCols = 100; floatPrecision = None; asciiTables = false
+    fmtStrLengths = 30; tblCellAlignment = "LEFT"; tblColumnDataTypeInline = false
+  }
 }

@@ -234,13 +234,29 @@ final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk0: SDF => Self,
   * bucketed by time instead of rows. */
 object RollingGroupBy {
   /** True when the expression's root (alias-stripped) is a bare `count`
-    * aggregate — the one aggregate whose empty-window value is 0, not null. */
-  private[api] def rootIsCount(e: Expr): Boolean =
+    * aggregate — empty-window value 0, not null. */
+  private[api] def rootIsCount(e: Expr): Boolean = rootFn(e) == Some("count")
+  /** True when the root is graft's polars-sum spelling `coalesce(sum(x), …)`
+    * — the sum identity must survive an empty window the same way count's 0
+    * does (expr.rb:2713: polars sums an empty slice to 0). */
+  private[api] def rootIsSum(e: Expr): Boolean =
+    org.apache.spark.sql.GraftInternalOps.catalystExpression(
+      org.apache.spark.sql.GraftInternalOps.stripAlias(e.col)) match {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase) == Seq("coalesce") =>
+        f.arguments.headOption.exists {
+          case g: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+            g.nameParts.map(_.toLowerCase) == Seq("sum")
+          case _ => false
+        }
+      case _ => false
+    }
+  private def rootFn(e: Expr): Option[String] =
     org.apache.spark.sql.GraftInternalOps.catalystExpression(
       org.apache.spark.sql.GraftInternalOps.stripAlias(e.col)) match {
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
-        f.nameParts.map(_.toLowerCase) == Seq("count")
-      case _ => false
+        Some(f.nameParts.map(_.toLowerCase).mkString("."))
+      case _ => None
     }
 }
 
@@ -248,7 +264,19 @@ final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
                                  by: Seq[String], mk: SDF => Self,
                                  offset: Option[String] = None,
                                  closed: String = "right") {
+  /** polars shape: rolling().agg returns ONLY index + by + aggregates
+    * (reference lazy_frame.rb:1152 golden — the other input columns are
+    * dropped). The full-frame form lives on as [[aggKeep]]. */
   def agg(exprs: (String, Expr)*): Self = {
+    val keep = ((indexColumn +: by) ++ exprs.map(_._1)).distinct
+    mk(aggSdf(exprs).select(keep.map(F.col): _*))
+  }
+  /** Extended form: every input column survives next to the rolling
+    * aggregates (withColumn semantics) — beyond the reference, used where a
+    * per-row id must ride along with per-row windows. */
+  def aggKeep(exprs: (String, Expr)*): Self = mk(aggSdf(exprs))
+
+  private def aggSdf(exprs: Seq[(String, Expr)]): SDF = {
     val d = DurationDsl.parse(period)
     require(d.months > 0 || (d.months == 0 && (d.totalNanos > 0 || d.indexCount > 0)),
       s"rolling: period must be positive, got '$period'")
@@ -314,7 +342,11 @@ final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
           F.array_sort(F.collect_list(
             F.struct(epoch.as("o"), e.col.as("x"))).over(w)),
           s => s.getField("x"))
-      else w => e.col.over(w)
+      else w => org.apache.spark.sql.GraftInternalOps
+        // composite aggregates (std(ddof:), coalesce-wrapped sums) window
+        // each embedded aggregate over the rolling frame; bare columns and
+        // plain aggregates window whole, as before
+        .windowCompositeAggregates(e.col, w).getOrElse(e.col.over(w))
     if (by.nonEmpty) {
       val w = Window.partitionBy(by.map(F.col): _*).orderBy(epoch)
         .rangeBetween(loIncl, hiIncl)
@@ -324,14 +356,14 @@ final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
       val fresh = exprs.map { case (n, e) => (n, e, Scan.fresh("ro")) }
       val built = fresh.foldLeft(sdf) { case (acc, (_, e, fn)) =>
         acc.withColumn(fn, spelling(e)(w)) }
-      mk(fresh.foldLeft(built) { case (acc, (n, _, fn)) =>
-        acc.withColumn(n, F.col(fn)).drop(fn) })
+      fresh.foldLeft(built) { case (acc, (n, _, fn)) =>
+        acc.withColumn(n, F.col(fn)).drop(fn) }
     } else {
       // keyless: the shared time-bucket phantom-carry kernel (null-epoch
       // rows get no phantom copy and keep their null peer-group frame —
       // documented at the kernel)
-      mk(graft.kernel.Scan.rollingByApplyMulti(sdf, epoch, loIncl, hiIncl,
-        exprs.map { case (n, e) => n -> spelling(e) }))
+      graft.kernel.Scan.rollingByApplyMulti(sdf, epoch, loIncl, hiIncl,
+        exprs.map { case (n, e) => n -> spelling(e) })
     }
   }
 
@@ -353,7 +385,7 @@ final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
     * Two balanced shuffles (bucket join, row-id aggregate), 2× probe-side
     * row volume, no data-sized single partition. Null index values drop
     * (polars' rolling contract requires a sorted non-null index column). */
-  private def aggCalendar(d: graft.kernel.Duration, exprs: Seq[(String, Expr)]): Self = {
+  private def aggCalendar(d: graft.kernel.Duration, exprs: Seq[(String, Expr)]): SDF = {
     import graft.kernel.Scan
     require(d.isPureCalendar,
       "rolling: calendar periods must be pure month multiples (mo/q/y); " +
@@ -459,14 +491,18 @@ final class RollingGroupBy[Self](sdf: SDF, indexColumn: String, period: String,
       // all aggregates: the calendar kernel's documented out-of-contract
       // behavior (polars requires a non-null sorted index; the fixed path
       // instead groups null-epoch rows as peers — divergence documented)
+      // count AND sum carry an identity through empty windows (count 0L,
+      // sum 0 coerced to the sum's own type — polars sum identity)
       val v = if (RollingGroupBy.rootIsCount(e))
           F.when(F.col(indexColumn).isNotNull, F.coalesce(F.col(fn), F.lit(0L)))
+            .otherwise(F.col(fn))
+        else if (RollingGroupBy.rootIsSum(e))
+          F.when(F.col(indexColumn).isNotNull, F.coalesce(F.col(fn), F.lit(0)))
             .otherwise(F.col(fn))
         else F.col(fn)
       acc.withColumn(n, v).drop(fn)
     }
-    val out = renamed.drop(probeKeys: _*).drop("__b_ep__", ri)
-    mk(out)
+    renamed.drop(probeKeys: _*).drop("__b_ep__", ri)
   }
 }
 

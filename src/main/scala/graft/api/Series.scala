@@ -14,6 +14,7 @@ final case class Series(name: String, df: SDF) {
   def len: Long = df.count()
   def toList: List[Any] = df.collect().map(r => r.get(0)).toList
   def rename(newName: String): Series = Series(newName, df.select(F.col(name).as(newName)))
+  def alias(newName: String): Series = rename(newName) // reference series.rb alias
   def toFrame: DataFrame = DataFrame(df)
 
   /** Element-wise arithmetic between equal-length series — positional zip via
@@ -34,8 +35,9 @@ final case class Series(name: String, df: SDF) {
   private def scalar(e: Expr): Any = df.select(e.col).collect()(0).get(0)
   def sum: Any = scalar(Expr(F.sum(F.col(name))))
   def mean: Any = scalar(Expr(F.avg(F.col(name))))
-  def min: Any = scalar(Expr(F.min(F.col(name))))
-  def max: Any = scalar(Expr(F.max(F.col(name))))
+  // min/max through Expr so NaN-skipping extrema semantics apply (expr.rb goldens)
+  def min: Any = scalar(Expr(F.col(name)).min)
+  def max: Any = scalar(Expr(F.col(name)).max)
   def median: Any = scalar(Expr(F.median(F.col(name))))
   def std: Any = scalar(Expr(F.stddev_samp(F.col(name))))
   def variance: Any = scalar(Expr(F.var_samp(F.col(name))))
@@ -89,6 +91,16 @@ final case class Series(name: String, df: SDF) {
 
   // route through the frame layer so scanned exprs (shift/cum/fill/rank)
   // built inside the mapper get their preps resolved
+  // namespaces (reference *_name_space.rb — expression-dispatched there,
+  // Series.map-forwarded here; see SeriesNamespaces.scala)
+  def dt: SeriesDtNS = new SeriesDtNS(this)
+  def str: SeriesStrNS = new SeriesStrNS(this)
+  def list: SeriesListNS = new SeriesListNS(this)
+  def arr: SeriesListNS = new SeriesListNS(this)
+  def bin: SeriesBinNS = new SeriesBinNS(this)
+  def cat: SeriesCatNS = new SeriesCatNS(this)
+  def struct: SeriesStructNS = new SeriesStructNS(this)
+
   def map(e: Expr => Expr): Series =
     Series(name, DataFrame(df).select(e(Expr(F.col(name))).alias(name)).toSpark)
 

@@ -310,17 +310,28 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   }
 
   // ---- aggregations (reference: expr.rb:1852-2215,721-741) ----
-  def sum: Expr = aggMap(F.sum)
+  /** polars sum of an empty / all-null group is 0, not null (expr.rb:2713
+    * filter golden: the group whose filtered slice is empty sums to 0).
+    * The 0 literal coerces to the sum's own result type at analysis. */
+  def sum: Expr = aggMap(c => F.coalesce(F.sum(c), F.lit(0)))
   def mean: Expr = aggMap(F.avg)
   def median: Expr = aggMap(c => F.median(c))
-  def min: Expr = aggMap(F.min)
-  def max: Expr = aggMap(F.max)
+  /** Plain extrema IGNORE NaN (reference expr.rb:1895-1935 goldens: max of
+    * [-1.0, NaN, 1.0] is 1.0, not NaN) — Spark orders NaN above every double,
+    * so the input is routed through [[graft.ext.NanToNull]], a typed
+    * pass-through that nulls NaN on float/double and is identity on every
+    * other dtype (resolved at analysis, codegen-friendly). The
+    * NaN-PROPAGATING forms are nanMax/nanMin below. */
+  def min: Expr = aggMap(c => F.min(Expr.nanSkipped(c)))
+  def max: Expr = aggMap(c => F.max(Expr.nanSkipped(c)))
   def count: Expr = aggMap(F.count)
   def len: Expr = aggMap(F.count) // counts nulls too in polars; see lenWithNulls
   def nullCount: Expr = aggMap(c => F.count(F.when(c.isNull, 1)))
   def first: Expr = aggMap(c => F.first(c))
   def last: Expr = aggMap(c => F.last(c))
-  def product: Expr = aggMap(F.product) // exact partial+final agg; handles zeros/negatives
+  // exact partial+final agg; handles zeros/negatives; int input stays i64
+  // and empty groups yield 1 (polars) via the typed GraftProduct aggregate
+  def product: Expr = aggMap(Expr.productAgg)
   def nUnique: Expr = aggMap(c => F.countDistinct(c))
   /** any / all — boolean-column aggregates (reference: expr.rb:198,223).
     * drop_nulls=true (default) ignores nulls; empty/all-null → false / true.
@@ -517,12 +528,14 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
         "over(WindowSpec): order-dependent ops re-spell per key from partition KEYS " +
           "(the frame's hidden row order supplies the ordering); pass the keys — " +
           "over(col(\"k\")) — instead of a prebuilt WindowSpec")
-    Expr(col.over(w), requiresIndex, preps)
+    Expr(Expr.windowed(col, w), requiresIndex, preps)
   }
-  def overOrdered(partitionBy: Seq[Expr], orderBy: Seq[Expr]): Expr =
-    Expr(col.over(Window.partitionBy(partitionBy.map(_.col): _*).orderBy(orderBy.map(_.col): _*)),
+  def overOrdered(partitionBy: Seq[Expr], orderBy: Seq[Expr]): Expr = {
+    val w = Window.partitionBy(partitionBy.map(_.col): _*).orderBy(orderBy.map(_.col): _*)
+    Expr(Expr.windowed(col, w),
       requiresIndex || (partitionBy ++ orderBy).exists(_.requiresIndex),
       mergedWith(partitionBy ++ orderBy: _*))
+  }
 
   // ---- sorting keys helpers ----
   def asc: Expr = map(_.asc)
@@ -596,7 +609,7 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   def cumMin(reverse: Boolean = false): Expr = cum(F.min, "min", reverse)
   def cumMax(reverse: Boolean = false): Expr = cum(F.max, "max", reverse)
   def cumCount(reverse: Boolean = false): Expr = cum(F.count, "sum", reverse, maskNulls = false)
-  def cumProd(reverse: Boolean = false): Expr = cum(c => F.product(c), "product", reverse)
+  def cumProd(reverse: Boolean = false): Expr = cum(Expr.productAgg, "product", reverse)
   /** polars cum_* PRESERVES null positions ([1, null, 2].cum_sum = [1, null,
     * 3]) where SQL's running aggregate would return the sum-so-far — mask
     * the result at null inputs (cum_count excepted: it counts non-nulls and
@@ -1230,6 +1243,7 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   // polars exposes both operator and named forms; named forms matter for
   // fold/reduce-style call sites that pass methods by name.
   def add(o: Expr): Expr = this + o
+  def add(v: Any): Expr = this + Expr.lit(v)
   def sub(o: Expr): Expr = this - o
   def mul(o: Expr): Expr = this * o
   def truediv(o: Expr): Expr = this / o
@@ -1302,6 +1316,21 @@ object Expr {
   /** Order-preserving union of two preparation lists (dedup by key). */
   private[graft] def mergePreps(a: Seq[Prep], b: Seq[Prep]): Seq[Prep] =
     (a ++ b).distinctBy(_.key)
+  /** NaN→null on float/double, identity otherwise (see [[graft.ext.NanToNull]]). */
+  private[graft] def nanSkipped(c: Column): Column =
+    org.apache.spark.sql.GraftInternalOps.column(
+      graft.ext.NanToNull(org.apache.spark.sql.GraftInternalOps.expression(c)))
+  /** Dtype-preserving product aggregate (see [[graft.ext.GraftProduct]]). */
+  private[graft] def productAgg(c: Column): Column =
+    org.apache.spark.sql.GraftInternalOps.column(
+      graft.ext.GraftProduct(org.apache.spark.sql.GraftInternalOps.expression(c))
+        .toAggregateExpression())
+  /** Window a possibly-composite aggregate column over `w`: bare aggregates
+    * window whole; composites (coalesce-wrapped sums, std(ddof:)) window
+    * each embedded aggregate; aggregate-free columns window whole. */
+  private[graft] def windowed(c: Column, w: WindowSpec): Column =
+    org.apache.spark.sql.GraftInternalOps
+      .windowCompositeAggregates(c, w).getOrElse(c.over(w))
   /** A pure-literal expression (foldable catalyst tree, no preps). The
     * alias is stripped first: an aliased literal converts to an
     * UnresolvedAlias whose `foldable` throws pre-analysis. */

@@ -90,7 +90,10 @@ final class StrNS(e: Expr) {
   def replaceAll(pat: String, repl: String): Expr = m(c => F.regexp_replace(c, pat, repl))
   def replaceAllLiteral(pat: String, repl: String): Expr =
     m(c => F.replace(c, F.lit(pat), F.lit(repl)))
-  def reverse: Expr = m(F.reverse)
+  /** Grapheme-cluster reverse (combining marks stay on their base — see
+    * [[graft.ext.GraphemeReverse]]; Spark's reverse flips code points). */
+  def reverse: Expr = m(c => org.apache.spark.sql.GraftInternalOps.column(
+    graft.ext.GraphemeReverse(org.apache.spark.sql.GraftInternalOps.expression(c))))
   def slice(offset: Int, length: Option[Int] = None): Expr = m { c =>
     val start = if (offset >= 0) F.lit(offset + 1) else F.greatest(F.length(c) + offset + 1, F.lit(1))
     c.substr(start, length.map(F.lit).getOrElse(F.length(c)))
@@ -105,14 +108,16 @@ final class StrNS(e: Expr) {
     else m(c => F.split(c, "(?<=" + java.util.regex.Pattern.quote(by) + ")"))
   def splitRegex(pat: String): Expr = m(c => F.split(c, pat))
   def splitExact(by: String, n: Int): Expr = m { c =>
+    // try_element_at: shorter strings pad missing fields with null
+    // (string_expr.rb:1131 golden: "c" split on "_" is {"c",null})
     val parts = F.split(c, java.util.regex.Pattern.quote(by), n + 1)
-    F.struct((0 to n).map(i => F.element_at(parts, i + 1).as(s"field_$i")): _*)
+    F.struct((0 to n).map(i => F.try_element_at(parts, F.lit(i + 1)).as(s"field_$i")): _*)
   }
   /** splitn: at most n fields, last field keeps the remainder (reference
     * string_expr.rb:1168); missing parts are null. */
   def splitn(by: String, n: Int): Expr = m { c =>
     val parts = F.split(c, java.util.regex.Pattern.quote(by), n)
-    F.struct((0 until n).map(i => F.element_at(parts, i + 1).as(s"field_$i")): _*)
+    F.struct((0 until n).map(i => F.try_element_at(parts, F.lit(i + 1)).as(s"field_$i")): _*)
   }
   /** Concatenate the column's values in ROW order (reference str.join is
     * order-preserving; bare collect_list order is shuffle-dependent): the
@@ -124,6 +129,16 @@ final class StrNS(e: Expr) {
       s => s.getField("x")), sep),
     requiresIndex = true, e.preps)
   def concat(sep: String = ""): Expr = join(sep)
+  /** ignore_nulls: false propagates — ANY null element nulls the whole
+    * joined value (string_name_space.rb:252 golden: join("-") over
+    * [1, nil, 2] is "1-2", ignore_nulls: false is null). */
+  def join(sep: String, ignoreNulls: Boolean): Expr =
+    if (ignoreNulls) join(sep)
+    else {
+      val j = join(sep)
+      Expr(F.when(F.count(F.lit(1)) === F.count(e.col), j.col),
+        j.requiresIndex, j.preps)
+    }
   // deprecated reference aliases (string_name_space.rb lstrip/rstrip/
   // ljust/rjust/n_chars/parse_int): ljust pads on the RIGHT (left-justify)
   def lstrip: Expr = stripCharsStart
@@ -138,6 +153,19 @@ final class StrNS(e: Expr) {
   def parseInt(radix: Int = 2): Expr = toInteger(radix)
   def toInteger(base: Int = 10): Expr =
     m(c => if (base == 10) c.cast("long") else F.conv(c, base, 10).cast("long"))
+  /** strict: false nulls unparseable values instead of erroring (Spark's
+    * `conv` would silently coerce garbage to 0, so the digits are validated
+    * with a base-derived character class first — string_expr.rb:1332 golden:
+    * "invalid" in base 2 parses to null, not 0). */
+  def toInteger(base: Int, strict: Boolean): Expr =
+    if (strict) toInteger(base)
+    else {
+      val cls =
+        if (base <= 10) s"[0-${base - 1}]"
+        else s"[0-9a-${('a' + base - 11).toChar}A-${('A' + base - 11).toChar}]"
+      m(c => F.when(c.rlike(s"^[+-]?$cls+$$"),
+        if (base == 10) c.cast("long") else F.conv(c, base, 10).cast("long")))
+    }
   def toDecimal(precision: Int = 38, scale: Int = 10): Expr = m(_.cast(s"decimal($precision,$scale)"))
   def jsonDecode(dtype: DataType): Expr = m(c => F.from_json(c, dtype))
   def jsonPathMatch(path: String): Expr = m(c => F.get_json_object(c, path))
@@ -210,6 +238,12 @@ final class DtNS(e: Expr) {
   def hour: Expr = m(c => F.hour(c).cast("tinyint"))
   def minute: Expr = m(c => F.minute(c).cast("tinyint"))
   def second: Expr = m(c => F.second(c).cast("tinyint"))
+  /** fractional: true includes the sub-second component as f64
+    * (date_time_name_space.rb:446 golden: 500ms steps → 0.0, 0.5, 1.0…). */
+  def second(fractional: Boolean): Expr =
+    if (!fractional) second
+    else m(c => F.second(c).cast("double") +
+      F.date_format(c, "SSSSSS").cast("double") / 1e6)
   def millisecond: Expr = m(c => (F.date_format(c, "SSS")).cast("int"))
   def microsecond: Expr = m(c => (F.date_format(c, "SSSSSS")).cast("int"))
   def nanosecond: Expr = m(c => (F.date_format(c, "SSSSSS")).cast("int") * 1000)

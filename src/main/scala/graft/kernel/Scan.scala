@@ -68,7 +68,8 @@ object Scan {
       case "sum"     => (F.sum, merge(_ + _))
       case "min"     => (F.min, merge(F.least(_, _)))
       case "max"     => (F.max, merge(F.greatest(_, _)))
-      case "product" => (c => F.product(c), merge(_ * _))
+      // typed product: int stays i64, floats f64 (graft.ext.GraftProduct)
+      case "product" => (c => graft.expr.Expr.productAgg(c), merge(_ * _))
       case k => throw new IllegalArgumentException(
         s"Scan.running: kind must be sum|min|max|product, got '$k'")
     }

@@ -76,42 +76,81 @@ object Testing {
     * `---` separator and dtype rows, matching the reference's docstring
     * golden format exactly (`test/docs_test.rb:190-209` string-compares
     * these renderings; DocExamplesSpec ports a slice of that corpus). */
-  def render(df: DataFrame, maxRows: Int = 10): String = {
+  def render(df: DataFrame, maxRows: Int = -1): String = {
+    import graft.api.Config
+    val rowLimit = if (maxRows > 0) maxRows else Config.maxRows
     val total = df.count()
     // polars shows HEAD 5 / ellipsis row / TAIL 5 for frames over maxRows
     // (date_time_expr.rb:1267 golden renders 12 rows that way), not the
     // first maxRows with a trailing ellipsis
-    val over = total > maxRows
-    val half = maxRows / 2
+    val over = total > rowLimit
+    val half = rowLimit / 2
     val rows =
-      if (!over) df.limit(maxRows).collect()
+      if (!over) df.limit(rowLimit).collect()
       else {
         val all = df.limit(Int.MaxValue - 1).collect() // render is a test aid; frames are small
         all.take(half) ++ all.takeRight(half)
       }
-    val names = df.columns.toSeq
-    val dtypes = df.schema.fields.map(f => dtypeName(f.dataType)).toSeq
-    val cells0 = rows.map(_.toSeq.map(fmt))
+    val allNames = df.columns.toSeq
+    val allDtypes = df.schema.fields.map(f => dtypeName(f.dataType)).toSeq
+    // column elision (config.rb set_tbl_cols golden: head ⌈n/2⌉, `…`, tail
+    // ⌊n/2⌋; the elided column shows `…` in the name and value rows and
+    // blanks in the `---`/dtype rows)
+    val colOver = allNames.size > Config.maxCols
+    val (keptIdx, elidedAt) =
+      if (!colOver) (allNames.indices.toSeq, -1)
+      else {
+        val headN = (Config.maxCols + 1) / 2
+        val tailN = Config.maxCols / 2
+        ((0 until headN) ++ (allNames.size - tailN until allNames.size), headN)
+      }
+    def elide(vals: Seq[String], gap: String): Seq[String] = {
+      val kept = keptIdx.map(vals)
+      if (!colOver) kept else (kept.take(elidedAt) :+ gap) ++ kept.drop(elidedAt)
+    }
+    val inline = Config.tblColumnDataTypeInline
+    val names =
+      if (inline) elide(allNames.zip(allDtypes).map { case (n, d) => s"$n ($d)" }, "…")
+      else elide(allNames, "…")
+    val dtypes = elide(allDtypes, "")
+    // the `---` separator row is blank in the elided `…` column (so that
+    // column stays 1 char wide, matching the set_tbl_cols golden)
+    val sepRow = elide(allNames.map(_ => "---"), "")
+    val cells0 = rows.map(r => elide(r.toSeq.map(fmt), "…"))
     val cells =
       if (over) (cells0.take(half) :+ names.map(_ => "…")) ++ cells0.drop(half)
       else cells0
     val widths = names.indices.map { c =>
-      // 3 = the `---` separator row's width floor
-      (Seq(3, names(c).length, dtypes(c).length) ++ cells.map(_(c).length)).max
+      (Seq(displayWidth(names(c)), displayWidth(dtypes(c)),
+        if (inline) 0 else sepRow(c).length) ++ cells.map(v => displayWidth(v(c)))).max
     }
-    def line(l: String, m: String, r: String, fill: String = "─") =
+    val ascii = Config.asciiTables
+    val (tlc, tjc, trc, blc, bjc, brc, vOut, vIn, hFill) =
+      if (ascii) ("+", "+", "+", "+", "+", "+", "|", "|", "-")
+      else ("┌", "┬", "┐", "└", "┴", "┘", "│", "┆", "─")
+    def line(l: String, m: String, r: String, fill: String = hFill) =
       widths.map(w => fill * (w + 2)).mkString(l, m, r)
+    // ASCII_FULL_CONDENSED draws the header separator as one continuous
+    // `+===+` span without junctions (config.rb set_ascii_tables golden)
+    val headerSep =
+      if (ascii) "+" + "=" * (widths.map(_ + 2).sum + widths.size - 1) + "+"
+      else line("╞", "╪", "╡", "═")
+    def pad(v: String, w: Int): String =
+      if (Config.tblCellAlignment == "RIGHT") " " * (w - displayWidth(v)) + v
+      else v + " " * (w - displayWidth(v))
     def row(vals: Seq[String]) =
-      vals.zip(widths).map { case (v, w) => s" ${v.padTo(w, ' ')} " }.mkString("│", "┆", "│")
+      vals.zip(widths).map { case (v, w) => s" ${pad(v, w)} " }.mkString(vOut, vIn, vOut)
     val sb = new StringBuilder
-    sb.append(s"shape: ($total, ${names.size})\n")
-    sb.append(line("┌", "┬", "┐")).append('\n')
+    sb.append(s"shape: ($total, ${allNames.size})\n")
+    sb.append(line(tlc, tjc, trc)).append('\n')
     sb.append(row(names)).append('\n')
-    sb.append(row(names.map(_ => "---"))).append('\n')
-    sb.append(row(dtypes)).append('\n')
-    sb.append(line("╞", "╪", "╡", "═")).append('\n')
+    if (!inline) {
+      sb.append(row(sepRow)).append('\n')
+      sb.append(row(dtypes)).append('\n')
+    }
+    sb.append(headerSep).append('\n')
     cells.foreach(cs => sb.append(row(cs)).append('\n'))
-    sb.append(line("└", "┴", "┘"))
+    sb.append(line(blc, bjc, brc))
     sb.toString
   }
 
@@ -146,8 +185,10 @@ object Testing {
   private def fmt(v: Any): String = v match {
     case null => "null"
     // polars fmt_str_lengths default 30: longer strings truncate to the
-    // first 30 chars + ellipsis (string_expr.rb:1457 golden)
-    case s: String if s.length > 30 => s.take(30) + "…"
+    // first N chars + ellipsis (string_expr.rb:1457 golden; config.rb
+    // set_fmt_str_lengths raises the limit)
+    case s: String if s.length > graft.api.Config.fmtStrLengths =>
+      s.take(graft.api.Config.fmtStrLengths) + "…"
     case s: String => s
     case d: Double =>
       if (d.isNaN) "NaN"
@@ -188,6 +229,34 @@ object Testing {
     else base + String.format(java.util.Locale.ROOT, ".%06d", Int.box(micros))
   }
 
+  /** Terminal display width: grapheme clusters count 1 (combining marks ride
+    * their base — string_expr.rb:1253 golden pads "mañana", 7 code units, as
+    * 6 columns), East-Asian wide/fullwidth clusters count 2 — matching the
+    * unicode-width rules polars' table formatter uses. */
+  private[graft] def displayWidth(s: String): Int = {
+    val it = java.text.BreakIterator.getCharacterInstance(java.util.Locale.ROOT)
+    it.setText(s)
+    var w = 0
+    var start = it.first()
+    var end = it.next()
+    while (end != java.text.BreakIterator.DONE) {
+      val cp = s.codePointAt(start)
+      w += (if (isWide(cp)) 2 else 1)
+      start = end
+      end = it.next()
+    }
+    w
+  }
+
+  private def isWide(cp: Int): Boolean = {
+    // East-Asian Wide / Fullwidth principal ranges (CJK, Hangul, kana,
+    // fullwidth forms) — enough for table alignment of corpus text
+    (cp >= 0x1100 && cp <= 0x115F) || (cp >= 0x2E80 && cp <= 0xA4CF) ||
+    (cp >= 0xAC00 && cp <= 0xD7A3) || (cp >= 0xF900 && cp <= 0xFAFF) ||
+    (cp >= 0xFE30 && cp <= 0xFE4F) || (cp >= 0xFF00 && cp <= 0xFF60) ||
+    (cp >= 0xFFE0 && cp <= 0xFFE6) || (cp >= 0x20000 && cp <= 0x3FFFD)
+  }
+
   /** Polars dtype tag for the rendered header (SURVEY §1.2 mapping table). */
   def dtypeName(dt: DataType): String = dt match {
     case LongType => "i64"
@@ -201,7 +270,9 @@ object Testing {
     case DateType => "date"
     case _: TimestampType | TimestampNTZType => "datetime[μs]"
     case BinaryType => "binary"
-    case d: DecimalType => s"decimal[${d.precision},${d.scale}]"
+    // polars renders an unconstrained precision as `*`; Spark's 38 is the
+    // unconstrained maximum, so it maps to the wildcard (string_expr.rb:253)
+    case d: DecimalType => s"decimal[${if (d.precision == 38) "*" else d.precision},${d.scale}]"
     case ArrayType(inner, _) => s"list[${dtypeName(inner)}]"
     case s: StructType => s"struct[${s.fields.length}]"
     case d => d.simpleString

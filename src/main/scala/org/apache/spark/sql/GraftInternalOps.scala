@@ -167,9 +167,16 @@ object GraftInternalOps {
     * identical window (Catalyst dedupes the repeated window spec into one
     * Window operator). Returns None when no aggregate appears (elementwise
     * or rank-family columns keep their existing whole-column spelling). */
-  def windowCompositeAggregates(c: Column, keys: Seq[Column]): Option[Column] = {
+  def windowCompositeAggregates(c: Column, keys: Seq[Column]): Option[Column] =
+    windowCompositeAggregates(c,
+      org.apache.spark.sql.expressions.Window.partitionBy(keys: _*))
+
+  /** WindowSpec form — lets range-framed windows (rolling kernels) spell
+    * composite aggregates (std(ddof:), null-coalesced sums) by windowing
+    * each embedded aggregate over the caller's frame. */
+  def windowCompositeAggregates(
+      c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Option[Column] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
     val expr = catalystExpression(c)
     val hasAgg = expr.exists {
       case f: UnresolvedFunction => resolvesToAggregate(f)
@@ -195,6 +202,26 @@ object GraftInternalOps {
         val windowed = wrap(winnable.over(
           org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)))
         Some(rootAliasName(c).fold(windowed)(windowed.as(_)))
+      // null-coalesced aggregate (graft's polars-sum spelling
+      // coalesce(sum(x), 0)): window the aggregate head, keep the literal
+      // fallback outside the window — still a bare broadcastable form
+      case f: UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase) == Seq("coalesce") &&
+            f.arguments.headOption.exists {
+              case g: UnresolvedFunction => resolvesToAggregate(g)
+              case _ => false
+            } &&
+            f.arguments.tail.forall(!_.exists {
+              case g: UnresolvedFunction => resolvesToAggregate(g)
+              case _ => false
+            }) =>
+        val g = f.arguments.head.asInstanceOf[UnresolvedFunction]
+        val (winnable, wrap) = distinctWindowSpelling(column(g))
+        val windowed = wrap(winnable.over(
+          org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)))
+        val rebuilt = column(f.copy(
+          arguments = catalystExpression(windowed) +: f.arguments.tail))
+        Some(rootAliasName(c).fold(rebuilt)(rebuilt.as(_)))
       case e if e.exists {
           case f: UnresolvedFunction => resolvesToAggregate(f)
           case _ => false

@@ -69,10 +69,10 @@ class Round12Spec extends SparkSpec {
       .toSpark.orderBy("ts").collect()
       .map(r => (if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getLong(2)))
     // window 1: shift(1) of [1,2] = [null,1] -> sum 1; singleton windows
-    // shift to [null] -> sum null (polars: sum of no non-nulls in agg
-    // context over a shifted singleton)
+    // shift to [null] -> sum 0 (polars: sum over an empty/all-null slice is
+    // the additive identity — expr.rb:2713 filter golden)
     assert(got(0) == (Some(1.0), 2L))
-    assert(got(1) == (None, 1L) && got(2) == (None, 1L))
+    assert(got(1) == (Some(0.0), 1L) && got(2) == (Some(0.0), 1L))
   }
 
   test("rolling().agg bare-column implodes to trailing-window lists, keyed and keyless") {

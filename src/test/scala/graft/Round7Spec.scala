@@ -244,7 +244,7 @@ class Round7Spec extends SparkSpec {
       (Some(java.sql.Timestamp.valueOf("2024-01-01 00:10:00")), 4.0),
       (None, 100.0), (None, 200.0))
     val df = DataFrame(rows.toDF("ts", "v"))
-    val out = df.rolling("ts", "1m", closed = "both").agg("s" -> col("v").sum, "n" -> col("v").count)
+    val out = df.rolling("ts", "1m", closed = "both").aggKeep("s" -> col("v").sum, "n" -> col("v").count)
       .toSpark.select("v", "s", "n").collect()
       .map(r => r.getDouble(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
     assert(out(1.0) == ((1.0, 1L)), out.toString)
@@ -421,7 +421,7 @@ class Round7Spec extends SparkSpec {
     val df = DataFrame(rows.toDF("id", "us", "v")
       .select(F.col("id"), F.col("v"), F.timestamp_micros(F.col("us")).as("ts")))
     val out = df.rolling("ts", "1000s", closed = "both")
-      .agg("rs" -> col("v").sum, "rn" -> graft.expr.Expr(F.count(F.lit(1)))).toSpark
+      .aggKeep("rs" -> col("v").sum, "rn" -> graft.expr.Expr(F.count(F.lit(1)))).toSpark
     val plan = out.queryExecution.executedPlan.toString
     plan.linesIterator.zipWithIndex
       .filter(_._1.contains("Exchange SinglePartition")).foreach { case (_, i) =>

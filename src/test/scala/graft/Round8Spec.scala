@@ -397,7 +397,7 @@ class Round8Spec extends SparkSpec {
       rows.map { case (k, t, v) => (k, java.sql.Timestamp.valueOf(t), v) }
         .toDF("k", "ts", "v"))
     val out = d.rolling("ts", "1mo", by = Seq("k"), closed = "both")
-      .agg("s" -> col("v").sum, "n" -> Expr(F.count(F.lit(1))))
+      .aggKeep("s" -> col("v").sum, "n" -> Expr(F.count(F.lit(1))))
       .toSpark.collect()
       .map(r => r.getDouble(2) -> ((r.getDouble(3), r.getLong(4)))).toMap
     assert(out(1.0) == ((1.0, 1L)), out.toString)
@@ -417,7 +417,7 @@ class Round8Spec extends SparkSpec {
       rows.map { case (k, t, v) => (k.orNull, java.sql.Timestamp.valueOf(t), v) }
         .toDF("k", "ts", "v"))
     val out = d.rolling("ts", "1mo", by = Seq("k"))
-      .agg("s" -> col("v").sum)
+      .aggKeep("s" -> col("v").sum)
       .toSpark.collect().map(r => r.getDouble(2) -> r.getDouble(3)).toMap
     assert(out == Map(1.0 -> 1.0, 2.0 -> 2.0, 4.0 -> 6.0), out.toString)
   }
@@ -449,13 +449,14 @@ class Round8Spec extends SparkSpec {
       ("2021-01-01 00:00:00", 1.0), ("2021-01-01 00:01:00", 2.0),
       ("2021-01-01 00:02:00", 4.0)))
     def run(closed: String): Seq[Option[Double]] =
-      d.rolling("ts", "1m", closed = closed).agg("s" -> col("v").sum)
+      d.rolling("ts", "1m", closed = closed).aggKeep("s" -> col("v").sum)
         .toSpark.orderBy("ts").collect()
         .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq
+    // empty windows sum to 0 (polars sum identity — expr.rb:2713 golden)
     assert(run("right") == Seq(Some(1.0), Some(2.0), Some(4.0))) // (t-1m, t]
     assert(run("both") == Seq(Some(1.0), Some(3.0), Some(6.0)))  // [t-1m, t]
-    assert(run("left") == Seq(None, Some(1.0), Some(2.0)))       // [t-1m, t)
-    assert(run("none") == Seq(None, None, None))                 // (t-1m, t)
+    assert(run("left") == Seq(Some(0.0), Some(1.0), Some(2.0)))  // [t-1m, t)
+    assert(run("none") == Seq(Some(0.0), Some(0.0), Some(0.0)))  // (t-1m, t)
   }
 
   test("rolling with a forward offset aggregates the upcoming window") {
@@ -464,10 +465,11 @@ class Round8Spec extends SparkSpec {
       ("2021-01-01 00:00:00", 1.0), ("2021-01-01 00:01:00", 2.0),
       ("2021-01-01 00:02:00", 4.0)))
     // offset=0 → window (t, t+1m]; keyless path carries phantoms forward
-    val got = d.rolling("ts", "1m", offset = Some("0s")).agg("s" -> col("v").sum)
+    val got = d.rolling("ts", "1m", offset = Some("0s")).aggKeep("s" -> col("v").sum)
       .toSpark.orderBy("ts").collect()
       .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq
-    assert(got == Seq(Some(2.0), Some(4.0), None), got.toString)
+    // trailing empty window: polars sum identity 0 (expr.rb:2713 golden)
+    assert(got == Seq(Some(2.0), Some(4.0), Some(0.0)), got.toString)
   }
 
   test("calendar rolling default closed=right excludes the exact month-back boundary") {
@@ -480,7 +482,7 @@ class Round8Spec extends SparkSpec {
       rows.map { case (k, t, v) => (k, java.sql.Timestamp.valueOf(t), v) }
         .toDF("k", "ts", "v"))
     val out = d.rolling("ts", "1mo", by = Seq("k"))
-      .agg("s" -> col("v").sum)
+      .aggKeep("s" -> col("v").sum)
       .toSpark.collect().map(r => r.getDouble(2) -> r.getDouble(3)).toMap
     assert(out(4.0) == 6.0, out.toString)
   }
@@ -493,7 +495,7 @@ class Round8Spec extends SparkSpec {
       ("2021-03-31 00:00:00", 8.0))
     val d = tsFrame(rows)
     val out = d.rolling("ts", "1mo", closed = "both")
-      .agg("s" -> col("v").sum)
+      .aggKeep("s" -> col("v").sum)
       .toSpark.collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
     // Feb 15 peers (4 and 16) share the window [Jan 15 10:00, Feb 15 10:00]
     assert(out == Map(1.0 -> 1.0, 2.0 -> 3.0, 4.0 -> 23.0, 16.0 -> 23.0, 8.0 -> 8.0),

@@ -101,7 +101,7 @@ class Round9Spec extends SparkSpec {
     val got = d.rolling("i", "10i")
       .agg("n" -> Expr(F.count(F.lit(1))), "sv" -> col("v").sum)
       .toSpark.orderBy("i").collect()
-      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     // window (i-10, i]: at i=5 → rows 1..5; at i=15 → rows 6..15
     assert(got(4) == ((5L, 5L, (1 to 5).map(_ * 2.0).sum)))
     assert(got(14) == ((15L, 10L, (6 to 15).map(_ * 2.0).sum)))
@@ -109,7 +109,7 @@ class Round9Spec extends SparkSpec {
     val keyed = LazyFrame((1L to 20L).map(i => (i, s"k${i % 2}", i * 1.0)).toDF("i", "k", "v"))
       .rolling("i", "4i", by = Seq("k"))
       .agg("n" -> Expr(F.count(F.lit(1))))
-      .toSpark.orderBy("i").collect().map(r => (r.getLong(0), r.getLong(3)))
+      .toSpark.orderBy("i").collect().map(r => (r.getLong(0), r.getLong(2)))
     // per key, index gaps are 2 apart: window (i-4, i] holds 2 rows once warm
     assert(keyed(0) == ((1L, 1L)) && keyed(19) == ((20L, 2L)))
   }
