@@ -276,13 +276,23 @@ object Polars {
   }, Seq(e))
 
   /** Eager constructors (reference functions/repeat.rb ones/zeros/repeat). */
-  def ones(n: Long)(implicit spark: SparkSession): api.Series =
-    api.Series("ones", spark.range(n).select(F.lit(1.0).as("ones")))
-  def zeros(n: Long)(implicit spark: SparkSession): api.Series =
-    api.Series("zeros", spark.range(n).select(F.lit(0.0).as("zeros")))
-  def repeatSeries(v: Any, n: Long, name: String = "repeat")
+  // dtype: polars ones/zeros/repeat accept a target dtype (functions/
+  // repeat.rb goldens render ones(3, dtype: Int8) as 'ones' [i8]); the
+  // default stays f64 for ones/zeros (reference default Float64) and the
+  // literal's natural type for repeat
+  def ones(n: Long, dtype: org.apache.spark.sql.types.DataType =
+             org.apache.spark.sql.types.DoubleType)
+          (implicit spark: SparkSession): api.Series =
+    api.Series("ones", spark.range(n).select(F.lit(1).cast(dtype).as("ones")))
+  def zeros(n: Long, dtype: org.apache.spark.sql.types.DataType =
+              org.apache.spark.sql.types.DoubleType)
+           (implicit spark: SparkSession): api.Series =
+    api.Series("zeros", spark.range(n).select(F.lit(0).cast(dtype).as("zeros")))
+  def repeatSeries(v: Any, n: Long, name: String = "repeat",
+                   dtype: Option[org.apache.spark.sql.types.DataType] = None)
                   (implicit spark: SparkSession): api.Series =
-    api.Series(name, spark.range(n).select(F.lit(v).as(name)))
+    api.Series(name, spark.range(n).select(
+      dtype.fold(F.lit(v))(d => F.lit(v).cast(d)).as(name)))
 
   /** arg_where / arg_sort_by (reference functions/lazy.rb): row indices
     * where the predicate holds / that would sort by the keys. */
