@@ -100,8 +100,16 @@ object Graph {
     val reg = new BoundedRegistry(iterations + 6)
     val e0 = edges.select(F.col(srcCol).as("__src__"), F.col(dstCol).as("__dst__"))
       .filter(F.col("__src__").isNotNull && F.col("__dst__").isNotNull)
+    // persist the edge table PRE-PARTITIONED on the join key: distinct()
+    // leaves hash(src,dst) partitioning, so every iteration's edge⋈rank
+    // join would re-shuffle the (large) edge side; hash(__src__) is reused
+    // by EnsureRequirements in all `iterations` joins — at 100 TB the edge
+    // shuffle happens once instead of once per iteration, and the rank
+    // side arrives already hash(node)-partitioned from the previous
+    // iteration's aggregate (alias-preserved), so steady-state iterations
+    // shuffle only the per-iteration contribs aggregate.
     val e = reg.persistBounded(
-      if (dedupEdges) e0.distinct() else e0)
+      (if (dedupEdges) e0.distinct() else e0).repartition(F.col("__src__")))
     val nodes = reg.persistBounded(
       e.select(F.col("__src__").as("node"))
         .unionAll(e.select(F.col("__dst__").as("node")))
@@ -111,7 +119,6 @@ object Graph {
     // left join: dangling nodes carry null degree
     val base = reg.persistBounded(
       nodes.join(outDeg, Seq("node"), "left"))
-    val n = nodes.agg(F.count(F.lit(1)).cast("double").as("__n__"))
 
     // Short runs stay FULLY LAZY — one action at the end evaluates the
     // whole chain, with N and each dangling mass as broadcast scalar
@@ -126,10 +133,13 @@ object Graph {
     // `count()` job existed for — after which the parent generation is
     // released deterministically.
     val eager = iterations > 8
-    // eager path: N once as a driver double (one count job total)
-    lazy val nVal: Double = nodes.count().toDouble
-    var ranks = reg.persistBounded(base.crossJoin(F.broadcast(n))
-      .select(F.col("node"), F.col("__deg__"), (F.lit(1.0) / F.col("__n__")).as("rank")))
+    // N is loop-invariant: ONE driver count up front (this also fills the
+    // persisted nodes/base caches) and a literal everywhere after — the
+    // broadcast-subquery spelling cost one broadcast-exchange job per
+    // iteration on top of the dangling one (measured round 12)
+    val nVal: Double = nodes.count().toDouble
+    var ranks = reg.persistBounded(base
+      .select(F.col("node"), F.col("__deg__"), F.lit(1.0 / nVal).as("rank")))
     var prev: DataFrame = null
     var i = 0
     while (i < iterations) {
@@ -153,12 +163,12 @@ object Graph {
       val joined = base.join(contribs, Seq("node"), "left")
       val withScalars = dmLit match {
         case Some(_) => joined
-        case None    => joined.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(danglingAgg))
+        case None    => joined.crossJoin(F.broadcast(danglingAgg))
       }
       // identical arithmetic either way: scala and Spark double division
       // are the same IEEE op, so literal-vs-subquery spelling cannot move
       // a value by even an ulp
-      val nCol = dmLit.fold(F.col("__n__"))(_ => F.lit(nVal))
+      val nCol = F.lit(nVal)
       val dmCol = dmLit.map(F.lit(_)).getOrElse(F.col("__dm__"))
       val next = reg.persistBounded(withScalars
         .select(F.col("node"), F.col("__deg__"),

@@ -284,6 +284,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("typed extrema and product aggregates stay partial+final hash aggregates") {
+    import graft.Polars.col
+    val li = graft.api.LazyFrame(spark.read.parquet(s"$sf/lineitem.parquet"))
+    // NaN-skipping max: the NanToNull wrapper rides INSIDE the aggregate —
+    // partial (map-side) aggregation must survive, no sort-based fallback
+    val pMax = plan(li.groupBy("l_returnflag")
+      .agg(col("l_quantity").max.alias("m")).toSpark)
+    assert(pMax.contains("graft_nan_to_null"), pMax)
+    assert(pMax.contains("partial_max"), pMax)
+    assert(!pMax.contains("SortAggregate"), pMax)
+    // typed product: DeclarativeAggregate with partial+final split and an
+    // i64 result for the int input (schema pin)
+    val prodDf = li.groupBy("l_returnflag")
+      .agg(col("l_linenumber").product.alias("p")).toSpark
+    val pProd = plan(prodDf)
+    assert(pProd.contains("partial_graft_product") || pProd.contains("graft_product"), pProd)
+    assert(!pProd.contains("SortAggregate"), pProd)
+    assert(prodDf.schema("p").dataType == org.apache.spark.sql.types.LongType)
+  }
+
   test("polars fetch(n) pushes the limit into the SOURCE scan") {
     val df = graft.api.LazyFrame(spark.read.parquet(s"$sf/lineitem.parquet"))
     val fetched = df.groupBy("l_returnflag")
