@@ -259,6 +259,20 @@ object Polars {
     Expr(F.lit(((weeks * 7 + days) * 86400L + hours * 3600L + minutes * 60L + seconds) * 1000000L
       + milliseconds * 1000L + microseconds)) // long-µs-ticks Duration repr (SURVEY §1.2)
 
+  /** Column-valued duration ctor (reference functions/as_datatype.rb:35
+    * duration(weeks: "add") — every part may be a per-row expression).
+    * Result is the µs-ticks duration repr; add to a datetime with
+    * `dt.addDuration`. Null parts propagate (polars: a null component
+    * nulls the duration). */
+  def durationExpr(weeks: Expr = Expr.lit(0L), days: Expr = Expr.lit(0L),
+                   hours: Expr = Expr.lit(0L), minutes: Expr = Expr.lit(0L),
+                   seconds: Expr = Expr.lit(0L), milliseconds: Expr = Expr.lit(0L),
+                   microseconds: Expr = Expr.lit(0L)): Expr =
+    mkExprK(Seq(weeks, days, hours, minutes, seconds, milliseconds, microseconds)) { cs =>
+      val Seq(w, d, h, m, s, ms, us) = cs.map(_.cast("long"))
+      ((w * 7 + d) * 86400L + h * 3600L + m * 60L + s) * 1000000L + ms * 1000L + us
+    }
+
   def coalesce(exprs: Expr*): Expr = mkExprK(exprs)(cs => F.coalesce(cs: _*))
   def repeatExpr(v: Any, n: Int): Expr = Expr(F.array_repeat(F.lit(v), n))
   def sqlExpr(sql: String): Expr = Expr(F.expr(sql))

@@ -327,6 +327,15 @@ final class DtNS(e: Expr) {
     }
   }
   def timestamp(unit: String = "us"): Expr = epoch(unit)
+  /** datetime + duration (µs ticks — the polars `col + duration(...)`
+    * spelling; graft durations are i64 µs per SURVEY §1.2, and Spark has no
+    * timestamp+bigint `+`, so the add is an explicit dt method). */
+  def addDuration(dur: Expr): Expr = {
+    val base = e.mapElementwise(c => F.unix_micros(c.cast("timestamp")))
+    Expr(F.timestamp_micros(base.col + dur.col),
+      base.requiresIndex || dur.requiresIndex,
+      Expr.mergePreps(base.preps, dur.preps))
+  }
   def offsetBy(by: String): Expr = m { c =>
     val d = DurationDsl.parse(by)
     // interval arithmetic, NOT add_months: add_months returns a DATE and

@@ -226,7 +226,13 @@ object Testing {
       Int.box(t.getHour), Int.box(t.getMinute), Int.box(t.getSecond))
     val micros = t.getNano / 1000
     if (micros == 0) base
-    else base + String.format(java.util.Locale.ROOT, ".%06d", Int.box(micros))
+    else {
+      // polars trims trailing zeros in the fractional display: 1 ms renders
+      // ".001", not ".001000" (functions/as_datatype.rb duration golden)
+      val frac = String.format(java.util.Locale.ROOT, "%06d", Int.box(micros))
+        .reverse.dropWhile(_ == '0').reverse
+      s"$base.$frac"
+    }
   }
 
   /** Terminal display width: grapheme clusters count 1 (combining marks ride

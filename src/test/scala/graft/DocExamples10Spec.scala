@@ -1,0 +1,56 @@
+package graft
+
+import graft.Polars.col
+import graft.api.DataFrame
+import graft.testing.Testing
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Round-12 tranche 9 of the reference `@example` golden corpus:
+  * data_frame.rb map_rows naming defaults. Verbatim expected renders. */
+class DocExamples10Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(df: DataFrame, expected: String): Unit = {
+    val got = Testing.render(df.toSpark)
+    assert(got == expected.stripMargin.trim,
+      s"\n--- rendered ---\n$got\n--- expected ---\n${expected.stripMargin.trim}")
+  }
+
+  private lazy val fooBar = DataFrame(Seq((1L, -1L), (2L, 5L), (3L, 8L)).toDF("foo", "bar"))
+
+  test("data_frame.rb map_rows: tuple rows materialize as column_0/column_1") {
+    val out = fooBar.mapRows(StructType(Seq(
+      StructField("column_0", LongType), StructField("column_1", LongType)))) { r =>
+      Row(r.getLong(0) * 2, r.getLong(1) * 3)
+    }
+    check(out,
+      """shape: (3, 2)
+        |┌──────────┬──────────┐
+        |│ column_0 ┆ column_1 │
+        |│ ---      ┆ ---      │
+        |│ i64      ┆ i64      │
+        |╞══════════╪══════════╡
+        |│ 2        ┆ -3       │
+        |│ 4        ┆ 15       │
+        |│ 6        ┆ 24       │
+        |└──────────┴──────────┘""")
+  }
+
+  test("data_frame.rb map_rows: scalar rows materialize under 'apply'") {
+    val out = fooBar.mapRows(StructType(Seq(StructField("apply", LongType)))) { r =>
+      Row(r.getLong(0) * 2 + r.getLong(1))
+    }
+    check(out,
+      """shape: (3, 1)
+        |┌───────┐
+        |│ apply │
+        |│ ---   │
+        |│ i64   │
+        |╞═══════╡
+        |│ 1     │
+        |│ 9     │
+        |│ 14    │
+        |└───────┘""")
+  }
+}

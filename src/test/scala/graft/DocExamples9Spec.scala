@@ -32,6 +32,27 @@ class DocExamples9Spec extends SparkSpec {
         |└─────────────────────┘""")
   }
 
+  test("as_datatype.rb duration: column-valued parts added to a datetime") {
+    val df = DataFrame(Seq(
+      (java.sql.Timestamp.valueOf("2022-01-01 00:00:00"), 1L),
+      (java.sql.Timestamp.valueOf("2022-01-02 00:00:00"), 2L)).toDF("datetime", "add"))
+    check(df.select(
+      col("datetime").dt.addDuration(Polars.durationExpr(weeks = col("add"))).alias("add_weeks"),
+      col("datetime").dt.addDuration(Polars.durationExpr(days = col("add"))).alias("add_days"),
+      col("datetime").dt.addDuration(Polars.durationExpr(seconds = col("add"))).alias("add_seconds"),
+      col("datetime").dt.addDuration(Polars.durationExpr(milliseconds = col("add"))).alias("add_milliseconds"),
+      col("datetime").dt.addDuration(Polars.durationExpr(hours = col("add"))).alias("add_hours")),
+      """shape: (2, 5)
+        |┌─────────────────────┬─────────────────────┬─────────────────────┬─────────────────────────┬─────────────────────┐
+        |│ add_weeks           ┆ add_days            ┆ add_seconds         ┆ add_milliseconds        ┆ add_hours           │
+        |│ ---                 ┆ ---                 ┆ ---                 ┆ ---                     ┆ ---                 │
+        |│ datetime[μs]        ┆ datetime[μs]        ┆ datetime[μs]        ┆ datetime[μs]            ┆ datetime[μs]        │
+        |╞═════════════════════╪═════════════════════╪═════════════════════╪═════════════════════════╪═════════════════════╡
+        |│ 2022-01-08 00:00:00 ┆ 2022-01-02 00:00:00 ┆ 2022-01-01 00:00:01 ┆ 2022-01-01 00:00:00.001 ┆ 2022-01-01 01:00:00 │
+        |│ 2022-01-16 00:00:00 ┆ 2022-01-04 00:00:00 ┆ 2022-01-02 00:00:02 ┆ 2022-01-02 00:00:00.002 ┆ 2022-01-02 02:00:00 │
+        |└─────────────────────┴─────────────────────┴─────────────────────┴─────────────────────────┴─────────────────────┘""")
+  }
+
   test("as_datatype.rb struct with a literal member") {
     val df = DataFrame(Seq[(Long, String)]((1L, "a"), (2L, "b")).toDF("int", "str"))
     check(df.select(Polars.struct(col("int"), Polars.lit(false)).alias("my_struct")),
