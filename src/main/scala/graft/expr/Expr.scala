@@ -1029,20 +1029,31 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
       acc.when(c === F.lit(k), F.lit(v))
     }.otherwise(tail)
   }
-  /** cut into buckets by break points (reference expr.rb:2530). */
+  /** cut into buckets by break points (reference expr.rb:2530). Default
+    * labels use polars' break formatting — `(-inf, -1]`, integral breaks
+    * without the `.0`. `includeBreaks` switches the output to the struct
+    * polars documents: {breakpoint: f64 right endpoint, category: label} —
+    * unnest it for the breakpoint/category column pair. */
   def cut(breaks: Seq[Double], labels: Option[Seq[String]] = None,
-          leftClosed: Boolean = false): Expr = map { c =>
+          leftClosed: Boolean = false, includeBreaks: Boolean = false): Expr = map { c =>
     val lbls = labels.getOrElse {
       val pts = Double.NegativeInfinity +: breaks :+ Double.PositiveInfinity
       pts.sliding(2).map { case Seq(a, b) =>
-        if (leftClosed) s"[$a, $b)" else s"($a, $b]" }.toSeq
+        if (leftClosed) s"[${Expr.fmtBreak(a)}, ${Expr.fmtBreak(b)})"
+        else s"(${Expr.fmtBreak(a)}, ${Expr.fmtBreak(b)}]" }.toSeq
     }
     def below(b: Double) = if (leftClosed) c < b else c <= b
-    val first = F.when(below(breaks.head), lbls.head)
-    val mid = breaks.indices.drop(1).foldLeft(first) { (acc, i) =>
-      acc.when(below(breaks(i)), lbls(i))
+    def pick(vals: Seq[Any]): Column = {
+      val first = F.when(below(breaks.head), vals.head)
+      val mid = breaks.indices.drop(1).foldLeft(first) { (acc, i) =>
+        acc.when(below(breaks(i)), vals(i))
+      }
+      mid.otherwise(vals.last)
     }
-    mid.otherwise(lbls.last)
+    if (!includeBreaks) pick(lbls)
+    else F.struct(
+      pick(breaks :+ Double.PositiveInfinity).cast("double").as("breakpoint"),
+      pick(lbls).as("category"))
   }
 
   /** qcut: quantile-based buckets (reference expr.rb:2611). The min-rank
@@ -1316,6 +1327,14 @@ object Expr {
   /** Order-preserving union of two preparation lists (dedup by key). */
   private[graft] def mergePreps(a: Seq[Prep], b: Seq[Prep]): Seq[Prep] =
     (a ++ b).distinctBy(_.key)
+  /** polars break-label formatting: inf spelled `inf`, integral breaks
+    * without the `.0` (expr.rb:2530 cut golden: `(-inf, -1]`). */
+  private[expr] def fmtBreak(d: Double): String =
+    if (d.isNegInfinity) "-inf"
+    else if (d.isPosInfinity) "inf"
+    else if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString
+    else d.toString
+
   /** NaN→null on float/double, identity otherwise (see [[graft.ext.NanToNull]]). */
   private[graft] def nanSkipped(c: Column): Column =
     org.apache.spark.sql.GraftInternalOps.column(

@@ -192,6 +192,8 @@ object Testing {
     case s: String => s
     case d: Double =>
       if (d.isNaN) "NaN"
+      else if (d.isPosInfinity) "inf"
+      else if (d.isNegInfinity) "-inf"
       else if (d == d.floor && math.abs(d) < 1e15) s"${d.toLong}.0"
       else { // polars float display: 6 decimal places, trailing zeros trimmed
         val s6 = String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))

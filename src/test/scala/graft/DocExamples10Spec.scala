@@ -19,6 +19,60 @@ class DocExamples10Spec extends SparkSpec {
 
   private lazy val fooBar = DataFrame(Seq((1L, -1L), (2L, 5L), (3L, 8L)).toDF("foo", "bar"))
 
+  test("expr.rb cut: default polars break labels (categorical is physically str, §1.2)") {
+    val df = DataFrame(Seq(-2L, -1L, 0L, 1L, 2L).toDF("foo"))
+    check(df.withColumns(Seq(
+      col("foo").cut(Seq(-1, 1), Some(Seq("a", "b", "c"))).alias("cut"))),
+      """shape: (5, 2)
+        |┌─────┬─────┐
+        |│ foo ┆ cut │
+        |│ --- ┆ --- │
+        |│ i64 ┆ str │
+        |╞═════╪═════╡
+        |│ -2  ┆ a   │
+        |│ -1  ┆ a   │
+        |│ 0   ┆ b   │
+        |│ 1   ┆ b   │
+        |│ 2   ┆ c   │
+        |└─────┴─────┘""")
+  }
+
+  test("expr.rb cut(include_breaks) unnests to breakpoint + category") {
+    val df = DataFrame(Seq(-2L, -1L, 0L, 1L, 2L).toDF("foo"))
+    check(df.withColumns(Seq(
+      col("foo").cut(Seq(-1, 1), includeBreaks = true).alias("cut"))).unnest("cut"),
+      """shape: (5, 3)
+        |┌─────┬────────────┬────────────┐
+        |│ foo ┆ breakpoint ┆ category   │
+        |│ --- ┆ ---        ┆ ---        │
+        |│ i64 ┆ f64        ┆ str        │
+        |╞═════╪════════════╪════════════╡
+        |│ -2  ┆ -1.0       ┆ (-inf, -1] │
+        |│ -1  ┆ -1.0       ┆ (-inf, -1] │
+        |│ 0   ┆ 1.0        ┆ (-1, 1]    │
+        |│ 1   ┆ 1.0        ┆ (-1, 1]    │
+        |│ 2   ┆ inf        ┆ (1, inf]   │
+        |└─────┴────────────┴────────────┘""")
+  }
+
+  test("expr.rb qcut by explicit quantile probabilities") {
+    val df = DataFrame(Seq(-2L, -1L, 0L, 1L, 2L).toDF("foo"))
+    check(df.withColumns(Seq(
+      col("foo").qcut(Seq(0.25, 0.75), Seq("a", "b", "c")).alias("qcut"))),
+      """shape: (5, 2)
+        |┌─────┬──────┐
+        |│ foo ┆ qcut │
+        |│ --- ┆ ---  │
+        |│ i64 ┆ str  │
+        |╞═════╪══════╡
+        |│ -2  ┆ a    │
+        |│ -1  ┆ a    │
+        |│ 0   ┆ b    │
+        |│ 1   ┆ b    │
+        |│ 2   ┆ c    │
+        |└─────┴──────┘""")
+  }
+
   test("data_frame.rb map_rows: tuple rows materialize as column_0/column_1") {
     val out = fooBar.mapRows(StructType(Seq(
       StructField("column_0", LongType), StructField("column_1", LongType)))) { r =>
