@@ -142,10 +142,18 @@ final class SeriesBinNS(private val s: Series) {
 }
 
 final class SeriesCatNS(private val s: Series) {
-  /** cat.get_categories renders as its own Series (cat_name_space.rb:48). */
-  def getCategories: Series =
-    Series(s.name, s.df.select(org.apache.spark.sql.functions
-      .col(s.name)).distinct())
+  /** cat.get_categories in FIRST-APPEARANCE order (cat_name_space.rb:7
+    * golden: [foo, bar, foo, foo, ham] → foo, bar, ham — polars assigns
+    * category ids in encounter order, so the listing is row-ordered, which
+    * a bare distinct() would scramble). */
+  def getCategories: Series = {
+    import org.apache.spark.sql.{functions => F}
+    val IDX = graft.kernel.RowIndex.name
+    val d = graft.kernel.RowIndex.attachDense(s.df)
+    Series(s.name, d.filter(F.col(s.name).isNotNull)
+      .groupBy(F.col(s.name)).agg(F.min(F.col(IDX)).as("__o__"))
+      .orderBy("__o__").select(F.col(s.name)))
+  }
   def isLocal: Boolean = true
   def usesLexicalOrdering: Boolean = true
 }

@@ -349,8 +349,20 @@ final class DtNS(e: Expr) {
   }
   private def Duration0(d: graft.kernel.Duration): Long =
     ((d.weeks * 7 + d.days) * 86400L * 1000000L) + d.nanos / 1000
-  def monthStart: Expr = m(c => F.date_trunc("month", c))
-  def monthEnd: Expr = m(c => F.to_timestamp(F.last_day(c)))
+  /** month_start/month_end roll the DATE while PRESERVING the time of day
+    * (date_time_name_space.rb:1196/1218 goldens: 2000-01-02 02:00 rolls to
+    * 2000-01-01 02:00 / 2000-01-31 02:00) — a bare date_trunc/last_day
+    * would snap to midnight. */
+  def monthStart: Expr = m { c0 =>
+    val c = c0.cast("timestamp")
+    val tod = F.unix_micros(c) - F.unix_micros(F.date_trunc("day", c))
+    F.timestamp_micros(F.unix_micros(F.date_trunc("month", c)) + tod)
+  }
+  def monthEnd: Expr = m { c0 =>
+    val c = c0.cast("timestamp")
+    val tod = F.unix_micros(c) - F.unix_micros(F.date_trunc("day", c))
+    F.timestamp_micros(F.unix_micros(F.to_timestamp(F.last_day(c))) + tod)
+  }
   /** combine(date, time): accepts BOTH time carriers — the repo's Time
     * physical type (long nanos-since-midnight, what dt.time/str.toTime
     * produce; SURVEY §1.2) and a pre-formatted "HH:mm:ss" string. A string

@@ -131,6 +131,24 @@ class SeriesNsDocExamplesSpec extends SparkSpec {
       "shape: (4,)\nSeries: 'datetime' [i64]\n[\n\tnull\n\t1440\n\t1440\n\t1440\n]")
   }
 
+  test("dt.month_start / month_end preserve the time of day") {
+    val s = Series("datetime", Seq(
+      ts("2000-01-02 02:00:00"), ts("2000-02-02 02:00:00"),
+      ts("2000-03-02 02:00:00"), ts("2000-04-02 02:00:00")))
+    check(s.dt.monthStart,
+      "shape: (4,)\nSeries: 'datetime' [datetime[μs]]\n[\n\t2000-01-01 02:00:00\n\t2000-02-01 02:00:00\n\t2000-03-01 02:00:00\n\t2000-04-01 02:00:00\n]")
+    check(s.dt.monthEnd,
+      "shape: (4,)\nSeries: 'datetime' [datetime[μs]]\n[\n\t2000-01-31 02:00:00\n\t2000-02-29 02:00:00\n\t2000-03-31 02:00:00\n\t2000-04-30 02:00:00\n]")
+  }
+
+  test("dt.offset_by: +1y and the mixed -1y2mo calendar offset") {
+    val dates = Series("datetime", (2000 to 2005).map(y => ts(f"$y-01-01 00:00:00")))
+    check(dates.dt.offsetBy("1y").alias("date_plus_1y"),
+      "shape: (6,)\nSeries: 'date_plus_1y' [datetime[μs]]\n[\n\t2001-01-01 00:00:00\n\t2002-01-01 00:00:00\n\t2003-01-01 00:00:00\n\t2004-01-01 00:00:00\n\t2005-01-01 00:00:00\n\t2006-01-01 00:00:00\n]")
+    check(dates.dt.offsetBy("-1y2mo").alias("date_minus_1y_2mon"),
+      "shape: (6,)\nSeries: 'date_minus_1y_2mon' [datetime[μs]]\n[\n\t1998-11-01 00:00:00\n\t1999-11-01 00:00:00\n\t2000-11-01 00:00:00\n\t2001-11-01 00:00:00\n\t2002-11-01 00:00:00\n\t2003-11-01 00:00:00\n]")
+  }
+
   // ---- string_name_space.rb ----
 
   test("str.join ignores nulls by default; ignore_nulls false propagates") {
@@ -161,6 +179,12 @@ class SeriesNsDocExamplesSpec extends SparkSpec {
     val s = Series("", Seq("2020/01/01", "2020/02/01", "2020/03/01"))
     check(s.str.toDate("%Y/%m/%d"),
       "shape: (3,)\nSeries: '' [date]\n[\n\t2020-01-01\n\t2020-02-01\n\t2020-03-01\n]")
+  }
+
+  test("cat.get_categories lists categories in first-appearance order") {
+    val s = Series("", Seq("foo", "bar", "foo", "foo", "ham"))
+    check(s.cat.getCategories,
+      "shape: (3,)\nSeries: '' [str]\n[\n\t\"foo\"\n\t\"bar\"\n\t\"ham\"\n]")
   }
 
   // ---- list_name_space.rb ----
