@@ -73,6 +73,32 @@ class DocExamples10Spec extends SparkSpec {
         |└─────┴──────┘""")
   }
 
+  test("sql_context.rb execute: filtered/ordered projection over a registered frame") {
+    val films = DataFrame(Seq(
+      ("The Godfather", 1972L, 6000000L, 134821952L, 9.2),
+      ("The Dark Knight", 2008L, 185000000L, 533316061L, 9.0),
+      ("Schindler's List", 1993L, 22000000L, 96067179L, 8.9),
+      ("Pulp Fiction", 1994L, 8000000L, 107930000L, 8.9),
+      ("The Shawshank Redemption", 1994L, 25000000L, 28341469L, 9.3))
+      .toDF("title", "release_year", "budget", "gross", "imdb_score"))
+    val ctx = new graft.api.SQLContext(spark).register("films", films)
+    check(ctx.executeEager(
+      """SELECT title, release_year, imdb_score FROM films
+        |WHERE release_year > 1990
+        |ORDER BY imdb_score DESC, title""".stripMargin),
+      """shape: (4, 3)
+        |┌──────────────────────────┬──────────────┬────────────┐
+        |│ title                    ┆ release_year ┆ imdb_score │
+        |│ ---                      ┆ ---          ┆ ---        │
+        |│ str                      ┆ i64          ┆ f64        │
+        |╞══════════════════════════╪══════════════╪════════════╡
+        |│ The Shawshank Redemption ┆ 1994         ┆ 9.3        │
+        |│ The Dark Knight          ┆ 2008         ┆ 9.0        │
+        |│ Pulp Fiction             ┆ 1994         ┆ 8.9        │
+        |│ Schindler's List         ┆ 1993         ┆ 8.9        │
+        |└──────────────────────────┴──────────────┴────────────┘""")
+  }
+
   test("data_frame.rb map_rows: tuple rows materialize as column_0/column_1") {
     val out = fooBar.mapRows(StructType(Seq(
       StructField("column_0", LongType), StructField("column_1", LongType)))) { r =>
