@@ -64,6 +64,44 @@ class DocExamples6Spec extends SparkSpec {
         |└─────────────────────┴─────────────────────┘""")
   }
 
+  test("date_time_expr.rb truncate('1h') and truncate('30m')") {
+    val vals = Seq("2001-01-01 00:00:00", "2001-01-01 03:45:00", "2001-01-01 07:30:00",
+      "2001-01-01 11:15:00", "2001-01-01 15:00:00", "2001-01-01 18:45:00",
+      "2001-01-01 22:30:00").map(ts)
+    check(DataFrame(vals.toDF("datetime")).select(col("datetime").dt.truncate("1h")),
+      """shape: (7, 1)
+        |┌─────────────────────┐
+        |│ datetime            │
+        |│ ---                 │
+        |│ datetime[μs]        │
+        |╞═════════════════════╡
+        |│ 2001-01-01 00:00:00 │
+        |│ 2001-01-01 03:00:00 │
+        |│ 2001-01-01 07:00:00 │
+        |│ 2001-01-01 11:00:00 │
+        |│ 2001-01-01 15:00:00 │
+        |│ 2001-01-01 18:00:00 │
+        |│ 2001-01-01 22:00:00 │
+        |└─────────────────────┘""")
+    val grid = (0 to 6).map(i => ts(f"2001-01-01 0${i / 6}:${(i * 10) % 60}%02d:00"))
+    check(DataFrame(grid.toDF("datetime")).select(
+      col("datetime"), col("datetime").dt.truncate("30m").alias("truncate")),
+      """shape: (7, 2)
+        |┌─────────────────────┬─────────────────────┐
+        |│ datetime            ┆ truncate            │
+        |│ ---                 ┆ ---                 │
+        |│ datetime[μs]        ┆ datetime[μs]        │
+        |╞═════════════════════╪═════════════════════╡
+        |│ 2001-01-01 00:00:00 ┆ 2001-01-01 00:00:00 │
+        |│ 2001-01-01 00:10:00 ┆ 2001-01-01 00:00:00 │
+        |│ 2001-01-01 00:20:00 ┆ 2001-01-01 00:00:00 │
+        |│ 2001-01-01 00:30:00 ┆ 2001-01-01 00:30:00 │
+        |│ 2001-01-01 00:40:00 ┆ 2001-01-01 00:30:00 │
+        |│ 2001-01-01 00:50:00 ┆ 2001-01-01 00:30:00 │
+        |│ 2001-01-01 01:00:00 ┆ 2001-01-01 01:00:00 │
+        |└─────────────────────┴─────────────────────┘""")
+  }
+
   test("lazy_frame.rb rolling('2d').agg(sum/min/max) per-row trailing windows") {
     val df = DataFrame(Seq(
       ("2020-01-01 13:45:48", 3L), ("2020-01-01 16:42:13", 7L),
