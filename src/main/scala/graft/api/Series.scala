@@ -123,6 +123,13 @@ final case class Series(name: String, df: SDF) {
         s"diff: null_behavior must be ignore|drop, got '$other'")
     }
   def cast(dt: DataType): Series = map(_.cast(dt))
+  // cut/qcut on the Series surface (reference series.rb:874/930) — delegate
+  // to the Expr kernels; categorical output is physically str (§1.2)
+  def cut(breaks: Seq[Double], labels: Option[Seq[String]] = None,
+          leftClosed: Boolean = false, includeBreaks: Boolean = false): Series =
+    map(_.cut(breaks, labels, leftClosed, includeBreaks))
+  def qcut(quantiles: Seq[Double], labels: Seq[String]): Series =
+    map(_.qcut(quantiles, labels))
 
   /** drop_nulls / drop_nans (reference expr.rb:847/874 — length-changing,
     * so they live on the eager Series surface): drop_nulls keeps NaN

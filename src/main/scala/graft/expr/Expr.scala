@@ -1065,6 +1065,10 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     * the labeling pass is a pure broadcast-literal projection — no
     * data-sized rank join. Values whose double image would collapse
     * (integers beyond 2^53) fall back to the exact percent-rank path. */
+  /** Uniform-probability form (reference expr.rb:2611 `qcut(2, ...)`):
+    * k equal-probability buckets = cutting at 1/k, 2/k, …, (k-1)/k. */
+  def qcut(k: Int, labels: Seq[String]): Expr =
+    qcut((1 until k).map(_.toDouble / k), labels)
   def qcut(quantiles: Seq[Double], labels: Seq[String]): Expr = {
     require(labels.size == quantiles.size + 1)
     require(quantiles.forall(q => q >= 0.0 && q <= 1.0),

@@ -187,6 +187,12 @@ class SeriesNsDocExamplesSpec extends SparkSpec {
       "shape: (3,)\nSeries: '' [str]\n[\n\t\"foo\"\n\t\"bar\"\n\t\"ham\"\n]")
   }
 
+  test("series.rb cut with labels renders the categories (physically str, §1.2)") {
+    val s = Series("foo", Seq(-2L, -1L, 0L, 1L, 2L))
+    check(s.cut(Seq(-1, 1), Some(Seq("a", "b", "c"))),
+      "shape: (5,)\nSeries: 'foo' [str]\n[\n\t\"a\"\n\t\"a\"\n\t\"b\"\n\t\"b\"\n\t\"c\"\n]")
+  }
+
   // ---- list_name_space.rb ----
 
   test("list.all / list.any: null elements ignored, empty list vacuous, null list null") {
