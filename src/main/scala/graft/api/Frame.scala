@@ -312,9 +312,11 @@ trait FrameOps[Self] {
     }
     make(sdf.agg(cols.head, cols.tail: _*))
   }
-  def maxFrame: Self = aggAll(F.max, numericOnly = false)
-  def minFrame: Self = aggAll(F.min, numericOnly = false)
-  def sumFrame: Self = aggAll(F.sum, numericOnly = true)
+  // Expr.sum/min/max spellings (all-null sums to 0, NaN-skipping extrema
+  // with all-NaN→NaN fallback) so frame-level aggs match the expr surface
+  def maxFrame: Self = aggAll(c => F.coalesce(F.max(Expr.nanSkipped(c)), F.max(c)), numericOnly = false)
+  def minFrame: Self = aggAll(c => F.coalesce(F.min(Expr.nanSkipped(c)), F.min(c)), numericOnly = false)
+  def sumFrame: Self = aggAll(c => F.coalesce(F.sum(c), F.lit(0)), numericOnly = true)
   def meanFrame: Self = aggAll(F.avg, numericOnly = true)
   def medianFrame: Self = aggAll(c => F.median(c), numericOnly = true)
   def stdFrame(ddof: Int = 1): Self =

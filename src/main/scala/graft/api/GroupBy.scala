@@ -187,9 +187,12 @@ final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk0: SDF => Self,
   }
   def first(): Self = pickByIndex(firstRow = true)
   def last(): Self = pickByIndex(firstRow = false)
-  def sum(): Self = aggAll(F.sum, boolAsInt = true)
-  def min(): Self = aggAll(F.min)
-  def max(): Self = aggAll(F.max)
+  // the Expr spellings, so the shortcuts share Expr.sum/min/max semantics:
+  // all-null groups sum to 0 (expr.rb:2713) and NaN is skipped by extrema
+  // unless the group is all-NaN (advisor r12)
+  def sum(): Self = aggAll(c => F.coalesce(F.sum(c), F.lit(0)), boolAsInt = true)
+  def min(): Self = aggAll(c => F.coalesce(F.min(Expr.nanSkipped(c)), F.min(c)))
+  def max(): Self = aggAll(c => F.coalesce(F.max(Expr.nanSkipped(c)), F.max(c)))
   def mean(): Self = aggAll(F.avg, boolAsInt = true)
   def median(): Self = aggAll(c => F.median(c), boolAsInt = true)
   def nUnique(): Self = aggAll(c => F.countDistinct(c))
@@ -239,18 +242,33 @@ object RollingGroupBy {
   /** True when the root is graft's polars-sum spelling `coalesce(sum(x), …)`
     * — the sum identity must survive an empty window the same way count's 0
     * does (expr.rb:2713: polars sums an empty slice to 0). */
-  private[api] def rootIsSum(e: Expr): Boolean =
-    org.apache.spark.sql.GraftInternalOps.catalystExpression(
-      org.apache.spark.sql.GraftInternalOps.stripAlias(e.col)) match {
+  private[api] def rootIsSum(e: Expr): Boolean = {
+    // casts are transparent: DecimalDiscipline.decSum spells
+    // cast(coalesce(sum(cast(x)))) and must keep the empty-window identity
+    // the bare coalesce(sum(x)) spelling gets (advisor r12)
+    def stripCasts(x: org.apache.spark.sql.catalyst.expressions.Expression)
+        : org.apache.spark.sql.catalyst.expressions.Expression = x match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast => stripCasts(c.child)
+      case other => other
+    }
+    stripCasts(org.apache.spark.sql.GraftInternalOps.catalystExpression(
+      org.apache.spark.sql.GraftInternalOps.stripAlias(e.col))) match {
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
           if f.nameParts.map(_.toLowerCase) == Seq("coalesce") =>
         f.arguments.headOption.exists {
           case g: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
             g.nameParts.map(_.toLowerCase) == Seq("sum")
+          case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+            stripCasts(c) match {
+              case g: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+                g.nameParts.map(_.toLowerCase) == Seq("sum")
+              case _ => false
+            }
           case _ => false
         }
       case _ => false
     }
+  }
   private def rootFn(e: Expr): Option[String] =
     org.apache.spark.sql.GraftInternalOps.catalystExpression(
       org.apache.spark.sql.GraftInternalOps.stripAlias(e.col)) match {

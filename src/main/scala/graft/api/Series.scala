@@ -33,9 +33,10 @@ final case class Series(name: String, df: SDF) {
   def /(o: Series): Series = zipWith(o, _ / _, name)
 
   private def scalar(e: Expr): Any = df.select(e.col).collect()(0).get(0)
-  def sum: Any = scalar(Expr(F.sum(F.col(name))))
+  // sum/min/max through Expr so the polars identities apply uniformly:
+  // empty/all-null sum is 0 (expr.rb:2713), extrema skip NaN (expr.rb goldens)
+  def sum: Any = scalar(Expr(F.col(name)).sum)
   def mean: Any = scalar(Expr(F.avg(F.col(name))))
-  // min/max through Expr so NaN-skipping extrema semantics apply (expr.rb goldens)
   def min: Any = scalar(Expr(F.col(name)).min)
   def max: Any = scalar(Expr(F.col(name)).max)
   def median: Any = scalar(Expr(F.median(F.col(name))))
@@ -126,10 +127,22 @@ final case class Series(name: String, df: SDF) {
   // cut/qcut on the Series surface (reference series.rb:874/930) — delegate
   // to the Expr kernels; categorical output is physically str (§1.2)
   def cut(breaks: Seq[Double], labels: Option[Seq[String]] = None,
-          leftClosed: Boolean = false, includeBreaks: Boolean = false): Series =
-    map(_.cut(breaks, labels, leftClosed, includeBreaks))
+          leftClosed: Boolean = false, includeBreaks: Boolean = false): Series = {
+    val base = map(_.cut(breaks, labels, leftClosed, includeBreaks))
+    // the Series surface renames the struct fields to break_point/category
+    // (reference series.rb:919 struct.rename_fields) while the Expr level
+    // keeps polars' documented {breakpoint, category}
+    if (!includeBreaks) base else base.renameStructFields("break_point", "category")
+  }
   def qcut(quantiles: Seq[Double], labels: Seq[String]): Series =
     map(_.qcut(quantiles, labels))
+
+  private def renameStructFields(names: String*): Series = {
+    val st = dtype.asInstanceOf[org.apache.spark.sql.types.StructType]
+    require(names.size == st.size, s"rename_fields: ${names.size} names for ${st.size} fields")
+    Series(name, df.select(F.struct(
+      st.fieldNames.zip(names).map { case (o, n) => F.col(name).getField(o).as(n) }: _*).as(name)))
+  }
 
   /** drop_nulls / drop_nans (reference expr.rb:847/874 — length-changing,
     * so they live on the eager Series surface): drop_nulls keeps NaN

@@ -322,8 +322,11 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     * pass-through that nulls NaN on float/double and is identity on every
     * other dtype (resolved at analysis, codegen-friendly). The
     * NaN-PROPAGATING forms are nanMax/nanMin below. */
-  def min: Expr = aggMap(c => F.min(Expr.nanSkipped(c)))
-  def max: Expr = aggMap(c => F.max(Expr.nanSkipped(c)))
+  // NaN is skipped only while non-NaN values exist (polars extrema): the
+  // NaN-propagating fallback makes an all-NaN float column yield NaN, not
+  // null (advisor r12; for all-null input both legs are null → null stands)
+  def min: Expr = aggMap(c => F.coalesce(F.min(Expr.nanSkipped(c)), F.min(c)))
+  def max: Expr = aggMap(c => F.coalesce(F.max(Expr.nanSkipped(c)), F.max(c)))
   def count: Expr = aggMap(F.count)
   def len: Expr = aggMap(F.count) // counts nulls too in polars; see lenWithNulls
   def nullCount: Expr = aggMap(c => F.count(F.when(c.isNull, 1)))
@@ -493,12 +496,14 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
       val ke = g.keyed.mk(keyCols)
       val helper = Scan.fresh("x")
       val prep = Prep(helper, d => d.withColumn(helper, ke.col), Seq(helper))
-      // DISTINCT aggregates (n_unique) are unsupported as window functions —
-      // re-spell count(distinct x) as size-outside-of collect_set-in-window
-      // (same semantics: both ignore nulls)
-      val (winAgg, wrap) = org.apache.spark.sql.GraftInternalOps
-        .distinctWindowSpelling(g.agg(F.col(helper)))
-      val windowed = wrap(winAgg.over(Window.partitionBy(keyCols: _*)))
+      // composite aggregates (coalesced sums, NaN-fallback extrema,
+      // std(ddof:)) window each embedded aggregate; DISTINCT aggregates
+      // (n_unique) re-spell as size-outside-of collect_set-in-window
+      // (windowCompositeAggregates applies both per embedded aggregate)
+      val aggCol = g.agg(F.col(helper))
+      val windowed = org.apache.spark.sql.GraftInternalOps
+        .windowCompositeAggregates(aggCol, keyCols)
+        .getOrElse(aggCol.over(Window.partitionBy(keyCols: _*)))
       Expr(g.post(windowed),
         requiresIndex = true,
         mergePreps(mergePreps(partitionBy.flatMap(_.preps).distinctBy(_.key),
