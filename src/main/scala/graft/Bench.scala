@@ -91,7 +91,8 @@ object Bench {
     val sortedQueries = selected.toSeq.sortBy(_._1)
     val half = sortedQueries.size / 2
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = sortedQueries.zipWithIndex.map { case ((name, fn), qi) =>
+    val measured = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    sortedQueries.zipWithIndex.foreach { case ((name, fn), qi) =>
       if (qi == half) canaryMid = canary()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       var ok = true
@@ -103,41 +104,50 @@ object Bench {
       // a throwing query must NOT pass off its time-to-exception as a
       // benchmark number — report -1 so breakage is machine-visible
       if (!ok) { failed += name; System.err.println(s"bench: query $name FAILED") }
-      var med = if (ok) times(times.size / 2) else -1.0
-      refTimes.get(name).foreach { ref =>
-        if (ok && ref > 0 && med > ref * 1.7 + 0.2 && retriesLeft > 0) {
-          retriesLeft -= 1
-          // full re-measure, SAME sample discipline as the first pass: the
-          // retry keeps its own median of `runs` samples, never a single
-          // sample (a lone lucky sample is exactly the noise the median
-          // discipline exists to exclude — advisor round 11). min(med,
-          // retryMed) compares two medians symmetrically: if the window got
-          // MORE loaded during the retry, the original stands.
-          val retryMed =
-            try {
-              val ts = (1 to runs).map { _ =>
-                val t0 = System.nanoTime()
-                fn(spark, sfDir).count()
-                (System.nanoTime() - t0) / 1e9
-              }.sorted
-              ts(ts.size / 2)
-            } catch { case _: Throwable => Double.MaxValue }
-          if (retryMed < med) {
-            System.err.println(f"bench: $name inflated (${med}%.2fs vs committed ${ref}%.2fs) — re-measured, kept retry median ${retryMed}%.2fs")
-            retried += name
-            med = retryMed
-          } else
-            System.err.println(f"bench: $name slow (${med}%.2fs vs committed ${ref}%.2fs) and retry median no faster — keeping the measurement")
-        }
-      }
-      name -> med
-    }.toMap
+      measured(name) = if (ok) times(times.size / 2) else -1.0
+    }
     val canaryLast = canary()
-    // drift from the two fully-warm samples: mid-sweep vs end-of-sweep
+    // Inflated-query retries run as a SECOND pass after the whole sweep
+    // (round-12 lesson: an inline retry re-samples the same loaded seconds
+    // — the r12 ambient load persisted through back-to-back medians but not
+    // the 13-minute sweep, so deferring the retry gives the load the
+    // longest possible time to clear). Same sample discipline as the first
+    // pass: median of `runs`, min(med, retryMed) keeps whichever median is
+    // better, so a window that got MORE loaded cannot overwrite a good
+    // first-pass number.
+    sortedQueries.foreach { case (name, fn) =>
+      val med = measured(name)
+      val inflated = med > 0 &&
+        refTimes.get(name).exists(ref => ref > 0 && med > ref * 1.7 + 0.2)
+      if (inflated && retriesLeft > 0) {
+        retriesLeft -= 1
+        val ref = refTimes(name)
+        val retryMed =
+          try {
+            val ts = (1 to runs).map { _ =>
+              val t0 = System.nanoTime()
+              fn(spark, sfDir).count()
+              (System.nanoTime() - t0) / 1e9
+            }.sorted
+            ts(ts.size / 2)
+          } catch { case _: Throwable => Double.MaxValue }
+        if (retryMed < med) {
+          System.err.println(f"bench: $name inflated (${med}%.2fs vs committed ${ref}%.2fs) — re-measured post-sweep, kept retry median ${retryMed}%.2fs")
+          retried += name
+          measured(name) = retryMed
+        } else
+          System.err.println(f"bench: $name slow (${med}%.2fs vs committed ${ref}%.2fs) and post-sweep retry median no faster — keeping the measurement")
+      }
+    }
+    val results = measured.toMap
+    // drift from the two fully-warm samples: mid-sweep vs end-of-sweep.
+    // Threshold 1.3 (was 1.5): the round-12 driver window stamped "stable"
+    // at drift 1.49 while the sweep total ran 25% over the committed pair —
+    // a drift that large is already a contaminated-total signal.
     val warmRef = if (canaryMid > 0) canaryMid else canaryFirst
     val canaryDrift =
       math.max(warmRef, canaryLast) / math.max(1e-9, math.min(warmRef, canaryLast))
-    val stableWindow = canaryDrift <= 1.5
+    val stableWindow = canaryDrift <= 1.3
     if (!stableWindow)
       System.err.println(f"bench: canary drifted ${canaryDrift}%.2fx across the sweep " +
         "(ambient load) — this total is NOT a final comparison sample; re-run in a quiet window")
@@ -164,10 +174,22 @@ object Bench {
     // takes for numbers — a backslash or quote must not break the parse)
     def js(v: String): String =
       v.replace("\\", "\\\\").replace("\"", "\\\"")
+    // inflation_vs_committed: this sweep's total over the committed-detail
+    // total for the SAME queries at the SAME SF — a contaminated window
+    // machine-reads as contaminated (>~1.2) even when every per-query retry
+    // "confirmed" its inflated number because the load outlived both samples
+    val inflationField = {
+      val common = results.toSeq.collect {
+        case (k, v) if v >= 0 && refTimes.get(k).exists(_ > 0) => (v, refTimes(k))
+      }
+      if (common.size * 2 >= results.size && common.nonEmpty)
+        s""","inflation_vs_committed":${fmt(common.map(_._1).sum / common.map(_._2).sum)}"""
+      else ""
+    }
     val canaryFields =
       s""","canary_first_sec":${fmt(canaryFirst)},"canary_mid_sec":${fmt(canaryMid)},""" +
         s""""canary_last_sec":${fmt(canaryLast)},""" +
-        s""""canary_drift":${fmt(canaryDrift)},"stable_window":$stableWindow,""" +
+        s""""canary_drift":${fmt(canaryDrift)},"stable_window":$stableWindow$inflationField,""" +
         s""""n_retried":${retried.size},"retried":${retried.sorted.map(n => s""""${js(n)}"""").mkString("[", ",", "]")}"""
     val detail = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
