@@ -87,10 +87,11 @@ object Testing {
     val half = rowLimit / 2
     val rows =
       if (!over) df.limit(rowLimit).collect()
-      else {
-        val all = df.limit(Int.MaxValue - 1).collect() // render is a test aid; frames are small
-        all.take(half) ++ all.takeRight(half)
-      }
+      else
+        // two bounded collects (head via limit, tail via offset) — never a
+        // full-frame collect, so an accidentally-large frame can't OOM the
+        // driver; same row-order assumption as limit itself
+        df.limit(half).collect() ++ df.offset((total - half).toInt).collect()
     val allNames = df.columns.toSeq
     val allDtypes = df.schema.fields.map(f => dtypeName(f.dataType)).toSeq
     // column elision (config.rb set_tbl_cols golden: head ⌈n/2⌉, `…`, tail
@@ -165,10 +166,9 @@ object Testing {
     val half = maxRows / 2
     val rows =
       if (!over) s.df.limit(maxRows).collect().map(_.get(0)).map(fmtSeries)
-      else { // head 5 / … / tail 5, same as the table renderer
-        val all = s.df.limit(Int.MaxValue - 1).collect().map(_.get(0))
-        (all.take(half).map(fmtSeries) :+ "…") ++ all.takeRight(half).map(fmtSeries)
-      }
+      else // head 5 / … / tail 5 via two bounded collects, as the table renderer
+        (s.df.limit(half).collect().map(r => fmtSeries(r.get(0))) :+ "…") ++
+          s.df.offset((total - half).toInt).collect().map(r => fmtSeries(r.get(0)))
     val sb = new StringBuilder
     sb.append(s"shape: ($total,)\n")
     sb.append(s"Series: '${s.name}' [${dtypeName(s.dtype)}]\n[\n")
