@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // let AQE coalesce exchanges INSIDE cached plans too (off by default):
+      // persisted iterative frames (PageRank generations, staged scores)
+      // otherwise run every exchange at full shuffle parallelism, which at
+      // toy scale is pure task-scheduling overhead and at cluster scale
+      // forgoes AQE skew/coalesce handling for cached branches
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // let AQE coalesce small shuffles to the advisory size instead of
       // preserving max parallelism — fewer tasks for sub-64MB exchanges,
       // which is pure scheduling overhead at any scale

@@ -17,6 +17,12 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // let AQE coalesce exchanges INSIDE cached plans too (off by default):
+      // persisted iterative frames (PageRank generations, staged scores)
+      // otherwise run every exchange at full shuffle parallelism, which at
+      // toy scale is pure task-scheduling overhead and at cluster scale
+      // forgoes AQE skew/coalesce handling for cached branches
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -14,6 +14,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS); read as long, converted in queries
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // let AQE coalesce exchanges INSIDE cached plans too (off by default):
+      // persisted iterative frames (PageRank generations, staged scores)
+      // otherwise run every exchange at full shuffle parallelism, which at
+      // toy scale is pure task-scheduling overhead and at cluster scale
+      // forgoes AQE skew/coalesce handling for cached branches
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // WindowExec "No Partition Defined": demoted as in SparkSpec/Bench —
@@ -69,8 +75,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Staged-path SF rewrite: oracle SQL is authored against the driver's
+    // gate SF (sf0.01) with literal /tmp/graft_stage/sf0.01/ paths; when
+    // verifying at another SF the Spark side stages under THAT SF's
+    // directory, so point the oracle at the same staged data (no-op at
+    // sf0.01 — round 13: the missing rewrite made every staged-input query
+    // read 10x-smaller oracle data at sf0.1)
+    val sfName = new java.io.File(sfDir).getName
+    def resf(sql: String): String =
+      sql.replace("/tmp/graft_stage/sf0.01/", s"/tmp/graft_stage/$sfName/")
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(resf(v))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -155,4 +155,37 @@ class GraphSpec extends SparkSpec {
     assert(persistedCount - base <= 2,
       s"pageRank leaked persisted frames: $base -> $persistedCount")
   }
+
+  test("pageRank scheduling floor: bounded jobs, AQE-coalesced tasks per stage") {
+    // Round-13 floor pin (BASELINE.md "q_pagerank floor analysis"): a
+    // 3-iteration run is ~13 exchanges; with AQE each materializes as its
+    // own job (the per-job ~60-80ms scheduling cost IS the toy-scale
+    // floor), and canChangeCachedPlanOutputPartitioning=true lets AQE
+    // coalesce the sub-64MB exchanges inside the persisted generations —
+    // without it the same run schedules ~25x the tasks (939 vs 39 at
+    // sf0.1/32 cores, 4.5s vs 3.0s). Pin both shapes: the job count stays
+    // bounded and the mean tasks-per-stage stays coalesced (~1-2 at toy
+    // scale, not the full shuffle parallelism).
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+    import java.util.concurrent.atomic.AtomicInteger
+    import spark.implicits._
+    val edges = (1L to 400L).map(i => (i % 37, (i * i) % 41)).toDF("src", "dst")
+    Graph.pageRank(edges, "src", "dst", iterations = 3).count() // warm
+    val jobs = new AtomicInteger; val stages = new AtomicInteger; val tasks = new AtomicInteger
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks)
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      Graph.pageRank(edges, "src", "dst", iterations = 3).count()
+      // listener delivery is async; jobs/stages land within the bus flush
+      Thread.sleep(1000)
+      assert(jobs.get <= 45, s"pageRank(3) scheduled ${jobs.get} jobs — barrier regression")
+      assert(stages.get > 0 && tasks.get <= stages.get * 4,
+        s"tasks/stage ${tasks.get}/${stages.get} — cached-plan AQE coalescing lost")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }
