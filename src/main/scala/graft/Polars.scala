@@ -123,7 +123,12 @@ object Polars {
     }
   }
   def struct(exprs: Expr*): Expr = mkExprK(exprs)(cs => F.struct(cs: _*))
-  def concatList(exprs: Expr*): Expr = mkExprK(exprs)(cs => F.concat(cs: _*))
+  /** concat_list: scalars wrap to one-element lists, lists concatenate
+    * (type-directed — see [[graft.ext.ConcatList]]). */
+  def concatList(exprs: Expr*): Expr = mkExprK(exprs) { cs =>
+    org.apache.spark.sql.GraftInternalOps.column(graft.ext.ConcatList(
+      cs.map(org.apache.spark.sql.GraftInternalOps.expression)))
+  }
 
   // ---- stats (reference: functions/lazy.rb:679-872) ----
   def corr(a: Expr, b: Expr): Expr = mkExpr(F.corr(a.col, b.col), Seq(a, b))

@@ -218,7 +218,11 @@ object SparkEntry {
     val byStatus = lf(s, dir, "orders")
       .joinOn(lf(s, dir, "customer"), Seq("o_custkey"), Seq("c_custkey"))
       .groupBy("c_mktsegment").agg(decSum(col("o_totalprice"), 2).alias("seg_total"))
+    // polars full join keeps both key columns (left + suffixed right);
+    // the oracle's USING form coalesces, so coalesce explicitly
     bySeg.join(byStatus, Seq("c_mktsegment"), how = "full")
+      .select(Polars.coalesce(col("c_mktsegment"), col("c_mktsegment_right"))
+        .alias("c_mktsegment"), col("n_cust"), col("seg_total"))
       .sortBy(Seq(col("c_mktsegment")))
       .collect().toSpark
   }

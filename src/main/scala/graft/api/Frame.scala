@@ -233,6 +233,17 @@ trait FrameOps[Self] {
     val right1 = clashes.foldLeft(right0)((d, c) => d.withColumnRenamed(c, c + suffix))
     val right = if (broadcastRight) F.broadcast(right1) else right1
     if (how == "cross") make(sdf.crossJoin(right))
+    else if (how == "full" || how == "outer") {
+      // polars full join keeps BOTH key columns — the right frame's keys
+      // ride along under the suffix (reference data_frame_test.rb
+      // test_join_outer: L1, L2, L1_right, R2) — so join on an explicit
+      // condition, never Spark's coalescing USING form
+      val rightK = on.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + suffix))
+      val cond = on.map(c =>
+        if (joinNulls) sdf(c) <=> rightK(c + suffix) else sdf(c) === rightK(c + suffix))
+        .reduce(_ && _)
+      make(sdf.join(rightK, cond, "full_outer"))
+    }
     else if (joinNulls) {
       val cond = on.map(c => sdf(c) <=> right(c)).reduce(_ && _)
       val j = sdf.join(right, cond, sparkHow)

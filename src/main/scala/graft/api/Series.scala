@@ -31,17 +31,43 @@ final case class Series(name: String, df: SDF) {
   def -(o: Series): Series = zipWith(o, _ - _, name)
   def *(o: Series): Series = zipWith(o, _ * _, name)
   def /(o: Series): Series = zipWith(o, _ / _, name)
+  // comparisons (reference series.rb ==/!=/</>/<=/>= — series and scalar
+  // operands; Spark comparison semantics give polars' NaN == NaN true)
+  def eqSeries(o: Series): Series = zipWith(o, _ === _, name)
+  def neSeries(o: Series): Series = zipWith(o, _ =!= _, name)
+  def ltSeries(o: Series): Series = zipWith(o, _ < _, name)
+  def gtSeries(o: Series): Series = zipWith(o, _ > _, name)
+  def leSeries(o: Series): Series = zipWith(o, _ <= _, name)
+  def geSeries(o: Series): Series = zipWith(o, _ >= _, name)
+  def eqScalar(v: Any): Series = Series(name, df.select((F.col(name) === F.lit(v)).as(name)))
+  def neScalar(v: Any): Series = Series(name, df.select((F.col(name) =!= F.lit(v)).as(name)))
+  def ltScalar(v: Any): Series = Series(name, df.select((F.col(name) < F.lit(v)).as(name)))
+  def gtScalar(v: Any): Series = Series(name, df.select((F.col(name) > F.lit(v)).as(name)))
+  def leScalar(v: Any): Series = Series(name, df.select((F.col(name) <= F.lit(v)).as(name)))
+  def geScalar(v: Any): Series = Series(name, df.select((F.col(name) >= F.lit(v)).as(name)))
+  def isEmpty: Boolean = df.isEmpty
+  /** One-hot encode this series (reference series.rb to_dummies). */
+  def toDummies(separator: String = "_"): DataFrame =
+    DataFrame(df).toDummies(Seq(name), separator)
 
   private def scalar(e: Expr): Any = df.select(e.col).collect()(0).get(0)
   // sum/min/max through Expr so the polars identities apply uniformly:
   // empty/all-null sum is 0 (expr.rb:2713), extrema skip NaN (expr.rb goldens)
-  def sum: Any = scalar(Expr(F.col(name)).sum)
-  def mean: Any = scalar(Expr(F.avg(F.col(name))))
+  // booleans numericize under sum/mean (series_test.rb test_mean: mean of
+  // [true,true,true,false] is 0.75; Spark's sum/avg reject BooleanType)
+  private def numCol: org.apache.spark.sql.Column =
+    if (dtype == BooleanType) F.col(name).cast("int") else F.col(name)
+  def sum: Any = scalar(Expr(numCol).sum)
+  def mean: Any = scalar(Expr(F.avg(numCol)))
   def min: Any = scalar(Expr(F.col(name)).min)
   def max: Any = scalar(Expr(F.col(name)).max)
   def median: Any = scalar(Expr(F.median(F.col(name))))
-  def std: Any = scalar(Expr(F.stddev_samp(F.col(name))))
-  def variance: Any = scalar(Expr(F.var_samp(F.col(name))))
+  // std/var of a non-numeric series is null, not an analysis error
+  // (series_test.rb test_std: std of a str series is nil)
+  def std: Any = if (!isNumeric && dtype != BooleanType) null
+    else scalar(Expr(F.stddev_samp(numCol)))
+  def variance: Any = if (!isNumeric && dtype != BooleanType) null
+    else scalar(Expr(F.var_samp(numCol)))
   def nUnique: Long = df.select(F.countDistinct(F.col(name))).collect()(0).getLong(0)
   /** any?/all?/none? (reference series.rb:534-560): boolean aggregates;
     * ignore_nulls=false applies Kleene logic (may return null). */
@@ -529,6 +555,8 @@ final case class Series(name: String, df: SDF) {
   def limit(n: Int = 10): Series = head(n)
   def slice(offset: Long, length: Long): Series =
     Series(name, DataFrame(df).slice(offset, length).toSpark)
+  /** slice to the end (reference series.rb slice with nil length). */
+  def slice(offset: Long): Series = slice(offset, len - offset)
   def unique: Series = Series(name, df.distinct())
   def nullCount: Long =
     df.select(F.count(F.when(F.col(name).isNull, 1)).as("n")).collect()(0).getLong(0)

@@ -328,7 +328,9 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   def min: Expr = aggMap(c => F.coalesce(F.min(Expr.nanSkipped(c)), F.min(c)))
   def max: Expr = aggMap(c => F.coalesce(F.max(Expr.nanSkipped(c)), F.max(c)))
   def count: Expr = aggMap(F.count)
-  def len: Expr = aggMap(F.count) // counts nulls too in polars; see lenWithNulls
+  // polars len counts rows INCLUDING nulls (expr.rb:741 golden: len of
+  // [nil,4,4] is 3 where count is 2) — count(*) not count(col)
+  def len: Expr = aggMap(_ => F.count(F.lit(1)))
   def nullCount: Expr = aggMap(c => F.count(F.when(c.isNull, 1)))
   def first: Expr = aggMap(c => F.first(c))
   def last: Expr = aggMap(c => F.last(c))
@@ -379,6 +381,10 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     * O(group) memory, fine for agg outputs, prefer `linear`/`approxQuantile` at
     * 100 TB scale. */
   def quantile(q: Double, interpolation: String = "nearest"): Expr = aggMap { c =>
+    // reference error text (series_test.rb test_quantile)
+    require(q >= 0.0 && q <= 1.0, "quantile should be between 0.0 and 1.0")
+    // polars quantile is ALWAYS f64 (expr.rb:2473 goldens: lower/higher on
+    // an i64 column still render f64), so the element-picking modes cast
     interpolation match {
       case "linear" => F.percentile(c, F.lit(q))
       case m =>
@@ -387,13 +393,16 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
         val h = F.lit(q) * (n - 1).cast("double")
         val lo = F.element_at(sorted, F.floor(h).cast("int") + 1)
         val hi = F.element_at(sorted, F.ceil(h).cast("int") + 1)
-        m match {
+        (m match {
           case "lower"    => lo
           case "higher"   => hi
           case "midpoint" => (lo + hi) / 2.0
           case "nearest"  =>
-            F.when(h - F.floor(h) > 0.5, hi).otherwise(lo)
-        }
+            // polars rounds half AWAY from zero (Rust f64::round): the
+            // exact-half position picks hi — expr.rb:2473 golden, q=0.3
+            // over 6 rows lands on h=1.5 and returns element 2
+            F.when(h - F.floor(h) >= 0.5, hi).otherwise(lo)
+        }).cast("double")
     }
   }
   def approxQuantile(q: Double, accuracy: Int = 10000): Expr =
@@ -1026,6 +1035,7 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     * (the reference raises InvalidOperationError). */
   def replaceStrict(mapping: Map[Any, Any], default: Option[Any] = None): Expr = map { c =>
     val tail = default match {
+      case Some(e: Expr) => e.col // default may be column-valued (data_frame_test.rb test_replace)
       case Some(d) => F.lit(d)
       case None => F.raise_error(F.concat(
         F.lit("replace_strict: value not mapped: "), c.cast("string")))
@@ -1389,7 +1399,7 @@ object Expr {
       case "lower"    => lo
       case "higher"   => hi
       case "midpoint" => (lo + hi) / 2.0
-      case "nearest"  => F.when(h - F.floor(h) > 0.5, hi).otherwise(lo)
+      case "nearest"  => F.when(h - F.floor(h) >= 0.5, hi).otherwise(lo) // half rounds AWAY from zero (polars)
     }
   }
   /** Rescale a sample std/var to an arbitrary ddof (Polars allows ddof 0..n). */

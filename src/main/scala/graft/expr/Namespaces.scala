@@ -510,6 +510,29 @@ final class ListNS(e: Expr) {
     m(c => F.struct((0 until fields).map(i => F.try_element_at(c, F.lit(i + 1)).as(s"field_$i")): _*))
   /** list.eval with Polars.element — Spark `transform` HOF (reference list_expr.rb:787). */
   def eval(f: Expr => Expr): Expr = m(c => F.transform(c, x => f(Expr(x)).col))
+  /** Within-list rank (the reference spells it `list.eval(Polars.element
+    * .rank)`, list_expr.rb:772 golden; graft's eval is elementwise, so the
+    * order-dependent rank is its own HOF). O(n²) comparisons per list —
+    * lists are CELLS, not partitions, so this stays inside whole-stage
+    * codegen with no shuffle. Nulls rank null and are not counted
+    * (comparisons against null are null, so the filters drop them). */
+  def rank(method: String = "average"): Expr = m { c =>
+    def less(x: Column) = F.size(F.filter(c, y => y < x))
+    def eq(x: Column) = F.size(F.filter(c, y => y === x))
+    val ranked: Column = method match {
+      case "average" => F.transform(c, x => (less(x) + (eq(x) + 1) / F.lit(2.0)))
+      case "min"     => F.transform(c, x => (less(x) + 1).cast("long"))
+      case "max"     => F.transform(c, x => (less(x) + eq(x)).cast("long"))
+      case "dense"   => F.transform(c, x =>
+        (F.size(F.array_distinct(F.filter(c, y => y < x))) + 1).cast("long"))
+      case "ordinal" => F.transform(c, (x, i) =>
+        (less(x) + F.size(F.filter(c, (y, j) => y === x && j < i)) + 1).cast("long"))
+      case other => throw new IllegalArgumentException(
+        s"list.rank: method must be average|min|max|dense|ordinal, got '$other'")
+    }
+    // a null element's comparisons contributed nothing above; null its rank
+    F.zip_with(c, ranked, (x, r) => F.when(x.isNotNull, r))
+  }
   def evalFilter(f: Expr => Expr): Expr = m(c => F.filter(c, x => f(Expr(x)).col))
   /** Exact floor(fraction * len) elements without replacement (polars
     * list.sample semantics — a per-element Bernoulli filter would return a

@@ -51,7 +51,9 @@ class ExprSpec extends SparkSpec {
     assert(q("lower") == 2.0)
     assert(q("higher") == 3.0)
     assert(q("midpoint") == 2.5)
-    assert(q("nearest") == 2.0)
+    // h = 0.5*3 = 1.5: polars rounds half AWAY from zero (expr.rb:2473
+    // golden pins the same at q=0.3 over 6 rows) -> hi
+    assert(q("nearest") == 3.0)
   }
 
   test("std/var with non-default ddof") {

@@ -107,7 +107,7 @@ class RollingBySpec extends SparkSpec {
       val s = vs.sorted
       val h = (s.size - 1) * 0.25
       val lo = s(h.toInt); val hi = s(math.ceil(h).toInt)
-      if (h - math.floor(h) > 0.5) hi else lo
+      if (h - math.floor(h) >= 0.5) hi else lo // half rounds away from zero (polars)
     }
     assertClose(engine(col("v").rollingQuantileBy(col("ts"), 0.25, "1m")),
       expected("right", keyed = false)(qNearest))
