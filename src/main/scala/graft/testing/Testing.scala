@@ -121,10 +121,18 @@ object Testing {
     val cells =
       if (over) (cells0.take(half) :+ names.map(_ => "…")) ++ cells0.drop(half)
       else cells0
-    val widths = names.indices.map { c =>
-      (Seq(displayWidth(names(c)), displayWidth(dtypes(c)),
-        if (inline) 0 else sepRow(c).length) ++ cells.map(v => displayWidth(v(c)))).max
-    }
+    // visibility toggles (config.rb set_tbl_hide_* / shape_below goldens)
+    val markdown = Config.tblFormatting == "ASCII_MARKDOWN"
+    val showNames = !Config.tblHideColumnNames
+    val showDtypes = !inline && !Config.tblHideColumnDataTypes && !markdown
+    val showSep = showNames && showDtypes && !Config.tblHideDtypeSeparator
+    // widths come from the VISIBLE rows only (hide_column_names golden:
+    // the bool column is 5 wide from "false", not from a hidden header)
+    val widthRows: Seq[Seq[String]] =
+      (if (showNames) Seq(names) else Nil) ++
+        (if (showDtypes) Seq(dtypes) else Nil) ++
+        (if (showSep) Seq(sepRow) else Nil) ++ cells
+    val widths = names.indices.map(c => widthRows.map(v => displayWidth(v(c))).max)
     val ascii = Config.asciiTables
     val (tlc, tjc, trc, blc, bjc, brc, vOut, vIn, hFill) =
       if (ascii) ("+", "+", "+", "+", "+", "+", "|", "|", "-")
@@ -139,19 +147,30 @@ object Testing {
     def pad(v: String, w: Int): String =
       if (Config.tblCellAlignment == "RIGHT") " " * (w - displayWidth(v)) + v
       else v + " " * (w - displayWidth(v))
-    def row(vals: Seq[String]) =
-      vals.zip(widths).map { case (v, w) => s" ${pad(v, w)} " }.mkString(vOut, vIn, vOut)
+    def rowSep(vals: Seq[String], out: String, in: String) =
+      vals.zip(widths).map { case (v, w) => s" ${pad(v, w)} " }.mkString(out, in, out)
+    def row(vals: Seq[String]) = rowSep(vals, vOut, vIn)
     val sb = new StringBuilder
-    sb.append(s"shape: ($total, ${allNames.size})\n")
-    sb.append(line(tlc, tjc, trc)).append('\n')
-    sb.append(row(names)).append('\n')
-    if (!inline) {
-      sb.append(row(sepRow)).append('\n')
-      sb.append(row(dtypes)).append('\n')
+    val shapeLine = s"shape: ($total, ${allNames.size})"
+    val showShape = !Config.tblHideDataframeShape
+    if (showShape && !Config.tblDataframeShapeBelow) sb.append(shapeLine).append('\n')
+    if (markdown) {
+      // pipe table (config.rb set_tbl_formatting ASCII_MARKDOWN golden):
+      // header, |---| separator, rows — no outer border rows
+      if (showNames) sb.append(rowSep(names, "|", "|")).append('\n')
+      sb.append(widths.map(w => "-" * (w + 2)).mkString("|", "|", "|")).append('\n')
+      cells.foreach(cs => sb.append(rowSep(cs, "|", "|")).append('\n'))
+      sb.setLength(sb.length - 1) // drop trailing newline
+    } else {
+      sb.append(line(tlc, tjc, trc)).append('\n')
+      if (showNames) sb.append(row(names)).append('\n')
+      if (showSep) sb.append(row(sepRow)).append('\n')
+      if (showDtypes) sb.append(row(dtypes)).append('\n')
+      sb.append(headerSep).append('\n')
+      cells.foreach(cs => sb.append(row(cs)).append('\n'))
+      sb.append(line(blc, bjc, brc))
     }
-    sb.append(headerSep).append('\n')
-    cells.foreach(cs => sb.append(row(cs)).append('\n'))
-    sb.append(line(blc, bjc, brc))
+    if (showShape && Config.tblDataframeShapeBelow) sb.append('\n').append(shapeLine)
     sb.toString
   }
 

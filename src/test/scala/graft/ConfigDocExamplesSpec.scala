@@ -121,4 +121,77 @@ class ConfigDocExamplesSpec extends SparkSpec {
           |└───────────┴────────────┘""")
     }
   }
+
+  test("config.rb tbl_hide_column_names: dtype header only") {
+    Config.scoped(hideColumnNames = true) {
+      check(abcXyz,
+        """shape: (3, 2)
+          |┌─────┬───────┐
+          |│ f64 ┆ bool  │
+          |╞═════╪═══════╡
+          |│ 1.0 ┆ true  │
+          |│ 2.5 ┆ false │
+          |│ 5.0 ┆ true  │
+          |└─────┴───────┘""")
+    }
+  }
+
+  test("config.rb tbl_hide_dtype_separator: no --- row") {
+    Config.scoped(hideDtypeSeparator = true) {
+      check(abcXyz,
+        """shape: (3, 2)
+          |┌─────┬───────┐
+          |│ abc ┆ xyz   │
+          |│ f64 ┆ bool  │
+          |╞═════╪═══════╡
+          |│ 1.0 ┆ true  │
+          |│ 2.5 ┆ false │
+          |│ 5.0 ┆ true  │
+          |└─────┴───────┘""")
+    }
+  }
+
+  test("config.rb tbl_hide_dataframe_shape / tbl_dataframe_shape_below") {
+    Config.scoped(hideDataframeShape = true) {
+      check(abcXyz,
+        """┌─────┬───────┐
+          |│ abc ┆ xyz   │
+          |│ --- ┆ ---   │
+          |│ f64 ┆ bool  │
+          |╞═════╪═══════╡
+          |│ 1.0 ┆ true  │
+          |│ 2.5 ┆ false │
+          |│ 5.0 ┆ true  │
+          |└─────┴───────┘""")
+    }
+    Config.scoped(dataframeShapeBelow = true) {
+      check(abcXyz,
+        """┌─────┬───────┐
+          |│ abc ┆ xyz   │
+          |│ --- ┆ ---   │
+          |│ f64 ┆ bool  │
+          |╞═════╪═══════╡
+          |│ 1.0 ┆ true  │
+          |│ 2.5 ┆ false │
+          |│ 5.0 ┆ true  │
+          |└─────┴───────┘
+          |shape: (3, 2)""")
+    }
+  }
+
+  test("config.rb tbl_formatting ASCII_MARKDOWN with hidden dtypes and shape") {
+    val df = DataFrame(Seq((-2.5, "hello", true), (5.0, "world", false))
+      .toDF("abc", "mno", "xyz"))
+    Config.scoped(formatting = "ASCII_MARKDOWN", hideColumnDataTypes = true,
+      hideDataframeShape = true) {
+      // '#' margin: the pipe-table's own leading '|' must survive stripMargin
+      val expected =
+        """#| abc  | mno   | xyz   |
+          #|------|-------|-------|
+          #| -2.5 | hello | true  |
+          #| 5.0  | world | false |""".stripMargin('#').trim
+      val got = Testing.render(df.toSpark)
+      assert(got == expected, s"\n--- rendered ---\n$got\n--- expected ---\n$expected")
+    }
+  }
 }
