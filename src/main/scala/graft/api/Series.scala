@@ -162,6 +162,16 @@ final case class Series(name: String, df: SDF) {
   }
   def qcut(quantiles: Seq[Double], labels: Seq[String]): Series =
     map(_.qcut(quantiles, labels))
+  def qcut(quantiles: Seq[Double], labels: Option[Seq[String]] = None,
+           leftClosed: Boolean = false, allowDuplicates: Boolean = false,
+           includeBreaks: Boolean = false): Series = {
+    val base = map(_.qcut(quantiles, labels, leftClosed, allowDuplicates, includeBreaks))
+    // series surface renames to break_point/category (series.rb:1005)
+    if (!includeBreaks) base else base.renameStructFields("break_point", "category")
+  }
+  def qcut(k: Int, labels: Option[Seq[String]], leftClosed: Boolean,
+           allowDuplicates: Boolean, includeBreaks: Boolean): Series =
+    qcut((1 until k).map(_.toDouble / k), labels, leftClosed, allowDuplicates, includeBreaks)
 
   private def renameStructFields(names: String*): Series = {
     val st = dtype.asInstanceOf[org.apache.spark.sql.types.StructType]

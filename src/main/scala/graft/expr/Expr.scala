@@ -1059,7 +1059,10 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     }
     def below(b: Double) = if (leftClosed) c < b else c <= b
     def pick(vals: Seq[Any]): Column = {
-      val first = F.when(below(breaks.head), vals.head)
+      // null propagates (polars elementwise contract) — without the guard a
+      // null value's all-null comparisons would fall through to `otherwise`
+      // and land in the LAST bucket
+      val first = F.when(c.isNull, F.lit(null)).when(below(breaks.head), vals.head)
       val mid = breaks.indices.drop(1).foldLeft(first) { (acc, i) =>
         acc.when(below(breaks(i)), vals(i))
       }
@@ -1083,9 +1086,17 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   /** Uniform-probability form (reference expr.rb:2611 `qcut(2, ...)`):
     * k equal-probability buckets = cutting at 1/k, 2/k, …, (k-1)/k. */
   def qcut(k: Int, labels: Seq[String]): Expr =
-    qcut((1 until k).map(_.toDouble / k), labels)
-  def qcut(quantiles: Seq[Double], labels: Seq[String]): Expr = {
-    require(labels.size == quantiles.size + 1)
+    qcut((1 until k).map(_.toDouble / k), Some(labels))
+  def qcut(k: Int, labels: Option[Seq[String]], leftClosed: Boolean,
+           allowDuplicates: Boolean, includeBreaks: Boolean): Expr =
+    qcut((1 until k).map(_.toDouble / k), labels, leftClosed, allowDuplicates, includeBreaks)
+  def qcut(quantiles: Seq[Double], labels: Seq[String]): Expr =
+    qcut(quantiles, Some(labels))
+  def qcut(quantiles: Seq[Double], labels: Option[Seq[String]] = None,
+           leftClosed: Boolean = false, allowDuplicates: Boolean = false,
+           includeBreaks: Boolean = false): Expr = {
+    labels.foreach(ls => require(ls.size == quantiles.size + 1,
+      s"qcut: ${quantiles.size + 1} labels required, got ${ls.size}"))
     require(quantiles.forall(q => q >= 0.0 && q <= 1.0),
       s"qcut: quantiles must lie in [0, 1], got ${quantiles.mkString(", ")}")
     val pr = Scan.fresh("x")
@@ -1112,16 +1123,24 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
           if (t.scale == 0) !boundsInsideSafe else t.precision > 15
         case _ => false
       }
-      if (n == 0) dd.drop(vk).withColumn(pr, F.lit(null).cast("int"))
+      if (n == 0) dd.drop(vk).withColumn(pr, F.lit(null).cast(
+        if (includeBreaks) "struct<breakpoint:double,category:string>" else "string"))
       else if (lossy) {
-        // keep the rank-based spelling (exact at any dtype)
+        // keep the rank-based spelling (exact at any dtype); cut VALUES are
+        // unreliable in this domain, so only explicit labels are supported
+        require(labels.isDefined && !includeBreaks,
+          "qcut: values outside the exact double domain (int64 beyond 2^53, wide " +
+            "decimals) support only explicit labels without include_breaks")
+        val ls = labels.get
         val prr = Scan.fresh("r")
         val ranked = Scan.withPercentRank(dd.drop(vk), col, prr)
+        def below(q: Double) =
+          if (leftClosed) F.col(prr) < q else F.col(prr) <= q
         val first = F.when(F.col(prr).isNull, F.lit(null))
-          .when(F.col(prr) <= quantiles.head, 0)
+          .when(below(quantiles.head), ls.head)
         val mid = quantiles.indices.drop(1).foldLeft(first)((acc, i) =>
-          acc.when(F.col(prr) <= quantiles(i), i))
-        ranked.withColumn(pr, mid.otherwise(quantiles.size)).drop(prr)
+          acc.when(below(quantiles(i)), ls(i)))
+        ranked.withColumn(pr, mid.otherwise(ls.last)).drop(prr)
       } else {
         // NaN domains stay on this path. Spark comparison semantics treat
         // NaN as GREATER than every value (and NaN == NaN): a finite v
@@ -1132,21 +1151,41 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
         // later bucket. (Do NOT port this chain to IEEE semantics where
         // v <= NaN is false — the buckets would invert.)
         val ranks = quantiles.map(q => math.floor(q * (n - 1)).toLong)
-        val cuts = ranks.map(stats.at)
-        val first = F.when(F.col(vk).isNull, F.lit(null))
-          .when(F.col(vk) <= cuts.head, 0)
-        val mid = quantiles.indices.drop(1).foldLeft(first)((acc, i) =>
-          acc.when(F.col(vk) <= cuts(i), i))
-        dd.withColumn(pr, mid.otherwise(quantiles.size)).drop(vk)
+        val cutsAll = ranks.map(stats.at)
+        // duplicate quantile VALUES merge their buckets (polars
+        // allow_duplicates; without it polars raises DuplicateError)
+        val cuts = cutsAll.distinct
+        if (!allowDuplicates && cuts.size != cutsAll.size)
+          throw new IllegalArgumentException(
+            "qcut: duplicate quantile values (polars DuplicateError) — pass " +
+              "allowDuplicates = true to merge the duplicate buckets")
+        val lbls = labels.map(_.take(cuts.size + 1)).getOrElse {
+          val pts = Double.NegativeInfinity +: cuts :+ Double.PositiveInfinity
+          pts.sliding(2).map { case Seq(a, b) =>
+            if (leftClosed) s"[${Expr.fmtBreak(a)}, ${Expr.fmtBreak(b)})"
+            else s"(${Expr.fmtBreak(a)}, ${Expr.fmtBreak(b)}]" }.toSeq
+        }
+        def below(cut: Double) =
+          if (leftClosed) F.col(vk) < cut else F.col(vk) <= cut
+        def pick(vals: Seq[Any]): Column = {
+          val first = F.when(F.col(vk).isNull, F.lit(null))
+            .when(below(cuts.head), vals.head)
+          cuts.indices.drop(1).foldLeft(first)((acc, i) =>
+            acc.when(below(cuts(i)), vals(i))).otherwise(vals.last)
+        }
+        val out =
+          if (!includeBreaks) pick(lbls)
+          else F.struct(
+            pick(cuts :+ Double.PositiveInfinity).cast("double").as("breakpoint"),
+            pick(lbls).as("category"))
+        dd.withColumn(pr, out).drop(vk)
       }
     }, Seq(pr))
-    // bucket ordinal -> label; a null value has a null ordinal, no branch
-    // matches, and the otherwise-less chain keeps the null bucket
-    // (element_at over a literal array mis-declares nullability and NPEs the
-    // projection writer on the null case)
-    val chain = labels.indices.drop(1).foldLeft(F.when(F.col(pr) === 0, labels.head))(
-      (acc, i) => acc.when(F.col(pr) === i, labels(i)))
-    Expr(chain, requiresIndex, preps :+ prep)
+    // the prep emits the FINISHED value (label or {breakpoint, category}
+    // struct) — cut values are data-dependent, so the default break labels
+    // can only be built inside the prep where the quantiles are known
+    Expr(meta.outputName.fold(F.col(pr))(nm => F.col(pr).as(nm)),
+      requiresIndex, preps :+ prep)
   }
   /** Insertion index keeping sorted order = count of smaller elements
     * (reference expr.rb:1500 search_sorted; side "any" — the reference

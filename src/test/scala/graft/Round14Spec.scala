@@ -87,6 +87,45 @@ class Round14Spec extends SparkSpec {
     assert(exprFields.toSeq == Seq("breakpoint", "category"))
   }
 
+  test("Series.qcut(include_breaks:) golden values (series.rb:974)") {
+    val s = Series("foo", Seq(-2L, -1L, 0L, 1L, 2L).toDF("foo"))
+    val cut = s.qcut(Seq(0.25, 0.75), includeBreaks = true)
+    val fields = cut.dtype.asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+    assert(fields.toSeq == Seq("break_point", "category"))
+    val rows = cut.df.select(
+      F.col("foo").getField("break_point"), F.col("foo").getField("category")).collect()
+    assert(rows.map(_.getDouble(0)).toSeq ==
+      Seq(-1.0, -1.0, 1.0, 1.0, Double.PositiveInfinity))
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("(-inf, -1]", "(-inf, -1]", "(-1, 1]", "(-1, 1]", "(1, inf]"))
+  }
+
+  test("Series.qcut uniform k with left_closed (series.rb:961)") {
+    val s = Series("foo", Seq(-2L, -1L, 0L, 1L, 2L).toDF("foo"))
+    val got = s.qcut(2, Some(Seq("low", "high")), leftClosed = true,
+      allowDuplicates = false, includeBreaks = false).toList
+    assert(got == List("low", "low", "high", "high", "high"))
+  }
+
+  test("qcut duplicate quantile values: DuplicateError unless allow_duplicates") {
+    val s = Series("x", Seq(1.0, 1.0, 1.0, 1.0).toDF("x"))
+    val err = intercept[IllegalArgumentException](
+      s.qcut(Seq(0.25, 0.5), None).toList)
+    assert(err.getMessage.contains("duplicate quantile values"))
+    val merged = s.qcut(Seq(0.25, 0.5), None, leftClosed = false,
+      allowDuplicates = true, includeBreaks = false).toList
+    assert(merged == List("(-inf, 1]", "(-inf, 1]", "(-inf, 1]", "(-inf, 1]"))
+  }
+
+  test("cut propagates null values (elementwise contract)") {
+    val s = Series("x", Seq[Option[Double]](None, Some(1.0))
+      .map(_.map(Double.box).orNull).toDF("x"))
+    assert(s.cut(Seq(0.0)).toList == List(null, "(0, inf]"))
+    val withBreaks = s.cut(Seq(0.0), includeBreaks = true).df.collect()
+    assert(withBreaks(0).isNullAt(0) ||
+      withBreaks(0).getStruct(0).isNullAt(1)) // null value -> null fields
+  }
+
   test("calendar rolling: cast-wrapped decimal sum keeps the empty-window identity 0") {
     def at(s: String) = java.sql.Timestamp.valueOf(s)
     val df = LazyFrame(Seq(
