@@ -377,6 +377,28 @@ trait FrameOps[Self] {
   /** Frame-level fill_null(strategy:) (reference lazy_frame.rb fill_null =
     * select(all.fill_null(strategy))) — every column through the expr-level
     * strategy kernel in frame order. */
+  /** Count unique rows, optionally over a column/expression subset
+    * (reference data_frame.rb:3530 n_unique goldens: plain, named-column
+    * subset, and expression subset). */
+  def nUnique(subset: Seq[Expr] = Nil): Long = {
+    val d = if (subset.isEmpty) sdf
+      else sdf.select(subset.zipWithIndex.map { case (e, i) => e.col.as(s"__nu_${i}__") }: _*)
+    d.distinct().count()
+  }
+
+  /** Row at an index as a value sequence (reference data_frame.rb row). */
+  def row(index: Long): Seq[Any] =
+    sdf.offset(index.toInt).limit(1).collect()(0).toSeq
+  /** The single row matching the predicate (reference data_frame.rb
+    * row(by_predicate:) — polars raises unless exactly one row matches). */
+  def rowByPredicate(pred: Expr): Seq[Any] = {
+    val rows = sdf.filter(pred.col).limit(2).collect()
+    require(rows.length == 1,
+      if (rows.isEmpty) "no rows returned by predicate"
+      else "predicate <...> returned 2 or more rows")
+    rows(0).toSeq
+  }
+
   def fillNullStrategy(strategy: String): Self =
     select(columns.map(c => Expr(F.col(c)).fillNullStrategy(strategy).alias(c)): _*)
 
