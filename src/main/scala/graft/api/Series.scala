@@ -39,6 +39,46 @@ final case class Series(name: String, df: SDF) {
   def gtSeries(o: Series): Series = zipWith(o, _ > _, name)
   def leSeries(o: Series): Series = zipWith(o, _ <= _, name)
   def geSeries(o: Series): Series = zipWith(o, _ >= _, name)
+  // eq_missing/ne_missing: null == null is true (reference series.rb:305)
+  def eqMissing(o: Series): Series = zipWith(o, _ <=> _, name)
+  def neMissing(o: Series): Series = zipWith(o, (a, b) => !(a <=> b), name)
+  /** Element mask pick: where `mask` take this, else `other` (reference
+    * series.rb zip_with). */
+  def zipWith(mask: Series, other: Series): Series = {
+    val a = graft.kernel.RowIndex.attachDense(df)
+    val m = graft.kernel.RowIndex.attachDense(mask.rename("__m__").df)
+    val b = graft.kernel.RowIndex.attachDense(other.rename("__o__").df)
+    Series(name, a.join(m, IDX).join(b, IDX).orderBy(IDX)
+      .select(F.when(F.col("__m__"), F.col(name)).otherwise(F.col("__o__")).as(name)))
+  }
+  /** Dot product scalar (reference series.rb dot). */
+  def dot(o: Series): Any = {
+    val a = graft.kernel.RowIndex.attachDense(df)
+    val b = graft.kernel.RowIndex.attachDense(o.rename("__o__").df)
+    a.join(b, IDX).agg(F.sum(F.col(name) * F.col("__o__"))).collect()(0).get(0)
+  }
+  /** Sortedness-flag shim (reference set_sorted — Spark has no per-column
+    * sortedness metadata; ordering invariants live in the plan). */
+  def setSorted(descending: Boolean = false): Series = this
+  /** Membership of each element in ANOTHER series' values (reference
+    * series.rb is_in(Series)) — broadcast left join on the value, row
+    * order restored via the dense index; never a driver-side collect. */
+  def isIn(other: Series): Series = {
+    val probe = F.broadcast(other.df.select(F.col(other.name).as("__v__")).distinct())
+    Series(name, indexed
+      .join(probe, F.col(name) <=> F.col("__v__"), "left")
+      .orderBy(IDX)
+      .select(F.col("__v__").isNotNull.as(name)))
+  }
+  /** Value replacement keeping the ORIGINAL dtype (reference series.rb
+    * replace goldens: {"x"=>1} over a str series yields "1"). */
+  def replace(mapping: Map[Any, Any]): Series =
+    map(_.replaceValues(mapping).cast(dtype))
+  def replace(old: Any, nw: Any): Series = replace(Map(old -> nw))
+  def replace(olds: Seq[Any], news: Seq[Any]): Series = {
+    require(olds.size == news.size, "replace: old/new length mismatch")
+    replace(olds.zip(news).toMap)
+  }
   def eqScalar(v: Any): Series = Series(name, df.select((F.col(name) === F.lit(v)).as(name)))
   def neScalar(v: Any): Series = Series(name, df.select((F.col(name) =!= F.lit(v)).as(name)))
   def ltScalar(v: Any): Series = Series(name, df.select((F.col(name) < F.lit(v)).as(name)))

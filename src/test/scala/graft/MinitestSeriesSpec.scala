@@ -248,6 +248,52 @@ class MinitestSeriesSpec extends SparkSpec {
     assert(vc.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("x", 2L), ("y", 1L)))
   }
 
+  test("eq vs eq_missing: null == null (series.rb:305)") {
+    val s1 = longs(Some(333), Some(200), None)
+    val s2 = longs(Some(100), Some(200), None)
+    assert(s1.eqSeries(s2).toList == List(false, true, null))
+    assert(s1.eqMissing(s2).toList == List(false, true, true))
+    assert(s1.neMissing(s2).toList == List(true, false, false))
+  }
+
+  test("zip_with: mask picks self, else other (series.rb golden)") {
+    val s1 = longs(Some(1), Some(2), Some(3), Some(4), Some(5))
+    val s2 = longs(Some(5), Some(4), Some(3), Some(2), Some(1))
+    assert(s1.zipWith(s1.ltSeries(s2), s2).toList == List(1L, 2L, 3L, 2L, 1L))
+    val mask = Series("m", Seq(true, false, true, false, true).toDF("m"))
+    assert(s1.zipWith(mask, s2).toList == List(1L, 4L, 3L, 2L, 5L))
+  }
+
+  test("test_dot / test_set_sorted / test_cleared / arg_true") {
+    val a = longs(Some(1), Some(2), Some(3))
+    val b = dbls(Some(4.0), Some(5.0), Some(6.0))
+    assert(a.dot(b) == 32.0)
+    assert(a.setSorted().max == 3L)
+    val c = Series("a", Seq[Option[Boolean]](None, Some(true), Some(false))
+      .map(_.map(Boolean.box).orNull).toDF("a")).cleared
+    assert(c.len == 0L && c.dtype == BooleanType)
+    assert(a.eqScalar(2L).argTrue.toList == List(1L))
+  }
+
+  test("is_in against another series (broadcast membership)") {
+    val s = Series("a", Seq(1L, 2L, 3L).toDF("a"))
+    val s2 = Series("b", Seq(2L, 4L).toDF("b"))
+    assert(s2.isIn(s).toList == List(true, false))
+  }
+
+  test("series.rb replace: values, sequences, and dtype preservation") {
+    val s = longs(Some(1), Some(2), Some(2), Some(3))
+    assert(s.replace(2L, 100L).toList == List(1L, 100L, 100L, 3L))
+    assert(s.replace(Seq(2L, 3L), Seq(100L, 200L)).toList == List(1L, 100L, 100L, 200L))
+    assert(s.replace(Map[Any, Any](2L -> 100L, 3L -> 200L)).toList ==
+      List(1L, 100L, 100L, 200L))
+    // replacing str by ints keeps str: {"x"=>1} over str yields "1"
+    val t = Series("a", Seq("x", "y", "z").toDF("a"))
+    val replaced = t.replace(Map[Any, Any]("x" -> 1, "y" -> 2, "z" -> 3))
+    assert(replaced.dtype == StringType)
+    assert(replaced.toList == List("1", "2", "3"))
+  }
+
   test("test_is_numeric / is_float / is_bool / is_utf8 / is_datelike") {
     assert(longs(Some(1)).isNumeric && dbls(Some(1.0)).isNumeric)
     assert(!Series("a", Seq("one").toDF("a")).isNumeric)
