@@ -479,6 +479,8 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   // ---- conditional agg helper (reference: expr.rb:2713 Expr#filter) ----
   /** Keep only elements matching the predicate inside an aggregation context. */
   def filter(pred: Expr): Expr = zip(pred)((c, p) => F.when(p, c))
+  /** Alias of filter inside aggregations (reference expr.rb:2834 where). */
+  def where(pred: Expr): Expr = filter(pred)
 
   // ---- window: over (reference: expr.rb:2278) ----
   /** Per-key evaluation. For plain aggregates this is the Spark window; for
@@ -570,7 +572,14 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     * Keyed form: Spark lag/lead fill their default only for out-of-range
     * rows, exactly polars' structural-fill semantics. */
   def shift(n: Int = 1): Expr = shiftImpl(n, None)
-  def shiftAndFill(n: Int, fill: Any): Expr = shiftImpl(n, Some(Expr.lit(fill).col))
+  def shiftAndFill(n: Int, fill: Any): Expr = fill match {
+    // polars promotes to the fill/value supertype: a str fill over a
+    // numeric column yields a str column (expr.rb:2060 golden) — Spark's
+    // ANSI coercion would instead try to CAST the fill to the column type
+    case _: String => cast(org.apache.spark.sql.types.StringType)
+      .shiftImpl(n, Some(Expr.lit(fill).col))
+    case _ => shiftImpl(n, Some(Expr.lit(fill).col))
+  }
   private def shiftImpl(n: Int, fill: Option[Column]): Expr =
     if (n == 0) this
     else scanned((d, out) => Scan.shifted(d, col, n, out, fill)).copy(keyed =
@@ -1340,8 +1349,14 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   /** Explode a list column to rows (reference expr.rb explode/flatten —
     * flatten is its documented alias). Changes cardinality: valid in a
     * select over list columns, same as Spark's explode. */
-  def explode: Expr = map(F.explode)
-  def flatten: Expr = explode
+  def explode: Expr = flatten
+  /** explode/flatten: length-changing Generate in select; inside
+    * group_by().agg it CONCATENATES the group's lists into one
+    * (reference expr.rb:2858 flatten golden) — collect_list over the
+    * agg path's partition-sorted groups keeps row order. */
+  def flatten: Expr = Expr(F.explode(col), requiresIndex, preps, None,
+    Some(GroupAggForm(KeyedForm(_ => Expr(col, requiresIndex, preps)),
+      c => F.flatten(F.collect_list(c)))))
   def keepName: Expr = name.keep
   def mapAlias(f: String => String): Expr =
     meta.outputName.fold(this)(n => alias(f(n)))
