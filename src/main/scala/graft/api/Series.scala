@@ -91,23 +91,20 @@ final case class Series(name: String, df: SDF) {
     DataFrame(df).toDummies(Seq(name), separator)
 
   private def scalar(e: Expr): Any = df.select(e.col).collect()(0).get(0)
-  // sum/min/max through Expr so the polars identities apply uniformly:
-  // empty/all-null sum is 0 (expr.rb:2713), extrema skip NaN (expr.rb goldens)
-  // booleans numericize under sum/mean (series_test.rb test_mean: mean of
-  // [true,true,true,false] is 0.75; Spark's sum/avg reject BooleanType)
-  private def numCol: org.apache.spark.sql.Column =
-    if (dtype == BooleanType) F.col(name).cast("int") else F.col(name)
-  def sum: Any = scalar(Expr(numCol).sum)
-  def mean: Any = scalar(Expr(F.avg(numCol)))
+  // sum/mean/min/max through Expr so the polars semantics apply uniformly:
+  // empty/all-null sum is 0 (expr.rb:2713), extrema skip NaN (expr.rb
+  // goldens), and booleans numericize under sum/mean (BoolToInt)
+  def sum: Any = scalar(Expr(F.col(name)).sum)
+  def mean: Any = scalar(Expr(F.col(name)).mean)
   def min: Any = scalar(Expr(F.col(name)).min)
   def max: Any = scalar(Expr(F.col(name)).max)
   def median: Any = scalar(Expr(F.median(F.col(name))))
   // std/var of a non-numeric series is null, not an analysis error
   // (series_test.rb test_std: std of a str series is nil)
   def std: Any = if (!isNumeric && dtype != BooleanType) null
-    else scalar(Expr(F.stddev_samp(numCol)))
+    else scalar(Expr(F.stddev_samp(Expr.boolAsInt(F.col(name)))))
   def variance: Any = if (!isNumeric && dtype != BooleanType) null
-    else scalar(Expr(F.var_samp(numCol)))
+    else scalar(Expr(F.var_samp(Expr.boolAsInt(F.col(name)))))
   def nUnique: Long = df.select(F.countDistinct(F.col(name))).collect()(0).getLong(0)
   /** any?/all?/none? (reference series.rb:534-560): boolean aggregates;
     * ignore_nulls=false applies Kleene logic (may return null). */

@@ -313,8 +313,11 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   /** polars sum of an empty / all-null group is 0, not null (expr.rb:2713
     * filter golden: the group whose filtered slice is empty sums to 0).
     * The 0 literal coerces to the sum's own result type at analysis. */
-  def sum: Expr = aggMap(c => F.coalesce(F.sum(c), F.lit(0)))
-  def mean: Expr = aggMap(F.avg)
+  // booleans numericize under sum/mean (vertical.rb:20 golden: all.sum over
+  // bool counts trues; mean is the fraction true) — BoolToInt is a lazy
+  // type-directed pass-through, identity on every non-boolean dtype
+  def sum: Expr = aggMap(c => F.coalesce(F.sum(Expr.boolAsInt(c)), F.lit(0)))
+  def mean: Expr = aggMap(c => F.avg(Expr.boolAsInt(c)))
   def median: Expr = aggMap(c => F.median(c))
   /** Plain extrema IGNORE NaN (reference expr.rb:1895-1935 goldens: max of
     * [-1.0, NaN, 1.0] is 1.0, not NaN) — Spark orders NaN above every double,
@@ -1412,6 +1415,11 @@ object Expr {
   private[graft] def nanSkipped(c: Column): Column =
     org.apache.spark.sql.GraftInternalOps.column(
       graft.ext.NanToNull(org.apache.spark.sql.GraftInternalOps.expression(c)))
+  /** Boolean→int pass-through for polars' numeric bool aggregation
+    * (see [[graft.ext.BoolToInt]]); identity on every other dtype. */
+  private[graft] def boolAsInt(c: Column): Column =
+    org.apache.spark.sql.GraftInternalOps.column(
+      graft.ext.BoolToInt(org.apache.spark.sql.GraftInternalOps.expression(c)))
   /** Dtype-preserving product aggregate (see [[graft.ext.GraftProduct]]). */
   private[graft] def productAgg(c: Column): Column =
     org.apache.spark.sql.GraftInternalOps.column(

@@ -50,6 +50,16 @@ class DocExamples13Spec extends SparkSpec {
         |└───────┴───────────┘""")
   }
 
+  test("vertical.rb all.sum over bool columns counts trues (values; u32->i64)") {
+    val df = DataFrame(Seq((true, false), (false, false), (true, false)).toDF("a", "b"))
+    val got = df.select(col("a").sum.alias("a"), col("b").sum.alias("b"))
+      .toSpark.collect()(0)
+    assert(got.getLong(0) == 2L && got.getLong(1) == 0L)
+    // and mean is the fraction true
+    val m = df.select(col("a").mean.alias("a")).toSpark.collect()(0)
+    assert(m.getDouble(0) == 2.0 / 3.0)
+  }
+
   test("expr.rb first in select") {
     val df = DataFrame(Seq(1L, 1L, 2L).toDF("a"))
     check(df.select(col("a").first),
@@ -61,6 +71,72 @@ class DocExamples13Spec extends SparkSpec {
         |╞═════╡
         |│ 1   │
         |└─────┘""")
+  }
+
+  test("horizontal.rb all/any: Kleene nulls across columns") {
+    val df = DataFrame(Seq(
+      (Some(false), Some(false), "u"), (Some(false), Some(true), "v"),
+      (Some(true), Some(true), "w"), (Some(true), None, "x"),
+      (Some(false), None, "y"), (None, None, "z"))
+      .map { case (a, b, c) => (a.map(Boolean.box).orNull, b.map(Boolean.box).orNull, c) }
+      .toDF("a", "b", "c"))
+    check(df.withColumns(Seq(Polars.allHorizontal(col("a"), col("b")).alias("all"))),
+      """shape: (6, 4)
+        |┌───────┬───────┬─────┬───────┐
+        |│ a     ┆ b     ┆ c   ┆ all   │
+        |│ ---   ┆ ---   ┆ --- ┆ ---   │
+        |│ bool  ┆ bool  ┆ str ┆ bool  │
+        |╞═══════╪═══════╪═════╪═══════╡
+        |│ false ┆ false ┆ u   ┆ false │
+        |│ false ┆ true  ┆ v   ┆ false │
+        |│ true  ┆ true  ┆ w   ┆ true  │
+        |│ true  ┆ null  ┆ x   ┆ null  │
+        |│ false ┆ null  ┆ y   ┆ false │
+        |│ null  ┆ null  ┆ z   ┆ null  │
+        |└───────┴───────┴─────┴───────┘""")
+    check(df.withColumns(Seq(Polars.anyHorizontal(col("a"), col("b")).alias("any"))),
+      """shape: (6, 4)
+        |┌───────┬───────┬─────┬───────┐
+        |│ a     ┆ b     ┆ c   ┆ any   │
+        |│ ---   ┆ ---   ┆ --- ┆ ---   │
+        |│ bool  ┆ bool  ┆ str ┆ bool  │
+        |╞═══════╪═══════╪═════╪═══════╡
+        |│ false ┆ false ┆ u   ┆ false │
+        |│ false ┆ true  ┆ v   ┆ true  │
+        |│ true  ┆ true  ┆ w   ┆ true  │
+        |│ true  ┆ null  ┆ x   ┆ true  │
+        |│ false ┆ null  ┆ y   ┆ null  │
+        |│ null  ┆ null  ┆ z   ┆ null  │
+        |└───────┴───────┴─────┴───────┘""")
+  }
+
+  test("horizontal.rb max/min/sum skip nulls across columns") {
+    val df = DataFrame(Seq(
+      (Some(1L), Some(4L), "x"), (Some(8L), Some(5L), "y"), (Some(3L), None, "z"))
+      .map { case (a, b, c) => (a.map(Long.box).orNull, b.map(Long.box).orNull, c) }
+      .toDF("a", "b", "c"))
+    check(df.withColumns(Seq(Polars.maxHorizontal(col("a"), col("b")).alias("max"))),
+      """shape: (3, 4)
+        |┌─────┬──────┬─────┬─────┐
+        |│ a   ┆ b    ┆ c   ┆ max │
+        |│ --- ┆ ---  ┆ --- ┆ --- │
+        |│ i64 ┆ i64  ┆ str ┆ i64 │
+        |╞═════╪══════╪═════╪═════╡
+        |│ 1   ┆ 4    ┆ x   ┆ 4   │
+        |│ 8   ┆ 5    ┆ y   ┆ 8   │
+        |│ 3   ┆ null ┆ z   ┆ 3   │
+        |└─────┴──────┴─────┴─────┘""")
+    check(df.withColumns(Seq(Polars.sumHorizontal(col("a"), col("b")).alias("sum"))),
+      """shape: (3, 4)
+        |┌─────┬──────┬─────┬─────┐
+        |│ a   ┆ b    ┆ c   ┆ sum │
+        |│ --- ┆ ---  ┆ --- ┆ --- │
+        |│ i64 ┆ i64  ┆ str ┆ i64 │
+        |╞═════╪══════╪═════╪═════╡
+        |│ 1   ┆ 4    ┆ x   ┆ 5   │
+        |│ 8   ┆ 5    ┆ y   ┆ 13  │
+        |│ 3   ┆ null ┆ z   ┆ 3   │
+        |└─────┴──────┴─────┴─────┘""")
   }
 
   test("expr.rb shift_and_fill: a str fill value promotes the column") {
