@@ -76,6 +76,27 @@ object Polars {
   def when(cond: Expr): When = new When(cond)
 
   // ---- horizontal aggs (reference: functions/aggregation/horizontal.rb:34-235) ----
+  // ---- vertical module aggregates (reference functions/aggregation/
+  // vertical.rb:135,190,245 min/max/sum(*names) and functions/lazy.rb
+  // count/mean/median/n_unique/approx_n_unique/first/last(*columns),
+  // functions/len.rb) — thin shims over the Expr aggregates so the module
+  // spellings share their semantics (all-null sum 0, NaN-skipping extrema) ----
+  def min(name: String): Expr = col(name).min
+  def min(names: Seq[String]): Seq[Expr] = names.map(col(_).min)
+  def max(name: String): Expr = col(name).max
+  def max(names: Seq[String]): Seq[Expr] = names.map(col(_).max)
+  def sum(name: String): Expr = col(name).sum
+  def sum(names: Seq[String]): Seq[Expr] = names.map(col(_).sum)
+  def mean(name: String): Expr = col(name).mean
+  def median(name: String): Expr = col(name).median
+  def nUnique(name: String): Expr = col(name).nUnique
+  def approxNUnique(name: String): Expr = col(name).approxNUnique
+  def first(name: String): Expr = col(name).first
+  def last(name: String): Expr = col(name).last
+  def count(name: String): Expr = col(name).count
+  /** Polars.len — row count incl. nulls, named "len" (functions/len.rb). */
+  def len: Expr = Expr(F.count(F.lit(1))).alias("len")
+
   def sumHorizontal(exprs: Expr*): Expr =
     mkExprK(exprs)(_.map(c => F.coalesce(c, F.lit(0))).reduce(_ + _))
   def minHorizontal(exprs: Expr*): Expr = mkExprK(exprs)(cs => F.least(cs: _*))

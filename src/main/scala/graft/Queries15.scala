@@ -73,7 +73,10 @@ object Queries15 {
       """WITH s AS (
         |  SELECT l_returnflag, list_sort(list(l_quantity)) AS v, count(*) AS n
         |  FROM lineitem GROUP BY 1),
-        |h AS (SELECT l_returnflag, v, 0.37*(n-1) AS h FROM s)
+        |-- h in DOUBLE, not DuckDB's exact DECIMAL: graft computes h = q*(n-1)
+        |-- in f64 (as polars does), and when h lands on an integer or exact
+        |-- half the floor/>=0.5 picks would otherwise be engine-dependent
+        |h AS (SELECT l_returnflag, v, CAST(0.37 AS DOUBLE)*(n-1) AS h FROM s)
         |SELECT l_returnflag,
         |  CAST(v[CAST(floor(h) AS BIGINT) + 1] AS DOUBLE) AS q_lower,
         |  CAST(v[CAST(ceil(h) AS BIGINT) + 1] AS DOUBLE) AS q_higher,

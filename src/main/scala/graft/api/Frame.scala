@@ -354,10 +354,31 @@ trait FrameOps[Self] {
   }
   /** Frame-level quantile (reference lazy_frame.rb:2368): every numeric
     * column to its q-quantile, f64 like polars (default interpolation
-    * "nearest", same as the reference). */
-  def quantileFrame(q: Double, interpolation: String = "nearest"): Self =
-    aggAll(c => Expr(c).quantile(q, interpolation).col
-      .cast(org.apache.spark.sql.types.DoubleType), numericOnly = true)
+    * "nearest", same as the reference). Routes through the histogram-
+    * refinement kernel (one bounds scan + geometric refinement over ALL
+    * columns at once, [[graft.kernel.Quantiles]]) — the previous per-column
+    * collect_list aggregate buffered every column of the whole table in
+    * one row's aggregation buffers. */
+  def quantileFrame(q: Double, interpolation: String = "nearest"): Self = {
+    import org.apache.spark.sql.types._
+    val Q = graft.kernel.Quantiles
+    val numeric = sdf.schema.fields
+      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name)
+    val stats =
+      if (numeric.isEmpty) Map.empty[String, Q.ColStats]
+      else Q.orderStats(sdf, numeric.toSeq.map(c => Q.Req(c, Q.quantileRanks(q))))
+    val cols = sdf.schema.fields.map { fld =>
+      (stats.get(fld.name) match {
+        case Some(st) =>
+          F.lit(Q.quantileOf(st, q, interpolation).map(Double.box).orNull)
+            .cast(DoubleType)
+        // polars keeps a non-aggregable column's ORIGINAL dtype with a null
+        // value (data_frame.rb:4340 quantile golden: ham stays `str`)
+        case None => F.lit(null).cast(fld.dataType)
+      }).as(fld.name)
+    }
+    make(sdf.sparkSession.range(1).select(cols.toIndexedSeq: _*))
+  }
 
   /** Frame-level fill_nan (reference lazy_frame.rb:2168): replace NaN in
     * every FLOAT column; nulls are NOT NaN and pass through untouched. */

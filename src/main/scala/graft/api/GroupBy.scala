@@ -98,16 +98,9 @@ final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk0: SDF => Self,
       val base0 = if (exprs.exists(_.requiresIndex)) RowIndex.attachDense(sdf) else sdf
       mk(base0.groupBy(keys: _*).agg(exprs.head.col, exprs.tail.map(_.col): _*))
     } else {
-      // hash-partition by the keys and sort by (keys, row-idx) FIRST: every
-      // group lands whole in one partition with rows in row order, so
-      // order-sensitive aggregates in the scalar branch (first/last/implode
-      // composed on a scanned op) see polars' row-order discipline — the
-      // aggregate iterates partition order and no further exchange is needed
-      // (the partitioning already satisfies the aggregation requirement)
-      val base = RowIndex.attachDense(sdf)
-      var d = base.repartition(keys: _*)
-        .sortWithinPartitions(keys :+ F.col(RowIndex.name): _*)
-      val tmp = perGroup.map { case (e, i) =>
+      // resolve every keyed form FIRST: whether the frame needs the hidden
+      // row index depends on what the forms reference
+      val kes = perGroup.map { case (e, i) =>
         val ke =
           try e.groupAgg.map(_.keyed).getOrElse(e.keyed.get).mk(keys)
           catch {
@@ -117,9 +110,36 @@ final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk0: SDF => Self,
               throw new UnsupportedOperationException(
                 s"group_by().agg: this expression cannot be spelled per group — ${ex.getMessage}")
           }
+        (e, i, ke)
+      }
+      // ROW-ORDER-dependent forms (shift/cum/implode — ke.requiresIndex, or
+      // a per-group LIST collection, which sorts by the index): attach the
+      // dense index, hash-partition by the keys, and sort by (keys, row-idx)
+      // so every group lands whole in one partition in row order — the
+      // scalar branch's order-sensitive aggregates iterate partition order
+      // and the final aggregation needs no further exchange. VALUE-ordered
+      // forms only (the element-mode quantiles rank by (keys, value)):
+      // skip the index entirely — attachDense materializes the scan as an
+      // un-prunable RDD and its row-order sort is dead work when every
+      // window imposes its own ordering; the windows' ENSURE_REQUIREMENTS
+      // exchange (AQE-coalescible) partitions by the keys on its own.
+      val needsIdx = kes.exists { case (e, _, ke) => ke.requiresIndex || e.groupAgg.isEmpty }
+      var d =
+        if (needsIdx)
+          RowIndex.attachDense(sdf).repartition(keys: _*)
+            .sortWithinPartitions(keys :+ F.col(RowIndex.name): _*)
+        else sdf
+      // helper columns batch into ONE projection after all preps: several
+      // per-group exprs sharing a window spec (the 4 element-mode quantiles
+      // of q_quantile_modes rank by the same (keys, value) order) then plan
+      // ONE Window node per distinct spec via CollapseWindow — the previous
+      // sequential withColumn chain interleaved a Project between every
+      // Window pair, blocking the merge and re-sorting per expression
+      val helperCols = Seq.newBuilder[Column]
+      val tmp = kes.map { case (e, i, ke) =>
         d = ke.preps.distinctBy(_.key).foldLeft(d)((dd, p) => p.build(dd))
         val name = s"__graft_agg${i}__"
-        d = d.withColumn(name, ke.col)
+        helperCols += org.apache.spark.sql.GraftInternalOps.stripAlias(ke.col).as(name)
         // output name: a user alias on an aggregate-of-scanned is composed
         // into the agg closure (possibly under later casts), so probe the
         // composed aggregate for the FIRST alias anywhere in its tree; fall
@@ -131,6 +151,7 @@ final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk0: SDF => Self,
           .getOrElse(s"column_$i")
         i -> (name, out)
       }.toMap
+      d = d.select(F.col("*") +: helperCols.result(): _*)
       // polars raises DuplicateError on colliding output names. Per-group
       // names are checked against each other AND against explicitly-aliased
       // plain aggregates (un-aliased plain aggs materialize under Spark's
@@ -196,7 +217,17 @@ final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk0: SDF => Self,
   def mean(): Self = aggAll(F.avg, boolAsInt = true)
   def median(): Self = aggAll(c => F.median(c), boolAsInt = true)
   def nUnique(): Self = aggAll(c => F.countDistinct(c))
-  def quantile(q: Double): Self = aggAll(c => F.percentile(c, F.lit(q)))
+  /** reference group_by.rb:571: quantile(q, interpolation: "nearest")
+    * delegates to agg(all.quantile(...)) — the Expr route, so element
+    * modes get the scale-safe two-pass rank selection, not a per-group
+    * buffer. (The previous spelling was `percentile` = linear, a silent
+    * interpolation divergence from the reference default.) */
+  def quantile(q: Double, interpolation: String = "nearest"): Self = {
+    val keyNames = keys.map(_.toString).toSet
+    val others = sdf.columns.filterNot(c => keyNames.contains(c) || c == RowIndex.name)
+    agg(others.toIndexedSeq.map(c =>
+      graft.expr.Expr(F.col(c)).quantile(q, interpolation).alias(c)): _*)
+  }
   def count(): Self = mk(sdf.groupBy(keys: _*).agg(F.count(F.lit(1)).as("count")))
   def len(): Self = count()
 

@@ -45,6 +45,13 @@ final case class Series(name: String, df: SDF) {
   /** Element mask pick: where `mask` take this, else `other` (reference
     * series.rb zip_with). */
   def zipWith(mask: Series, other: Series): Series = {
+    // polars raises ShapeError on a length mismatch (same discipline as
+    // Series#filter) — the positional join would silently truncate to the
+    // shorter series
+    require(mask.len == len,
+      s"Series.zip_with: mask length ${mask.len} != series length $len")
+    require(other.len == len,
+      s"Series.zip_with: other length ${other.len} != series length $len")
     val a = graft.kernel.RowIndex.attachDense(df)
     val m = graft.kernel.RowIndex.attachDense(mask.rename("__m__").df)
     val b = graft.kernel.RowIndex.attachDense(other.rename("__o__").df)
@@ -53,6 +60,10 @@ final case class Series(name: String, df: SDF) {
   }
   /** Dot product scalar (reference series.rb dot). */
   def dot(o: Series): Any = {
+    // polars raises ShapeError on a length mismatch — the positional join
+    // would silently truncate and return a wrong scalar
+    require(o.len == len,
+      s"Series.dot: other length ${o.len} != series length $len")
     val a = graft.kernel.RowIndex.attachDense(df)
     val b = graft.kernel.RowIndex.attachDense(o.rename("__o__").df)
     a.join(b, IDX).agg(F.sum(F.col(name) * F.col("__o__"))).collect()(0).get(0)
@@ -612,8 +623,22 @@ final case class Series(name: String, df: SDF) {
   // (the Expr surface defaults true per expr.rb:6637 — different defaults)
   def entropy(base: Double = math.E, normalize: Boolean = false): Any =
     scalar(Expr(F.col(name)).entropy(base, normalize))
-  def quantile(q: Double, interpolation: String = "nearest"): Any =
-    scalar(Expr(F.col(name)).quantile(q, interpolation))
+  /** Whole-column quantile routes through the histogram-refinement kernel
+    * ([[graft.kernel.Quantiles]]) — bounded memory and zero shuffle where
+    * the Expr-level collect_list spelling would buffer the entire column
+    * in one aggregation buffer. `linear` stays on Spark's exact
+    * `percentile` (distinct-value-bounded, same formula). */
+  def quantile(q: Double, interpolation: String = "nearest"): Any = {
+    // reference error text (series_test.rb test_quantile)
+    require(q >= 0.0 && q <= 1.0, "quantile should be between 0.0 and 1.0")
+    if (interpolation == "linear")
+      scalar(Expr(F.col(name)).quantile(q, interpolation))
+    else {
+      val Q = graft.kernel.Quantiles
+      val st = Q.orderStats(df, Seq(Q.Req(name, Q.quantileRanks(q))))(name)
+      Q.quantileOf(st, q, interpolation).map(Double.box).orNull
+    }
+  }
   def skew(bias: Boolean = true): Any = scalar(Expr(F.col(name)).skew(bias))
   def kurtosis(fisher: Boolean = true, bias: Boolean = true): Any =
     scalar(Expr(F.col(name)).kurtosis(fisher, bias))

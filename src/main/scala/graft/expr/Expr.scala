@@ -378,34 +378,79 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   }
   def std(ddof: Int = 1): Expr = aggMap(c => ddofScale(F.stddev_samp(c), F.count(c), ddof, isStd = true))
   def variance(ddof: Int = 1): Expr = aggMap(c => ddofScale(F.var_samp(c), F.count(c), ddof, isStd = false))
-  /** Exact quantile, all five Polars interpolation modes (reference: expr.rb:2107).
-    * `linear` maps to Spark's exact `percentile` (same formula as DuckDB
-    * `quantile_cont`); the discrete modes index into the sorted group — exact but
-    * O(group) memory, fine for agg outputs, prefer `linear`/`approxQuantile` at
-    * 100 TB scale. */
-  def quantile(q: Double, interpolation: String = "nearest"): Expr = aggMap { c =>
+  /** Exact quantile, all five Polars interpolation modes (reference:
+    * expr.rb:2107). `linear` maps to Spark's exact `percentile` (same
+    * formula as DuckDB `quantile_cont`, distinct-value-bounded state). The
+    * element-picking modes carry a [[GroupAggForm]] so GROUPED contexts
+    * (group_by().agg, .over(keys)) plan a two-pass rank selection — a
+    * per-key `row_number`/`count` window locates the two target ranks, and
+    * a constant-state aggregate picks the matching rows — so per-group
+    * memory never grows with group size (the window sort spills; the old
+    * `sort_array(collect_list)` spelling buffered whole groups in one
+    * aggregation buffer, an executor OOM when groups are table-sized). The
+    * bare-Column spelling below keeps the sorted-array indexing for its
+    * two remaining bounded uses: 1-row select goldens and rolling range
+    * frames (where the frame bounds the buffer); whole-column SCALARS
+    * route through [[graft.kernel.Quantiles]] instead (Series#quantile,
+    * Frame#quantileFrame). */
+  def quantile(q: Double, interpolation: String = "nearest"): Expr = {
     // reference error text (series_test.rb test_quantile)
     require(q >= 0.0 && q <= 1.0, "quantile should be between 0.0 and 1.0")
     // polars quantile is ALWAYS f64 (expr.rb:2473 goldens: lower/higher on
     // an i64 column still render f64), so the element-picking modes cast
     interpolation match {
-      case "linear" => F.percentile(c, F.lit(q))
+      case "linear" => aggMap(c => F.percentile(c, F.lit(q)))
       case m =>
-        val sorted = F.sort_array(F.collect_list(c))
-        val n = F.size(sorted)
-        val h = F.lit(q) * (n - 1).cast("double")
-        val lo = F.element_at(sorted, F.floor(h).cast("int") + 1)
-        val hi = F.element_at(sorted, F.ceil(h).cast("int") + 1)
-        (m match {
-          case "lower"    => lo
-          case "higher"   => hi
-          case "midpoint" => (lo + hi) / 2.0
-          case "nearest"  =>
-            // polars rounds half AWAY from zero (Rust f64::round): the
-            // exact-half position picks hi — expr.rb:2473 golden, q=0.3
-            // over 6 rows lands on h=1.5 and returns element 2
-            F.when(h - F.floor(h) >= 0.5, hi).otherwise(lo)
-        }).cast("double")
+        val globalCol = {
+          val c = col
+          val sorted = F.sort_array(F.collect_list(c))
+          val n = F.size(sorted)
+          val h = F.lit(q) * (n - 1).cast("double")
+          val lo = F.element_at(sorted, F.floor(h).cast("int") + 1)
+          val hi = F.element_at(sorted, F.ceil(h).cast("int") + 1)
+          (m match {
+            case "lower"    => lo
+            case "higher"   => hi
+            case "midpoint" => (lo + hi) / 2.0
+            case "nearest"  =>
+              // polars rounds half AWAY from zero (Rust f64::round): the
+              // exact-half position picks hi — expr.rb:2473 golden, q=0.3
+              // over 6 rows lands on h=1.5 and returns element 2
+              F.when(h - F.floor(h) >= 0.5, hi).otherwise(lo)
+          }).cast("double")
+        }
+        val srcName = meta.outputName
+        val kf = KeyedForm { keyCols =>
+          val inp = keyedInput("quantile", keyCols)
+          val c = inp.col
+          // rank among the group's NON-NULL values in value order (nulls
+          // sort last, so non-null rows get 1..n — the same total order as
+          // sort_array: -Inf < finite < +Inf < NaN, nulls excluded)
+          val rk = F.row_number()
+            .over(Window.partitionBy(keyCols: _*).orderBy(c.asc_nulls_last))
+          val n = F.count(c).over(Window.partitionBy(keyCols: _*))
+          val h = F.lit(q) * (n - 1).cast("double")
+          val loT = F.floor(h).cast("int") + 1
+          val hiT = F.ceil(h).cast("int") + 1
+          val helper = m match {
+            case "midpoint" =>
+              F.struct(F.when(rk === loT, c).as("l"), F.when(rk === hiT, c).as("r"))
+            case "lower"  => F.when(rk === loT, c)
+            case "higher" => F.when(rk === hiT, c)
+            case "nearest" =>
+              F.when(rk === F.when(h - F.floor(h) >= 0.5, hiT).otherwise(loT), c)
+          }
+          Expr(srcName.map(nm => helper.as(nm)).getOrElse(helper),
+            inp.requiresIndex, inp.preps)
+        }
+        // exactly one row per group matches each target rank, so max() IS
+        // the element pick — constant aggregation state per group
+        val agg: Column => Column = m match {
+          case "midpoint" =>
+            hc => ((F.max(hc.getField("l")) + F.max(hc.getField("r"))) / 2.0).cast("double")
+          case _ => hc => F.max(hc).cast("double")
+        }
+        Expr(globalCol, requiresIndex, preps, None, Some(GroupAggForm(kf, agg)))
     }
   }
   def approxQuantile(q: Double, accuracy: Int = 10000): Expr =
@@ -580,6 +625,11 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     // numeric column yields a str column (expr.rb:2060 golden) — Spark's
     // ANSI coercion would instead try to CAST the fill to the column type
     case _: String => cast(org.apache.spark.sql.types.StringType)
+      .shiftImpl(n, Some(Expr.lit(fill).col))
+    // a fractional fill over an integral column promotes the column to f64
+    // (polars supertype rule) — without the cast Spark coerces the fill to
+    // the column type instead (truncating, or failing under ANSI)
+    case _: Double | _: Float => cast(org.apache.spark.sql.types.DoubleType)
       .shiftImpl(n, Some(Expr.lit(fill).col))
     case _ => shiftImpl(n, Some(Expr.lit(fill).col))
   }
@@ -1171,7 +1221,17 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
           throw new IllegalArgumentException(
             "qcut: duplicate quantile values (polars DuplicateError) — pass " +
               "allowDuplicates = true to merge the duplicate buckets")
-        val lbls = labels.map(_.take(cuts.size + 1)).getOrElse {
+        val lbls = labels.map { ls =>
+          // polars validates labels against the FINAL bin count, so when
+          // allow_duplicates merges buckets an explicit label list raises
+          // ShapeError — truncating the tail would silently relabel the
+          // bucket ending at a later cut with an earlier label
+          require(ls.size == cuts.size + 1,
+            s"qcut: ${cuts.size + 1} labels required after duplicate " +
+              s"quantile values merged buckets, got ${ls.size} " +
+              "(polars ShapeError)")
+          ls
+        }.getOrElse {
           val pts = Double.NegativeInfinity +: cuts :+ Double.PositiveInfinity
           pts.sliding(2).map { case Seq(a, b) =>
             if (leftClosed) s"[${Expr.fmtBreak(a)}, ${Expr.fmtBreak(b)})"
@@ -1356,10 +1416,14 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   /** explode/flatten: length-changing Generate in select; inside
     * group_by().agg it CONCATENATES the group's lists into one
     * (reference expr.rb:2858 flatten golden) — collect_list over the
-    * agg path's partition-sorted groups keeps row order. */
+    * agg path's partition-sorted groups keeps row order. A NULL list
+    * contributes one null ELEMENT (polars' explode emits a null row for
+    * it; bare collect_list would drop the entry), so null lists coalesce
+    * to a one-null array first — Catalyst coerces array(null) to the
+    * list's element type. */
   def flatten: Expr = Expr(F.explode(col), requiresIndex, preps, None,
     Some(GroupAggForm(KeyedForm(_ => Expr(col, requiresIndex, preps)),
-      c => F.flatten(F.collect_list(c)))))
+      c => F.flatten(F.collect_list(F.coalesce(c, F.array(F.lit(null))))))))
   def keepName: Expr = name.keep
   def mapAlias(f: String => String): Expr =
     meta.outputName.fold(this)(n => alias(f(n)))

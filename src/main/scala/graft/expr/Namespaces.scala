@@ -633,6 +633,22 @@ final class MetaNS(e: Expr) {
   private def leafNames(ex: Expression): Seq[String] = ex match {
     case a: UnresolvedAttribute => Seq(a.name)
     case a: Attribute => Seq(a.name)
+    // polars names ternaries after the VALUE branch, not the predicate:
+    // col("foo").filter(col("bar") == 13) outputs "foo" and roots
+    // ["foo", "bar"] (meta_expr.rb:104,142 goldens) — graft spells filter
+    // as when(pred, value), so branch values lead, predicates trail.
+    // Internal scan/prep helper leaves (__graft_*) sort LAST within the
+    // reorder: a kernel spelling (cum_sum, rank) references its helper in
+    // the value slot, where value-first ordering would otherwise surface
+    // the helper as the default name — but they must stay in the list
+    // (an aggregate-of-scanned's global col is helper-only, and the frame
+    // layer relies on that name surviving to defer naming to the keyed
+    // form, see GroupBy.agg's output-name fallback)
+    case cw: org.apache.spark.sql.catalyst.expressions.CaseWhen =>
+      val vs = (cw.branches.map(_._2) ++ cw.elseValue.toSeq ++ cw.branches.map(_._1))
+        .flatMap(leafNames).distinct
+      val (helpers, real) = vs.partition(_.startsWith("__graft_"))
+      real ++ helpers
     case other => other.children.flatMap(leafNames)
   }
 
@@ -644,19 +660,34 @@ final class MetaNS(e: Expr) {
   }
   /** All column names referenced, in first-appearance order, deduplicated. */
   def rootNames: Seq[String] = leafNames(expr).distinct
+  /** A basic (non-regex, unaliased) column (reference meta_expr.rb:74:
+    * `col("^col.*\d+$")` is NOT a column — it is a regex projection). */
   def isColumn: Boolean = expr match {
-    case _: UnresolvedAttribute | _: Attribute => true
+    case a: UnresolvedAttribute => !isRegexName(a.name)
+    case _: Attribute => true
     case _ => false
   }
   def isLiteral: Boolean = expr.isInstanceOf[Literal]
+  private def isRegexName(n: String): Boolean =
+    n.startsWith("^") && n.endsWith("$")
   def hasMultipleOutputs: Boolean = expr match {
     case _: UnresolvedStar => true
     case a: UnresolvedAttribute => a.name == "*"
     case _ => false
   }
-  def isRegexProjection: Boolean = expr match {
-    case a: UnresolvedAttribute => a.name.startsWith("^") && a.name.endsWith("$")
-    case _ => false
+  /** Regex projections keep their nature under aliases (reference
+    * meta_expr.rb:92: `col("^.*$").alias("bar")` is still a regex
+    * projection) — strip renames before probing. */
+  def isRegexProjection: Boolean = {
+    def strip(ex: Expression): Expression = ex match {
+      case a: Alias => strip(a.child)
+      case a: UnresolvedAlias => strip(a.child)
+      case other => other
+    }
+    strip(expr) match {
+      case a: UnresolvedAttribute => isRegexName(a.name)
+      case _ => false
+    }
   }
   /** Strip top-level aliases (reference meta_expr.rb:170 undo_aliases). */
   def undoAliases: Expr = {
@@ -671,9 +702,18 @@ final class MetaNS(e: Expr) {
   def pop: Seq[Expr] =
     expr.children.map(c => Expr(org.apache.spark.sql.GraftInternalOps.column(c), e.requiresIndex))
   /** Structural equality of the underlying trees (reference meta_expr.rb:38
-    * eq/ne; named treeEq here because AnyRef.eq is final in Scala). */
-  def treeEq(other: Expr): Boolean =
-    expr == org.apache.spark.sql.GraftInternalOps.catalystExpression(other.col)
+    * eq/ne; named treeEq here because AnyRef.eq is final in Scala).
+    * Catalyst Alias nodes carry a fresh ExprId per construction, so two
+    * separately-built `col("foo").alias("bar")` trees are != — normalize
+    * every alias id to 0 before comparing (polars meta_eq is structural). */
+  def treeEq(other: Expr): Boolean = {
+    val zero = org.apache.spark.sql.catalyst.expressions.ExprId(0)
+    def norm(ex: Expression): Expression = ex.transformUp {
+      case a: Alias => Alias(a.child, a.name)(exprId = zero)
+    }
+    norm(expr) ==
+      norm(org.apache.spark.sql.GraftInternalOps.catalystExpression(other.col))
+  }
   def treeNe(other: Expr): Boolean = !treeEq(other)
   /** Render the expression tree (reference meta_expr.rb:212 tree_format). */
   def treeFormat: String = expr.treeString

@@ -281,6 +281,33 @@ object Quantiles {
     }
   }
 
+  /** The 0-based ranks a polars quantile at `q` needs: floor/ceil of
+    * h = q*(n-1) — the same f64 arithmetic as the Expr-level spelling, so
+    * kernel-routed scalars (Series#quantile, Frame#quantileFrame) pick the
+    * identical elements. */
+  def quantileRanks(q: Double): Long => Seq[Long] = n => {
+    val h = q * (n - 1).toDouble
+    Seq(math.floor(h).toLong, math.ceil(h).toLong)
+  }
+
+  /** Combine the values at quantileRanks(q) into the polars interpolation
+    * result (reference expr.rb:2107 modes; nearest rounds half away from
+    * zero per the expr.rb:2473 golden). None when the column has no
+    * non-null values. */
+  def quantileOf(st: ColStats, q: Double, interpolation: String): Option[Double] = {
+    if (st.nonNull <= 0) return None
+    val h = q * (st.nonNull - 1).toDouble
+    val lo = st.at.get(math.floor(h).toLong)
+    val hi = st.at.get(math.ceil(h).toLong)
+    interpolation match {
+      case "lower"    => lo
+      case "higher"   => hi
+      case "midpoint" => for (a <- lo; b <- hi) yield (a + b) / 2.0
+      case "nearest"  => if (h - math.floor(h) >= 0.5) hi else lo
+      case "linear"   => for (a <- lo; b <- hi) yield a + (b - a) * (h - math.floor(h))
+    }
+  }
+
   /** Linearly interpolated quantiles (quantile_cont / polars "linear") at
     * `probs` for each column: h = q*(nn-1), value = v[floor h] + frac *
     * (v[ceil h] - v[floor h]). Returns col -> per-prob Option (None when the

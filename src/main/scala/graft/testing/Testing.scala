@@ -210,16 +210,31 @@ object Testing {
       s.take(graft.api.Config.fmtStrLengths) + "…"
     case s: String => s
     case d: Double =>
+      // polars fmt_float (Rust polars-core fmt.rs): the gate is the LENGTH
+      // of Rust's shortest-roundtrip Display string — over 9 chars, values
+      // outside [1e-6, 9_999_999] render scientific `{:.4e}` (series.rb:2632
+      // sin golden `1.2246e-16`, :2669 tan `1.6331e16` — no exponent sign
+      // padding), in-range values render %.6f with trailing zeros trimmed;
+      // at 9 chars or under, integral values get one decimal (`{:.1}`) and
+      // the rest print the shortest form verbatim
       if (d.isNaN) "NaN"
       else if (d.isPosInfinity) "inf"
       else if (d.isNegInfinity) "-inf"
-      else if (d == d.floor && math.abs(d) < 1e15) s"${d.toLong}.0"
-      else { // polars float display: 6 decimal places, trailing zeros trimmed
-        val s6 = String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
-        s6.reverse.dropWhile(_ == '0').reverse match {
-          case t if t.endsWith(".") => t + "0"
-          case t => t
-        }
+      else if (d == 0.0) { if (1.0 / d < 0) "-0.0" else "0.0" }
+      else {
+        val disp = rustDisplay(d)
+        if (disp.length > 9) {
+          val a = math.abs(d)
+          if (a < 0.000001 || a > 9999999.0) sci4(d)
+          else { // 6 decimal places, trailing zeros trimmed
+            val s6 = String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
+            s6.reverse.dropWhile(_ == '0').reverse match {
+              case t if t.endsWith(".") => t + "0"
+              case t => t
+            }
+          }
+        } else if (d == d.floor) s"$disp.0"
+        else disp
       }
     case f: Float => fmt(f.toDouble)
     // Spark rows carry mutable.ArraySeq. Polars truncates list cells longer
@@ -239,6 +254,28 @@ object Testing {
     case t: java.sql.Timestamp => fmtDateTime(t.toLocalDateTime)
     case t: java.time.LocalDateTime => fmtDateTime(t)
     case x => x.toString
+  }
+
+  /** Rust's f64 Display: shortest round-trip digits, decimal form at any
+    * magnitude (never an exponent), integral values WITHOUT a trailing
+    * `.0`. Java's Double.toString has the same shortest digits but flips
+    * to E-notation outside [1e-3, 1e7) — expand via BigDecimal (exact on
+    * the already-shortest digit string). */
+  private def rustDisplay(d: Double): String = {
+    val s = java.lang.Double.toString(d)
+    if (s.indexOf('E') < 0) {
+      if (s.endsWith(".0")) s.dropRight(2) else s
+    } else {
+      new java.math.BigDecimal(s).stripTrailingZeros.toPlainString
+    }
+  }
+
+  /** Rust `{:.4e}`: 4 mantissa decimals, bare exponent (no `+`, no zero
+    * padding) — `1.2246e-16`, `1.6331e16`. */
+  private def sci4(d: Double): String = {
+    val s = String.format(java.util.Locale.ROOT, "%.4e", Double.box(d))
+    val i = s.indexOf('e')
+    s"${s.substring(0, i)}e${s.substring(i + 1).toInt}"
   }
 
   private def fmtDateTime(t: java.time.LocalDateTime): String = {

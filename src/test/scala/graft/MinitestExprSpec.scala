@@ -1,0 +1,131 @@
+package graft
+
+import graft.Polars._
+import graft.api.{DataFrame, LazyFrame}
+import graft.expr.Expr
+import org.apache.spark.sql.{functions => F}
+
+/** Round-14 minitest tranche: the reference's test/expr_test.rb,
+  * test/lazy_frame_test.rb, test/meta_expr_test.rb, and
+  * test/string_expr_test.rb behavioral asserts (the lit-inspect asserts in
+  * expr_test are Rust Display strings with no graft counterpart; the
+  * surface-build asserts of string_expr_test are strengthened here to
+  * build AND run over a real column). */
+class MinitestExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- expr_test.rb ----
+
+  test("test_min: Polars.min over one and several columns (vertical.rb:190)") {
+    val df = DataFrame(Seq((1L, 4L), (5L, 2L), (3L, 6L)).toDF("a", "b"))
+    val one = df.select(Polars.min("a")).toSpark.collect()
+    assert(one.length == 1 && one(0).getLong(0) == 1L)
+    val both = df.select(Polars.min(Seq("a", "b")): _*).toSpark
+    assert(both.columns.toSeq == Seq("a", "b"))
+    assert(both.collect()(0).getLong(0) == 1L && both.collect()(0).getLong(1) == 2L)
+  }
+
+  test("Polars.max/sum/mean/median/first/last/n_unique module aggregates") {
+    val df = DataFrame(Seq(1L, 5L, 3L, 5L).toDF("a"))
+    def one(e: Expr): Any = { val r = df.select(e).toSpark.collect()(0); r.get(0) }
+    assert(one(Polars.max("a")) == 5L)
+    assert(one(Polars.sum("a")) == 14L)
+    assert(one(Polars.mean("a")) == 3.5)
+    assert(one(Polars.median("a")) == 4.0)
+    assert(one(Polars.first("a")) == 1L)
+    assert(one(Polars.last("a")) == 5L)
+    assert(one(Polars.nUnique("a")) == 3L)
+    assert(one(Polars.count("a")) == 4L)
+    val lenR = df.select(Polars.len).toSpark
+    assert(lenR.columns.toSeq == Seq("len") && lenR.collect()(0).getLong(0) == 4L)
+    assert(Polars.len.meta.outputName.contains("len")) // meta_expr.rb:104 Polars.len golden
+  }
+
+  // ---- lazy_frame_test.rb ----
+
+  test("test_select: name, list, and expression forms (lazy_frame_test.rb:8)") {
+    val df = LazyFrame(Seq((1L, 6L, "a"), (2L, 7L, "b"), (3L, 8L, "c"))
+      .toDF("foo", "bar", "ham"))
+    assert(df.selectNames("foo").collect().toSpark.columns.toSeq == Seq("foo"))
+    assert(df.selectNames("foo", "bar").collect().toSpark.columns.toSeq == Seq("foo", "bar"))
+    val e = df.select(col("foo") + 1).collect().toSpark
+    assert(e.columns.toSeq == Seq("foo"))
+    assert(e.collect().map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L))
+  }
+
+  test("test_unnest: struct of regex-selected columns round-trips (lazy_frame_test.rb:22)") {
+    val df = DataFrame(Seq(
+      ("foo", 1L, "a", Some(true), Seq(1L, 2L), "baz"),
+      ("bar", 2L, "b", None, Seq(3L), "womp"))
+      .toDF("before", "t_a", "t_b", "t_c", "t_d", "after"))
+    // polars selects the struct fields with a regex projection col("^t_.$")
+    val structed = df.select(
+      col("before"),
+      Polars.struct(Seq("t_a", "t_b", "t_c", "t_d").map(col): _*).alias("t_struct"),
+      col("after"))
+    assert(structed.columns.toSeq == Seq("before", "t_struct", "after"))
+    val un = structed.unnest("t_struct")
+    assert(un.columns.toSeq == Seq("before", "t_a", "t_b", "t_c", "t_d", "after"))
+    assert(un.toSpark.collect().map(_.getLong(1)).toSeq == Seq(1L, 2L))
+  }
+
+  test("test_write_json round trip (lazy_frame_test.rb:42)") {
+    val df = LazyFrame(Seq((1L, 6L), (2L, 7L), (3L, 8L)).toDF("foo", "bar"))
+    val path = java.nio.file.Files.createTempDirectory("graft-ljson").toString + "/out.json"
+    df.select(col("foo")).collect().writeNdjson(path)
+    val back = Polars.readNdjson(path)(spark)
+    assert(back.toSpark.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("test_pearson_corr (lazy_frame_test.rb:56)") {
+    val df = LazyFrame(Seq((1L, 2L), (2L, 4L), (3L, 6L), (4L, 7L)).toDF("a", "b"))
+    val r = df.select(Polars.pearsonCorr(col("a"), col("b")).alias("a"))
+      .collect().toSpark.collect()(0).getDouble(0)
+    assert(math.abs(r - 0.989778) < 1e-6)
+  }
+
+  test("test_concat: vertical, relaxed, and diagonal (lazy_frame_test.rb:70)") {
+    val df1 = DataFrame(Seq((1L, 3L)).toDF("a", "b"))
+    val df2 = DataFrame(Seq((2L, 4L)).toDF("a", "b"))
+    assert(Polars.concat(Seq(df1, df2)).toSpark.count() == 2)
+    assert(Polars.concat(Seq(df1, df2), how = "vertical_relaxed").toSpark.count() == 2)
+    assert(Polars.concat(Seq(df1, df2), how = "diagonal").toSpark.count() == 2)
+  }
+
+  // ---- meta_expr_test.rb ----
+
+  test("meta_expr_test.rb: equal/pop/root_names/output_name/undo_aliases on a bare column") {
+    val m = col("a")
+    assert(m.meta.treeEq(col("a")))
+    assert(!m.meta.treeNe(col("a")))
+    assert(m.meta.pop.isEmpty)
+    assert(m.meta.rootNames == Seq("a"))
+    assert(m.meta.outputName.contains("a"))
+    assert(m.meta.undoAliases.meta.treeEq(col("a")))
+  }
+
+  // ---- string_expr_test.rb (surface builds strengthened to run) ----
+
+  test("string_expr_test.rb: every surface op builds and runs over a str column") {
+    val df = DataFrame(Seq("Hello World", " padded ", "a-b-c").toDF("a"))
+    val s = col("a").str
+    val ops: Seq[(String, Expr)] = Seq(
+      "len_chars" -> s.lenChars, "n_chars" -> s.nChars,
+      "to_uppercase" -> s.toUppercase, "to_lowercase" -> s.toLowercase,
+      "strip_chars" -> s.stripChars, "lstrip" -> s.lstrip, "rstrip" -> s.rstrip,
+      "zfill" -> s.zfill(15), "ljust" -> s.ljust(15), "rjust" -> s.rjust(15),
+      "contains" -> s.contains("World"), "ends_with" -> s.endsWith("c"),
+      "starts_with" -> s.startsWith("H"), "extract" -> s.extract("(\\w+)", 1),
+      "extract_all" -> s.extractAll("\\w+"), "count_match" -> s.countMatch("l"),
+      "split" -> s.split("-"), "splitn" -> s.splitn("-", 2),
+      "replace" -> s.replace("l", "L"), "replace_all" -> s.replaceAll("l", "L"),
+      "slice" -> s.slice(1))
+    for ((nm, e) <- ops) {
+      val out = df.select(e.alias("r")).toSpark.collect()
+      assert(out.length == 3, s"str.$nm did not run")
+    }
+    // split_exact returns a struct of fields
+    val se = df.select(s.splitExact("-", 1).alias("r")).toSpark.collect()
+    assert(se.length == 3)
+  }
+}

@@ -143,4 +143,118 @@ class QuantilesSpec extends SparkSpec {
         assert(b.contains(want), s"v=$v pr=${pr(v)}: got $b want $want")
     }
   }
+
+  // ---- grouped element-mode quantile: two-pass rank selection (r13
+  // verdict directive #1 — constant per-group agg state, no collect_list) ----
+
+  private def groupedFrame(nRows: Int, nGroups: Int, seed: Int,
+                           nullEvery: Int = 17): graft.api.DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val rows = (0 until nRows).map { i =>
+      org.apache.spark.sql.Row(s"g${i % nGroups}",
+        if (i % nullEvery == 0) null else Double.box(rnd.nextDouble() * 1000 - 500))
+    }
+    graft.api.DataFrame(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 8),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))))
+  }
+
+  /** Local reference: polars element-pick over the sorted non-null group. */
+  private def localPick(sorted: IndexedSeq[Double], q: Double, m: String): Option[Double] = {
+    if (sorted.isEmpty) return None
+    val h = q * (sorted.size - 1).toDouble
+    val lo = sorted(math.floor(h).toInt); val hi = sorted(math.ceil(h).toInt)
+    Some(m match {
+      case "lower"    => lo
+      case "higher"   => hi
+      case "midpoint" => (lo + hi) / 2.0
+      case "nearest"  => if (h - math.floor(h) >= 0.5) hi else lo
+    })
+  }
+
+  test("grouped element modes: large groups match a local sort, with no collect_list in the plan") {
+    import graft.Polars._
+    // 2 groups x ~25k rows — the table-sized-group regime the old
+    // sort_array(collect_list) spelling buffered per aggregation state
+    val df = groupedFrame(50000, 2, 7)
+    for (q <- Seq(0.0, 0.25, 0.37, 0.5, 0.9, 1.0); m <- Seq("lower", "higher", "midpoint", "nearest")) {
+      val out = df.groupBy("k").agg(col("v").quantile(q, m).alias("qv"))
+      val plan = out.toSpark.queryExecution.executedPlan.toString
+      assert(!plan.contains("collect_list"),
+        s"q=$q m=$m: grouped element-mode quantile must not buffer the group:\n$plan")
+      val got = out.toSpark.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val local = df.toSpark.collect()
+        .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.flatMap(_._2).sorted.toIndexedSeq }
+      for ((k, sorted) <- local)
+        assert(got(k) == localPick(sorted, q, m).get, s"q=$q m=$m group $k")
+    }
+  }
+
+  test("grouped element modes: all-null groups yield null, single-row groups the row") {
+    import graft.Polars._
+    val rows = Seq(
+      org.apache.spark.sql.Row("a", null), org.apache.spark.sql.Row("a", null),
+      org.apache.spark.sql.Row("b", Double.box(3.5)),
+      org.apache.spark.sql.Row("c", Double.box(1.0)), org.apache.spark.sql.Row("c", Double.box(2.0)))
+    val df = graft.api.DataFrame(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))))
+    for (m <- Seq("lower", "higher", "midpoint", "nearest")) {
+      val got = df.groupBy("k").agg(col("v").quantile(0.5, m).alias("qv"))
+        .sortBy(Seq(col("k"))).toSpark.collect()
+        .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      assert(got.toSeq == Seq("a" -> None, "b" -> Some(3.5),
+        "c" -> Some(if (m == "midpoint") 1.5 else if (m == "higher" || m == "nearest") 2.0 else 1.0)), s"mode $m")
+    }
+  }
+
+  test("quantile.over(keys): windowed per-key element modes match the grouped results") {
+    import graft.Polars._
+    val df = groupedFrame(4000, 5, 11)
+    val agg = df.groupBy("k").agg(col("v").quantile(0.37, "nearest").alias("qv"))
+      .toSpark.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val win = df.withColumn("qv", col("v").quantile(0.37, "nearest").over(col("k")))
+      .toSpark.select("k", "qv").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(win == agg)
+  }
+
+  test("GroupBy.quantile shortcut defaults to nearest (group_by.rb:571), not linear") {
+    import graft.Polars._
+    val df = groupedFrame(3000, 3, 13)
+    val shortcut = df.groupBy("k").quantile(0.37)
+      .sortBy(Seq(col("k"))).toSpark.collect().map(r => r.getDouble(1))
+    val explicit = df.groupBy("k").agg(col("v").quantile(0.37, "nearest").alias("v"))
+      .sortBy(Seq(col("k"))).toSpark.collect().map(r => r.getDouble(1))
+    assert(shortcut.toSeq == explicit.toSeq)
+  }
+
+  test("Series.quantile and quantileFrame route through the kernel and match the Expr spelling") {
+    import graft.Polars._
+    val rnd = new scala.util.Random(5)
+    val vals = Seq.fill(20000)(Double.box(rnd.nextDouble() * 100)) ++ Seq(null, null)
+    val s = graft.api.Series("x", spark.createDataFrame(
+      spark.sparkContext.parallelize(vals.map(org.apache.spark.sql.Row(_)), 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.DoubleType)))))
+    for (m <- Seq("lower", "higher", "midpoint", "nearest", "linear")) {
+      val kq = s.quantile(0.37, m).asInstanceOf[Double]
+      val eq = graft.api.DataFrame(s.toFrame.toSpark)
+        .select(col("x").quantile(0.37, m).alias("q"))
+        .toSpark.collect()(0).getDouble(0)
+      assert(kq == eq, s"mode $m: kernel $kq vs expr $eq")
+    }
+    // frame-level: numeric columns to f64 picks, non-numeric stays typed null
+    val f = graft.api.DataFrame(s.toFrame.toSpark.withColumn("lab", F.lit("ham")))
+      .quantileFrame(0.37)
+    val row = f.toSpark.collect()(0)
+    assert(f.toSpark.schema("lab").dataType == org.apache.spark.sql.types.StringType)
+    assert(row.isNullAt(row.fieldIndex("lab")))
+    assert(row.getDouble(row.fieldIndex("x")) == s.quantile(0.37, "nearest").asInstanceOf[Double])
+  }
 }
