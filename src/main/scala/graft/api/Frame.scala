@@ -383,11 +383,21 @@ trait FrameOps[Self] {
   /** Frame-level fill_nan (reference lazy_frame.rb:2168): replace NaN in
     * every FLOAT column; nulls are NOT NaN and pass through untouched. */
   def fillNan(v: Expr): Self = {
-    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    import org.apache.spark.sql.types.{DoubleType, FloatType, StringType}
+    // a STRING fill promotes the float columns to str (polars supertype
+    // rule — expr.rb fill_nan golden: fill_nan("zero") renders str columns
+    // with "1.0"-style casts of the kept values); ANSI Spark would instead
+    // try to cast the fill to double and raise
+    val strFill = org.apache.spark.sql.GraftInternalOps.catalystExpression(
+      org.apache.spark.sql.GraftInternalOps.stripAlias(v.col)) match {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal => l.dataType == StringType
+      case _ => false
+    }
     val cols = sdf.schema.fields.map { f =>
       f.dataType match {
         case DoubleType | FloatType =>
-          F.when(F.isnan(F.col(f.name)), v.col).otherwise(F.col(f.name)).as(f.name)
+          val c = if (strFill) F.col(f.name).cast(StringType) else F.col(f.name)
+          F.when(F.isnan(F.col(f.name)), v.col).otherwise(c).as(f.name)
         case _ => F.col(f.name)
       }
     }

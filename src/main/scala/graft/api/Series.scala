@@ -27,7 +27,14 @@ final case class Series(name: String, df: SDF) {
     Series(outName, a.join(b, IDX).orderBy(IDX)
       .select(f(F.col(name), F.col("__other__")).as(outName)))
   }
-  def +(o: Series): Series = zipWith(o, _ + _, name)
+  // polars Utf8 + Utf8 CONCATENATES (Rust ChunkedArray<Utf8> add impl);
+  // the Series surface knows its dtype, so the operator is type-directed
+  // here (the untyped Expr `+` stays numeric — COVERAGE.md documents
+  // concat_str as the Expr-side spelling)
+  def +(o: Series): Series =
+    if (dtype == org.apache.spark.sql.types.StringType)
+      zipWith(o, F.concat(_, _), name)
+    else zipWith(o, _ + _, name)
   def -(o: Series): Series = zipWith(o, _ - _, name)
   def *(o: Series): Series = zipWith(o, _ * _, name)
   def /(o: Series): Series = zipWith(o, _ / _, name)

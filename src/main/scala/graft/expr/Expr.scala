@@ -174,7 +174,16 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   def +(o: Expr): Expr = zip(o)(_ + _)
   def -(o: Expr): Expr = zip(o)(_ - _)
   def *(o: Expr): Expr = zip(o)(_ * _)
-  def /(o: Expr): Expr = zip(o)(_ / _)
+  /** polars float division is IEEE: 1/0 = inf, -1/0 = -inf, 0/0 = NaN
+    * (expr.rb truediv golden) — Spark 4's ANSI mode instead RAISES on a
+    * zero divisor, so the zero case is spelled explicitly (the guard keeps
+    * the non-zero path on Spark's native Divide and its dtype). */
+  def /(o: Expr): Expr = zip(o) { (a, b) =>
+    F.when(b =!= 0, a / b) // null a or b falls through to null via the guard
+      .when(b === 0 && (a > 0), Double.PositiveInfinity)
+      .when(b === 0 && (a < 0), Double.NegativeInfinity)
+      .when(b === 0 && (a === 0), Double.NaN)
+  }
   def %(o: Expr): Expr = zip(o)(_ % _)
   def floorDiv(o: Expr): Expr = zip(o)((a, b) => F.floor(a / b))
   def pow(o: Expr): Expr = zip(o)(F.pow)
@@ -1273,8 +1282,14 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     }
   }
   /** Row indices of each group's members (reference expr.rb:701 agg_groups). */
-  def aggGroups: Expr = Expr(
-    F.sort_array(F.collect_list(F.col(graft.kernel.RowIndex.name))), requiresIndex = true, preps)
+  def aggGroups: Expr = {
+    // polars names the output after the SOURCE column (expr.rb agg_groups
+    // golden) — the spelling itself references only the hidden row index
+    val base = Expr(
+      F.sort_array(F.collect_list(F.col(graft.kernel.RowIndex.name))),
+      requiresIndex = true, preps)
+    meta.outputName.fold(base)(base.alias)
+  }
   /** Expanding-window aggregate (reference expr.rb:6684 cumulative_eval).
     * `kind` names how per-bucket partials of `agg` merge across the
     * distributed scan (sum|min|max|product; counts merge as sum) — any

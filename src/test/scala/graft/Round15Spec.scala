@@ -59,6 +59,14 @@ class Round15Spec extends SparkSpec {
       .toList == List(1.0, 9.0, 3.0))
   }
 
+  test("Series Utf8 + Utf8 concatenates (polars ChunkedArray<Utf8> add impl)") {
+    val a = Series("a", Seq("x", "y").toDF("a"))
+    val b = Series("b", Seq("1", "2").toDF("b"))
+    assert((a + b).toList == List("x1", "y2"))
+    val n = Series("n", Seq(1L, 2L).toDF("n"))
+    assert((n + n).toList == List(2L, 4L))
+  }
+
   test("shift_and_fill: fractional fill over an integral column promotes to f64") {
     val df = DataFrame(Seq(1L, 2L, 3L).toDF("v"))
     val out = df.select(col("v").shiftAndFill(1, 2.5).alias("s")).toSpark
