@@ -90,10 +90,15 @@ object Polars {
   def mean(name: String): Expr = col(name).mean
   def median(name: String): Expr = col(name).median
   def nUnique(name: String): Expr = col(name).nUnique
+  def nUnique(names: Seq[String]): Seq[Expr] = names.map(col(_).nUnique)
   def approxNUnique(name: String): Expr = col(name).approxNUnique
+  def approxNUnique(names: Seq[String]): Seq[Expr] = names.map(col(_).approxNUnique)
   def first(name: String): Expr = col(name).first
   def last(name: String): Expr = col(name).last
   def count(name: String): Expr = col(name).count
+  def count(names: Seq[String]): Seq[Expr] = names.map(col(_).count)
+  def implode(name: String): Expr = col(name).implode
+  def implode(names: Seq[String]): Seq[Expr] = names.map(col(_).implode)
   /** Polars.len — row count incl. nulls, named "len" (functions/len.rb). */
   def len: Expr = Expr(F.count(F.lit(1))).alias("len")
 

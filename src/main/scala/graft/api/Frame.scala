@@ -475,9 +475,20 @@ trait FrameOps[Self] {
     * by `n` in frame row order (the expr-level scan kernel per column). */
   def shiftFrame(n: Int): Self =
     select(columns.map(c => Expr(F.col(c)).shift(n)): _*)
-  /** Frame-level shift_and_fill (reference lazy_frame.rb:1963). */
+  /** Frame-level shift_and_fill (reference lazy_frame.rb:1963). The frame
+    * knows each column's dtype, so a scalar fill casts PER COLUMN like
+    * polars (data_frame.rb golden: shift_and_fill(1, 0) fills a str column
+    * with "0") — the raw expr-level coercion would cast the str column
+    * toward the fill's numeric type and raise under ANSI. */
   def shiftAndFillFrame(n: Int, fillValue: Any): Self =
-    select(columns.map(c => Expr(F.col(c)).shiftAndFill(n, fillValue)): _*)
+    select(sdf.schema.fields.toIndexedSeq.map { f =>
+      val fill: Any = (f.dataType, fillValue) match {
+        case (org.apache.spark.sql.types.StringType, v) if !v.isInstanceOf[String] =>
+          v.toString
+        case _ => fillValue
+      }
+      Expr(F.col(f.name)).shiftAndFill(n, fill)
+    }: _*)
 
   /** Frame-level interpolate (reference lazy_frame.rb:2543): linear
     * interpolation of every numeric column in frame order (ints go f64,
@@ -623,6 +634,12 @@ trait FrameOps[Self] {
   }
   /** Empty frame with the same schema (reference clear). */
   def clear(): Self = make(sdf.limit(0))
+  /** clear(n): n all-null rows of the same schema (reference
+    * data_frame.rb clear golden — `df.clear(2)` renders 2 null rows). */
+  def clear(n: Int): Self = {
+    val nulls = sdf.schema.fields.map(f => F.lit(null).cast(f.dataType).as(f.name))
+    make(sdf.sparkSession.range(n.toLong).select(nulls.toIndexedSeq: _*))
+  }
   /** As-of join against another frame (reference join_asof; backward/
     * forward/nearest, optional group keys and tolerance) — delegates to the
     * union-tag window kernel, no per-key loops. */
@@ -737,6 +754,17 @@ final case class DataFrame(private val df: SDF) extends FrameOps[DataFrame] {
     val stacked = hstack(s.toFrame)
     val cols = df.columns.toSeq
     val order = (cols.take(index) :+ s.name) ++ cols.drop(index)
+    stacked.select(order.map(c => Expr(F.col(c))): _*)
+  }
+  /** replace_column by INDEX (the reference signature, data_frame.rb:1480):
+    * the new series' NAME replaces the old column's name too. */
+  def replaceColumn(index: Int, s: Series): DataFrame = {
+    require(index >= 0 && index < df.columns.length,
+      s"replace_column: index $index out of range 0..${df.columns.length - 1}")
+    requireSameLength(s, "replace_column")
+    val old = df.columns(index)
+    val stacked = DataFrame(df.drop(old)).hstack(s.toFrame)
+    val order = df.columns.toSeq.updated(index, s.name)
     stacked.select(order.map(c => Expr(F.col(c))): _*)
   }
   def replaceColumn(name: String, s: Series): DataFrame = {

@@ -41,6 +41,27 @@ class MinitestExprSpec extends SparkSpec {
     assert(Polars.len.meta.outputName.contains("len")) // meta_expr.rb:104 Polars.len golden
   }
 
+  test("functions/lazy.rb count/implode/n_unique/approx_n_unique shims (goldens, u32 renders i64)") {
+    val df = DataFrame(Seq(
+      (Some(1L), Some(3L), "foo"), (Some(2L), None, "bar"), (None, None, "foo"))
+      .toDF("a", "b", "c"))
+    val cnt = df.select(Polars.count("a")).toSpark
+    assert(cnt.columns.toSeq == Seq("a") && cnt.collect()(0).getLong(0) == 2L)
+    val multi = df.select(Polars.count(Seq("b", "c")): _*).toSpark.collect()(0)
+    assert(multi.getLong(0) == 1L && multi.getLong(1) == 3L)
+    val nu = DataFrame(Seq((1L, 4L, "foo"), (8L, 5L, "bar"), (1L, 2L, "foo")).toDF("a", "b", "c"))
+    assert(nu.select(Polars.nUnique("a")).toSpark.collect()(0).getLong(0) == 2L)
+    val nuM = nu.select(Polars.nUnique(Seq("b", "c")): _*).toSpark.collect()(0)
+    assert(nuM.getLong(0) == 3L && nuM.getLong(1) == 2L)
+    val anM = nu.select(Polars.approxNUnique(Seq("b", "c")): _*).toSpark.collect()(0)
+    assert(anM.getLong(0) == 3L && anM.getLong(1) == 2L)
+    val imp = DataFrame(Seq((1L, 9L, "foo"), (2L, 8L, "bar"), (3L, 7L, "foo")).toDF("a", "b", "c"))
+    val i1 = imp.select(Polars.implode("a")).toSpark.collect()(0)
+    assert(i1.getSeq[Long](0) == Seq(1L, 2L, 3L))
+    val i2 = imp.select(Polars.implode(Seq("b", "c")): _*).toSpark.collect()(0)
+    assert(i2.getSeq[Long](0) == Seq(9L, 8L, 7L) && i2.getSeq[String](1) == Seq("foo", "bar", "foo"))
+  }
+
   // ---- lazy_frame_test.rb ----
 
   test("test_select: name, list, and expression forms (lazy_frame_test.rb:8)") {
