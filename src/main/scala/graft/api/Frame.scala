@@ -767,6 +767,9 @@ final case class DataFrame(private val df: SDF) extends FrameOps[DataFrame] {
     val order = df.columns.toSeq.updated(index, s.name)
     stacked.select(order.map(c => Expr(F.col(c))): _*)
   }
+  /** DataFrame#replace(name, series) — replace a column's DATA keeping the
+    * name (reference data_frame.rb:1049 golden). */
+  def replace(name: String, s: Series): DataFrame = replaceColumn(name, s)
   def replaceColumn(name: String, s: Series): DataFrame = {
     require(df.columns.contains(name),
       s"replace_column: no column '$name' in ${df.columns.mkString("[", ", ", "]")}")
@@ -955,13 +958,31 @@ final case class DataFrame(private val df: SDF) extends FrameOps[DataFrame] {
   }
   /** unstack: long→wide by chunking every `step` rows (reference:
     * data_frame.rb:3180). Small-data reshape. */
-  def unstack(step: Int, columns0: Seq[String] = Nil): DataFrame = {
+  /** unstack (reference data_frame.rb:3180): `step` is the number of ROWS
+    * in the unstacked frame; each source column splits into ceil(n/step)
+    * parts. `how: "vertical"` (the reference default) fills parts from
+    * consecutive row BLOCKS (part j = rows [j*step, (j+1)*step));
+    * "horizontal" deals rows round-robin (output row i = inputs
+    * i*parts .. i*parts+parts-1) — both data_frame.rb goldens. (The
+    * previous spelling transposed the two and only matched on square
+    * shapes.) */
+  def unstack(step: Int, how: String = "vertical", columns0: Seq[String] = Nil): DataFrame = {
+    require(Set("vertical", "horizontal")(how),
+      s"unstack: how must be vertical|horizontal, got '$how'")
     val cols = if (columns0.nonEmpty) columns0 else columns
+    val n = df.count()
+    val parts = math.max(1L, (n + step - 1) / step).toInt
     val d = RowIndex.attachDense(df)
-    val grouped = d.withColumn("__r__", (F.col(RowIndex.name) / step).cast("long"))
-      .withColumn("__c__", F.col(RowIndex.name) % step)
-    val aggs = cols.flatMap { c =>
-      (0 until step).map(i => F.first(F.when(F.col("__c__") === i, F.col(c)), ignoreNulls = true).as(s"${c}_$i"))
+    val (r, c) =
+      if (how == "vertical")
+        (F.col(RowIndex.name) % step, (F.col(RowIndex.name) / step).cast("long"))
+      else
+        ((F.col(RowIndex.name) / parts).cast("long"), F.col(RowIndex.name) % parts)
+    val grouped = d.withColumn("__r__", r).withColumn("__c__", c)
+    val aggs = cols.flatMap { col0 =>
+      (0 until parts).map(j =>
+        F.first(F.when(F.col("__c__") === j, F.col(col0)), ignoreNulls = true)
+          .as(s"${col0}_$j"))
     }
     DataFrame(grouped.groupBy("__r__").agg(aggs.head, aggs.tail: _*)
       .orderBy("__r__").drop("__r__"))

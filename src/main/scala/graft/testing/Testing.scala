@@ -18,11 +18,27 @@ object Testing {
   def assertFrameEqual(left: DataFrame, right: DataFrame,
                        checkRowOrder: Boolean = true, checkDtype: Boolean = true,
                        rtol: Double = 1e-5, atol: Double = 1e-8): Unit = {
+    // reference message contracts (testing.rb:304,308,324,503 —
+    // testing_test.rb asserts these verbatim). The column-mismatch branch
+    // reproduces the reference's own variable mix-up faithfully: the
+    // columns REPORTED as "in left ... but not in right" are computed as
+    // right - left (testing.rb:303-305)
+    if (left.columns.toSeq != right.columns.toSeq) {
+      val leftNotRight = right.columns.toSeq.diff(left.columns.toSeq)
+      if (leftNotRight.nonEmpty)
+        throw FrameMismatch(
+          s"columns ${leftNotRight.map("\"" + _ + "\"").mkString("[", ", ", "]")} " +
+            "in left DataFrames, but not in right")
+      val rightNotLeft = left.columns.toSeq.diff(right.columns.toSeq)
+      throw FrameMismatch(
+        s"columns ${rightNotLeft.map("\"" + _ + "\"").mkString("[", ", ", "]")} " +
+          "in right DataFrames, but not in left")
+    }
     if (checkDtype) {
       val (ls, rs) = (left.schema.map(f => (f.name, f.dataType)), right.schema.map(f => (f.name, f.dataType)))
-      if (ls != rs) throw FrameMismatch(s"schema mismatch: $ls vs $rs")
-    } else if (left.columns.toSeq != right.columns.toSeq)
-      throw FrameMismatch(s"columns mismatch: ${left.columns.toSeq} vs ${right.columns.toSeq}")
+      if (ls != rs) throw FrameMismatch(
+        s"DataFrames are different (dtypes do not match)\n[left]:  $ls\n[right]: $rs")
+    }
     val (l, r) =
       if (checkRowOrder) (left.collect(), right.collect())
       else {
@@ -50,14 +66,14 @@ object Testing {
     val equal =
       try { assertFrameEqual(left, right, checkRowOrder, checkDtype, rtol, atol); true }
       catch { case _: FrameMismatch => false }
-    if (equal) throw FrameMismatch("frames are equal (expected not equal)")
+    if (equal) throw FrameMismatch("frames are equal") // reference testing.rb:143
   }
   def assertSeriesNotEqual(left: graft.api.Series, right: graft.api.Series,
                            rtol: Double = 1e-5, atol: Double = 1e-8): Unit = {
     val equal =
       try { assertSeriesEqual(left, right, rtol, atol); true }
       catch { case _: FrameMismatch => false }
-    if (equal) throw FrameMismatch("series are equal (expected not equal)")
+    if (equal) throw FrameMismatch("Series are equal") // reference testing.rb:266
   }
 
   private def valueEq(a: Any, b: Any, rtol: Double, atol: Double): Boolean = (a, b) match {

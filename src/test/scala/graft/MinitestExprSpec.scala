@@ -125,6 +125,33 @@ class MinitestExprSpec extends SparkSpec {
     assert(m.meta.undoAliases.meta.treeEq(col("a")))
   }
 
+  // ---- testing_test.rb: the assert_* message contracts ----
+
+  test("testing_test.rb: assert_frame_equal dtype/column/not-equal message contracts") {
+    val df = DataFrame(Seq(1L, 2L, 3L).toDF("a"))
+    graft.testing.Testing.assertFrameEqual(df.toSpark, df.toSpark)
+    // different dtype raises with the reference wording; check_dtype: false passes
+    val df2 = DataFrame(Seq(1.0, 2.0, 3.0).toDF("a"))
+    val e1 = intercept[graft.testing.Testing.FrameMismatch](
+      graft.testing.Testing.assertFrameEqual(df.toSpark, df2.toSpark))
+    assert(e1.getMessage.contains("DataFrames are different (dtypes do not match)"))
+    graft.testing.Testing.assertFrameEqual(df.toSpark, df2.toSpark, checkDtype = false)
+    // different columns: the reference's exact (variable-swapped) message
+    val db = DataFrame(Seq(1L, 2L, 3L).toDF("b"))
+    val e2 = intercept[graft.testing.Testing.FrameMismatch](
+      graft.testing.Testing.assertFrameEqual(df.toSpark, db.toSpark))
+    assert(e2.getMessage == "columns [\"b\"] in left DataFrames, but not in right")
+    // not-equal on equal frames / series
+    val e3 = intercept[graft.testing.Testing.FrameMismatch](
+      graft.testing.Testing.assertFrameNotEqual(df.toSpark, df.toSpark))
+    assert(e3.getMessage == "frames are equal")
+    val s = graft.api.Series("s", Seq(1L, 2L, 3L).toDF("s"))
+    graft.testing.Testing.assertSeriesEqual(s, s)
+    val e4 = intercept[graft.testing.Testing.FrameMismatch](
+      graft.testing.Testing.assertSeriesNotEqual(s, s))
+    assert(e4.getMessage == "Series are equal")
+  }
+
   // ---- string_expr_test.rb (surface builds strengthened to run) ----
 
   test("string_expr_test.rb: every surface op builds and runs over a str column") {

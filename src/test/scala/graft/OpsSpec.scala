@@ -103,12 +103,18 @@ class OpsSpec extends SparkSpec {
     assert(df.suffixAll("_y").columns == Seq("a_y", "b_y"))
   }
 
-  test("unstack long to wide") {
+  test("unstack long to wide: vertical default and horizontal (data_frame.rb:3180)") {
     val df = DataFrame(Seq(1, 2, 3, 4, 5, 6).toDF("v"))
-    val out = df.unstack(3)
-    assert(out.columns == Seq("v_0", "v_1", "v_2"))
-    val rows = out.toSpark.collect()
-    assert(rows(0).toSeq == Seq(1, 2, 3) && rows(1).toSeq == Seq(4, 5, 6))
+    // step = OUTPUT row count; 6 rows / step 3 = 2 parts. vertical fills
+    // parts from consecutive blocks: v_0 = rows 0-2, v_1 = rows 3-5
+    val vert = df.unstack(3)
+    assert(vert.columns == Seq("v_0", "v_1"))
+    assert(vert.toSpark.collect().map(_.toSeq).toSeq ==
+      Seq(Seq(1, 4), Seq(2, 5), Seq(3, 6)))
+    val horiz = df.unstack(3, how = "horizontal")
+    assert(horiz.columns == Seq("v_0", "v_1"))
+    assert(horiz.toSpark.collect().map(_.toSeq).toSeq ==
+      Seq(Seq(1, 2), Seq(3, 4), Seq(5, 6)))
   }
 
   test("alignFrames aligns key universes") {
