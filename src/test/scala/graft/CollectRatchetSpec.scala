@@ -66,8 +66,10 @@ class CollectRatchetSpec extends SparkSpec {
     "q_to_dummies" -> "distinct category values: the to_dummies contract",
     // curation audit (ml/Pipeline.scala): one row per pipeline stage
     "q_curate_audit" -> "per-stage audit: #stages rows",
-    // bucketed-join setup reads back the bucket spec / distinct buckets
-    "q_bucketed_join" -> "bucket spec readback: #buckets rows"
+    // the query RESULT (grouped by c_mktsegment, 5 segment rows) is
+    // materialized before the finally-block drops the temp bucketed
+    // database out from under the lazy plan (Queries7.scala:358)
+    "q_bucketed_join" -> "materialized 5-row segment aggregate (result must outlive the temp db)"
   )
 
   test("driver-side collects during query build are limit- or scalar-bounded (whole map)") {
