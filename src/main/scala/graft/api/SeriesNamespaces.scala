@@ -164,6 +164,10 @@ final class SeriesStructNS(private val s: Series) {
     Series(name, s.df.select(org.apache.spark.sql.functions.col(s.name)
       .getField(name).as(name)))
   def jsonEncode: Series = m(_.struct.jsonEncode)
+  /** Expand the struct fields into a DataFrame (reference
+    * struct_name_space.rb unnest — series.rb rle golden:
+    * `s.rle.struct.unnest` renders the len/value table). */
+  def unnest: DataFrame = DataFrame(s.toFrame.toSpark).unnest(s.name)
   /** Field names from the schema (struct_name_space.rb fields). */
   def fields: Seq[String] = s.dtype match {
     case st: org.apache.spark.sql.types.StructType => st.fieldNames.toSeq

@@ -152,6 +152,24 @@ class DocExamples17Spec extends SparkSpec {
     assert(parts(Seq("C")).toSpark.count() == 1)
   }
 
+  test("series.rb rle: run lengths via struct.unnest (u32 renders i64 per §1.2)") {
+    val s = Series("s", Seq[java.lang.Long](1L, 1L, 2L, 1L, null, 1L, 3L, 3L))
+    check(s.rle.struct.unnest,
+      """shape: (6, 2)
+        |┌─────┬───────┐
+        |│ len ┆ value │
+        |│ --- ┆ ---   │
+        |│ i64 ┆ i64   │
+        |╞═════╪═══════╡
+        |│ 2   ┆ 1     │
+        |│ 1   ┆ 2     │
+        |│ 1   ┆ 1     │
+        |│ 1   ┆ null  │
+        |│ 1   ┆ 1     │
+        |│ 2   ┆ 3     │
+        |└─────┴───────┘""")
+  }
+
   test("data_frame.rb to_dummies over all columns (u8 renders i8 per §1.2)") {
     val df = DataFrame(Seq((1L, 3L, "a"), (2L, 4L, "b")).toDF("foo", "bar", "ham"))
     check(DataFrame(df.toDummies(Seq("foo", "bar", "ham")).toSpark),
