@@ -253,9 +253,12 @@ object Polars {
   // empty ranges (start == end) are valid and empty in polars — sequence()
   // rejects inverted bounds, so guard before building
   def intRange(start: Int, end: Int, step: Int = 1): Expr =
+    // i64 elements: polars int_range's default dtype is Int64
+    // (functions/range/int_range.rb:30)
     if (step > 0 && start >= end || step < 0 && start <= end)
-      Expr(F.array().cast("array<int>"))
-    else Expr(F.sequence(F.lit(start), F.lit(end - math.signum(step)), F.lit(step)))
+      Expr(F.array().cast("array<bigint>"))
+    else Expr(F.sequence(F.lit(start.toLong),
+      F.lit((end - math.signum(step)).toLong), F.lit(step.toLong)))
   def intRanges(start: Expr, end: Expr): Expr =
     // always-valid sequence then a length slice — keeps the element type
     // native (a when/otherwise empty-array branch would force a coercion)
@@ -277,6 +280,14 @@ object Polars {
       end.cast(org.apache.spark.sql.types.TimestampType), interval)
   def datetimeRanges(start: Expr, end: Expr, interval: String = "1h"): Expr =
     datetimeRange(start, end, interval)
+  /** `eager: true` range form (functions/range doc blocks — the reference
+    * returns `select(result).to_series`): evaluate a range expression on a
+    * unit frame and explode its elements into a Series. */
+  def rangeSeries(e: Expr, name: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): graft.api.Series =
+    graft.api.Series(name,
+      spark.range(1).select(F.explode(e.col).as(name)))
+
   def timeRange(start: Long, end: Long, interval: String = "1h"): Expr = {
     val stepNs = graft.kernel.DurationDsl.parse(interval).totalNanos
     Expr(F.sequence(F.lit(start), F.lit(end), F.lit(stepNs)))

@@ -101,8 +101,9 @@ object Queries5 {
 
   private def qCatCategories(s: SparkSession, dir: String): SDF =
     lf(s, dir, "lineitem")
+      // get_categories yields the listing as ROWS (reference cat_expr.rb:16
+      // shape) in first-appearance order; the oracle sorts, so sort here too
       .select(col("l_returnflag").cat.getCategories.alias("cats"))
-      .explode("cats")
       .sortBy(Seq(col("cats")))
       .collect().toSpark
 
@@ -186,7 +187,7 @@ object Queries5 {
         |CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_rows
         |FROM (SELECT count(*) OVER (PARTITION BY o_custkey) AS c FROM orders)""".stripMargin,
     "q_int_range" ->
-      """SELECT CAST(sum(r) AS BIGINT) AS total, count(*) AS n, CAST(max(r) AS INT) AS mx
+      """SELECT CAST(sum(r) AS BIGINT) AS total, count(*) AS n, CAST(max(r) AS BIGINT) AS mx
         |FROM (SELECT unnest(range(0, 100, 3)) AS r)""".stripMargin,
     "q_date_range" ->
       """SELECT count(*) AS n_weeks, CAST(min(d) AS DATE) AS first_d, CAST(max(d) AS DATE) AS last_d

@@ -360,7 +360,7 @@ object SparkEntry {
   // ----------------------------------------------------------------------
   // queries map (driver contract)
   // ----------------------------------------------------------------------
-  def queries: Map[String, (SparkSession, String) => SDF] = coreQueries ++ Queries2.queries ++ Queries3.queries ++ Queries4.queries ++ Queries5.queries ++ Queries6.queries ++ Queries7.queries ++ Queries8.queries ++ Queries9.queries ++ Queries10.queries ++ Queries11.queries ++ Queries12.queries ++ Queries13.queries ++ Queries14.queries ++ Queries15.queries
+  def queries: Map[String, (SparkSession, String) => SDF] = coreQueries ++ Queries2.queries ++ Queries3.queries ++ Queries4.queries ++ Queries5.queries ++ Queries6.queries ++ Queries7.queries ++ Queries8.queries ++ Queries9.queries ++ Queries10.queries ++ Queries11.queries ++ Queries12.queries ++ Queries13.queries ++ Queries14.queries ++ Queries15.queries ++ Queries16.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => SDF] = Map(
     "q1_agg" -> (q1Agg _),
@@ -394,7 +394,7 @@ object SparkEntry {
     "q_explode" -> (qExplode _),
   )
 
-  def oracleSql: Map[String, String] = coreOracleSql ++ Queries2.oracleSql ++ Queries3.oracleSql ++ Queries4.oracleSql ++ Queries5.oracleSql ++ Queries6.oracleSql ++ Queries7.oracleSql ++ Queries8.oracleSql ++ Queries9.oracleSql ++ Queries10.oracleSql ++ Queries11.oracleSql ++ Queries12.oracleSql ++ Queries13.oracleSql ++ Queries14.oracleSql ++ Queries15.oracleSql
+  def oracleSql: Map[String, String] = coreOracleSql ++ Queries2.oracleSql ++ Queries3.oracleSql ++ Queries4.oracleSql ++ Queries5.oracleSql ++ Queries6.oracleSql ++ Queries7.oracleSql ++ Queries8.oracleSql ++ Queries9.oracleSql ++ Queries10.oracleSql ++ Queries11.oracleSql ++ Queries12.oracleSql ++ Queries13.oracleSql ++ Queries14.oracleSql ++ Queries15.oracleSql ++ Queries16.oracleSql
 
   private def coreOracleSql: Map[String, String] = Map(
     "q1_agg" ->

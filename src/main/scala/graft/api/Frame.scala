@@ -56,7 +56,13 @@ trait FrameOps[Self] {
 
   // ---- projections (reference: data_frame.rb:3559,3671; lazy_frame.rb:1028,1784) ----
   def select(exprs0: Expr*): Self = {
-    val exprs = exprs0.map(_.defaultNamed) // polars naming: leaf name / "literal"
+    // polars selector semantics: `all` / `^regex$` column selectors expand
+    // per matching schema column BEFORE evaluation (all.sum sums each
+    // column; the op chain applies per column) — Expr.expandSelector
+    // substitutes the selector leaf at bind time, where the schema is known
+    val expanded = exprs0.flatMap(e =>
+      graft.expr.Expr.expandSelector(e, columns).getOrElse(Seq(e)))
+    val exprs = expanded.map(_.defaultNamed) // polars naming: leaf name / "literal"
     // polars DuplicateError: two exprs default-naming to the same column
     // (select(col("a"), col("a") + 1)) must fail HERE, not as a downstream
     // AMBIGUOUS_REFERENCE — Spark happily builds the duplicate projection
@@ -65,21 +71,62 @@ trait FrameOps[Self] {
     require(dup.isEmpty,
       s"select: duplicate output column names ${dup.mkString(", ")} — alias the expressions distinctly")
     make(withIdx(exprs) { d =>
+      val G = org.apache.spark.sql.GraftInternalOps
       // polars frame-order guarantee: a windowed/scanned projection comes
       // back partition-grouped from the shuffle; restore row order via the
       // hidden index (Catalyst's EliminateSorts removes this sort when a
       // caller orders the result itself)
-      val bareAgg = exprs.exists(e =>
-        org.apache.spark.sql.GraftInternalOps.hasBareAggregate(e.col))
-      if (d.columns.contains(RowIndex.name) && !bareAgg)
-        d.select((F.col(RowIndex.name) +: exprs.map(_.col)): _*)
-          .orderBy(F.col(RowIndex.name))
-      else d.select(exprs.map(_.col): _*)
+      def ordered(dd: SDF, cols: Seq[Column]): SDF =
+        if (dd.columns.contains(RowIndex.name))
+          dd.select((F.col(RowIndex.name) +: cols): _*).orderBy(F.col(RowIndex.name))
+        else dd.select(cols: _*)
+      val extracted = exprs.map(e =>
+        if (G.hasBareAggregate(e.col)) Some(G.extractBareAggregates(e.col)) else None)
+      val anyAgg = extracted.exists(_.isDefined)
+      // a projection is the classic 1-row global aggregate ONLY when every
+      // expr is a pure scalar aggregate (no residual elementwise refs)
+      val allPureAgg = anyAgg && extracted.forall(_.exists {
+        case (rc, _) => !G.referencesNonHelperColumns(rc)
+      })
+      if (!anyAgg) ordered(d, exprs.map(_.col))
+      else if (allPureAgg) d.select(exprs.map(_.col): _*)
+      else {
+        // MIXED scalar/elementwise projection — polars broadcasts the
+        // scalar aggregates against the full-length columns
+        // (guide_test.rb:93 select(sum("nrs"), col("names").sort, ...)):
+        // ONE global-aggregate pass computes every extracted aggregate,
+        // broadcast-cross-joins back (1 row), and the projection reads the
+        // helpers elementwise. Never a Window.partitionBy() global window.
+        val helpers = extracted.flatMap(_.toSeq.flatMap(_._2))
+        val aggRow = F.broadcast(d.agg(
+          helpers.head._2.as(helpers.head._1),
+          helpers.tail.map { case (n, c) => c.as(n) }: _*))
+        val cols = exprs.zip(extracted).map {
+          case (e, None) => e.col
+          case (_, Some((rc, _))) => rc
+        }
+        ordered(d.crossJoin(aggRow), cols)
+      }
     })
   }
   def selectNames(names: String*): Self = make(sdf.select(names.map(F.col): _*))
   def withColumns(exprs: (String, Expr)*): Self = make(withIdx(exprs.map(_._2)) { d =>
-    val out = exprs.foldLeft(d) { case (acc, (n, e)) => acc.withColumn(n, e.col) }
+    val G = org.apache.spark.sql.GraftInternalOps
+    // scalar aggregates BROADCAST in with_columns (polars guide semantics:
+    // with_columns(sum("nrs").alias("nrs_sum")) adds a constant column) —
+    // same one-agg-pass + broadcast cross join as the mixed select
+    val extracted = exprs.map { case (n, e) =>
+      if (G.hasBareAggregate(e.col)) (n, G.extractBareAggregates(e.col))
+      else (n, (e.col, Seq.empty[(String, org.apache.spark.sql.Column)]))
+    }
+    val helpers = extracted.flatMap(_._2._2)
+    val base =
+      if (helpers.isEmpty) d
+      else d.crossJoin(F.broadcast(d.agg(
+        helpers.head._2.as(helpers.head._1),
+        helpers.tail.map { case (n, c) => c.as(n) }: _*)))
+    val out0 = extracted.foldLeft(base) { case (acc, (n, (c, _))) => acc.withColumn(n, c) }
+    val out = if (helpers.isEmpty) out0 else out0.drop(helpers.map(_._1): _*)
     // polars frame-order guarantee (see select)
     if (out.columns.contains(RowIndex.name)) out.orderBy(F.col(RowIndex.name)) else out
   })
@@ -87,10 +134,12 @@ trait FrameOps[Self] {
   /** polars spelling: with_columns(exprs) names each column by its alias /
     * leaf name (replacing an existing column of that name in place). */
   def withColumns(exprs0: Seq[Expr])(implicit d: DummyImplicit): Self =
-    withColumns(exprs0.map { e0 =>
-      val e = e0.defaultNamed
-      e.meta.outputName.getOrElse("literal") -> e
-    }: _*)
+    withColumns(exprs0
+      .flatMap(e => graft.expr.Expr.expandSelector(e, columns).getOrElse(Seq(e)))
+      .map { e0 =>
+        val e = e0.defaultNamed
+        e.meta.outputName.getOrElse("literal") -> e
+      }: _*)
   def withColumnsRenamed(mapping: Map[String, String]): Self =
     make(mapping.foldLeft(sdf) { case (d, (from, to)) => d.withColumnRenamed(from, to) })
   def rename(mapping: Map[String, String]): Self = withColumnsRenamed(mapping)
@@ -358,7 +407,10 @@ trait FrameOps[Self] {
     * refinement kernel (one bounds scan + geometric refinement over ALL
     * columns at once, [[graft.kernel.Quantiles]]) — the previous per-column
     * collect_list aggregate buffered every column of the whole table in
-    * one row's aggregation buffers. */
+    * one row's aggregation buffers. NOTE: the kernel runs Spark jobs at
+    * CALL time, so on the LazyFrame surface this is eager where the
+    * reference is lazy — values are identical; documented divergence
+    * (COVERAGE.md "Engine-level documented divergences"). */
   def quantileFrame(q: Double, interpolation: String = "nearest"): Self = {
     import org.apache.spark.sql.types._
     val Q = graft.kernel.Quantiles

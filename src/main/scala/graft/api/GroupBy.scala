@@ -44,8 +44,17 @@ final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk0: SDF => Self,
   }
   private val mk: SDF => Self = d => mk0(ordered(d))
 
-  def agg(exprs0: Expr*): Self = {
-    require(exprs0.nonEmpty)
+  def agg(exprs00: Expr*): Self = {
+    require(exprs00.nonEmpty)
+    // polars selector semantics in agg: `all`/`^regex$` expand per
+    // NON-KEY column (agg(Polars.all.sum) sums every other column —
+    // guide_test.rb quickstart)
+    val aggKeyNames = keys.flatMap(k =>
+      org.apache.spark.sql.GraftInternalOps.rootAliasName(k))
+    val exprs0 = exprs00.flatMap(e =>
+      Expr.expandSelector(e,
+        sdf.columns.toSeq.filterNot(_ == graft.kernel.RowIndex.name),
+        excludeCols = aggKeyNames).getOrElse(Seq(e)))
     // polars' implicit implode: an aggregate-free elementwise expression in
     // agg (`agg(col("v"))`, `agg(col("v") * 2)`) evaluates per group in row
     // order and returns a LIST per group. Spelled as an identity keyed form
@@ -113,17 +122,28 @@ final class GroupBy[Self](sdf: SDF, keys: Seq[Column], mk0: SDF => Self,
         (e, i, ke)
       }
       // ROW-ORDER-dependent forms (shift/cum/implode — ke.requiresIndex, or
-      // a per-group LIST collection, which sorts by the index): attach the
-      // dense index, hash-partition by the keys, and sort by (keys, row-idx)
-      // so every group lands whole in one partition in row order — the
-      // scalar branch's order-sensitive aggregates iterate partition order
-      // and the final aggregation needs no further exchange. VALUE-ordered
-      // forms only (the element-mode quantiles rank by (keys, value)):
-      // skip the index entirely — attachDense materializes the scan as an
-      // un-prunable RDD and its row-order sort is dead work when every
-      // window imposes its own ordering; the windows' ENSURE_REQUIREMENTS
-      // exchange (AQE-coalescible) partitions by the keys on its own.
-      val needsIdx = kes.exists { case (e, _, ke) => ke.requiresIndex || e.groupAgg.isEmpty }
+      // a per-group LIST collection, which sorts by the index, or an
+      // order-sensitive group aggregate like flatten's list concatenation —
+      // groupAgg.orderSensitive): attach the dense index, hash-partition by
+      // the keys, and sort by (keys, row-idx) so every group lands whole in
+      // one partition in row order — the scalar branch's order-sensitive
+      // aggregates iterate partition order and the final aggregation needs
+      // no further exchange. Plain (non-per-group) exprs that reference the
+      // row index themselves (implode/gather/agg_groups of a bare column)
+      // must also force the attach — their columns would otherwise fail to
+      // resolve. VALUE-ordered forms only (the element-mode quantiles rank
+      // by (keys, value)): skip the index entirely — attachDense
+      // materializes the scan as an un-prunable RDD and its row-order sort
+      // is dead work when every window imposes its own ordering; the
+      // windows' ENSURE_REQUIREMENTS exchange (AQE-coalescible) partitions
+      // by the keys on its own.
+      val perGroupIdx = perGroup.map(_._2).toSet
+      val plainNeedsIdx = exprs.zipWithIndex.exists { case (e, i) =>
+        !perGroupIdx(i) && e.requiresIndex
+      }
+      val needsIdx = plainNeedsIdx || kes.exists { case (e, _, ke) =>
+        ke.requiresIndex || e.groupAgg.isEmpty || e.groupAgg.exists(_.orderSensitive)
+      }
       var d =
         if (needsIdx)
           RowIndex.attachDense(sdf).repartition(keys: _*)

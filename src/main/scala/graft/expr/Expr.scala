@@ -31,9 +31,15 @@ final case class KeyedForm(mk: Seq[Column] => Expr)
   * must be an AggregateFunction, so `sum(x) * 2 over w` must be spelled
   * `(sum(x) over w) * 2`. */
 final case class GroupAggForm(keyed: KeyedForm, agg: Column => Column,
-                              post: Column => Column = identity) {
+                              post: Column => Column = identity,
+                              orderSensitive: Boolean = false) {
   /** The full per-group column: post-transforms over the aggregate. */
   def full(c: Column): Column = post(agg(c))
+  // orderSensitive: the agg half iterates rows (collect_list-style) and its
+  // result depends on row order — GroupBy.agg must feed it groups whole and
+  // sorted (repartition by keys + sortWithinPartitions on the row index),
+  // exactly like the implicit-implode branch. Pure commutative aggregates
+  // (sum, rank-selected quantiles) leave it false and keep the pruned scan.
 }
 
 /** Composable column expression — the Spark-native counterpart of the
@@ -166,23 +172,42 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   }
 
   // ---- naming (reference: expr.rb:324,407-449; name_expr.rb) ----
-  def alias(name: String): Expr = map(_.as(name))
+  /** Re-alias collapses any existing top-level alias (polars: the outer
+    * name wins) — stacked Alias nodes also break ExtractGenerator, whose
+    * generator-in-projection rewrite only sees one Alias deep
+    * (select(col.unique) would otherwise plan an Aggregate[explode]). */
+  def alias(name: String): Expr =
+    map(c => org.apache.spark.sql.GraftInternalOps.stripAlias(c).as(name))
   def as(name: String): Expr = alias(name)
 
   // ---- arithmetic (reference: expr.rb:28-134) ----
   def unary_- : Expr = map(c => -c)
-  def +(o: Expr): Expr = zip(o)(_ + _)
+  /** polars `+` is type-directed — Utf8 + Utf8 concatenates, numerics add.
+    * The dispatch can't happen here (the Expr surface is untyped until the
+    * frame binds it), so it's deferred to analysis via
+    * [[graft.ext.PlusOrConcat]]; graft durations are i64 µs ticks
+    * (SURVEY §1.2), so no temporal type ever reaches this `+` (datetime
+    * arithmetic is `dt.addDuration` / `dt.offsetBy`). */
+  def +(o: Expr): Expr = zip(o) { (a, b) =>
+    val G = org.apache.spark.sql.GraftInternalOps
+    G.column(graft.ext.PlusOrConcat(G.catalystExpression(a), G.catalystExpression(b)))
+  }
   def -(o: Expr): Expr = zip(o)(_ - _)
   def *(o: Expr): Expr = zip(o)(_ * _)
-  /** polars float division is IEEE: 1/0 = inf, -1/0 = -inf, 0/0 = NaN
-    * (expr.rb truediv golden) — Spark 4's ANSI mode instead RAISES on a
-    * zero divisor, so the zero case is spelled explicitly (the guard keeps
-    * the non-zero path on Spark's native Divide and its dtype). */
+  /** polars float division is IEEE: 1/0 = inf, -1/0 = -inf, 0/0 = NaN,
+    * NaN/0 = NaN, 1/-0.0 = -inf (expr.rb truediv golden) — Spark 4's ANSI
+    * mode instead RAISES on a zero divisor. The guard keeps the non-zero
+    * path on Spark's native Divide (exact rounding, native dtype); the
+    * zero-divisor case routes through `a * pow(b, -1)`, which is IEEE for
+    * EVERY edge in one expression: pow(+0,-1)=+inf, pow(-0.0,-1)=-inf
+    * (Java Math.pow — comparisons can't see the zero's sign, the power
+    * can), a=0 → 0*inf=NaN, a=NaN → NaN, null a or b → null. A null
+    * divisor also lands in the otherwise branch (null =!= 0 is null) and
+    * comes out null via pow(null)=null. Mixing the double-typed pow branch
+    * coerces decimal divisions to double — documented divergence
+    * (COVERAGE.md), same as the pre-r15 spelling. */
   def /(o: Expr): Expr = zip(o) { (a, b) =>
-    F.when(b =!= 0, a / b) // null a or b falls through to null via the guard
-      .when(b === 0 && (a > 0), Double.PositiveInfinity)
-      .when(b === 0 && (a < 0), Double.NegativeInfinity)
-      .when(b === 0 && (a === 0), Double.NaN)
+    F.when(b =!= 0, a / b).otherwise(a * F.pow(b, F.lit(-1.0)))
   }
   def %(o: Expr): Expr = zip(o)(_ % _)
   def floorDiv(o: Expr): Expr = zip(o)((a, b) => F.floor(a / b))
@@ -349,7 +374,12 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
   // exact partial+final agg; handles zeros/negatives; int input stays i64
   // and empty groups yield 1 (polars) via the typed GraftProduct aggregate
   def product: Expr = aggMap(Expr.productAgg)
-  def nUnique: Expr = aggMap(c => F.countDistinct(c))
+  /** polars n_unique counts NULL as a distinct value (guide_test.rb:56
+    * semantics, fuzz model): count-distinct plus one when any null exists.
+    * The composite stays a legal aggregate composition (two aggregate
+    * functions under arithmetic), windowable via windowCompositeAggregates. */
+  def nUnique: Expr = aggMap(c => F.countDistinct(c) +
+    F.when(F.count(F.lit(1)) - F.count(c) > 0, F.lit(1L)).otherwise(F.lit(0L)))
   /** any / all — boolean-column aggregates (reference: expr.rb:198,223).
     * drop_nulls=true (default) ignores nulls; empty/all-null → false / true.
     * drop_nulls=false applies Kleene logic: any = null when no true but a
@@ -478,12 +508,31 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
           F.col(graft.kernel.RowIndex.name).as("i"), col.as("x")))),
         s => s.getField("x")),
       requiresIndex = true, preps, None,
-      keyed.map(k => GroupAggForm(k, F.collect_list)))
+      keyed.map(k => GroupAggForm(k, F.collect_list, orderSensitive = true)))
     // default naming must stay the SOURCE's leaf name — the struct spelling
     // would otherwise leak the row-index helper as the output name
     meta.outputName.fold(base)(base.alias)
   }
   def uniqueAgg: Expr = aggMap(F.collect_set)
+  /** Vertical distinct (expr.rb unique, maintain_order: false): a SELECT
+    * yields the distinct values as rows (order undefined, like polars);
+    * the agg form is the per-group distinct list. Chaining a further
+    * aggregate (polars `unique.count`) needs a two-step select — the
+    * relational Expr surface does not nest aggregates (COVERAGE.md
+    * vertical-op chaining note). */
+  def unique: Expr = {
+    // the generator-over-aggregate shape resolves only when the aggregate
+    // is a REAL AggregateExpression node (ExtractGenerator defers on an
+    // unresolved collect_set and GlobalAggregates then mis-plans the
+    // Project as an Aggregate) — same shape FirstSeen/get_categories uses
+    val G = org.apache.spark.sql.GraftInternalOps
+    def setAgg(c: Column): Column = G.column(
+      org.apache.spark.sql.catalyst.expressions.aggregate.CollectSet(
+        G.catalystExpression(c)).toAggregateExpression())
+    val base = Expr(F.explode(setAgg(col)), requiresIndex, preps, None,
+      Some(GroupAggForm(KeyedForm(_ => Expr(col, requiresIndex, preps)), F.collect_set)))
+    meta.outputName.fold(base)(base.alias)
+  }
   /** gather/take by index (reference expr.rb:1565 golden: per-group
     * `agg(col.take([2,1]))` selects those row positions within each group
     * in row order, returning a list). Same ordered-collect discipline as
@@ -498,7 +547,8 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
         F.col(graft.kernel.RowIndex.name).as("i"), col.as("x")))),
       s => s.getField("x"))
     val base = Expr(sel(ordered), requiresIndex = true, preps, None,
-      keyed.map(k => GroupAggForm(k, c => sel(F.collect_list(c)))))
+      keyed.map(k => GroupAggForm(k, c => sel(F.collect_list(c)),
+        orderSensitive = true)))
     meta.outputName.fold(base)(base.alias)
   }
   def take(indices: Seq[Int]): Expr = gather(indices)
@@ -845,7 +895,75 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
       d3.withColumn(out, blended).drop(pos, prev, nxt)
     }.copy(keyed = Some(keyedForm))
   }
-  def reverseExpr: Expr = Expr(col, requiresIndex, preps) // frame-level reverse handles ordering
+  // ---- vertical permutation ops (reference expr.rb:1310 sort, :1829
+  //      reverse, :1427 sort_by): polars evaluates each projection expr as
+  //      an INDEPENDENT Series and re-zips by position — select(col.sort)
+  //      reorders just that column against the others. Global forms run
+  //      through [[Scan.zipOrdered]] (running-count positions + pruned
+  //      sort-side + 1:1 position join — distributed, no buffering); keyed
+  //      forms permute within each key group; agg forms yield the
+  //      per-group list. ----
+  private def permuted(opName: String, orderOf: Column => Seq[Scan.OrderKey],
+                       aggList: Column => Column, aggOrderSensitive: Boolean,
+                       extraOperands: Seq[Expr] = Nil): Expr = {
+    def mergedAll(base: Seq[Prep]): Seq[Prep] =
+      extraOperands.foldLeft(base)((a, e) => mergePreps(a, e.preps))
+    val out = Scan.fresh("x")
+    val named = meta.outputName.fold(F.col(out))(n => F.col(out).as(n))
+    Expr(named, requiresIndex = true,
+      mergedAll(preps) :+ Prep(out,
+        d => Scan.zipOrdered(d, col, out, orderOf(col)), Seq(out, Scan.BUCKET)),
+      keyed = Some(KeyedForm { keys =>
+        val in = keyedInput(opName, keys)
+        val helper = Scan.fresh("x")
+        Expr(F.col(helper), requiresIndex = true,
+          mergedAll(in.preps) :+ Prep(helper,
+            d => Scan.zipOrderedByKeys(d, in.col, helper, orderOf(in.col), keys),
+            Seq(helper, Scan.BUCKET)))
+      }),
+      groupAgg = Some(GroupAggForm(
+        KeyedForm(_ => Expr(col, requiresIndex, preps)),
+        aggList, orderSensitive = aggOrderSensitive)))
+  }
+
+  /** Independent column sort (expr.rb:1310 golden: select(col("value").sort)
+    * yields 1/2/3/4/98/99 whatever the other columns do; the agg form is
+    * the sorted per-group list). polars nulls placement: first unless
+    * `nulls_last`, in BOTH directions. */
+  def sort(descending: Boolean = false, nullsLast: Boolean = false): Expr =
+    permuted("sort",
+      c => Seq(Scan.OrderKey(c, descending, nullsLast)),
+      c => Expr.sortedListAgg(c, descending, nullsLast),
+      aggOrderSensitive = false) // the sort imposes its own order
+
+  /** Independent column reversal (expr.rb:1829) — the mirror permutation of
+    * the hidden row order; agg form: the group's values in reverse row
+    * order (null-preserving). */
+  def reverse: Expr =
+    permuted("reverse",
+      _ => Seq(Scan.OrderKey(F.col(graft.kernel.RowIndex.name), descending = true)),
+      c => F.reverse(F.transform(F.collect_list(F.struct(c.as("x"))),
+        s => s.getField("x"))),
+      aggOrderSensitive = true) // reads row order, needs the per-group sort
+  def reverseExpr: Expr = reverse // pre-r15 alias
+
+  /** Independent sort of THIS column by other column(s) (expr.rb:1427
+    * sort_by outside agg; [[sortByAgg]] remains the explicit agg-context
+    * spelling and backs the grouped form here). */
+  def sortBy(by: Seq[Expr], descending: Boolean): Expr =
+    permuted("sort_by",
+      _ => by.map(e => Scan.OrderKey(e.col, descending)),
+      c => {
+        val sorted = F.array_sort(F.collect_list(F.struct(
+          by.map(_.col).zipWithIndex.map { case (k, i) => k.as(s"k$i") } :+
+            c.as("v"): _*)))
+        val values = F.transform(sorted, s => s.getField("v"))
+        if (descending) F.reverse(values) else values
+      },
+      aggOrderSensitive = false,
+      extraOperands = by)
+  def sortBy(by: Seq[Expr]): Expr = sortBy(by, descending = false)
+  def sortBy(by: Expr, descending: Boolean = false): Expr = sortBy(Seq(by), descending)
 
   // ---- rolling (fixed window, reference: expr.rb:4936-5567) ----
   /** polars rolling default: `min_periods: nil` means WINDOW SIZE — the
@@ -1438,7 +1556,8 @@ final case class Expr(col: Column, requiresIndex: Boolean = false,
     * list's element type. */
   def flatten: Expr = Expr(F.explode(col), requiresIndex, preps, None,
     Some(GroupAggForm(KeyedForm(_ => Expr(col, requiresIndex, preps)),
-      c => F.flatten(F.collect_list(F.coalesce(c, F.array(F.lit(null))))))))
+      c => F.flatten(F.collect_list(F.coalesce(c, F.array(F.lit(null))))),
+      orderSensitive = true)))
   def keepName: Expr = name.keep
   def mapAlias(f: String => String): Expr =
     meta.outputName.fold(this)(n => alias(f(n)))
@@ -1499,6 +1618,69 @@ object Expr {
   private[graft] def boolAsInt(c: Column): Column =
     org.apache.spark.sql.GraftInternalOps.column(
       graft.ext.BoolToInt(org.apache.spark.sql.GraftInternalOps.expression(c)))
+  /** Selector expansion at bind time (polars expands `all`/`^regex$`
+    * selectors per matching column BEFORE evaluating the op chain —
+    * expr.rb:365, functions/lazy.rb:928): returns one expr per matching
+    * schema column with the selector leaf tree-substituted, or None when
+    * the expr carries no selector. Top-level alias names containing the
+    * selector token substitute too, so `all.sum.suffix("_s")` comes out
+    * `A_s`/`B_s`. Only PREP-FREE exprs expand — a scan prep's closure
+    * captures the unexpanded column, so those raise a directed error
+    * telling the caller to expand explicitly. */
+  private[graft] def expandSelector(e: Expr, schemaCols: Seq[String],
+                                    excludeCols: Seq[String] = Nil): Option[Seq[Expr]] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression}
+    val G = org.apache.spark.sql.GraftInternalOps
+    val tree = G.catalystExpression(e.col)
+    var selector: Option[String] = None
+    tree.foreach {
+      case a: UnresolvedAttribute
+          if a.name == "*" || (a.name.startsWith("^") && a.name.endsWith("$")) =>
+        selector = selector.orElse(Some(a.name))
+      case _: UnresolvedStar => selector = selector.orElse(Some("*"))
+      case _ =>
+    }
+    selector.map { sel =>
+      // a bare column projection (select(all)) needs no op rewrite and is
+      // prep-free by construction; anything op-chained with preps cannot
+      // retarget its prep closures
+      require(e.preps.isEmpty,
+        s"selector '$sel' under an order-dependent op cannot expand at bind " +
+          "time (the op already captured the selector); expand explicitly — " +
+          "df.columns.map(c => col(c).<op>)")
+      val re = if (sel == "*") None else Some(sel.r)
+      val targets = schemaCols
+        .filter(c => re.fold(true)(r => r.findFirstIn(c).isDefined))
+        .filterNot(excludeCols.contains)
+      targets.map { c =>
+        val substituted = tree.transformUp {
+          case a: UnresolvedAttribute
+              if a.name == sel || (sel == "*" && a.name == "*") =>
+            UnresolvedAttribute.quoted(c)
+          case _: UnresolvedStar if sel == "*" => UnresolvedAttribute.quoted(c)
+        }
+        val renamed = substituted.transformUp {
+          case al: Alias if al.name.contains(sel) =>
+            Alias(al.child, al.name.replace(sel, c))()
+        }
+        Expr(G.column(renamed), e.requiresIndex)
+      }
+    }
+  }
+
+  /** Sorted per-group list with polars null placement (expr.rb:1310 agg
+    * golden): collect through structs so nulls survive collect_list, split
+    * nulls out, sort the values, and re-attach nulls on the requested end.
+    * Direction-independent null-first default matches polars. */
+  private[graft] def sortedListAgg(c: Column, descending: Boolean,
+                                   nullsLast: Boolean): Column = {
+    val xs = F.transform(F.collect_list(F.struct(c.as("x"))), s => s.getField("x"))
+    val nulls = F.filter(xs, x => x.isNull)
+    val vals = F.sort_array(F.filter(xs, x => x.isNotNull))
+    val core = if (descending) F.reverse(vals) else vals
+    if (nullsLast) F.concat(core, nulls) else F.concat(nulls, core)
+  }
   /** Dtype-preserving product aggregate (see [[graft.ext.GraftProduct]]). */
   private[graft] def productAgg(c: Column): Column =
     org.apache.spark.sql.GraftInternalOps.column(

@@ -15,8 +15,8 @@ final class StrNS(e: Expr) {
   def toUppercase: Expr = m(F.upper)
   def toLowercase: Expr = m(F.lower)
   def toTitlecase: Expr = m(F.initcap)
-  def lenChars: Expr = m(F.length)
-  def lenBytes: Expr = m(F.octet_length)
+  def lenChars: Expr = m(c => F.length(c).cast("long")) // u32 → i64 (§1.2)
+  def lenBytes: Expr = m(c => F.octet_length(c).cast("long")) // u32 → i64 (§1.2)
   def stripChars: Expr = m(F.trim)
   def stripChars(chars: String): Expr = m(c => F.trim(c, chars))
   def stripCharsStart: Expr = m(F.ltrim)
@@ -562,7 +562,21 @@ final class BinNS(e: Expr) {
 /** Categorical shim — physically StringType (SURVEY §1.2); the string cache is
   * a no-op on Spark. reference: lib/polars/cat_expr.rb:32. */
 final class CatNS(e: Expr) {
-  def getCategories: Expr = Expr(F.collect_set(e.col), e.requiresIndex, e.preps)
+  /** Category listing in FIRST-APPEARANCE order (cat_expr.rb:16 golden:
+    * [foo, bar, foo, foo, ham] → foo/bar/ham as ROWS — polars assigns ids
+    * in encounter order). `collect_set` has arbitrary cross-partition
+    * order, so the listing aggregates through [[graft.ext.FirstSeen]]
+    * (value → min row index, state bounded by the category domain) and
+    * explodes; the grouped form yields the per-group listing as a list. */
+  def getCategories: Expr = {
+    val G = org.apache.spark.sql.GraftInternalOps
+    def agg(c: Column): Column = G.column(graft.ext.FirstSeen(
+      G.expression(c),
+      G.expression(F.col(graft.kernel.RowIndex.name))).toAggregateExpression())
+    Expr(F.explode(agg(e.col)), requiresIndex = true, e.preps, None,
+      Some(GroupAggForm(KeyedForm(_ => Expr(e.col, requiresIndex = true, e.preps)),
+        agg, orderSensitive = true)))
+  }
   /** Physical code = 0-based dense rank of the value — the distributed rank
     * kernel, not a global-sort window; nulls stay null. */
   def toPhysical: Expr = e.rank("dense") - 1

@@ -449,4 +449,74 @@ object Scan {
           .otherwise(F.lit(0.0)))
       .drop(r, n)
   }
+
+  /** One ordering key of a vertical permutation: the value expression plus
+    * its direction and null placement (polars defaults: ascending, nulls
+    * first). */
+  final case class OrderKey(value: Column, descending: Boolean = false,
+                            nullsLast: Boolean = false) {
+    def sortCol(c: Column): Column = (descending, nullsLast) match {
+      case (false, false) => c.asc_nulls_first
+      case (false, true)  => c.asc_nulls_last
+      case (true, false)  => c.desc_nulls_first
+      case (true, true)   => c.desc_nulls_last
+    }
+  }
+
+  /** `out` := the value drawn from the row at the SAME position in a
+    * DIFFERENT ordering of the frame — the vertical permutation ops
+    * (polars expr.sort / reverse / sort_by OUTSIDE agg contexts,
+    * expr.rb:1310/1829/1427: each expr evaluates as an independent Series
+    * and the projection re-zips by position). Both orderings get dense
+    * 1-based positions — the current row order via the distributed
+    * running-count scan, the permuted order via a pruned two-column sort +
+    * dense zip (range-partitioned, never a single-partition window) — and
+    * a 1:1 equi-join on position aligns them: two narrow passes + one
+    * shuffle join, no group buffering. Ties break on the hidden row index
+    * (polars sorts are stable). */
+  def zipOrdered(d0: DataFrame, value: Column, out: String,
+                 order: Seq[OrderKey]): DataFrame = {
+    val pos = fresh("p"); val spos = fresh("q")
+    val dp = running(d0, F.lit(1), pos, F.count, "sum")
+    val oks = order.indices.map(i => fresh("o" + i))
+    val side = d0.select(
+      order.map(_.value).zip(oks).map { case (c, n) => c.as(n) } :+
+        F.col(IDX).as(spos) :+ value.as(out): _*)
+    val sortCols = order.zip(oks).map { case (k, n) => k.sortCol(F.col(n)) } :+
+      F.col(spos).asc // stable tie-break on source order
+    val sorted = side.orderBy(sortCols: _*).select(out)
+    val indexed = org.apache.spark.sql.GraftInternalOps
+      .zipWithDenseIndex(sorted, spos) // 0-based dense positions
+    dp.join(indexed, F.col(pos) === F.col(spos) + 1, "left")
+      .drop(pos, spos)
+  }
+
+  /** Keyed [[zipOrdered]]: the permutation runs WITHIN each key group
+    * (`sort().over(k)`, `reverse.over(k)`, keyed `sort_by`). Positions are
+    * `row_number` windows over the keys' own shuffle (AQE-coalescible
+    * ENSURE_REQUIREMENTS exchange, balanced by key hash), aligned by a
+    * composite (keys, position) equi-join — group size never enters any
+    * single buffer. */
+  def zipOrderedByKeys(d0: DataFrame, value: Column, out: String,
+                       order: Seq[OrderKey], keys: Seq[Column]): DataFrame = {
+    val kns = keys.indices.map(i => fresh("k" + i))
+    val pos = fresh("p"); val spos = fresh("q")
+    val d = keys.zip(kns).foldLeft(d0) { case (acc, (k, n)) => acc.withColumn(n, k) }
+    val wI = Window.partitionBy(kns.map(F.col): _*).orderBy(F.col(IDX))
+    val oks = order.indices.map(i => fresh("o" + i))
+    val sortCols = order.zip(oks).map { case (k, n) => k.sortCol(F.col(n)) } :+
+      F.col(IDX).asc
+    val wV = Window.partitionBy(kns.map(F.col): _*).orderBy(sortCols: _*)
+    val sideKns = keys.indices.map(i => fresh("kk" + i))
+    val side = order.map(_.value).zip(oks)
+      .foldLeft(d) { case (acc, (c, n)) => acc.withColumn(n, c) }
+      .withColumn(spos, F.row_number().over(wV))
+      .select(kns.zip(sideKns).map { case (a, b) => F.col(a).as(b) } :+
+        F.col(spos) :+ value.as(out): _*)
+    val cond = kns.zip(sideKns).map { case (a, b) => F.col(a) <=> F.col(b) }
+      .reduce(_ && _) && F.col(pos) === F.col(spos)
+    d.withColumn(pos, F.row_number().over(wI))
+      .join(side, cond, "left")
+      .drop((Seq(pos, spos) ++ kns ++ sideKns): _*)
+  }
 }

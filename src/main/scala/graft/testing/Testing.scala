@@ -217,6 +217,14 @@ object Testing {
     case other     => fmt(other)
   }
 
+  /** polars table cells cap at 32 display chars (comfy-table constraint in
+    * polars' fmt.rs): a longer composite cell (list/struct repr) truncates
+    * to its first 30 chars + `…` — the date_ranges doc golden renders
+    * `[2022-01-01, 2022-01-02, 2022-…`. Plain strings truncate earlier at
+    * fmt_str_lengths, numbers/datetimes never reach the cap. */
+  private def cellWidth(repr: String): String =
+    if (repr.length > 32) repr.take(30) + "…" else repr
+
   private def fmt(v: Any): String = v match {
     case null => "null"
     // polars fmt_str_lengths default 30: longer strings truncate to the
@@ -259,12 +267,13 @@ object Testing {
     // nested strings are QUOTED (polars: ["a", "b"] in a list cell, bare a
     // at top level), hence fmtSeries for elements
     case s: scala.collection.Seq[_] if s.length > 3 =>
-      s"[${fmtSeries(s(0))}, ${fmtSeries(s(1))}, … ${fmtSeries(s.last)}]"
-    case s: scala.collection.Seq[_] => s.map(fmtSeries).mkString("[", ", ", "]")
+      cellWidth(s"[${fmtSeries(s(0))}, ${fmtSeries(s(1))}, … ${fmtSeries(s.last)}]")
+    case s: scala.collection.Seq[_] =>
+      cellWidth(s.map(fmtSeries).mkString("[", ", ", "]"))
     // polars struct cell: fields joined with bare commas, strings quoted —
     // {1,"a",true,[1, 2]}
     case r: org.apache.spark.sql.Row =>
-      r.toSeq.map(fmtSeries).mkString("{", ",", "}")
+      cellWidth(r.toSeq.map(fmtSeries).mkString("{", ",", "}"))
     // polars datetime[μs]: no fraction when the micros are zero, else
     // exactly six fractional digits
     case t: java.sql.Timestamp => fmtDateTime(t.toLocalDateTime)

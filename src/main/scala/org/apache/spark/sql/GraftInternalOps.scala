@@ -120,6 +120,64 @@ object GraftInternalOps {
     scan(catalystExpression(c))
   }
 
+  /** Pull every MAXIMAL non-windowed aggregate subtree out of `c`,
+    * replacing each with a reference to a fresh helper column — the
+    * polars scalar-broadcast rule for mixed projections
+    * (`select(col("names"), sum("nrs"))`, `when(..).otherwise(r) * sum(n)`):
+    * the scalars compute once in a single global aggregate pass and
+    * broadcast-cross-join back against the full-length columns. Returns
+    * the rewritten column plus (helperName, aggregateColumn) pairs; an
+    * empty pair list means the expr had no bare aggregate. Windowed
+    * aggregates stay in place (already row-parallel). */
+  def extractBareAggregates(c: Column): (Column, Seq[(String, Column)]) = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.{Expression, WindowExpression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction}
+    def isAggName(f: UnresolvedFunction): Boolean = {
+      val resolved = scala.util.Try {
+        org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.lookupFunction(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(f.nameParts.head.toLowerCase),
+          f.arguments)
+      }.toOption
+      resolved.exists {
+        case _: AggregateFunction   => true
+        case _: AggregateExpression => true
+        case _                      => false
+      }
+    }
+    val acc = scala.collection.mutable.Buffer[(String, Column)]()
+    def walk(e: Expression): Expression = e match {
+      case w: WindowExpression => w
+      case w if w.getClass.getSimpleName == "UnresolvedWindowExpression" => w
+      case f: UnresolvedFunction if isAggName(f) =>
+        val h = graft.kernel.Scan.fresh("s")
+        acc += h -> column(f)
+        UnresolvedAttribute.quoted(h)
+      case a: AggregateExpression =>
+        val h = graft.kernel.Scan.fresh("s")
+        acc += h -> column(a)
+        UnresolvedAttribute.quoted(h)
+      case other => other.mapChildren(walk)
+    }
+    val rewritten = walk(catalystExpression(c))
+    (column(rewritten), acc.toSeq)
+  }
+
+  /** True when the column still references a real (non-helper) input column
+    * — used on [[extractBareAggregates]] output to tell a PURE scalar
+    * aggregate (no residual refs: the classic 1-row global-agg select) from
+    * a mixed elementwise/scalar expr that needs the broadcast join. */
+  def referencesNonHelperColumns(c: Column): Boolean = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedStar}
+    var found = false
+    catalystExpression(c).foreach {
+      case a: UnresolvedAttribute if !a.name.startsWith("__graft_") => found = true
+      case _: UnresolvedStar => found = true
+      case _ =>
+    }
+    found
+  }
+
   /** True when the (unresolved) tree PROVABLY contains no aggregate — the
     * polars agg-surface test: an aggregate-free expression inside
     * `group_by().agg` evaluates elementwise and IMPLODES to a per-group
