@@ -70,7 +70,7 @@ class ParitySweepSpec extends SparkSpec {
       Polars.col("t").str.countMatch("a").alias("cm").col).collect()(0)
     assert(r.getString(0) == "ab  " && r.getString(1) == "  ab")
     assert(r.getString(2) == "ab.." && r.getString(3) == "..ab")
-    assert(r.getInt(4) == 6 && r.getInt(5) == 1)
+    assert(r.getLong(4) == 6L && r.getInt(5) == 1) // len_chars u32 → i64 (§1.2)
     val p = Seq("110").toDF("t")
       .select(Polars.col("t").str.parseInt().alias("v").col).collect()(0)
     assert(p.getLong(0) == 6L)

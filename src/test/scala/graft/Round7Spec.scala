@@ -84,8 +84,8 @@ class Round7Spec extends SparkSpec {
     assert(up.toSeq == Seq("X", "X", "Z"))
     // .str.lengths of a shifted string column
     val ln = df.select(col("s").shift(1).str.lenChars.alias("n")).toSpark
-      .collect().map(r => if (r.isNullAt(0)) -1 else r.getInt(0))
-    assert(ln.toSeq == Seq(-1, 1, 2))
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)) // len_chars u32 → i64 (§1.2)
+    assert(ln.toSeq == Seq(-1L, 1L, 2L))
   }
 
   test("scanned ops work as sort keys, top_k keys, and Series.map bodies") {
@@ -227,8 +227,9 @@ class Round7Spec extends SparkSpec {
     // window form, so it re-spells as size(collect_set)
     val nu = df.withColumn("r", col("v").shift(1).nUnique.over(col("k"))).toSpark
       .select("k", "r").collect().map(r => (r.getString(0), r.getLong(1)))
-    // group a: shift(1) over (1,2,4) = (null,1,2) -> 2 distinct; b: (null,10) -> 1
-    assert(nu.sorted.toSeq == Seq(("a", 2L), ("a", 2L), ("a", 2L), ("b", 1L), ("b", 1L)),
+    // group a: shift(1) over (1,2,4) = (null,1,2) -> 3 distinct (n_unique
+    // counts null as a value, polars semantics); b: (null,10) -> 2
+    assert(nu.sorted.toSeq == Seq(("a", 3L), ("a", 3L), ("a", 3L), ("b", 2L), ("b", 2L)),
       nu.mkString(","))
 
     // a prep-bearing PARTITION KEY builds its helper before a keyed form
