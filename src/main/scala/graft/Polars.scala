@@ -585,7 +585,11 @@ object Polars {
   /** align_frames: same key universe (full-outer union of `on` values) in the
     * same sorted order for every frame (reference: functions/eager.rb:144). */
   def alignFrames(frames: Seq[DataFrame], on: String): Seq[DataFrame] = {
-    val keys = frames.map(_.toSpark.select(on)).reduce(_ unionAll _).distinct()
+    // persist the key superset like the reference does (eager.rb:156-165
+    // caches the alignment frame): every aligned frame's left join reads one
+    // materialization instead of re-running the N-way union + distinct
+    val keys = graft.kernel.PrepCache.persistBounded(
+      frames.map(_.toSpark.select(on)).reduce(_ unionAll _).distinct())
     frames.map { f =>
       DataFrame(keys.join(f.toSpark, Seq(on), "left").orderBy(on))
     }

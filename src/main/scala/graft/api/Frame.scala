@@ -49,7 +49,8 @@ trait FrameOps[Self] {
     val base1 = if (preps.size > 1) graft.kernel.PrepCache.persistBounded(base0) else base0
     val base = preps.foldLeft(base1)((d, p) => p.build(d))
     val out = f(base)
-    val drops = (RowIndex.name +: graft.kernel.Scan.BUCKET +: preps.flatMap(_.drops))
+    val drops = (RowIndex.name +: graft.kernel.Scan.BUCKET +: graft.kernel.Scan.POS +:
+      preps.flatMap(_.drops))
       .distinct.filter(out.columns.contains)
     if (drops.nonEmpty) out.drop(drops: _*) else out
   }

@@ -45,5 +45,5 @@ object RowIndex {
     * frame arriving with the index attached would have its scan buckets driven
     * by the stale pre-sort order — silently wrong fills. */
   def reattachOrdered(df: DataFrame, order: org.apache.spark.sql.Column*): DataFrame =
-    attach(df.drop(name, graft.kernel.Scan.BUCKET).orderBy(order: _*))
+    attach(df.drop(name, graft.kernel.Scan.BUCKET, graft.kernel.Scan.POS).orderBy(order: _*))
 }

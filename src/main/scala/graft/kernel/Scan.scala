@@ -36,6 +36,11 @@ import org.apache.spark.sql.expressions.{Window, WindowSpec}
   */
 object Scan {
   val BUCKET = "__graft_bucket__"
+  /** Reserved dense 1-based global position column (running count over the
+    * hidden row index). Shared by every [[zipOrdered]] prep in a projection
+    * — the first computes it, the rest reuse it — and dropped by the frame
+    * layer with [[BUCKET]]. */
+  val POS = "__graft_pos__"
   private val IDX = RowIndex.name
   private val ctr = new AtomicLong()
 
@@ -463,6 +468,51 @@ object Scan {
     }
   }
 
+  /** True when the permutation order is exactly "hidden row index,
+    * descending" — the `reverse` op. Its mirror position is pure arithmetic
+    * (cnt − pos + 1), so no second sort/ordering pass is ever needed. */
+  private def isIdxReverse(order: Seq[OrderKey]): Boolean = order match {
+    case Seq(OrderKey(c, true, false)) =>
+      org.apache.spark.sql.GraftInternalOps.catalystExpression(c) match {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name == IDX
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          a.name == IDX
+        case _ => false
+      }
+    case _ => false
+  }
+
+  /** Zip PROBE rows (carrying every original column at their current
+    * position `rn`) with DONOR rows (carrying only the permuted value at
+    * their target position `sp`) by hash-aggregating on (keys, position):
+    * `first(_, ignoreNulls)` re-assembles each output row from its exactly
+    * two contributions — the probe masks the value, the donor masks the
+    * originals. Replaces the former positional self-join: ONE lineage, and
+    * since the exploded stream keeps the windows' hash(keys) partitioning
+    * the aggregation needs NO new exchange (grouping on a superset of the
+    * partitioning keys). Aggregation state per (keys, pos) group is two
+    * rows — constant, never group-sized. */
+  private def posZip(dd: DataFrame, kns: Seq[String], rn: String, sp: String,
+                     value: Column, out: String,
+                     helpers: Seq[String]): DataFrame = {
+    val v = fresh("v"); val e = fresh("e"); val pos = fresh("z")
+    val keep = dd.columns.toSeq.filterNot(c =>
+      helpers.contains(c) || kns.contains(c) || c == rn || c == sp)
+    val exploded = dd.withColumn(v, value)
+      .withColumn(e, F.explode(F.array(
+        F.struct(F.col(rn).cast("long").as("p"), F.lit(false).as("d")),
+        F.struct(F.col(sp).cast("long").as("p"), F.lit(true).as("d")))))
+    val isDonor = F.col(e).getField("d")
+    val aggs = keep.map(c =>
+      F.first(F.when(!isDonor, F.col(c)), ignoreNulls = true).as(c)) :+
+      F.first(F.when(isDonor, F.col(v)), ignoreNulls = true).as(out)
+    exploded
+      .groupBy((kns.map(F.col) :+ F.col(e).getField("p").as(pos)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .drop(pos)
+  }
+
   /** `out` := the value drawn from the row at the SAME position in a
     * DIFFERENT ordering of the frame — the vertical permutation ops
     * (polars expr.sort / reverse / sort_by OUTSIDE agg contexts,
@@ -471,13 +521,15 @@ object Scan {
     * 1-based positions — the current row order via the distributed
     * running-count scan, the permuted order via a pruned two-column sort +
     * dense zip (range-partitioned, never a single-partition window) — and
-    * a 1:1 equi-join on position aligns them: two narrow passes + one
-    * shuffle join, no group buffering. Ties break on the hidden row index
-    * (polars sorts are stable). */
+    * a 1:1 equi-join on position aligns them (broadcast below the
+    * threshold, shuffled above — position is unique, so never skewed):
+    * two narrow passes + one join, no group buffering. Ties break on the
+    * hidden row index (polars sorts are stable). */
   def zipOrdered(d0: DataFrame, value: Column, out: String,
                  order: Seq[OrderKey]): DataFrame = {
-    val pos = fresh("p"); val spos = fresh("q")
-    val dp = running(d0, F.lit(1), pos, F.count, "sum")
+    val pos = POS; val spos = fresh("q")
+    val dp = if (d0.columns.contains(POS)) d0
+             else running(d0, F.lit(1), POS, F.count, "sum")
     val oks = order.indices.map(i => fresh("o" + i))
     val side = d0.select(
       order.map(_.value).zip(oks).map { case (c, n) => c.as(n) } :+
@@ -487,36 +539,41 @@ object Scan {
     val sorted = side.orderBy(sortCols: _*).select(out)
     val indexed = org.apache.spark.sql.GraftInternalOps
       .zipWithDenseIndex(sorted, spos) // 0-based dense positions
+    // POS stays on the frame (reserved name) so stacked permutation preps
+    // in one projection reuse it; the frame layer drops it with BUCKET
     dp.join(indexed, F.col(pos) === F.col(spos) + 1, "left")
-      .drop(pos, spos)
+      .drop(spos)
   }
 
   /** Keyed [[zipOrdered]]: the permutation runs WITHIN each key group
-    * (`sort().over(k)`, `reverse.over(k)`, keyed `sort_by`). Positions are
-    * `row_number` windows over the keys' own shuffle (AQE-coalescible
-    * ENSURE_REQUIREMENTS exchange, balanced by key hash), aligned by a
-    * composite (keys, position) equi-join — group size never enters any
-    * single buffer. */
+    * (`sort().over(k)`, `reverse.over(k)`, keyed `sort_by`). ONE lineage:
+    * both positions are windows over the same hash(keys) exchange — the
+    * probe position orders by the hidden index, the donor position by the
+    * permutation keys (`reverse` skips the second sort entirely: mirror
+    * position is `count − rn + 1` over the same partitioning) — and
+    * [[posZip]]'s exploded (keys, position) aggregation re-zips them with
+    * NO join and no further exchange. Group size never enters any single
+    * buffer. */
   def zipOrderedByKeys(d0: DataFrame, value: Column, out: String,
                        order: Seq[OrderKey], keys: Seq[Column]): DataFrame = {
     val kns = keys.indices.map(i => fresh("k" + i))
-    val pos = fresh("p"); val spos = fresh("q")
     val d = keys.zip(kns).foldLeft(d0) { case (acc, (k, n)) => acc.withColumn(n, k) }
+    val rn = fresh("p"); val sp = fresh("q")
     val wI = Window.partitionBy(kns.map(F.col): _*).orderBy(F.col(IDX))
-    val oks = order.indices.map(i => fresh("o" + i))
-    val sortCols = order.zip(oks).map { case (k, n) => k.sortCol(F.col(n)) } :+
-      F.col(IDX).asc
-    val wV = Window.partitionBy(kns.map(F.col): _*).orderBy(sortCols: _*)
-    val sideKns = keys.indices.map(i => fresh("kk" + i))
-    val side = order.map(_.value).zip(oks)
-      .foldLeft(d) { case (acc, (c, n)) => acc.withColumn(n, c) }
-      .withColumn(spos, F.row_number().over(wV))
-      .select(kns.zip(sideKns).map { case (a, b) => F.col(a).as(b) } :+
-        F.col(spos) :+ value.as(out): _*)
-    val cond = kns.zip(sideKns).map { case (a, b) => F.col(a) <=> F.col(b) }
-      .reduce(_ && _) && F.col(pos) === F.col(spos)
-    d.withColumn(pos, F.row_number().over(wI))
-      .join(side, cond, "left")
-      .drop((Seq(pos, spos) ++ kns ++ sideKns): _*)
+    val withRn = d.withColumn(rn, F.row_number().over(wI))
+    val dd =
+      if (isIdxReverse(order)) {
+        val wK = Window.partitionBy(kns.map(F.col): _*)
+        withRn.withColumn(sp, F.count(F.lit(1)).over(wK) - F.col(rn) + 1)
+      } else {
+        val oks = order.indices.map(i => fresh("o" + i))
+        val dO = order.map(_.value).zip(oks)
+          .foldLeft(withRn) { case (acc, (c, n)) => acc.withColumn(n, c) }
+        val sortCols = order.zip(oks).map { case (k, n) => k.sortCol(F.col(n)) } :+
+          F.col(IDX).asc
+        val wV = Window.partitionBy(kns.map(F.col): _*).orderBy(sortCols: _*)
+        dO.withColumn(sp, F.row_number().over(wV)).drop(oks: _*)
+      }
+    posZip(dd, kns, rn, sp, value, out, helpers = Nil).drop(kns: _*)
   }
 }
