@@ -45,6 +45,34 @@ object Retrieval {
     }
   }
 
+  /** [[ngramTerms]] restricted to n-grams whose FIRST token is in
+    * `firstTokens` — the probe prefilter (optimization-guide §3.2 shape:
+    * drop definitely-non-matching rows before they are built/shuffled).
+    * When the n-gram stream feeds an equi-join against a known tiny term
+    * set, masking at the first token skips the string construction AND the
+    * explode volume for every non-candidate position. Exact by
+    * construction: every n-gram whose first token is in the set survives
+    * unchanged, so the downstream join sees identical rows — false
+    * positives (candidate first token, non-matching tail) are dropped by
+    * the join exactly as before. */
+  def ngramCandidates(text: Column, n: Int, firstTokens: Seq[String]): Column = {
+    require(n >= 2, s"ngramCandidates: n must be >= 2, got $n")
+    val t = F.filter(tokens(text), x => x =!= "")
+    val len = F.size(t)
+    val first = F.zip_with(t, F.slice(t, F.lit(2), F.greatest(len - 1, F.lit(0))),
+      (x, y) => F.when(x.isin(firstTokens: _*), F.concat_ws(" ", x, y)))
+    // later zips must propagate the null mask (concat_ws would DROP a null
+    // head and fabricate a shorter gram)
+    val full = (2 until n).foldLeft(first) { (acc, k) =>
+      F.zip_with(acc, F.slice(t, F.lit(k + 1), F.greatest(len - k, F.lit(0))),
+        (x, y) => F.when(x.isNotNull, F.concat_ws(" ", x, y)))
+    }
+    F.filter(
+      F.when(len < n, F.array().cast("array<string>"))
+        .otherwise(F.slice(full, F.lit(1), len - (n - 1))),
+      g => g.isNotNull)
+  }
+
   /** Materialized positional inverted index: one posting row per (term,
     * doc) with term frequency and the sorted 0-based token positions — the
     * write-once index artifact that complements the query-time inverted
@@ -125,9 +153,26 @@ object Retrieval {
     val qterms = queries.select(F.col(queryIdCol),
         F.explode(ngramTerms(F.col(queryTextCol), n)).as("term"))
       .distinct()
-    // inverted probe: corpus terms filtered to query terms pre-aggregation
+    // inverted probe: corpus terms filtered to query terms pre-aggregation.
+    // For phrase terms (n >= 2) the filter is additionally pushed INTO the
+    // n-gram construction ([[ngramCandidates]]): only positions whose first
+    // token can start a query phrase build a gram at all — the query set is
+    // tiny by contract, so the distinct first tokens are a bounded driver
+    // list (falls back to the full stream if a caller passes a big one)
+    val corpusGrams =
+      if (n >= 2) {
+        // no-exchange collect (queries are usually a local relation); the
+        // dedupe happens driver-side, tokenization stays Spark's own split
+        // so the mask can never miss a gram the join would have matched
+        val firsts = queries
+          .select(F.explode(ngramTerms(F.col(queryTextCol), n)).as("term"))
+          .collect().iterator.map(_.getString(0).split(" ", 2)(0)).toSeq.distinct
+        if (firsts.nonEmpty && firsts.size <= 64)
+          ngramCandidates(F.col(textCol), n, firsts)
+        else ngramTerms(F.col(textCol), n)
+      } else ngramTerms(F.col(textCol), n)
     val tok = docs.select(F.col(idCol),
-        F.explode(ngramTerms(F.col(textCol), n)).as("term"))
+        F.explode(corpusGrams).as("term"))
       .join(F.broadcast(qterms.select("term").distinct()), Seq("term"))
     val tf = tok.groupBy(F.col(idCol), F.col("term"))
       .agg(F.count(F.lit(1)).as("tf"))

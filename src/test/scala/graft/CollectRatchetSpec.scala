@@ -66,6 +66,12 @@ class CollectRatchetSpec extends SparkSpec {
     "q_to_dummies" -> "distinct category values: the to_dummies contract",
     // curation audit (ml/Pipeline.scala): one row per pipeline stage
     "q_curate_audit" -> "per-stage audit: #stages rows",
+    // phrase BM25 probe prefilter (ml/Retrieval.scala bm25Scores): distinct
+    // FIRST tokens of the query n-grams — bounded by the query-term count
+    // (tiny by the inverted-probe contract; capped at 64 with a full-stream
+    // fallback), collected to mask the corpus n-gram construction
+    "q_bm25_bigram" -> "query-phrase first tokens: <= #query-terms rows, capped 64",
+    "q_rrf_fusion" -> "query-phrase first tokens: <= #query-terms rows, capped 64",
     // the query RESULT (grouped by c_mktsegment, 5 segment rows) is
     // materialized before the finally-block drops the temp bucketed
     // database out from under the lazy plan (Queries7.scala:358)

@@ -170,6 +170,24 @@ class Round13Spec extends SparkSpec {
     assert(uni == List("a", "b"))
   }
 
+  test("ngramCandidates equals ngramTerms filtered to the first-token set") {
+    import graft.ml.Retrieval
+    val texts = Seq("a b c d", "b c a b a", "a", "", "  x  y ", "c c c")
+    val df = texts.toDF("t")
+    val firsts = Seq("a", "c")
+    val full = df.select(Retrieval.ngramTerms(F.col("t"), 2).as("g"))
+      .collect().map(_.getSeq[String](0).toList.filter(g => firsts.contains(g.split(" ")(0))))
+    val cand = df.select(Retrieval.ngramCandidates(F.col("t"), 2, firsts).as("g"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(cand.toList == full.toList, s"cand=${cand.toList} full=${full.toList}")
+    // trigram mask: null heads must propagate, never fabricate short grams
+    val full3 = df.select(Retrieval.ngramTerms(F.col("t"), 3).as("g"))
+      .collect().map(_.getSeq[String](0).toList.filter(g => firsts.contains(g.split(" ")(0))))
+    val cand3 = df.select(Retrieval.ngramCandidates(F.col("t"), 3, firsts).as("g"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(cand3.toList == full3.toList, s"cand3=${cand3.toList} full3=${full3.toList}")
+  }
+
   test("rrfFuse sums reciprocal ranks across lists, missing docs contribute nothing") {
     import graft.ml.Retrieval
     val l1 = Seq((0, 10L, 1L), (0, 20L, 2L)).toDF("qid", "doc", "rank")
