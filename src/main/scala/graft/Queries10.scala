@@ -73,8 +73,8 @@ object Queries10 {
       .select((F.col("doc_id") + 100000).as("doc_id"),
         F.regexp_replace(F.col("text"), "^\\S+", "changed").as("text"))
     val corpus = docs.unionAll(copies)
-    QueryStage.stage(
-      graft.ml.Dedup.bandedSignatures(corpus, "text", "doc_id"), dir, "stream_bands")
+    QueryStage.stageMemo(dir, "stream_bands")(
+      graft.ml.Dedup.bandedSignatures(corpus, "text", "doc_id"))
     // the whole workspace — wave inputs, checkpoint, band registry, output —
     // lives under one stream root retained across bench runs (Verify gets a
     // fresh temp root and a full two-wave drain). The wave files are
@@ -132,10 +132,9 @@ object Queries10 {
     * the sqrt-weighted targets AND the exact kept set (rank-based selection —
     * counts exact, no threshold approximation). */
   private def qTemperatureSample(s: SparkSession, dir: String): SDF = {
-    val staged = QueryStage.stage(
+    val staged = QueryStage.stageMemo(dir, "temp_sample")(
       t(s, dir, "documents").select(F.col("doc_id"), F.col("lang"),
-        F.xxhash64(F.lit(42L), F.col("doc_id")).as("hv")),
-      dir, "temp_sample")
+        F.xxhash64(F.lit(42L), F.col("doc_id")).as("hv")))
     graft.ml.Sampling.temperatureSample(
       staged.select("doc_id", "lang"), "lang", "doc_id", targetRows = 300)
       .select("doc_id", "lang") // pin oracle column order (join reordered it)

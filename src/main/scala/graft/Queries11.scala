@@ -31,11 +31,11 @@ object Queries11 {
       .select(F.col("vec_id"), F.col("embedding").cast("array<double>").as("embedding"))
     val cents = QueryStage.memo(dir, "kmeans_model")(
       Clustering.kmeansFit(emb, "embedding", k = 8))
-    val assigned = QueryStage.stage(
-      Clustering.kmeansAssign(emb, "embedding", cents), dir, "kmeans_assign")
-    val centsDf = QueryStage.stage(
+    val assigned = QueryStage.stageMemo(dir, "kmeans_assign")(
+      Clustering.kmeansAssign(emb, "embedding", cents))
+    val centsDf = QueryStage.stageMemo(dir, "kmeans_cents")(
       cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-        .toDF("cid", "centroid"), dir, "kmeans_cents")
+        .toDF("cid", "centroid"))
     val dists = assigned.crossJoin(F.broadcast(centsDf))
       .select(F.col("vec_id"), F.col("cluster_id"), F.col("cid"),
         sqDist(F.col("embedding"), F.col("centroid")).as("d"))
@@ -71,8 +71,8 @@ object Queries11 {
       Similarity.l2Normalize(F.col("embedding")).as("nv"))
     val cents = QueryStage.memo(dir, "semdedup_model")(
       Clustering.kmeansFit(norm, "nv", k = 8))
-    val assigned = QueryStage.stage(
-      Clustering.kmeansAssign(norm, "nv", cents), dir, "semdedup_assign")
+    val assigned = QueryStage.stageMemo(dir, "semdedup_assign")(
+      Clustering.kmeansAssign(norm, "nv", cents))
     val pairs = Clustering.semanticPairs(assigned, "nv", "vec_id", threshold = 0.95)
     graft.ml.Dedup.dedupByClusters(assigned.select("vec_id"), "vec_id", pairs)
       .orderBy("vec_id")
@@ -85,9 +85,8 @@ object Queries11 {
     * Rounded to 6 (sum-order ulp drift across engines). */
   private def qDsirWeights(s: SparkSession, dir: String): SDF = {
     val docs = t(s, dir, "documents")
-    val rawB = QueryStage.stage(
-      Sampling.hashedNgramBuckets(docs.select("doc_id", "text"), "text", "doc_id"),
-      dir, "dsir_buckets")
+    val rawB = QueryStage.stageMemo(dir, "dsir_buckets")(
+      Sampling.hashedNgramBuckets(docs.select("doc_id", "text"), "text", "doc_id"))
     val tgtB = rawB.join(
       docs.where(F.col("lang") === "en").select("doc_id"), Seq("doc_id"))
     Sampling.dsirLogWeights(rawB, tgtB, "doc_id")
@@ -105,9 +104,8 @@ object Queries11 {
   private def qQualityClassifier(s: SparkSession, dir: String): SDF = {
     import s.implicits._
     val docs = t(s, dir, "documents")
-    val feats = QueryStage.stage(
-      Sampling.hashedNgramBuckets(docs.select("doc_id", "text"), "text", "doc_id"),
-      dir, "dsir_buckets")
+    val feats = QueryStage.stageMemo(dir, "dsir_buckets")(
+      Sampling.hashedNgramBuckets(docs.select("doc_id", "text"), "text", "doc_id"))
     val labels = docs.select(F.col("doc_id"),
       F.when(F.col("lang") === "en", 1).otherwise(0).as("label"))
     val model = QueryStage.memo(dir, "qc_model")(
@@ -115,7 +113,7 @@ object Queries11 {
         buckets = 4096, epochs = 30, lr = 2.0))
     val wrows = model.weights.toIndexedSeq.zipWithIndex
       .map { case (w, b) => (b, w) } :+ (-1, model.bias)
-    val wDf = QueryStage.stage(wrows.toDF("bucket", "w"), dir, "qc_weights")
+    val wDf = QueryStage.stageMemo(dir, "qc_weights")(wrows.toDF("bucket", "w"))
     val bias = wDf.where(F.col("bucket") === -1).select(F.col("w").as("b"))
     val margins = feats.join(wDf, Seq("bucket"))
       .groupBy("doc_id").agg(F.sum(F.col("cnt") * F.col("w")).as("mg"))

@@ -31,10 +31,9 @@ object Queries12 {
     * unchanged: both oracles recompute BM25 from the raw documents in
     * DuckDB, and Verify always rewrites stages. */
   private def stagedBm25Scores(s: SparkSession, dir: String): SDF =
-    QueryStage.stage(
+    QueryStage.stageMemo(dir, "bm25_scores_uni")(
       Retrieval.bm25Scores(t(s, dir, "documents"), "text", "doc_id",
-        retrievalQueries(s), "query_id", "qtext"),
-      dir, "bm25_scores_uni")
+        retrievalQueries(s), "query_id", "qtext"))
 
   /** BM25 top-10 per query over `documents` for four fixed queries drawn
     * from the corpus vocabulary. Rank key = round(score, 6) desc, doc_id

@@ -161,12 +161,21 @@ object Retrieval {
     // list (falls back to the full stream if a caller passes a big one)
     val corpusGrams =
       if (n >= 2) {
-        // no-exchange collect (queries are usually a local relation); the
-        // dedupe happens driver-side, tokenization stays Spark's own split
-        // so the mask can never miss a gram the join would have matched
+        // the collect itself is bounded, not just the mask decision: first
+        // tokens are extracted and deduplicated IN SPARK and the fetch is
+        // capped at 65 rows, so a large queries frame can never materialize
+        // its full exploded gram stream on the driver (the cap used to be
+        // checked only after collecting everything). 65 distinct rows back
+        // means the 64-token budget is exceeded → full-stream fallback,
+        // exactly the old decision. Tokenization stays Spark's own split so
+        // the mask can never miss a gram the join would have matched;
+        // sorted so the IN-list literal (and any staged-plan fingerprint
+        // downstream) is deterministic across partitionings.
         val firsts = queries
           .select(F.explode(ngramTerms(F.col(queryTextCol), n)).as("term"))
-          .collect().iterator.map(_.getString(0).split(" ", 2)(0)).toSeq.distinct
+          .select(F.substring_index(F.col("term"), " ", 1).as("t"))
+          .distinct().limit(65)
+          .collect().iterator.map(_.getString(0)).toSeq.sorted
         if (firsts.nonEmpty && firsts.size <= 64)
           ngramCandidates(F.col(textCol), n, firsts)
         else ngramTerms(F.col(textCol), n)

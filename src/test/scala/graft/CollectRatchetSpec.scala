@@ -92,10 +92,27 @@ class CollectRatchetSpec extends SparkSpec {
     try {
       val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("q_streaming"))
       val offenders = Seq.newBuilder[String]
+      // The ExecutionListener rides the shared ASYNC listener bus: under
+      // full-suite load a collect executed while building query N can be
+      // delivered after `current` has advanced to query N+1, mis-attributing
+      // a blessed collect to an unblessed neighbour (the r15 full-suite
+      // flake: q_dedup_cluster's blessed 64MB-capped edge collect landed on
+      // q_dedup_exact). Drain the bus after every build so attribution is
+      // exact. LiveListenerBus.waitUntilEmpty() is private[spark] at the
+      // Scala level but public in bytecode — reflection reaches it without
+      // a Spark-package shim.
+      def drainListenerBus(): Unit = {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethods
+          .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+          .foreach(_.invoke(bus))
+      }
       for (name <- names) {
         current = name
         try SparkEntry.queries(name)(spark, sfDir) // build only — the driver collects later
         catch { case e: Throwable => offenders += s"$name (build failed: ${e.getMessage})" }
+        drainListenerBus()
       }
       // listener delivery is async on the listener bus: poll until stable
       var last = -1
