@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// -oD: per-test durations in the report — the driver's test budget is finite
+// (the r15 suite ran 30m38s and the driver's capture cut off mid-suite), so
+// slow tests must be findable from any full run's log
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -132,7 +132,19 @@ object Graph {
     // current generation's cache — the materialization the old extra
     // `count()` job existed for — after which the parent generation is
     // released deterministically.
-    val eager = iterations > 8
+    //
+    // Threshold > 4 (was > 8): the lazy chain's LOGICAL plan doubles per
+    // iteration — each generation embeds its parent twice (the dangling
+    // scalar subquery and the contribs join), and Catalyst analyzes the
+    // full tree before cache substitution, so driver-side planning is
+    // O(2^iterations) regardless of data size (measured on a 5-edge graph:
+    // 4 iters ≈ 5 s total, 6 iters ≈ 24 s, all of it driver analysis —
+    // guide §7.3 "very large plans"). ≤ 4 lazy iterations keeps the
+    // pipelining win at ≤ 16 embedded copies; beyond that the per-iteration
+    // action bounds plan growth to one generation per step. Value-identical
+    // by construction (same IEEE ops; GraphSpec pins eager ≡ lazy ≡ local
+    // reference).
+    val eager = iterations > 4
     // N is loop-invariant: ONE driver count up front (this also fills the
     // persisted nodes/base caches) and a literal everywhere after — the
     // broadcast-subquery spelling cost one broadcast-exchange job per
@@ -140,7 +152,6 @@ object Graph {
     val nVal: Double = nodes.count().toDouble
     var ranks = reg.persistBounded(base
       .select(F.col("node"), F.col("__deg__"), F.lit(1.0 / nVal).as("rank")))
-    var prev: DataFrame = null
     var i = 0
     while (i < iterations) {
       // mass parked on dangling nodes this iteration: a broadcast scalar
@@ -152,7 +163,6 @@ object Graph {
       val dmLit: Option[Double] =
         if (eager) {
           val v = danglingAgg.collect()(0).getDouble(0)
-          if (prev != null) reg.release(prev)
           Some(v)
         } else None
       val contribs = e
@@ -170,12 +180,26 @@ object Graph {
       // a value by even an ulp
       val nCol = F.lit(nVal)
       val dmCol = dmLit.map(F.lit(_)).getOrElse(F.col("__dm__"))
-      val next = reg.persistBounded(withScalars
+      val next0 = withScalars
         .select(F.col("node"), F.col("__deg__"),
           ((F.lit(1.0 - damping) / nCol) +
             F.lit(damping) * (F.coalesce(F.col("__in__"), F.lit(0.0)) +
-              dmCol / nCol)).as("rank")))
-      prev = ranks
+              dmCol / nCol)).as("rank"))
+      // Eager path: CUT LINEAGE per generation (blocking localCheckpoint)
+      // instead of persist. With persist the logical plan still embeds the
+      // whole ancestor chain — cache substitution happens at physical
+      // planning — so analysis + cache lookup cost grows with every
+      // iteration and the loop goes superlinear on the DRIVER regardless of
+      // data size (measured: 10 iterations 40.6 s with persist, all
+      // planning; guide §5 "localCheckpoint is a cheaper way to cut
+      // lineage"). The fault-tolerance trade is the standard iterative-
+      // algorithm one: a lost executor re-runs the query instead of
+      // recomputing from lineage — at > 4 iterations that expectation is
+      // cheaper than superlinear planning on every healthy run. Values are
+      // unchanged (same IEEE ops; GraphSpec pins eager ≡ lazy ≡ local
+      // reference). Blocks are ContextCleaner-managed: freed as each
+      // generation's frame is dropped.
+      val next = if (eager) next0.localCheckpoint(true) else reg.persistBounded(next0)
       ranks = next
       i += 1
     }

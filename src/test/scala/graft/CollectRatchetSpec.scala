@@ -1,8 +1,5 @@
 package graft
 
-import java.util.concurrent.ConcurrentLinkedQueue
-import org.apache.spark.sql.execution.QueryExecution
-import org.apache.spark.sql.util.QueryExecutionListener
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LogicalPlan, ReturnAnswer}
 import org.apache.spark.sql.catalyst.expressions.{IntegerLiteral, Literal}
 
@@ -27,7 +24,6 @@ import org.apache.spark.sql.catalyst.expressions.{IntegerLiteral, Literal}
   */
 class CollectRatchetSpec extends SparkSpec {
 
-  private val sfDir = "/root/testdata/sf0.001"
   private val MaxLimit = 200000
 
   /** Collects whose plan is a grouped aggregate (or key lookup) over a
@@ -79,72 +75,39 @@ class CollectRatchetSpec extends SparkSpec {
   )
 
   test("driver-side collects during query build are limit- or scalar-bounded (whole map)") {
-    val captured = new ConcurrentLinkedQueue[(String, String, LogicalPlan, String)]()
-    var current = ""
-    val listener = new QueryExecutionListener {
-      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
-        if (funcName == "collect" || funcName == "collectAsList" || funcName == "toLocalIterator")
-          captured.add((current, funcName, qe.optimizedPlan, qe.executedPlan.toString))
-      }
-      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    // one shared build pass with PlanRatchetSpec (QueryBuildFixture): the
+    // fixture registers the collect listener around the single build and
+    // drains the async listener bus after every query, so each captured
+    // collect is attributed to the query that RAN it (late delivery under
+    // suite-wide load otherwise bleeds a blessed collect onto the next
+    // name in order — the r15 full-suite-only flake: q_dedup_cluster's
+    // blessed 64MB-capped edge collect landed on q_dedup_exact).
+    val offenders = Seq.newBuilder[String]
+    QueryBuildFixture.built.foreach {
+      case (name, Left(e)) => offenders += s"$name (build failed: ${e.getMessage})"
+      case _ => ()
     }
-    spark.listenerManager.register(listener)
-    try {
-      val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("q_streaming"))
-      val offenders = Seq.newBuilder[String]
-      // The ExecutionListener rides the shared ASYNC listener bus: under
-      // full-suite load a collect executed while building query N can be
-      // delivered after `current` has advanced to query N+1, mis-attributing
-      // a blessed collect to an unblessed neighbour (the r15 full-suite
-      // flake: q_dedup_cluster's blessed 64MB-capped edge collect landed on
-      // q_dedup_exact). Drain the bus after every build so attribution is
-      // exact. LiveListenerBus.waitUntilEmpty() is private[spark] at the
-      // Scala level but public in bytecode — reflection reaches it without
-      // a Spark-package shim.
-      def drainListenerBus(): Unit = {
-        val sc = spark.sparkContext
-        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
-        bus.getClass.getMethods
-          .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
-          .foreach(_.invoke(bus))
-      }
-      for (name <- names) {
-        current = name
-        try SparkEntry.queries(name)(spark, sfDir) // build only — the driver collects later
-        catch { case e: Throwable => offenders += s"$name (build failed: ${e.getMessage})" }
-        drainListenerBus()
-      }
-      // listener delivery is async on the listener bus: poll until stable
-      var last = -1
-      var same = 0
-      while (same < 5) {
-        Thread.sleep(100)
-        val n = captured.size
-        if (n == last) same += 1 else { same = 0; last = n }
-      }
-      def bounded(p: LogicalPlan): Boolean = p match {
-        case ReturnAnswer(child) => bounded(child)
-        case a: Aggregate if a.groupingExpressions.isEmpty => true // 1-row scalar
-        case GlobalLimit(IntegerLiteral(n), _) => n <= MaxLimit
-        case GlobalLimit(Literal(n: Int, _), _) => n <= MaxLimit
-        case _ => false
-      }
-      import scala.jdk.CollectionConverters._
-      val seen = scala.collection.mutable.Set.empty[String]
-      for ((qname, fn, plan, physical) <- captured.asScala) {
-        // limit bound: the physical plan carries it even under the AQE
-        // wrapper — any CollectLimit / TakeOrderedAndProject within MaxLimit
-        val limits = "(?:CollectLimit|TakeOrderedAndProject\\(limit=)\\s*(\\d+)".r
-          .findAllMatchIn(physical).map(_.group(1).toLong).toSeq
-        val limitBounded = limits.nonEmpty && limits.forall(_ <= MaxLimit)
-        val ok = bounded(plan) || limitBounded || blessed.contains(qname)
-        if (!ok && seen.add(qname))
-          offenders += s"$qname [$fn] unbounded driver collect:\n" +
-            physical.linesIterator.take(4).mkString("\n")
-      }
-      val bad = offenders.result()
-      assert(bad.isEmpty,
-        s"unblessed driver-side collects (add a limit/scalar shape, or bless with a reason):\n${bad.mkString("\n")}")
-    } finally spark.listenerManager.unregister(listener)
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case ReturnAnswer(child) => bounded(child)
+      case a: Aggregate if a.groupingExpressions.isEmpty => true // 1-row scalar
+      case GlobalLimit(IntegerLiteral(n), _) => n <= MaxLimit
+      case GlobalLimit(Literal(n: Int, _), _) => n <= MaxLimit
+      case _ => false
+    }
+    val seen = scala.collection.mutable.Set.empty[String]
+    for (c <- QueryBuildFixture.collects) {
+      // limit bound: the physical plan carries it even under the AQE
+      // wrapper — any CollectLimit / TakeOrderedAndProject within MaxLimit
+      val limits = "(?:CollectLimit|TakeOrderedAndProject\\(limit=)\\s*(\\d+)".r
+        .findAllMatchIn(c.physical).map(_.group(1).toLong).toSeq
+      val limitBounded = limits.nonEmpty && limits.forall(_ <= MaxLimit)
+      val ok = bounded(c.optimized) || limitBounded || blessed.contains(c.query)
+      if (!ok && seen.add(c.query))
+        offenders += s"${c.query} [${c.fn}] unbounded driver collect:\n" +
+          c.physical.linesIterator.take(4).mkString("\n")
+    }
+    val bad = offenders.result()
+    assert(bad.isEmpty,
+      s"unblessed driver-side collects (add a limit/scalar shape, or bless with a reason):\n${bad.mkString("\n")}")
   }
 }

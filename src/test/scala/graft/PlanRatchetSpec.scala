@@ -15,21 +15,18 @@ package graft
   */
 class PlanRatchetSpec extends SparkSpec {
 
-  private val sfDir = "/root/testdata/sf0.001"
   private val deliberateCross = Set("q_cross_join")
 
   test("no query plans a CartesianProduct (whole-map, future-proof)") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      if (name.startsWith("q_streaming")) None
-      else
-        try {
-          val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-          if (plan.contains("CartesianProduct") && !deliberateCross(name)) Some(name)
-          else None
-        } catch {
-          case e: Throwable =>
-            Some(s"$name (plan build failed: ${e.getClass.getSimpleName}: ${e.getMessage})")
-        }
+    // one shared build pass with CollectRatchetSpec (QueryBuildFixture) —
+    // same coverage, half the staging/model-fit cost
+    val offenders = QueryBuildFixture.built.flatMap {
+      case (name, Right(df)) =>
+        val plan = df.queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct") && !deliberateCross(name)) Some(name)
+        else None
+      case (name, Left(e)) =>
+        Some(s"$name (plan build failed: ${e.getClass.getSimpleName}: ${e.getMessage})")
     }
     assert(offenders.isEmpty,
       s"CartesianProduct (or broken plan build) in: ${offenders.mkString(", ")} — " +

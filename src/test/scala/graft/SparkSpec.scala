@@ -15,7 +15,11 @@ object SparkSpec {
     val wh = java.nio.file.Files.createTempDirectory("graft-warehouse")
     wh.toFile.deleteOnExit()
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[8] (was local[4]): the driver's test budget is finite and the
+      // suite is Spark-task-bound in its heavy suites (ratchet build pass,
+      // fuzz, streaming); shuffle partitions stay at 4 so plan shapes and
+      // partition-count-sensitive assertions are unchanged
+      .master("local[8]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
